@@ -1,0 +1,24 @@
+"""blaze_spark — a PySpark-native schema + constraint validation engine.
+
+Built from scratch (NOT a port) with the capabilities and semantics of the
+reference validator (Blaze, /root/reference): it compiles JSON-Schema-style
+constraints (Draft 4/6/7/2019-09/2020-12 keywords) into serializable
+instruction plans (the analog of Blaze ``Template``,
+reference: src/evaluator/include/sourcemeta/blaze/evaluator.h:38-44),
+then executes them over Spark DataFrames in two tiers:
+
+* tier 1 — flat-row constraints become pure Catalyst ``Column`` expressions
+  (whole-stage codegen; the analog of Blaze's "nanosecond" fast path), and
+* tier 2 — dynamic JSON instances run through an Arrow-batched
+  ``mapInPandas`` interpreter (the analog of Blaze's 100-instruction
+  dispatch loop, reference: evaluator_dispatch.h:2655-2772).
+
+Table-level checks (per-partition column stats, uniqueness, referential
+integrity, KS/PSI distribution drift) and training-data pipeline operators
+(dedup, similarity search, text analysis) live under ``operators/``.
+"""
+
+__version__ = "0.1.0"
+
+from blaze_spark.plans.compiler import compile_schema  # noqa: F401
+from blaze_spark.operators.evaluator import evaluate  # noqa: F401

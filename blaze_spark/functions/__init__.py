@@ -1,0 +1,2 @@
+"""Scalar function layer: regex translation, format validators, error
+message catalog, portable hashing."""

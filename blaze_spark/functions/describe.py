@@ -1,0 +1,314 @@
+"""Human-readable violation messages reproducing the reference's error
+taxonomy (reference: src/evaluator/evaluator_describe.cc, 2,682 LoC).
+
+Each builder takes the failing value plus the instruction operand and
+returns the same phrasing the reference's ``describe()`` emits for that
+instruction family (citations inline). Values are stringified as compact
+JSON, property names quoted, exactly as ``escape_string`` does there.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, List, Optional
+
+from blaze_spark.plans.jsonvals import is_integral, type_of
+
+
+def _stringify(value: Any) -> str:
+    return json.dumps(value, separators=(", ", ": "), ensure_ascii=False)
+
+
+def _quote(name: str) -> str:
+    return json.dumps(name, ensure_ascii=False)
+
+
+def _type_name(value: Any) -> str:
+    return type_of(value)
+
+
+def _value_type_name(value: Any) -> str:
+    # numeric values described as "number" when real, "integer" when integral
+    t = type_of(value)
+    if t == "number" and is_integral(value):
+        return "number"
+    return t
+
+
+def _join_names(names: List[str]) -> str:
+    quoted = [_quote(n) for n in names]
+    if len(quoted) == 1:
+        return quoted[0]
+    if len(quoted) == 2:
+        return f"{quoted[0]} and {quoted[1]}"
+    return ", ".join(quoted[:-1]) + ", and " + quoted[-1]
+
+
+def _plural(n: int, word: str) -> str:
+    return f"{n} {word}" if n == 1 else f"{n} {word}s"
+
+
+def type_mismatch(value: Any, expected: List[str]) -> str:
+    """describe.cc:91-98 (single) / :162-198 (bitmask)."""
+    actual = _type_name(value)
+    if len(expected) == 1:
+        exp = expected[0]
+        if exp == "integer" and actual == "number":
+            actual = "number"
+        return f"The value was expected to be of type {exp} but it was of type {actual}"
+    if len(expected) == 2:
+        exp = f"{expected[0]} or {expected[1]}"
+    else:
+        exp = ", ".join(expected[:-1]) + ", or " + expected[-1]
+    return f"The value was expected to be of type {exp} but it was of type {actual}"
+
+
+def false_schema() -> str:
+    """describe.cc:351."""
+    return "No instance is expected to succeed against the false schema"
+
+
+def empty_enum(value: Any) -> str:
+    """describe.cc:322-326."""
+    return (
+        f"The {_type_name(value)} value was not expected to validate "
+        "against the empty enumeration"
+    )
+
+
+def const_mismatch(value: Any, expected: Any, *, property_name: Optional[str] = None) -> str:
+    """describe.cc AssertionEqual branch."""
+    if property_name is not None:
+        subject = f"The property name {_quote(property_name)}"
+    else:
+        subject = f"The {_type_name(value)} value {_stringify(value)}"
+    return (
+        f"{subject} was expected to equal the "
+        f"{_type_name(expected)} constant {_stringify(expected)}"
+    )
+
+
+def enum_mismatch(value: Any, choices: List[Any]) -> str:
+    """describe.cc AssertionEqualsAny branch."""
+    if len(choices) == 1:
+        return const_mismatch(value, choices[0])
+    rendered = [_stringify(c) for c in choices]
+    if len(rendered) == 2:
+        listing = f"{rendered[0]} or {rendered[1]}"
+    else:
+        listing = ", ".join(rendered[:-1]) + ", or " + rendered[-1]
+    return (
+        f"The {_type_name(value)} value {_stringify(value)} was expected to "
+        f"equal one of the following values: {listing}"
+    )
+
+
+def pattern_mismatch(value: str, pattern: str) -> str:
+    """describe.cc:1659-1661."""
+    return (
+        f"The string value {_quote(value)} was expected to match "
+        f"the regular expression {_quote(pattern)}"
+    )
+
+
+def string_size(value: str, minimum: Optional[int], maximum: Optional[int],
+                *, property_name: Optional[str] = None) -> str:
+    """describe.cc:1673-1740 (min/maxLength)."""
+    subject = (
+        f"The object property name {_quote(property_name)}"
+        if property_name is not None
+        else "The string value"
+    )
+    n = len(property_name) if property_name is not None else len(value)
+    got = f"but it consisted of {_plural(n, 'character')}"
+    if maximum is not None and (minimum is None or n > maximum):
+        return f"{subject} was expected to consist of at most {_plural(maximum, 'character')} {got}"
+    return f"{subject} was expected to consist of at least {_plural(minimum or 0, 'character')} {got}"
+
+
+def array_size(value: list, minimum: Optional[int], maximum: Optional[int]) -> str:
+    """describe.cc:1755-1786 (min/maxItems)."""
+    n = len(value)
+    got = f"but it contained {_plural(n, 'item')}"
+    if maximum is not None and (minimum is None or n > maximum):
+        return f"The array value was expected to contain at most {_plural(maximum, 'item')} {got}"
+    return f"The array value was expected to contain at least {_plural(minimum or 0, 'item')} {got}"
+
+
+def object_size(value: dict, minimum: Optional[int], maximum: Optional[int]) -> str:
+    """describe.cc min/maxProperties branch."""
+    n = len(value)
+    names = sorted(value.keys())
+    if n == 0:
+        got = "but it contained 0 properties"
+    elif n == 1:
+        got = f"but it contained 1 property: {_quote(names[0])}"
+    else:
+        listing = ", ".join(_quote(x) for x in names[:-1]) + ", and " + _quote(names[-1]) \
+            if n > 2 else f"{_quote(names[0])} and {_quote(names[1])}"
+        got = f"but it contained {n} properties: {listing}"
+    if maximum is not None and (minimum is None or n > maximum):
+        return f"The object value was expected to contain at most {_plural(maximum, 'property').replace('propertys', 'properties')} {got}"
+    want = _plural(minimum or 0, "property").replace("propertys", "properties")
+    return f"The object value was expected to contain at least {want} {got}"
+
+
+def numeric_bound(value: Any, bound: Any, op: str) -> str:
+    """describe.cc AssertionGreaterEqual/LessEqual/Greater/Less branches."""
+    rel = {
+        "ge": "greater than or equal to",
+        "le": "less than or equal to",
+        "gt": "greater than",
+        "lt": "less than",
+    }[op]
+    msg = (
+        f"The {_value_type_name(value)} value {_stringify(value)} was expected "
+        f"to be {rel} the {_value_type_name(bound)} {_stringify(bound)}"
+    )
+    if op in ("gt", "lt") and value == bound:
+        msg += ", but they were equal"
+    return msg
+
+
+def not_divisible(value: Any, divisor: Any) -> str:
+    """describe.cc AssertionDivisible branch (multipleOf)."""
+    return (
+        f"The {_value_type_name(value)} value {_stringify(value)} was expected "
+        f"to be divisible by the {_value_type_name(divisor)} {_stringify(divisor)}"
+    )
+
+
+def not_unique(value: list) -> str:
+    """describe.cc AssertionUnique branch (uniqueItems)."""
+    return "The array value was expected to not contain duplicate items"
+
+
+def missing_property(names: List[str], missing: List[str]) -> str:
+    """describe.cc:1251-1308 (required)."""
+    if len(names) == 1:
+        return (
+            f"The object value was expected to define the property {_quote(names[0])}"
+        )
+    head = f"The object value was expected to define properties {_join_names(sorted(names))}"
+    if len(missing) == 1:
+        return f"{head} but did not define the property {_quote(missing[0])}"
+    return f"{head} but did not define properties {_join_names(sorted(missing))}"
+
+
+def unexpected_property(name: str, *, unevaluated: bool = False) -> str:
+    """describe.cc:337 / :765-768."""
+    kind = "unevaluated" if unevaluated else ""
+    if kind:
+        return f"The object value was not expected to define unevaluated properties and it defined the property {_quote(name)}"
+    return f"The object value was not expected to define the property {_quote(name)}"
+
+
+def unexpected_item(index: int, *, unevaluated: bool = False) -> str:
+    """describe.cc:346."""
+    if unevaluated:
+        return f"The array value was not expected to define unevaluated items and it defined the item at index {index}"
+    return f"The array value was not expected to define the item at index {index}"
+
+
+def anyof_fail(value: Any, branch_count: int) -> str:
+    """describe.cc:357-363."""
+    if branch_count > 1:
+        return (
+            f"The {_type_name(value)} value was expected to validate against "
+            f"at least one of the {branch_count} given subschemas"
+        )
+    return (
+        f"The {_type_name(value)} value was expected to validate against "
+        "the given subschema"
+    )
+
+
+def allof_fail(value: Any, branch_count: int) -> str:
+    """describe.cc:373-378."""
+    if branch_count > 1:
+        return (
+            f"The {_type_name(value)} value was expected to validate against "
+            f"the {branch_count} given subschemas"
+        )
+    return (
+        f"The {_type_name(value)} value was expected to validate against "
+        "the given subschema"
+    )
+
+
+def oneof_fail(value: Any, branch_count: int, *, property_name: Optional[str] = None) -> str:
+    """describe.cc:401-412."""
+    subject = (
+        f"The property name {_quote(property_name)}"
+        if property_name is not None
+        else f"The {_type_name(value)} value"
+    )
+    if branch_count > 1:
+        return (
+            f"{subject} was expected to validate against one and only one of "
+            f"the {branch_count} given subschemas"
+        )
+    return f"{subject} was expected to validate against the given subschema"
+
+
+def not_fail(value: Any) -> str:
+    """describe.cc:420-431."""
+    return (
+        f"The {_type_name(value)} value was expected to not validate against "
+        "the given subschema, but it did"
+    )
+
+
+def contains_fail(value: list, minimum: int, maximum: Optional[int]) -> str:
+    """describe.cc:1213-1243."""
+    if maximum is None:
+        amount = f"at least {minimum}"
+    elif minimum == maximum:
+        amount = f"exactly {minimum}"
+    elif minimum == 0:
+        amount = f"up to {maximum}"
+    else:
+        amount = f"{minimum} to {maximum}"
+    unit = (
+        "item that validates against the given subschema"
+        if amount in ("exactly 1", "at least 1")
+        else "items that validate against the given subschema"
+    )
+    return f"The array value was expected to contain {amount} {unit}"
+
+
+def ref_fail(value: Any) -> str:
+    """describe.cc:282-284 (reference failure)."""
+    return (
+        f"The {_type_name(value)} value was expected to validate against "
+        "the referenced schema"
+    )
+
+
+def dependency_fail(trigger: str, missing: List[str]) -> str:
+    """describe.cc dependentRequired branch."""
+    if len(missing) == 1:
+        return (
+            f"The object value defines the property {_quote(trigger)} and so it "
+            f"was also expected to define the property {_quote(missing[0])}"
+        )
+    return (
+        f"The object value defines the property {_quote(trigger)} and so it "
+        f"was also expected to define properties {_join_names(sorted(missing))}"
+    )
+
+
+def format_fail(value: str, fmt: str) -> str:
+    """describe.cc AssertionStringType branch (logical type)."""
+    return (
+        f"The string value {_quote(value)} was expected to represent a valid "
+        f"{fmt}"
+    )
+
+
+def property_names_fail(name: str) -> str:
+    """describe.cc:1509 vicinity (propertyNames)."""
+    return (
+        f"The property name {_quote(name)} was expected to validate against "
+        "the given subschema"
+    )

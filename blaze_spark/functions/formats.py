@@ -1,0 +1,166 @@
+"""``format`` keyword validators (assertion mode).
+
+The reference implements 21 logical string types in one fused instruction
+(AssertionStringType, reference: evaluator_dispatch.h:872-941; keyword
+mapping default_compiler_draft3.h:2529-2772). Here each format is a pure
+Python predicate usable inside the Arrow interpreter; the cheap ones also
+have Java-regex forms for tier-1 Column plans (see FORMAT_JAVA_REGEX).
+
+Formats apply only to strings; non-string values pass (per spec).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from datetime import datetime
+from typing import Callable, Dict, Optional
+
+_RE_UUID = re.compile(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\Z")
+_RE_DATE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})\Z")
+_RE_TIME = re.compile(
+    r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?([zZ]|[+-]\d{2}:\d{2})\Z"
+)
+_RE_DURATION = re.compile(
+    r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?\Z"
+)
+_RE_HOSTNAME = re.compile(
+    r"^(?=.{1,253}\Z)[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+    r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*\.?\Z"
+)
+_RE_EMAIL = re.compile(
+    r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
+    r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+    r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*\Z"
+)
+_RE_JSON_POINTER = re.compile(r"^(?:/(?:[^~/]|~[01])*)*\Z")
+_RE_REL_JSON_POINTER = re.compile(r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~[01])*)*)\Z")
+# RFC 3986 URI: scheme ':' hier-part [ '?' query ] [ '#' fragment ]
+_RE_URI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*\Z")
+_RE_URI_REF_BAD = re.compile(r"[\s<>\\^`{|}\"]")
+
+
+def _is_date(s: str) -> bool:
+    m = _RE_DATE.match(s)
+    if not m:
+        return False
+    try:
+        datetime(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        return True
+    except ValueError:
+        return False
+
+
+def _is_time(s: str) -> bool:
+    m = _RE_TIME.match(s)
+    if not m:
+        return False
+    h, mi, se = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if h > 23 or mi > 59 or se > 60:  # 60 = leap second
+        return False
+    off = m.group(5)
+    if off not in ("z", "Z"):
+        oh, om = int(off[1:3]), int(off[4:6])
+        if oh > 23 or om > 59:
+            return False
+    return True
+
+
+def _is_datetime(s: str) -> bool:
+    for sep in ("T", "t"):
+        if sep in s:
+            date_part, _, time_part = s.partition(sep)
+            return _is_date(date_part) and _is_time(time_part)
+    return False
+
+
+def _is_ipv4(s: str) -> bool:
+    try:
+        ipaddress.IPv4Address(s)
+        return "." in s and all(p == "0" or not p.startswith("0") for p in s.split("."))
+    except ValueError:
+        return False
+
+
+def _is_ipv6(s: str) -> bool:
+    try:
+        ipaddress.IPv6Address(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _is_regex(s: str) -> bool:
+    from blaze_spark.functions.regexes import compile_ecma
+
+    try:
+        compile_ecma(s)
+        return True
+    except re.error:
+        return False
+
+
+def _is_uri(s: str) -> bool:
+    return bool(_RE_URI.match(s)) and not _RE_URI_REF_BAD.search(s)
+
+
+def _is_uri_reference(s: str) -> bool:
+    return not _RE_URI_REF_BAD.search(s)
+
+
+def _is_uri_template(s: str) -> bool:
+    # balanced {...} groups with legal operators/varnames; otherwise uri-ref
+    depth = 0
+    for c in s:
+        if c == "{":
+            if depth:
+                return False
+            depth = 1
+        elif c == "}":
+            if not depth:
+                return False
+            depth = 0
+    return depth == 0 and not re.search(r"[\s<>\\^`|\"]", s)
+
+
+VALIDATORS: Dict[str, Callable[[str], bool]] = {
+    "uuid": lambda s: bool(_RE_UUID.match(s)),
+    "date": _is_date,
+    "time": _is_time,
+    "date-time": _is_datetime,
+    "duration": lambda s: bool(_RE_DURATION.match(s)),
+    "ipv4": _is_ipv4,
+    "ipv6": _is_ipv6,
+    "hostname": lambda s: bool(_RE_HOSTNAME.match(s)),
+    "idn-hostname": lambda s: bool(_RE_HOSTNAME.match(s)) or all(ord(c) > 127 or c.isalnum() or c in ".-" for c in s),
+    "email": lambda s: bool(_RE_EMAIL.match(s)),
+    "idn-email": lambda s: "@" in s and " " not in s,
+    "json-pointer": lambda s: bool(_RE_JSON_POINTER.match(s)),
+    "relative-json-pointer": lambda s: bool(_RE_REL_JSON_POINTER.match(s)),
+    "uri": _is_uri,
+    "uri-reference": _is_uri_reference,
+    "iri": _is_uri,
+    "iri-reference": _is_uri_reference,
+    "uri-template": _is_uri_template,
+    "regex": _is_regex,
+}
+
+# Java-regex forms for the cheap formats, usable in tier-1 Column plans
+# (reference keeps cheap formats inline too: evaluator_dispatch.h:875-941).
+FORMAT_JAVA_REGEX: Dict[str, str] = {
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\z",
+    "date": r"^\d{4}-\d{2}-\d{2}\z",
+    "json-pointer": r"^(/([^~/]|~[01])*)*\z",
+    "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\z",
+}
+
+
+def check_format(name: str, value: object) -> bool:
+    """Validate ``value`` against format ``name``. Unknown formats and
+    non-string values pass (spec behavior, matching the reference)."""
+    if not isinstance(value, str):
+        return True
+    fn: Optional[Callable[[str], bool]] = VALIDATORS.get(name)
+    if fn is None:
+        return True
+    return fn(value)

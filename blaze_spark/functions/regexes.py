@@ -1,0 +1,103 @@
+"""ECMA-262 regex handling for ``pattern`` / ``patternProperties``.
+
+JSON Schema regexes are ECMA-262. We execute them in two places:
+
+* tier 2 (the Arrow interpreter): translated to Python ``re`` — close
+  enough for the supported subset; differences are documented below.
+* tier 1 (Catalyst): translated to Java regex for ``Column.rlike``.
+
+The reference compiles regexes once at schema-compile time and keeps the
+source text for serialization (ValueRegex, reference:
+src/evaluator/include/sourcemeta/blaze/evaluator_value.h:69-99). It also
+rewrites anchored literal patterns into prefix checks
+(``pattern_as_prefix``, reference: src/compiler/compile_helpers.h:216);
+we replicate that as ``as_prefix``.
+
+Known subset caveats (documented, SURVEY.md §7.4): ECMA ``\\d``/``\\w`` are
+ASCII-only — Python's are unicode-aware unless re.ASCII-scoped; we do NOT
+force re.ASCII globally because JSON Schema test patterns rarely rely on
+it; ``\\cX`` control escapes and lookbehind differences are unsupported.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Optional
+
+_PREFIX_SAFE = re.compile(r"^\^[A-Za-z0-9_\- /:@.]+$")
+
+
+def as_prefix(pattern: str) -> Optional[str]:
+    """If the pattern is ``^<literal>`` with no metacharacters, return the
+    literal prefix (reference optimization: compile_helpers.h:216,
+    emission default_compiler_draft3.h:1058-1063)."""
+    if _PREFIX_SAFE.match(pattern) and "." not in pattern:
+        return pattern[1:]
+    return None
+
+
+def ecma_to_python(pattern: str) -> str:
+    """Translate the common ECMA-262 constructs to Python ``re`` syntax.
+
+    ECMA ``$`` matches only end-of-input (no multiline flag) while Python
+    ``$`` also matches before a trailing newline → rewrite to ``\\Z``.
+    """
+    out = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif c == "$" and not in_class:
+            out.append(r"\Z")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def ecma_to_java(pattern: str) -> str:
+    """Translate to Java regex (for Column.rlike). Java is close to ECMA;
+    ``$`` in Java also matches before a final line terminator, so anchor
+    hard with ``\\z``."""
+    out = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif c == "$" and not in_class:
+            out.append(r"\z")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+@lru_cache(maxsize=4096)
+def compile_ecma(pattern: str) -> "re.Pattern[str]":
+    """Compile (and cache) an ECMA pattern for Python execution. The cache
+    is the per-executor analog of the reference's compile-once regexes."""
+    return re.compile(ecma_to_python(pattern))
+
+
+def search(pattern: str, value: str) -> bool:
+    """ECMA regex *search* semantics (unanchored), as JSON Schema requires."""
+    return compile_ecma(pattern).search(value) is not None

@@ -1,0 +1,3 @@
+"""Execution layer: the plan interpreter (tier 2), the Catalyst Column
+compiler (tier 1), the DataFrame validation API, and table-level checks
+(stats, uniqueness, referential, drift) plus pipeline operators."""

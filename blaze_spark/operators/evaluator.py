@@ -1,0 +1,770 @@
+"""Plan interpreter: evaluates compiled plans over parsed JSON values.
+
+The analog of the reference's schema-agnostic dispatch interpreter
+(reference: src/evaluator/include/sourcemeta/blaze/evaluator_dispatch.h:
+2655-2772 — a 100-way function-pointer table; here a dict of per-op
+handlers). Used batch-at-a-time inside Arrow ``mapInPandas`` on executors
+(tier 2); never row-at-a-time from the driver.
+
+Semantics mirrored from the reference:
+
+* short-circuit in fast mode, collect-everything in exhaustive mode
+  (operand exhaustive flags, evaluator_dispatch.h:1189-1203);
+* recursion depth limit 300 on reference jumps
+  (evaluator_dispatch.h:2764-2768);
+* evaluated-location tracking for unevaluated* only when the plan's
+  ``track`` flag is set (zero bookkeeping otherwise, evaluator.h:109-127);
+* dynamic-anchor resolution searches the resource scope stack outermost-
+  first (evaluator_dispatch.h:1447 ControlDynamicAnchorJump);
+* violations are emitted post-order (children before the combinator's own
+  summary), matching the reference's Post-event ordering that SimpleOutput
+  folds into error stacks (src/output/output_simple.cc).
+
+Violation rows are ``(keyword_location, instance_location, message)`` with
+messages from the describe() taxonomy (functions/describe.py).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Any, Dict, List, NamedTuple, Optional, Set, Tuple
+
+from blaze_spark.functions import describe as D
+from blaze_spark.functions.formats import check_format
+from blaze_spark.functions.regexes import compile_ecma
+from blaze_spark.plans import pointer as ptr
+from blaze_spark.plans.jsonvals import (
+    canonical_key,
+    equal,
+    matches_type,
+)
+
+MAX_DEPTH = 300  # reference: evaluator_dispatch.h:2764-2768
+
+
+class Violation(NamedTuple):
+    keyword_location: str
+    instance_location: str
+    message: str
+
+
+class EvalResult(NamedTuple):
+    valid: bool
+    violations: List[Violation]
+
+
+class _Ann:
+    """Per-instance-node annotation state for unevaluated* tracking
+    (the analog of the reference's ``evaluated_`` list,
+    evaluator.h:217-259)."""
+
+    __slots__ = ("props", "items")
+
+    def __init__(self) -> None:
+        self.props: Set[str] = set()
+        self.items: Set[int] = set()
+
+    def merge(self, other: "_Ann") -> None:
+        self.props |= other.props
+        self.items |= other.items
+
+
+class _State:
+    __slots__ = ("plan", "targets", "fast", "track", "scopes", "depth")
+
+    def __init__(self, plan: dict, fast: bool) -> None:
+        self.plan = plan
+        self.targets = plan["targets"]
+        self.fast = fast
+        self.track = bool(plan.get("track"))
+        self.scopes: List[str] = []  # resource base URIs, outermost first
+        self.depth = 0
+
+
+def evaluate(plan: dict, instance: Any, *, mode: Optional[str] = None) -> EvalResult:
+    """Validate one parsed JSON instance against a compiled plan.
+
+    ``mode`` defaults to the plan's compiled mode. Fast mode stops at the
+    first violation; exhaustive collects all of them in evaluation order.
+    """
+    fast = (mode or plan.get("mode", "fast")) == "fast"
+    state = _State(plan, fast)
+    state.scopes.append(plan.get("target_base", [""])[0])
+    valid, violations, _ = _run_program(
+        state, plan["targets"][0], instance, "", "", _Ann())
+    return EvalResult(valid, violations)
+
+
+def _run_program(state: _State, program: List[dict], instance: Any,
+                 iloc: str, eprefix: str, ann: _Ann) -> Tuple[bool, List[Violation], _Ann]:
+    """Run an instruction program (conjunction) against one instance node."""
+    valid = True
+    violations: List[Violation] = []
+    for instr in program:
+        ok, vio = _HANDLERS[instr["op"]](state, instr, instance, iloc, eprefix, ann)
+        if not ok:
+            valid = False
+            violations.extend(vio)
+            if state.fast:
+                break
+    return valid, violations, ann
+
+
+def _run_target(state: _State, target: int, instance: Any, iloc: str,
+                eprefix: str, ann: _Ann) -> Tuple[bool, List[Violation], _Ann]:
+    if state.depth >= MAX_DEPTH:
+        raise RecursionError(
+            f"schema evaluation exceeded depth limit {MAX_DEPTH}")
+    state.depth += 1
+    base = state.plan.get("target_base", [""])[target] if target < len(
+        state.plan.get("target_base", [])) else ""
+    pushed = False
+    if not state.scopes or state.scopes[-1] != base:
+        state.scopes.append(base)
+        pushed = True
+    try:
+        return _run_program(state, state.targets[target], instance, iloc,
+                            eprefix, ann)
+    finally:
+        state.depth -= 1
+        if pushed:
+            state.scopes.pop()
+
+
+# ---------------------------------------------------------------------------
+# handlers — each returns (ok, violations)
+
+def _h_fail(state, instr, instance, iloc, eprefix, ann):
+    v = instr.get("value") or {}
+    if v.get("keyword") == "enum":
+        msg = D.empty_enum(instance)
+    else:
+        msg = D.false_schema()
+    return False, [Violation(eprefix + instr["kloc"], iloc, msg)]
+
+
+def _h_type(state, instr, instance, iloc, eprefix, ann):
+    v = instr["value"]
+    types, strict = v["types"], v.get("strict", False)
+    if any(matches_type(instance, t, strict_integer=strict) for t in types):
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.type_mismatch(instance, types))]
+
+
+def _h_const(state, instr, instance, iloc, eprefix, ann):
+    expected = instr["value"]["value"]
+    if equal(instance, expected):
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.const_mismatch(instance, expected))]
+
+
+def _h_enum(state, instr, instance, iloc, eprefix, ann):
+    values = instr["value"]["values"]
+    key = canonical_key(instance)
+    for v in values:
+        if canonical_key(v) == key:
+            return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.enum_mismatch(instance, values))]
+
+
+def _is_number(x: Any) -> bool:
+    return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+
+def _h_minimum(state, instr, instance, iloc, eprefix, ann):
+    if not _is_number(instance):
+        return True, []
+    b = instr["value"]["bound"]
+    if instance >= b:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.numeric_bound(instance, b, "ge"))]
+
+
+def _h_maximum(state, instr, instance, iloc, eprefix, ann):
+    if not _is_number(instance):
+        return True, []
+    b = instr["value"]["bound"]
+    if instance <= b:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.numeric_bound(instance, b, "le"))]
+
+
+def _h_exclusive_minimum(state, instr, instance, iloc, eprefix, ann):
+    if not _is_number(instance):
+        return True, []
+    b = instr["value"]["bound"]
+    if instance > b:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.numeric_bound(instance, b, "gt"))]
+
+
+def _h_exclusive_maximum(state, instr, instance, iloc, eprefix, ann):
+    if not _is_number(instance):
+        return True, []
+    b = instr["value"]["bound"]
+    if instance < b:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.numeric_bound(instance, b, "lt"))]
+
+
+def _exact(x: Any) -> Fraction:
+    # exact rational semantics for multipleOf, mirroring the reference's
+    # divisible_by (default_compiler_draft3.h:2506-2526). str(float) gives
+    # the shortest decimal repr, recovering intended decimal semantics.
+    if isinstance(x, int):
+        return Fraction(x)
+    return Fraction(str(x))
+
+
+def _h_multiple_of(state, instr, instance, iloc, eprefix, ann):
+    if not _is_number(instance):
+        return True, []
+    d = instr["value"]["divisor"]
+    try:
+        ok = (_exact(instance) % _exact(d)) == 0
+    except (ValueError, ZeroDivisionError, OverflowError):
+        ok = False
+    if ok:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.not_divisible(instance, d))]
+
+
+def _h_min_length(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, str):
+        return True, []
+    b = instr["value"]["bound"]
+    if len(instance) >= b:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.string_size(instance, b, None))]
+
+
+def _h_max_length(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, str):
+        return True, []
+    b = instr["value"]["bound"]
+    if len(instance) <= b:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.string_size(instance, None, b))]
+
+
+def _h_pattern(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, str):
+        return True, []
+    pat = instr["value"]["pattern"]
+    if compile_ecma(pat).search(instance):
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.pattern_mismatch(instance, pat))]
+
+
+def _h_format(state, instr, instance, iloc, eprefix, ann):
+    name = instr["value"]["name"]
+    if check_format(name, instance):
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.format_fail(instance, name))]
+
+
+def _h_min_items(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, list):
+        return True, []
+    b = instr["value"]["bound"]
+    if len(instance) >= b:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.array_size(instance, b, None))]
+
+
+def _h_max_items(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, list):
+        return True, []
+    b = instr["value"]["bound"]
+    if len(instance) <= b:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.array_size(instance, None, b))]
+
+
+def _h_unique_items(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, list):
+        return True, []
+    seen = set()
+    for item in instance:
+        k = canonical_key(item)
+        if k in seen:
+            return False, [Violation(eprefix + instr["kloc"], iloc,
+                                     D.not_unique(instance))]
+        seen.add(k)
+    return True, []
+
+
+def _h_min_properties(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, dict):
+        return True, []
+    b = instr["value"]["bound"]
+    if len(instance) >= b:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.object_size(instance, b, None))]
+
+
+def _h_max_properties(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, dict):
+        return True, []
+    b = instr["value"]["bound"]
+    if len(instance) <= b:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.object_size(instance, None, b))]
+
+
+def _h_required(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, dict):
+        return True, []
+    names = instr["value"]["names"]
+    missing = [n for n in names if n not in instance]
+    if not missing:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.missing_property(names, missing))]
+
+
+def _h_dependent_required(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, dict):
+        return True, []
+    violations = []
+    for trigger, names in instr["value"]["deps"].items():
+        if trigger in instance:
+            missing = [n for n in names if n not in instance]
+            if missing:
+                violations.append(Violation(
+                    eprefix + instr["kloc"], iloc,
+                    D.dependency_fail(trigger, missing)))
+                if state.fast:
+                    break
+    return not violations, violations
+
+
+# --- object applicators -----------------------------------------------------
+
+def _h_properties(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, dict):
+        return True, []
+    valid, violations = True, []
+    for entry in instr["entries"]:
+        name = entry["name"]
+        if name not in instance:
+            continue
+        child_ann = _Ann()
+        ok, vio, _ = _run_program(
+            state, entry["program"], instance[name],
+            iloc + ptr.to_string([name]), eprefix, child_ann)
+        if state.track:
+            ann.props.add(name)
+        if not ok:
+            valid = False
+            violations.extend(vio)
+            if state.fast:
+                break
+    return valid, violations
+
+
+def _h_pattern_properties(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, dict):
+        return True, []
+    valid, violations = True, []
+    for entry in instr["entries"]:
+        rx = compile_ecma(entry["pattern"])
+        for name, value in instance.items():
+            if not rx.search(name):
+                continue
+            ok, vio, _ = _run_program(
+                state, entry["program"], value,
+                iloc + ptr.to_string([name]), eprefix, _Ann())
+            if state.track:
+                ann.props.add(name)
+            if not ok:
+                valid = False
+                violations.extend(vio)
+                if state.fast:
+                    return valid, violations
+    return valid, violations
+
+
+def _h_additional_properties(state, instr, instance, iloc, eprefix, ann):
+    """additionalProperties with the (names ∪ patterns) filter — the
+    analog of LoopPropertiesExcept with a ValuePropertyFilter
+    (reference: evaluator_dispatch.h:1896, default_compiler_draft3.h:
+    1246-1251)."""
+    if not isinstance(instance, dict):
+        return True, []
+    v = instr["value"]
+    names = set(v["names"])
+    patterns = [compile_ecma(p) for p in v["patterns"]]
+    program = instr["program"]
+    closed = program and program[0]["op"] == "fail"
+    valid, violations = True, []
+    for name, value in instance.items():
+        if name in names or any(rx.search(name) for rx in patterns):
+            continue
+        if state.track:
+            ann.props.add(name)
+        if closed:
+            valid = False
+            violations.append(Violation(
+                eprefix + instr["kloc"], iloc, D.unexpected_property(name)))
+            if state.fast:
+                break
+            continue
+        ok, vio, _ = _run_program(
+            state, program, value, iloc + ptr.to_string([name]), eprefix, _Ann())
+        if not ok:
+            valid = False
+            violations.extend(vio)
+            if state.fast:
+                break
+    return valid, violations
+
+
+def _h_property_names(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, dict):
+        return True, []
+    valid, violations = True, []
+    for name in instance.keys():
+        ok, vio, _ = _run_program(
+            state, instr["program"], name, iloc + ptr.to_string([name]),
+            eprefix, _Ann())
+        if not ok:
+            valid = False
+            violations.extend(vio)
+            violations.append(Violation(
+                eprefix + instr["kloc"], iloc, D.property_names_fail(name)))
+            if state.fast:
+                break
+    return valid, violations
+
+
+def _h_dependent_schema(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, dict):
+        return True, []
+    name = instr["value"]["name"]
+    if name not in instance:
+        return True, []
+    child = _Ann()
+    ok, vio, _ = _run_program(state, instr["program"], instance, iloc,
+                              eprefix, child)
+    if ok and state.track:
+        ann.merge(child)
+    return ok, vio
+
+
+# --- array applicators --------------------------------------------------------
+
+def _h_prefix_items(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, list):
+        return True, []
+    valid, violations = True, []
+    for i, program in enumerate(instr["programs"]):
+        if i >= len(instance):
+            break
+        ok, vio, _ = _run_program(
+            state, program, instance[i], iloc + f"/{i}", eprefix, _Ann())
+        if state.track:
+            ann.items.add(i)
+        if not ok:
+            valid = False
+            violations.extend(vio)
+            if state.fast:
+                break
+    return valid, violations
+
+
+def _h_items_all(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, list):
+        return True, []
+    start = instr["value"]["from"]
+    valid, violations = True, []
+    for i in range(start, len(instance)):
+        ok, vio, _ = _run_program(
+            state, instr["program"], instance[i], iloc + f"/{i}", eprefix, _Ann())
+        if state.track:
+            ann.items.add(i)
+        if not ok:
+            valid = False
+            violations.extend(vio)
+            if state.fast:
+                break
+    return valid, violations
+
+
+def _h_contains(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, list):
+        return True, []
+    v = instr["value"]
+    minimum, maximum = v["min"], v["max"]
+    count = 0
+    matched: List[int] = []
+    for i, item in enumerate(instance):
+        ok, _, _ = _run_program(
+            state, instr["program"], item, iloc + f"/{i}", eprefix, _Ann())
+        if ok:
+            count += 1
+            matched.append(i)
+            # short-circuit only when no upper bound and no tracking needed
+            # (exhaustive flag on LoopContains, evaluator_dispatch.h:
+            # 2630-2637)
+            if (state.fast and not state.track and maximum is None
+                    and count >= minimum):
+                break
+    ok = count >= minimum and (maximum is None or count <= maximum)
+    if ok and state.track:
+        ann.items.update(matched)
+    if ok:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.contains_fail(instance, minimum, maximum))]
+
+
+# --- combinators -----------------------------------------------------------------
+
+def _h_all_of(state, instr, instance, iloc, eprefix, ann):
+    valid, violations = True, []
+    for program in instr["programs"]:
+        child = _Ann()
+        ok, vio, _ = _run_program(state, program, instance, iloc, eprefix, child)
+        if ok:
+            if state.track:
+                ann.merge(child)
+        else:
+            valid = False
+            violations.extend(vio)
+            if state.fast:
+                break
+    if not valid:
+        violations.append(Violation(eprefix + instr["kloc"], iloc,
+                                    D.allof_fail(instance, len(instr["programs"]))))
+    return valid, violations
+
+
+def _h_any_of(state, instr, instance, iloc, eprefix, ann):
+    branch_violations: List[Violation] = []
+    any_ok = False
+    for program in instr["programs"]:
+        child = _Ann()
+        ok, vio, _ = _run_program(state, program, instance, iloc, eprefix, child)
+        if ok:
+            any_ok = True
+            if state.track:
+                ann.merge(child)
+            else:
+                break  # short-circuit when no annotation tracking needed
+        else:
+            branch_violations.extend(vio)
+    if any_ok:
+        return True, []
+    branch_violations.append(Violation(
+        eprefix + instr["kloc"], iloc,
+        D.anyof_fail(instance, len(instr["programs"]))))
+    return False, branch_violations
+
+
+def _h_one_of(state, instr, instance, iloc, eprefix, ann):
+    matches = 0
+    kept: Optional[_Ann] = None
+    branch_violations: List[Violation] = []
+    for program in instr["programs"]:
+        child = _Ann()
+        ok, vio, _ = _run_program(state, program, instance, iloc, eprefix, child)
+        if ok:
+            matches += 1
+            kept = child
+            if matches > 1 and state.fast and not state.track:
+                break
+        else:
+            branch_violations.extend(vio)
+    if matches == 1:
+        if state.track and kept is not None:
+            ann.merge(kept)
+        return True, []
+    violations = branch_violations if matches == 0 else []
+    violations.append(Violation(
+        eprefix + instr["kloc"], iloc,
+        D.oneof_fail(instance, len(instr["programs"]))))
+    return False, violations
+
+
+def _h_not(state, instr, instance, iloc, eprefix, ann):
+    ok, _, _ = _run_program(state, instr["program"], instance, iloc, eprefix,
+                            _Ann())
+    if not ok:
+        return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc, D.not_fail(instance))]
+
+
+def _h_if_then_else(state, instr, instance, iloc, eprefix, ann):
+    cond_ann = _Ann()
+    cond_ok, _, _ = _run_program(state, instr["cond"], instance, iloc, eprefix,
+                                 cond_ann)
+    if cond_ok:
+        if state.track:
+            ann.merge(cond_ann)
+        branch = instr["then"]
+    else:
+        branch = instr["orelse"]
+    child = _Ann()
+    ok, vio, _ = _run_program(state, branch, instance, iloc, eprefix, child)
+    if ok and state.track:
+        ann.merge(child)
+    return ok, vio
+
+
+# --- references ---------------------------------------------------------------------
+
+def _h_ref(state, instr, instance, iloc, eprefix, ann):
+    child = _Ann()
+    ok, vio, _ = _run_target(state, instr["value"], instance, iloc,
+                             eprefix + instr["kloc"], child)
+    if ok and state.track:
+        ann.merge(child)
+    if not ok:
+        vio.append(Violation(eprefix + instr["kloc"], iloc, D.ref_fail(instance)))
+    return ok, vio
+
+
+def _h_dynamic_ref(state, instr, instance, iloc, eprefix, ann):
+    """$dynamicRef/$recursiveRef: search the resource scope stack
+    outermost-first for a matching dynamic anchor (reference:
+    ControlDynamicAnchorJump, evaluator_dispatch.h:1447-1472)."""
+    v = instr["value"]
+    anchor, fallback = v["anchor"], v.get("fallback")
+    labels: Dict[str, int] = state.plan.get("dynamic_labels", {}).get(anchor, {})
+    target = None
+    for base in state.scopes:
+        if base in labels:
+            target = labels[base]
+            break
+    if target is None:
+        target = fallback
+    if target is None:
+        return True, []  # unresolvable dynamic anchor: vacuous
+    child = _Ann()
+    ok, vio, _ = _run_target(state, target, instance, iloc,
+                             eprefix + instr["kloc"], child)
+    if ok and state.track:
+        ann.merge(child)
+    if not ok:
+        vio.append(Violation(eprefix + instr["kloc"], iloc, D.ref_fail(instance)))
+    return ok, vio
+
+
+# --- unevaluated* ----------------------------------------------------------------------
+
+def _h_unevaluated_properties(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, dict):
+        return True, []
+    program = instr["program"]
+    closed = program and program[0]["op"] == "fail"
+    valid, violations = True, []
+    for name, value in instance.items():  # document order, deterministic
+        if name in ann.props:
+            continue
+        if closed:
+            valid = False
+            violations.append(Violation(
+                eprefix + instr["kloc"], iloc,
+                D.unexpected_property(name, unevaluated=True)))
+            if state.fast:
+                break
+            continue
+        ok, vio, _ = _run_program(
+            state, program, value, iloc + ptr.to_string([name]), eprefix, _Ann())
+        ann.props.add(name)
+        if not ok:
+            valid = False
+            violations.extend(vio)
+            if state.fast:
+                break
+    if valid and not closed:
+        ann.props.update(instance.keys())
+    return valid, violations
+
+
+def _h_unevaluated_items(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, list):
+        return True, []
+    program = instr["program"]
+    closed = program and program[0]["op"] == "fail"
+    valid, violations = True, []
+    for i in range(len(instance)):
+        if i in ann.items:
+            continue
+        if closed:
+            valid = False
+            violations.append(Violation(
+                eprefix + instr["kloc"], iloc,
+                D.unexpected_item(i, unevaluated=True)))
+            if state.fast:
+                break
+            continue
+        ok, vio, _ = _run_program(
+            state, program, instance[i], iloc + f"/{i}", eprefix, _Ann())
+        ann.items.add(i)
+        if not ok:
+            valid = False
+            violations.extend(vio)
+            if state.fast:
+                break
+    if valid and not closed:
+        ann.items.update(range(len(instance)))
+    return valid, violations
+
+
+_HANDLERS = {
+    "fail": _h_fail,
+    "type": _h_type,
+    "const": _h_const,
+    "enum": _h_enum,
+    "minimum": _h_minimum,
+    "maximum": _h_maximum,
+    "exclusive_minimum": _h_exclusive_minimum,
+    "exclusive_maximum": _h_exclusive_maximum,
+    "multiple_of": _h_multiple_of,
+    "min_length": _h_min_length,
+    "max_length": _h_max_length,
+    "pattern": _h_pattern,
+    "format": _h_format,
+    "min_items": _h_min_items,
+    "max_items": _h_max_items,
+    "unique_items": _h_unique_items,
+    "min_properties": _h_min_properties,
+    "max_properties": _h_max_properties,
+    "required": _h_required,
+    "dependent_required": _h_dependent_required,
+    "properties": _h_properties,
+    "pattern_properties": _h_pattern_properties,
+    "additional_properties": _h_additional_properties,
+    "property_names": _h_property_names,
+    "dependent_schema": _h_dependent_schema,
+    "prefix_items": _h_prefix_items,
+    "items_all": _h_items_all,
+    "contains": _h_contains,
+    "all_of": _h_all_of,
+    "any_of": _h_any_of,
+    "one_of": _h_one_of,
+    "not": _h_not,
+    "if_then_else": _h_if_then_else,
+    "ref": _h_ref,
+    "dynamic_ref": _h_dynamic_ref,
+    "unevaluated_properties": _h_unevaluated_properties,
+    "unevaluated_items": _h_unevaluated_items,
+}

@@ -1,0 +1,3 @@
+"""Plan layer: JSON value model, pointers, schema frame ($ref resolution),
+schema rewrite rules, and the constraint compiler producing serializable
+instruction plans."""

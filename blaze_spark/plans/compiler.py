@@ -1,0 +1,423 @@
+"""Constraint compiler: JSON Schema → serializable instruction plan.
+
+The analog of the reference's ``compile()`` pipeline
+(reference: src/compiler/compile.cc:154-453): rewrite → frame → per-keyword
+compilation in a fixed priority order → target table for ``$ref``
+destinations → plan flags (``track`` for unevaluated*, ``dynamic`` for
+dynamic references), mirroring ``Template{dynamic, track, targets, labels}``
+(reference: src/evaluator/include/sourcemeta/blaze/evaluator.h:38-44).
+
+The plan is pure JSON (dicts/lists/scalars), so it broadcasts to Spark
+executors and checkpoints next to snapshot metadata, mirroring the
+reference's serializable templates (JSON_VERSION, evaluator.h:47).
+
+Instruction shape::
+
+    {"op": <name>, "kloc": <keyword location relative to target root>,
+     "value": <operand>, ...op-specific program fields}
+
+Keyword evaluation priority (pinned; our golden-order fixtures depend on
+it): $ref → type → const/enum → scalar assertions → object applicators →
+array applicators → combinators → unevaluated* last. Draft ≤7 ``$ref``
+replaces all siblings (spec behavior, also reference
+default_compiler_draft3.h:289-310).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from blaze_spark.plans import pointer as ptr
+from blaze_spark.plans.frame import Frame, dialect_of
+from blaze_spark.plans.jsonvals import is_integral
+from blaze_spark.plans.rewrite import rewrite
+
+PLAN_VERSION = 1
+
+_LEGACY = ("draft4", "draft6", "draft7")
+
+
+class _Ctx:
+    def __init__(self, frame: Frame, mode: str) -> None:
+        self.frame = frame
+        self.mode = mode
+        self.targets: List[Optional[List[dict]]] = []
+        self.target_base: List[str] = []
+        # (id(subschema), base) -> target index
+        self.target_index: Dict[Tuple[int, str], int] = {}
+        self.track = False
+        self.dynamic = False
+
+
+def _kloc(prefix: str, *tokens: Any) -> str:
+    return prefix + ptr.to_string(list(tokens))
+
+
+def _instr(op: str, kloc: str, value: Any = None, **extra: Any) -> dict:
+    node = {"op": op, "kloc": kloc}
+    if value is not None:
+        node["value"] = value
+    node.update(extra)
+    return node
+
+
+def _type_list(value: Any) -> List[str]:
+    return [value] if isinstance(value, str) else list(value)
+
+
+def _num(v: Any) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def compile_schema(
+    schema: Any,
+    *,
+    default_dialect: str = "2020-12",
+    mode: str = "fast",
+    resolver: Optional[Callable[[str], Any]] = None,
+    apply_rewrites: bool = True,
+) -> dict:
+    """Compile a schema into a plan dict. ``mode`` is ``fast`` (short-
+    circuit, the reference's Mode::FastValidation) or ``exhaustive``
+    (collect every violation; Mode::Exhaustive, compiler.h:84-89)."""
+    if apply_rewrites:
+        schema = rewrite(schema)
+    dialect = dialect_of(schema, default_dialect)
+    frame = Frame(schema, dialect, resolver=resolver)
+    ctx = _Ctx(frame, mode)
+    # reserve target 0 for the entry program
+    ctx.targets.append(None)
+    ctx.target_base.append(frame.root_base)
+    if isinstance(schema, dict):
+        ctx.target_index[(id(schema), frame.root_base)] = 0
+    ctx.targets[0] = _compile_subschema(schema, frame.root_base, dialect, "", ctx)
+    # precompile every dynamic-anchor destination so runtime scope search
+    # can jump to it (the analog of Template.labels, evaluator.h:38-44)
+    dynamic_labels: Dict[str, Dict[str, int]] = {}
+    for (base, anchor), sub in list(frame.dynamic_anchors.items()):
+        idx = _target_for(sub, base, ctx)
+        dynamic_labels.setdefault(anchor, {})[base] = idx
+    return {
+        "version": PLAN_VERSION,
+        "dialect": dialect,
+        "mode": mode,
+        "track": ctx.track or mode == "exhaustive",
+        "dynamic": ctx.dynamic,
+        "targets": ctx.targets,
+        "target_base": ctx.target_base,
+        "dynamic_labels": dynamic_labels,
+    }
+
+
+def _target_for(sub: Any, base: str, ctx: _Ctx) -> int:
+    """Compile (once) a $ref destination as its own target program
+    (the analog of precompiled Template.targets, compile.cc:212-292)."""
+    key = (id(sub), base)
+    if key in ctx.target_index:
+        return ctx.target_index[key]
+    idx = len(ctx.targets)
+    ctx.target_index[key] = idx
+    ctx.targets.append(None)
+    ctx.target_base.append(base)
+    dialect = dialect_of(sub, ctx.frame.dialect)
+    ctx.targets[idx] = _compile_subschema(sub, base, dialect, "", ctx)
+    return idx
+
+
+def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
+                       ctx: _Ctx) -> List[dict]:
+    """Compile one schema object into an ordered instruction program.
+
+    Boolean schemas short-circuit exactly as the reference does
+    (true → empty program, false → AssertionFail; compile.cc:29-43).
+    """
+    if schema is True or schema == {}:
+        return []
+    if schema is False:
+        return [_instr("fail", kp)]
+    if not isinstance(schema, dict):
+        raise TypeError(f"not a schema: {schema!r}")
+
+    dialect = dialect_of(schema, dialect)
+    if isinstance(schema.get("$id") if dialect != "draft4" else schema.get("id"), str):
+        rid = schema.get("$id") or schema.get("id")
+        from urllib.parse import urldefrag, urljoin
+        new_base = urldefrag(urljoin(base or "", rid))[0]
+        if new_base:
+            base = new_base
+
+    out: List[dict] = []
+
+    # --- $ref family (draft<=7: replaces all siblings) -------------------
+    if "$ref" in schema and isinstance(schema["$ref"], str):
+        out.append(_compile_ref(schema["$ref"], base, _kloc(kp, "$ref"), ctx))
+        if dialect in _LEGACY:
+            return out
+    if dialect == "2019-09" and schema.get("$recursiveRef") == "#":
+        ctx.dynamic = True
+        sub, sub_base = ctx.frame.resolve("#", base)
+        fallback = _target_for(sub, sub_base, ctx)
+        out.append(_instr("dynamic_ref", _kloc(kp, "$recursiveRef"),
+                          {"anchor": "", "fallback": fallback}))
+    if dialect == "2020-12" and isinstance(schema.get("$dynamicRef"), str):
+        dref = schema["$dynamicRef"]
+        anchor = dref.split("#", 1)[1] if "#" in dref else ""
+        try:
+            sub, sub_base = ctx.frame.resolve(dref, base)
+            fallback = _target_for(sub, sub_base, ctx)
+        except KeyError:
+            fallback = None
+        # a $dynamicRef whose static destination has no matching
+        # $dynamicAnchor behaves as a plain $ref (spec; reference
+        # default_compiler_2020_12.h:68-115)
+        is_dynamic = (sub_base if fallback is not None else base, anchor) in ctx.frame.dynamic_anchors
+        if fallback is not None and not is_dynamic:
+            out.append(_instr("ref", _kloc(kp, "$dynamicRef"), fallback))
+        else:
+            ctx.dynamic = True
+            out.append(_instr("dynamic_ref", _kloc(kp, "$dynamicRef"),
+                              {"anchor": anchor, "fallback": fallback}))
+
+    # --- type / const / enum ---------------------------------------------
+    if "type" in schema:
+        types = _type_list(schema["type"])
+        out.append(_instr("type", _kloc(kp, "type"),
+                          {"types": types,
+                           "strict": dialect == "draft4"}))
+    if "const" in schema and dialect not in ("draft4",):
+        out.append(_instr("const", _kloc(kp, "const"), {"value": schema["const"]}))
+    if "enum" in schema and isinstance(schema["enum"], list):
+        if not schema["enum"]:
+            out.append(_instr("fail", _kloc(kp, "enum"), {"keyword": "enum"}))
+        else:
+            out.append(_instr("enum", _kloc(kp, "enum"), {"values": schema["enum"]}))
+
+    # --- scalar assertions ------------------------------------------------
+    if _num(schema.get("minimum")):
+        lo = schema["minimum"]
+        if dialect == "draft4" and schema.get("exclusiveMinimum") is True:
+            out.append(_instr("exclusive_minimum", _kloc(kp, "minimum"), {"bound": lo}))
+        else:
+            out.append(_instr("minimum", _kloc(kp, "minimum"), {"bound": lo}))
+    if _num(schema.get("maximum")):
+        hi = schema["maximum"]
+        if dialect == "draft4" and schema.get("exclusiveMaximum") is True:
+            out.append(_instr("exclusive_maximum", _kloc(kp, "maximum"), {"bound": hi}))
+        else:
+            out.append(_instr("maximum", _kloc(kp, "maximum"), {"bound": hi}))
+    if dialect != "draft4":
+        if _num(schema.get("exclusiveMinimum")):
+            out.append(_instr("exclusive_minimum", _kloc(kp, "exclusiveMinimum"),
+                              {"bound": schema["exclusiveMinimum"]}))
+        if _num(schema.get("exclusiveMaximum")):
+            out.append(_instr("exclusive_maximum", _kloc(kp, "exclusiveMaximum"),
+                              {"bound": schema["exclusiveMaximum"]}))
+    if _num(schema.get("multipleOf")) and schema["multipleOf"] > 0:
+        out.append(_instr("multiple_of", _kloc(kp, "multipleOf"),
+                          {"divisor": schema["multipleOf"]}))
+    if isinstance(schema.get("minLength"), int):
+        out.append(_instr("min_length", _kloc(kp, "minLength"),
+                          {"bound": schema["minLength"]}))
+    if isinstance(schema.get("maxLength"), int):
+        out.append(_instr("max_length", _kloc(kp, "maxLength"),
+                          {"bound": schema["maxLength"]}))
+    if isinstance(schema.get("pattern"), str):
+        out.append(_instr("pattern", _kloc(kp, "pattern"),
+                          {"pattern": schema["pattern"]}))
+    if isinstance(schema.get("format"), str):
+        out.append(_instr("format", _kloc(kp, "format"),
+                          {"name": schema["format"]}))
+    if isinstance(schema.get("minItems"), int):
+        out.append(_instr("min_items", _kloc(kp, "minItems"),
+                          {"bound": schema["minItems"]}))
+    if isinstance(schema.get("maxItems"), int):
+        out.append(_instr("max_items", _kloc(kp, "maxItems"),
+                          {"bound": schema["maxItems"]}))
+    if schema.get("uniqueItems") is True:
+        out.append(_instr("unique_items", _kloc(kp, "uniqueItems")))
+    if isinstance(schema.get("minProperties"), int):
+        out.append(_instr("min_properties", _kloc(kp, "minProperties"),
+                          {"bound": schema["minProperties"]}))
+    if isinstance(schema.get("maxProperties"), int):
+        out.append(_instr("max_properties", _kloc(kp, "maxProperties"),
+                          {"bound": schema["maxProperties"]}))
+
+    # --- required / dependencies -----------------------------------------
+    if isinstance(schema.get("required"), list) and schema["required"]:
+        out.append(_instr("required", _kloc(kp, "required"),
+                          {"names": list(schema["required"])}))
+    dep_req: Dict[str, List[str]] = {}
+    dep_schema_entries: List[Tuple[str, Any, str]] = []
+    if isinstance(schema.get("dependentRequired"), dict):
+        for name, names in schema["dependentRequired"].items():
+            if isinstance(names, list):
+                dep_req[name] = list(names)
+    if isinstance(schema.get("dependentSchemas"), dict):
+        for name, sub in schema["dependentSchemas"].items():
+            dep_schema_entries.append((name, sub, "dependentSchemas"))
+    if isinstance(schema.get("dependencies"), dict):
+        for name, dep in schema["dependencies"].items():
+            if isinstance(dep, list):
+                dep_req.setdefault(name, []).extend(dep)
+            elif isinstance(dep, str):  # draft4 single-property form
+                dep_req.setdefault(name, []).append(dep)
+            else:
+                dep_schema_entries.append((name, dep, "dependencies"))
+    if dep_req:
+        kw = "dependentRequired" if isinstance(schema.get("dependentRequired"), dict) else "dependencies"
+        out.append(_instr("dependent_required", _kloc(kp, kw), {"deps": dep_req}))
+
+    # --- object applicators ------------------------------------------------
+    prop_names: List[str] = []
+    if isinstance(schema.get("properties"), dict):
+        entries = []
+        for name, sub in schema["properties"].items():
+            prop_names.append(name)
+            entries.append({
+                "name": name,
+                "program": _compile_subschema(
+                    sub, base, dialect, _kloc(kp, "properties", name), ctx),
+            })
+        out.append(_instr("properties", _kloc(kp, "properties"), entries=entries))
+    pattern_list: List[str] = []
+    if isinstance(schema.get("patternProperties"), dict):
+        entries = []
+        for pat, sub in schema["patternProperties"].items():
+            pattern_list.append(pat)
+            entries.append({
+                "pattern": pat,
+                "program": _compile_subschema(
+                    sub, base, dialect, _kloc(kp, "patternProperties", pat), ctx),
+            })
+        out.append(_instr("pattern_properties", _kloc(kp, "patternProperties"),
+                          entries=entries))
+    if "additionalProperties" in schema:
+        ap = schema["additionalProperties"]
+        program = _compile_subschema(ap, base, dialect,
+                                     _kloc(kp, "additionalProperties"), ctx)
+        out.append(_instr("additional_properties",
+                          _kloc(kp, "additionalProperties"),
+                          {"names": prop_names, "patterns": pattern_list},
+                          program=program))
+    if "propertyNames" in schema and dialect != "draft4":
+        out.append(_instr("property_names", _kloc(kp, "propertyNames"),
+                          program=_compile_subschema(
+                              schema["propertyNames"], base, dialect,
+                              _kloc(kp, "propertyNames"), ctx)))
+    for name, sub, kw in dep_schema_entries:
+        out.append(_instr("dependent_schema", _kloc(kp, kw, name),
+                          {"name": name},
+                          program=_compile_subschema(
+                              sub, base, dialect, _kloc(kp, kw, name), ctx)))
+
+    # --- array applicators --------------------------------------------------
+    prefix_count = 0
+    if dialect == "2020-12":
+        if isinstance(schema.get("prefixItems"), list):
+            programs = [
+                _compile_subschema(sub, base, dialect,
+                                   _kloc(kp, "prefixItems", i), ctx)
+                for i, sub in enumerate(schema["prefixItems"])
+            ]
+            prefix_count = len(programs)
+            out.append(_instr("prefix_items", _kloc(kp, "prefixItems"),
+                              programs=programs))
+        if "items" in schema and isinstance(schema["items"], (dict, bool)):
+            out.append(_instr("items_all", _kloc(kp, "items"),
+                              {"from": prefix_count},
+                              program=_compile_subschema(
+                                  schema["items"], base, dialect,
+                                  _kloc(kp, "items"), ctx)))
+    else:
+        items = schema.get("items")
+        if isinstance(items, list):
+            programs = [
+                _compile_subschema(sub, base, dialect, _kloc(kp, "items", i), ctx)
+                for i, sub in enumerate(items)
+            ]
+            prefix_count = len(programs)
+            out.append(_instr("prefix_items", _kloc(kp, "items"),
+                              programs=programs))
+            if "additionalItems" in schema and isinstance(schema["additionalItems"], (dict, bool)):
+                out.append(_instr("items_all", _kloc(kp, "additionalItems"),
+                                  {"from": prefix_count},
+                                  program=_compile_subschema(
+                                      schema["additionalItems"], base, dialect,
+                                      _kloc(kp, "additionalItems"), ctx)))
+        elif isinstance(items, (dict, bool)):
+            out.append(_instr("items_all", _kloc(kp, "items"), {"from": 0},
+                              program=_compile_subschema(
+                                  items, base, dialect, _kloc(kp, "items"), ctx)))
+    if "contains" in schema and dialect not in ("draft4",):
+        minimum = 1
+        maximum = None
+        if dialect in ("2019-09", "2020-12"):
+            if isinstance(schema.get("minContains"), int):
+                minimum = schema["minContains"]
+            if isinstance(schema.get("maxContains"), int):
+                maximum = schema["maxContains"]
+        out.append(_instr("contains", _kloc(kp, "contains"),
+                          {"min": minimum, "max": maximum},
+                          program=_compile_subschema(
+                              schema["contains"], base, dialect,
+                              _kloc(kp, "contains"), ctx)))
+
+    # --- combinators ---------------------------------------------------------
+    for kw, op in (("allOf", "all_of"), ("anyOf", "any_of"), ("oneOf", "one_of")):
+        if isinstance(schema.get(kw), list) and schema[kw]:
+            programs = [
+                _compile_subschema(sub, base, dialect, _kloc(kp, kw, i), ctx)
+                for i, sub in enumerate(schema[kw])
+            ]
+            out.append(_instr(op, _kloc(kp, kw), programs=programs))
+    if "not" in schema:
+        out.append(_instr("not", _kloc(kp, "not"),
+                          program=_compile_subschema(
+                              schema["not"], base, dialect, _kloc(kp, "not"), ctx)))
+    if "if" in schema and dialect not in ("draft4", "draft6"):
+        cond = _compile_subschema(schema["if"], base, dialect, _kloc(kp, "if"), ctx)
+        then_p = (_compile_subschema(schema["then"], base, dialect,
+                                     _kloc(kp, "then"), ctx)
+                  if "then" in schema else [])
+        else_p = (_compile_subschema(schema["else"], base, dialect,
+                                     _kloc(kp, "else"), ctx)
+                  if "else" in schema else [])
+        out.append(_instr("if_then_else", _kloc(kp, "if"),
+                          cond=cond, then=then_p, orelse=else_p))
+
+    # --- unevaluated* (must be last; sees prior annotations) ------------------
+    if dialect in ("2019-09", "2020-12"):
+        if "unevaluatedItems" in schema:
+            ctx.track = True
+            out.append(_instr("unevaluated_items", _kloc(kp, "unevaluatedItems"),
+                              program=_compile_subschema(
+                                  schema["unevaluatedItems"], base, dialect,
+                                  _kloc(kp, "unevaluatedItems"), ctx)))
+        if "unevaluatedProperties" in schema:
+            ctx.track = True
+            out.append(_instr("unevaluated_properties",
+                              _kloc(kp, "unevaluatedProperties"),
+                              program=_compile_subschema(
+                                  schema["unevaluatedProperties"], base, dialect,
+                                  _kloc(kp, "unevaluatedProperties"), ctx)))
+    return out
+
+
+def _compile_ref(ref: str, base: str, kloc: str, ctx: _Ctx) -> dict:
+    sub, sub_base = ctx.frame.resolve(ref, base)
+    idx = _target_for(sub, sub_base, ctx)
+    return _instr("ref", kloc, idx)
+
+
+def plan_to_json(plan: dict) -> str:
+    """Serialize a plan (stable key order) — the analog of the reference's
+    template to_json (src/compiler/compile_json.cc)."""
+    return json.dumps(plan, sort_keys=True, separators=(",", ":"))
+
+
+def plan_from_json(text: str) -> dict:
+    plan = json.loads(text)
+    if plan.get("version") != PLAN_VERSION:
+        raise ValueError(f"unsupported plan version: {plan.get('version')!r}")
+    return plan

@@ -1,0 +1,167 @@
+"""Static schema analysis: resources, anchors, and $ref resolution.
+
+The analog of the reference's SchemaFrame
+(reference: src/frame/include/sourcemeta/blaze/frame.h:42-70, impl
+src/frame/frame.cc): one pass over the schema registers every ``$id``
+resource, ``$anchor`` / ``$dynamicAnchor`` / ``$recursiveAnchor``, and
+legacy draft fragment ids, so references resolve in O(1) at compile time.
+
+Only local/self-contained schemas resolve by default; external refs need
+a ``resolver`` mapping URI → schema document (the analog of the
+reference's custom resolvers, README.markdown:58-61). Bundling (inlining
+remote refs, reference: src/bundle) is implicit: resolved external
+documents are framed into the same registry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+from urllib.parse import urldefrag, urljoin
+
+from blaze_spark.plans import pointer as ptr
+
+# keywords whose values are NOT subschemas even though they're dicts
+_NON_SCHEMA_KEYWORDS = {
+    "const", "enum", "default", "examples", "definitions_values",
+    "properties", "patternProperties", "dependentSchemas", "$defs",
+    "definitions", "dependencies",
+}
+# dict-of-schemas keywords
+_MAP_OF_SCHEMAS = {"properties", "patternProperties", "dependentSchemas",
+                   "$defs", "definitions"}
+# list-of-schemas keywords
+_LIST_OF_SCHEMAS = {"allOf", "anyOf", "oneOf", "prefixItems"}
+# single-schema keywords
+_SINGLE_SCHEMA = {
+    "additionalProperties", "additionalItems", "unevaluatedProperties",
+    "unevaluatedItems", "propertyNames", "not", "if", "then", "else",
+    "contains", "items",
+}
+
+DIALECT_URIS = {
+    "http://json-schema.org/draft-04/schema#": "draft4",
+    "http://json-schema.org/draft-06/schema#": "draft6",
+    "http://json-schema.org/draft-07/schema#": "draft7",
+    "https://json-schema.org/draft/2019-09/schema": "2019-09",
+    "https://json-schema.org/draft/2020-12/schema": "2020-12",
+}
+ID_KEYWORD = {"draft4": "id", "draft6": "$id", "draft7": "$id",
+              "2019-09": "$id", "2020-12": "$id"}
+
+
+def dialect_of(schema: Any, default: str) -> str:
+    if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):
+        uri = schema["$schema"]
+        if uri in DIALECT_URIS:
+            return DIALECT_URIS[uri]
+        stripped = uri.rstrip("#")
+        for k, v in DIALECT_URIS.items():
+            if k.rstrip("#") == stripped:
+                return v
+    return default
+
+
+class Frame:
+    """Resource/anchor registry + reference resolver for one root schema."""
+
+    def __init__(self, root: Any, dialect: str,
+                 resolver: Optional[Callable[[str], Any]] = None) -> None:
+        self.root = root
+        self.dialect = dialect
+        self.resolver = resolver
+        # canonical URI (no fragment) -> (subschema, base_uri)
+        self.resources: Dict[str, Any] = {}
+        # (base_uri, anchor_name) -> subschema
+        self.anchors: Dict[Tuple[str, str], Any] = {}
+        self.dynamic_anchors: Dict[Tuple[str, str], Any] = {}
+        self._framed_docs: set = set()
+        root_base = ""
+        if isinstance(root, dict):
+            idk = ID_KEYWORD.get(dialect, "$id")
+            rid = root.get(idk) or root.get("$id") or root.get("id")
+            if isinstance(rid, str):
+                root_base = urldefrag(rid)[0]
+        self.root_base = root_base
+        self.resources[root_base] = root
+        self._walk(root, root_base, dialect)
+
+    # -- framing ---------------------------------------------------------
+
+    def _register_id(self, schema: dict, base: str, dialect: str) -> str:
+        idk = ID_KEYWORD.get(dialect, "$id")
+        rid = schema.get(idk)
+        if idk != "$id" and rid is None:
+            rid = schema.get("$id")
+        if not isinstance(rid, str) or not rid:
+            return base
+        uri, frag = urldefrag(urljoin(base or "", rid))
+        if frag:  # legacy draft<=7 fragment-only ids act as anchors
+            self.anchors[(uri or base, frag)] = schema
+            if not uri or uri == base:
+                return base
+        if uri:
+            self.resources[uri] = schema
+            return uri
+        return base
+
+    def _walk(self, schema: Any, base: str, dialect: str) -> None:
+        if not isinstance(schema, dict):
+            return
+        dialect = dialect_of(schema, dialect)
+        base = self._register_id(schema, base, dialect)
+        anchor = schema.get("$anchor")
+        if isinstance(anchor, str):
+            self.anchors[(base, anchor)] = schema
+        danchor = schema.get("$dynamicAnchor")
+        if isinstance(danchor, str):
+            self.dynamic_anchors[(base, danchor)] = schema
+            self.anchors.setdefault((base, danchor), schema)
+        if schema.get("$recursiveAnchor") is True:
+            self.dynamic_anchors[(base, "")] = schema
+        for key, value in schema.items():
+            if key in _MAP_OF_SCHEMAS and isinstance(value, dict):
+                for sub in value.values():
+                    self._walk(sub, base, dialect)
+            elif key in _LIST_OF_SCHEMAS and isinstance(value, list):
+                for sub in value:
+                    self._walk(sub, base, dialect)
+            elif key in _SINGLE_SCHEMA and isinstance(value, (dict, bool)):
+                self._walk(value, base, dialect)
+            elif key == "items" and isinstance(value, list):
+                for sub in value:
+                    self._walk(sub, base, dialect)
+            elif key == "dependencies" and isinstance(value, dict):
+                for sub in value.values():
+                    if isinstance(sub, (dict, bool)):
+                        self._walk(sub, base, dialect)
+
+    # -- resolution ------------------------------------------------------
+
+    def resolve(self, ref: str, base: str) -> Tuple[Any, str]:
+        """Resolve a ``$ref`` value against ``base``; returns
+        (subschema, new_base_uri). Raises KeyError when unresolvable."""
+        uri, frag = urldefrag(urljoin(base or "", ref))
+        resource = self._lookup_resource(uri, base)
+        if not frag:
+            return resource, uri
+        if frag.startswith("/"):
+            return ptr.resolve(resource, ptr.parse(frag)), uri
+        # plain-name anchor
+        key = (uri, frag)
+        if key in self.anchors:
+            return self.anchors[key], uri
+        raise KeyError(f"unresolvable anchor {frag!r} in {uri!r}")
+
+    def _lookup_resource(self, uri: str, base: str) -> Any:
+        if uri in self.resources:
+            return self.resources[uri]
+        if not uri:
+            return self.resources.get(self.root_base, self.root)
+        if self.resolver is not None and uri not in self._framed_docs:
+            doc = self.resolver(uri)
+            if doc is not None:
+                self._framed_docs.add(uri)
+                self.resources.setdefault(uri, doc)
+                self._walk(doc, uri, self.dialect)
+                return self.resources[uri]
+        raise KeyError(f"unresolvable schema resource {uri!r}")

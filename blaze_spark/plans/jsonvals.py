@@ -1,0 +1,136 @@
+"""JSON value model with the reference's numeric-tower semantics.
+
+The reference distinguishes eight runtime types (Null, Boolean, Integer,
+Real, Decimal, String, Array, Object;
+reference: src/evaluator/evaluator_describe.cc:33-54) where an integral
+Real/Decimal *counts as an integer* in non-strict mode
+(reference: evaluator_dispatch.h:229-239, 946-954), while Draft 4 "integer"
+is strict (1.0 is NOT an integer). Deep equality treats 1 == 1.0
+(JSON-level numeric equality), which matters for enum/const/uniqueItems.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+from typing import Any
+
+# canonical type names, matching the reference taxonomy (describe.cc:33-54)
+TYPE_NULL = "null"
+TYPE_BOOLEAN = "boolean"
+TYPE_INTEGER = "integer"
+TYPE_REAL = "number"
+TYPE_STRING = "string"
+TYPE_ARRAY = "array"
+TYPE_OBJECT = "object"
+
+
+def type_of(value: Any) -> str:
+    """Runtime JSON type name of a parsed Python value.
+
+    bool must be tested before int (Python bool ⊂ int). Floats report
+    "number"; ints report "integer" (integer ⊂ number at check time).
+    """
+    if value is None:
+        return TYPE_NULL
+    if isinstance(value, bool):
+        return TYPE_BOOLEAN
+    if isinstance(value, int):
+        return TYPE_INTEGER
+    if isinstance(value, (float, Decimal)):
+        return TYPE_REAL
+    if isinstance(value, str):
+        return TYPE_STRING
+    if isinstance(value, (list, tuple)):
+        return TYPE_ARRAY
+    if isinstance(value, dict):
+        return TYPE_OBJECT
+    raise TypeError(f"not a JSON value: {type(value)!r}")
+
+
+def is_integral(value: Any) -> bool:
+    """True if the numeric value represents an integer (5, 5.0, Decimal 5).
+
+    Mirrors the reference's non-strict integer check
+    (evaluator_dispatch.h:946-954).
+    """
+    if isinstance(value, bool):
+        return False
+    if isinstance(value, int):
+        return True
+    if isinstance(value, float):
+        return math.isfinite(value) and value == int(value)
+    if isinstance(value, Decimal):
+        return value.is_finite() and value == value.to_integral_value()
+    return False
+
+
+def matches_type(value: Any, name: str, *, strict_integer: bool = False) -> bool:
+    """JSON Schema ``type`` keyword semantics for one type name.
+
+    strict_integer=True gives Draft-4 behavior (1.0 is not an integer);
+    Draft 6+ is lax (reference: default_compiler_draft6.h:173-178).
+    """
+    t = type_of(value)
+    if name == "number":
+        return t in (TYPE_INTEGER, TYPE_REAL)
+    if name == "integer":
+        if t == TYPE_INTEGER:
+            return True
+        if strict_integer:
+            return False
+        return t == TYPE_REAL and is_integral(value)
+    return t == name
+
+
+def equal(a: Any, b: Any) -> bool:
+    """Deep JSON equality: 1 == 1.0, True != 1, deep arrays/objects.
+
+    The bool/number distinction needs explicit care because Python's
+    ``==`` says True == 1.
+    """
+    ta, tb = isinstance(a, bool), isinstance(b, bool)
+    if ta or tb:
+        return ta and tb and a == b
+    if isinstance(a, (int, float, Decimal)) and isinstance(b, (int, float, Decimal)):
+        try:
+            return a == b
+        except Exception:
+            return False
+    if isinstance(a, dict) and isinstance(b, dict):
+        if len(a) != len(b):
+            return False
+        return all(k in b and equal(v, b[k]) for k, v in a.items())
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(equal(x, y) for x, y in zip(a, b))
+    if type(a) is not type(b):
+        return False
+    return a == b
+
+
+def canonical_key(value: Any) -> Any:
+    """Hashable canonical form for set-membership (enum) and uniqueItems.
+
+    Numbers canonicalize so 1 and 1.0 collide; bools stay distinct from
+    numbers; containers become tuples.
+    """
+    if isinstance(value, bool):
+        return ("b", value)
+    if isinstance(value, (int, float, Decimal)):
+        if is_integral(value):
+            return ("i", int(value))
+        return ("r", float(value))
+    if value is None:
+        return ("z",)
+    if isinstance(value, str):
+        return ("s", value)
+    if isinstance(value, (list, tuple)):
+        return ("a", tuple(canonical_key(v) for v in value))
+    if isinstance(value, dict):
+        return ("o", tuple(sorted((k, canonical_key(v)) for k, v in value.items())))
+    raise TypeError(f"not a JSON value: {type(value)!r}")
+
+
+def json_size(value: Any) -> int:
+    """JSON size: string → code points, array → items, object → members."""
+    return len(value)

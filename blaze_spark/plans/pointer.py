@@ -1,0 +1,50 @@
+"""JSON Pointer (RFC 6901) utilities.
+
+Instance/keyword locations in violation rows use pointer strings
+(e.g. ``/items/type``, ``/2``) matching the reference's
+``evaluate_path`` / ``instance_location`` stacks
+(reference: src/evaluator/include/sourcemeta/blaze/evaluator.h:217-259).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, List, Union
+
+Token = Union[str, int]
+
+
+def escape(token: str) -> str:
+    return token.replace("~", "~0").replace("/", "~1")
+
+
+def unescape(token: str) -> str:
+    return token.replace("~1", "/").replace("~0", "~")
+
+
+def to_string(tokens: Iterable[Token]) -> str:
+    out = []
+    for t in tokens:
+        out.append("/" + (str(t) if isinstance(t, int) else escape(t)))
+    return "".join(out)
+
+
+def parse(pointer: str) -> List[str]:
+    if pointer == "":
+        return []
+    if not pointer.startswith("/"):
+        raise ValueError(f"invalid JSON pointer: {pointer!r}")
+    return [unescape(p) for p in pointer[1:].split("/")]
+
+
+def resolve(document: Any, tokens: Iterable[str]) -> Any:
+    """Walk a parsed JSON document by pointer tokens. Raises KeyError/
+    IndexError on a miss."""
+    current = document
+    for tok in tokens:
+        if isinstance(current, dict):
+            current = current[tok]
+        elif isinstance(current, list):
+            current = current[int(tok)]
+        else:
+            raise KeyError(tok)
+    return current

@@ -1,0 +1,272 @@
+"""Schema-level rewrite rules — the logical optimizer.
+
+The analog of the reference's alterschema rule engine (67 canonicalizer +
+57 common simplification rules; reference:
+src/alterschema/include/sourcemeta/blaze/alterschema.h:40-66). Rules are
+pure ``condition → transform`` pairs over schema dicts, applied bottom-up
+and iterated to fixpoint. Each rule cites its reference counterpart.
+
+These fire *before* compilation, so Catalyst never sees the redundant
+branches (Catalyst folds expression constants, but cannot rewrite the
+schema that generates the expressions — SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Callable, Dict, List, Tuple
+
+from blaze_spark.plans.jsonvals import canonical_key, is_integral
+
+Rule = Callable[[dict], bool]  # mutates in place; returns True if changed
+
+
+def _rule_single_branch_combinators(s: dict) -> bool:
+    """allOf/anyOf/oneOf with one branch → merge/hoist if trivially safe
+    (reference: single_branch_allof.h / single_branch_anyof.h /
+    single_branch_oneof.h)."""
+    changed = False
+    for kw in ("allOf", "anyOf", "oneOf"):
+        v = s.get(kw)
+        if isinstance(v, list) and len(v) == 1 and isinstance(v[0], dict):
+            branch = v[0]
+            # hoist only when no key collision and branch has no identity
+            if not (set(branch) & set(s)) and "$id" not in branch and "$ref" not in s:
+                del s[kw]
+                s.update(copy.deepcopy(branch))
+                changed = True
+    return changed
+
+
+def _rule_const_as_enum(s: dict) -> bool:
+    """const → single-value enum internal canonical form is NOT applied
+    textually; instead enum with one value → const
+    (reference: const_as_enum.h canonicalizes the other way; we pick the
+    cheaper compiled op, matching compile-time behavior
+    default_compiler_draft6.h:325-333)."""
+    v = s.get("enum")
+    if isinstance(v, list) and len(v) == 1 and "const" not in s:
+        s["const"] = v[0]
+        del s["enum"]
+        return True
+    return False
+
+
+def _rule_duplicate_enum_values(s: dict) -> bool:
+    """drop duplicate enum entries (reference: duplicate_enum_values.h)."""
+    v = s.get("enum")
+    if isinstance(v, list) and len(v) > 1:
+        seen, out = set(), []
+        for item in v:
+            k = canonical_key(item)
+            if k not in seen:
+                seen.add(k)
+                out.append(item)
+        if len(out) != len(v):
+            s["enum"] = out
+            return True
+    return False
+
+
+def _rule_exclusive_maximum_integer_to_maximum(s: dict) -> bool:
+    """integer exclusiveMaximum n → maximum n-1 when type is integer
+    (reference: exclusive_maximum_integer_to_maximum.h:1-60)."""
+    changed = False
+    if s.get("type") == "integer":
+        em = s.get("exclusiveMaximum")
+        if isinstance(em, (int, float)) and not isinstance(em, bool) and is_integral(em) and "maximum" not in s:
+            s["maximum"] = int(em) - 1
+            del s["exclusiveMaximum"]
+            changed = True
+        en = s.get("exclusiveMinimum")
+        if isinstance(en, (int, float)) and not isinstance(en, bool) and is_integral(en) and "minimum" not in s:
+            s["minimum"] = int(en) + 1
+            del s["exclusiveMinimum"]
+            changed = True
+    return changed
+
+
+def _rule_type_boolean_as_enum(s: dict) -> bool:
+    """type: boolean + enum covering both → drop enum
+    (reference: type_boolean_as_enum.h spirit)."""
+    if s.get("type") == "boolean" and isinstance(s.get("enum"), list):
+        vals = {canonical_key(v) for v in s["enum"]}
+        if vals == {canonical_key(True), canonical_key(False)}:
+            del s["enum"]
+            return True
+    return False
+
+
+def _rule_flatten_nested_allof(s: dict) -> bool:
+    """allOf: [{allOf: [...]}, x] → allOf: [..., x]
+    (reference: flatten_nested_allof.h)."""
+    v = s.get("allOf")
+    if not isinstance(v, list):
+        return False
+    out: List[Any] = []
+    changed = False
+    for branch in v:
+        if isinstance(branch, dict) and set(branch) == {"allOf"} and isinstance(branch["allOf"], list):
+            out.extend(branch["allOf"])
+            changed = True
+        else:
+            out.append(branch)
+    if changed:
+        s["allOf"] = out
+    return changed
+
+
+def _rule_allof_true_prune(s: dict) -> bool:
+    """drop `true`/{} branches from allOf; anyOf with a `true` branch and
+    no annotations → whole anyOf is vacuous
+    (reference: allof_false_simplify.h / anyof_remove_false_schemas.h
+    family)."""
+    changed = False
+    v = s.get("allOf")
+    if isinstance(v, list):
+        out = [b for b in v if b is not True and b != {}]
+        if len(out) != len(v):
+            if out:
+                s["allOf"] = out
+            else:
+                del s["allOf"]
+            changed = True
+    v = s.get("anyOf")
+    if isinstance(v, list) and len(v) > 1:
+        out = [b for b in v if b is not False]
+        if out and len(out) != len(v):
+            s["anyOf"] = out
+            changed = True
+    return changed
+
+
+def _rule_not_false(s: dict) -> bool:
+    """not: false → always true, drop (reference: not_false.h)."""
+    if s.get("not") is False or s.get("not") == {"not": {}}:
+        del s["not"]
+        return True
+    return False
+
+
+def _rule_unsatisfiable_type_and_enum(s: dict) -> bool:
+    """enum filtered to values satisfying `type`; empty → keep empty enum
+    (always-fail) (reference: unsatisfiable_type_and_enum.h)."""
+    from blaze_spark.plans.jsonvals import matches_type
+
+    t = s.get("type")
+    v = s.get("enum")
+    if isinstance(v, list) and v and isinstance(t, str):
+        kept = [x for x in v if matches_type(x, t)]
+        if len(kept) != len(v):
+            s["enum"] = kept
+            return True
+    return False
+
+
+def _rule_min_properties_covered_by_required(s: dict) -> bool:
+    """minProperties ≤ len(required) → drop minProperties
+    (reference: min_properties_covered_by_required.h)."""
+    mp = s.get("minProperties")
+    req = s.get("required")
+    if isinstance(mp, int) and isinstance(req, list) and len(set(req)) >= mp:
+        del s["minProperties"]
+        return True
+    return False
+
+
+def _rule_equal_numeric_bounds_to_enum(s: dict) -> bool:
+    """minimum == maximum → const (reference:
+    equal_numeric_bounds_to_enum.h)."""
+    lo, hi = s.get("minimum"), s.get("maximum")
+    if (
+        isinstance(lo, (int, float)) and not isinstance(lo, bool)
+        and isinstance(hi, (int, float)) and not isinstance(hi, bool)
+        and lo == hi and "const" not in s and "enum" not in s
+        and s.get("type") in ("number", "integer")
+    ):
+        s["const"] = lo
+        del s["minimum"]
+        del s["maximum"]
+        return True
+    return False
+
+
+RULES: List[Rule] = [
+    _rule_duplicate_enum_values,
+    _rule_const_as_enum,
+    _rule_exclusive_maximum_integer_to_maximum,
+    _rule_type_boolean_as_enum,
+    _rule_flatten_nested_allof,
+    _rule_allof_true_prune,
+    _rule_not_false,
+    _rule_unsatisfiable_type_and_enum,
+    _rule_min_properties_covered_by_required,
+    _rule_equal_numeric_bounds_to_enum,
+    _rule_single_branch_combinators,
+]
+
+_SUBSCHEMA_KEYS_MAP = {"properties", "patternProperties", "dependentSchemas",
+                       "$defs", "definitions"}
+_SUBSCHEMA_KEYS_LIST = {"allOf", "anyOf", "oneOf", "prefixItems"}
+_SUBSCHEMA_KEYS_ONE = {"additionalProperties", "additionalItems", "not", "if",
+                       "then", "else", "contains", "items", "propertyNames",
+                       "unevaluatedProperties", "unevaluatedItems"}
+
+
+def _apply_once(schema: Any) -> Tuple[Any, bool]:
+    if not isinstance(schema, dict):
+        return schema, False
+    changed = False
+    for key in list(schema.keys()):
+        value = schema[key]
+        if key in _SUBSCHEMA_KEYS_MAP and isinstance(value, dict):
+            for name in list(value.keys()):
+                value[name], c = _apply_once(value[name])
+                changed |= c
+        elif key in _SUBSCHEMA_KEYS_LIST and isinstance(value, list):
+            for i in range(len(value)):
+                value[i], c = _apply_once(value[i])
+                changed |= c
+        elif key in _SUBSCHEMA_KEYS_ONE:
+            schema[key], c = _apply_once(value)
+            changed |= c
+        elif key == "items" and isinstance(value, list):
+            for i in range(len(value)):
+                value[i], c = _apply_once(value[i])
+                changed |= c
+        elif key == "dependencies" and isinstance(value, dict):
+            for name in list(value.keys()):
+                if isinstance(value[name], (dict, bool)):
+                    value[name], c = _apply_once(value[name])
+                    changed |= c
+    for rule in RULES:
+        try:
+            changed |= rule(schema)
+        except Exception:
+            pass  # a rewrite must never make compilation fail
+    return schema, changed
+
+
+def rewrite(schema: Any, max_iterations: int = 10) -> Any:
+    """Apply all rules bottom-up to fixpoint (reference runs its rule sets
+    to fixpoint the same way; alterschema.h:40-66). Operates on a deep
+    copy — the input schema is never mutated.
+
+    Skips rewriting entirely when the schema uses reference keywords
+    whose targets a textual rewrite could break.
+    """
+    schema = copy.deepcopy(schema)
+    if not isinstance(schema, dict):
+        return schema
+    blob = repr(schema)
+    # any reference keyword: JSON-pointer refs into rewritten locations
+    # (e.g. #/anyOf/0) would dangle after a structural rewrite, so leave
+    # the schema untouched (the reference re-frames after every rewrite;
+    # we trade that complexity for a conservative skip).
+    if "$ref" in blob or "$dynamicRef" in blob or "$recursiveRef" in blob:
+        return schema
+    for _ in range(max_iterations):
+        schema, changed = _apply_once(schema)
+        if not changed:
+            break
+    return schema

@@ -1,0 +1,21 @@
+"""Shared fixtures. A single local[4] SparkSession per test session keeps
+the suite fast; Spark-dependent tests import it lazily so pure-Python core
+tests run even without a JVM."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from blaze_spark.session import get_session
+
+    s = get_session(app_name="blaze-spark-tests", cpus=4, shuffle_partitions=8)
+    yield s
+
+
+def sf_dir(scale: str = "0.001") -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{scale}")

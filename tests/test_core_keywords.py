@@ -1,0 +1,189 @@
+"""Keyword-level compliance tests for the plan compiler + interpreter,
+shaped like the official JSON-Schema-Test-Suite cases the reference runs
+(reference: test/evaluator/officialsuite.cc:283-325 registers every
+(group, case) for fast AND exhaustive modes) — both modes asserted here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from blaze_spark import compile_schema, evaluate
+
+DRAFT4 = "http://json-schema.org/draft-04/schema#"
+DRAFT6 = "http://json-schema.org/draft-06/schema#"
+DRAFT7 = "http://json-schema.org/draft-07/schema#"
+D2019 = "https://json-schema.org/draft/2019-09/schema"
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+
+CASES = [
+    # --- type (reference: AssertionType*, evaluator_dispatch.h:477-556)
+    ("type string ok", {"type": "string"}, "hi", True),
+    ("type string int", {"type": "string"}, 5, False),
+    ("type integer lax real", {"type": "integer"}, 5.0, True),
+    ("type integer real frac", {"type": "integer"}, 5.5, False),
+    ("type integer bool", {"type": "integer"}, True, False),
+    ("type number int", {"type": "number"}, 5, True),
+    ("type draft4 strict", {"$schema": DRAFT4, "type": "integer"}, 5.0, False),
+    ("type union", {"type": ["string", "null"]}, None, True),
+    ("type union miss", {"type": ["string", "null"]}, 5, False),
+    ("type object", {"type": "object"}, [], False),
+    ("type array", {"type": "array"}, {}, False),
+    ("type null", {"type": "null"}, None, True),
+    ("type boolean", {"type": "boolean"}, False, True),
+    # --- enum / const (AssertionEqualsAny/:697, AssertionEqual/:678)
+    ("enum hit numeric coerce", {"enum": [1, "a"]}, 1.0, True),
+    ("enum miss", {"enum": [1, "a"]}, "b", False),
+    ("enum bool not 1", {"enum": [1]}, True, False),
+    ("enum empty", {"enum": []}, 1, False),
+    ("const deep", {"const": {"a": [1, 2]}}, {"a": [1, 2.0]}, True),
+    ("const miss", {"const": 3}, 4, False),
+    # --- numeric bounds (AssertionGreaterEqual etc., :765-786)
+    ("minimum ok", {"minimum": 3}, 3, True),
+    ("minimum bad", {"minimum": 3}, 2.9, False),
+    ("maximum ok", {"maximum": 3}, 3, True),
+    ("maximum bad", {"maximum": 3}, 3.1, False),
+    ("exclusiveMinimum", {"exclusiveMinimum": 3}, 3, False),
+    ("exclusiveMaximum", {"exclusiveMaximum": 3}, 3, False),
+    ("draft4 exclusive bool", {"$schema": DRAFT4, "minimum": 3, "exclusiveMinimum": True}, 3, False),
+    ("bounds ignore strings", {"minimum": 3}, "x", True),
+    # --- multipleOf exact rational (AssertionDivisible/:799)
+    ("multipleOf int", {"multipleOf": 2}, 8, True),
+    ("multipleOf decimal", {"multipleOf": 0.01}, 19.99, True),
+    ("multipleOf small", {"multipleOf": 0.0001}, 0.0075, True),
+    ("multipleOf bad", {"multipleOf": 2}, 7, False),
+    # --- string (AssertionStringSize*/:634, AssertionRegex/:627)
+    ("minLength codepoints", {"minLength": 2}, "é1", True),
+    ("minLength bad", {"minLength": 3}, "ab", False),
+    ("maxLength", {"maxLength": 2}, "abc", False),
+    ("pattern hit", {"pattern": "^[0-9a-f]{4}$"}, "beef", True),
+    ("pattern miss", {"pattern": "^[0-9a-f]{4}$"}, "BEEF", False),
+    ("pattern unanchored search", {"pattern": "b.t"}, "rabbit bites", True),
+    # --- array (AssertionArraySize*, AssertionUnique/:793)
+    ("minItems", {"minItems": 2}, [1], False),
+    ("maxItems", {"maxItems": 2}, [1, 2, 3], False),
+    ("uniqueItems numeric", {"uniqueItems": True}, [1, 2, 1.0], False),
+    ("uniqueItems bool vs int", {"uniqueItems": True}, [True, 1], True),
+    ("uniqueItems deep", {"uniqueItems": True}, [{"a": 1}, {"a": 1}], False),
+    # --- object size / required (AssertionObjectSize*, AssertionDefines*)
+    ("minProperties", {"minProperties": 1}, {}, False),
+    ("maxProperties", {"maxProperties": 1}, {"a": 1, "b": 2}, False),
+    ("required ok", {"required": ["a"]}, {"a": None}, True),
+    ("required miss", {"required": ["a", "b"]}, {"a": 1}, False),
+    ("required non-object", {"required": ["a"]}, 5, True),
+    # --- dependencies (AssertionPropertyDependencies/:445)
+    ("dependentRequired", {"dependentRequired": {"a": ["b"]}}, {"a": 1}, False),
+    ("dependentRequired ok", {"dependentRequired": {"a": ["b"]}}, {"b": 1}, True),
+    ("draft7 dependencies array", {"$schema": DRAFT7, "dependencies": {"a": ["b"]}}, {"a": 1}, False),
+    ("draft7 dependencies schema", {"$schema": DRAFT7, "dependencies": {"a": {"minProperties": 2}}}, {"a": 1}, False),
+    ("dependentSchemas", {"dependentSchemas": {"a": {"required": ["b"]}}}, {"a": 1}, False),
+    # --- properties family (LoopProperties*/:1650-2135)
+    ("properties", {"properties": {"a": {"type": "string"}}}, {"a": 1}, False),
+    ("properties absent ok", {"properties": {"a": {"type": "string"}}}, {}, True),
+    ("patternProperties", {"patternProperties": {"^x": {"type": "integer"}}}, {"xy": "s"}, False),
+    ("additionalProperties closed", {"properties": {"a": True}, "additionalProperties": False}, {"a": 1, "b": 2}, False),
+    ("additionalProperties schema", {"properties": {"a": True}, "additionalProperties": {"type": "integer"}}, {"a": "s", "b": "s"}, False),
+    ("additionalProperties respects patterns", {"patternProperties": {"^x": True}, "additionalProperties": False}, {"xy": 1}, True),
+    ("propertyNames", {"propertyNames": {"maxLength": 2}}, {"abc": 1}, False),
+    ("propertyNames pattern", {"propertyNames": {"pattern": "^[a-z]+$"}}, {"ok": 1, "NO": 2}, False),
+    # --- items family (LoopItems*/:2175-2541, AssertionArrayPrefix/:1120)
+    ("items all", {"items": {"type": "integer"}}, [1, 2, "x"], False),
+    ("prefixItems + items", {"prefixItems": [{"type": "string"}], "items": {"type": "integer"}}, ["a", 1, 2], True),
+    ("prefixItems mismatch", {"prefixItems": [{"type": "string"}]}, [1], False),
+    ("draft7 tuple items", {"$schema": DRAFT7, "items": [{"type": "string"}], "additionalItems": {"type": "integer"}}, ["a", 1, "b"], False),
+    ("draft7 additionalItems false", {"$schema": DRAFT7, "items": [{}], "additionalItems": False}, [1, 2], False),
+    # --- contains (LoopContains/:2585)
+    ("contains", {"contains": {"type": "integer"}}, ["a", "b"], False),
+    ("minContains", {"contains": {"type": "integer"}, "minContains": 2}, [1, "a", 2], True),
+    ("maxContains", {"contains": {"type": "integer"}, "maxContains": 1}, [1, 2], False),
+    ("minContains zero", {"contains": {"type": "integer"}, "minContains": 0}, [], True),
+    # --- combinators (Logical*/:1182-1539)
+    ("allOf", {"allOf": [{"minimum": 2}, {"maximum": 5}]}, 3, True),
+    ("allOf fail", {"allOf": [{"minimum": 2}, {"maximum": 5}]}, 7, False),
+    ("anyOf", {"anyOf": [{"type": "string"}, {"minimum": 4}]}, 2, False),
+    ("anyOf hit", {"anyOf": [{"type": "string"}, {"minimum": 4}]}, 9, True),
+    ("oneOf exactly one", {"oneOf": [{"type": "integer"}, {"minimum": 3}]}, 5, False),
+    ("oneOf one", {"oneOf": [{"type": "integer"}, {"minimum": 3}]}, 2, True),
+    ("oneOf zero", {"oneOf": [{"type": "string"}]}, 2, False),
+    ("not", {"not": {"type": "string"}}, "x", False),
+    ("not pass", {"not": {"type": "string"}}, 4, True),
+    ("if then", {"if": {"type": "string"}, "then": {"minLength": 2}}, "a", False),
+    ("if else", {"if": {"type": "string"}, "else": {"minimum": 10}}, 5, False),
+    ("if no branch", {"if": {"type": "string"}}, "a", True),
+    # --- boolean schemas (compile.cc:29-43)
+    ("true schema", True, 5, True),
+    ("false schema", False, 5, False),
+    # --- $ref (ControlJump/:1475)
+    ("local ref", {"$defs": {"pos": {"minimum": 0}}, "$ref": "#/$defs/pos"}, -1, False),
+    ("recursive ref", {"$defs": {"node": {"type": "object", "properties": {"next": {"$ref": "#/$defs/node"}}}}, "$ref": "#/$defs/node"}, {"next": {"next": 5}}, False),
+    ("draft7 ref ignores siblings", {"$schema": DRAFT7, "$ref": "#/definitions/t", "minimum": 100, "definitions": {"t": {"type": "integer"}}}, 5, True),
+    ("2020 ref keeps siblings", {"$defs": {"t": {"type": "integer"}}, "$ref": "#/$defs/t", "minimum": 100}, 5, False),
+    ("anchor ref", {"$defs": {"x": {"$anchor": "pos", "minimum": 0}}, "$ref": "#pos"}, -5, False),
+    # --- unevaluated* (LoopPropertiesUnevaluated/:1556, LoopItemsUnevaluated/:2262)
+    ("unevaluatedProperties false", {"properties": {"a": True}, "unevaluatedProperties": False}, {"a": 1, "b": 2}, False),
+    ("unevaluatedProperties sees allOf", {"allOf": [{"properties": {"a": True}}], "unevaluatedProperties": False}, {"a": 1}, True),
+    ("unevaluatedProperties failed branch invisible", {"anyOf": [{"properties": {"a": True}, "required": ["zz"]}, {"type": "object"}], "unevaluatedProperties": False}, {"a": 1}, False),
+    ("unevaluatedProperties schema", {"unevaluatedProperties": {"type": "integer"}}, {"a": "s"}, False),
+    ("unevaluatedItems false", {"prefixItems": [True], "unevaluatedItems": False}, [1, 2], False),
+    ("unevaluatedItems sees items", {"items": {"type": "integer"}, "unevaluatedItems": False}, [1, 2], True),
+    ("unevaluatedItems contains", {"contains": {"type": "string"}, "unevaluatedItems": {"type": "integer"}}, ["a", 1], True),
+    # --- format assertions (AssertionStringType/:872)
+    ("format uuid ok", {"format": "uuid"}, "f81d4fae-7dec-11d0-a765-00a0c91e6bf6", True),
+    ("format uuid bad", {"format": "uuid"}, "not-a-uuid", False),
+    ("format ipv4", {"format": "ipv4"}, "192.168.0.1", True),
+    ("format ipv4 leading zero", {"format": "ipv4"}, "192.168.00.1", False),
+    ("format ipv6", {"format": "ipv6"}, "::1", True),
+    ("format date bad day", {"format": "date"}, "2026-02-30", False),
+    ("format date-time", {"format": "date-time"}, "2026-08-16T12:00:00Z", True),
+    ("format time offset", {"format": "time"}, "23:59:60Z", True),
+    ("format duration", {"format": "duration"}, "P1DT12H", True),
+    ("format duration bad", {"format": "duration"}, "P", False),
+    ("format email", {"format": "email"}, "a@b.com", True),
+    ("format hostname", {"format": "hostname"}, "-bad.example", False),
+    ("format uri", {"format": "uri"}, "https://example.com/a", True),
+    ("format uri bad", {"format": "uri"}, "not a uri", False),
+    ("format json-pointer", {"format": "json-pointer"}, "/a/~01", True),
+    ("format regex", {"format": "regex"}, "([", False),
+    ("format non-string passes", {"format": "uuid"}, 7, True),
+]
+
+
+@pytest.mark.parametrize("desc,schema,instance,expected",
+                         CASES, ids=[c[0] for c in CASES])
+def test_keyword_fast(desc, schema, instance, expected):
+    plan = compile_schema(schema)
+    assert evaluate(plan, instance).valid is expected
+
+
+@pytest.mark.parametrize("desc,schema,instance,expected",
+                         CASES, ids=[c[0] for c in CASES])
+def test_keyword_exhaustive(desc, schema, instance, expected):
+    plan = compile_schema(schema, mode="exhaustive")
+    result = evaluate(plan, instance)
+    assert result.valid is expected
+    if not expected:
+        assert result.violations, "invalid result must carry violations"
+
+
+def test_plan_serialization_roundtrip():
+    from blaze_spark.plans.compiler import plan_from_json, plan_to_json
+
+    schema = {"properties": {"a": {"type": "string", "minLength": 1}},
+              "required": ["a"]}
+    plan = plan_from_json(plan_to_json(compile_schema(schema)))
+    assert evaluate(plan, {"a": "x"}).valid
+    assert not evaluate(plan, {}).valid
+
+
+def test_depth_limit_mirrors_reference():
+    # reference: evaluator_dispatch.h:2764-2768 (limit 300)
+    schema = {"$defs": {"n": {"properties": {"c": {"$ref": "#/$defs/n"}},
+                              "type": "object"}},
+              "$ref": "#/$defs/n"}
+    plan = compile_schema(schema)
+    deep = inst = {}
+    for _ in range(400):
+        inst["c"] = {}
+        inst = inst["c"]
+    with pytest.raises(RecursionError):
+        evaluate(plan, deep)

@@ -1,0 +1,129 @@
+"""$dynamicRef / $recursiveRef / golden violation-order tests.
+
+The dynamic-scope semantics mirror the reference's
+ControlDynamicAnchorJump (evaluator_dispatch.h:1447-1472): the anchor is
+searched in the resource scope stack outermost-first. The golden-order
+tests pin evaluation order + error taxonomy the way the reference's trace
+suite does (test/evaluator/evaluator_2020_12.json).
+"""
+
+from __future__ import annotations
+
+from blaze_spark import compile_schema, evaluate
+
+TREE = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://test/tree",
+    "$dynamicAnchor": "node",
+    "type": "object",
+    "properties": {
+        "data": True,
+        "children": {"type": "array", "items": {"$dynamicRef": "#node"}},
+    },
+}
+STRICT_TREE = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://test/strict-tree",
+    "$dynamicAnchor": "node",
+    "$ref": "https://test/tree",
+    "unevaluatedProperties": False,
+}
+
+
+def _resolver(uri):
+    return {"https://test/tree": TREE, "https://test/strict-tree": STRICT_TREE}.get(uri)
+
+
+def test_dynamic_ref_strict_tree():
+    plan = compile_schema(STRICT_TREE, resolver=_resolver)
+    assert evaluate(plan, {"data": 1, "children": [{"data": 2, "children": []}]}).valid
+    # the typo'd property must be caught at the INNER node — proving the
+    # dynamic anchor resolved to strict-tree, not tree
+    result = evaluate(plan, {"data": 1, "children": [{"daat": 2}]})
+    assert not result.valid
+    assert result.violations[0].instance_location == "/children/0"
+    assert "unevaluated" in result.violations[0].message
+
+
+def test_plain_tree_is_permissive():
+    plan = compile_schema(TREE, resolver=_resolver)
+    assert evaluate(plan, {"data": 1, "children": [{"daat": 2}]}).valid
+
+
+def test_recursive_ref_2019():
+    schema = {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": "https://test/r",
+        "$recursiveAnchor": True,
+        "type": "object",
+        "properties": {"child": {"$recursiveRef": "#"}},
+        "additionalProperties": False,
+    }
+    plan = compile_schema(schema)
+    assert evaluate(plan, {"child": {"child": {}}}).valid
+    assert not evaluate(plan, {"child": {"zzz": 1}}).valid
+
+
+def test_dynamic_ref_without_dynamic_anchor_is_static():
+    # spec: $dynamicRef to a non-$dynamicAnchor target behaves as $ref
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$defs": {"t": {"$anchor": "x", "type": "integer"}},
+        "$dynamicRef": "#x",
+    }
+    plan = compile_schema(schema)
+    assert evaluate(plan, 5).valid
+    assert not evaluate(plan, "s").valid
+
+
+# --- golden violation ordering (taxonomy + order pinning) -------------------
+
+def test_golden_order_object():
+    schema = {
+        "type": "object",
+        "required": ["a"],
+        "properties": {"b": {"type": "string"}, "c": {"minimum": 3}},
+    }
+    plan = compile_schema(schema, mode="exhaustive")
+    result = evaluate(plan, {"b": 1, "c": 2})
+    got = [(v.keyword_location, v.instance_location) for v in result.violations]
+    assert got == [
+        ("/required", ""),
+        ("/properties/b/type", "/b"),
+        ("/properties/c/minimum", "/c"),
+    ]
+    assert result.violations[0].message == (
+        'The object value was expected to define the property "a"')
+    assert result.violations[1].message == (
+        "The value was expected to be of type string but it was of type integer")
+
+
+def test_golden_order_items():
+    # mirrors the reference trace shape: LoopItems then per-index type
+    # violations at /0 /1 /2 (evaluator_2020_12.json:1-70 analog)
+    plan = compile_schema({"items": {"type": "string"}}, mode="exhaustive")
+    result = evaluate(plan, [1, 2, 3])
+    assert [(v.keyword_location, v.instance_location) for v in result.violations] == [
+        ("/items/type", "/0"),
+        ("/items/type", "/1"),
+        ("/items/type", "/2"),
+    ]
+
+
+def test_golden_ref_path_prefix():
+    plan = compile_schema(
+        {"$defs": {"p": {"minimum": 0}},
+         "properties": {"x": {"$ref": "#/$defs/p"}}},
+        mode="exhaustive")
+    result = evaluate(plan, {"x": -1})
+    assert result.violations[0].keyword_location == "/properties/x/$ref/minimum"
+    assert result.violations[1].keyword_location == "/properties/x/$ref"
+
+
+def test_fast_mode_short_circuits():
+    schema = {"type": "object", "required": ["a"],
+              "properties": {"b": {"type": "string"}}}
+    plan = compile_schema(schema, mode="fast")
+    result = evaluate(plan, {"b": 1})
+    assert not result.valid
+    assert len(result.violations) == 1  # stopped at `required`
