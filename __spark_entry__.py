@@ -1,38 +1,557 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation query (tier-1 compiled
+constraint plan over the documents table) at sf0.001. ``queries()`` /
+``oracle_sql()`` expose every implemented operator family from
+SURVEY.md §2 (+ the table-level checks and training-data pipeline ops)
+as DuckDB-checkable DataFrame queries at sf0.01.
+
+Column names are aliased identically on both sides; floating-point
+results are rounded on both sides so the driver's value hash is stable
+across engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from blaze_spark.operators import checks as C
+from blaze_spark.operators import dedup as DD
+from blaze_spark.operators import similarity as SIM
+from blaze_spark.operators import textstats as TS
+from blaze_spark.operators.validate import (
+    partition_report,
+    validate_json_column,
+    validate_rows,
+    violations_table,
+)
+
+# ---------------------------------------------------------------------------
+# constraint schemas (FIXTURES.md §5 analog for the provided tables)
+
+DOCUMENTS_SCHEMA = {
+    "type": "object",
+    "required": ["doc_id", "text", "lang", "source", "n_chars"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "text": {"type": "string", "minLength": 10},
+        "lang": {"enum": ["en", "de", "fr", "es"]},
+        "source": {"type": "string", "pattern": "^src[0-9]{1,2}$"},
+        "n_chars": {"type": "integer", "minimum": 0, "maximum": 400},
+    },
+}
+
+LINEITEM_SCHEMA = {
+    "type": "object",
+    "required": ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+    "properties": {
+        "l_quantity": {"type": "number", "minimum": 1, "maximum": 50},
+        "l_discount": {"type": "number", "maximum": 0.07},
+        "l_tax": {"type": "number", "exclusiveMaximum": 0.05},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+        "l_linenumber": {"type": "integer", "minimum": 1, "multipleOf": 1},
+    },
+}
+
+EVENT_PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}},
+}
+
+KNOWN_LANGS = ["en", "de", "fr"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (driver smoke check at sf0.001)
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compile DOCUMENTS_SCHEMA → tier-1 Column plan → validate
+    → exploded violation rows (evaluation-order pinned)."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    validated = validate_rows(docs, DOCUMENTS_SCHEMA)
+    return violations_table(validated, ["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# queries: one entry per operator family
+
+def q_validate_documents(spark, sf_dir):
+    v = validate_rows(_docs(spark, sf_dir), DOCUMENTS_SCHEMA)
+    return v.select("doc_id", "valid")
+
+
+def q_validate_documents_violations(spark, sf_dir):
+    v = validate_rows(_docs(spark, sf_dir), DOCUMENTS_SCHEMA)
+    return violations_table(v, ["doc_id"]).select(
+        "doc_id", "seq", "keyword_location", "instance_location")
+
+
+def q_validate_messages_pattern(spark, sf_dir):
+    # message-taxonomy parity for AssertionRegex (describe.cc pattern branch)
+    v = validate_rows(_docs(spark, sf_dir), DOCUMENTS_SCHEMA)
+    vt = violations_table(v, ["doc_id"])
+    return (vt.where(F.col("keyword_location") == "/properties/source/pattern")
+              .select("doc_id", "message"))
+
+
+def q_partition_report(spark, sf_dir):
+    v = validate_rows(_docs(spark, sf_dir), DOCUMENTS_SCHEMA)
+    return partition_report(v, ["source"])
+
+
+def q_validate_lineitem(spark, sf_dir):
+    v = validate_rows(_t(spark, sf_dir, "lineitem"), LINEITEM_SCHEMA)
+    return v.select("l_orderkey", "l_linenumber", "valid",
+                    F.size("violations").alias("n_violations"))
+
+
+def q_validate_events_props(spark, sf_dir):
+    # tier-2 Arrow interpreter over a JSON text column
+    v = validate_json_column(_t(spark, sf_dir, "events"), "props",
+                             EVENT_PROPS_SCHEMA)
+    return v.select("event_id", "valid",
+                    F.size("violations").alias("n_violations"))
+
+
+def q_column_stats(spark, sf_dir):
+    return C.column_stats_exact(_docs(spark, sf_dir), "n_chars", ["source"])
+
+
+def q_length_histogram(spark, sf_dir):
+    return C.length_histogram(_docs(spark, sf_dir), "n_chars", 50)
+
+
+def q_uniqueness_lineitem(spark, sf_dir):
+    return C.uniqueness_violations(_t(spark, sf_dir, "lineitem"),
+                                   ["l_orderkey", "l_linenumber"])
+
+
+def q_uniqueness_orders_by_customer_day(spark, sf_dir):
+    # a uniqueness check that actually yields rows on this data
+    return C.uniqueness_violations(_t(spark, sf_dir, "orders"),
+                                   ["o_custkey", "o_orderdate"])
+
+
+def q_referential_lang(spark, sf_dir):
+    dim = spark.createDataFrame([(x,) for x in KNOWN_LANGS], ["lang_name"])
+    orphans = C.referential_orphans(_docs(spark, sf_dir), ["lang"],
+                                    dim, ["lang_name"])
+    return orphans.select("doc_id", "lang")
+
+
+def q_referential_lineitem_part(spark, sf_dir):
+    orphans = C.referential_orphans(
+        _t(spark, sf_dir, "lineitem"), ["l_partkey"],
+        _t(spark, sf_dir, "part"), ["p_partkey"])
+    return (orphans.groupBy("l_partkey")
+                   .agg(F.count(F.lit(1)).alias("orphan_rows")))
+
+
+def q_drift_psi_lang(spark, sf_dir):
+    out = C.psi(_docs(spark, sf_dir), "lang", "source", "src0")
+    return out.select("grp", F.round("psi", 6).alias("psi"))
+
+
+def q_drift_ks_n_chars(spark, sf_dir):
+    out = C.ks_statistic(_docs(spark, sf_dir), "n_chars", "source",
+                         "src0", "src1")
+    return out.select(F.round("ks_statistic", 9).alias("ks_statistic"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = DD.exact_duplicates(_docs(spark, sf_dir), "doc_id", "text")
+    return d.select("fingerprint", "dup_count")
+
+
+def q_dedup_minhash_signatures(spark, sf_dir):
+    return DD.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", k=4)
+
+
+def q_dedup_minhash_candidates(spark, sf_dir):
+    return DD.minhash_candidates(_docs(spark, sf_dir), "doc_id", "text",
+                                 k=4, band=2)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
+                                   threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    return DD.simhash64(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    items = emb.select("vec_id",
+                       F.transform("embedding",
+                                   lambda x: x.cast("double")).alias("embedding"))
+    queries = (items.where(F.col("vec_id") < 3)
+                    .select(F.col("vec_id").alias("query_id"), "embedding"))
+    top = SIM.brute_force_topk(items, queries, k=5)
+    return top.select("query_id", "vec_id", F.round("score", 4).alias("score"),
+                      "rank")
+
+
+def q_quality_features(spark, sf_dir):
+    f = TS.quality_features(_docs(spark, sf_dir), "doc_id", "text")
+    return f.select("doc_id", "n_chars_computed", "n_tokens",
+                    F.round("stopword_ratio", 6).alias("stopword_ratio"),
+                    F.round("punct_ratio", 6).alias("punct_ratio"))
+
+
+def q_quality_score(spark, sf_dir):
+    s = TS.quality_score(_docs(spark, sf_dir), "doc_id", "text")
+    return s.select("doc_id", F.round("quality_score", 2).alias("quality_score"))
+
+
+def q_language_id(spark, sf_dir):
+    return TS.language_id(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_events_windowed_violations(spark, sf_dir):
+    # batch form of the streaming violation-rate aggregation
+    v = validate_json_column(_t(spark, sf_dir, "events"), "props",
+                             EVENT_PROPS_SCHEMA)
+    return (v.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.count(F.lit(1)).alias("row_count"),
+                  F.sum((~F.col("valid")).cast("long")).alias("invalid_rows")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_documents": q_validate_documents,
+        "validate_documents_violations": q_validate_documents_violations,
+        "validate_messages_pattern": q_validate_messages_pattern,
+        "partition_report": q_partition_report,
+        "validate_lineitem": q_validate_lineitem,
+        "validate_events_props": q_validate_events_props,
+        "column_stats": q_column_stats,
+        "length_histogram": q_length_histogram,
+        "uniqueness_lineitem": q_uniqueness_lineitem,
+        "uniqueness_orders_by_customer_day": q_uniqueness_orders_by_customer_day,
+        "referential_lang": q_referential_lang,
+        "referential_lineitem_part": q_referential_lineitem_part,
+        "drift_psi_lang": q_drift_psi_lang,
+        "drift_ks_n_chars": q_drift_ks_n_chars,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_minhash_candidates": q_dedup_minhash_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "quality_features": q_quality_features,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "events_windowed_violations": q_events_windowed_violations,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+_DOC_CHECKS = [
+    # (check_idx, kloc, iloc, NOT-pred SQL (true => violation))
+    (0, "/required", "", "doc_id IS NULL"),
+    (1, "/required", "", "text IS NULL"),
+    (2, "/required", "", "lang IS NULL"),
+    (3, "/required", "", "source IS NULL"),
+    (4, "/required", "", "n_chars IS NULL"),
+    (5, "/properties/doc_id/minimum", "/doc_id",
+     "doc_id IS NOT NULL AND doc_id < 0"),
+    (6, "/properties/text/minLength", "/text",
+     "text IS NOT NULL AND length(text) < 10"),
+    (7, "/properties/lang/enum", "/lang",
+     "lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')"),
+    (8, "/properties/source/pattern", "/source",
+     "source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]{1,2}$')"),
+    (9, "/properties/n_chars/minimum", "/n_chars",
+     "n_chars IS NOT NULL AND n_chars < 0"),
+    (10, "/properties/n_chars/maximum", "/n_chars",
+     "n_chars IS NOT NULL AND n_chars > 400"),
+]
+
+_DOC_VIOLATIONS_CTE = "SELECT doc_id, check_idx, kloc, iloc FROM (\n" + \
+    "\nUNION ALL\n".join(
+        f"SELECT doc_id, {idx} AS check_idx, '{k}' AS kloc, '{i}' AS iloc "
+        f"FROM documents WHERE {cond}"
+        for idx, k, i, cond in _DOC_CHECKS) + "\n)"
+
+_DOC_VALID = " AND ".join(f"NOT ({cond})" for _, _, _, cond in _DOC_CHECKS)
+
+_TOKENS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+           "x -> x <> '')")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_documents":
+            f"SELECT doc_id, ({_DOC_VALID}) AS valid FROM documents",
+        "validate_documents_violations": f"""
+            WITH v AS ({_DOC_VIOLATIONS_CTE})
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY check_idx) - 1 AS INT) AS seq,
+                   kloc AS keyword_location, iloc AS instance_location
+            FROM v""",
+        "validate_messages_pattern": """
+            SELECT doc_id,
+                   'The string value "' || source ||
+                   '" was expected to match the regular expression "^src[0-9]{1,2}$"'
+                   AS message
+            FROM documents
+            WHERE source IS NOT NULL
+              AND NOT regexp_matches(source, '^src[0-9]{1,2}$')""",
+        "partition_report": f"""
+            SELECT source,
+                   count(*) AS row_count,
+                   CAST(sum(CASE WHEN NOT ({_DOC_VALID}) THEN 1 ELSE 0 END) AS BIGINT)
+                       AS invalid_rows,
+                   CAST(sum({' + '.join(f'CASE WHEN {c} THEN 1 ELSE 0 END' for _, _, _, c in _DOC_CHECKS)}) AS BIGINT)
+                       AS violation_count,
+                   (sum(CASE WHEN NOT ({_DOC_VALID}) THEN 1 ELSE 0 END) = 0) AS passed
+            FROM documents GROUP BY source""",
+        "validate_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   (v1+v2+v3+v4+v5+v6+v7+v8+v9 = 0) AS valid,
+                   CAST(v1+v2+v3+v4+v5+v6+v7+v8+v9 AS INT) AS n_violations
+            FROM (SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END v1,
+                CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END v2,
+                CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END v3,
+                CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END v4,
+                CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END v5,
+                CASE WHEN l_discount IS NOT NULL AND l_discount > 0.07 THEN 1 ELSE 0 END v6,
+                CASE WHEN l_tax IS NOT NULL AND l_tax >= 0.05 THEN 1 ELSE 0 END v7,
+                CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END v8,
+                CASE WHEN l_linenumber IS NOT NULL AND (l_linenumber < 1 OR l_linenumber % 1 <> 0) THEN 1 ELSE 0 END v9
+                FROM lineitem)""",
+        "validate_events_props": """
+            SELECT event_id,
+                   (props IS NOT NULL
+                    AND json_extract(props, '$.k') IS NOT NULL
+                    AND CAST(props->>'$.k' AS BIGINT) >= 0
+                    AND CAST(props->>'$.k' AS BIGINT) <= 80) AS valid,
+                   CAST(CASE
+                     WHEN props IS NULL THEN 1
+                     WHEN json_extract(props, '$.k') IS NULL THEN 1
+                     ELSE (CASE WHEN CAST(props->>'$.k' AS BIGINT) < 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN CAST(props->>'$.k' AS BIGINT) > 80 THEN 1 ELSE 0 END)
+                   END AS INT) AS n_violations
+            FROM events""",
+        "column_stats": """
+            SELECT source,
+                   count(*) AS row_count,
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+                   count(DISTINCT n_chars) AS distinct_count,
+                   min(n_chars) AS min_value,
+                   max(n_chars) AS max_value
+            FROM documents GROUP BY source""",
+        "length_histogram": """
+            SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+                   count(*) AS bucket_count
+            FROM documents GROUP BY 1""",
+        "uniqueness_lineitem": """
+            SELECT l_orderkey, l_linenumber, count(*) AS duplicate_count
+            FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1""",
+        "uniqueness_orders_by_customer_day": """
+            SELECT o_custkey, o_orderdate, count(*) AS duplicate_count
+            FROM orders GROUP BY 1, 2 HAVING count(*) > 1""",
+        "referential_lang": """
+            SELECT doc_id, lang FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM (VALUES ('en'),('de'),('fr')) k(lang_name)
+                              WHERE k.lang_name = d.lang)""",
+        "referential_lineitem_part": """
+            SELECT l_partkey, count(*) AS orphan_rows
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+            GROUP BY 1""",
+        "drift_psi_lang": """
+            WITH counts AS (
+              SELECT source AS grp, lang AS bucket, count(*) AS n
+              FROM documents GROUP BY 1, 2),
+            totals AS (SELECT grp, sum(n) AS total FROM counts GROUP BY 1),
+            frac AS (SELECT c.grp, c.bucket, c.n / t.total AS p
+                     FROM counts c JOIN totals t USING (grp)),
+            base AS (SELECT bucket, p AS q FROM frac WHERE grp = 'src0'),
+            joined AS (
+              SELECT f.grp, coalesce(f.p, 1e-6) AS p, coalesce(b.q, 1e-6) AS q
+              FROM (SELECT * FROM frac WHERE grp <> 'src0') f
+              FULL OUTER JOIN base b USING (bucket)
+              WHERE f.grp IS NOT NULL)
+            SELECT grp, round(sum((p - q) * ln(p / q)), 6) AS psi
+            FROM joined GROUP BY grp ORDER BY grp""",
+        "drift_ks_n_chars": """
+            WITH counts AS (
+              SELECT n_chars,
+                     sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS na,
+                     sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS nb
+              FROM documents WHERE source IN ('src0','src1') GROUP BY 1),
+            cdf AS (
+              SELECT sum(na) OVER (ORDER BY n_chars) AS ca,
+                     sum(nb) OVER (ORDER BY n_chars) AS cb
+              FROM counts),
+            totals AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM counts)
+            SELECT round(max(abs(ca / ta - cb / tb)), 9) AS ks_statistic
+            FROM cdf, totals""",
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint, count(*) AS dup_count
+            FROM documents GROUP BY 1 HAVING count(*) > 1""",
+        "dedup_minhash_signatures": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok
+              FROM documents),
+            fan AS (SELECT doc_id, tok, k
+                    FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS k))
+            SELECT doc_id, CAST(k AS INT) AS hash_index,
+                   min(md5(k::VARCHAR || ':' || tok)) AS minhash
+            FROM fan GROUP BY 1, 2""",
+        "dedup_minhash_candidates": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok
+              FROM documents),
+            fan AS (SELECT doc_id, tok, k
+                    FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)),
+            sig AS (SELECT doc_id, k, min(md5(k::VARCHAR || ':' || tok)) AS mh
+                    FROM fan GROUP BY 1, 2),
+            banded AS (
+              SELECT doc_id, CAST(floor(k / 2) AS INT) AS band,
+                     string_agg(lpad(k::VARCHAR, 2, '0') || '=' || mh, '|'
+                                ORDER BY lpad(k::VARCHAR, 2, '0') || '=' || mh)
+                         AS bucket_key
+              FROM sig GROUP BY 1, 2)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket_key = b.bucket_key
+            WHERE a.doc_id < b.doc_id""",
+        "ngram_jaccard": f"""
+            WITH tok AS (
+              SELECT doc_id AS id, unnest(list_distinct({_TOKENS})) AS tok
+              FROM documents),
+            df AS (SELECT tok, count(*) AS df_count FROM tok GROUP BY 1),
+            kept AS (SELECT t.id, t.tok FROM tok t JOIN df USING (tok)
+                     WHERE df.df_count <= (SELECT greatest(CAST(count(*) * 0.5 AS BIGINT), 2)
+                                           FROM documents)),
+            sizes AS (SELECT id, count(*) AS set_size FROM kept GROUP BY 1),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS intersection
+              FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(intersection / (sa.set_size + sb.set_size - intersection), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE intersection / (sa.set_size + sb.set_size - intersection) >= 0.9""",
+        "ann_cosine_topk": """
+            WITH items AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM items WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, i.vec_id,
+                     list_dot_product(i.v, q.qv)
+                       / (sqrt(list_dot_product(i.v, i.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS s
+              FROM items i CROSS JOIN q),
+            ranked AS (
+              SELECT query_id, vec_id, s,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, round(s, 4) AS score, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5""",
+        "quality_features": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKENS} AS toks FROM documents)
+            SELECT doc_id,
+                   length(text) AS n_chars_computed,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   round(CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','for','on','with')))
+                       / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio
+            FROM t""",
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
+            f AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     CASE WHEN len(toks) > 0 THEN
+                       (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','for','on','with')))
+                       / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
+              FROM t)
+            SELECT doc_id,
+                   round((CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN mean_token_len >= 2.5 AND mean_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END), 2)
+                       AS quality_score
+            FROM f""",
+        "language_id": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x IN ('der','die','und','ist'))) AS hits_de,
+                     len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS hits_en,
+                     len(list_filter(toks, x -> x IN ('el','los','y','es'))) AS hits_es,
+                     len(list_filter(toks, x -> x IN ('le','la','et','est'))) AS hits_fr
+              FROM t)
+            SELECT doc_id,
+                   CASE
+                     WHEN hits_de >= greatest(1, hits_en, hits_es, hits_fr) THEN 'de'
+                     WHEN hits_en >= greatest(1, hits_es, hits_fr) THEN 'en'
+                     WHEN hits_es >= greatest(1, hits_fr) THEN 'es'
+                     WHEN hits_fr >= 1 THEN 'fr'
+                     ELSE 'und'
+                   END AS lang_guess
+            FROM h""",
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS fingerprint
+            FROM documents""",
+        "events_windowed_violations": """
+            SELECT date_trunc('day', ts) AS day,
+                   count(*) AS row_count,
+                   CAST(sum(CASE WHEN NOT (props IS NOT NULL
+                        AND json_extract(props, '$.k') IS NOT NULL
+                        AND CAST(props->>'$.k' AS BIGINT) >= 0
+                        AND CAST(props->>'$.k' AS BIGINT) <= 80)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows
+            FROM events GROUP BY 1""",
+        # simhash: bit-manipulation op — kept rows-only (the driver records
+        # the weaker check); its determinism is pinned by pytest instead.
+    }

@@ -1,0 +1,178 @@
+"""Table-level checks: per-partition column statistics, uniqueness,
+referential integrity, and distribution drift (KS + PSI).
+
+These are the table-scale analogs of the reference's per-value
+assertions (SURVEY.md §2.9): uniqueness generalizes hash-set membership
+(AssertionEqualsAny*) to a table; referential integrity generalizes it to
+a dimension table via broadcast left-anti joins. All aggregations are
+single-shuffle hash aggregations with map-side partial combine.
+
+Scale notes (100 TB design point):
+* stats/uniqueness shuffle only the grouping keys + partial aggregates;
+* referential joins broadcast the dimension side (dims are small);
+* drift tests aggregate to a tiny histogram per partition first —
+  the final KS/PSI math runs on ≤(partitions × buckets) rows;
+* skewed keys (giant repos) are handled by AQE skew splitting, already
+  on in session.py, plus optional key salting in ``salted_group_count``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# column statistics
+
+def column_stats(df: DataFrame, columns: Sequence[str],
+                 partition_cols: Sequence[str]) -> DataFrame:
+    """Per-partition stats per column: null fraction, distinct count
+    (HLL sketch), min/max. One aggregation pass for ALL columns
+    (north_star: 'null fraction, distinct count via HyperLogLog sketches,
+    min/max, length histograms')."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__null_fraction"),
+            F.approx_count_distinct(c).alias(f"{c}__distinct_hll"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    return df.groupBy(*partition_cols).agg(*aggs)
+
+
+def column_stats_exact(df: DataFrame, column: str,
+                       partition_cols: Sequence[str]) -> DataFrame:
+    """Oracle-friendly exact variant (count_distinct instead of HLL) so
+    DuckDB comparison is bit-exact; the engine's scale path is
+    ``column_stats`` with the sketch."""
+    return df.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.col(column).isNull().cast("long")).alias("null_count"),
+        F.count_distinct(F.col(column)).alias("distinct_count"),
+        F.min(column).alias("min_value"),
+        F.max(column).alias("max_value"),
+    )
+
+
+def length_histogram(df: DataFrame, column: str, bucket_width: int,
+                     partition_cols: Sequence[str] = ()) -> DataFrame:
+    """Histogram of length(column) (or of the numeric column itself when
+    it's already a length), width_bucket-style."""
+    length = F.col(column) if dict(df.dtypes)[column] != "string" \
+        else F.char_length(F.col(column))
+    bucket = F.floor(length / bucket_width).cast("long").alias("bucket")
+    return (df.groupBy(*partition_cols, bucket)
+              .agg(F.count(F.lit(1)).alias("bucket_count")))
+
+
+# --------------------------------------------------------------------------
+# uniqueness
+
+def uniqueness_violations(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Hash-aggregate duplicate detection: key columns + count>1
+    (north_star: 'uniqueness via hash-aggregate count>1 detection').
+    Map-side combine makes the shuffle proportional to distinct keys."""
+    return (df.groupBy(*key_cols)
+              .agg(F.count(F.lit(1)).alias("duplicate_count"))
+              .where(F.col("duplicate_count") > 1))
+
+
+def salted_group_count(df: DataFrame, key_cols: Sequence[str],
+                       salt_buckets: int = 32) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys (SURVEY.md §7.4
+    item 6: a repo with millions of files defeats naive repartition).
+    Stage 1 aggregates (key, salt) — spreading one hot key over
+    ``salt_buckets`` reducers — stage 2 sums the partials."""
+    salted = df.withColumn(
+        "__salt__", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*key_cols, "__salt__").agg(
+        F.count(F.lit(1)).alias("partial_count"))
+    return partial.groupBy(*key_cols).agg(
+        F.sum("partial_count").alias("group_count"))
+
+
+# --------------------------------------------------------------------------
+# referential integrity
+
+def referential_orphans(fact: DataFrame, fact_keys: Sequence[str],
+                        dim: DataFrame, dim_keys: Sequence[str]) -> DataFrame:
+    """Rows of ``fact`` whose key has no match in ``dim``: broadcast
+    LEFT ANTI join (north_star: 'referential integrity with broadcast/
+    left-anti joins'). NULL keys are orphans too (JSON-absent semantics
+    → they can't match any dimension row)."""
+    cond = None
+    for fk, dk in zip(fact_keys, dim_keys):
+        c = fact[fk].eqNullSafe(dim[dk])
+        cond = c if cond is None else (cond & c)
+    return fact.join(F.broadcast(dim), on=cond, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# distribution drift: PSI + two-sample KS
+
+def psi(df: DataFrame, value_col: str, group_col: str,
+        baseline_value: str, bucket_width: Optional[int] = None) -> DataFrame:
+    """Population Stability Index of each group's distribution vs the
+    baseline group. PSI = Σ (p−q)·ln(p/q) over buckets, with the usual
+    1e-6 floor for empty buckets.
+
+    For categorical columns pass bucket_width=None; numeric columns are
+    width-bucketed first. Aggregates to (group × bucket) before any math
+    — at 100 TB the shuffled data is a few KB per partition.
+    """
+    if bucket_width is not None:
+        bucketed = df.select(
+            F.col(group_col).alias("grp"),
+            F.floor(F.col(value_col) / bucket_width).cast("long").alias("bucket"))
+    else:
+        bucketed = df.select(F.col(group_col).alias("grp"),
+                             F.col(value_col).cast("string").alias("bucket"))
+    counts = bucketed.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("grp").agg(F.sum("n").alias("total"))
+    frac = (counts.join(totals, "grp")
+                  .select("grp", "bucket", (F.col("n") / F.col("total")).alias("p")))
+    base = (frac.where(F.col("grp") == baseline_value)
+                .select("bucket", F.col("p").alias("q")))
+    eps = 1e-6
+    joined = (frac.where(F.col("grp") != baseline_value)
+                  .join(base, "bucket", "full_outer")
+                  .withColumn("p", F.coalesce("p", F.lit(eps)))
+                  .withColumn("q", F.coalesce("q", F.lit(eps)))
+                  .where(F.col("grp").isNotNull()))
+    return (joined.groupBy("grp")
+                  .agg(F.sum((F.col("p") - F.col("q"))
+                             * F.log(F.col("p") / F.col("q"))).alias("psi"))
+                  .orderBy("grp"))
+
+
+def ks_statistic(df: DataFrame, value_col: str, group_col: str,
+                 group_a: str, group_b: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic D = max |CDF_a − CDF_b|
+    between two groups' distributions of ``value_col``.
+
+    Computed on the aggregated (value → per-group count) table, so the
+    window scan runs over distinct values only (bounded), not raw rows.
+    """
+    counts = (df.where(F.col(group_col).isin([group_a, group_b]))
+                .groupBy(value_col)
+                .agg(
+                    F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("na"),
+                    F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("nb"),
+                ))
+    w = Window.orderBy(F.col(value_col)).rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.select(
+        value_col,
+        (F.sum("na").over(w)).alias("ca"),
+        (F.sum("nb").over(w)).alias("cb"),
+    )
+    totals = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    return (cdf.crossJoin(F.broadcast(totals))
+               .select(F.abs(F.col("ca") / F.col("ta")
+                             - F.col("cb") / F.col("tb")).alias("d"))
+               .agg(F.max("d").alias("ks_statistic")))

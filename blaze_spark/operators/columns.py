@@ -1,0 +1,413 @@
+"""Tier-1 execution: compile plan instructions into pure Catalyst Column
+predicates over a flat DataFrame.
+
+This is the engine's fast path — the analog of the reference's
+FastValidation specializations (type+bounds fusion etc., reference:
+default_compiler_draft6.h:66-219): every check is a Spark ``Column``
+expression, so the whole row validation runs inside whole-stage codegen
+with zero Python on the hot path. Rows are modeled as JSON objects
+(column = property, SQL NULL = absent property), matching the
+BASELINE.json input_hint table shape.
+
+If any instruction can't be expressed as a Column (dynamic refs,
+unevaluated*, nested applicators over untyped JSON), ``TierUnsupported``
+is raised and the caller falls back to the tier-2 Arrow interpreter —
+the same split the reference makes with its ``dynamic``/``track``
+template flags (compile.cc:415-423).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, List, NamedTuple, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blaze_spark.functions.formats import FORMAT_JAVA_REGEX
+from blaze_spark.functions.regexes import ecma_to_java
+from blaze_spark.plans.jsonvals import is_integral
+
+VIOLATION_SCHEMA = T.StructType([
+    T.StructField("keyword_location", T.StringType(), False),
+    T.StructField("instance_location", T.StringType(), False),
+    T.StructField("message", T.StringType(), True),
+])
+
+
+class TierUnsupported(Exception):
+    """Raised when a plan needs the tier-2 interpreter."""
+
+
+class ColumnCheck(NamedTuple):
+    keyword_location: str
+    instance_location: str
+    predicate: Column           # True = OK (NULL never occurs: guarded)
+    message: Column             # describe()-style message for failures
+
+
+_STRINGY = (T.StringType,)
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _json_lit(value: Any) -> str:
+    return json.dumps(value, ensure_ascii=False)
+
+
+def _quote_col(col: Column) -> Column:
+    return F.concat(F.lit('"'), col.cast("string"), F.lit('"'))
+
+
+def _plural(n: Column, word: str) -> Column:
+    return F.concat(
+        n.cast("string"),
+        F.when(n == 1, F.lit(f" {word}")).otherwise(F.lit(f" {word}s")),
+    )
+
+
+def _value_type_name(value: Any) -> str:
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, (int, float)):
+        return "integer" if isinstance(value, int) else "number"
+    if isinstance(value, str):
+        return "string"
+    return "value"
+
+
+def _static_type_name(dtype: T.DataType) -> str:
+    if isinstance(dtype, _STRINGY):
+        return "string"
+    if isinstance(dtype, _INTEGRAL):
+        return "integer"
+    if isinstance(dtype, _NUMERIC):
+        return "number"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, T.ArrayType):
+        return "array"
+    if isinstance(dtype, (T.MapType, T.StructType)):
+        return "object"
+    return "unknown"
+
+
+def compile_property_check(instr: dict, col: Column, dtype: T.DataType,
+                           prop: str) -> ColumnCheck:
+    """Translate one instruction applied to property ``prop`` (column
+    ``col`` of Spark type ``dtype``) into a ColumnCheck. The instruction
+    → Column mapping follows SURVEY.md §2 tables."""
+    op = instr["op"]
+    kloc = instr["kloc"]
+    iloc = f"/{prop}"
+    v = instr.get("value") or {}
+
+    if op == "type":
+        types = v["types"]
+        static = _static_type_name(dtype)
+        ok_names = set(types)
+        msg = F.lit(
+            "The value was expected to be of type "
+            + (types[0] if len(types) == 1
+               else ", ".join(types[:-1]) + ", or " + types[-1])
+            + f" but it was of type {static}")
+        if static in ok_names or ("number" in ok_names and static == "integer"):
+            pred = F.lit(True)
+        elif "integer" in ok_names and static == "number":
+            # real column holding integral values counts as integer
+            # (reference lax semantics, evaluator_dispatch.h:946-954)
+            pred = col == F.floor(col)
+        else:
+            pred = F.lit(False)
+        return ColumnCheck(kloc, iloc, pred, msg)
+
+    if op == "const":
+        expected = v["value"]
+        if isinstance(expected, (dict, list)):
+            raise TierUnsupported("const over nested value")
+        pred = col == F.lit(expected)
+        msg = F.concat(
+            F.lit(f"The {_static_type_name(dtype)} value "),
+            _quote_col(col) if isinstance(dtype, _STRINGY) else col.cast("string"),
+            F.lit(" was expected to equal the "
+                  + _value_type_name(expected)
+                  + " constant " + _json_lit(expected)),
+        )
+        return ColumnCheck(kloc, iloc, pred, msg)
+
+    if op == "enum":
+        values = v["values"]
+        if any(isinstance(x, (dict, list)) for x in values):
+            raise TierUnsupported("enum over nested values")
+        scalars = [x for x in values if x is not None]
+        pred = col.isin(scalars) if scalars else F.lit(False)
+        listing = ", ".join(_json_lit(x) for x in values[:-1])
+        listing = (listing + ", or " if len(values) > 2
+                   else listing + " or " if len(values) == 2 else "")
+        listing += _json_lit(values[-1])
+        msg = F.concat(
+            F.lit(f"The {_static_type_name(dtype)} value "),
+            _quote_col(col) if isinstance(dtype, _STRINGY) else col.cast("string"),
+            F.lit(" was expected to equal one of the following values: " + listing),
+        )
+        return ColumnCheck(kloc, iloc, pred, msg)
+
+    if op == "pattern":
+        pattern = v["pattern"]
+        if not isinstance(dtype, _STRINGY):
+            return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
+        pred = col.rlike(ecma_to_java(pattern))
+        msg = F.concat(
+            F.lit("The string value "), _quote_col(col),
+            F.lit(" was expected to match the regular expression "
+                  + _json_lit(pattern)),
+        )
+        return ColumnCheck(kloc, iloc, pred, msg)
+
+    if op in ("min_length", "max_length"):
+        if not isinstance(dtype, _STRINGY):
+            return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
+        bound = v["bound"]
+        # char_length counts code points on StringType (SURVEY.md §7.4)
+        n = F.char_length(col)
+        if op == "min_length":
+            pred = n >= bound
+            head = f"The string value was expected to consist of at least {bound} character"
+        else:
+            pred = n <= bound
+            head = f"The string value was expected to consist of at most {bound} character"
+        head += "s" if bound != 1 else ""
+        msg = F.concat(F.lit(head + " but it consisted of "),
+                       _plural(n, "character"))
+        return ColumnCheck(kloc, iloc, pred, msg)
+
+    if op in ("minimum", "maximum", "exclusive_minimum", "exclusive_maximum"):
+        if not isinstance(dtype, _NUMERIC):
+            return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
+        bound = v["bound"]
+        rel = {"minimum": ("greater than or equal to", col >= bound),
+               "maximum": ("less than or equal to", col <= bound),
+               "exclusive_minimum": ("greater than", col > bound),
+               "exclusive_maximum": ("less than", col < bound)}[op]
+        msg = F.concat(
+            F.lit(f"The {_static_type_name(dtype)} value "), col.cast("string"),
+            F.lit(f" was expected to be {rel[0]} the "
+                  f"{_value_type_name(bound)} {_json_lit(bound)}"),
+        )
+        return ColumnCheck(kloc, iloc, rel[1], msg)
+
+    if op == "multiple_of":
+        if not isinstance(dtype, _NUMERIC):
+            return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
+        divisor = v["divisor"]
+        if isinstance(divisor, int) and isinstance(dtype, _INTEGRAL):
+            pred = F.pmod(col, F.lit(divisor)) == 0
+        else:
+            # decimal-exact modulo (documented precision edge, SURVEY §7.4)
+            pred = F.pmod(col.cast("decimal(38,12)"),
+                          F.lit(divisor).cast("decimal(38,12)")) == 0
+        msg = F.concat(
+            F.lit(f"The {_static_type_name(dtype)} value "), col.cast("string"),
+            F.lit(f" was expected to be divisible by the "
+                  f"{_value_type_name(divisor)} {_json_lit(divisor)}"),
+        )
+        return ColumnCheck(kloc, iloc, pred, msg)
+
+    if op == "format":
+        name = v["name"]
+        if not isinstance(dtype, _STRINGY):
+            return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
+        if name not in FORMAT_JAVA_REGEX:
+            raise TierUnsupported(f"format {name!r} needs tier 2")
+        pred = col.rlike(FORMAT_JAVA_REGEX[name])
+        msg = F.concat(
+            F.lit("The string value "), _quote_col(col),
+            F.lit(f" was expected to represent a valid {name}"),
+        )
+        return ColumnCheck(kloc, iloc, pred, msg)
+
+    if op in ("min_items", "max_items"):
+        if not isinstance(dtype, T.ArrayType):
+            return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
+        bound = v["bound"]
+        n = F.size(col)
+        if op == "min_items":
+            pred, word = n >= bound, "at least"
+        else:
+            pred, word = n <= bound, "at most"
+        unit = "item" if bound == 1 else "items"
+        msg = F.concat(
+            F.lit(f"The array value was expected to contain {word} {bound} {unit} but it contained "),
+            _plural(n, "item"))
+        return ColumnCheck(kloc, iloc, pred, msg)
+
+    if op == "unique_items":
+        if not isinstance(dtype, T.ArrayType):
+            return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
+        pred = F.size(F.array_distinct(col)) == F.size(col)
+        msg = F.lit("The array value was expected to not contain duplicate items")
+        return ColumnCheck(kloc, iloc, pred, msg)
+
+    if op == "items_all":
+        # typed arrays: element type is schema-enforced, so a bare
+        # type-check child program is free (LoopItemsType* fusion analog,
+        # reference: default_compiler_draft3.h:1514-1527); bounded-element
+        # programs map to F.forall
+        if not isinstance(dtype, T.ArrayType):
+            return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
+        program = instr.get("program", [])
+        preds = []
+        for child in program:
+            cop = child["op"]
+            cv = child.get("value") or {}
+            x = None
+            if cop == "type":
+                elem_static = _static_type_name(dtype.elementType)
+                names = set(cv["types"])
+                if elem_static in names or ("number" in names and elem_static == "integer"):
+                    continue
+                raise TierUnsupported("items element type mismatch check")
+            if cop == "minimum":
+                x = lambda e, b=cv["bound"]: e >= b
+            elif cop == "maximum":
+                x = lambda e, b=cv["bound"]: e <= b
+            elif cop == "exclusive_minimum":
+                x = lambda e, b=cv["bound"]: e > b
+            elif cop == "exclusive_maximum":
+                x = lambda e, b=cv["bound"]: e < b
+            elif cop == "pattern":
+                x = lambda e, p=ecma_to_java(cv["pattern"]): e.rlike(p)
+            elif cop == "min_length":
+                x = lambda e, b=cv["bound"]: F.char_length(e) >= b
+            elif cop == "max_length":
+                x = lambda e, b=cv["bound"]: F.char_length(e) <= b
+            else:
+                raise TierUnsupported(f"items child op {cop!r}")
+            preds.append(x)
+        if not preds:
+            return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
+        pred = F.forall(col, lambda e: _and_all(p(e) for p in preds))
+        msg = F.lit("Every item in the array value was expected to validate "
+                    "against the given subschema")
+        return ColumnCheck(kloc, iloc, pred, msg)
+
+    raise TierUnsupported(f"op {op!r} has no Column form")
+
+
+def _and_all(preds) -> Column:
+    out = None
+    for p in preds:
+        out = p if out is None else (out & p)
+    return out
+
+
+def compile_column_checks(plan: dict, schema: T.StructType,
+                          df: Optional[DataFrame] = None) -> List[ColumnCheck]:
+    """Compile plan targets[0] over a flat row schema. Raises
+    TierUnsupported when the plan doesn't fit tier 1."""
+    # Column checks are exhaustive by construction (every predicate is
+    # evaluated), so the `track` flag alone doesn't force tier 2 — only
+    # dynamic scoping does; unevaluated* ops surface below as unsupported
+    # root ops.
+    if plan.get("dynamic"):
+        raise TierUnsupported("plan needs dynamic scope")
+    fields = {f.name: f.dataType for f in schema.fields}
+    checks: List[ColumnCheck] = []
+    for instr in plan["targets"][0]:
+        op = instr["op"]
+        v = instr.get("value") or {}
+        if op == "type":
+            if v["types"] != ["object"]:
+                raise TierUnsupported("row type must be object")
+            continue  # a DataFrame row IS an object: statically satisfied
+        if op == "required":
+            for name in v["names"]:
+                kloc, iloc = instr["kloc"], ""
+                if name in fields:
+                    pred = F.col(name).isNotNull()
+                else:
+                    pred = F.lit(False)
+                msg = F.lit("The object value was expected to define the "
+                            f"property {_json_lit(name)}")
+                checks.append(ColumnCheck(kloc, iloc, pred, msg))
+            continue
+        if op == "properties":
+            for entry in instr["entries"]:
+                name = entry["name"]
+                if name not in fields:
+                    continue  # absent column = property never present
+                col = F.col(name)
+                guard = col.isNotNull()
+                for child in entry["program"]:
+                    check = compile_property_check(child, col, fields[name], name)
+                    checks.append(ColumnCheck(
+                        check.keyword_location, check.instance_location,
+                        F.when(guard, check.predicate).otherwise(F.lit(True)),
+                        check.message))
+            continue
+        if op == "additional_properties":
+            allowed = set(v["names"])
+            extra = [c for c in fields if c not in allowed]
+            program = instr.get("program", [])
+            closed = bool(program) and program[0]["op"] == "fail"
+            if closed and extra:
+                for name in extra:
+                    checks.append(ColumnCheck(
+                        instr["kloc"], "",
+                        F.col(name).isNull(),
+                        F.lit("The object value was not expected to define "
+                              f"the property {_json_lit(name)}")))
+            elif not closed and program:
+                for name in extra:
+                    guard = F.col(name).isNotNull()
+                    for child in program:
+                        check = compile_property_check(
+                            child, F.col(name), fields[name], name)
+                        checks.append(ColumnCheck(
+                            check.keyword_location, check.instance_location,
+                            F.when(guard, check.predicate).otherwise(F.lit(True)),
+                            check.message))
+            continue
+        if op in ("min_properties", "max_properties"):
+            n = None
+            for name in fields:
+                t = F.col(name).isNotNull().cast("int")
+                n = t if n is None else (n + t)
+            bound = v["bound"]
+            pred = (n >= bound) if op == "min_properties" else (n <= bound)
+            word = "at least" if op == "min_properties" else "at most"
+            unit = "property" if bound == 1 else "properties"
+            checks.append(ColumnCheck(
+                instr["kloc"], "", pred,
+                F.lit(f"The object value was expected to contain {word} "
+                      f"{bound} {unit}")))
+            continue
+        raise TierUnsupported(f"root op {op!r} has no Column form")
+    return checks
+
+
+def attach_validation(df: DataFrame, plan: dict) -> DataFrame:
+    """Add ``valid`` (boolean) and ``violations``
+    (array<struct<keyword_location,instance_location,message>>) columns,
+    all as Catalyst expressions (violation order = evaluation order)."""
+    checks = compile_column_checks(plan, df.schema, df)
+    structs = [
+        F.when(
+            ~c.predicate,
+            F.struct(
+                F.lit(c.keyword_location).alias("keyword_location"),
+                F.lit(c.instance_location).alias("instance_location"),
+                c.message.alias("message"),
+            ),
+        )
+        for c in checks
+    ]
+    if structs:
+        violations = F.filter(F.array(*structs), lambda x: x.isNotNull())
+    else:
+        violations = F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
+    return (
+        df.withColumn("violations", violations)
+        .withColumn("valid", F.size(F.col("violations")) == 0)
+    )

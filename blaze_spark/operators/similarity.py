@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query
+  set, score with built-in higher-order functions (zip_with + aggregate
+  — JVM-side, whole-stage codegen; no Python in the loop), rank with a
+  window. The baseline the ANN path is measured against.
+* ivf_topk — IVF-style scale path: rows are bucketed by nearest of C
+  coarse centroids (computed once, broadcast); queries probe only their
+  ``nprobe`` closest buckets, so the scored row count drops by
+  ~C/nprobe. At 10^12 rows this is the difference between scanning
+  everything per query and scanning a few shards.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(items: DataFrame, queries: DataFrame, k: int,
+                     item_id: str = "vec_id", query_id: str = "query_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k: broadcast queries × scan items once. Output
+    (query_id, vec_id, score, rank). Deterministic tie-break on id."""
+    q = F.broadcast(queries.select(F.col(query_id),
+                                   F.col(vec_col).alias("__qvec__")))
+    scored = (items.crossJoin(q)
+                   .select(query_id, item_id,
+                           cosine(F.col(vec_col), F.col("__qvec__"))
+                           .alias("score")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(item_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def assign_centroid(df: DataFrame, centroids: List[List[float]],
+                    vec_col: str = "embedding") -> DataFrame:
+    """Add ``centroid_id`` = argmax cosine over the broadcast centroid
+    list — a pure expression tree (no UDF)."""
+    best_id, best_score = None, None
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        s = cosine(F.col(vec_col), cvec)
+        if best_id is None:
+            best_id, best_score = F.lit(i), s
+        else:
+            cond = s > best_score
+            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return df.withColumn("centroid_id", best_id)
+
+
+def ivf_topk(items: DataFrame, queries: DataFrame,
+             centroids: List[List[float]], k: int, nprobe: int = 2,
+             item_id: str = "vec_id", query_id: str = "query_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF search: score only rows whose centroid is among the query's
+    ``nprobe`` nearest centroids. Approximate (recall < 1 when the true
+    neighbor lives in an unprobed bucket) — that's the documented trade."""
+    bucketed = assign_centroid(items, centroids, vec_col)
+    q = assign_probes(queries, centroids, nprobe, vec_col)
+    scored = (bucketed.join(F.broadcast(q),
+                            F.array_contains(q["probes"],
+                                             bucketed["centroid_id"]))
+                      .select(query_id, item_id,
+                              cosine(bucketed[vec_col], q["__qvec__"])
+                              .alias("score")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(item_id))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def assign_probes(queries: DataFrame, centroids: List[List[float]],
+                  nprobe: int, vec_col: str = "embedding") -> DataFrame:
+    """For each query: the ids of its nprobe closest centroids, as an
+    array column, plus the query vector under a stable name."""
+    scores = F.array(*[
+        F.struct(cosine(F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                 F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)])
+    top = F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
+    return queries.select(
+        "*",
+        F.col(vec_col).alias("__qvec__"),
+        F.transform(top, lambda x: x["i"]).alias("probes"))

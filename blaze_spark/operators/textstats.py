@@ -1,0 +1,111 @@
+"""Text analysis operators: token counting, quality scoring, language
+identification, document fingerprinting.
+
+Everything is built from built-in expressions (JVM side) so the same
+computation has an exact ANSI-SQL form for the DuckDB oracle. These run
+map-side only — no shuffle — so they scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the stopword list doubles as the English evidence set for lang-id
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"]
+
+# tiny per-language evidence words for the n-gram/stopword heuristic
+LANG_EVIDENCE = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "los", "y", "es"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace+punctuation tokenizer count (BPE-ish regex split)."""
+    return F.size(F.filter(F.split(F.lower(col), "[^a-z0-9']+"),
+                           lambda t: t != ""))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features: length, token count, mean token
+    length, stopword ratio, punctuation ratio, uppercase ratio."""
+    text = F.col(text_col)
+    toks = F.filter(F.split(F.lower(text), "[^a-z0-9']+"), lambda t: t != "")
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.char_length(text)
+    n_punct = n_chars - F.char_length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    n_upper = n_chars - F.char_length(F.regexp_replace(text, r"[A-Z]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_computed"),
+        n_toks.alias("n_tokens"),
+        F.when(n_toks > 0,
+               (n_chars - n_toks + 1) / n_toks).otherwise(F.lit(0.0))
+        .alias("mean_token_len"),
+        F.when(n_toks > 0, n_stop / n_toks).otherwise(F.lit(0.0))
+        .alias("stopword_ratio"),
+        F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
+        F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
+        .alias("upper_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scalar quality score in [0,1]: tokens present, sane token length,
+    some stopwords, low punctuation density — the standard cheap filter
+    in front of expensive pipeline stages."""
+    feats = quality_features(df, id_col, text_col)
+    score = (
+        F.when(F.col("n_tokens") >= 10, 0.25).otherwise(0.0)
+        + F.when((F.col("mean_token_len") >= 2.5)
+                 & (F.col("mean_token_len") <= 12.0), 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.01, 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.25).otherwise(0.0)
+    )
+    return feats.select(F.col(id_col), score.alias("quality_score"))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: count evidence-word hits per language,
+    argmax with deterministic tie-break on language code; 'und' when no
+    evidence fires. (An n-gram heuristic — real models plug in behind
+    the same operator shape.)"""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z']+"),
+                    lambda t: t != "")
+    def _hits(evidence):
+        ev = F.array(*[F.lit(w) for w in evidence])
+        return F.size(F.filter(toks, lambda t: F.array_contains(ev, t)))
+
+    hit_cols = [
+        _hits(LANG_EVIDENCE[lang]).alias(f"hits_{lang}")
+        for lang in sorted(LANG_EVIDENCE)
+    ]
+    scored = df.select(F.col(id_col), *hit_cols)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_EVIDENCE, reverse=True):
+        h = F.col(f"hits_{lang}")
+        cond = h >= F.greatest(best_hits, F.lit(1))
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, h).otherwise(best_hits)
+    return scored.select(F.col(id_col), best_lang.alias("lang_guess"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-content fingerprint: lowercase, collapse whitespace,
+    md5. The dedup key for 'same text modulo formatting'."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                  r"\s+", " ")
+    return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
+
+
+def sha256_invariant(df: DataFrame, content_col: str) -> DataFrame:
+    """Attach the per-row invariant column sha256(content)
+    (BASELINE.json:15) — carried through every transform."""
+    return df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))

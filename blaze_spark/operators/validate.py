@@ -1,0 +1,148 @@
+"""DataFrame validation API — tier selection, the Arrow interpreter
+(tier 2), and per-partition verdict reports.
+
+Entry points:
+
+* ``validate_rows(df, schema)`` — validate each row as a JSON object
+  (column = property). Tier 1 (pure Catalyst Columns) when the compiled
+  plan allows, else falls back to the interpreter over ``to_json(struct)``.
+* ``validate_json_column(df, column, schema)`` — validate a JSON-text
+  column (e.g. events.props) with the tier-2 Arrow interpreter via
+  ``mapInPandas`` (Arrow batches; the per-batch loop is the exact analog
+  of the reference's per-instance evaluation loop, README.markdown:42-47:
+  "parallelism naturally occurs across requests").
+* ``partition_report(validated)`` — per-partition pass/fail verdicts +
+  violation counts (BASELINE.json north_rule).
+
+Everything is shuffle-free map-side work except the report aggregation,
+which is a single partial-aggregated groupBy — this is what makes ≥0.8
+N→4N scaling efficiency attainable (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blaze_spark.operators.columns import (
+    TierUnsupported,
+    VIOLATION_SCHEMA,
+    attach_validation,
+)
+from blaze_spark.plans.compiler import compile_schema
+
+_VIOLATIONS_T = T.ArrayType(VIOLATION_SCHEMA)
+
+
+def _ensure_plan(schema_or_plan: Any, mode: str) -> dict:
+    if isinstance(schema_or_plan, dict) and "targets" in schema_or_plan \
+            and "version" in schema_or_plan:
+        return schema_or_plan
+    return compile_schema(schema_or_plan, mode=mode)
+
+
+def validate_rows(df: DataFrame, schema_or_plan: Any, *,
+                  mode: str = "exhaustive",
+                  force_tier: Optional[int] = None) -> DataFrame:
+    """Validate each row against the constraint schema. Adds ``valid``
+    and ``violations`` columns. Prefers tier 1 (whole-stage codegen)."""
+    plan = _ensure_plan(schema_or_plan, mode)
+    if force_tier != 2:
+        try:
+            return attach_validation(df, plan)
+        except TierUnsupported:
+            if force_tier == 1:
+                raise
+    # tier-2 fallback: serialize the row to JSON once (JVM-side), then
+    # interpret. Row → object with NULL columns dropped (= absent).
+    json_df = df.withColumn(
+        "__instance__", F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    validated = _interpret(json_df, "__instance__", plan, mode)
+    return validated.drop("__instance__")
+
+
+def validate_json_column(df: DataFrame, column: str, schema_or_plan: Any, *,
+                         mode: str = "exhaustive") -> DataFrame:
+    """Validate a JSON-text column with the tier-2 Arrow interpreter."""
+    plan = _ensure_plan(schema_or_plan, mode)
+    return _interpret(df, column, plan, mode)
+
+
+def _interpret(df: DataFrame, column: str, plan: dict, mode: str) -> DataFrame:
+    """mapInPandas interpreter: Arrow batches in, Arrow batches out.
+
+    The plan ships to executors through the closure (it's pure JSON,
+    mirroring the reference's serializable templates) and is loaded once
+    per partition, compile-once-evaluate-many exactly like the
+    reference's reusable Evaluator (evaluator.h:109-127).
+    """
+    plan_blob = json.dumps(plan)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("valid", T.BooleanType(), False),
+           T.StructField("violations", _VIOLATIONS_T, False)]
+    )
+    col_idx = df.columns.index(column)
+    fast = mode == "fast"
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from blaze_spark.operators.evaluator import evaluate as _evaluate
+
+        local_plan = json.loads(plan_blob)
+        for pdf in batches:
+            valid_out: List[bool] = []
+            vio_out: List[list] = []
+            for text in pdf.iloc[:, col_idx]:
+                if text is None:
+                    valid_out.append(False)
+                    vio_out.append([("", "", "The value was expected to be a JSON document but it was null")])
+                    continue
+                try:
+                    instance = json.loads(text)
+                except (TypeError, ValueError):
+                    valid_out.append(False)
+                    vio_out.append([("", "", "The value was expected to be a JSON document but it was not parseable")])
+                    continue
+                result = _evaluate(local_plan, instance,
+                                   mode="fast" if fast else "exhaustive")
+                valid_out.append(result.valid)
+                vio_out.append([tuple(v) for v in result.violations])
+            pdf = pdf.copy()
+            pdf["valid"] = valid_out
+            pdf["violations"] = vio_out
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def violations_table(validated: DataFrame, id_cols: List[str]) -> DataFrame:
+    """Explode violation rows, keeping evaluation order via posexplode
+    (order pinning under parallelism, SURVEY.md §7.4 item 5)."""
+    return (
+        validated.where(~F.col("valid"))
+        .select(*id_cols, F.posexplode("violations").alias("seq", "v"))
+        .select(*id_cols, "seq",
+                F.col("v.keyword_location").alias("keyword_location"),
+                F.col("v.instance_location").alias("instance_location"),
+                F.col("v.message").alias("message"))
+    )
+
+
+def partition_report(validated: DataFrame, partition_cols: List[str]) -> DataFrame:
+    """Per-partition verdicts: pass/fail + row/violation counts.
+
+    One hash aggregation with map-side partial combine; no other shuffle.
+    """
+    return (
+        validated.groupBy(*partition_cols)
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+            F.sum(F.size("violations")).alias("violation_count"),
+        )
+        .withColumn("passed", F.col("invalid_rows") == 0)
+    )

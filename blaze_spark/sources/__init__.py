@@ -1,0 +1,2 @@
+"""Sources: parquet/JSON table loaders and the deterministic
+``code_files`` corpus generator (FIXTURES.md §1)."""

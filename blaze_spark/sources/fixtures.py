@@ -1,0 +1,151 @@
+"""Deterministic ``code_files`` corpus generator (FIXTURES.md §1).
+
+Synthesizes the BASELINE.json input_hint table
+``(repo, path, commit, lang, content)`` with seeded planted defects:
+
+* ~0.5% malformed commits (pattern violations),
+* ~1% unknown langs + ~0.3% null langs (referential / required),
+* Zipf-skewed repos (a few giant repos → skew handling),
+* ~0.2% duplicated (repo, path, commit) triples,
+* drifted lang mixture + content-length distribution in the last two
+  partitions (KS / PSI targets),
+* content with lognormal length; sha256(content) is the per-row
+  invariant carried through every transform (BASELINE.json:15).
+
+Everything is numpy-vectorized, seed=42, pure function of ``rows`` — no
+external data. Generated once per scale into ``cache_dir`` as parquet so
+Spark scans partitioned files exactly like a real corpus slice.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LANGS = ["python", "rust", "cpp", "typescript", "go", "java", "ruby", "markdown"]
+EXT = {"python": ".py", "rust": ".rs", "cpp": ".cpp", "typescript": ".ts",
+       "go": ".go", "java": ".java", "ruby": ".rb", "markdown": ".md"}
+_WORDS = ["alpha", "bravo", "core", "delta", "engine", "fold", "graph",
+          "hash", "index", "join", "kernel", "loop", "merge", "node",
+          "order", "plan", "query", "row", "scan", "tree", "util", "vec"]
+_SNIPPET = (
+    "def f(x):\n    return x + 1\n\n# generated\n"
+    "for i in range(10):\n    print(i)\n"
+)
+
+N_PARTITIONS = 8  # partitions P-2, P-1 carry the drifted distributions
+
+
+def generate_code_files(rows: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    part = (np.arange(rows) * N_PARTITIONS // max(rows, 1)).astype(np.int32)
+    drifted = part >= N_PARTITIONS - 2
+
+    # repos: Zipf-skewed so a few giant repos exist
+    org = rng.integers(0, 13, rows)
+    repo_id = np.minimum(rng.zipf(1.5, rows) - 1, 210)
+    repo = np.array([f"org{o}/repo{r}" for o, r in zip(org, repo_id)], dtype=object)
+
+    # langs: drifted partitions use a shifted mixture
+    base_p = np.array([0.30, 0.10, 0.12, 0.15, 0.08, 0.10, 0.05, 0.10])
+    drift_p = np.array([0.05, 0.30, 0.05, 0.05, 0.25, 0.05, 0.20, 0.05])
+    lang_idx = np.where(
+        drifted,
+        rng.choice(len(LANGS), rows, p=drift_p),
+        rng.choice(len(LANGS), rows, p=base_p),
+    )
+    lang = np.array(LANGS, dtype=object)[lang_idx]
+    bad_lang = rng.random(rows) < 0.01
+    lang[bad_lang] = "klingon"
+    null_lang = rng.random(rows) < 0.003
+    lang = lang.astype(object)
+    lang[null_lang] = None
+
+    # paths: dictionary words + per-lang extension
+    depth = rng.integers(1, 6, rows)
+    widx = rng.integers(0, len(_WORDS), (rows, 6))
+    path = np.empty(rows, dtype=object)
+    for i in range(rows):
+        parts = [_WORDS[widx[i, d]] for d in range(depth[i])]
+        ext = EXT.get(lang[i] if lang[i] in EXT else "python", ".py")
+        path[i] = "/".join(parts) + ext
+
+    # commits: sha1 hex; ~0.5% malformed
+    commit = np.empty(rows, dtype=object)
+    for i in range(rows):
+        commit[i] = hashlib.sha1(f"{repo[i]}/{path[i]}/{i}".encode()).hexdigest()
+    bad_commit = rng.random(rows) < 0.005
+    kinds = rng.integers(0, 3, rows)
+    for i in np.nonzero(bad_commit)[0]:
+        if kinds[i] == 0:
+            commit[i] = commit[i][:39]            # too short
+        elif kinds[i] == 1:
+            commit[i] = commit[i].upper()          # uppercase
+        else:
+            commit[i] = "g" + commit[i][1:]        # non-hex char
+
+    # content: lognormal length (drifted partitions mu=8.5)
+    mu = np.where(drifted, 8.5, 7.0)
+    ln = rng.lognormal(0.0, 1.2, rows) * np.exp(mu)
+    length = np.clip(ln.astype(np.int64), 8, 2_000_000)
+    # cap total bytes at small scale: clip long tail
+    length = np.minimum(length, 100_000)
+    content = np.empty(rows, dtype=object)
+    base = (_SNIPPET * 2000)
+    for i in range(rows):
+        # unique prefix → sha256 differs per row; deterministic
+        content[i] = f"// {repo[i]}:{path[i]}:{i}\n" + base[: int(length[i])]
+
+    table = pa.table({
+        "repo": pa.array(repo, pa.string()),
+        "path": pa.array(path, pa.string()),
+        "commit": pa.array(commit, pa.string()),
+        "lang": pa.array(lang, pa.string()),
+        "content": pa.array(content, pa.string()),
+        "part_id": pa.array(part, pa.int32()),
+    })
+
+    # planted duplicates: ~0.2% of triples repeated 2-5x
+    n_dup = max(rows // 500, 1)
+    dup_src = rng.integers(0, rows, n_dup)
+    reps = rng.integers(2, 6, n_dup)
+    dup_rows = np.repeat(dup_src, reps - 1)
+    if len(dup_rows):
+        table = pa.concat_tables([table, table.take(pa.array(dup_rows))])
+    return table
+
+
+def code_files_path(rows: int, cache_dir: str = "/root/repo/.cache",
+                    seed: int = 42) -> str:
+    """Materialize (once) the corpus as hive-partitioned parquet and
+    return its path. Partitioned by part_id so per-partition checks and
+    drift detection scan real file-level partitions."""
+    out = os.path.join(cache_dir, f"code_files_r{rows}_s{seed}")
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    table = generate_code_files(rows, seed)
+    pq.write_to_dataset(table, root_path=out, partition_cols=["part_id"])
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def dim_langs() -> list:
+    return list(LANGS)
+
+
+def dim_repos(rows: int, seed: int = 42) -> list:
+    """Distinct well-formed repos minus a held-out 0.5% (orphans)."""
+    table = generate_code_files(rows, seed)
+    repos = sorted(set(table.column("repo").to_pylist()))
+    rng = np.random.default_rng(seed + 1)
+    held_out = set(rng.choice(len(repos), max(len(repos) // 200, 1),
+                              replace=False).tolist())
+    return [r for i, r in enumerate(repos) if i not in held_out]

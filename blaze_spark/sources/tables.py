@@ -1,0 +1,34 @@
+"""Table loaders for the driver-provided testdata and engine inputs.
+
+The reference's only sources are JSON files / JSONL streams
+(reference: benchmark/e2e/runner.cc:43-47); the Spark-native analog reads
+parquet (Iceberg-style layout), JSON, and JSONL, with filters/pruning
+pushed into the scan by Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL instance sets, the shape the reference's e2e benchmark
+    streams (runner.cc:43-47). Kept as raw text so the tier-2 interpreter
+    sees the unmodified JSON document."""
+    return spark.read.text(path).withColumnRenamed("value", "instance_json")

@@ -1,0 +1,3 @@
+"""Structured Streaming validation (the reference is batch-only —
+README.markdown has no streaming surface — so this is the Spark-native
+extension: the same compiled plans applied to readStream sources)."""

@@ -1,0 +1,43 @@
+"""Streaming validation: apply a compiled plan to a streaming DataFrame.
+
+The reference has no streaming engine (SURVEY.md §2.9) — this is the
+Spark-native extension point: the same tier-1 Column checks (pure
+expressions, so fully streaming-compatible) or the tier-2 interpreter
+run on ``readStream`` sources; windowed violation-rate aggregation with
+a watermark handles late events.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.validate import validate_rows
+
+
+def validate_stream(stream_df: DataFrame, schema_or_plan: Any) -> DataFrame:
+    """Attach valid/violations to a streaming DataFrame (tier 1 only —
+    stateless projection, so it works in append mode)."""
+    return validate_rows(stream_df, schema_or_plan, force_tier=1)
+
+
+def violation_rate_by_window(validated: DataFrame, ts_col: str,
+                             window: str = "1 minute",
+                             watermark: str = "5 minutes") -> DataFrame:
+    """Windowed violation-rate aggregation with late-data watermark."""
+    return (
+        validated.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "row_count", "invalid_rows",
+            (F.col("invalid_rows") / F.col("row_count")).alias("violation_rate"),
+        )
+    )

@@ -1,0 +1,83 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
+row-count + order-insensitive value hash. Usage: python tools/oracle_check.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as E
+from blaze_spark.session import get_session
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def value_hash(df) -> str:
+    cols = sorted(df.columns)
+    rows = [tuple(str(r[c]) for c in cols) for r in df.to_dict("records")]
+    rows.sort()
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(("\x1f".join(r) + "\x1e").encode())
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    spark = get_session(cpus=8)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    qs, oracles = E.queries(), E.oracle_sql()
+    ok = bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {type(exc).__name__}: {exc}")
+            bad += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            bad += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems and value_hash(sdf) != value_hash(odf):
+            problems.append("value hash mismatch")
+            # show a diff sample
+            cols = sorted(sdf.columns)
+            s = {tuple(str(r[c]) for c in cols) for r in sdf.to_dict("records")}
+            o = {tuple(str(r[c]) for c in cols) for r in odf.to_dict("records")}
+            for x in list(s - o)[:3]:
+                print(f"      spark-only: {x}")
+            for x in list(o - s)[:3]:
+                print(f"      duck-only:  {x}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            bad += 1
+        else:
+            print(f"OK    {name}: {len(sdf)} rows")
+            ok += 1
+    print(f"\n{ok} ok, {bad} fail")
+
+
+if __name__ == "__main__":
+    main()
