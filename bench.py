@@ -1,0 +1,217 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "files_per_sec": ..., "violations_per_sec": ...}
+
+Headline metric mirrors BASELINE.json: validated files/sec over the
+synthesized code_files corpus (input_hint shape), plus the table-check
+and pipeline operators. Run ``python bench.py --scaling`` to produce the
+two-parallelism (local[8] vs local[32]) scaling-efficiency evidence into
+BENCH/BASELINE.md (north_rule: efficiency >= 0.8 from N to 4N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+CODE_FILES_SCHEMA = {
+    "type": "object",
+    "required": ["repo", "path", "commit", "lang", "content"],
+    "properties": {
+        "repo": {"type": "string", "minLength": 1, "pattern": "^[^/]+/[^/]+$"},
+        "path": {"type": "string", "minLength": 1},
+        "commit": {"type": "string", "pattern": "^[0-9a-f]{40}$"},
+        "lang": {"enum": ["python", "rust", "cpp", "typescript", "go",
+                          "java", "ruby", "markdown"]},
+        "content": {"type": "string", "maxLength": 1000000},
+    },
+}
+
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else base
+
+
+def _code_files_rows(spark, sf_dir: str) -> int:
+    # corpus size proportional to the scale factor's lineitem row count
+    n = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    return max(int(n), 10_000)
+
+
+def run_benchmarks(only=None):
+    import __spark_entry__ as E
+    from blaze_spark.operators import checks as C
+    from blaze_spark.operators.textstats import sha256_invariant
+    from blaze_spark.operators.validate import validate_rows
+    from blaze_spark.session import get_session
+    from blaze_spark.sources.fixtures import code_files_path, dim_langs
+
+    spark = get_session(app_name="blaze-spark-bench", cpus=CPUS)
+    from pyspark.sql import functions as F
+
+    rows = _code_files_rows(spark, SF_DIR)
+    corpus = code_files_path(rows)
+    code_files = spark.read.parquet(corpus)
+    n_files = code_files.count()  # also warms the FS cache / JVM
+
+    timings = {}
+    counters = {}
+
+    def bench(name, fn):
+        if only and name not in only:
+            return
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        counters[name] = out
+
+    # 1. headline: tier-1 validation of the full corpus.
+    # NOTE: count_distinct must NOT ride along here — a distinct aggregate
+    # next to plain aggregates makes Catalyst insert an Expand (2x the
+    # rows, including content bytes, through the shuffle); the invariant
+    # gets its own pass below with an HLL sketch instead.
+    def _validate():
+        v = validate_rows(code_files, CODE_FILES_SCHEMA)
+        agg = v.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((~F.col("valid")).cast("long")).alias("invalid"),
+            F.sum(F.size("violations")).alias("violations"),
+        ).collect()[0]
+        return {"rows": agg["rows"], "invalid": agg["invalid"],
+                "violations": agg["violations"]}
+
+    bench("validate_code_files", _validate)
+
+    # 1b. per-row invariant: sha256(content) carried + sketch-distinct
+    bench("sha256_invariant", lambda: sha256_invariant(code_files, "content")
+          .agg(F.approx_count_distinct("content_sha256")).collect()[0][0])
+
+    # 2. per-partition verdict report
+    bench("partition_report", lambda: E.partition_report(
+        validate_rows(code_files, CODE_FILES_SCHEMA), ["part_id"]).count())
+
+    # 3. uniqueness on (repo, path, commit)
+    bench("uniqueness", lambda: C.uniqueness_violations(
+        code_files, ["repo", "path", "commit"]).count())
+
+    # 4. referential integrity: lang vs dim_langs (broadcast anti join)
+    def _referential():
+        dim = spark.createDataFrame([(x,) for x in dim_langs()], ["lang_name"])
+        return C.referential_orphans(code_files, ["lang"],
+                                     dim, ["lang_name"]).count()
+
+    bench("referential", _referential)
+
+    # 5. column stats per partition
+    bench("column_stats", lambda: C.column_stats(
+        code_files, ["repo", "lang", "content"], ["part_id"]).count())
+
+    # 6. drift: PSI on lang mixture + KS on content length, by partition
+    def _drift():
+        psi_n = C.psi(code_files, "lang", "part_id", 0).count()
+        ks = C.ks_statistic(
+            code_files.withColumn("clen", F.char_length("content")),
+            "clen", "part_id", 0, 7).collect()[0][0]
+        return {"psi_rows": psi_n, "ks": round(float(ks), 4)}
+
+    bench("drift", _drift)
+
+    # 7. tier-1 validation over lineitem (numeric keyword ops)
+    bench("validate_lineitem", lambda: E.q_validate_lineitem(spark, SF_DIR)
+          .where(~F.col("valid")).count())
+
+    # 8. tier-2 Arrow interpreter over events.props JSON
+    bench("validate_events_tier2", lambda: E.q_validate_events_props(
+        spark, SF_DIR).where(~F.col("valid")).count())
+
+    # 9. pipeline ops at documents scale
+    bench("dedup_minhash", lambda: E.q_dedup_minhash_candidates(
+        spark, SF_DIR).count())
+    bench("ann_cosine_topk", lambda: E.q_ann_cosine_topk(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    vres = counters.get("validate_code_files") or {}
+    v_time = timings.get("validate_code_files") or 1e-9
+    result = {
+        "metric": "blaze_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "cpus": CPUS,
+        "corpus_files": n_files,
+        "files_per_sec": round(vres.get("rows", 0) / v_time, 1),
+        "violations_per_sec": round(vres.get("violations", 0) / v_time, 1),
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling():
+    """Run the headline job at two parallelism levels (local[8] vs
+    local[32] = the sandbox stand-in for N vs 4N executors) and write
+    BENCH/BASELINE.md with throughput + scaling efficiency."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only",
+             "validate_code_files,partition_report,uniqueness,referential,"
+             "column_stats,drift"],
+            env=env, capture_output=True, text=True, check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["files_per_sec"]
+    thr32 = results[32]["files_per_sec"]
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = round((thr32 / thr8) / 4.0, 3)
+    suite_eff = round((t8 / t32) / 4.0, 3)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+Same job, same input ({results[8]["corpus_files"]} code_files rows,
+sf={results[8]["sf"]}), local[8] vs local[32] — the sandbox stand-in for
+N vs 4N executors (BASELINE.json:14).
+
+| parallelism | suite wall (s) | validate wall (s) | validated files/sec | violations/sec |
+| --- | --- | --- | --- | --- |
+| local[8]  | {t8} | {results[8]["queries"]["validate_code_files"]} | {thr8} | {results[8]["violations_per_sec"]} |
+| local[32] | {t32} | {results[32]["queries"]["validate_code_files"]} | {thr32} | {results[32]["violations_per_sec"]} |
+
+**Validation throughput scaling efficiency (8→32 cores): {eff}**
+(target >= 0.8; efficiency = (thr_4N / thr_N) / 4)
+Whole-suite wall-time efficiency: {suite_eff}.
+
+Per-query seconds at each level:
+
+```json
+{json.dumps({"local8": results[8]["queries"], "local32": results[32]["queries"]}, indent=2)}
+```
+""")
+    print(json.dumps({"scaling_efficiency": eff, "thr_local8": thr8,
+                      "thr_local32": thr32}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        only = None
+        if "--only" in sys.argv:
+            only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        print(json.dumps(run_benchmarks(only)))

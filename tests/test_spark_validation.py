@@ -1,0 +1,214 @@
+"""Spark-layer tests: tier parity, driver-contract queries vs the DuckDB
+oracle (sf0.001 subset — the driver runs the full set at sf0.01), planted
+defects in the synthesized code_files corpus, streaming/multimodal shapes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from blaze_spark.operators import checks as C
+from blaze_spark.operators.validate import (
+    validate_json_column,
+    validate_rows,
+    violations_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _hash_df(pdf) -> str:
+    cols = sorted(pdf.columns)
+    rows = sorted(tuple(str(r[c]) for c in cols) for r in pdf.to_dict("records"))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(("\x1f".join(r) + "\x1e").encode())
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+# a fast representative subset (full set = tools/oracle_check.py at sf0.01)
+ORACLE_SUBSET = [
+    "validate_documents", "validate_documents_violations",
+    "partition_report", "validate_lineitem", "validate_events_props",
+    "column_stats", "uniqueness_orders_by_customer_day", "referential_lang",
+    "drift_psi_lang", "drift_ks_n_chars", "dedup_minhash_signatures",
+    "quality_score", "language_id", "fingerprint",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = E.queries()[name](spark, SF).toPandas()
+    odf = duck.execute(E.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf), f"{name}: row count"
+    assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: columns"
+    assert _hash_df(sdf) == _hash_df(odf), f"{name}: value hash"
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() >= 0
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "seq", "keyword_location", "instance_location", "message"]
+
+
+def test_tier1_tier2_parity(spark):
+    """The same plan must produce identical verdicts through the Column
+    compiler and the Arrow interpreter (the two-tier split must be an
+    implementation detail, not a semantics change)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t1 = validate_rows(docs, E.DOCUMENTS_SCHEMA, force_tier=1) \
+        .select("doc_id", "valid").toPandas().set_index("doc_id")["valid"]
+    t2 = validate_rows(docs, E.DOCUMENTS_SCHEMA, force_tier=2) \
+        .select("doc_id", "valid").toPandas().set_index("doc_id")["valid"]
+    assert (t1.sort_index() == t2.sort_index()).all()
+
+
+def test_tier2_violation_klocs_match_tier1(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t1 = violations_table(
+        validate_rows(docs, E.DOCUMENTS_SCHEMA, force_tier=1), ["doc_id"])
+    t2 = violations_table(
+        validate_rows(docs, E.DOCUMENTS_SCHEMA, force_tier=2), ["doc_id"])
+    p1 = t1.select("doc_id", "keyword_location", "instance_location").toPandas()
+    p2 = t2.select("doc_id", "keyword_location", "instance_location").toPandas()
+    key = lambda p: sorted(map(tuple, p.values.tolist()))
+    assert key(p1) == key(p2)
+
+
+# --- code_files planted defects ---------------------------------------------
+
+@pytest.fixture(scope="module")
+def code_files(spark):
+    from blaze_spark.sources.fixtures import code_files_path
+
+    return spark.read.parquet(code_files_path(20_000))
+
+
+def test_code_files_planted_commit_defects(spark, code_files):
+    from bench import CODE_FILES_SCHEMA
+
+    v = validate_rows(code_files, CODE_FILES_SCHEMA)
+    vt = violations_table(v, ["repo", "path", "commit"])
+    pattern_violations = vt.where(
+        vt.keyword_location == "/properties/commit/pattern").count()
+    n = code_files.count()
+    assert 0.002 * n < pattern_violations < 0.01 * n
+
+
+def test_code_files_duplicates_detected(code_files):
+    dups = C.uniqueness_violations(code_files, ["repo", "path", "commit"])
+    assert dups.count() > 0
+    assert dups.agg({"duplicate_count": "max"}).collect()[0][0] >= 2
+
+
+def test_code_files_referential_orphans(spark, code_files):
+    from blaze_spark.sources.fixtures import dim_langs
+
+    dim = spark.createDataFrame([(x,) for x in dim_langs()], ["lang_name"])
+    orphans = C.referential_orphans(code_files, ["lang"], dim, ["lang_name"])
+    langs = {r["lang"] for r in orphans.select("lang").distinct().collect()}
+    assert "klingon" in langs
+    assert None in langs  # nulls are orphans too
+
+
+def test_code_files_drift_flags_last_partitions(spark, code_files):
+    """Partitions 6 and 7 carry the shifted lang mixture — PSI must rank
+    them strictly above every un-drifted partition."""
+    out = C.psi(code_files, "lang", "part_id", 0).collect()
+    scores = {int(r["grp"]): r["psi"] for r in out}
+    drifted = min(scores[6], scores[7])
+    clean = max(v for k, v in scores.items() if k in (1, 2, 3, 4, 5))
+    assert drifted > clean * 3
+
+
+def test_code_files_ks_content_length(spark, code_files):
+    from pyspark.sql import functions as F
+
+    df = code_files.withColumn("clen", F.char_length("content"))
+    ks_drift = C.ks_statistic(df, "clen", "part_id", 0, 7).collect()[0][0]
+    ks_clean = C.ks_statistic(df, "clen", "part_id", 0, 1).collect()[0][0]
+    assert ks_drift > 0.2 > ks_clean
+
+
+def test_sha256_invariant_matches_python(spark, code_files):
+    from blaze_spark.operators.textstats import sha256_invariant
+
+    rows = (sha256_invariant(code_files, "content")
+            .select("content", "content_sha256").limit(5).collect())
+    for r in rows:
+        assert r["content_sha256"] == hashlib.sha256(
+            r["content"].encode()).hexdigest()
+
+
+# --- streaming / multimodal shapes -------------------------------------------
+
+def test_streaming_validation_plan_is_stateless(spark):
+    """Tier-1 checks must compile for a streaming DataFrame (append-mode
+    compatible: pure projection, no stateful ops)."""
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", 10)
+              .load()
+              .selectExpr("timestamp as ts", "value as doc_id",
+                          "cast(value as string) as text"))
+    from blaze_spark.streaming.validate_stream import validate_stream
+
+    validated = validate_stream(
+        stream, {"type": "object", "required": ["doc_id"],
+                 "properties": {"doc_id": {"type": "integer", "minimum": 0}}})
+    assert validated.isStreaming
+    assert "violations" in validated.columns
+
+
+def test_multimodal_feature_extraction(spark):
+    from blaze_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    rows = [(1, "image", "image/png", b"\x89PNG-fake-1", (4, 4, None)),
+            (2, "image", "image/png", b"\x89PNG-fake-2", (8, 8, None)),
+            (3, "video", "video/mp4", None, (None, None, 3500))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(df).toPandas().set_index("media_id")
+    assert out.loc[1, "payload_sha256"] == hashlib.sha256(
+        b"\x89PNG-fake-1").hexdigest()
+    assert len(out.loc[2, "feature"]) == 8
+    assert out.loc[3, "payload_sha256"] is None
+
+
+def test_multimodal_frame_sampling(spark):
+    from blaze_spark.operators.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+    df = spark.createDataFrame(
+        [(3, "video", "video/mp4", None, (None, None, 3500))], MEDIA_SCHEMA)
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert [f["timestamp_ms"] for f in frames] == [0, 1000, 2000]
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_buckets(spark):
+    from blaze_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    items = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries = (items.where(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    centroids = [r["embedding"] for r in items.limit(4).collect()]
+    exact = SIM.brute_force_topk(items, queries, k=3).collect()
+    approx = SIM.ivf_topk(items, queries, centroids, k=3, nprobe=4).collect()
+    # with nprobe = all buckets, IVF must equal brute force
+    assert sorted((r["query_id"], r["vec_id"], r["rank"]) for r in approx) == \
+        sorted((r["query_id"], r["vec_id"], r["rank"]) for r in exact)
