@@ -26,6 +26,8 @@ def get_session(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # heap sized to concurrent tasks (~0.5 GB working set each + base)
+    memory = os.environ.get("SPARK_DRIVER_MEMORY", f"{max(6, cpus // 2 + 4)}g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -36,7 +38,15 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: driver JVM == executor. Size the heap for
+        # (cores × per-task working set) and PIN it: without -Xms +
+        # AlwaysPreTouch the collector keeps uncommitting pages to the
+        # host and re-faulting them (67% sys time on this VM — measured
+        # 94s vs 1.7s for the same 2.5 GB scan). ParallelGC avoids G1's
+        # periodic uncommit entirely.
+        .config("spark.driver.memory", memory)
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{memory} -XX:+AlwaysPreTouch -XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

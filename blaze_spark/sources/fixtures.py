@@ -106,7 +106,9 @@ def generate_code_files(rows: int, seed: int = 42) -> pa.Table:
         "path": pa.array(path, pa.string()),
         "commit": pa.array(commit, pa.string()),
         "lang": pa.array(lang, pa.string()),
-        "content": pa.array(content, pa.string()),
+        # large_string: 600k rows of multi-KB content overflow 32-bit
+        # string offsets during concat/take
+        "content": pa.array(content, pa.large_string()),
         "part_id": pa.array(part, pa.int32()),
     })
 
@@ -131,7 +133,17 @@ def code_files_path(rows: int, cache_dir: str = "/root/repo/.cache",
         return out
     os.makedirs(out, exist_ok=True)
     table = generate_code_files(rows, seed)
-    pq.write_to_dataset(table, root_path=out, partition_cols=["part_id"])
+    # write in slices so each hive partition holds several parquet files:
+    # one file per partition = one Spark task per partition, which caps
+    # scan parallelism at N_PARTITIONS regardless of cluster size
+    # small row groups keep files splittable: Spark assigns scan tasks by
+    # maxPartitionBytes over row groups, so the drifted partitions (5x
+    # larger content) don't become stragglers at high parallelism
+    chunk = 25_000
+    for lo in range(0, table.num_rows, chunk):
+        pq.write_to_dataset(table.slice(lo, chunk), root_path=out,
+                            partition_cols=["part_id"],
+                            row_group_size=2048)
     with open(done, "w") as fh:
         fh.write("ok")
     return out
