@@ -1,0 +1,151 @@
+"""Snapshot checkpointing: resumable validation runs with per-partition
+lineage and metrics.
+
+Iceberg-style snapshot chain (BASELINE.json north_rule: "resumable from
+Iceberg snapshot checkpoints carrying per-partition lineage and
+metrics") implemented over plain JSON manifests + parquet results so it
+runs in this container; on a cluster the same manifest shape maps onto
+Iceberg snapshot summaries + partition-level manifests 1:1 (swap
+``_commit`` for a ``table.newAppend()``).
+
+Layout under ``checkpoint_dir``::
+
+    snapshot-<id>.json        # manifest: plan hash, parent, partitions
+    CURRENT                   # pointer to the latest committed snapshot
+    violations/part=<k>/...   # per-partition violation parquet
+    metrics/part=<k>.json     # per-partition metrics + lineage
+
+A partition is the unit of recovery: each one is validated, its outputs
+written, and its manifest entry committed atomically (write-temp +
+rename). A resumed run skips every partition already committed under
+the same (plan hash, input fingerprint) — changing the schema or the
+input invalidates the checkpoint rather than silently reusing it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.validate import validate_rows, violations_table
+from blaze_spark.plans.compiler import compile_schema, plan_to_json
+
+
+def _plan_hash(plan: dict) -> str:
+    import hashlib
+
+    return hashlib.sha256(plan_to_json(plan).encode()).hexdigest()[:16]
+
+
+class CheckpointedValidation:
+    """Run (or resume) a partition-wise validation over a partitioned
+    input table."""
+
+    def __init__(self, checkpoint_dir: str) -> None:
+        self.dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    # -- manifest helpers --------------------------------------------------
+
+    def _current(self) -> Optional[dict]:
+        cur = os.path.join(self.dir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as fh:
+            name = fh.read().strip()
+        path = os.path.join(self.dir, name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict) -> None:
+        name = f"snapshot-{manifest['snapshot_id']}.json"
+        tmp = os.path.join(self.dir, name + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.dir, name))  # atomic
+        tmp_cur = os.path.join(self.dir, "CURRENT.tmp")
+        with open(tmp_cur, "w") as fh:
+            fh.write(name)
+        os.replace(tmp_cur, os.path.join(self.dir, "CURRENT"))
+
+    # -- the run -----------------------------------------------------------
+
+    def run(self, spark: SparkSession, df: DataFrame, schema: Any,
+            partition_col: str, id_cols: List[str],
+            input_fingerprint: str = "") -> dict:
+        """Validate ``df`` partition-by-partition, committing a snapshot
+        after each; returns the final manifest. Safe to re-invoke after a
+        crash: committed partitions are skipped (lineage-checked)."""
+        plan = schema if isinstance(schema, dict) and "targets" in schema \
+            else compile_schema(schema, mode="exhaustive")
+        phash = _plan_hash(plan)
+
+        parent = self._current()
+        done: Dict[str, dict] = {}
+        if parent and parent.get("plan_hash") == phash \
+                and parent.get("input_fingerprint") == input_fingerprint:
+            done = dict(parent.get("partitions", {}))
+
+        partitions = [r[0] for r in
+                      df.select(partition_col).distinct().collect()]
+        partitions.sort(key=lambda x: (x is None, str(x)))
+
+        for part in partitions:
+            key = str(part)
+            if key in done:
+                continue
+            t0 = time.perf_counter()
+            part_df = df.where(F.col(partition_col).eqNullSafe(F.lit(part)))
+            validated = validate_rows(part_df, plan)
+            vio = violations_table(validated, id_cols)
+            vio_path = os.path.join(self.dir, "violations", f"part={key}")
+            vio.write.mode("overwrite").parquet(vio_path)
+            agg = validated.agg(
+                F.count(F.lit(1)).alias("row_count"),
+                F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+                F.sum(F.size("violations")).alias("violation_count"),
+            ).collect()[0]
+            metrics = {
+                "partition": key,
+                "row_count": agg["row_count"],
+                "invalid_rows": agg["invalid_rows"],
+                "violation_count": agg["violation_count"],
+                "passed": agg["invalid_rows"] == 0,
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "violations_path": vio_path,
+                # lineage: which input files fed this partition
+                "input_files": sorted(part_df.inputFiles()),
+            }
+            mdir = os.path.join(self.dir, "metrics")
+            os.makedirs(mdir, exist_ok=True)
+            mtmp = os.path.join(mdir, f"part={key}.json.tmp")
+            with open(mtmp, "w") as fh:
+                json.dump(metrics, fh, indent=1, sort_keys=True)
+            os.replace(mtmp, os.path.join(mdir, f"part={key}.json"))
+
+            done[key] = {"row_count": metrics["row_count"],
+                         "passed": metrics["passed"],
+                         "wall_sec": metrics["wall_sec"]}
+            manifest = {
+                "snapshot_id": uuid.uuid4().hex[:12],
+                "parent_id": (parent or {}).get("snapshot_id"),
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                              time.gmtime()),
+                "plan_hash": phash,
+                "input_fingerprint": input_fingerprint,
+                "partition_col": partition_col,
+                "partitions": done,
+            }
+            self._commit(manifest)
+            parent = manifest
+
+        return parent or {
+            "snapshot_id": None, "plan_hash": phash, "partitions": done}

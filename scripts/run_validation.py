@@ -1,0 +1,63 @@
+"""spark-submit entry point for a checkpointed validation run.
+
+Cluster usage (BASELINE.json north_rule):
+
+    cd /root/repo && zip -r /tmp/blaze_spark.zip blaze_spark
+    spark-submit --py-files /tmp/blaze_spark.zip \
+        scripts/run_validation.py \
+        --input /data/code_files --schema-file schema.json \
+        --checkpoint-dir /chk/run1 --partition-col part_id \
+        --id-cols repo,path,commit
+
+Local smoke (this sandbox):
+
+    python scripts/run_validation.py --demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet/iceberg path of the input table")
+    ap.add_argument("--schema-file", help="JSON Schema constraint file")
+    ap.add_argument("--checkpoint-dir", default="/tmp/blaze_chk")
+    ap.add_argument("--partition-col", default="part_id")
+    ap.add_argument("--id-cols", default="repo,path,commit")
+    ap.add_argument("--demo", action="store_true",
+                    help="run on the synthesized code_files corpus")
+    args = ap.parse_args()
+
+    from blaze_spark.checkpoint import CheckpointedValidation
+    from blaze_spark.session import get_session
+
+    spark = get_session(app_name="blaze-spark-validation")
+    if args.demo:
+        from blaze_spark.sources.fixtures import code_files_path
+        from bench import CODE_FILES_SCHEMA
+
+        input_path = code_files_path(20_000)
+        schema = CODE_FILES_SCHEMA
+    else:
+        if not args.input or not args.schema_file:
+            ap.error("--input and --schema-file required (or --demo)")
+        input_path = args.input
+        with open(args.schema_file) as fh:
+            schema = json.load(fh)
+
+    df = spark.read.parquet(input_path)
+    runner = CheckpointedValidation(args.checkpoint_dir)
+    manifest = runner.run(spark, df, schema, args.partition_col,
+                          [c for c in args.id_cols.split(",") if c],
+                          input_fingerprint=input_path)
+    json.dump(manifest, sys.stdout, indent=1, sort_keys=True)
+    print()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    main()

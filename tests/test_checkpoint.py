@@ -1,0 +1,91 @@
+"""Checkpoint/resume: per-partition lineage, atomic snapshot chain,
+crash-resume skipping committed partitions, plan-hash invalidation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from blaze_spark.checkpoint import CheckpointedValidation
+
+SCHEMA = {
+    "type": "object",
+    "required": ["repo", "commit"],
+    "properties": {"commit": {"type": "string",
+                              "pattern": "^[0-9a-f]{40}$"}},
+}
+
+
+@pytest.fixture()
+def corpus(spark):
+    from blaze_spark.sources.fixtures import code_files_path
+
+    return spark.read.parquet(code_files_path(5_000))
+
+
+def test_run_commits_every_partition(spark, corpus, tmp_path):
+    runner = CheckpointedValidation(str(tmp_path))
+    manifest = runner.run(spark, corpus, SCHEMA, "part_id",
+                          ["repo", "path", "commit"], "fp1")
+    assert len(manifest["partitions"]) == 8
+    # per-partition metrics with lineage exist
+    m = json.load(open(tmp_path / "metrics" / "part=0.json"))
+    assert m["row_count"] > 0 and m["input_files"]
+    assert os.path.exists(tmp_path / "violations" / "part=0")
+    # snapshot chain: CURRENT points at a committed snapshot with a parent
+    assert manifest["parent_id"] is not None
+
+
+def test_resume_skips_committed(spark, corpus, tmp_path, monkeypatch):
+    runner = CheckpointedValidation(str(tmp_path))
+    manifest = runner.run(spark, corpus, SCHEMA, "part_id", ["repo"], "fp1")
+    first_id = manifest["snapshot_id"]
+
+    # a resumed run with identical plan+input must do zero work
+    calls = []
+    import blaze_spark.checkpoint as cp
+
+    real = cp.validate_rows
+    monkeypatch.setattr(cp, "validate_rows",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    manifest2 = CheckpointedValidation(str(tmp_path)).run(
+        spark, corpus, SCHEMA, "part_id", ["repo"], "fp1")
+    assert calls == []
+    assert manifest2["snapshot_id"] == first_id
+
+
+def test_plan_change_invalidates(spark, corpus, tmp_path):
+    runner = CheckpointedValidation(str(tmp_path))
+    m1 = runner.run(spark, corpus, SCHEMA, "part_id", ["repo"], "fp1")
+    changed = dict(SCHEMA, required=["repo"])
+    m2 = CheckpointedValidation(str(tmp_path)).run(
+        spark, corpus, changed, "part_id", ["repo"], "fp1")
+    assert m2["plan_hash"] != m1["plan_hash"]
+    assert len(m2["partitions"]) == 8  # recomputed, not reused
+
+
+def test_partial_run_resumes(spark, corpus, tmp_path, monkeypatch):
+    """Simulate a crash after 3 partitions; the resume completes the
+    remaining 5 without redoing the first 3."""
+    runner = CheckpointedValidation(str(tmp_path))
+    import blaze_spark.checkpoint as cp
+
+    real = cp.validate_rows
+    count = {"n": 0}
+
+    def crashing(*a, **k):
+        count["n"] += 1
+        if count["n"] > 3:
+            raise RuntimeError("simulated crash")
+        return real(*a, **k)
+
+    monkeypatch.setattr(cp, "validate_rows", crashing)
+    with pytest.raises(RuntimeError):
+        runner.run(spark, corpus, SCHEMA, "part_id", ["repo"], "fp1")
+    monkeypatch.setattr(cp, "validate_rows", real)
+
+    resumed = CheckpointedValidation(str(tmp_path)).run(
+        spark, corpus, SCHEMA, "part_id", ["repo"], "fp1")
+    assert len(resumed["partitions"]) == 8
