@@ -37,12 +37,37 @@ def as_prefix(pattern: str) -> Optional[str]:
     return None
 
 
+# unicode property escapes: Python re has no \p{...}; map the common
+# general categories to equivalent unicode-aware classes
+_UNICODE_PROPS = {
+    "L": r"[^\W\d_]", "Letter": r"[^\W\d_]",
+    "N": r"\d", "Nd": r"\d", "digit": r"\d",
+}
+_UNICODE_PROPS_NEG = {
+    "L": r"[\W\d_]", "Letter": r"[\W\d_]",
+    "N": r"\D", "Nd": r"\D", "digit": r"\D",
+}
+_PROP_RE = re.compile(r"\\([pP])\{([^}]+)\}")
+
+
+def _expand_props(pattern: str) -> str:
+    def sub(m: "re.Match[str]") -> str:
+        table = _UNICODE_PROPS if m.group(1) == "p" else _UNICODE_PROPS_NEG
+        repl = table.get(m.group(2))
+        if repl is None:
+            raise re.error(f"unsupported unicode property {m.group(0)!r}")
+        return repl
+
+    return _PROP_RE.sub(sub, pattern)
+
+
 def ecma_to_python(pattern: str) -> str:
     """Translate the common ECMA-262 constructs to Python ``re`` syntax.
 
     ECMA ``$`` matches only end-of-input (no multiline flag) while Python
     ``$`` also matches before a trailing newline → rewrite to ``\\Z``.
     """
+    pattern = _expand_props(pattern)
     out = []
     i, n = 0, len(pattern)
     in_class = False

@@ -630,6 +630,19 @@ def _h_if_then_else(state, instr, instance, iloc, eprefix, ann):
 
 # --- references ---------------------------------------------------------------------
 
+def _h_scope(state, instr, instance, iloc, eprefix, ann):
+    """Inline $id resource boundary: push the dynamic scope for the
+    duration of the wrapped program (ControlMark analog; the reference
+    tracks resources on its `resources` stack, evaluator.h:217-259)."""
+    state.scopes.append(instr["value"])
+    try:
+        valid, violations, _ = _run_program(
+            state, instr["program"], instance, iloc, eprefix, ann)
+        return valid, violations
+    finally:
+        state.scopes.pop()
+
+
 def _h_ref(state, instr, instance, iloc, eprefix, ann):
     child = _Ann()
     ok, vio, _ = _run_target(state, instr["value"], instance, iloc,
@@ -765,6 +778,7 @@ _HANDLERS = {
     "if_then_else": _h_if_then_else,
     "ref": _h_ref,
     "dynamic_ref": _h_dynamic_ref,
+    "scope": _h_scope,
     "unevaluated_properties": _h_unevaluated_properties,
     "unevaluated_items": _h_unevaluated_items,
 }

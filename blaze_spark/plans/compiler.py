@@ -29,7 +29,7 @@ import json
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from blaze_spark.plans import pointer as ptr
-from blaze_spark.plans.frame import Frame, dialect_of
+from blaze_spark.plans.frame import Frame, dialect_of, joinuri as _joinuri
 from blaze_spark.plans.jsonvals import is_integral
 from blaze_spark.plans.rewrite import rewrite
 
@@ -37,11 +37,23 @@ PLAN_VERSION = 1
 
 _LEGACY = ("draft4", "draft6", "draft7")
 
+# ops produced by the "validation" vocabulary — inert when a custom
+# metaschema omits that vocabulary
+_VALIDATION_OPS = {
+    "type", "const", "enum", "minimum", "maximum", "exclusive_minimum",
+    "exclusive_maximum", "multiple_of", "min_length", "max_length",
+    "pattern", "min_items", "max_items", "unique_items", "min_properties",
+    "max_properties", "required", "dependent_required",
+}
+
 
 class _Ctx:
-    def __init__(self, frame: Frame, mode: str) -> None:
+    def __init__(self, frame: Frame, mode: str,
+                 format_assertion: bool = False) -> None:
         self.frame = frame
         self.mode = mode
+        self.format_assertion = format_assertion
+        self.vocab_validation = True
         self.targets: List[Optional[List[dict]]] = []
         self.target_base: List[str] = []
         # (id(subschema), base) -> target index
@@ -70,6 +82,18 @@ def _num(v: Any) -> bool:
     return isinstance(v, (int, float)) and not isinstance(v, bool)
 
 
+def _size(v: Any) -> Optional[int]:
+    """Size-keyword operand: a non-negative integer, possibly written as
+    an integral real (the suite tests ``maxLength: 2.0``)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float) and is_integral(v):
+        return int(v)
+    return None
+
+
 def compile_schema(
     schema: Any,
     *,
@@ -77,6 +101,7 @@ def compile_schema(
     mode: str = "fast",
     resolver: Optional[Callable[[str], Any]] = None,
     apply_rewrites: bool = True,
+    format_assertion: bool = False,
 ) -> dict:
     """Compile a schema into a plan dict. ``mode`` is ``fast`` (short-
     circuit, the reference's Mode::FastValidation) or ``exhaustive``
@@ -84,8 +109,29 @@ def compile_schema(
     if apply_rewrites:
         schema = rewrite(schema)
     dialect = dialect_of(schema, default_dialect)
+    vocab_validation = True
+    if isinstance(schema, dict) and isinstance(schema.get("$schema"), str) \
+            and resolver is not None:
+        from blaze_spark.plans.frame import DIALECT_URIS
+
+        ms_uri = schema["$schema"]
+        if ms_uri not in DIALECT_URIS and ms_uri.rstrip("#") not in {
+                u.rstrip("#") for u in DIALECT_URIS}:
+            # custom metaschema: honor its $vocabulary — with the
+            # validation vocabulary absent, validation keywords become
+            # inert (suite: vocabulary.json; reference gates keyword
+            # compilers per vocabulary, default_compiler.cc:56-61)
+            ms = resolver(ms_uri)
+            if isinstance(ms, dict):
+                dialect = dialect_of(ms, dialect)
+                vocab = ms.get("$vocabulary")
+                if isinstance(vocab, dict):
+                    val = [u for u in vocab if "/vocab/validation" in u]
+                    vocab_validation = bool(val) and all(
+                        vocab[u] is not False for u in val)
     frame = Frame(schema, dialect, resolver=resolver)
-    ctx = _Ctx(frame, mode)
+    ctx = _Ctx(frame, mode, format_assertion)
+    ctx.vocab_validation = vocab_validation
     # reserve target 0 for the entry program
     ctx.targets.append(None)
     ctx.target_base.append(frame.root_base)
@@ -121,12 +167,15 @@ def _target_for(sub: Any, base: str, ctx: _Ctx) -> int:
     ctx.targets.append(None)
     ctx.target_base.append(base)
     dialect = dialect_of(sub, ctx.frame.dialect)
-    ctx.targets[idx] = _compile_subschema(sub, base, dialect, "", ctx)
+    # base already reflects the destination's own $id (resolve() folds
+    # every $id along the pointer path) — don't re-apply it
+    ctx.targets[idx] = _compile_subschema(sub, base, dialect, "", ctx,
+                                          is_target_root=True)
     return idx
 
 
 def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
-                       ctx: _Ctx) -> List[dict]:
+                       ctx: _Ctx, is_target_root: bool = False) -> List[dict]:
     """Compile one schema object into an ordered instruction program.
 
     Boolean schemas short-circuit exactly as the reference does
@@ -140,26 +189,42 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
         raise TypeError(f"not a schema: {schema!r}")
 
     dialect = dialect_of(schema, dialect)
-    if isinstance(schema.get("$id") if dialect != "draft4" else schema.get("id"), str):
-        rid = schema.get("$id") or schema.get("id")
-        from urllib.parse import urldefrag, urljoin
-        new_base = urldefrag(urljoin(base or "", rid))[0]
-        if new_base:
-            base = new_base
+    has_ref = isinstance(schema.get("$ref"), str)
+    # draft<=7: $ref replaces ALL siblings, including a sibling id/$id —
+    # the base URI must not change before resolving it (suite: "$ref
+    # prevents a sibling $id from changing the base uri")
+    entered_base = base
+    if not (has_ref and dialect in _LEGACY) and not is_target_root:
+        rid = schema.get("$id") if dialect != "draft4" else schema.get("id")
+        if rid is None:
+            rid = schema.get("$id") or schema.get("id")
+        if isinstance(rid, str):
+            from urllib.parse import urldefrag
+
+            new_base = urldefrag(_joinuri(base or "", rid))[0]
+            if new_base:
+                base = new_base
 
     out: List[dict] = []
 
     # --- $ref family (draft<=7: replaces all siblings) -------------------
-    if "$ref" in schema and isinstance(schema["$ref"], str):
+    if has_ref:
         out.append(_compile_ref(schema["$ref"], base, _kloc(kp, "$ref"), ctx))
         if dialect in _LEGACY:
             return out
     if dialect == "2019-09" and schema.get("$recursiveRef") == "#":
-        ctx.dynamic = True
         sub, sub_base = ctx.frame.resolve("#", base)
         fallback = _target_for(sub, sub_base, ctx)
-        out.append(_instr("dynamic_ref", _kloc(kp, "$recursiveRef"),
-                          {"anchor": "", "fallback": fallback}))
+        # $recursiveRef is dynamic ONLY when its static destination sets
+        # $recursiveAnchor: true; otherwise it's a plain ref to the
+        # current resource root (spec; suite "no $recursiveAnchor in the
+        # initial target schema resource")
+        if isinstance(sub, dict) and sub.get("$recursiveAnchor") is True:
+            ctx.dynamic = True
+            out.append(_instr("dynamic_ref", _kloc(kp, "$recursiveRef"),
+                              {"anchor": "", "fallback": fallback}))
+        else:
+            out.append(_instr("ref", _kloc(kp, "$recursiveRef"), fallback))
     if dialect == "2020-12" and isinstance(schema.get("$dynamicRef"), str):
         dref = schema["$dynamicRef"]
         anchor = dref.split("#", 1)[1] if "#" in dref else ""
@@ -180,14 +245,16 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
                               {"anchor": anchor, "fallback": fallback}))
 
     # --- type / const / enum ---------------------------------------------
-    if "type" in schema:
+    if "type" in schema and ctx.vocab_validation:
         types = _type_list(schema["type"])
         out.append(_instr("type", _kloc(kp, "type"),
                           {"types": types,
                            "strict": dialect == "draft4"}))
-    if "const" in schema and dialect not in ("draft4",):
+    if "const" in schema and ctx.vocab_validation:
+        # compiled in every dialect: the rewrite pass canonicalizes
+        # single-value enums to const, including for draft4 schemas
         out.append(_instr("const", _kloc(kp, "const"), {"value": schema["const"]}))
-    if "enum" in schema and isinstance(schema["enum"], list):
+    if "enum" in schema and isinstance(schema["enum"], list) and ctx.vocab_validation:
         if not schema["enum"]:
             out.append(_instr("fail", _kloc(kp, "enum"), {"keyword": "enum"}))
         else:
@@ -216,32 +283,35 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
     if _num(schema.get("multipleOf")) and schema["multipleOf"] > 0:
         out.append(_instr("multiple_of", _kloc(kp, "multipleOf"),
                           {"divisor": schema["multipleOf"]}))
-    if isinstance(schema.get("minLength"), int):
+    if _size(schema.get("minLength")) is not None:
         out.append(_instr("min_length", _kloc(kp, "minLength"),
-                          {"bound": schema["minLength"]}))
-    if isinstance(schema.get("maxLength"), int):
+                          {"bound": _size(schema["minLength"])}))
+    if _size(schema.get("maxLength")) is not None:
         out.append(_instr("max_length", _kloc(kp, "maxLength"),
-                          {"bound": schema["maxLength"]}))
+                          {"bound": _size(schema["maxLength"])}))
     if isinstance(schema.get("pattern"), str):
         out.append(_instr("pattern", _kloc(kp, "pattern"),
                           {"pattern": schema["pattern"]}))
-    if isinstance(schema.get("format"), str):
+    if isinstance(schema.get("format"), str) and ctx.format_assertion:
+        # format is annotation-only by default (2019-09+ spec; the
+        # reference gates it behind the format_assertion tweak,
+        # compiler.h:93-106) — assertion mode is an explicit opt-in
         out.append(_instr("format", _kloc(kp, "format"),
                           {"name": schema["format"]}))
-    if isinstance(schema.get("minItems"), int):
+    if _size(schema.get("minItems")) is not None:
         out.append(_instr("min_items", _kloc(kp, "minItems"),
-                          {"bound": schema["minItems"]}))
-    if isinstance(schema.get("maxItems"), int):
+                          {"bound": _size(schema["minItems"])}))
+    if _size(schema.get("maxItems")) is not None:
         out.append(_instr("max_items", _kloc(kp, "maxItems"),
-                          {"bound": schema["maxItems"]}))
+                          {"bound": _size(schema["maxItems"])}))
     if schema.get("uniqueItems") is True:
         out.append(_instr("unique_items", _kloc(kp, "uniqueItems")))
-    if isinstance(schema.get("minProperties"), int):
+    if _size(schema.get("minProperties")) is not None:
         out.append(_instr("min_properties", _kloc(kp, "minProperties"),
-                          {"bound": schema["minProperties"]}))
-    if isinstance(schema.get("maxProperties"), int):
+                          {"bound": _size(schema["minProperties"])}))
+    if _size(schema.get("maxProperties")) is not None:
         out.append(_instr("max_properties", _kloc(kp, "maxProperties"),
-                          {"bound": schema["maxProperties"]}))
+                          {"bound": _size(schema["maxProperties"])}))
 
     # --- required / dependencies -----------------------------------------
     if isinstance(schema.get("required"), list) and schema["required"]:
@@ -353,10 +423,10 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
         minimum = 1
         maximum = None
         if dialect in ("2019-09", "2020-12"):
-            if isinstance(schema.get("minContains"), int):
-                minimum = schema["minContains"]
-            if isinstance(schema.get("maxContains"), int):
-                maximum = schema["maxContains"]
+            if _size(schema.get("minContains")) is not None:
+                minimum = _size(schema["minContains"])
+            if _size(schema.get("maxContains")) is not None:
+                maximum = _size(schema["maxContains"])
         out.append(_instr("contains", _kloc(kp, "contains"),
                           {"min": minimum, "max": maximum},
                           program=_compile_subschema(
@@ -401,6 +471,14 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
                               program=_compile_subschema(
                                   schema["unevaluatedProperties"], base, dialect,
                                   _kloc(kp, "unevaluatedProperties"), ctx)))
+    if not ctx.vocab_validation:
+        out = [i for i in out if i["op"] not in _VALIDATION_OPS]
+    if base != entered_base and not is_target_root:
+        # an inline subschema with its own $id establishes a schema
+        # resource: its evaluation must push a dynamic scope so
+        # $dynamicRef/$recursiveRef anchor search sees it only while
+        # inside (suite: "after leaving a dynamic scope, it is not used")
+        return [_instr("scope", kp, base, program=out)]
     return out
 
 

@@ -16,9 +16,26 @@ documents are framed into the same registry.
 from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional, Tuple
-from urllib.parse import urldefrag, urljoin
+from urllib.parse import unquote, urldefrag, urljoin, urlsplit
 
 from blaze_spark.plans import pointer as ptr
+
+
+def joinuri(base: str, ref: str) -> str:
+    """RFC 3986 reference resolution that also tolerates non-hierarchical
+    bases (urn:): a fragment-only ref keeps the base; an absolute ref
+    wins; relative refs against a urn: base can't resolve hierarchically
+    so the ref is taken as-is."""
+    if not ref:
+        return base
+    if ref.startswith("#"):
+        return urldefrag(base)[0] + ref
+    if urlsplit(ref).scheme:
+        return ref
+    scheme = urlsplit(base).scheme if base else ""
+    if scheme and scheme not in ("http", "https", "file", "ftp"):
+        return ref
+    return urljoin(base or "", ref)
 
 # keywords whose values are NOT subschemas even though they're dicts
 _NON_SCHEMA_KEYWORDS = {
@@ -94,7 +111,7 @@ class Frame:
             rid = schema.get("$id")
         if not isinstance(rid, str) or not rid:
             return base
-        uri, frag = urldefrag(urljoin(base or "", rid))
+        uri, frag = urldefrag(joinuri(base or "", rid))
         if frag:  # legacy draft<=7 fragment-only ids act as anchors
             self.anchors[(uri or base, frag)] = schema
             if not uri or uri == base:
@@ -140,12 +157,30 @@ class Frame:
     def resolve(self, ref: str, base: str) -> Tuple[Any, str]:
         """Resolve a ``$ref`` value against ``base``; returns
         (subschema, new_base_uri). Raises KeyError when unresolvable."""
-        uri, frag = urldefrag(urljoin(base or "", ref))
+        uri, frag = urldefrag(joinuri(base or "", ref))
         resource = self._lookup_resource(uri, base)
+        frag = unquote(frag)  # JSON-pointer tokens arrive %-encoded in URIs
         if not frag:
             return resource, uri
         if frag.startswith("/"):
-            return ptr.resolve(resource, ptr.parse(frag)), uri
+            # descend the pointer, folding in every $id declared along the
+            # path — a nested subschema with a relative $id establishes a
+            # new base for refs inside it (suite: "base URI change")
+            current = resource
+            for tok in ptr.parse(frag):
+                if isinstance(current, dict):
+                    current = current[tok]
+                elif isinstance(current, list):
+                    current = current[int(tok)]
+                else:
+                    raise KeyError(tok)
+                if isinstance(current, dict):
+                    rid = current.get("$id")
+                    if not isinstance(rid, str):
+                        rid = current.get("id")
+                    if isinstance(rid, str) and rid and not rid.startswith("#"):
+                        uri = urldefrag(joinuri(uri, rid))[0] or uri
+            return current, uri
         # plain-name anchor
         key = (uri, frag)
         if key in self.anchors:

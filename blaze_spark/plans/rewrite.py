@@ -21,17 +21,30 @@ from blaze_spark.plans.jsonvals import canonical_key, is_integral
 Rule = Callable[[dict], bool]  # mutates in place; returns True if changed
 
 
+# keywords that interact across a schema object: hoisting them between a
+# combinator branch and its parent changes additionalProperties /
+# unevaluated* / items semantics ("X does not look in applicators")
+_HOIST_SAFE = {
+    "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
+    "format", "minItems", "maxItems", "uniqueItems", "minProperties",
+    "maxProperties", "required",
+}
+
+
 def _rule_single_branch_combinators(s: dict) -> bool:
-    """allOf/anyOf/oneOf with one branch → merge/hoist if trivially safe
-    (reference: single_branch_allof.h / single_branch_anyof.h /
-    single_branch_oneof.h)."""
+    """allOf/anyOf/oneOf with one branch → hoist, but ONLY independent
+    assertion keywords: applicator keywords must stay in their schema
+    object because additionalProperties/unevaluated*/items do not look
+    into applicators (reference: single_branch_allof.h guards the same
+    way via its condition clause)."""
     changed = False
     for kw in ("allOf", "anyOf", "oneOf"):
         v = s.get(kw)
         if isinstance(v, list) and len(v) == 1 and isinstance(v[0], dict):
             branch = v[0]
-            # hoist only when no key collision and branch has no identity
-            if not (set(branch) & set(s)) and "$id" not in branch and "$ref" not in s:
+            if (set(branch) <= _HOIST_SAFE and not (set(branch) & set(s))
+                    and "$ref" not in s):
                 del s[kw]
                 s.update(copy.deepcopy(branch))
                 changed = True

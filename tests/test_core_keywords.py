@@ -151,14 +151,16 @@ CASES = [
 @pytest.mark.parametrize("desc,schema,instance,expected",
                          CASES, ids=[c[0] for c in CASES])
 def test_keyword_fast(desc, schema, instance, expected):
-    plan = compile_schema(schema)
+    # format_assertion=True: the suite's assertion-mode cases (annotation
+    # -only is the spec default; the reference gates this identically)
+    plan = compile_schema(schema, format_assertion=True)
     assert evaluate(plan, instance).valid is expected
 
 
 @pytest.mark.parametrize("desc,schema,instance,expected",
                          CASES, ids=[c[0] for c in CASES])
 def test_keyword_exhaustive(desc, schema, instance, expected):
-    plan = compile_schema(schema, mode="exhaustive")
+    plan = compile_schema(schema, mode="exhaustive", format_assertion=True)
     result = evaluate(plan, instance)
     assert result.valid is expected
     if not expected:

@@ -1,0 +1,33 @@
+"""Official JSON-Schema-Test-Suite compliance — the bar the reference
+claims 100% on (README.markdown:49-56; runner officialsuite.cc:283-325).
+The suite is public MIT test *data*, vendored read-only under the
+reference checkout; skipped gracefully if absent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SUITE = "/root/reference/vendor/jsonschema-test-suite"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(SUITE, "tests")),
+    reason="official suite not available")
+
+
+@pytest.mark.parametrize("dirname,dialect", [
+    ("draft4", "draft4"),
+    ("draft6", "draft6"),
+    ("draft7", "draft7"),
+    ("draft2019-09", "2019-09"),
+    ("draft2020-12", "2020-12"),
+])
+def test_full_compliance(dirname, dialect):
+    from tools.compliance import run_dialect
+
+    passed, total = run_dialect(dirname, dialect, verbose=False,
+                                include_optional=False)
+    assert total > 500
+    assert passed == total, f"{dirname}: {total - passed} failures"

@@ -1,0 +1,131 @@
+"""Run the official JSON-Schema-Test-Suite (public MIT corpus, vendored
+read-only under the reference checkout) through the blaze_spark compiler
++ interpreter and report the pass rate per dialect — the compliance bar
+the reference claims 100% on (README.markdown:49-56).
+
+Usage: python tools/compliance.py [dialect ...] [-v] [--optional]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from blaze_spark import compile_schema, evaluate
+
+SUITE = "/root/reference/vendor/jsonschema-test-suite"
+REMOTES = os.path.join(SUITE, "remotes")
+
+DIALECTS = {
+    "draft4": "draft4",
+    "draft6": "draft6",
+    "draft7": "draft7",
+    "draft2019-09": "2019-09",
+    "draft2020-12": "2020-12",
+}
+
+META_DIRS = {
+    "http://json-schema.org/draft-04/schema": "/root/reference/vendor/jsonschema-draft4",
+    "http://json-schema.org/draft-06/schema": "/root/reference/vendor/jsonschema-draft6",
+    "http://json-schema.org/draft-07/schema": "/root/reference/vendor/jsonschema-draft7",
+}
+
+
+def make_resolver(dialect: str):
+    def resolver(uri: str):
+        if uri.startswith("http://localhost:1234/"):
+            rel = uri[len("http://localhost:1234/"):]
+            path = os.path.join(REMOTES, rel)
+            if os.path.exists(path):
+                with open(path) as fh:
+                    return json.load(fh)
+        # meta-schemas ($ref to the dialect schema itself)
+        for prefix, d in META_DIRS.items():
+            if uri.rstrip("#") == prefix:
+                p = os.path.join(d, "schema.json")
+                if os.path.exists(p):
+                    with open(p) as fh:
+                        return json.load(fh)
+        if uri.startswith("https://json-schema.org/draft/"):
+            tail = uri[len("https://json-schema.org/draft/"):]
+            ver, _, name = tail.partition("/")
+            base = {"2020-12": "jsonschema-2020-12",
+                    "2019-09": "jsonschema-2019-09"}.get(ver)
+            if base:
+                p = f"/root/reference/vendor/{base}/{name or 'schema'}.json"
+                if os.path.exists(p):
+                    with open(p) as fh:
+                        return json.load(fh)
+        return None
+    return resolver
+
+
+def run_dialect(dirname: str, dialect: str, verbose: bool,
+                include_optional: bool):
+    root = os.path.join(SUITE, "tests", dirname)
+    files = sorted(
+        os.path.join(root, f) for f in os.listdir(root) if f.endswith(".json"))
+    if include_optional:
+        opt = os.path.join(root, "optional")
+        if os.path.isdir(opt):
+            files += sorted(os.path.join(opt, f) for f in os.listdir(opt)
+                            if f.endswith(".json"))
+    total = passed = errors = 0
+    fail_by_file: dict = {}
+    for path in files:
+        fname = os.path.relpath(path, root)
+        with open(path) as fh:
+            groups = json.load(fh)
+        for group in groups:
+            try:
+                plan = compile_schema(group["schema"],
+                                      default_dialect=dialect,
+                                      resolver=make_resolver(dialect))
+            except Exception as exc:
+                n = len(group["tests"])
+                total += n
+                errors += n
+                fail_by_file.setdefault(fname, []).append(
+                    f"COMPILE {group['description']}: {type(exc).__name__}: {exc}")
+                continue
+            for test in group["tests"]:
+                total += 1
+                try:
+                    got = evaluate(plan, test["data"]).valid
+                except Exception as exc:
+                    errors += 1
+                    fail_by_file.setdefault(fname, []).append(
+                        f"EVAL {group['description']} / {test['description']}: "
+                        f"{type(exc).__name__}: {exc}")
+                    continue
+                if got == test["valid"]:
+                    passed += 1
+                else:
+                    fail_by_file.setdefault(fname, []).append(
+                        f"MISMATCH {group['description']} / "
+                        f"{test['description']}: got {got}")
+    rate = 100.0 * passed / total if total else 0.0
+    print(f"{dirname:14s} {passed}/{total} = {rate:.2f}%  (errors: {errors})")
+    if verbose:
+        for fname, fails in sorted(fail_by_file.items()):
+            print(f"  {fname}: {len(fails)}")
+            for f in fails[:4]:
+                print(f"    - {f}")
+    return passed, total
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    verbose = "-v" in sys.argv
+    optional = "--optional" in sys.argv
+    gp = gt = 0
+    for dirname, dialect in DIALECTS.items():
+        if args and dirname not in args:
+            continue
+        p, t = run_dialect(dirname, dialect, verbose, optional)
+        gp += p
+        gt += t
+    print(f"{'TOTAL':14s} {gp}/{gt} = {100.0 * gp / max(gt, 1):.2f}%")
