@@ -7,6 +7,10 @@ Python predicate usable inside the Arrow interpreter; the cheap ones also
 have Java-regex forms for tier-1 Column plans (see FORMAT_JAVA_REGEX).
 
 Formats apply only to strings; non-string values pass (per spec).
+Grammar notes: digits are ASCII-only ([0-9], not unicode \\d); leap
+seconds are only valid at 23:59:60 UTC after offset normalization;
+URIs follow the RFC 3986 ABNF (IRIs additionally allow non-ASCII in the
+same positions).
 """
 
 from __future__ import annotations
@@ -17,27 +21,74 @@ from datetime import datetime
 from typing import Callable, Dict, Optional
 
 _RE_UUID = re.compile(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\Z")
-_RE_DATE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})\Z")
+_RE_DATE = re.compile(r"^([0-9]{4})-([0-9]{2})-([0-9]{2})\Z")
 _RE_TIME = re.compile(
-    r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?([zZ]|[+-]\d{2}:\d{2})\Z"
-)
+    r"^([0-9]{2}):([0-9]{2}):([0-9]{2})(\.[0-9]+)?([zZ]|[+-][0-9]{2}:[0-9]{2})\Z")
+# RFC 3339 appendix-A duration ABNF (exact nesting: smaller units hang
+# off larger ones, weeks stand alone, no fractions)
+_DUR_TIME = r"T(?:[0-9]+H(?:[0-9]+M(?:[0-9]+S)?)?|[0-9]+M(?:[0-9]+S)?|[0-9]+S)"
 _RE_DURATION = re.compile(
-    r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?\Z"
-)
-_RE_HOSTNAME = re.compile(
-    r"^(?=.{1,253}\Z)[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
-    r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*\.?\Z"
-)
-_RE_EMAIL = re.compile(
-    r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
-    r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
-    r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*\Z"
+    r"^P(?:"
+    r"(?:[0-9]+D|[0-9]+M(?:[0-9]+D)?|[0-9]+Y(?:[0-9]+M(?:[0-9]+D)?)?)"
+    rf"(?:{_DUR_TIME})?"
+    rf"|{_DUR_TIME}"
+    r"|[0-9]+W"
+    r")\Z"
 )
 _RE_JSON_POINTER = re.compile(r"^(?:/(?:[^~/]|~[01])*)*\Z")
 _RE_REL_JSON_POINTER = re.compile(r"^(?:0|[1-9][0-9]*)(?:#|(?:/(?:[^~/]|~[01])*)*)\Z")
-# RFC 3986 URI: scheme ':' hier-part [ '?' query ] [ '#' fragment ]
-_RE_URI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:[^\s]*\Z")
-_RE_URI_REF_BAD = re.compile(r"[\s<>\\^`{|}\"]")
+
+# --- RFC 3986 URI grammar, built from the ABNF ------------------------------
+_UNRESERVED = r"A-Za-z0-9\-._~"
+_SUB_DELIMS = r"!$&'()*+,;="
+_IRI_EXTRA = " -\U0010fffd"
+
+
+def _uri_regex(iri: bool) -> "re.Pattern[str]":
+    u = _UNRESERVED + (_IRI_EXTRA if iri else "")
+    pct = "%[0-9A-Fa-f]{2}"
+    pchar = f"(?:[{u}{_SUB_DELIMS}:@]|{pct})"
+    userinfo = f"(?:[{u}{_SUB_DELIMS}:]|{pct})*"
+    reg_name = f"(?:[{u}{_SUB_DELIMS}]|{pct})*"
+    ipv6 = r"\[[0-9A-Fa-f:.]+\]|\[v[0-9A-Fa-f]+\.[^\]]+\]"
+    host = f"(?:{ipv6}|{reg_name})"
+    authority = f"(?:{userinfo}@)?{host}(?::[0-9]*)?"
+    segment = f"{pchar}*"
+    path_abempty = f"(?:/{segment})*"
+    path_absolute = f"/(?:{pchar}+(?:/{segment})*)?"
+    path_rootless = f"{pchar}+(?:/{segment})*"
+    hier = (f"(?://{authority}{path_abempty}|{path_absolute}"
+            f"|{path_rootless}|)")
+    query = f"(?:[{u}{_SUB_DELIMS}:@/?]|{pct})*"
+    scheme = "[A-Za-z][A-Za-z0-9+.-]*"
+    return re.compile(
+        f"^{scheme}:{hier}(?:\\?{query})?(?:#{query})?\\Z")
+
+
+def _uri_ref_regex(iri: bool) -> "re.Pattern[str]":
+    u = _UNRESERVED + (_IRI_EXTRA if iri else "")
+    pct = "%[0-9A-Fa-f]{2}"
+    # relative-ref: no colon in the first segment
+    pchar_nc = f"(?:[{u}{_SUB_DELIMS}@]|{pct})"
+    pchar = f"(?:[{u}{_SUB_DELIMS}:@]|{pct})"
+    userinfo = f"(?:[{u}{_SUB_DELIMS}:]|{pct})*"
+    reg_name = f"(?:[{u}{_SUB_DELIMS}]|{pct})*"
+    ipv6 = r"\[[0-9A-Fa-f:.]+\]"
+    host = f"(?:{ipv6}|{reg_name})"
+    authority = f"(?:{userinfo}@)?{host}(?::[0-9]*)?"
+    segment = f"{pchar}*"
+    path_abempty = f"(?:/{segment})*"
+    path_absolute = f"/(?:{pchar}+(?:/{segment})*)?"
+    path_noscheme = f"{pchar_nc}+(?:/{segment})*"
+    rel_part = f"(?://{authority}{path_abempty}|{path_absolute}|{path_noscheme}|)"
+    query = f"(?:[{u}{_SUB_DELIMS}:@/?]|{pct})*"
+    return re.compile(f"^{rel_part}(?:\\?{query})?(?:#{query})?\\Z")
+
+
+_RE_URI = _uri_regex(iri=False)
+_RE_IRI = _uri_regex(iri=True)
+_RE_URI_REF = _uri_ref_regex(iri=False)
+_RE_IRI_REF = _uri_ref_regex(iri=True)
 
 
 def _is_date(s: str) -> bool:
@@ -56,12 +107,20 @@ def _is_time(s: str) -> bool:
     if not m:
         return False
     h, mi, se = int(m.group(1)), int(m.group(2)), int(m.group(3))
-    if h > 23 or mi > 59 or se > 60:  # 60 = leap second
+    if h > 23 or mi > 59 or se > 60:
         return False
     off = m.group(5)
-    if off not in ("z", "Z"):
+    if off in ("z", "Z"):
+        off_min = 0
+    else:
         oh, om = int(off[1:3]), int(off[4:6])
         if oh > 23 or om > 59:
+            return False
+        off_min = (oh * 60 + om) * (1 if off[0] == "+" else -1)
+    if se == 60:
+        # leap seconds only occur at 23:59:60 UTC
+        utc = (h * 60 + mi - off_min) % 1440
+        if utc != 23 * 60 + 59:
             return False
     return True
 
@@ -83,11 +142,209 @@ def _is_ipv4(s: str) -> bool:
 
 
 def _is_ipv6(s: str) -> bool:
+    if "%" in s:  # zone ids are not part of the address grammar
+        return False
     try:
         ipaddress.IPv6Address(s)
         return True
     except ValueError:
         return False
+
+
+# --- IDNA2008 label validation (RFC 5890-5893) ------------------------------
+# DISALLOWED exceptions, RFC 5892 §2.6 category F
+_IDNA_DISALLOWED = {0x0640, 0x07FA, 0x302E, 0x302F, 0x3031, 0x3032, 0x3033,
+                    0x3034, 0x3035, 0x303B}
+# PVALID exceptions, RFC 5892 §2.6 category A
+_IDNA_PVALID = {0x00DF, 0x03C2, 0x06FD, 0x06FE, 0x0F0B, 0x3007}
+_ALLOWED_CATS = {"Ll", "Lo", "Lm", "Mn", "Mc", "Nd"}
+_CONTEXT_CHARS = {0x00B7, 0x0375, 0x05F3, 0x05F4, 0x30FB, 0x200C, 0x200D}
+# IDNA label separators (RFC 3490 §3.1), honored for idn-hostname
+_IDN_DOTS = re.compile("[.。．｡]")
+
+
+def _is_han_kana(c: str) -> bool:
+    o = ord(c)
+    return (0x3040 <= o <= 0x309F or (0x30A0 <= o <= 0x30FF and o != 0x30FB)
+            or 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
+            or 0xF900 <= o <= 0xFAFF)
+
+
+def _ulabel_ok(u: str) -> bool:
+    """RFC 5892 code-point validity + contextual rules for one U-label."""
+    import unicodedata as ud
+
+    if not u or len(u) > 63:
+        return False
+    if ud.normalize("NFC", u) != u:
+        return False
+    if u[2:4] == "--":  # no '--' in 3rd/4th position (RFC 5891 §4.2.3.1)
+        return False
+    if u[0] == "-" or u[-1] == "-":
+        return False
+    if ud.category(u[0]).startswith("M"):  # leading combining mark
+        return False
+    for i, c in enumerate(u):
+        o = ord(c)
+        if o in _IDNA_DISALLOWED:
+            return False
+        if c == "-":
+            continue
+        if o in _CONTEXT_CHARS:
+            prev = u[i - 1] if i > 0 else ""
+            nxt = u[i + 1] if i + 1 < len(u) else ""
+            if o == 0x00B7:       # MIDDLE DOT: between 'l' and 'l'
+                if prev != "l" or nxt != "l":
+                    return False
+            elif o == 0x0375:     # GREEK KERAIA: followed by Greek
+                if not nxt or not (0x0370 <= ord(nxt) <= 0x03FF
+                                   or 0x1F00 <= ord(nxt) <= 0x1FFF):
+                    return False
+            elif o in (0x05F3, 0x05F4):  # GERESH/GERSHAYIM: after Hebrew
+                if not prev or not 0x0590 <= ord(prev) <= 0x05FF:
+                    return False
+            elif o == 0x30FB:     # KATAKANA MIDDLE DOT: needs kana/han
+                if not any(_is_han_kana(x) for x in u):
+                    return False
+            elif o == 0x200D:     # ZWJ: previous must be virama
+                if not prev or ud.combining(prev) != 9:
+                    return False
+            else:                 # ZWNJ: virama, or joining context
+                # (RFC 5892 appendix A.1; joining types approximated by
+                # "between Arabic letters", which the rule targets)
+                if not prev or ud.combining(prev) != 9:
+                    if not (prev and nxt
+                            and 0x0600 <= ord(prev) <= 0x06FF
+                            and 0x0600 <= ord(nxt) <= 0x06FF
+                            and ud.category(prev) == "Lo"
+                            and ud.category(nxt) == "Lo"):
+                        return False
+            continue
+        if o in _IDNA_PVALID:
+            continue
+        if ud.category(c) not in _ALLOWED_CATS:
+            return False
+    # Arabic-Indic and Extended Arabic-Indic digits must not mix
+    if any(0x0660 <= ord(c) <= 0x0669 for c in u) and \
+            any(0x06F0 <= ord(c) <= 0x06F9 for c in u):
+        return False
+    return True
+
+
+def _bidi_ok(labels) -> bool:
+    """RFC 5893 Bidi rule over the whole domain."""
+    import unicodedata as ud
+
+    bidi = any(ud.bidirectional(c) in ("R", "AL", "AN")
+               for lab in labels for c in lab)
+    if not bidi:
+        return True
+    for lab in labels:
+        if not lab:
+            continue
+        cats = [ud.bidirectional(c) for c in lab]
+        first = cats[0]
+        tail = [c for c in cats if c != "NSM"]
+        if first in ("R", "AL"):
+            if any(c not in ("R", "AL", "AN", "EN", "ES", "CS", "ET", "ON",
+                             "BN", "NSM") for c in cats):
+                return False
+            if "EN" in cats and "AN" in cats:
+                return False
+            if tail and tail[-1] not in ("R", "AL", "EN", "AN"):
+                return False
+        elif first == "L":
+            if any(c not in ("L", "EN", "ES", "CS", "ET", "ON", "BN", "NSM")
+                   for c in cats):
+                return False
+            if tail and tail[-1] not in ("L", "EN"):
+                return False
+        else:
+            return False  # label must start with L or R/AL in a Bidi domain
+    return True
+
+
+_RE_ASCII_LABEL = re.compile(r"^[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?\Z")
+
+
+def _hostname_ok(s: str, unicode_ok: bool) -> bool:
+    """Shared hostname / idn-hostname validation: A-labels decode and must
+    satisfy the same IDNA2008 rules as U-labels (RFC 5891 §4.2)."""
+    if not s:
+        return False
+    labels = _IDN_DOTS.split(s) if unicode_ok else s.split(".")
+    if any(not lab for lab in labels):
+        return False
+    ulabels = []
+    ace_len = 0
+    for lab in labels:
+        if lab.isascii():
+            if len(lab) > 63 or not _RE_ASCII_LABEL.match(lab):
+                return False
+            ace_len += len(lab) + 1
+            if lab.lower().startswith("xn--"):
+                tail = lab[4:]
+                try:
+                    u = tail.encode("ascii").decode("punycode")
+                    # must re-encode canonically (RFC 5891 §4.2.1)
+                    if u.encode("punycode").decode("ascii").lower() != tail.lower():
+                        return False
+                except Exception:
+                    return False
+                if u.isascii() or not _ulabel_ok(u):
+                    return False
+                ulabels.append(u)
+            else:
+                # '--' in 3rd/4th position is fine for plain ASCII labels
+                # (RFC 1123); only ACE prefixes are restricted, and those
+                # take the xn-- branch above
+                ulabels.append(lab)
+        else:
+            if not unicode_ok or not _ulabel_ok(lab):
+                return False
+            try:
+                ace = len(lab.encode("punycode")) + 4
+            except Exception:
+                return False
+            if ace > 63:  # A-label form longer than 63 octets
+                return False
+            ace_len += ace + 1
+            ulabels.append(lab)
+    if ace_len - 1 > 253:
+        return False
+    return _bidi_ok(ulabels)
+
+
+def _is_hostname(s: str) -> bool:
+    return _hostname_ok(s, unicode_ok=False)
+
+
+def _is_idn_hostname(s: str) -> bool:
+    return _hostname_ok(s, unicode_ok=True)
+
+
+_ATOM = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+"
+_IATOM = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-\U0010FFFF-]+"
+_QTEXT = r'[^"\\]|\\.'
+_RE_EMAIL_LOCAL = re.compile(
+    rf"^(?:{_ATOM}(?:\.{_ATOM})*|\"(?:{_QTEXT})*\")\Z")
+_RE_IEMAIL_LOCAL = re.compile(
+    rf"^(?:{_IATOM}(?:\.{_IATOM})*|\"(?:{_QTEXT})*\")\Z")
+
+
+def _is_email(s: str, idn: bool = False) -> bool:
+    if "@" not in s:
+        return False
+    local, _, domain = s.rpartition("@")
+    local_re = _RE_IEMAIL_LOCAL if idn else _RE_EMAIL_LOCAL
+    if not local or not local_re.match(local):
+        return False
+    if domain.startswith("[") and domain.endswith("]"):
+        inner = domain[1:-1]
+        if inner.startswith("IPv6:"):
+            return _is_ipv6(inner[5:])
+        return _is_ipv4(inner)
+    return _is_idn_hostname(domain) if idn else _is_hostname(domain)
 
 
 def _is_regex(s: str) -> bool:
@@ -100,16 +357,7 @@ def _is_regex(s: str) -> bool:
         return False
 
 
-def _is_uri(s: str) -> bool:
-    return bool(_RE_URI.match(s)) and not _RE_URI_REF_BAD.search(s)
-
-
-def _is_uri_reference(s: str) -> bool:
-    return not _RE_URI_REF_BAD.search(s)
-
-
 def _is_uri_template(s: str) -> bool:
-    # balanced {...} groups with legal operators/varnames; otherwise uri-ref
     depth = 0
     for c in s:
         if c == "{":
@@ -128,19 +376,20 @@ VALIDATORS: Dict[str, Callable[[str], bool]] = {
     "date": _is_date,
     "time": _is_time,
     "date-time": _is_datetime,
-    "duration": lambda s: bool(_RE_DURATION.match(s)),
+    "duration": lambda s: bool(_RE_DURATION.match(s)) and s != "P",
     "ipv4": _is_ipv4,
     "ipv6": _is_ipv6,
-    "hostname": lambda s: bool(_RE_HOSTNAME.match(s)),
-    "idn-hostname": lambda s: bool(_RE_HOSTNAME.match(s)) or all(ord(c) > 127 or c.isalnum() or c in ".-" for c in s),
-    "email": lambda s: bool(_RE_EMAIL.match(s)),
-    "idn-email": lambda s: "@" in s and " " not in s,
+    "hostname": _is_hostname,
+    "idn-hostname": _is_idn_hostname,
+    "email": _is_email,
+    "idn-email": lambda s: _is_email(s, idn=True),
     "json-pointer": lambda s: bool(_RE_JSON_POINTER.match(s)),
     "relative-json-pointer": lambda s: bool(_RE_REL_JSON_POINTER.match(s)),
-    "uri": _is_uri,
-    "uri-reference": _is_uri_reference,
-    "iri": _is_uri,
-    "iri-reference": _is_uri_reference,
+    "uri": lambda s: bool(_RE_URI.match(s)),
+    # URI-reference = URI / relative-ref (RFC 3986 §4.1)
+    "uri-reference": lambda s: bool(_RE_URI.match(s) or _RE_URI_REF.match(s)),
+    "iri": lambda s: bool(_RE_IRI.match(s)),
+    "iri-reference": lambda s: bool(_RE_IRI.match(s) or _RE_IRI_REF.match(s)),
     "uri-template": _is_uri_template,
     "regex": _is_regex,
 }
@@ -149,9 +398,9 @@ VALIDATORS: Dict[str, Callable[[str], bool]] = {
 # (reference keeps cheap formats inline too: evaluator_dispatch.h:875-941).
 FORMAT_JAVA_REGEX: Dict[str, str] = {
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\z",
-    "date": r"^\d{4}-\d{2}-\d{2}\z",
+    "date": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}\z",
     "json-pointer": r"^(/([^~/]|~[01])*)*\z",
-    "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\z",
+    "ipv4": r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\z",
 }
 
 

@@ -74,6 +74,11 @@ def ecma_to_python(pattern: str) -> str:
     while i < n:
         c = pattern[i]
         if c == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            # ECMA-262 unicode-mode escapes: unknown letter escapes are a
+            # SyntaxError (\a etc.), unlike Python's permissive re
+            if not in_class and nxt.isalpha() and nxt not in "bBcdDfknpPrsStuvwWx":
+                raise re.error(f"invalid ECMA escape \\{nxt}", pattern, i)
             out.append(pattern[i : i + 2])
             i += 2
             continue
