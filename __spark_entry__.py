@@ -393,11 +393,15 @@ def oracle_sql() -> dict[str, str]:
             frac AS (SELECT c.grp, c.bucket, c.n / t.total AS p
                      FROM counts c JOIN totals t USING (grp)),
             base AS (SELECT bucket, p AS q FROM frac WHERE grp = 'src0'),
+            grid AS (
+              SELECT g.grp, b.bucket
+              FROM (SELECT DISTINCT grp FROM frac WHERE grp <> 'src0') g
+              CROSS JOIN (SELECT bucket FROM frac UNION SELECT bucket FROM base) b),
             joined AS (
-              SELECT f.grp, coalesce(f.p, 1e-6) AS p, coalesce(b.q, 1e-6) AS q
-              FROM (SELECT * FROM frac WHERE grp <> 'src0') f
-              FULL OUTER JOIN base b USING (bucket)
-              WHERE f.grp IS NOT NULL)
+              SELECT grid.grp, coalesce(f.p, 1e-6) AS p, coalesce(b.q, 1e-6) AS q
+              FROM grid
+              LEFT JOIN frac f ON f.grp = grid.grp AND f.bucket = grid.bucket
+              LEFT JOIN base b ON b.bucket = grid.bucket)
             SELECT grp, round(sum((p - q) * ln(p / q)), 6) AS psi
             FROM joined GROUP BY grp ORDER BY grp""",
         "drift_ks_n_chars": """

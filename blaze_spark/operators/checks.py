@@ -140,11 +140,17 @@ def psi(df: DataFrame, value_col: str, group_col: str,
     base = (frac.where(F.col("grp") == baseline_value)
                 .select("bucket", F.col("p").alias("q")))
     eps = 1e-6
-    joined = (frac.where(F.col("grp") != baseline_value)
-                  .join(base, "bucket", "full_outer")
-                  .withColumn("p", F.coalesce("p", F.lit(eps)))
-                  .withColumn("q", F.coalesce("q", F.lit(eps)))
-                  .where(F.col("grp").isNotNull()))
+    # full (group x bucket) grid: a bucket missing on EITHER side is
+    # exactly the drift signal, so it must contribute (eps vs q) — not be
+    # dropped. The grid is tiny (groups x distinct buckets), broadcastable.
+    groups = frac.where(F.col("grp") != baseline_value).select("grp").distinct()
+    buckets = (frac.select("bucket").union(base.select("bucket")).distinct())
+    grid = groups.crossJoin(F.broadcast(buckets))
+    joined = (grid
+              .join(frac, ["grp", "bucket"], "left")
+              .join(F.broadcast(base), ["bucket"], "left")
+              .withColumn("p", F.coalesce("p", F.lit(eps)))
+              .withColumn("q", F.coalesce("q", F.lit(eps))))
     return (joined.groupBy("grp")
                   .agg(F.sum((F.col("p") - F.col("q"))
                              * F.log(F.col("p") / F.col("q"))).alias("psi"))

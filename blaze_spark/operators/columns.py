@@ -295,6 +295,39 @@ def compile_property_check(instr: dict, col: Column, dtype: T.DataType,
     raise TierUnsupported(f"op {op!r} has no Column form")
 
 
+def _property_program_checks(program, col: Column, dtype: T.DataType,
+                             prop: str, plan: Optional[dict],
+                             kloc_prefix: str, seen_targets: frozenset):
+    """Compile a property-level instruction program, following static
+    ``ref`` jumps by inlining their targets (compile-time plan linking —
+    the Column tier's analog of ControlJump; recursion → tier 2)."""
+    checks = []
+    for child in program:
+        if child["op"] == "ref" and plan is not None:
+            target = child["value"]
+            if target in seen_targets:
+                raise TierUnsupported("recursive $ref needs tier 2")
+            sub = _property_program_checks(
+                plan["targets"][target], col, dtype, prop, plan,
+                kloc_prefix + child["kloc"], seen_targets | {target})
+            checks.extend(sub)
+            if sub:
+                # post-order summary violation, matching the interpreter
+                # (describe.cc:282-284)
+                checks.append(ColumnCheck(
+                    kloc_prefix + child["kloc"], f"/{prop}",
+                    _and_all(c.predicate for c in sub),
+                    F.lit(f"The {_static_type_name(dtype)} value was "
+                          "expected to validate against the referenced "
+                          "schema")))
+            continue
+        check = compile_property_check(child, col, dtype, prop)
+        checks.append(ColumnCheck(
+            kloc_prefix + check.keyword_location, check.instance_location,
+            check.predicate, check.message))
+    return checks
+
+
 def _and_all(preds) -> Column:
     out = None
     for p in preds:
@@ -339,8 +372,9 @@ def compile_column_checks(plan: dict, schema: T.StructType,
                     continue  # absent column = property never present
                 col = F.col(name)
                 guard = col.isNotNull()
-                for child in entry["program"]:
-                    check = compile_property_check(child, col, fields[name], name)
+                for check in _property_program_checks(
+                        entry["program"], col, fields[name], name, plan,
+                        "", frozenset()):
                     checks.append(ColumnCheck(
                         check.keyword_location, check.instance_location,
                         F.when(guard, check.predicate).otherwise(F.lit(True)),

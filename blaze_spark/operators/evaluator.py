@@ -160,12 +160,25 @@ def _h_const(state, instr, instance, iloc, eprefix, ann):
                              D.const_mismatch(instance, expected))]
 
 
+_ENUM_SETS: Dict[int, frozenset] = {}
+
+
 def _h_enum(state, instr, instance, iloc, eprefix, ann):
     values = instr["value"]["values"]
-    key = canonical_key(instance)
-    for v in values:
-        if canonical_key(v) == key:
-            return True, []
+    # hash-set membership, canonicalized once per plan instruction — the
+    # analog of the reference's precomputed perfect-hash enum tables
+    # (AssertionEqualsAnyStringHash, default_compiler_draft3.h:144-180)
+    entry = _ENUM_SETS.get(id(instr))
+    if entry is None:
+        key_set = frozenset(canonical_key(v) for v in values)
+        # keep a reference to instr: it pins the id() against reuse
+        _ENUM_SETS[id(instr)] = (instr, key_set)
+        if len(_ENUM_SETS) > 100_000:  # bound the cache
+            _ENUM_SETS.clear()
+    else:
+        key_set = entry[1]
+    if canonical_key(instance) in key_set:
+        return True, []
     return False, [Violation(eprefix + instr["kloc"], iloc,
                              D.enum_mismatch(instance, values))]
 

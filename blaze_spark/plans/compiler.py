@@ -144,7 +144,9 @@ def compile_schema(
     for (base, anchor), sub in list(frame.dynamic_anchors.items()):
         idx = _target_for(sub, base, ctx)
         dynamic_labels.setdefault(anchor, {})[base] = idx
-    return {
+    from blaze_spark.plans.postprocess import optimize
+
+    return optimize({
         "version": PLAN_VERSION,
         "dialect": dialect,
         "mode": mode,
@@ -153,7 +155,7 @@ def compile_schema(
         "targets": ctx.targets,
         "target_base": ctx.target_base,
         "dynamic_labels": dynamic_labels,
-    }
+    })
 
 
 def _target_for(sub: Any, base: str, ctx: _Ctx) -> int:

@@ -1,0 +1,178 @@
+"""Plan postprocess optimizer — the analog of the reference's
+FastValidation peephole/inlining pass (reference:
+src/compiler/postprocess.h:360-471, applied only in fast mode,
+compile.cc:406-409).
+
+Rewrites, iterated to fixpoint:
+
+* **$ref target inlining**: a ``ref`` jump to a non-recursive target at
+  most ``INLINE_THRESHOLD`` instructions big is replaced by the target's
+  program with keyword locations re-prefixed (reference:
+  postprocess.h:160-196, target_inline_threshold{50}). This removes the
+  jump on the interpreter hot path and lets flat schemas that use $defs
+  stay eligible for the tier-1 Column compiler.
+* **dead code**: empty combinator/loop instructions that can neither
+  fail nor (when the plan doesn't track) produce annotations are dropped
+  (reference: postprocess.h:25-51).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Set
+
+INLINE_THRESHOLD = 50  # reference: compiler.h Tweaks.target_inline_threshold
+
+_PROGRAM_KEYS = ("program", "cond", "then", "orelse")
+
+
+def _child_programs(instr: dict):
+    for key in _PROGRAM_KEYS:
+        if key in instr:
+            yield instr[key]
+    if "programs" in instr:
+        yield from instr["programs"]
+    if "entries" in instr:
+        for e in instr["entries"]:
+            yield e["program"]
+
+
+def _count(program: List[dict]) -> int:
+    n = 0
+    for instr in program:
+        n += 1
+        for child in _child_programs(instr):
+            n += _count(child)
+    return n
+
+
+def _ref_targets(program: List[dict]) -> Set[int]:
+    out: Set[int] = set()
+    for instr in program:
+        if instr["op"] == "ref":
+            out.add(instr["value"])
+        elif instr["op"] == "dynamic_ref":
+            fb = instr["value"].get("fallback")
+            if fb is not None:
+                out.add(fb)
+        for child in _child_programs(instr):
+            out |= _ref_targets(child)
+    return out
+
+
+def _recursive_targets(plan: dict) -> Set[int]:
+    """Targets involved in (or leading into) a reference cycle."""
+    graph: Dict[int, Set[int]] = {
+        i: _ref_targets(t) for i, t in enumerate(plan["targets"])}
+    recursive: Set[int] = set()
+    for start in graph:
+        seen: Set[int] = set()
+        stack = list(graph[start])
+        while stack:
+            t = stack.pop()
+            if t == start:
+                recursive.add(start)
+                break
+            if t in seen:
+                continue
+            seen.add(t)
+            stack.extend(graph.get(t, ()))
+    return recursive
+
+
+def _prefix_klocs(program: List[dict], prefix: str) -> List[dict]:
+    out = []
+    for instr in program:
+        node = dict(instr)
+        node["kloc"] = prefix + instr["kloc"]
+        for key in _PROGRAM_KEYS:
+            if key in node:
+                node[key] = _prefix_klocs(node[key], prefix)
+        if "programs" in node:
+            node["programs"] = [_prefix_klocs(p, prefix) for p in node["programs"]]
+        if "entries" in node:
+            node["entries"] = [
+                dict(e, program=_prefix_klocs(e["program"], prefix))
+                for e in node["entries"]]
+        out.append(node)
+    return out
+
+
+def _inline(program: List[dict], plan: dict, inlinable: Set[int]) -> List[dict]:
+    out: List[dict] = []
+    for instr in program:
+        if instr["op"] == "ref" and instr["value"] in inlinable:
+            out.extend(_prefix_klocs(
+                copy.deepcopy(plan["targets"][instr["value"]]),
+                instr["kloc"]))
+            continue
+        node = dict(instr)
+        for key in _PROGRAM_KEYS:
+            if key in node:
+                node[key] = _inline(node[key], plan, inlinable)
+        if "programs" in node:
+            node["programs"] = [_inline(p, plan, inlinable)
+                                for p in node["programs"]]
+        if "entries" in node:
+            node["entries"] = [
+                dict(e, program=_inline(e["program"], plan, inlinable))
+                for e in node["entries"]]
+        out.append(node)
+    return out
+
+
+_DROPPABLE_WHEN_EMPTY = {"all_of", "any_of", "not"}
+
+
+def _prune(program: List[dict], track: bool) -> List[dict]:
+    out = []
+    for instr in program:
+        node = dict(instr)
+        for key in _PROGRAM_KEYS:
+            if key in node:
+                node[key] = _prune(node[key], track)
+        if "programs" in node:
+            node["programs"] = [_prune(p, track) for p in node["programs"]]
+        if "entries" in node:
+            node["entries"] = [
+                dict(e, program=_prune(e["program"], track))
+                for e in node["entries"]]
+        op = node["op"]
+        if op in _DROPPABLE_WHEN_EMPTY and not any(
+                p for p in _child_programs(node)):
+            # e.g. allOf of `true` schemas — can't fail, annotates nothing
+            if op != "not":  # `not true` always fails: keep
+                continue
+        if op == "properties" and not track and not any(
+                e["program"] for e in node["entries"]):
+            continue
+        if op == "items_all" and not track and not node.get("program"):
+            continue
+        out.append(node)
+    return out
+
+
+def optimize(plan: dict) -> dict:
+    """Fast-mode postprocess (exhaustive plans keep their shape so
+    violation/annotation output is untouched, like the reference)."""
+    if plan.get("mode") != "fast":
+        return plan
+    # never inline targets reachable via dynamic dispatch
+    keep = set()
+    for anchors in plan.get("dynamic_labels", {}).values():
+        keep |= set(anchors.values())
+    recursive = _recursive_targets(plan)
+    for _ in range(4):  # fixpoint (nested single-use refs)
+        inlinable = {
+            i for i in range(1, len(plan["targets"]))
+            if i not in recursive and i not in keep
+            and _count(plan["targets"][i]) <= INLINE_THRESHOLD
+            and not _ref_targets(plan["targets"][i])  # leaf targets only
+        }
+        if not inlinable:
+            break
+        plan["targets"] = [_inline(t, plan, inlinable)
+                           for t in plan["targets"]]
+    track = bool(plan.get("track"))
+    plan["targets"] = [_prune(t, track) for t in plan["targets"]]
+    return plan
