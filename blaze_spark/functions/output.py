@@ -1,0 +1,76 @@
+"""Standard output formats — the engine's sinks (SURVEY.md §2.8).
+
+Mirrors the reference's output module (reference:
+src/output/include/sourcemeta/blaze/output_standard.h:23-27 Flag/Basic;
+output_simple.h:70-82 SimpleOutput error stacks): the same shapes built
+from an ``EvalResult`` or from a violations DataFrame.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.evaluator import EvalResult
+
+
+def flag(result: EvalResult) -> Dict[str, Any]:
+    """2020-12 "Flag" output (output_standard.cc:15-27)."""
+    return {"valid": result.valid}
+
+
+def basic(result: EvalResult) -> Dict[str, Any]:
+    """2020-12 "Basic" output: flat error list."""
+    out: Dict[str, Any] = {"valid": result.valid}
+    if not result.valid:
+        out["errors"] = [
+            {
+                "keywordLocation": v.keyword_location,
+                "instanceLocation": v.instance_location,
+                "error": v.message,
+            }
+            for v in result.violations
+        ]
+    annotations = getattr(result, "annotations", None)
+    if result.valid and annotations:
+        out["annotations"] = [
+            {
+                "keywordLocation": a[0],
+                "instanceLocation": a[1],
+                "annotation": a[2],
+            }
+            for a in annotations
+        ]
+    return out
+
+
+def simple(result: EvalResult) -> List[Dict[str, str]]:
+    """SimpleOutput-style stack entries {message, instance_location,
+    evaluate_path} (output_simple.h:70-82)."""
+    return [
+        {
+            "message": v.message,
+            "instance_location": v.instance_location,
+            "evaluate_path": v.keyword_location,
+        }
+        for v in result.violations
+    ]
+
+
+def basic_output_df(validated: DataFrame, id_cols: List[str]) -> DataFrame:
+    """DataFrame sink: one Basic-output JSON document per row, built
+    JVM-side with to_json (no Python)."""
+    doc = F.to_json(F.struct(
+        F.col("valid"),
+        F.transform(
+            "violations",
+            lambda v: F.struct(
+                v["keyword_location"].alias("keywordLocation"),
+                v["instance_location"].alias("instanceLocation"),
+                v["message"].alias("error"),
+            ),
+        ).alias("errors"),
+    ))
+    return validated.select(*id_cols, doc.alias("output_json"))

@@ -48,9 +48,16 @@ class Violation(NamedTuple):
     message: str
 
 
+class Annotation(NamedTuple):
+    keyword_location: str
+    instance_location: str
+    value: Any
+
+
 class EvalResult(NamedTuple):
     valid: bool
     violations: List[Violation]
+    annotations: List[Annotation] = []
 
 
 class _Ann:
@@ -70,7 +77,8 @@ class _Ann:
 
 
 class _State:
-    __slots__ = ("plan", "targets", "fast", "track", "scopes", "depth")
+    __slots__ = ("plan", "targets", "fast", "track", "scopes", "depth",
+                 "annotations")
 
     def __init__(self, plan: dict, fast: bool) -> None:
         self.plan = plan
@@ -79,6 +87,7 @@ class _State:
         self.track = bool(plan.get("track"))
         self.scopes: List[str] = []  # resource base URIs, outermost first
         self.depth = 0
+        self.annotations: List[Annotation] = []
 
 
 def evaluate(plan: dict, instance: Any, *, mode: Optional[str] = None) -> EvalResult:
@@ -92,7 +101,8 @@ def evaluate(plan: dict, instance: Any, *, mode: Optional[str] = None) -> EvalRe
     state.scopes.append(plan.get("target_base", [""])[0])
     valid, violations, _ = _run_program(
         state, plan["targets"][0], instance, "", "", _Ann())
-    return EvalResult(valid, violations)
+    return EvalResult(valid, violations,
+                      state.annotations if valid else [])
 
 
 def _run_program(state: _State, program: List[dict], instance: Any,
@@ -131,8 +141,27 @@ def _run_target(state: _State, target: int, instance: Any, iloc: str,
             state.scopes.pop()
 
 
+def _run_branch(state, program, instance, iloc, eprefix, ann):
+    """Run a speculative branch: annotations from a failing branch are
+    rolled back (spec: failed schemas contribute no annotations)."""
+    mark = len(state.annotations)
+    ok, vio, _ = _run_program(state, program, instance, iloc, eprefix, ann)
+    if not ok:
+        del state.annotations[mark:]
+    return ok, vio
+
+
 # ---------------------------------------------------------------------------
 # handlers — each returns (ok, violations)
+
+def _h_annotation(state, instr, instance, iloc, eprefix, ann):
+    """AnnotationEmit (reference: evaluator_dispatch.h:1493): emit the
+    keyword value at the current instance location; never fails."""
+    if not state.fast:
+        state.annotations.append(Annotation(
+            eprefix + instr["kloc"], iloc, instr["value"]["value"]))
+    return True, []
+
 
 def _h_fail(state, instr, instance, iloc, eprefix, ann):
     v = instr.get("value") or {}
@@ -528,7 +557,7 @@ def _h_contains(state, instr, instance, iloc, eprefix, ann):
     count = 0
     matched: List[int] = []
     for i, item in enumerate(instance):
-        ok, _, _ = _run_program(
+        ok, _ = _run_branch(
             state, instr["program"], item, iloc + f"/{i}", eprefix, _Ann())
         if ok:
             count += 1
@@ -574,7 +603,7 @@ def _h_any_of(state, instr, instance, iloc, eprefix, ann):
     any_ok = False
     for program in instr["programs"]:
         child = _Ann()
-        ok, vio, _ = _run_program(state, program, instance, iloc, eprefix, child)
+        ok, vio = _run_branch(state, program, instance, iloc, eprefix, child)
         if ok:
             any_ok = True
             if state.track:
@@ -597,7 +626,7 @@ def _h_one_of(state, instr, instance, iloc, eprefix, ann):
     branch_violations: List[Violation] = []
     for program in instr["programs"]:
         child = _Ann()
-        ok, vio, _ = _run_program(state, program, instance, iloc, eprefix, child)
+        ok, vio = _run_branch(state, program, instance, iloc, eprefix, child)
         if ok:
             matches += 1
             kept = child
@@ -617,8 +646,8 @@ def _h_one_of(state, instr, instance, iloc, eprefix, ann):
 
 
 def _h_not(state, instr, instance, iloc, eprefix, ann):
-    ok, _, _ = _run_program(state, instr["program"], instance, iloc, eprefix,
-                            _Ann())
+    ok, _ = _run_branch(state, instr["program"], instance, iloc, eprefix,
+                        _Ann())
     if not ok:
         return True, []
     return False, [Violation(eprefix + instr["kloc"], iloc, D.not_fail(instance))]
@@ -626,8 +655,8 @@ def _h_not(state, instr, instance, iloc, eprefix, ann):
 
 def _h_if_then_else(state, instr, instance, iloc, eprefix, ann):
     cond_ann = _Ann()
-    cond_ok, _, _ = _run_program(state, instr["cond"], instance, iloc, eprefix,
-                                 cond_ann)
+    cond_ok, _ = _run_branch(state, instr["cond"], instance, iloc, eprefix,
+                             cond_ann)
     if cond_ok:
         if state.track:
             ann.merge(cond_ann)
@@ -792,6 +821,7 @@ _HANDLERS = {
     "ref": _h_ref,
     "dynamic_ref": _h_dynamic_ref,
     "scope": _h_scope,
+    "annotation": _h_annotation,
     "unevaluated_properties": _h_unevaluated_properties,
     "unevaluated_items": _h_unevaluated_items,
 }

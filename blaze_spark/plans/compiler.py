@@ -37,6 +37,24 @@ PLAN_VERSION = 1
 
 _LEGACY = ("draft4", "draft6", "draft7")
 
+# keywords the compiler consumes; everything else becomes an annotation
+# in exhaustive mode (reference collects unknown keywords as annotations,
+# default_compiler.cc:614-636)
+_KNOWN_KEYWORDS = {
+    "$schema", "$id", "id", "$ref", "$dynamicRef", "$recursiveRef",
+    "$anchor", "$dynamicAnchor", "$recursiveAnchor", "$defs", "definitions",
+    "$vocabulary", "$comment",
+    "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
+    "format", "minItems", "maxItems", "uniqueItems", "minProperties",
+    "maxProperties", "required", "dependentRequired", "dependencies",
+    "dependentSchemas", "properties", "patternProperties",
+    "additionalProperties", "propertyNames", "items", "prefixItems",
+    "additionalItems", "contains", "minContains", "maxContains",
+    "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+    "unevaluatedProperties", "unevaluatedItems",
+}
+
 # ops produced by the "validation" vocabulary — inert when a custom
 # metaschema omits that vocabulary
 _VALIDATION_OPS = {
@@ -473,6 +491,15 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
                               program=_compile_subschema(
                                   schema["unevaluatedProperties"], base, dialect,
                                   _kloc(kp, "unevaluatedProperties"), ctx)))
+    if ctx.mode == "exhaustive":
+        # annotation keywords (title, default, …) and unrecognized
+        # keywords emit their value as an annotation (AnnotationEmit,
+        # evaluator_dispatch.h:1493; unknown-keyword collection
+        # default_compiler.cc:614-636)
+        for key, value in schema.items():
+            if key not in _KNOWN_KEYWORDS:
+                out.append(_instr("annotation", _kloc(kp, key),
+                                  {"keyword": key, "value": value}))
     if not ctx.vocab_validation:
         out = [i for i in out if i["op"] not in _VALIDATION_OPS]
     if base != entered_base and not is_target_root:

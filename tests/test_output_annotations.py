@@ -1,0 +1,59 @@
+"""Output formats (§2.8 sinks) + annotation emission (§2.7)."""
+
+from __future__ import annotations
+
+from blaze_spark import compile_schema, evaluate
+from blaze_spark.functions import output as O
+
+
+def test_flag_and_basic_outputs():
+    plan = compile_schema({"type": "object", "required": ["a"]},
+                          mode="exhaustive")
+    bad = evaluate(plan, {})
+    assert O.flag(bad) == {"valid": False}
+    basic = O.basic(bad)
+    assert basic["valid"] is False
+    assert basic["errors"][0] == {
+        "keywordLocation": "/required",
+        "instanceLocation": "",
+        "error": 'The object value was expected to define the property "a"',
+    }
+    simple = O.simple(bad)
+    assert simple[0]["evaluate_path"] == "/required"
+
+
+def test_annotations_collected_in_exhaustive_mode():
+    plan = compile_schema(
+        {"title": "T", "x-vendor": [1, 2], "type": "string"},
+        mode="exhaustive")
+    good = evaluate(plan, "ok")
+    assert [(a.keyword_location, a.value) for a in good.annotations] == [
+        ("/title", "T"), ("/x-vendor", [1, 2])]
+    # invalid instances carry no annotations
+    assert evaluate(plan, 4).annotations == []
+
+
+def test_failed_branch_annotations_rolled_back():
+    plan = compile_schema(
+        {"anyOf": [{"title": "A", "type": "integer"},
+                   {"title": "B", "type": "string"}]},
+        mode="exhaustive")
+    result = evaluate(plan, "s")
+    assert [(a.keyword_location, a.value) for a in result.annotations] == [
+        ("/anyOf/1/title", "B")]
+
+
+def test_fast_mode_skips_annotations():
+    plan = compile_schema({"title": "T", "type": "string"}, mode="fast")
+    assert evaluate(plan, "ok").annotations == []
+
+
+def test_basic_output_df(spark):
+    from blaze_spark.operators.validate import validate_rows
+
+    docs = spark.createDataFrame([(1, "x"), (2, None)], ["doc_id", "name"])
+    v = validate_rows(docs, {"type": "object", "required": ["name"]})
+    out = {r["doc_id"]: r["output_json"]
+           for r in O.basic_output_df(v, ["doc_id"]).collect()}
+    assert '"valid":true' in out[1]
+    assert '"keywordLocation":"/required"' in out[2]
