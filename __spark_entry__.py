@@ -227,6 +227,18 @@ def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_token_count(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", TS.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_salted_group_count(spark, sf_dir):
+    # two-stage salted aggregation (skew path) must equal a plain groupBy
+    out = C.salted_group_count(_t(spark, sf_dir, "lineitem"),
+                               ["l_returnflag"], salt_buckets=16)
+    return out.select("l_returnflag", "group_count")
+
+
 def q_events_windowed_violations(spark, sf_dir):
     # batch form of the streaming violation-rate aggregation
     v = validate_json_column(_t(spark, sf_dir, "events"), "props",
@@ -263,6 +275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "events_windowed_violations": q_events_windowed_violations,
+        "token_count": q_token_count,
+        "salted_group_count": q_salted_group_count,
     }
 
 
@@ -556,6 +570,14 @@ def oracle_sql() -> dict[str, str]:
                         AND CAST(props->>'$.k' AS BIGINT) <= 80)
                        THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows
             FROM events GROUP BY 1""",
+        "token_count": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text),
+                        '[^a-z0-9'']+'), x -> x <> '')) AS INT) AS n_tokens
+            FROM documents""",
+        "salted_group_count": """
+            SELECT l_returnflag, count(*) AS group_count
+            FROM lineitem GROUP BY 1""",
         # simhash: bit-manipulation op — kept rows-only (the driver records
         # the weaker check); its determinism is pinned by pytest instead.
     }

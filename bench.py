@@ -187,7 +187,9 @@ def run_scale_job(cpus: int) -> dict:
                         extra_conf={"spark.sql.files.maxPartitionBytes": "8m"})
     rows = _code_files_rows(spark, SF_DIR)
     cf1 = spark.read.parquet(code_files_path(rows))
-    cf4 = cf1.union(cf1).union(cf1).union(cf1)
+    cf4 = cf1
+    for _ in range(7):  # 8x the corpus: amortizes fixed driver overhead
+        cf4 = cf4.union(cf1)
     n = cf4.count()
     cf1.agg(F.sum(F.char_length("content"))).collect()  # page-cache warm
 
