@@ -426,21 +426,22 @@ def attach_validation(df: DataFrame, plan: dict) -> DataFrame:
     (array<struct<keyword_location,instance_location,message>>) columns,
     all as Catalyst expressions (violation order = evaluation order)."""
     checks = compile_column_checks(plan, df.schema, df)
-    structs = [
+    # concat of conditional singleton arrays, NOT filter(array(...)):
+    # higher-order functions are CodegenFallback, which would knock the
+    # whole projection out of whole-stage codegen
+    empty = F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
+    pieces = [
         F.when(
             ~c.predicate,
-            F.struct(
+            F.array(F.struct(
                 F.lit(c.keyword_location).alias("keyword_location"),
                 F.lit(c.instance_location).alias("instance_location"),
                 c.message.alias("message"),
-            ),
-        )
+            )),
+        ).otherwise(empty)
         for c in checks
     ]
-    if structs:
-        violations = F.filter(F.array(*structs), lambda x: x.isNotNull())
-    else:
-        violations = F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
+    violations = F.concat(*pieces) if pieces else empty
     return (
         df.withColumn("violations", violations)
         .withColumn("valid", F.size(F.col("violations")) == 0)

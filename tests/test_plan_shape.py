@@ -1,0 +1,83 @@
+"""Physical-plan shape guarantees: tier 1 stays JVM-side (whole-stage
+codegen, no Python), scans prune columns, referential joins broadcast.
+These are the scale invariants SURVEY.md §4.3 promises."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from blaze_spark.operators import checks as C
+from blaze_spark.operators.validate import validate_rows
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tier1_validation_has_no_python(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(validate_rows(docs, E.DOCUMENTS_SCHEMA))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # every operator must carry the codegen marker '*' (formatted mode
+    # prefixes codegen stages with '* ')
+    ops = [ln for ln in plan.splitlines()
+           if ln.strip().startswith(("+-", "Project", "*")) and "(" in ln]
+    non_codegen = [ln for ln in ops
+                   if "* " not in ln and "Scan parquet" not in ln]
+    assert not non_codegen, non_codegen
+
+
+def test_tier2_fallback_uses_arrow_batches(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    from blaze_spark.operators.validate import validate_json_column
+
+    plan = _plan(validate_json_column(events, "props", E.EVENT_PROPS_SCHEMA))
+    assert "MapInPandas" in plan  # Arrow batch interpreter, not per-row UDF
+    assert "BatchEvalPython" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    projected = docs.select("doc_id", "lang")
+    plan = _plan(projected)
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_referential_join_broadcasts(spark):
+    dim = spark.createDataFrame([(x,) for x in ["en", "de"]], ["lang_name"])
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    plan = _plan(C.referential_orphans(docs, ["lang"], dim, ["lang_name"]))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(docs.where(docs.lang == "en").select("doc_id"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_streaming_micro_batch_end_to_end(spark, tmp_path):
+    """Real Structured Streaming run: file source → tier-1 validation →
+    memory sink, one availableNow batch."""
+    src = str(tmp_path / "in")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    from blaze_spark.streaming.validate_stream import validate_stream
+
+    validated = validate_stream(stream, E.DOCUMENTS_SCHEMA)
+    q = (validated.writeStream.format("memory").queryName("v_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select count(*) n, sum(case when valid then 0 else 1 end) bad from v_out").collect()[0]
+    assert out["n"] == 50
+    assert out["bad"] > 0  # zh-language docs violate the enum
