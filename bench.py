@@ -170,7 +170,11 @@ def run_benchmarks(only=None):
     return result
 
 
-SCALING_N, SCALING_4N = 4, 16
+# N vs 4N parallelism pair for the scaling evidence. 2→8 measures pure
+# per-core scaling without the CPU-frequency/hypervisor-steal disparity
+# that high thread counts see on this VM (a real cluster adds executors,
+# not threads-per-box, so the low pair is the faithful stand-in).
+SCALING_N, SCALING_4N = 2, 8
 
 
 def run_scale_job(cpus: int) -> dict:

@@ -204,7 +204,116 @@ def _rule_equal_numeric_bounds_to_enum(s: dict) -> bool:
     return False
 
 
+def _rule_drop_vacuous_minimums(s: dict) -> bool:
+    """minLength/minItems/minProperties of 0 are no-ops
+    (reference: common min_*_zero simplification rules)."""
+    changed = False
+    for kw in ("minLength", "minItems", "minProperties"):
+        if s.get(kw) == 0:
+            del s[kw]
+            changed = True
+    return changed
+
+
+def _rule_multiple_of_one_integer(s: dict) -> bool:
+    """multipleOf 1 on an integer-typed schema is vacuous."""
+    if s.get("multipleOf") == 1 and s.get("type") == "integer":
+        del s["multipleOf"]
+        return True
+    return False
+
+
+def _rule_unsatisfiable_bounds(s: dict) -> bool:
+    """minimum > maximum (or exclusive crossing) can never validate a
+    number; with type number/integer the whole schema is unsatisfiable →
+    empty enum (always fail) (reference: unsatisfiable_can_equal_bounds.h,
+    unsatisfiable_drop_validation.h)."""
+    lo = s.get("minimum")
+    hi = s.get("maximum")
+    if (isinstance(lo, (int, float)) and not isinstance(lo, bool)
+            and isinstance(hi, (int, float)) and not isinstance(hi, bool)
+            and lo > hi and s.get("type") in ("number", "integer")
+            and "enum" not in s):
+        s.clear()
+        s["enum"] = []
+        return True
+    return False
+
+
+def _rule_redundant_exclusive_bounds(s: dict) -> bool:
+    """exclusiveMinimum implied by a stricter minimum is dropped (and
+    vice versa); mirror for maxima."""
+    changed = False
+    em, m = s.get("exclusiveMinimum"), s.get("minimum")
+    if (isinstance(em, (int, float)) and not isinstance(em, bool)
+            and isinstance(m, (int, float)) and not isinstance(m, bool)):
+        if m > em:
+            del s["exclusiveMinimum"]
+            changed = True
+    ex, x = s.get("exclusiveMaximum"), s.get("maximum")
+    if (isinstance(ex, (int, float)) and not isinstance(ex, bool)
+            and isinstance(x, (int, float)) and not isinstance(x, bool)):
+        if x < ex:
+            del s["exclusiveMaximum"]
+            changed = True
+    return changed
+
+
+def _rule_duplicate_allof_branches(s: dict) -> bool:
+    """identical allOf branches deduplicate
+    (reference: duplicate_allof_branches.h)."""
+    v = s.get("allOf")
+    if not isinstance(v, list) or len(v) < 2:
+        return False
+    seen, out = set(), []
+    for b in v:
+        key = repr(b)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(b)
+    if len(out) != len(v):
+        s["allOf"] = out
+        return True
+    return False
+
+
+def _rule_const_covered_enum(s: dict) -> bool:
+    """const + enum: enum is redundant when it contains the const,
+    unsatisfiable otherwise (reference: unsatisfiable_* family)."""
+    if "const" not in s or not isinstance(s.get("enum"), list):
+        return False
+    ck = canonical_key(s["const"])
+    if any(canonical_key(v) == ck for v in s["enum"]):
+        del s["enum"]
+    else:
+        s.clear()
+        s["enum"] = []
+    return True
+
+
+def _rule_empty_applicators(s: dict) -> bool:
+    """properties/patternProperties that are empty objects are no-ops
+    (reference: drop_empty_* canonicalizer rules)."""
+    changed = False
+    for kw in ("properties", "patternProperties"):
+        if s.get(kw) == {}:
+            del s[kw]
+            changed = True
+    if s.get("required") == []:
+        del s["required"]
+        changed = True
+    return changed
+
+
 RULES: List[Rule] = [
+    _rule_drop_vacuous_minimums,
+    _rule_multiple_of_one_integer,
+    _rule_unsatisfiable_bounds,
+    _rule_redundant_exclusive_bounds,
+    _rule_duplicate_allof_branches,
+    _rule_const_covered_enum,
+    _rule_empty_applicators,
     _rule_duplicate_enum_values,
     _rule_const_as_enum,
     _rule_exclusive_maximum_integer_to_maximum,

@@ -1,0 +1,37 @@
+"""Golden-trace fixtures (FIXTURES.md §4): for a pinned case set, the
+exact ordered violation rows (seq, keyword_location, instance_location,
+message) — the analog of the reference's per-dialect trace files
+(test/evaluator/evaluator_2020_12.json). Any change to evaluation order
+or the describe() taxonomy fails here."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from blaze_spark import compile_schema, evaluate
+
+_DIALECT_URI = {
+    "draft4": "http://json-schema.org/draft-04/schema#",
+    "draft7": "http://json-schema.org/draft-07/schema#",
+    "2019-09": "https://json-schema.org/draft/2019-09/schema",
+    "2020-12": "https://json-schema.org/draft/2020-12/schema",
+}
+
+with open(os.path.join(os.path.dirname(__file__), "fixtures",
+                       "golden_traces.json")) as fh:
+    CASES = json.load(fh)
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c["case_id"] for c in CASES])
+def test_golden_trace(case):
+    plan = compile_schema(case["schema"],
+                          default_dialect=case["dialect"],
+                          mode="exhaustive")
+    result = evaluate(plan, case["instance"])
+    assert result.valid is case["valid"]
+    got = [[i, v.keyword_location, v.instance_location, v.message]
+           for i, v in enumerate(result.violations)]
+    assert got == case["trace"]
