@@ -335,8 +335,17 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
 
     # --- required / dependencies -----------------------------------------
     if isinstance(schema.get("required"), list) and schema["required"]:
-        out.append(_instr("required", _kloc(kp, "required"),
-                          {"names": list(schema["required"])}))
+        # one instruction per property (AssertionDefines shape) so the
+        # Column tier and the interpreter emit identical violation rows;
+        # the reference's fused DefinesAll is an interpreter-only
+        # optimization we don't need (SURVEY §2.3)
+        seen_req = set()
+        for name in schema["required"]:
+            if name in seen_req:
+                continue
+            seen_req.add(name)
+            out.append(_instr("required", _kloc(kp, "required"),
+                              {"names": [name]}))
     dep_req: Dict[str, List[str]] = {}
     dep_schema_entries: List[Tuple[str, Any, str]] = []
     if isinstance(schema.get("dependentRequired"), dict):

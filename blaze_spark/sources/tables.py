@@ -27,6 +27,22 @@ def load_all(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+def load_iceberg(spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg table scan (the BASELINE.json production source). The
+    Iceberg runtime jar isn't in this container, so this degrades to a
+    clear error locally; on a cluster add
+    ``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>``
+    and a catalog conf, and snapshot reads/time travel work via
+    ``spark.read.option("snapshot-id", ...)``."""
+    try:
+        return spark.read.format("iceberg").load(table)
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        raise RuntimeError(
+            "Iceberg runtime not available in this session; submit with "
+            "the iceberg-spark-runtime package and a catalog configured"
+        ) from exc
+
+
 def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """JSONL instance sets, the shape the reference's e2e benchmark
     streams (runner.cc:43-47). Kept as raw text so the tier-2 interpreter
