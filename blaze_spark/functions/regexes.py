@@ -66,8 +66,10 @@ def ecma_to_python(pattern: str) -> str:
 
     ECMA ``$`` matches only end-of-input (no multiline flag) while Python
     ``$`` also matches before a trailing newline → rewrite to ``\\Z``.
+    ECMA character classes are ASCII-based (``\\d``/``\\w``/``\\b``) and
+    ``\\s`` has its own whitespace list (incl. U+FEFF) — Python's are
+    unicode-aware, so each is rewritten to an explicit class.
     """
-    pattern = _expand_props(pattern)
     out = []
     i, n = 0, len(pattern)
     in_class = False
@@ -75,9 +77,19 @@ def ecma_to_python(pattern: str) -> str:
         c = pattern[i]
         if c == "\\" and i + 1 < n:
             nxt = pattern[i + 1]
+            if nxt == "c" and i + 2 < n and pattern[i + 2].isalpha():
+                # \cX control escape → the control character itself
+                out.append("\\x%02x" % (ord(pattern[i + 2].upper()) - 64))
+                i += 3
+                continue
+            repl = (_CLASS_IN if in_class else _CLASS_TOP).get(nxt)
+            if repl is not None:
+                out.append(repl)
+                i += 2
+                continue
             # ECMA-262 unicode-mode escapes: unknown letter escapes are a
             # SyntaxError (\a etc.), unlike Python's permissive re
-            if not in_class and nxt.isalpha() and nxt not in "bBcdDfknpPrsStuvwWx":
+            if not in_class and nxt.isalpha() and nxt not in "BcDfknpPrStuWx":
                 raise re.error(f"invalid ECMA escape \\{nxt}", pattern, i)
             out.append(pattern[i : i + 2])
             i += 2
@@ -92,7 +104,27 @@ def ecma_to_python(pattern: str) -> str:
             continue
         out.append(c)
         i += 1
-    return "".join(out)
+    # unicode property escapes expand LAST: their replacements rely on
+    # Python's unicode-aware \d/\w on purpose (\p{digit} matches all of
+    # Nd, unlike bare ECMA \d which is ASCII and rewritten above)
+    return _expand_props("".join(out))
+
+
+_W = "A-Za-z0-9_"
+_S = ("\\t\\n\\x0b\\f\\r    - "
+      "    　﻿")
+_CLASS_TOP = {
+    "d": "[0-9]", "D": "[^0-9]",
+    "w": f"[{_W}]", "W": f"[^{_W}]",
+    "s": f"[{_S}]", "S": f"[^{_S}]",
+    # ECMA word boundary is ASCII-\w based
+    "b": f"(?:(?<![{_W}])(?=[{_W}])|(?<=[{_W}])(?![{_W}]))",
+    "B": f"(?:(?<=[{_W}])(?=[{_W}])|(?<![{_W}])(?![{_W}]))",
+}
+_CLASS_IN = {
+    "d": "0-9", "w": _W, "s": _S,
+    "b": "\\x08",  # inside a class, \b is backspace
+}
 
 
 def ecma_to_java(pattern: str) -> str:

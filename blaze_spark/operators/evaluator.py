@@ -317,6 +317,56 @@ def _h_format(state, instr, instance, iloc, eprefix, ann):
                              D.format_fail(instance, name))]
 
 
+def _h_content_encoding(state, instr, instance, iloc, eprefix, ann):
+    """draft-7 contentEncoding (validated; later drafts annotate only)."""
+    if not isinstance(instance, str):
+        return True, []
+    name = instr["value"]["name"]
+    if name.lower() != "base64":
+        return True, []
+    import base64
+    import re as _re
+
+    ok = bool(_re.fullmatch(r"[A-Za-z0-9+/]*={0,2}", instance)) \
+        and len(instance) % 4 == 0
+    if ok:
+        try:
+            base64.b64decode(instance, validate=True)
+        except Exception:
+            ok = False
+    if ok:
+        return True, []
+    return False, [Violation(
+        eprefix + instr["kloc"], iloc,
+        f"The string value was expected to be encoded using {name}")]
+
+
+def _h_content_media_type(state, instr, instance, iloc, eprefix, ann):
+    if not isinstance(instance, str):
+        return True, []
+    v = instr["value"]
+    if v["name"].lower() != "application/json":
+        return True, []
+    import json as _json
+
+    text = instance
+    if (v.get("encoding") or "").lower() == "base64":
+        import base64
+
+        try:
+            text = base64.b64decode(instance, validate=True).decode("utf-8")
+        except Exception:
+            return True, []  # encoding violation reported separately
+    try:
+        _json.loads(text)
+        return True, []
+    except Exception:
+        return False, [Violation(
+            eprefix + instr["kloc"], iloc,
+            f"The string value was expected to represent a valid "
+            f"{v['name']} document")]
+
+
 def _h_min_items(state, instr, instance, iloc, eprefix, ann):
     if not isinstance(instance, list):
         return True, []
@@ -798,6 +848,8 @@ _HANDLERS = {
     "max_length": _h_max_length,
     "pattern": _h_pattern,
     "format": _h_format,
+    "content_encoding": _h_content_encoding,
+    "content_media_type": _h_content_media_type,
     "min_items": _h_min_items,
     "max_items": _h_max_items,
     "unique_items": _h_unique_items,

@@ -147,6 +147,10 @@ def compile_schema(
                     val = [u for u in vocab if "/vocab/validation" in u]
                     vocab_validation = bool(val) and all(
                         vocab[u] is not False for u in val)
+                    # the format-assertion vocabulary turns format into
+                    # an assertion (2020-12 §7.2)
+                    if any("/vocab/format-assertion" in u for u in vocab):
+                        format_assertion = True
     frame = Frame(schema, dialect, resolver=resolver)
     ctx = _Ctx(frame, mode, format_assertion)
     ctx.vocab_validation = vocab_validation
@@ -312,6 +316,16 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
     if isinstance(schema.get("pattern"), str):
         out.append(_instr("pattern", _kloc(kp, "pattern"),
                           {"pattern": schema["pattern"]}))
+    if dialect == "draft7":
+        # draft-7 content keywords validate (later drafts: annotation only)
+        if isinstance(schema.get("contentEncoding"), str):
+            out.append(_instr("content_encoding", _kloc(kp, "contentEncoding"),
+                              {"name": schema["contentEncoding"]}))
+        if isinstance(schema.get("contentMediaType"), str):
+            out.append(_instr("content_media_type",
+                              _kloc(kp, "contentMediaType"),
+                              {"name": schema["contentMediaType"],
+                               "encoding": schema.get("contentEncoding")}))
     if isinstance(schema.get("format"), str) and ctx.format_assertion:
         # format is annotation-only by default (2019-09+ spec; the
         # reference gates it behind the format_assertion tweak,
@@ -348,11 +362,12 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
                               {"names": [name]}))
     dep_req: Dict[str, List[str]] = {}
     dep_schema_entries: List[Tuple[str, Any, str]] = []
-    if isinstance(schema.get("dependentRequired"), dict):
+    modern = dialect in ("2019-09", "2020-12")
+    if modern and isinstance(schema.get("dependentRequired"), dict):
         for name, names in schema["dependentRequired"].items():
             if isinstance(names, list):
                 dep_req[name] = list(names)
-    if isinstance(schema.get("dependentSchemas"), dict):
+    if modern and isinstance(schema.get("dependentSchemas"), dict):
         for name, sub in schema["dependentSchemas"].items():
             dep_schema_entries.append((name, sub, "dependentSchemas"))
     if isinstance(schema.get("dependencies"), dict):

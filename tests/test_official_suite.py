@@ -40,29 +40,33 @@ def test_full_compliance(dirname, dialect):
     ("draft2019-09", "2019-09"),
     ("draft2020-12", "2020-12"),
 ])
-def test_optional_format_compliance(dirname, dialect):
-    """optional/format with format_assertion=true — the reference runs
-    this mode too (officialsuite.cc:330-379)."""
+def test_optional_compliance(dirname, dialect):
+    """The ENTIRE optional tree (format with format_assertion=true, like
+    the reference's officialsuite.cc:330-379; plus ecmascript-regex,
+    content, bignum, cross-draft, …)."""
     import json
 
     from blaze_spark import compile_schema, evaluate
     from tools.compliance import make_resolver
 
-    root = os.path.join(SUITE, "tests", dirname, "optional", "format")
+    root = os.path.join(SUITE, "tests", dirname, "optional")
     failures = []
     total = 0
-    for fname in sorted(os.listdir(root)):
-        if not fname.endswith(".json"):
-            continue
-        with open(os.path.join(root, fname)) as fh:
-            groups = json.load(fh)
-        for g in groups:
-            plan = compile_schema(g["schema"], default_dialect=dialect,
-                                  resolver=make_resolver(dialect),
-                                  format_assertion=True)
-            for t in g["tests"]:
-                total += 1
-                if evaluate(plan, t["data"]).valid != t["valid"]:
-                    failures.append(f"{fname}: {t['description']}")
+    for dirpath, _, files in os.walk(root):
+        fa = dirpath.endswith("format")
+        for fname in sorted(files):
+            if not fname.endswith(".json"):
+                continue
+            with open(os.path.join(dirpath, fname)) as fh:
+                groups = json.load(fh)
+            for g in groups:
+                plan = compile_schema(
+                    g["schema"], default_dialect=dialect,
+                    resolver=make_resolver(dialect),
+                    format_assertion=fa or "format-assertion" in fname)
+                for t in g["tests"]:
+                    total += 1
+                    if evaluate(plan, t["data"]).valid != t["valid"]:
+                        failures.append(f"{fname}: {t['description']}")
     assert total > 200
     assert not failures, failures[:10]
