@@ -174,8 +174,12 @@ def _h_fail(state, instr, instance, iloc, eprefix, ann):
 
 def _h_type(state, instr, instance, iloc, eprefix, ann):
     v = instr["value"]
-    types, strict = v["types"], v.get("strict", False)
-    if any(matches_type(instance, t, strict_integer=strict) for t in types):
+    types = v["types"]
+    strict = v.get("strict", False)
+    if len(types) == 1:  # hot path: single-type assertion
+        if matches_type(instance, types[0], strict_integer=strict):
+            return True, []
+    elif any(matches_type(instance, t, strict_integer=strict) for t in types):
         return True, []
     return False, [Violation(eprefix + instr["kloc"], iloc,
                              D.type_mismatch(instance, types))]
@@ -449,19 +453,28 @@ def _h_dependent_required(state, instr, instance, iloc, eprefix, ann):
 
 # --- object applicators -----------------------------------------------------
 
+_DUMMY_ANN = None  # set after _Ann defined; reused when not tracking
+
+
 def _h_properties(state, instr, instance, iloc, eprefix, ann):
     if not isinstance(instance, dict):
         return True, []
     valid, violations = True, []
+    track = state.track
     for entry in instr["entries"]:
         name = entry["name"]
         if name not in instance:
             continue
-        child_ann = _Ann()
+        # child annotations are never read here; allocate only if a
+        # nested unevaluated* might consult them (track mode)
+        child_ann = _Ann() if track else _DUMMY_ANN
+        isuf = entry.get("isuf")
+        if isuf is None:
+            isuf = ptr.to_string([name])
         ok, vio, _ = _run_program(
             state, entry["program"], instance[name],
-            iloc + ptr.to_string([name]), eprefix, child_ann)
-        if state.track:
+            iloc + isuf, eprefix, child_ann)
+        if track:
             ann.props.add(name)
         if not ok:
             valid = False
@@ -877,3 +890,6 @@ _HANDLERS = {
     "unevaluated_properties": _h_unevaluated_properties,
     "unevaluated_items": _h_unevaluated_items,
 }
+
+
+_DUMMY_ANN = _Ann()  # shared scratch _Ann for non-tracking paths

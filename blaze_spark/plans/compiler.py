@@ -390,6 +390,9 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
             prop_names.append(name)
             entries.append({
                 "name": name,
+                # precomputed instance-location suffix (hot-path data,
+                # the InstructionExtra hot/cold split analog)
+                "isuf": ptr.to_string([name]),
                 "program": _compile_subschema(
                     sub, base, dialect, _kloc(kp, "properties", name), ctx),
             })

@@ -14,6 +14,8 @@ Token = Union[str, int]
 
 
 def escape(token: str) -> str:
+    if "~" not in token and "/" not in token:  # hot path: plain names
+        return token
     return token.replace("~", "~0").replace("/", "~1")
 
 
