@@ -314,6 +314,12 @@ _DOC_VALID = " AND ".join(f"NOT ({cond})" for _, _, _, cond in _DOC_CHECKS)
 
 _TOKENS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
            "x -> x <> '')")
+# word 3-gram shingles, mirroring dedup._shingles
+_SHINGLES = (
+    f"CASE WHEN len({_TOKENS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_TOKENS}) - 2), "
+    f"i -> array_to_string(({_TOKENS})[i:i+2], ' ')) "
+    f"ELSE [array_to_string({_TOKENS}, ' ')] END")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -436,7 +442,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) > 1""",
         "dedup_minhash_signatures": f"""
             WITH tok AS (
-              SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok
+              SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS tok
               FROM documents),
             fan AS (SELECT doc_id, tok, k
                     FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS k))
@@ -445,7 +451,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fan GROUP BY 1, 2""",
         "dedup_minhash_candidates": f"""
             WITH tok AS (
-              SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok
+              SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS tok
               FROM documents),
             fan AS (SELECT doc_id, tok, k
                     FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)),
@@ -456,9 +462,12 @@ def oracle_sql() -> dict[str, str]:
                      string_agg(lpad(k::VARCHAR, 2, '0') || '=' || mh, '|'
                                 ORDER BY lpad(k::VARCHAR, 2, '0') || '=' || mh)
                          AS bucket_key
-              FROM sig GROUP BY 1, 2)
+              FROM sig GROUP BY 1, 2),
+            kept AS (
+              SELECT * FROM banded
+              QUALIFY count(*) OVER (PARTITION BY band, bucket_key) <= 100)
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM banded a JOIN banded b
+            FROM kept a JOIN kept b
               ON a.band = b.band AND a.bucket_key = b.bucket_key
             WHERE a.doc_id < b.doc_id""",
         "ngram_jaccard": f"""

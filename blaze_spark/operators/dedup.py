@@ -37,6 +37,20 @@ def _tokens(col: str):
                     lambda t: t != "")
 
 
+def _shingles(col: str, n: int = 3):
+    """Word n-gram shingles (default 3). Shingling is what makes MinHash
+    discriminative: with bare unigrams over a small vocabulary nearly
+    every document collides into one LSH bucket (measured: 5k docs →
+    7.6M candidate pairs). Documents shorter than n words shingle to
+    their full token string."""
+    w = _tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", w)))
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical content: md5 fingerprint → groupBy.
     Shuffles (fingerprint, id) only — content never moves."""
@@ -54,9 +68,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     md5(i || ':' || token), the hex string compared lexicographically
     (a valid min-hash family, and portable to any SQL engine)."""
     toks = df.select(F.col(id_col),
-                     F.explode(F.array_distinct(_tokens(text_col))).alias("tok"))
-    # one pass: fan each token out to K (token, hash_index) rows, then a
-    # single map-side-combined min aggregation
+                     F.explode(F.array_distinct(_shingles(text_col))).alias("tok"))
+    # one pass: fan each shingle out to K (shingle, hash_index) rows, then
+    # a single map-side-combined min aggregation
     fanned = toks.select(
         id_col, "tok",
         F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("hash_index"))
@@ -69,9 +83,16 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
-                       k: int = MINHASH_K, band: int = MINHASH_BAND) -> DataFrame:
+                       k: int = MINHASH_K, band: int = MINHASH_BAND,
+                       max_bucket: int = 100) -> DataFrame:
     """LSH candidate pairs: ids sharing any band of ``band`` consecutive
-    minhashes. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    minhashes. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    ``max_bucket`` caps the self-join blowup: a bucket of B docs yields
+    B²/2 pairs, so one degenerate bucket (boilerplate, empty docs) can
+    dominate the whole job at corpus scale. Oversized buckets carry no
+    discriminative signal and are dropped — standard LSH practice; route
+    their members through exact_duplicates/fingerprint instead."""
     sigs = minhash_signatures(df, id_col, text_col, k)
     # order inside the band must be deterministic for the bucket key
     banded = (sigs.withColumn("band", (F.col("hash_index") / band).cast("int"))
@@ -79,6 +100,11 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                   .agg(F.concat_ws("|", F.sort_array(F.collect_list(
                       F.concat(F.lpad(F.col("hash_index").cast("string"), 2, "0"),
                                F.lit("="), F.col("minhash"))))).alias("bucket_key")))
+    sizes = (banded.groupBy("band", "bucket_key")
+                   .agg(F.count(F.lit(1)).alias("bucket_size"))
+                   .where(F.col("bucket_size") <= max_bucket))
+    banded = banded.join(sizes.select("band", "bucket_key"),
+                         ["band", "bucket_key"])
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket_key")
     return (a.join(b, ["band", "bucket_key"])
