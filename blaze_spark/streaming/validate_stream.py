@@ -23,6 +23,56 @@ def validate_stream(stream_df: DataFrame, schema_or_plan: Any) -> DataFrame:
     return validate_rows(stream_df, schema_or_plan, force_tier=1)
 
 
+def violation_streaks(validated: DataFrame, key_col: str,
+                      timeout_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Custom stateful operator: per key, the running streak of
+    consecutive micro-batches that contained invalid rows — the alerting
+    primitive ("repo X has been failing validation for N batches").
+
+    Built on ``applyInPandasWithState`` (Arrow-batched per-key state;
+    the Spark-native custom stateful path from the task brief). State is
+    one (streak, total_invalid) pair per key — O(keys) memory, evicted
+    by the processing-time timeout.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType(), True),
+        T.StructField("streak", T.IntegerType(), False),
+        T.StructField("total_invalid", T.LongType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("streak", T.IntegerType(), False),
+        T.StructField("total_invalid", T.LongType(), False),
+    ])
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        invalid = 0
+        for pdf in pdfs:
+            invalid += int((~pdf["valid"]).sum())
+        if state.exists:
+            streak, total = state.get
+        else:
+            streak, total = 0, 0
+        streak = streak + 1 if invalid > 0 else 0
+        total += invalid
+        state.update((streak, total))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"key": [key[0]], "streak": [streak], "total_invalid": [total]})
+
+    return (validated
+            .select(F.col(key_col).cast("string").alias("key"), "valid")
+            .groupBy("key")
+            .applyInPandasWithState(
+                update, outputStructType=out_schema,
+                stateStructType=state_schema, outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def violation_rate_by_window(validated: DataFrame, ts_col: str,
                              window: str = "1 minute",
                              watermark: str = "5 minutes") -> DataFrame:

@@ -81,3 +81,28 @@ def test_streaming_micro_batch_end_to_end(spark, tmp_path):
     out = spark.sql("select count(*) n, sum(case when valid then 0 else 1 end) bad from v_out").collect()[0]
     assert out["n"] == 50
     assert out["bad"] > 0  # zh-language docs violate the enum
+
+
+def test_streaming_stateful_violation_streaks(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator end-to-end."""
+    src = str(tmp_path / "in2")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    from blaze_spark.streaming.validate_stream import (
+        validate_stream,
+        violation_streaks,
+    )
+
+    validated = validate_stream(stream, E.DOCUMENTS_SCHEMA)
+    streaks = violation_streaks(validated, "lang")
+    q = (streaks.writeStream.format("memory").queryName("streaks_out")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["key"]: r for r in spark.sql("select * from streaks_out").collect()}
+    assert rows, "stateful operator produced no output"
+    # zh docs always violate the enum → streak 1 after one batch
+    if "zh" in rows:
+        assert rows["zh"]["streak"] == 1 and rows["zh"]["total_invalid"] > 0
+    # a fully-valid key has streak 0
+    assert any(r["streak"] == 0 for r in rows.values())
