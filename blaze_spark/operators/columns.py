@@ -297,33 +297,70 @@ def compile_property_check(instr: dict, col: Column, dtype: T.DataType,
 
 def _property_program_checks(program, col: Column, dtype: T.DataType,
                              prop: str, plan: Optional[dict],
-                             kloc_prefix: str, seen_targets: frozenset):
+                             kloc_prefix: str, seen_targets: frozenset,
+                             iloc: Optional[str] = None):
     """Compile a property-level instruction program, following static
     ``ref`` jumps by inlining their targets (compile-time plan linking —
-    the Column tier's analog of ControlJump; recursion → tier 2)."""
+    the Column tier's analog of ControlJump; recursion → tier 2) and
+    recursing into StructType fields (the AssertionPropertyType*
+    navigation-fusion analog, reference: postprocess.h:67-93 — Catalyst
+    does the navigation natively via nested column access)."""
+    if iloc is None:
+        iloc = f"/{prop}"
     checks = []
     for child in program:
-        if child["op"] == "ref" and plan is not None:
+        op = child["op"]
+        if op == "ref" and plan is not None:
             target = child["value"]
             if target in seen_targets:
                 raise TierUnsupported("recursive $ref needs tier 2")
             sub = _property_program_checks(
                 plan["targets"][target], col, dtype, prop, plan,
-                kloc_prefix + child["kloc"], seen_targets | {target})
+                kloc_prefix + child["kloc"], seen_targets | {target}, iloc)
             checks.extend(sub)
             if sub:
                 # post-order summary violation, matching the interpreter
                 # (describe.cc:282-284)
                 checks.append(ColumnCheck(
-                    kloc_prefix + child["kloc"], f"/{prop}",
+                    kloc_prefix + child["kloc"], iloc,
                     _and_all(c.predicate for c in sub),
                     F.lit(f"The {_static_type_name(dtype)} value was "
                           "expected to validate against the referenced "
                           "schema")))
             continue
+        if op == "properties" and isinstance(dtype, T.StructType):
+            fields = {f.name: f.dataType for f in dtype.fields}
+            for entry in child["entries"]:
+                name = entry["name"]
+                if name not in fields:
+                    continue
+                sub_col = col.getField(name)
+                guard = sub_col.isNotNull()
+                for c in _property_program_checks(
+                        entry["program"], sub_col, fields[name], name, plan,
+                        kloc_prefix, seen_targets,
+                        iloc + entry.get("isuf", f"/{name}")):
+                    checks.append(ColumnCheck(
+                        c.keyword_location, c.instance_location,
+                        F.when(guard, c.predicate).otherwise(F.lit(True)),
+                        c.message))
+            continue
+        if op == "required" and isinstance(dtype, T.StructType):
+            fields = {f.name: f.dataType for f in dtype.fields}
+            for name in child["value"]["names"]:
+                pred = (col.getField(name).isNotNull()
+                        if name in fields else F.lit(False))
+                checks.append(ColumnCheck(
+                    kloc_prefix + child["kloc"], iloc, pred,
+                    F.lit("The object value was expected to define the "
+                          f"property {_json_lit(name)}")))
+            continue
+        if op == "type" and isinstance(dtype, T.StructType) \
+                and child["value"]["types"] == ["object"]:
+            continue  # struct column IS an object: statically satisfied
         check = compile_property_check(child, col, dtype, prop)
         checks.append(ColumnCheck(
-            kloc_prefix + check.keyword_location, check.instance_location,
+            kloc_prefix + check.keyword_location, iloc,
             check.predicate, check.message))
     return checks
 

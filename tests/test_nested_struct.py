@@ -1,0 +1,78 @@
+"""Tier-1 validation over nested StructType columns — the navigation-
+fusion analog (AssertionPropertyType*, SURVEY §2.3): nested property
+checks compile to nested column references, no Python, no fallback."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from blaze_spark.operators.validate import validate_rows, violations_table
+
+SCHEMA = {
+    "type": "object",
+    "required": ["id", "meta"],
+    "properties": {
+        "id": {"type": "integer", "minimum": 0},
+        "meta": {
+            "type": "object",
+            "required": ["lang"],
+            "properties": {
+                "lang": {"enum": ["en", "de"]},
+                "stars": {"type": "integer", "minimum": 0, "maximum": 5},
+            },
+        },
+    },
+}
+
+ROWS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("lang", T.StringType()),
+        T.StructField("stars", T.LongType()),
+    ])),
+])
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (1, ("en", 4)),
+        (2, ("fr", 2)),      # enum violation at /meta/lang
+        (3, ("de", 9)),      # maximum violation at /meta/stars
+        (4, (None, 1)),      # required violation at /meta
+        (5, None),           # required violation at ""
+    ]
+    return spark.createDataFrame(rows, ROWS_SCHEMA)
+
+
+def test_nested_struct_stays_tier1(spark, df):
+    import contextlib
+    import io
+
+    v = validate_rows(df, SCHEMA, force_tier=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v.explain("formatted")
+    assert "MapInPandas" not in buf.getvalue()
+
+
+def test_nested_struct_verdicts_and_locations(spark, df):
+    v = validate_rows(df, SCHEMA, force_tier=1)
+    vt = violations_table(v, ["id"]).collect()
+    got = {(r["id"], r["keyword_location"], r["instance_location"])
+           for r in vt}
+    assert (2, "/properties/meta/properties/lang/enum", "/meta/lang") in got
+    assert (3, "/properties/meta/properties/stars/maximum", "/meta/stars") in got
+    assert (4, "/properties/meta/required", "/meta") in got
+    assert (5, "/required", "") in got
+    valid_ids = {r["id"] for r in v.where("valid").collect()}
+    assert valid_ids == {1}
+
+
+def test_nested_struct_tier_parity(spark, df):
+    t1 = validate_rows(df, SCHEMA, force_tier=1) \
+        .select("id", "valid").toPandas().set_index("id")["valid"]
+    t2 = validate_rows(df, SCHEMA, force_tier=2) \
+        .select("id", "valid").toPandas().set_index("id")["valid"]
+    assert (t1.sort_index() == t2.sort_index()).all()
