@@ -250,44 +250,29 @@ def compile_property_check(instr: dict, col: Column, dtype: T.DataType,
         return ColumnCheck(kloc, iloc, pred, msg)
 
     if op == "items_all":
-        # typed arrays: element type is schema-enforced, so a bare
-        # type-check child program is free (LoopItemsType* fusion analog,
-        # reference: default_compiler_draft3.h:1514-1527); bounded-element
-        # programs map to F.forall
+        # typed arrays: element checks compile via the same property
+        # compiler applied to the lambda variable — covers scalar
+        # assertions AND struct-element properties in one fused forall
+        # (LoopItemsType* / LoopItemsPropertiesExactly* analogs,
+        # reference: default_compiler_draft3.h:1514-1551)
         if not isinstance(dtype, T.ArrayType):
             return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
         program = instr.get("program", [])
-        preds = []
-        for child in program:
-            cop = child["op"]
-            cv = child.get("value") or {}
-            x = None
-            if cop == "type":
-                elem_static = _static_type_name(dtype.elementType)
-                names = set(cv["types"])
-                if elem_static in names or ("number" in names and elem_static == "integer"):
-                    continue
-                raise TierUnsupported("items element type mismatch check")
-            if cop == "minimum":
-                x = lambda e, b=cv["bound"]: e >= b
-            elif cop == "maximum":
-                x = lambda e, b=cv["bound"]: e <= b
-            elif cop == "exclusive_minimum":
-                x = lambda e, b=cv["bound"]: e > b
-            elif cop == "exclusive_maximum":
-                x = lambda e, b=cv["bound"]: e < b
-            elif cop == "pattern":
-                x = lambda e, p=ecma_to_java(cv["pattern"]): e.rlike(p)
-            elif cop == "min_length":
-                x = lambda e, b=cv["bound"]: F.char_length(e) >= b
-            elif cop == "max_length":
-                x = lambda e, b=cv["bound"]: F.char_length(e) <= b
-            else:
-                raise TierUnsupported(f"items child op {cop!r}")
-            preds.append(x)
-        if not preds:
+        if not program:
             return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
-        pred = F.forall(col, lambda e: _and_all(p(e) for p in preds))
+        elem_t = dtype.elementType
+
+        def elem_pred(e):
+            checks = _property_program_checks(
+                program, e, elem_t, prop, None, "", frozenset())
+            if not checks:
+                return F.lit(True)
+            # JSON null elements are values (not "absent"): a null that
+            # makes a predicate NULL must count as a failure
+            return F.coalesce(_and_all(c.predicate for c in checks),
+                              F.lit(False))
+
+        pred = F.forall(col, elem_pred)
         msg = F.lit("Every item in the array value was expected to validate "
                     "against the given subschema")
         return ColumnCheck(kloc, iloc, pred, msg)

@@ -70,6 +70,52 @@ def test_nested_struct_verdicts_and_locations(spark, df):
     assert valid_ids == {1}
 
 
+ARR_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "id": {"type": "integer"},
+        "tags": {"type": "array",
+                 "items": {"type": "string", "minLength": 2},
+                 "maxItems": 3},
+        "points": {"type": "array",
+                   "items": {"type": "object",
+                             "properties": {"x": {"minimum": 0},
+                                            "y": {"minimum": 0}}}},
+    },
+}
+
+ARR_ROWS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("tags", T.ArrayType(T.StringType())),
+    T.StructField("points", T.ArrayType(T.StructType([
+        T.StructField("x", T.LongType()), T.StructField("y", T.LongType())]))),
+])
+
+
+def test_array_of_struct_tier1(spark):
+    import contextlib
+    import io
+
+    rows = [
+        (1, ["ok", "go"], [(1, 2), (3, 4)]),
+        (2, ["x"], [(1, 2)]),            # minLength violation in tags
+        (3, ["ok"], [(1, -5)]),          # minimum violation inside struct elem
+        (4, ["a1", "b2", "c3", "d4"], []),  # maxItems violation
+    ]
+    df = spark.createDataFrame(rows, ARR_ROWS_SCHEMA)
+    v = validate_rows(df, ARR_SCHEMA, force_tier=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v.explain("formatted")
+    assert "MapInPandas" not in buf.getvalue()
+    verdicts = {r["id"]: r["valid"] for r in v.collect()}
+    assert verdicts == {1: True, 2: False, 3: False, 4: False}
+    # parity with the interpreter
+    t2 = {r["id"]: r["valid"]
+          for r in validate_rows(df, ARR_SCHEMA, force_tier=2).collect()}
+    assert verdicts == t2
+
+
 def test_nested_struct_tier_parity(spark, df):
     t1 = validate_rows(df, SCHEMA, force_tier=1) \
         .select("id", "valid").toPandas().set_index("id")["valid"]
