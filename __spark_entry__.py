@@ -227,6 +227,21 @@ def q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    items = emb.select("vec_id",
+                       F.transform("embedding",
+                                   lambda x: x.cast("double")).alias("embedding"))
+    pairs = DD.embedding_near_duplicates(items, "vec_id", threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_column_stats_hll(spark, sf_dir):
+    # sketch-based distinct counts (the 100 TB path) — rows-only check:
+    # HLL estimates are engine-specific by design
+    return C.column_stats(_docs(spark, sf_dir), ["lang", "n_chars"], ["source"])
+
+
 def q_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TS.token_count(F.col("text")).alias("n_tokens"))
@@ -277,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_violations": q_events_windowed_violations,
         "token_count": q_token_count,
         "salted_group_count": q_salted_group_count,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "column_stats_hll": q_column_stats_hll,
     }
 
 
@@ -587,6 +604,18 @@ def oracle_sql() -> dict[str, str]:
         "salted_group_count": """
             SELECT l_returnflag, count(*) AS group_count
             FROM lineitem GROUP BY 1""",
+        "dedup_embedding_cosine": """
+            WITH items AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+            FROM items a JOIN items b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.35""",
+        # column_stats_hll: sketch-based — rows-only check by design.
         # simhash: bit-manipulation op — kept rows-only (the driver records
         # the weaker check); its determinism is pinned by pytest instead.
     }

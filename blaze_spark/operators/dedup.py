@@ -133,6 +133,26 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def embedding_near_duplicates(df: DataFrame, id_col: str,
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold). Exact all-pairs — fine for a partition/bucket; at corpus
+    scale run it WITHIN IVF buckets (similarity.assign_centroid first,
+    then this per centroid_id) so the join is bucket-local rather than
+    O(n²) global."""
+    from blaze_spark.operators.similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("vec_b"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"))
+             .where(F.col("cosine") >= threshold))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.8) -> DataFrame:
     """Token-set Jaccard similarity pairs above ``threshold`` via a
