@@ -402,9 +402,60 @@ def compile_column_checks(plan: dict, schema: T.StructType,
                         F.when(guard, check.predicate).otherwise(F.lit(True)),
                         check.message))
             continue
+        if op == "pattern_properties":
+            # column names are static → regex matching happens at compile
+            # time (LoopPropertiesRegex becomes plain projection)
+            from blaze_spark.functions.regexes import compile_ecma
+
+            for entry in instr["entries"]:
+                rx = compile_ecma(entry["pattern"])
+                for name in fields:
+                    if not rx.search(name):
+                        continue
+                    col = F.col(name)
+                    guard = col.isNotNull()
+                    for check in _property_program_checks(
+                            entry["program"], col, fields[name], name, plan,
+                            "", frozenset()):
+                        checks.append(ColumnCheck(
+                            check.keyword_location, check.instance_location,
+                            F.when(guard, check.predicate).otherwise(F.lit(True)),
+                            check.message))
+            continue
+        if op == "all_of":
+            # allOf is pure conjunction: inline every branch's checks
+            # (exact parity with the interpreter's inlined fast mode,
+            # reference: default_compiler_draft4.h:45-58)
+            for program in instr["programs"]:
+                checks.extend(compile_column_checks(
+                    {**plan, "targets": [program] + plan["targets"][1:]},
+                    schema, df))
+            continue
+        if op == "dependent_required":
+            for trigger, names in v["deps"].items():
+                if len(names) != 1:
+                    raise TierUnsupported(
+                        "multi-name dependentRequired message needs tier 2")
+                name = names[0]
+                trig = (F.col(trigger).isNotNull() if trigger in fields
+                        else F.lit(False))
+                present = (F.col(name).isNotNull() if name in fields
+                           else F.lit(False))
+                checks.append(ColumnCheck(
+                    instr["kloc"], "",
+                    F.when(trig, present).otherwise(F.lit(True)),
+                    F.lit(f"The object value defines the property "
+                          f"{_json_lit(trigger)} and so it was also expected "
+                          f"to define the property {_json_lit(name)}")))
+            continue
         if op == "additional_properties":
+            from blaze_spark.functions.regexes import compile_ecma as _ce
+
             allowed = set(v["names"])
-            extra = [c for c in fields if c not in allowed]
+            pattern_rx = [_ce(p) for p in v.get("patterns", [])]
+            extra = [c for c in fields
+                     if c not in allowed
+                     and not any(rx.search(c) for rx in pattern_rx)]
             program = instr.get("program", [])
             closed = bool(program) and program[0]["op"] == "fail"
             if closed and extra:

@@ -1,0 +1,67 @@
+"""Tier-1 root-level applicators: allOf inlining, patternProperties over
+static column names, pattern-aware additionalProperties, and
+dependentRequired — all staying on the Column path with tier-2 parity."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import types as T
+
+from blaze_spark.operators.validate import validate_rows
+
+ROWS = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("x_code", T.StringType()),
+    T.StructField("x_name", T.StringType()),
+    T.StructField("other", T.LongType()),
+])
+
+SCHEMA = {
+    "type": "object",
+    "allOf": [
+        {"required": ["id"]},
+        {"properties": {"other": {"minimum": 0}}},
+    ],
+    "patternProperties": {"^x_": {"type": "string", "minLength": 2}},
+    "additionalProperties": {"type": "integer"},
+    "dependentRequired": {"x_code": ["x_name"]},
+}
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (1, "ab", "cd", 5),
+        (2, "a", "cd", 5),      # patternProperties minLength on x_code
+        (3, "ab", None, 5),     # dependentRequired x_code -> x_name
+        (4, "ab", "cd", -2),    # allOf branch minimum on other
+        (None, "ab", "cd", 5),  # allOf branch required id
+    ]
+    return spark.createDataFrame(rows, ROWS)
+
+
+def test_root_ops_stay_tier1(spark, df):
+    v = validate_rows(df, SCHEMA, force_tier=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v.explain("formatted")
+    assert "MapInPandas" not in buf.getvalue()
+
+
+def test_root_ops_verdict_parity(spark, df):
+    t1 = [r["valid"] for r in
+          validate_rows(df, SCHEMA, force_tier=1)
+          .orderBy(F_nullsafe("id")).collect()]
+    t2 = [r["valid"] for r in
+          validate_rows(df, SCHEMA, force_tier=2)
+          .orderBy(F_nullsafe("id")).collect()]
+    assert t1 == t2 == [False, True, False, False, False]
+
+
+def F_nullsafe(col):
+    from pyspark.sql import functions as F
+
+    return F.coalesce(F.col(col), F.lit(-1))
