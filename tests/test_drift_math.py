@@ -1,0 +1,60 @@
+"""Independent math verification for the drift statistics: PSI and the
+two-sample KS statistic computed with plain numpy on collected data must
+match the distributed implementations. (The DuckDB oracle mirrors the
+same SQL shape, so it can't catch a formula error made on both sides —
+this can.)"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from blaze_spark.operators import checks as C
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_pd(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+
+def _psi_numpy(df, value_col, group_col, baseline):
+    eps = 1e-6
+    base = df[df[group_col] == baseline][value_col].value_counts(normalize=True)
+    out = {}
+    # the engine scores the union of buckets observed across ALL groups
+    buckets_all = set(df[value_col].unique()) | set(base.index)
+    for grp, sub in df[df[group_col] != baseline].groupby(group_col):
+        p = sub[value_col].value_counts(normalize=True)
+        total = 0.0
+        for b in buckets_all:
+            pv = p.get(b, eps)
+            qv = base.get(b, eps)
+            total += (pv - qv) * math.log(pv / qv)
+        out[grp] = total
+    return out
+
+
+def test_psi_matches_numpy(spark, docs_pd):
+    got = {r["grp"]: r["psi"]
+           for r in C.psi(spark.read.parquet(f"{SF}/documents.parquet"),
+                          "lang", "source", "src0").collect()}
+    want = _psi_numpy(docs_pd, "lang", "source", "src0")
+    assert set(got) == set(want)
+    for grp in got:
+        assert got[grp] == pytest.approx(want[grp], rel=1e-9), grp
+
+
+def test_ks_matches_numpy(spark, docs_pd):
+    a = np.sort(docs_pd[docs_pd.source == "src0"]["n_chars"].values)
+    b = np.sort(docs_pd[docs_pd.source == "src1"]["n_chars"].values)
+    grid = np.unique(np.concatenate([a, b]))
+    cdf_a = np.searchsorted(a, grid, side="right") / len(a)
+    cdf_b = np.searchsorted(b, grid, side="right") / len(b)
+    want = float(np.max(np.abs(cdf_a - cdf_b)))
+    got = C.ks_statistic(spark.read.parquet(f"{SF}/documents.parquet"),
+                         "n_chars", "source", "src0", "src1").collect()[0][0]
+    assert got == pytest.approx(want, rel=1e-12)
