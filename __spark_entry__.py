@@ -616,6 +616,22 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.35""",
         # column_stats_hll: sketch-based — rows-only check by design.
-        # simhash: bit-manipulation op — kept rows-only (the driver records
-        # the weaker check); its determinism is pinned by pytest instead.
+        "simhash": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '')) AS tok
+              FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv
+                  FROM tok),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(((hv >> i) % 2) * 2 - 1) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
+              GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM bits GROUP BY 1""",
     }
