@@ -1,0 +1,75 @@
+"""Property-based invariants (hypothesis): for arbitrary JSON instances
+and a pool of representative schemas —
+
+* fast and exhaustive modes always agree on the verdict;
+* an invalid exhaustive result carries ≥1 violation, a valid one none;
+* plan JSON round-trip never changes the verdict;
+* the rewrite pass never changes semantics (rewritten vs raw schema).
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+
+from blaze_spark import compile_schema, evaluate
+from blaze_spark.plans.compiler import plan_from_json, plan_to_json
+
+json_values = st.recursive(
+    st.none() | st.booleans()
+    | st.integers(min_value=-(2**31), max_value=2**31)
+    | st.floats(allow_nan=False, allow_infinity=False, width=32)
+    | st.text(max_size=8),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=6), children, max_size=4),
+    max_leaves=12,
+)
+
+SCHEMAS = [
+    {"type": "object", "required": ["a"],
+     "properties": {"a": {"type": "integer", "minimum": 0},
+                    "b": {"type": "string", "minLength": 1}}},
+    {"anyOf": [{"type": "string", "pattern": "^[a-z]+$"},
+               {"type": "number", "multipleOf": 0.5}]},
+    {"items": {"oneOf": [{"type": "integer"}, {"enum": ["x", "y"]}]},
+     "uniqueItems": True, "maxItems": 3},
+    {"if": {"type": "object"}, "then": {"minProperties": 1},
+     "else": {"not": {"type": "null"}}},
+    {"$defs": {"leaf": {"type": ["string", "number"]}},
+     "properties": {"v": {"$ref": "#/$defs/leaf"}},
+     "additionalProperties": False},
+    {"allOf": [{"properties": {"k": {"const": 1}}}],
+     "unevaluatedProperties": {"type": "string"}},
+    {"patternProperties": {"^n": {"exclusiveMaximum": 10}},
+     "propertyNames": {"maxLength": 5}},
+    {"contains": {"type": "boolean"}, "minContains": 0, "maxContains": 2},
+]
+
+_PLANS = [(compile_schema(s, mode="fast"),
+           compile_schema(s, mode="exhaustive")) for s in SCHEMAS]
+_RAW_PLANS = [compile_schema(s, mode="fast", apply_rewrites=False)
+              for s in SCHEMAS]
+_ROUNDTRIP = [plan_from_json(plan_to_json(p)) for p, _ in _PLANS]
+
+
+@settings(max_examples=300, deadline=None)
+@given(instance=json_values, idx=st.integers(0, len(SCHEMAS) - 1))
+def test_modes_agree_and_violations_consistent(instance, idx):
+    fast_plan, exh_plan = _PLANS[idx]
+    fast = evaluate(fast_plan, instance)
+    exh = evaluate(exh_plan, instance)
+    assert fast.valid == exh.valid
+    if exh.valid:
+        assert exh.violations == []
+    else:
+        assert len(exh.violations) >= len(fast.violations) >= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(instance=json_values, idx=st.integers(0, len(SCHEMAS) - 1))
+def test_serialization_and_rewrites_preserve_semantics(instance, idx):
+    fast_plan, _ = _PLANS[idx]
+    want = evaluate(fast_plan, instance).valid
+    assert evaluate(_ROUNDTRIP[idx], instance).valid == want
+    assert evaluate(_RAW_PLANS[idx], instance).valid == want
