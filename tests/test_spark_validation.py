@@ -126,6 +126,26 @@ def test_code_files_referential_orphans(spark, code_files):
     assert None in langs  # nulls are orphans too
 
 
+def test_code_files_referential_repos(spark, code_files):
+    """dim_repos holds out 0.5% of repos (FIXTURES.md §2) — the anti-join
+    must surface exactly rows from held-out repos as orphans."""
+    from blaze_spark.sources.fixtures import dim_repos
+
+    dim = spark.createDataFrame([(r,) for r in dim_repos(20_000)],
+                                ["repo_name"])
+    orphans = C.referential_orphans(code_files.select("repo"), ["repo"],
+                                    dim, ["repo_name"])
+    n_orphans = orphans.count()
+    assert n_orphans > 0
+    # orphan repos must be exactly the complement of the dim
+    held_out = {r["repo"] for r in orphans.select("repo").distinct().collect()}
+    dim_set = {r["repo_name"] for r in dim.collect()}
+    assert not (held_out & dim_set)
+    all_repos = {r["repo"]
+                 for r in code_files.select("repo").distinct().collect()}
+    assert held_out == all_repos - dim_set
+
+
 def test_code_files_drift_flags_last_partitions(spark, code_files):
     """Partitions 6 and 7 carry the shifted lang mixture — PSI must rank
     them strictly above every un-drifted partition."""
