@@ -186,8 +186,10 @@ def q_dedup_minhash_candidates(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    # max_token_docs=0.5 keeps the oracle's document-frequency cut; the
+    # library default is 0.01 (the 100 TB guard)
     pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text",
-                                   threshold=0.9)
+                                   threshold=0.9, max_token_docs=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -233,6 +235,42 @@ def q_dedup_embedding_cosine(spark, sf_dir):
                        F.transform("embedding",
                                    lambda x: x.cast("double")).alias("embedding"))
     pairs = DD.embedding_near_duplicates(items, "vec_id", threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _emb_items(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id",
+                      F.transform("embedding",
+                                  lambda x: x.cast("double")).alias("embedding"))
+
+
+def _emb_centroids(items):
+    # deterministic coarse centroids: the embeddings of vec_id 0..3
+    # (model parameters in a real IVF index; tiny driver-side literal)
+    rows = items.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    return [list(r["embedding"]) for r in rows]
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    # the ANN scale path: IVF bucketing + nprobe probing, verified
+    # against the same math in DuckDB (and against brute force for
+    # recall in tests/test_dedup_scale.py)
+    items = _emb_items(spark, sf_dir)
+    cents = _emb_centroids(items)
+    queries = (items.where(F.col("vec_id") < 3)
+                    .select(F.col("vec_id").alias("query_id"), "embedding"))
+    top = SIM.ivf_topk(items, queries, cents, k=5, nprobe=2)
+    return top.select("query_id", "vec_id", F.round("score", 4).alias("score"),
+                      "rank")
+
+
+def q_dedup_embedding_bucketed(spark, sf_dir):
+    # bucket-local near-dup join (Σ bucket² work instead of n²)
+    items = _emb_items(spark, sf_dir)
+    cents = _emb_centroids(items)
+    pairs = DD.embedding_near_duplicates_bucketed(items, "vec_id", cents,
+                                                  threshold=0.35)
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -293,6 +331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "salted_group_count": q_salted_group_count,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
         "column_stats_hll": q_column_stats_hll,
     }
 
@@ -337,6 +377,30 @@ _SHINGLES = (
     f"list_transform(generate_series(1, len({_TOKENS}) - 2), "
     f"i -> array_to_string(({_TOKENS})[i:i+2], ' ')) "
     f"ELSE [array_to_string({_TOKENS}, ' ')] END")
+
+
+def _COS(a: str, b: str) -> str:
+    return (f"(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))))")
+
+
+# shared IVF preamble: items, the 4 deterministic centroids (embeddings
+# of vec_id 0..3, matching _emb_centroids), and the argmax-cosine bucket
+# assignment with the same tie-break as similarity.assign_centroid
+# (higher cosine wins; ties keep the LOWEST centroid id)
+_EMB_BUCKETS_CTE = f"""
+            WITH items AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv
+                      FROM items WHERE vec_id < 4),
+            asg AS (
+              SELECT i.vec_id, i.v, c.cid,
+                     row_number() OVER (PARTITION BY i.vec_id
+                        ORDER BY {_COS('i.v', 'c.cv')} DESC, c.cid) AS rn
+              FROM items i CROSS JOIN cents c),
+            bucketed AS (
+              SELECT vec_id, v, cid AS centroid_id FROM asg WHERE rn = 1)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -446,7 +510,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT n_chars,
                      sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS na,
                      sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS nb
-              FROM documents WHERE source IN ('src0','src1') GROUP BY 1),
+              FROM documents
+              WHERE source IN ('src0','src1') AND n_chars IS NOT NULL
+              GROUP BY 1),
             cdf AS (
               SELECT sum(na) OVER (ORDER BY n_chars) AS ca,
                      sum(nb) OVER (ORDER BY n_chars) AS cb
@@ -623,15 +689,48 @@ def oracle_sql() -> dict[str, str]:
                          '[^a-z0-9]+'), x -> x <> '')) AS tok
               FROM documents),
             h AS (SELECT doc_id,
-                         ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv
+                         ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+                         ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
                   FROM tok),
             bits AS (
               SELECT doc_id, i,
-                     sum(((hv >> i) % 2) * 2 - 1) AS s
-              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i)
+                     sum(((CASE WHEN i >= 32 THEN hi >> (i - 32)
+                                ELSE lo >> i END) % 2) * 2 - 1) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
               GROUP BY 1, 2)
             SELECT doc_id,
-                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)
-                        AS BIGINT) AS simhash
+                   CAST(sum(CASE WHEN s > 0 AND i < 63 THEN (1::BIGINT << i)
+                                 WHEN s > 0 AND i = 63
+                                   THEN -9223372036854775807 - 1
+                                 ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY 1""",
+        "ann_ivf_topk": f"""
+            {_EMB_BUCKETS_CTE},
+            q AS (SELECT vec_id AS query_id, v AS qv
+                  FROM items WHERE vec_id < 3),
+            probe AS (
+              SELECT q.query_id, q.qv, c.cid,
+                     row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY {_COS('q.qv', 'c.cv')} DESC, c.cid DESC) AS rn
+              FROM q CROSS JOIN cents c),
+            scored AS (
+              SELECT p.query_id, b.vec_id, {_COS('b.v', 'p.qv')} AS s
+              FROM bucketed b
+              JOIN (SELECT query_id, qv, cid FROM probe WHERE rn <= 2) p
+                ON p.cid = b.centroid_id),
+            ranked AS (
+              SELECT query_id, vec_id, s,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, round(s, 4) AS score,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5""",
+        "dedup_embedding_bucketed": f"""
+            {_EMB_BUCKETS_CTE}
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_COS('a.v', 'b.v')}, 4) AS cosine
+            FROM bucketed a JOIN bucketed b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE {_COS('a.v', 'b.v')} >= 0.35""",
     }

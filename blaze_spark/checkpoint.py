@@ -43,6 +43,22 @@ def _plan_hash(plan: dict) -> str:
     return hashlib.sha256(plan_to_json(plan).encode()).hexdigest()[:16]
 
 
+def _part_key(part: Any) -> str:
+    """Collision-free, filesystem-safe partition key.
+
+    SQL NULL gets a reserved token distinct from any string value (the
+    string ``"None"`` JSON-encodes to ``%22None%22``, never ``__null__``);
+    non-null values are JSON-encoded then fully percent-encoded, so values
+    containing ``/``, ``=`` or unicode can't break the ``part=<k>``
+    directory layout or collide with each other."""
+    if part is None:
+        return "__null__"
+    import urllib.parse
+
+    return urllib.parse.quote(
+        json.dumps(part, sort_keys=True, default=str), safe="")
+
+
 class CheckpointedValidation:
     """Run (or resume) a partition-wise validation over a partitioned
     input table."""
@@ -99,7 +115,7 @@ class CheckpointedValidation:
         partitions.sort(key=lambda x: (x is None, str(x)))
 
         for part in partitions:
-            key = str(part)
+            key = _part_key(part)
             if key in done:
                 continue
             t0 = time.perf_counter()

@@ -398,7 +398,18 @@ VALIDATORS: Dict[str, Callable[[str], bool]] = {
 # (reference keeps cheap formats inline too: evaluator_dispatch.h:875-941).
 FORMAT_JAVA_REGEX: Dict[str, str] = {
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\z",
-    "date": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}\z",
+    # full Gregorian calendar: per-month day ranges, Feb 29 only in leap
+    # years (div-4 non-century or div-400 century), year 0000 rejected to
+    # match tier 2's datetime() range — keeps the two-tier split
+    # semantics-preserving (cf. test_tier1_tier2_parity)
+    "date": (
+        r"^(?!0000)(?:"
+        r"[0-9]{4}-(?:0[13578]|1[02])-(?:0[1-9]|[12][0-9]|3[01])"
+        r"|[0-9]{4}-(?:0[469]|11)-(?:0[1-9]|[12][0-9]|30)"
+        r"|[0-9]{4}-02-(?:0[1-9]|1[0-9]|2[0-8])"
+        r"|(?:[0-9]{2}(?:0[48]|[2468][048]|[13579][26])"
+        r"|(?:[02468][048]|[13579][26])00)-02-29"
+        r")\z"),
     "json-pointer": r"^(/([^~/]|~[01])*)*\z",
     "ipv4": r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\z",
 }

@@ -158,25 +158,62 @@ def psi(df: DataFrame, value_col: str, group_col: str,
 
 
 def ks_statistic(df: DataFrame, value_col: str, group_col: str,
-                 group_a: str, group_b: str) -> DataFrame:
+                 group_a: str, group_b: str, n_buckets: int = 1024) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic D = max |CDF_a − CDF_b|
-    between two groups' distributions of ``value_col``.
+    between two groups' distributions of numeric ``value_col``
+    (NULL values carry no order and are excluded on both engines).
 
-    Computed on the aggregated (value → per-group count) table, so the
-    window scan runs over distinct values only (bounded), not raw rows.
+    Partition-parallel two-phase CDF — no global-sort window (a
+    ``Window.orderBy`` with no partitionBy serializes every distinct
+    value through one reducer; at 100 TB with a continuous column that
+    is THE bottleneck). Instead:
+
+    1. aggregate to (distinct value → per-group count) — one shuffle,
+       map-side combined;
+    2. range-bucket the distinct values into ``n_buckets`` fixed-width
+       buckets using a broadcast (min, max) row — fully in-plan, no
+       driver action;
+    3. per-bucket totals (≤ n_buckets rows) → per-bucket prefix offsets
+       via a broadcast theta self-join (bounded B² ≤ 1M pairs of tiny
+       rows, never data-sized);
+    4. per-bucket local cumulative sums with a window PARTITIONED BY
+       bucket — parallel across buckets;
+    5. ca = offset + local cumsum; D = max |ca/ta − cb/tb|.
+
+    Bit-identical to the single-window formulation: the CDF is evaluated
+    at every distinct value either way.
     """
-    counts = (df.where(F.col(group_col).isin([group_a, group_b]))
+    counts = (df.where(F.col(group_col).isin([group_a, group_b])
+                       & F.col(value_col).isNotNull())
                 .groupBy(value_col)
                 .agg(
                     F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("na"),
                     F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("nb"),
                 ))
-    w = Window.orderBy(F.col(value_col)).rowsBetween(Window.unboundedPreceding, 0)
-    cdf = counts.select(
-        value_col,
-        (F.sum("na").over(w)).alias("ca"),
-        (F.sum("nb").over(w)).alias("cb"),
-    )
+    rng = counts.agg(F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / n_buckets
+    bucketed = (counts.crossJoin(F.broadcast(rng))
+                .withColumn("bucket", F.when(
+                    F.col("vmax") <= F.col("vmin"), F.lit(0)).otherwise(
+                    F.least(F.lit(n_buckets - 1),
+                            F.floor((F.col(value_col) - F.col("vmin")) / width)
+                            .cast("int"))))
+                .drop("vmin", "vmax"))
+    btot = bucketed.groupBy("bucket").agg(F.sum("na").alias("bna"),
+                                          F.sum("nb").alias("bnb"))
+    lower = btot.select(F.col("bucket").alias("lb"),
+                        F.col("bna").alias("lna"), F.col("bnb").alias("lnb"))
+    offsets = (btot.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+                   .groupBy("bucket")
+                   .agg(F.coalesce(F.sum("lna"), F.lit(0)).alias("off_a"),
+                        F.coalesce(F.sum("lnb"), F.lit(0)).alias("off_b")))
+    w = (Window.partitionBy("bucket").orderBy(F.col(value_col))
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cdf = (bucketed
+           .join(F.broadcast(offsets), "bucket")
+           .select(value_col,
+                   (F.col("off_a") + F.sum("na").over(w)).alias("ca"),
+                   (F.col("off_b") + F.sum("nb").over(w)).alias("cb")))
     totals = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
     return (cdf.crossJoin(F.broadcast(totals))
                .select(F.abs(F.col("ca") / F.col("ta")

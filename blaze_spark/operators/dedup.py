@@ -66,20 +66,27 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        k: int = MINHASH_K) -> DataFrame:
     """(id, hash_index, minhash) — minhash_i = min over tokens of
     md5(i || ':' || token), the hex string compared lexicographically
-    (a valid min-hash family, and portable to any SQL engine)."""
+    (a valid min-hash family, and portable to any SQL engine).
+
+    Shuffle-lean shape: the K hashes are computed as K columns per
+    shingle row and aggregated with K element-wise mins in ONE groupBy,
+    so the pre-shuffle row count stays |shingles| (not K×|shingles| as
+    an explode(0..K-1) fan-out would make it) and map-side combine
+    collapses each partition to one partial row per id. The K mins are
+    stacked back to (id, hash_index, minhash) rows after aggregation —
+    post-agg output is K×|ids|, which is the result size anyway."""
     toks = df.select(F.col(id_col),
                      F.explode(F.array_distinct(_shingles(text_col))).alias("tok"))
-    # one pass: fan each shingle out to K (shingle, hash_index) rows, then
-    # a single map-side-combined min aggregation
-    fanned = toks.select(
-        id_col, "tok",
-        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("hash_index"))
-    return (fanned
-            .select(id_col, "hash_index",
-                    F.md5(F.concat(F.col("hash_index").cast("string"),
-                                   F.lit(":"), F.col("tok"))).alias("h"))
-            .groupBy(id_col, "hash_index")
-            .agg(F.min("h").alias("minhash")))
+    hashed = toks.select(
+        id_col,
+        *[F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))).alias(f"h{i}")
+          for i in range(k)])
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
+    return mins.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(k)]))
+        .alias("hash_index", "minhash"))
 
 
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -117,19 +124,32 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash: per token take md5's first 16 hex chars as a
     64-bit pattern; for each bit position sum ±1 over tokens; the sign
     vector is the fingerprint. Fully expression-based (explode + bit ops),
-    no Python on the hot path."""
+    no Python on the hot path.
+
+    All 64 bits are real: the md5 prefix is read as two independent
+    32-bit halves (``conv`` of 8 hex chars each — never overflows a
+    signed long, so ANSI mode is safe), and the fingerprint is assembled
+    in two's complement (bit 63 contributes −2^63) so it fits a BIGINT
+    bit-exactly on both Spark and the SQL oracle."""
     toks = df.select(F.col(id_col),
                      F.explode(_tokens(text_col)).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    md5 = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")   # bits 32..63
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")   # bits 0..31
+    def _pm1(i):  # ±1 for bit i of the 64-bit pattern
+        half, off = (hi, 32) if i >= 32 else (lo, 0)
+        return (F.shiftright(half, i - off) % 2) * 2 - 1
     bits = toks.select(
-        id_col,
-        *[((F.shiftright(h, i) % 2) * 2 - 1).alias(f"b{i}") for i in range(60)])
+        id_col, *[_pm1(i).alias(f"b{i}") for i in range(64)])
     agg = bits.groupBy(id_col).agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(60)])
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)])
     fp = None
-    for i in range(60):
+    for i in range(63):
         bit = (F.col(f"s{i}") > 0).cast("long") * F.lit(1 << i)
         fp = bit if fp is None else (fp + bit)
+    # two's complement: setting bit 63 means adding −2^63, keeping every
+    # intermediate sum inside signed-64 range
+    fp = fp + (F.col("s63") > 0).cast("long") * F.lit(-(1 << 63))
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
@@ -153,19 +173,60 @@ def embedding_near_duplicates(df: DataFrame, id_col: str,
              .where(F.col("cosine") >= threshold))
 
 
+def embedding_near_duplicates_bucketed(df: DataFrame, id_col: str,
+                                       centroids: List[List[float]],
+                                       vec_col: str = "embedding",
+                                       threshold: float = 0.95) -> DataFrame:
+    """The 100-TB composition of embedding near-dup: IVF-bucket first
+    (``similarity.assign_centroid`` — a broadcast argmax, no shuffle of
+    vectors beyond the bucket key), then the all-pairs kernel runs as a
+    bucket-local EQUI-join on ``centroid_id``. Total work is
+    Σ bucket_size² instead of n² — with C balanced centroids that's an
+    ~C× cut, and each bucket's pairs shuffle/compute independently.
+
+    Approximate by construction: a pair straddling two buckets is not
+    compared (recall < 1, the standard IVF trade — measured against the
+    exact form in tests/test_dedup_scale.py)."""
+    from blaze_spark.operators.similarity import assign_centroid, cosine
+
+    bucketed = assign_centroid(df, centroids, vec_col)
+    a = bucketed.select(F.col("centroid_id"),
+                        F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("vec_a"))
+    b = bucketed.select(F.col("centroid_id"),
+                        F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vec_b"))
+    return (a.join(b, "centroid_id")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"))
+             .where(F.col("cosine") >= threshold))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_token_docs: float = 0.01) -> DataFrame:
     """Token-set Jaccard similarity pairs above ``threshold`` via a
-    shared-token equi-join. At scale, prune hyper-frequent tokens first
-    (they blow up the join) — the ``max_token_docs`` guard drops tokens
-    appearing in >1% of docs, standard practice for shingle joins."""
+    shared-token equi-join.
+
+    ``max_token_docs`` is the document-frequency guard: tokens appearing
+    in more than this fraction of documents (floor of 2 docs, so tiny
+    corpora keep their pairs) are dropped BEFORE the self-join — a token
+    in 10% of 10^12 docs would alone produce ~10^21 join pairs. The
+    threshold is derived inside the plan (a broadcast one-row count
+    joined against the token document frequencies), not via a
+    driver-side ``count()``, so the query stays a single lazy plan and
+    the input is scanned once."""
     toks = (df.select(F.col(id_col).alias("id"),
                       F.explode(F.array_distinct(_tokens(text_col))).alias("tok")))
     doc_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_count"))
-    n_docs = df.count()
-    max_df = max(int(n_docs * 0.5), 2)
-    toks = (toks.join(F.broadcast(doc_freq.where(F.col("df_count") <= max_df)),
-                      "tok"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_toks = (doc_freq.crossJoin(F.broadcast(n_docs))
+                 .where(F.col("df_count") <= F.greatest(
+                     F.floor(F.col("n_docs") * max_token_docs).cast("long"),
+                     F.lit(2)))
+                 .select("tok"))
+    toks = toks.join(F.broadcast(kept_toks), "tok")
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.select(F.col("id").alias("id_a"), "tok")
     b = toks.select(F.col("id").alias("id_b"), "tok")

@@ -544,22 +544,15 @@ def _compile_ref(ref: str, base: str, kloc: str, ctx: _Ctx) -> dict:
     return _instr("ref", kloc, idx)
 
 
-def _strip_runtime_keys(obj: Any) -> Any:
-    """Drop "_"-prefixed keys: runtime caches (bound handlers) that the
-    evaluator memoizes into instructions are not part of the plan."""
-    if isinstance(obj, dict):
-        return {k: _strip_runtime_keys(v) for k, v in obj.items()
-                if not k.startswith("_")}
-    if isinstance(obj, list):
-        return [_strip_runtime_keys(x) for x in obj]
-    return obj
-
-
 def plan_to_json(plan: dict) -> str:
     """Serialize a plan (stable key order) — the analog of the reference's
-    template to_json (src/compiler/compile_json.cc)."""
-    return json.dumps(_strip_runtime_keys(plan), sort_keys=True,
-                      separators=(",", ":"))
+    template to_json (src/compiler/compile_json.cc).
+
+    Serializes the plan verbatim: the compiler never writes runtime-cache
+    keys into instructions, and recursively stripping "_"-prefixed keys
+    would corrupt operand payloads (e.g. ``const: {"_v": 1}`` — schema
+    operand values are arbitrary user JSON and must round-trip exactly)."""
+    return json.dumps(plan, sort_keys=True, separators=(",", ":"))
 
 
 def plan_from_json(text: str) -> dict:

@@ -20,6 +20,10 @@ from blaze_spark.plans.jsonvals import canonical_key, is_integral
 
 Rule = Callable[[dict], bool]  # mutates in place; returns True if changed
 
+# per-rewrite() context: rules that would change annotation flow must not
+# fire when the document tracks unevaluated* (annotations feed those)
+_CTX = {"has_unevaluated": False}
+
 
 # keywords that interact across a schema object: hoisting them between a
 # combinator branch and its parent changes additionalProperties /

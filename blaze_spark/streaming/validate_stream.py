@@ -23,6 +23,35 @@ def validate_stream(stream_df: DataFrame, schema_or_plan: Any) -> DataFrame:
     return validate_rows(stream_df, schema_or_plan, force_tier=1)
 
 
+def _make_streak_update(timeout_ms: int):
+    """The per-key state-update function for ``violation_streaks``
+    (module-level so the timeout-eviction branch is unit-testable)."""
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # idle key: evict instead of re-arming — keeps state O(active
+            # keys) and avoids emitting spurious streak=0 rows forever
+            state.remove()
+            return
+        invalid = 0
+        for pdf in pdfs:
+            invalid += int((~pdf["valid"]).sum())
+        if state.exists:
+            streak, total = state.get
+        else:
+            streak, total = 0, 0
+        streak = streak + 1 if invalid > 0 else 0
+        total += invalid
+        state.update((streak, total))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"key": [key[0]], "streak": [streak], "total_invalid": [total]})
+
+    return update
+
+
 def violation_streaks(validated: DataFrame, key_col: str,
                       timeout_ms: int = 30 * 60 * 1000) -> DataFrame:
     """Custom stateful operator: per key, the running streak of
@@ -47,23 +76,7 @@ def violation_streaks(validated: DataFrame, key_col: str,
         T.StructField("total_invalid", T.LongType(), False),
     ])
 
-    def update(key, pdfs, state: "GroupState"):
-        import pandas as pd
-
-        invalid = 0
-        for pdf in pdfs:
-            invalid += int((~pdf["valid"]).sum())
-        if state.exists:
-            streak, total = state.get
-        else:
-            streak, total = 0, 0
-        streak = streak + 1 if invalid > 0 else 0
-        total += invalid
-        state.update((streak, total))
-        state.setTimeoutDuration(timeout_ms)
-        yield pd.DataFrame(
-            {"key": [key[0]], "streak": [streak], "total_invalid": [total]})
-
+    update = _make_streak_update(timeout_ms)
     return (validated
             .select(F.col(key_col).cast("string").alias("key"), "valid")
             .groupBy("key")

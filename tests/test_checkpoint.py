@@ -89,3 +89,57 @@ def test_partial_run_resumes(spark, corpus, tmp_path, monkeypatch):
     resumed = CheckpointedValidation(str(tmp_path)).run(
         spark, corpus, SCHEMA, "part_id", ["repo"], "fp1")
     assert len(resumed["partitions"]) == 8
+
+
+def test_part_key_collision_free_and_path_safe():
+    """SQL NULL, the string 'None', and slash-y values must all map to
+    distinct, filesystem-safe keys (ADVICE r1: str(part) collided NULL
+    with 'None' and leaked '/' into directory names)."""
+    from blaze_spark.checkpoint import _part_key
+
+    keys = [_part_key(v) for v in
+            [None, "None", "__null__", "a/b", "a=b", 0, "0", True, "true"]]
+    assert len(set(keys)) == len(keys), keys
+    for k in keys:
+        assert "/" not in k and "=" not in k, k
+
+
+def test_streak_update_timeout_evicts():
+    """On a processing-time timeout the state must be removed, NOT
+    re-armed, and no spurious row emitted (ADVICE r1)."""
+    from blaze_spark.streaming.validate_stream import _make_streak_update
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = True
+            self.exists = True
+            self.get = (3, 7)
+            self.removed = False
+            self.updated = None
+            self.rearmed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.rearmed = True
+
+    update = _make_streak_update(1000)
+    st = FakeState()
+    rows = list(update(("k",), iter([]), st))
+    assert rows == []
+    assert st.removed and st.updated is None and not st.rearmed
+
+    # the live path still counts and re-arms
+    import pandas as pd
+
+    st2 = FakeState()
+    st2.hasTimedOut = False
+    st2.exists = False
+    out = list(update(("k",), iter([pd.DataFrame({"valid": [False, True]})]),
+                      st2))
+    assert st2.updated == (1, 1) and st2.rearmed and not st2.removed
+    assert out[0]["streak"].iloc[0] == 1
