@@ -56,6 +56,9 @@ def type_mismatch(value: Any, expected: List[str]) -> str:
         if exp == "integer" and actual == "number":
             actual = "number"
         return f"The value was expected to be of type {exp} but it was of type {actual}"
+    if len(expected) == 0:
+        # draft-3 `type: []` admits nothing
+        return "The value was expected to match an empty set of types"
     if len(expected) == 2:
         exp = f"{expected[0]} or {expected[1]}"
     else:

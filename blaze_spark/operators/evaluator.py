@@ -78,7 +78,7 @@ class _Ann:
 
 class _State:
     __slots__ = ("plan", "targets", "fast", "track", "scopes", "depth",
-                 "annotations")
+                 "annotations", "tracer")
 
     def __init__(self, plan: dict, fast: bool) -> None:
         self.plan = plan
@@ -88,6 +88,9 @@ class _State:
         self.scopes: List[str] = []  # resource base URIs, outermost first
         self.depth = 0
         self.annotations: List[Annotation] = []
+        # optional step callback (functions/trace.py TraceOutput analog;
+        # reference: output_trace.h Pre/Post evaluation callback)
+        self.tracer = None
 
 
 def evaluate(plan: dict, instance: Any, *, mode: Optional[str] = None) -> EvalResult:
@@ -110,8 +113,16 @@ def _run_program(state: _State, program: List[dict], instance: Any,
     """Run an instruction program (conjunction) against one instance node."""
     valid = True
     violations: List[Violation] = []
+    tracer = state.tracer
     for instr in program:
-        ok, vio = _HANDLERS[instr["op"]](state, instr, instance, iloc, eprefix, ann)
+        if tracer is not None:
+            tracer.pre(instr, iloc, eprefix)
+            ok, vio = _HANDLERS[instr["op"]](state, instr, instance, iloc,
+                                             eprefix, ann)
+            tracer.post(instr, iloc, eprefix, ok)
+        else:
+            ok, vio = _HANDLERS[instr["op"]](state, instr, instance, iloc,
+                                             eprefix, ann)
         if not ok:
             valid = False
             violations.extend(vio)
@@ -632,12 +643,51 @@ def _h_contains(state, instr, instance, iloc, eprefix, ann):
                     and count >= minimum):
                 break
     ok = count >= minimum and (maximum is None or count <= maximum)
-    if ok and state.track:
+    # contains-matched items count as "evaluated" for unevaluatedItems
+    # only from 2020-12 on (2019-09 unevaluatedItems ignores contains
+    # annotations; reference corpus: unevaluatedItems_10)
+    if ok and state.track and v.get("mark", True):
         ann.items.update(matched)
     if ok:
         return True, []
     return False, [Violation(eprefix + instr["kloc"], iloc,
                              D.contains_fail(instance, minimum, maximum))]
+
+
+def _h_type_union(state, instr, instance, iloc, eprefix, ann):
+    """draft-3 type union with inline schema branches (reference:
+    compiler_draft3_validation_type): pass if the instance matches any
+    named type (strict integers) or validates against any branch."""
+    types = instr["value"]["types"]
+    if any(matches_type(instance, t, strict_integer=True) for t in types):
+        return True, []
+    for program in instr.get("programs", []):
+        ok, _ = _run_branch(state, program, instance, iloc, eprefix, _Ann())
+        if ok:
+            return True, []
+    return False, [Violation(eprefix + instr["kloc"], iloc,
+                             D.type_mismatch(instance, types or ["(schema)"]))]
+
+
+def _h_disallow(state, instr, instance, iloc, eprefix, ann):
+    """draft-3 `disallow` (reference: default_compiler_draft3.h:2299
+    AssertionNotTypeStrictAny): fail when the instance matches ANY
+    named type or validates against ANY schema branch."""
+    types = instr["value"]["types"]
+    matched = any(t == "any" or matches_type(instance, t, strict_integer=True)
+                  for t in types)
+    if not matched:
+        for program in instr.get("programs", []):
+            ok, _ = _run_branch(state, program, instance, iloc, eprefix,
+                                _Ann())
+            if ok:
+                matched = True
+                break
+    if not matched:
+        return True, []
+    return False, [Violation(
+        eprefix + instr["kloc"], iloc,
+        "The value was expected to NOT match any disallowed type or schema")]
 
 
 # --- combinators -----------------------------------------------------------------
@@ -878,6 +928,8 @@ _HANDLERS = {
     "prefix_items": _h_prefix_items,
     "items_all": _h_items_all,
     "contains": _h_contains,
+    "type_union": _h_type_union,
+    "disallow": _h_disallow,
     "all_of": _h_all_of,
     "any_of": _h_any_of,
     "one_of": _h_one_of,

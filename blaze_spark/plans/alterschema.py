@@ -1,0 +1,416 @@
+"""Schema linting and dialect upgrading — the other two alterschema
+modes of the reference (canonicalize/common live in ``rewrite.py``).
+
+* ``lint(schema)`` returns findings ``{"rule", "pointer", "message"}``
+  for anti-patterns (reference: src/alterschema/linter/*.h — 46 rules;
+  the subset here covers the dict-local ones plus the two evaluator-
+  backed ones, valid_default / valid_examples, which reuse our tier-2
+  evaluator the way the reference reuses its compiled templates).
+* ``upgrade(schema, target)`` migrates a document across dialects
+  draft-4 → draft-6 → draft-7 → 2019-09 → 2020-12 (reference:
+  src/alterschema/upgrade/upgrade_*.h), renaming keywords per step and
+  preserving semantics (boolean exclusive bounds → numeric, dependencies
+  → dependentRequired/dependentSchemas, items array → prefixItems,
+  $recursiveAnchor/Ref → $dynamicAnchor/Ref "meta").
+
+Both walk subschemas with the same keyword map the rewriter uses.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from blaze_spark.plans.jsonvals import canonical_key
+
+# ---------------------------------------------------------------------------
+# subschema walking (shared shape with rewrite._apply_once)
+
+_MAP_KEYS = {"properties", "patternProperties", "dependentSchemas",
+             "$defs", "definitions"}
+_LIST_KEYS = {"allOf", "anyOf", "oneOf", "prefixItems"}
+_ONE_KEYS = {"additionalProperties", "additionalItems", "not", "if",
+             "then", "else", "contains", "items", "propertyNames",
+             "unevaluatedProperties", "unevaluatedItems", "contentSchema"}
+
+
+def _walk(schema: Any, pointer: str = ""):
+    """Yield (pointer, subschema-dict) for every schema object."""
+    if not isinstance(schema, dict):
+        return
+    yield pointer, schema
+    # materialized: callers may rename keys of yielded dicts mid-walk
+    for key, value in list(schema.items()):
+        if key in _MAP_KEYS and isinstance(value, dict):
+            for name, sub in value.items():
+                yield from _walk(sub, f"{pointer}/{key}/{name}")
+        elif key in _LIST_KEYS and isinstance(value, list):
+            for i, sub in enumerate(value):
+                yield from _walk(sub, f"{pointer}/{key}/{i}")
+        elif key in _ONE_KEYS:
+            yield from _walk(value, f"{pointer}/{key}")
+        elif key == "items" and isinstance(value, list):
+            for i, sub in enumerate(value):
+                yield from _walk(sub, f"{pointer}/items/{i}")
+        elif key == "dependencies" and isinstance(value, dict):
+            for name, sub in value.items():
+                if isinstance(sub, (dict, bool)):
+                    yield from _walk(sub, f"{pointer}/dependencies/{name}")
+
+
+# ---------------------------------------------------------------------------
+# linter
+
+LintRule = Callable[[dict, str], Optional[str]]  # returns message or None
+
+
+def _lint_forbid_empty_enum(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/forbid_empty_enum.h"""
+    if s.get("enum") == []:
+        return "An empty enum can never validate — the schema always fails"
+    return None
+
+
+def _lint_const_not_in_enum(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/const_not_in_enum.h"""
+    if "const" in s and isinstance(s.get("enum"), list):
+        ck = canonical_key(s["const"])
+        if not any(canonical_key(v) == ck for v in s["enum"]):
+            return "`const` is not a member of the sibling `enum` — unsatisfiable"
+    return None
+
+
+def _lint_enum_to_const(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/enum_to_const.h"""
+    if isinstance(s.get("enum"), list) and len(s["enum"]) == 1 \
+            and "const" not in s:
+        return "A single-value enum is clearer as `const`"
+    return None
+
+
+def _lint_equal_numeric_bounds_to_const(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/equal_numeric_bounds_to_const.h"""
+    lo, hi = s.get("minimum"), s.get("maximum")
+    if isinstance(lo, (int, float)) and not isinstance(lo, bool) \
+            and lo == hi and "const" not in s and "enum" not in s:
+        return "Equal minimum and maximum are clearer as `const`"
+    return None
+
+
+def _lint_title_description_trim(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/title_trim.h, description_trim.h"""
+    for kw in ("title", "description"):
+        v = s.get(kw)
+        if isinstance(v, str) and v != v.strip():
+            return f"`{kw}` has leading/trailing whitespace"
+    return None
+
+
+def _lint_title_trailing_period(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/title_trailing_period.h"""
+    v = s.get("title")
+    if isinstance(v, str) and v.rstrip().endswith("."):
+        return "`title` should not end with a period"
+    return None
+
+
+def _lint_title_description_equal(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/title_description_equal.h"""
+    t, d = s.get("title"), s.get("description")
+    if isinstance(t, str) and isinstance(d, str) \
+            and t.strip().lower() == d.strip().lower():
+        return "`title` and `description` are identical — drop one"
+    return None
+
+
+def _lint_duplicate_examples(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/duplicate_examples.h"""
+    v = s.get("examples")
+    if isinstance(v, list) and len(v) > 1:
+        keys = [canonical_key(x) for x in v]
+        if len(set(keys)) != len(keys):
+            return "`examples` contains duplicate entries"
+    return None
+
+
+def _lint_definitions_to_defs(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/definitions_to_defs.h (fires under modern
+    dialects where `$defs` is the standard location)"""
+    if "definitions" in s and "$defs" not in s:
+        return "Modern dialects standardize `$defs` over `definitions`"
+    return None
+
+
+def _lint_multiple_of_default(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/multiple_of_default.h"""
+    if s.get("multipleOf") == 1:
+        return "`multipleOf: 1` is the default — every number satisfies it"
+    return None
+
+
+def _lint_then_else_empty(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/then_empty.h, else_empty.h"""
+    for kw in ("then", "else"):
+        if s.get(kw) is True or s.get(kw) == {}:
+            return f"`{kw}` is the empty schema — it asserts nothing"
+    return None
+
+
+def _lint_incoherent_min_max_contains(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/incoherent_min_max_contains.h"""
+    lo, hi = s.get("minContains"), s.get("maxContains")
+    if isinstance(lo, int) and isinstance(hi, int) \
+            and not isinstance(lo, bool) and not isinstance(hi, bool) \
+            and lo > hi:
+        return "`minContains` exceeds `maxContains` — unsatisfiable for arrays"
+    return None
+
+
+def _lint_unsatisfiable_max_contains(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/unsatisfiable_max_contains.h"""
+    if s.get("maxContains") == 0 and "contains" in s:
+        return "`maxContains: 0` with `contains` rejects any matching item"
+    return None
+
+
+def _lint_conflicting_readonly_writeonly(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/conflicting_readonly_writeonly.h"""
+    if s.get("readOnly") is True and s.get("writeOnly") is True:
+        return "`readOnly` and `writeOnly` are both true — contradictory"
+    return None
+
+
+def _lint_dependencies_default(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/dependencies_default.h family (empty maps)"""
+    for kw in ("dependencies", "dependentRequired", "dependentSchemas"):
+        if s.get(kw) == {}:
+            return f"`{kw}` is empty — it asserts nothing"
+    return None
+
+
+def _lint_unknown_format(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/unknown_format_prefix.h analog: a format name
+    outside the registry silently validates everywhere"""
+    from blaze_spark.functions.formats import VALIDATORS
+
+    v = s.get("format")
+    if isinstance(v, str) and v not in VALIDATORS:
+        return f"format {v!r} is not a registered format — it asserts nothing"
+    return None
+
+
+def _lint_pattern_non_ecma_regex(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/pattern_non_ecma_regex.h /
+    pattern_properties_non_ecma_regex.h"""
+    from blaze_spark.functions.regexes import compile_ecma
+
+    pats = []
+    if isinstance(s.get("pattern"), str):
+        pats.append(s["pattern"])
+    if isinstance(s.get("patternProperties"), dict):
+        pats.extend(s["patternProperties"].keys())
+    for pat in pats:
+        try:
+            compile_ecma(pat)
+        except re.error:
+            return f"pattern {pat!r} is not a valid ECMA-262 regex"
+    return None
+
+
+def _evaluates(schema: Any, instance: Any) -> Optional[bool]:
+    """Best-effort local validation of ``instance`` against ``schema``
+    (None when the subschema isn't independently compilable, e.g. it
+    holds $ref into an enclosing document)."""
+    try:
+        from blaze_spark.plans.compiler import compile_schema
+        from blaze_spark.operators.evaluator import evaluate
+
+        plan = compile_schema(copy.deepcopy(schema), mode="fast")
+        return evaluate(plan, instance).valid
+    except Exception:
+        return None
+
+
+def _lint_valid_default(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/valid_default.h — the declared default must
+    itself validate against the schema declaring it."""
+    if "default" in s and _evaluates(s, s["default"]) is False:
+        return "`default` value does not validate against its own schema"
+    return None
+
+
+def _lint_valid_examples(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/valid_examples.h"""
+    v = s.get("examples")
+    if isinstance(v, list):
+        for i, ex in enumerate(v):
+            if _evaluates(s, ex) is False:
+                return f"examples[{i}] does not validate against its own schema"
+    return None
+
+
+LINT_RULES: List[Tuple[str, LintRule]] = [
+    ("forbid_empty_enum", _lint_forbid_empty_enum),
+    ("const_not_in_enum", _lint_const_not_in_enum),
+    ("enum_to_const", _lint_enum_to_const),
+    ("equal_numeric_bounds_to_const", _lint_equal_numeric_bounds_to_const),
+    ("title_description_trim", _lint_title_description_trim),
+    ("title_trailing_period", _lint_title_trailing_period),
+    ("title_description_equal", _lint_title_description_equal),
+    ("duplicate_examples", _lint_duplicate_examples),
+    ("definitions_to_defs", _lint_definitions_to_defs),
+    ("multiple_of_default", _lint_multiple_of_default),
+    ("then_else_empty", _lint_then_else_empty),
+    ("incoherent_min_max_contains", _lint_incoherent_min_max_contains),
+    ("unsatisfiable_max_contains", _lint_unsatisfiable_max_contains),
+    ("conflicting_readonly_writeonly", _lint_conflicting_readonly_writeonly),
+    ("dependencies_default", _lint_dependencies_default),
+    ("unknown_format", _lint_unknown_format),
+    ("pattern_non_ecma_regex", _lint_pattern_non_ecma_regex),
+    ("valid_default", _lint_valid_default),
+    ("valid_examples", _lint_valid_examples),
+]
+
+
+def lint(schema: Any) -> List[Dict[str, str]]:
+    """Run every lint rule over every subschema; findings are stable-
+    ordered by (pointer, rule name)."""
+    findings: List[Dict[str, str]] = []
+    for pointer, sub in _walk(schema):
+        for name, rule in LINT_RULES:
+            msg = rule(sub, pointer)
+            if msg:
+                findings.append(
+                    {"rule": name, "pointer": pointer or "", "message": msg})
+    findings.sort(key=lambda f: (f["pointer"], f["rule"]))
+    return findings
+
+
+# ---------------------------------------------------------------------------
+# upgrade
+
+DIALECT_ORDER = ["draft4", "draft6", "draft7", "2019-09", "2020-12"]
+
+_SCHEMA_URIS = {
+    "draft4": "http://json-schema.org/draft-04/schema#",
+    "draft6": "http://json-schema.org/draft-06/schema#",
+    "draft7": "http://json-schema.org/draft-07/schema#",
+    "2019-09": "https://json-schema.org/draft/2019-09/schema",
+    "2020-12": "https://json-schema.org/draft/2020-12/schema",
+}
+
+
+def _step_draft4_to_draft6(s: dict) -> None:
+    """reference: upgrade/upgrade_draft_4_to_draft_6.h — id → $id,
+    boolean exclusive bounds → numeric."""
+    if "id" in s and "$id" not in s and isinstance(s["id"], str):
+        s["$id"] = s.pop("id")
+    for exc, base in (("exclusiveMinimum", "minimum"),
+                      ("exclusiveMaximum", "maximum")):
+        v = s.get(exc)
+        if v is True and base in s:
+            s[exc] = s.pop(base)
+        elif isinstance(v, bool):
+            del s[exc]
+
+
+def _step_draft6_to_draft7(s: dict) -> None:
+    """reference: upgrade/upgrade_draft_6_to_draft_7.h — keyword set is
+    backward compatible; only the $schema URI moves."""
+
+
+def _step_draft7_to_2019_09(s: dict) -> None:
+    """reference: upgrade/upgrade_draft_7_to_2019_09.h — definitions →
+    $defs, dependencies split, pure-fragment $id → $anchor."""
+    if "definitions" in s and isinstance(s["definitions"], dict):
+        defs = s.setdefault("$defs", {})
+        for name, sub in s.pop("definitions").items():
+            defs.setdefault(name, sub)
+    deps = s.pop("dependencies", None)
+    if isinstance(deps, dict):
+        for name, dep in deps.items():
+            if isinstance(dep, list):
+                s.setdefault("dependentRequired", {})[name] = dep
+            elif isinstance(dep, str):
+                s.setdefault("dependentRequired", {})[name] = [dep]
+            else:
+                s.setdefault("dependentSchemas", {})[name] = dep
+    rid = s.get("$id")
+    if isinstance(rid, str) and rid.startswith("#") and len(rid) > 1:
+        s["$anchor"] = rid[1:]
+        del s["$id"]
+
+
+def _step_2019_09_to_2020_12(s: dict, doc_has_unevaluated_items: bool,
+                             doc_has_recursive_anchor: bool) -> None:
+    """reference: upgrade/upgrade_2019_09_to_2020_12.h — recursive* →
+    dynamic* (anchor name "meta"), items array → prefixItems,
+    additionalItems → items; `contains` is wrapped in not(not(…)) when
+    the document tracks unevaluatedItems, because 2020-12 (unlike
+    2019-09) lets unevaluatedItems see contains annotations and the
+    wrapper keeps them invisible."""
+    ra = s.get("$recursiveAnchor")
+    if isinstance(ra, bool):
+        del s["$recursiveAnchor"]
+        if ra:
+            s["$dynamicAnchor"] = "meta"
+    if "$recursiveRef" in s:
+        ref = s.pop("$recursiveRef")
+        # only retarget to the synthetic anchor when the document
+        # declares one; otherwise "#" stays a plain root reference
+        s["$dynamicRef"] = "#meta" if doc_has_recursive_anchor else ref
+    if isinstance(s.get("items"), list):
+        items = s.pop("items")
+        if items:
+            s["prefixItems"] = items
+        if "additionalItems" in s:
+            s["items"] = s.pop("additionalItems")
+    elif "additionalItems" in s:
+        del s["additionalItems"]
+    if "contains" in s and doc_has_unevaluated_items:
+        wrapper = {"contains": s.pop("contains")}
+        for kw in ("minContains", "maxContains"):
+            if kw in s:
+                wrapper[kw] = s.pop(kw)
+        inner_not = {"not": wrapper}
+        if "not" in s:
+            s["allOf"] = s.get("allOf", []) + [{"not": inner_not}]
+        else:
+            s["not"] = inner_not
+
+
+def upgrade(schema: Any, target: str = "2020-12",
+            source: Optional[str] = None) -> Any:
+    """Migrate ``schema`` to ``target`` dialect, one step at a time
+    (reference chains its per-step rule sets the same way). Boolean
+    schemas pass through unchanged. The source dialect comes from
+    ``$schema`` unless given explicitly."""
+    if not isinstance(schema, dict):
+        return schema
+    schema = copy.deepcopy(schema)
+    from blaze_spark.plans.frame import dialect_of
+
+    src = source or dialect_of(schema, "2020-12")
+    if src not in DIALECT_ORDER or target not in DIALECT_ORDER:
+        raise ValueError(f"unknown dialect: {src!r} -> {target!r}")
+    si, ti = DIALECT_ORDER.index(src), DIALECT_ORDER.index(target)
+    if si > ti:
+        raise ValueError("downgrades are not supported")
+    steps = DIALECT_ORDER[si:ti + 1]
+    for frm, to in zip(steps, steps[1:]):
+        blob = repr(schema)
+        has_uneval = "unevaluatedItems" in blob
+        has_ranchor = "$recursiveAnchor" in blob
+        for _, sub in list(_walk(schema)):
+            if frm == "draft4":
+                _step_draft4_to_draft6(sub)
+            elif frm == "draft6":
+                _step_draft6_to_draft7(sub)
+            elif frm == "draft7":
+                _step_draft7_to_2019_09(sub)
+            elif frm == "2019-09":
+                _step_2019_09_to_2020_12(sub, has_uneval, has_ranchor)
+        if "$schema" in schema or frm == src:
+            schema["$schema"] = _SCHEMA_URIS[to]
+    return schema

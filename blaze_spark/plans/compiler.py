@@ -35,7 +35,10 @@ from blaze_spark.plans.rewrite import rewrite
 
 PLAN_VERSION = 1
 
-_LEGACY = ("draft4", "draft6", "draft7")
+_LEGACY = ("draft3", "draft4", "draft6", "draft7")
+# dialects where `type: integer` is strict (1.0 fails) and exclusive
+# bounds are boolean modifiers of minimum/maximum
+_STRICT_INT = ("draft3", "draft4")
 
 # keywords the compiler consumes; everything else becomes an annotation
 # in exhaustive mode (reference collects unknown keywords as annotations,
@@ -44,6 +47,7 @@ _KNOWN_KEYWORDS = {
     "$schema", "$id", "id", "$ref", "$dynamicRef", "$recursiveRef",
     "$anchor", "$dynamicAnchor", "$recursiveAnchor", "$defs", "definitions",
     "$vocabulary", "$comment",
+    "disallow", "extends", "divisibleBy",  # draft-3
     "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
     "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
     "format", "minItems", "maxItems", "uniqueItems", "minProperties",
@@ -128,8 +132,7 @@ def compile_schema(
         schema = rewrite(schema)
     dialect = dialect_of(schema, default_dialect)
     vocab_validation = True
-    if isinstance(schema, dict) and isinstance(schema.get("$schema"), str) \
-            and resolver is not None:
+    if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):
         from blaze_spark.plans.frame import DIALECT_URIS
 
         ms_uri = schema["$schema"]
@@ -138,8 +141,18 @@ def compile_schema(
             # custom metaschema: honor its $vocabulary — with the
             # validation vocabulary absent, validation keywords become
             # inert (suite: vocabulary.json; reference gates keyword
-            # compilers per vocabulary, default_compiler.cc:56-61)
-            ms = resolver(ms_uri)
+            # compilers per vocabulary, default_compiler.cc:56-61).
+            # The metaschema may be EMBEDDED in the document itself as a
+            # $defs resource (reference corpus:
+            # embedded_custom_metaschema_vocabulary_subset)
+            ms = None
+            if resolver is not None:
+                try:
+                    ms = resolver(ms_uri)
+                except Exception:
+                    ms = None
+            if ms is None:
+                ms = _find_embedded_resource(schema, ms_uri)
             if isinstance(ms, dict):
                 dialect = dialect_of(ms, dialect)
                 vocab = ms.get("$vocabulary")
@@ -178,6 +191,24 @@ def compile_schema(
         "target_base": ctx.target_base,
         "dynamic_labels": dynamic_labels,
     })
+
+
+def _find_embedded_resource(doc: Any, uri: str) -> Optional[dict]:
+    """Locate a schema resource embedded in ``doc`` whose absolute $id
+    equals ``uri`` (used for self-hosted custom metaschemas)."""
+    if isinstance(doc, dict):
+        if doc.get("$id") == uri or doc.get("id") == uri:
+            return doc
+        for v in doc.values():
+            found = _find_embedded_resource(v, uri)
+            if found is not None:
+                return found
+    elif isinstance(doc, list):
+        for v in doc:
+            found = _find_embedded_resource(v, uri)
+            if found is not None:
+                return found
+    return None
 
 
 def _target_for(sub: Any, base: str, ctx: _Ctx) -> int:
@@ -271,9 +302,49 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
     # --- type / const / enum ---------------------------------------------
     if "type" in schema and ctx.vocab_validation:
         types = _type_list(schema["type"])
-        out.append(_instr("type", _kloc(kp, "type"),
-                          {"types": types,
-                           "strict": dialect == "draft4"}))
+        if dialect == "draft3" and (
+                "any" in [t for t in types if isinstance(t, str)]
+                or any(not isinstance(t, str) for t in types)):
+            # draft-3 type unions admit "any" and inline schema branches
+            # (reference: default_compiler_draft3.h
+            # compiler_draft3_validation_type)
+            if "any" not in types:
+                strings = [t for t in types if isinstance(t, str)]
+                programs = [
+                    _compile_subschema(t, base, dialect,
+                                       _kloc(kp, "type", i), ctx)
+                    for i, t in enumerate(types) if not isinstance(t, str)
+                ]
+                out.append(_instr("type_union", _kloc(kp, "type"),
+                                  {"types": strings}, programs=programs))
+        else:
+            out.append(_instr("type", _kloc(kp, "type"),
+                              {"types": types,
+                               "strict": dialect in _STRICT_INT}))
+    if dialect == "draft3" and "disallow" in schema and ctx.vocab_validation:
+        # draft-3 `disallow`: fails when the instance matches ANY entry
+        # of the (type-name | schema) union (reference:
+        # default_compiler_draft3.h:2299 AssertionNotTypeStrictAny)
+        entries = _type_list(schema["disallow"])
+        strings = [t for t in entries if isinstance(t, str)]
+        programs = [
+            _compile_subschema(t, base, dialect, _kloc(kp, "disallow", i), ctx)
+            for i, t in enumerate(entries) if not isinstance(t, str)
+        ]
+        out.append(_instr("disallow", _kloc(kp, "disallow"),
+                          {"types": strings}, programs=programs))
+    if dialect == "draft3" and "extends" in schema:
+        # draft-3 `extends`: conjunction of one schema or a list of them
+        # (reference: compiler_draft3_applicator_extends)
+        ext = schema["extends"]
+        ext_list = ext if isinstance(ext, list) else [ext]
+        programs = [
+            _compile_subschema(sub, base, dialect, _kloc(kp, "extends", i)
+                               if isinstance(ext, list)
+                               else _kloc(kp, "extends"), ctx)
+            for i, sub in enumerate(ext_list)
+        ]
+        out.append(_instr("all_of", _kloc(kp, "extends"), programs=programs))
     if "const" in schema and ctx.vocab_validation:
         # compiled in every dialect: the rewrite pass canonicalizes
         # single-value enums to const, including for draft4 schemas
@@ -287,17 +358,17 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
     # --- scalar assertions ------------------------------------------------
     if _num(schema.get("minimum")):
         lo = schema["minimum"]
-        if dialect == "draft4" and schema.get("exclusiveMinimum") is True:
+        if dialect in _STRICT_INT and schema.get("exclusiveMinimum") is True:
             out.append(_instr("exclusive_minimum", _kloc(kp, "minimum"), {"bound": lo}))
         else:
             out.append(_instr("minimum", _kloc(kp, "minimum"), {"bound": lo}))
     if _num(schema.get("maximum")):
         hi = schema["maximum"]
-        if dialect == "draft4" and schema.get("exclusiveMaximum") is True:
+        if dialect in _STRICT_INT and schema.get("exclusiveMaximum") is True:
             out.append(_instr("exclusive_maximum", _kloc(kp, "maximum"), {"bound": hi}))
         else:
             out.append(_instr("maximum", _kloc(kp, "maximum"), {"bound": hi}))
-    if dialect != "draft4":
+    if dialect not in _STRICT_INT:
         if _num(schema.get("exclusiveMinimum")):
             out.append(_instr("exclusive_minimum", _kloc(kp, "exclusiveMinimum"),
                               {"bound": schema["exclusiveMinimum"]}))
@@ -307,6 +378,12 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
     if _num(schema.get("multipleOf")) and schema["multipleOf"] > 0:
         out.append(_instr("multiple_of", _kloc(kp, "multipleOf"),
                           {"divisor": schema["multipleOf"]}))
+    if dialect == "draft3" and _num(schema.get("divisibleBy")) \
+            and schema["divisibleBy"] > 0:
+        # draft-3 name for multipleOf (reference:
+        # compiler_draft3_validation_divisibleby)
+        out.append(_instr("multiple_of", _kloc(kp, "divisibleBy"),
+                          {"divisor": schema["divisibleBy"]}))
     if _size(schema.get("minLength")) is not None:
         out.append(_instr("min_length", _kloc(kp, "minLength"),
                           {"bound": _size(schema["minLength"])}))
@@ -340,15 +417,28 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
                           {"bound": _size(schema["maxItems"])}))
     if schema.get("uniqueItems") is True:
         out.append(_instr("unique_items", _kloc(kp, "uniqueItems")))
-    if _size(schema.get("minProperties")) is not None:
+    if _size(schema.get("minProperties")) is not None and dialect != "draft3":
         out.append(_instr("min_properties", _kloc(kp, "minProperties"),
                           {"bound": _size(schema["minProperties"])}))
-    if _size(schema.get("maxProperties")) is not None:
+    if _size(schema.get("maxProperties")) is not None and dialect != "draft3":
         out.append(_instr("max_properties", _kloc(kp, "maxProperties"),
                           {"bound": _size(schema["maxProperties"])}))
 
     # --- required / dependencies -----------------------------------------
-    if isinstance(schema.get("required"), list) and schema["required"]:
+    if dialect == "draft3" and isinstance(schema.get("properties"), dict):
+        # draft-3 `required` is a BOOLEAN inside each property subschema
+        # (reference: compiler_draft3_applicator_properties emits the
+        # Defines assertion from the parent)
+        for name, sub in schema["properties"].items():
+            # a $ref sibling replaces `required` too (draft-3 $ref
+            # replaces ALL siblings; corpus: required_sibling_to_ref)
+            if isinstance(sub, dict) and sub.get("required") is True \
+                    and "$ref" not in sub:
+                out.append(_instr(
+                    "required", _kloc(kp, "properties", name, "required"),
+                    {"names": [name]}))
+    if isinstance(schema.get("required"), list) and schema["required"] \
+            and dialect != "draft3":
         # one instruction per property (AssertionDefines shape) so the
         # Column tier and the interpreter emit identical violation rows;
         # the reference's fused DefinesAll is an interpreter-only
@@ -417,7 +507,7 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
                           _kloc(kp, "additionalProperties"),
                           {"names": prop_names, "patterns": pattern_list},
                           program=program))
-    if "propertyNames" in schema and dialect != "draft4":
+    if "propertyNames" in schema and dialect not in ("draft3", "draft4"):
         out.append(_instr("property_names", _kloc(kp, "propertyNames"),
                           program=_compile_subschema(
                               schema["propertyNames"], base, dialect,
@@ -466,7 +556,7 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
             out.append(_instr("items_all", _kloc(kp, "items"), {"from": 0},
                               program=_compile_subschema(
                                   items, base, dialect, _kloc(kp, "items"), ctx)))
-    if "contains" in schema and dialect not in ("draft4",):
+    if "contains" in schema and dialect not in ("draft3", "draft4"):
         minimum = 1
         maximum = None
         if dialect in ("2019-09", "2020-12"):
@@ -475,24 +565,28 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
             if _size(schema.get("maxContains")) is not None:
                 maximum = _size(schema["maxContains"])
         out.append(_instr("contains", _kloc(kp, "contains"),
-                          {"min": minimum, "max": maximum},
+                          # "mark": matched items count as evaluated for
+                          # unevaluatedItems — a 2020-12 behavior only
+                          {"min": minimum, "max": maximum,
+                           "mark": dialect == "2020-12"},
                           program=_compile_subschema(
                               schema["contains"], base, dialect,
                               _kloc(kp, "contains"), ctx)))
 
-    # --- combinators ---------------------------------------------------------
+    # --- combinators (draft-4+: draft-3 composes via `extends` only) ----------
     for kw, op in (("allOf", "all_of"), ("anyOf", "any_of"), ("oneOf", "one_of")):
-        if isinstance(schema.get(kw), list) and schema[kw]:
+        if isinstance(schema.get(kw), list) and schema[kw] \
+                and dialect != "draft3":
             programs = [
                 _compile_subschema(sub, base, dialect, _kloc(kp, kw, i), ctx)
                 for i, sub in enumerate(schema[kw])
             ]
             out.append(_instr(op, _kloc(kp, kw), programs=programs))
-    if "not" in schema:
+    if "not" in schema and dialect != "draft3":
         out.append(_instr("not", _kloc(kp, "not"),
                           program=_compile_subschema(
                               schema["not"], base, dialect, _kloc(kp, "not"), ctx)))
-    if "if" in schema and dialect not in ("draft4", "draft6"):
+    if "if" in schema and dialect not in ("draft3", "draft4", "draft6"):
         cond = _compile_subschema(schema["if"], base, dialect, _kloc(kp, "if"), ctx)
         then_p = (_compile_subschema(schema["then"], base, dialect,
                                      _kloc(kp, "then"), ctx)

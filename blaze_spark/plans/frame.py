@@ -56,14 +56,15 @@ _SINGLE_SCHEMA = {
 }
 
 DIALECT_URIS = {
+    "http://json-schema.org/draft-03/schema#": "draft3",
     "http://json-schema.org/draft-04/schema#": "draft4",
     "http://json-schema.org/draft-06/schema#": "draft6",
     "http://json-schema.org/draft-07/schema#": "draft7",
     "https://json-schema.org/draft/2019-09/schema": "2019-09",
     "https://json-schema.org/draft/2020-12/schema": "2020-12",
 }
-ID_KEYWORD = {"draft4": "id", "draft6": "$id", "draft7": "$id",
-              "2019-09": "$id", "2020-12": "$id"}
+ID_KEYWORD = {"draft3": "id", "draft4": "id", "draft6": "$id",
+              "draft7": "$id", "2019-09": "$id", "2020-12": "$id"}
 
 
 def dialect_of(schema: Any, default: str) -> str:
@@ -117,7 +118,12 @@ class Frame:
             if not uri or uri == base:
                 return base
         if uri:
-            self.resources[uri] = schema
+            if uri == base:
+                # `$id: "#"` / self-referential id: the enclosing resource
+                # is already registered — re-registering would clobber it
+                # with this subschema (reference corpus: id_hash_nested)
+                return base
+            self.resources.setdefault(uri, schema)
             return uri
         return base
 

@@ -158,8 +158,11 @@ def _rule_allof_true_prune(s: dict) -> bool:
 
 
 def _rule_not_false(s: dict) -> bool:
-    """not: false → always true, drop (reference: not_false.h)."""
-    if s.get("not") is False or s.get("not") == {"not": {}}:
+    """not: false (or not of any unsatisfiable schema, e.g. the empty
+    enum other rules normalize to) → always true, drop
+    (reference: not_false.h)."""
+    v = s.get("not")
+    if v is False or v == {"not": {}} or v == {"enum": []}:
         del s["not"]
         return True
     return False
@@ -310,7 +313,480 @@ def _rule_empty_applicators(s: dict) -> bool:
     return changed
 
 
+def _is_num(v: Any) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _rule_duplicate_required_values(s: dict) -> bool:
+    """dedupe required (reference: duplicate_required_values.h)."""
+    v = s.get("required")
+    if isinstance(v, list) and len(set(map(str, v))) != len(v):
+        seen, out = set(), []
+        for name in v:
+            if name not in seen:
+                seen.add(name)
+                out.append(name)
+        s["required"] = out
+        return True
+    return False
+
+
+def _rule_duplicate_anyof_branches(s: dict) -> bool:
+    """identical anyOf branches deduplicate (reference:
+    duplicate_anyof_branches.h). oneOf is NOT deduplicated — two equal
+    passing branches make oneOf fail, so dedup would change semantics."""
+    v = s.get("anyOf")
+    if not isinstance(v, list) or len(v) < 2:
+        return False
+    seen, out = set(), []
+    for b in v:
+        key = repr(b)
+        if key not in seen:
+            seen.add(key)
+            out.append(b)
+    if len(out) != len(v):
+        s["anyOf"] = out
+        return True
+    return False
+
+
+def _rule_then_else_without_if(s: dict) -> bool:
+    """then/else without if are dead applicators (reference:
+    then_without_if.h, else_without_if.h). No unevaluated* guard
+    needed: a dangling then/else never EVALUATES, so dropping it is
+    annotation-safe by construction."""
+    changed = False
+    if "if" not in s:
+        for kw in ("then", "else"):
+            if kw in s:
+                del s[kw]
+                changed = True
+    return changed
+
+
+def _rule_if_without_then_else(s: dict) -> bool:
+    """if with neither then nor else asserts nothing (reference:
+    if_without_then_else.h) — but its subschema still EMITS annotations
+    that unevaluated* can see, so only drop when the document doesn't
+    track them."""
+    if "if" in s and "then" not in s and "else" not in s \
+            and not _CTX["has_unevaluated"]:
+        del s["if"]
+        return True
+    return False
+
+
+def _rule_contains_bounds_without_contains(s: dict) -> bool:
+    """minContains/maxContains without contains are inert (reference:
+    min_contains_without_contains.h, max_contains_without_contains.h)."""
+    changed = False
+    if "contains" not in s:
+        for kw in ("minContains", "maxContains"):
+            if kw in s:
+                del s[kw]
+                changed = True
+    return changed
+
+
+def _rule_real_bounds_for_integer(s: dict) -> bool:
+    """type integer + non-integral real bounds tighten to integers
+    (reference: maximum_real_for_integer.h, minimum_real_for_integer.h):
+    maximum 3.5 → 3, minimum 3.5 → 4."""
+    import math
+
+    if s.get("type") != "integer":
+        return False
+    changed = False
+    hi = s.get("maximum")
+    if _is_num(hi) and isinstance(hi, float) and not is_integral(hi):
+        s["maximum"] = math.floor(hi)
+        changed = True
+    lo = s.get("minimum")
+    if _is_num(lo) and isinstance(lo, float) and not is_integral(lo):
+        s["minimum"] = math.ceil(lo)
+        changed = True
+    return changed
+
+
+def _rule_exclusive_bounds_false_drop(s: dict) -> bool:
+    """draft-4 boolean exclusiveMinimum/Maximum: false is the default →
+    drop; true without its base keyword asserts nothing → drop
+    (reference: exclusive_bounds_false_drop.h)."""
+    changed = False
+    for exc, base in (("exclusiveMinimum", "minimum"),
+                      ("exclusiveMaximum", "maximum")):
+        v = s.get(exc)
+        if v is False or (v is True and base not in s):
+            del s[exc]
+            changed = True
+    return changed
+
+
+def _rule_single_type_array(s: dict) -> bool:
+    """type: ["integer"] → type: "integer" (reference:
+    single_type_array.h)."""
+    v = s.get("type")
+    if isinstance(v, list) and len(v) == 1 and isinstance(v[0], str):
+        s["type"] = v[0]
+        return True
+    return False
+
+
+def _rule_duplicate_type_entries(s: dict) -> bool:
+    """type: ["string", "string", "null"] → deduped; also `integer` is
+    subsumed by a sibling `number` (reference: duplicate_allof_branches
+    family; number⊃integer per spec)."""
+    v = s.get("type")
+    if not isinstance(v, list):
+        return False
+    out: List[str] = []
+    for t in v:
+        if t not in out:
+            out.append(t)
+    if "number" in out and "integer" in out:
+        out.remove("integer")
+    if out != v:
+        s["type"] = out
+        return True
+    return False
+
+
+def _rule_content_schema_without_media_type(s: dict) -> bool:
+    """contentSchema without contentMediaType is ignored per spec
+    (reference: content_schema_without_media_type.h)."""
+    if "contentSchema" in s and "contentMediaType" not in s:
+        del s["contentSchema"]
+        return True
+    return False
+
+
+_TYPE_SPECIFIC = {
+    "minLength": {"string"}, "maxLength": {"string"}, "pattern": {"string"},
+    "contentEncoding": {"string"}, "contentMediaType": {"string"},
+    "contentSchema": {"string"},
+    "minimum": {"number", "integer"}, "maximum": {"number", "integer"},
+    "exclusiveMinimum": {"number", "integer"},
+    "exclusiveMaximum": {"number", "integer"},
+    "multipleOf": {"number", "integer"},
+    "minItems": {"array"}, "maxItems": {"array"}, "uniqueItems": {"array"},
+    "minContains": {"array"}, "maxContains": {"array"},
+    "minProperties": {"object"}, "maxProperties": {"object"},
+    "required": {"object"}, "dependentRequired": {"object"},
+}
+# applicators additionally produce annotations → only droppable when the
+# document has no unevaluated*
+_TYPE_SPECIFIC_APPLICATORS = {
+    "items": {"array"}, "prefixItems": {"array"}, "additionalItems": {"array"},
+    "contains": {"array"}, "unevaluatedItems": {"array"},
+    "properties": {"object"}, "patternProperties": {"object"},
+    "additionalProperties": {"object"}, "propertyNames": {"object"},
+    "dependentSchemas": {"object"}, "dependencies": {"object"},
+    "unevaluatedProperties": {"object"},
+}
+
+
+def _rule_non_applicable_type_specific_keywords(s: dict) -> bool:
+    """`type` pins the instance type → keywords specific to OTHER types
+    can never fire and are dropped (reference:
+    non_applicable_type_specific_keywords.h). draft-4 keeps boolean
+    exclusive bounds paired with their base keyword either way."""
+    t = s.get("type")
+    types = {t} if isinstance(t, str) else set(t) if isinstance(t, list) else None
+    if not types or not all(isinstance(x, str) for x in types):
+        return False
+    if "integer" in types:
+        types = types | {"number"}  # numeric keywords apply to integers
+    if "number" in types:
+        types = types | {"integer"}
+    changed = False
+    for kw, applies in _TYPE_SPECIFIC.items():
+        if kw in s and not (applies & types) and not isinstance(s[kw], bool):
+            del s[kw]
+            changed = True
+    if not _CTX["has_unevaluated"]:
+        for kw, applies in _TYPE_SPECIFIC_APPLICATORS.items():
+            if kw in s and not (applies & types):
+                del s[kw]
+                changed = True
+    return changed
+
+
+def _rule_enum_const_with_type(s: dict) -> bool:
+    """`type` alongside enum/const whose values all already match the
+    type is redundant (reference: enum_with_type.h, const_with_type.h).
+    Runs after _rule_unsatisfiable_type_and_enum has filtered enum."""
+    from blaze_spark.plans.jsonvals import matches_type
+
+    t = s.get("type")
+    if not isinstance(t, str) or t == "integer":
+        # draft-4 `type: integer` is STRICT (1.0 fails) while enum/const
+        # equality is canonical (1.0 == 1) — dropping the type there
+        # would admit reals; the rewriter is dialect-agnostic, so skip
+        return False
+    if isinstance(s.get("enum"), list) and s["enum"] \
+            and all(matches_type(v, t) for v in s["enum"]):
+        del s["type"]
+        return True
+    if "const" in s and matches_type(s["const"], t):
+        del s["type"]
+        return True
+    return False
+
+
+def _rule_anyof_true_simplify(s: dict) -> bool:
+    """anyOf with a true/{} branch always passes → drop the whole anyOf
+    (reference: anyof_true_simplify.h). anyOf branches annotate, so
+    guard on unevaluated tracking."""
+    v = s.get("anyOf")
+    if isinstance(v, list) and any(b is True or b == {} for b in v) \
+            and not _CTX["has_unevaluated"]:
+        del s["anyOf"]
+        return True
+    return False
+
+
+def _rule_oneof_false_simplify(s: dict) -> bool:
+    """false branches of oneOf never match → dropping them preserves the
+    exactly-one count (reference: oneof_false_simplify.h)."""
+    v = s.get("oneOf")
+    if isinstance(v, list) and len(v) > 1:
+        out = [b for b in v if b is not False]
+        if out and len(out) != len(v):
+            s["oneOf"] = out
+            return True
+    return False
+
+
+def _rule_combinator_all_false(s: dict) -> bool:
+    """allOf with any false branch / anyOf with ALL false branches /
+    oneOf with all false branches → the schema is unsatisfiable
+    (reference: allof_false_simplify.h, anyof_false_simplify.h,
+    oneof_false_simplify.h)."""
+    unsat = False
+    v = s.get("allOf")
+    if isinstance(v, list) and any(b is False for b in v):
+        unsat = True
+    for kw in ("anyOf", "oneOf"):
+        v = s.get(kw)
+        if isinstance(v, list) and v and all(b is False for b in v):
+            unsat = True
+    if unsat and s.get("enum") != []:
+        s.clear()
+        s["enum"] = []
+        return True
+    return False
+
+
+def _rule_not_true(s: dict) -> bool:
+    """not: true (or not: {}) never validates → unsatisfiable schema
+    (reference: not_false.h dual; unsatisfiable_* family)."""
+    if (s.get("not") is True or s.get("not") == {}) and s.get("enum") != []:
+        s.clear()
+        s["enum"] = []
+        return True
+    return False
+
+
+def _rule_double_negation_elimination(s: dict) -> bool:
+    """not: {not: X} → hoist X when X's keywords are independent
+    assertions that don't collide with siblings (reference:
+    double_negation_elimination.h). not() discards annotations either
+    way, so hoisting pure assertions is annotation-safe."""
+    v = s.get("not")
+    if not (isinstance(v, dict) and set(v) == {"not"}):
+        return False
+    inner = v["not"]
+    if inner is True or inner == {}:
+        del s["not"]  # not(not(true)) = true
+        return True
+    if inner is False:
+        if s.get("enum") != []:
+            s.clear()
+            s["enum"] = []
+            return True
+        return False
+    if isinstance(inner, dict) and set(inner) <= _HOIST_SAFE \
+            and not (set(inner) & set(s)):
+        del s["not"]
+        s.update(copy.deepcopy(inner))
+        return True
+    return False
+
+
+def _rule_exclusive_and_plain_bounds(s: dict) -> bool:
+    """numeric exclusiveMaximum ≤ maximum makes maximum redundant
+    (x < em ≤ m ⇒ x ≤ m); mirror for minima (reference:
+    exclusive_maximum_number_and_maximum.h,
+    exclusive_minimum_number_and_minimum.h). The opposite direction
+    (plain bound stricter) lives in _rule_redundant_exclusive_bounds."""
+    changed = False
+    em, m = s.get("exclusiveMaximum"), s.get("maximum")
+    if _is_num(em) and _is_num(m) and em <= m:
+        del s["maximum"]
+        changed = True
+    en, n = s.get("exclusiveMinimum"), s.get("minimum")
+    if _is_num(en) and _is_num(n) and en >= n:
+        del s["minimum"]
+        changed = True
+    return changed
+
+
+def _rule_dependency_tautologies(s: dict) -> bool:
+    """a property requiring itself is a tautology; empty dependency
+    arrays and empty dependency maps are inert (reference:
+    dependent_required_tautology.h, dependencies_property_tautology.h,
+    empty_dependent_required_drop.h, empty_dependencies_drop.h)."""
+    changed = False
+    for kw in ("dependentRequired", "dependencies"):
+        deps = s.get(kw)
+        if not isinstance(deps, dict):
+            continue
+        for name in list(deps):
+            v = deps[name]
+            if isinstance(v, list):
+                if name in v:
+                    deps[name] = [x for x in v if x != name]
+                    changed = True
+                if deps[name] == []:
+                    del deps[name]
+                    changed = True
+        if deps == {}:
+            del s[kw]
+            changed = True
+    if s.get("dependentSchemas") == {}:
+        del s["dependentSchemas"]
+        changed = True
+    return changed
+
+
+def _rule_max_contains_covered_by_max_items(s: dict) -> bool:
+    """maxContains ≥ maxItems can never be exceeded (reference:
+    max_contains_covered_by_max_items.h)."""
+    mc, mi = s.get("maxContains"), s.get("maxItems")
+    if isinstance(mc, int) and isinstance(mi, int) \
+            and not isinstance(mc, bool) and not isinstance(mi, bool) \
+            and mc >= mi and "contains" in s:
+        del s["maxContains"]
+        return True
+    return False
+
+
+def _rule_unsatisfiable_size_bounds(s: dict) -> bool:
+    """min > max for length/items/properties with the matching pinned
+    type is unsatisfiable (reference: unsatisfiable_min_properties.h
+    family)."""
+    pairs = (("minLength", "maxLength", "string"),
+             ("minItems", "maxItems", "array"),
+             ("minProperties", "maxProperties", "object"))
+    for lo_kw, hi_kw, t in pairs:
+        lo, hi = s.get(lo_kw), s.get(hi_kw)
+        if isinstance(lo, int) and isinstance(hi, int) \
+                and not isinstance(lo, bool) and not isinstance(hi, bool) \
+                and lo > hi and s.get("type") == t and s.get("enum") != []:
+            s.clear()
+            s["enum"] = []
+            return True
+    # required demands more properties than maxProperties allows
+    req, mx = s.get("required"), s.get("maxProperties")
+    if isinstance(req, list) and isinstance(mx, int) \
+            and not isinstance(mx, bool) and len(set(map(str, req))) > mx \
+            and s.get("type") == "object" and s.get("enum") != []:
+        s.clear()
+        s["enum"] = []
+        return True
+    return False
+
+
+def _rule_property_names_type_default(s: dict) -> bool:
+    """propertyNames: {type: string} is vacuous — property names are
+    strings by construction (reference: property_names_type_default.h)."""
+    if s.get("propertyNames") in ({"type": "string"}, True, {}):
+        if "propertyNames" in s:
+            del s["propertyNames"]
+            return True
+    return False
+
+
+def _rule_boolean_true_applicators(s: dict) -> bool:
+    """items/additionalProperties/additionalItems of true/{} assert
+    nothing (reference: items_schema_default.h, properties_default.h
+    family) — but they EVALUATE, so only droppable without
+    unevaluated* tracking."""
+    if _CTX["has_unevaluated"]:
+        return False
+    changed = False
+    for kw in ("items", "additionalProperties", "additionalItems"):
+        if s.get(kw) is True or s.get(kw) == {}:
+            del s[kw]
+            changed = True
+    return changed
+
+
+def _rule_orphan_definitions(s: dict) -> bool:
+    """$defs/definitions in a reference-free document are dead weight
+    (reference: orphan_definitions.h — that rule frames to find unused
+    entries; here rewrite() only ever runs on documents with no $ref /
+    $dynamicRef / $recursiveRef at all, so every ANONYMOUS entry is
+    orphaned). Entries that declare an $id stay: they are addressable
+    resources — e.g. an embedded metaschema the document's $schema
+    points at."""
+    changed = False
+    for kw in ("$defs", "definitions"):
+        defs = s.get(kw)
+        if not isinstance(defs, dict):
+            continue
+        for name in list(defs):
+            sub = defs[name]
+            if not (isinstance(sub, dict) and ("$id" in sub or "id" in sub)):
+                del defs[name]
+                changed = True
+        if defs == {}:
+            del s[kw]
+            changed = True
+    return changed
+
+
+def _rule_unnecessary_allof_wrapper(s: dict) -> bool:
+    """empty-schema object with only allOf of one subschema object at
+    the top: {allOf: [X]} where s has nothing else → replace s by X
+    (reference: unnecessary_allof_wrapper.h). Subsumes nested single
+    wrapping that _rule_single_branch_combinators' hoist-safety guard
+    declines."""
+    if set(s) == {"allOf"} and isinstance(s["allOf"], list) \
+            and len(s["allOf"]) == 1 and isinstance(s["allOf"][0], dict):
+        inner = copy.deepcopy(s["allOf"][0])
+        s.clear()
+        s.update(inner)
+        return True
+    return False
+
+
 RULES: List[Rule] = [
+    _rule_duplicate_required_values,
+    _rule_duplicate_anyof_branches,
+    _rule_then_else_without_if,
+    _rule_if_without_then_else,
+    _rule_contains_bounds_without_contains,
+    _rule_real_bounds_for_integer,
+    _rule_exclusive_bounds_false_drop,
+    _rule_single_type_array,
+    _rule_duplicate_type_entries,
+    _rule_content_schema_without_media_type,
+    _rule_non_applicable_type_specific_keywords,
+    _rule_enum_const_with_type,
+    _rule_anyof_true_simplify,
+    _rule_oneof_false_simplify,
+    _rule_combinator_all_false,
+    _rule_not_true,
+    _rule_double_negation_elimination,
+    _rule_exclusive_and_plain_bounds,
+    _rule_dependency_tautologies,
+    _rule_max_contains_covered_by_max_items,
+    _rule_unsatisfiable_size_bounds,
+    _rule_property_names_type_default,
+    _rule_boolean_true_applicators,
+    _rule_orphan_definitions,
+    _rule_unnecessary_allof_wrapper,
     _rule_drop_vacuous_minimums,
     _rule_multiple_of_one_integer,
     _rule_unsatisfiable_bounds,
@@ -384,6 +860,11 @@ def rewrite(schema: Any, max_iterations: int = 10) -> Any:
     schema = copy.deepcopy(schema)
     if not isinstance(schema, dict):
         return schema
+    if isinstance(schema.get("$schema"), str) \
+            and "draft-03" in schema["$schema"]:
+        # draft-3 ignores modern combinator keywords entirely; hoisting
+        # rules would promote their contents into enforced positions
+        return schema
     blob = repr(schema)
     # any reference keyword: JSON-pointer refs into rewritten locations
     # (e.g. #/anyOf/0) would dangle after a structural rewrite, so leave
@@ -391,6 +872,7 @@ def rewrite(schema: Any, max_iterations: int = 10) -> Any:
     # we trade that complexity for a conservative skip).
     if "$ref" in blob or "$dynamicRef" in blob or "$recursiveRef" in blob:
         return schema
+    _CTX["has_unevaluated"] = "unevaluated" in blob
     for _ in range(max_iterations):
         schema, changed = _apply_once(schema)
         if not changed:

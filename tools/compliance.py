@@ -28,6 +28,7 @@ DIALECTS = {
 }
 
 META_DIRS = {
+    "http://json-schema.org/draft-03/schema": "/root/reference/vendor/jsonschema-draft3",
     "http://json-schema.org/draft-04/schema": "/root/reference/vendor/jsonschema-draft4",
     "http://json-schema.org/draft-06/schema": "/root/reference/vendor/jsonschema-draft6",
     "http://json-schema.org/draft-07/schema": "/root/reference/vendor/jsonschema-draft7",
