@@ -151,6 +151,10 @@ def run_benchmarks(only=None):
     bench("dedup_minhash", lambda: E.q_dedup_minhash_candidates(
         spark, SF_DIR).count())
     bench("ann_cosine_topk", lambda: E.q_ann_cosine_topk(spark, SF_DIR).count())
+    # the 100-TB scale paths: IVF-probed ANN + bucket-local embedding dedup
+    bench("ann_ivf_topk", lambda: E.q_ann_ivf_topk(spark, SF_DIR).count())
+    bench("dedup_embedding_bucketed", lambda: E.q_dedup_embedding_bucketed(
+        spark, SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
     vres = counters.get("validate_code_files") or {}

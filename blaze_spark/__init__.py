@@ -18,7 +18,16 @@ integrity, KS/PSI distribution drift) and training-data pipeline operators
 (dedup, similarity search, text analysis) live under ``operators/``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from blaze_spark.plans.compiler import compile_schema  # noqa: F401
 from blaze_spark.operators.evaluator import evaluate  # noqa: F401
+from blaze_spark.plans.alterschema import lint, upgrade  # noqa: F401
+from blaze_spark.plans.bundle import bundle  # noqa: F401
+from blaze_spark.plans.format import format_schema  # noqa: F401
+from blaze_spark.plans.codegen_sql import (  # noqa: F401
+    plan_to_sql_predicate,
+    validation_sql,
+)
+from blaze_spark.functions.trace import trace  # noqa: F401
+from blaze_spark.testsuite import run_test_suite  # noqa: F401

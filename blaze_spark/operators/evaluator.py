@@ -52,6 +52,10 @@ class Annotation(NamedTuple):
     keyword_location: str
     instance_location: str
     value: Any
+    # schema location (pointer in the source document) when known —
+    # differs from keyword_location across $ref jumps (the reference's
+    # SimpleOutput annotations carry both, annotationsuite.cc:62-90)
+    schema_location: Optional[str] = None
 
 
 class EvalResult(NamedTuple):
@@ -167,10 +171,16 @@ def _run_branch(state, program, instance, iloc, eprefix, ann):
 
 def _h_annotation(state, instr, instance, iloc, eprefix, ann):
     """AnnotationEmit (reference: evaluator_dispatch.h:1493): emit the
-    keyword value at the current instance location; never fails."""
+    keyword value at the current instance location; never fails.
+    ``when_string`` restricts emission to string instances (the
+    content-* keywords annotate only strings; official annotations
+    suite content.json)."""
     if not state.fast:
+        v = instr["value"]
+        if v.get("when_string") and not isinstance(instance, str):
+            return True, []
         state.annotations.append(Annotation(
-            eprefix + instr["kloc"], iloc, instr["value"]["value"]))
+            eprefix + instr["kloc"], iloc, v["value"], v.get("sloc")))
     return True, []
 
 
@@ -557,9 +567,14 @@ def _h_property_names(state, instr, instance, iloc, eprefix, ann):
         return True, []
     valid, violations = True, []
     for name in instance.keys():
+        # annotations produced while validating a property NAME never
+        # attach to the property VALUE's location (official annotations
+        # suite: "propertyNames doesn't annotate property values")
+        mark = len(state.annotations)
         ok, vio, _ = _run_program(
             state, instr["program"], name, iloc + ptr.to_string([name]),
             eprefix, _Ann())
+        del state.annotations[mark:]
         if not ok:
             valid = False
             violations.extend(vio)

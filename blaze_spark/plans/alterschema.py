@@ -290,15 +290,65 @@ def lint(schema: Any) -> List[Dict[str, str]]:
 # ---------------------------------------------------------------------------
 # upgrade
 
-DIALECT_ORDER = ["draft4", "draft6", "draft7", "2019-09", "2020-12"]
+DIALECT_ORDER = ["draft3", "draft4", "draft6", "draft7", "2019-09", "2020-12"]
 
 _SCHEMA_URIS = {
+    "draft3": "http://json-schema.org/draft-03/schema#",
     "draft4": "http://json-schema.org/draft-04/schema#",
     "draft6": "http://json-schema.org/draft-06/schema#",
     "draft7": "http://json-schema.org/draft-07/schema#",
     "2019-09": "https://json-schema.org/draft/2019-09/schema",
     "2020-12": "https://json-schema.org/draft/2020-12/schema",
 }
+
+
+def _step_draft3_to_draft4(s: dict) -> None:
+    """reference: upgrade/upgrade_draft_3_to_draft_4.h — extends →
+    allOf, divisibleBy → multipleOf, disallow → not(anyOf …), boolean
+    per-property required → the parent's required list, schema branches
+    in type unions → anyOf."""
+    if "extends" in s:
+        ext = s.pop("extends")
+        branches = list(ext) if isinstance(ext, list) else [ext]
+        s["allOf"] = s.get("allOf", []) + branches
+    if "divisibleBy" in s and "multipleOf" not in s:
+        s["multipleOf"] = s.pop("divisibleBy")
+    dis = s.pop("disallow", None)
+    if dis is not None:
+        entries = dis if isinstance(dis, list) else [dis]
+        branches = []
+        for e in entries:
+            if e == "any":
+                branches.append({})  # disallow any ⇒ never valid
+            elif isinstance(e, str):
+                branches.append({"type": e})
+            else:
+                branches.append(e)
+        s.setdefault("allOf", []).append(
+            {"not": {"anyOf": branches}} if len(branches) > 1
+            else {"not": branches[0]})
+    t = s.get("type")
+    if isinstance(t, list) and any(not isinstance(x, str) for x in t):
+        strings = [x for x in t if isinstance(x, str)]
+        schemas = [x for x in t if not isinstance(x, str)]
+        branches = ([{"type": strings if len(strings) > 1 else strings[0]}]
+                    if strings else []) + schemas
+        del s["type"]
+        s.setdefault("allOf", []).append({"anyOf": branches})
+    if s.get("type") == "any" or (isinstance(s.get("type"), list)
+                                  and "any" in s["type"]):
+        del s["type"]
+    props = s.get("properties")
+    if isinstance(props, dict):
+        required = []
+        for name, sub in props.items():
+            if isinstance(sub, dict) and "required" in sub \
+                    and isinstance(sub["required"], bool):
+                if sub.pop("required") and "$ref" not in sub:
+                    required.append(name)
+        if required:
+            s["required"] = sorted(set(s.get("required", []) + required)) \
+                if isinstance(s.get("required"), list) else required
 
 
 def _step_draft4_to_draft6(s: dict) -> None:
@@ -403,7 +453,9 @@ def upgrade(schema: Any, target: str = "2020-12",
         has_uneval = "unevaluatedItems" in blob
         has_ranchor = "$recursiveAnchor" in blob
         for _, sub in list(_walk(schema)):
-            if frm == "draft4":
+            if frm == "draft3":
+                _step_draft3_to_draft4(sub)
+            elif frm == "draft4":
                 _step_draft4_to_draft6(sub)
             elif frm == "draft6":
                 _step_draft6_to_draft7(sub)

@@ -1,0 +1,83 @@
+"""Bundle: inline every external reference into a self-contained schema.
+
+The analog of the reference's ``bundle()``
+(reference: src/bundle/include/sourcemeta/blaze/bundle.h:42): fetch
+every resolver-reachable schema resource (transitively) and embed each
+under ``$defs`` (``definitions`` for legacy dialects) keyed by its
+canonical URI, carrying its ``$id`` so in-document framing finds it —
+the bundled output compiles and evaluates WITHOUT a resolver, which is
+exactly what executors need (ship one JSON plan/schema, no network).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Callable, Optional, Set
+
+from blaze_spark.plans.frame import (
+    _LIST_OF_SCHEMAS,
+    _MAP_OF_SCHEMAS,
+    _SINGLE_SCHEMA,
+    Frame,
+    dialect_of,
+)
+
+
+def _force_resolve(frame: Frame, schema: Any, base: str,
+                   seen: Set[int]) -> None:
+    """Walk every subschema, resolving each reference so the frame pulls
+    (and registers) every external document, transitively."""
+    if not isinstance(schema, dict) or id(schema) in seen:
+        return
+    seen.add(id(schema))
+    base = frame._register_id(schema, base, frame.dialect)
+    for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
+        ref = schema.get(kw)
+        if isinstance(ref, str):
+            try:
+                sub, sub_base = frame.resolve(ref, base)
+            except KeyError:
+                continue  # dynamic-anchor-only refs: nothing to fetch
+            _force_resolve(frame, sub, sub_base, seen)
+    for key, value in schema.items():
+        if key in _MAP_OF_SCHEMAS and isinstance(value, dict):
+            for sub in value.values():
+                _force_resolve(frame, sub, base, seen)
+        elif key in _LIST_OF_SCHEMAS and isinstance(value, list):
+            for sub in value:
+                _force_resolve(frame, sub, base, seen)
+        elif key in _SINGLE_SCHEMA and isinstance(value, (dict, bool)):
+            _force_resolve(frame, value, base, seen)
+        elif key == "items" and isinstance(value, list):
+            for sub in value:
+                _force_resolve(frame, sub, base, seen)
+        elif key == "dependencies" and isinstance(value, dict):
+            for sub in value.values():
+                if isinstance(sub, (dict, bool)):
+                    _force_resolve(frame, sub, base, seen)
+
+
+def bundle(schema: Any, *, default_dialect: str = "2020-12",
+           resolver: Optional[Callable[[str], Any]] = None) -> Any:
+    """Return a self-contained copy of ``schema`` with every external
+    resource embedded. Boolean schemas pass through; without external
+    references the output equals the input."""
+    if not isinstance(schema, dict):
+        return schema
+    schema = copy.deepcopy(schema)
+    dialect = dialect_of(schema, default_dialect)
+    frame = Frame(schema, dialect, resolver=resolver)
+    _force_resolve(frame, schema, frame.root_base, set())
+    external = sorted(frame._framed_docs)
+    if not external:
+        return schema
+    legacy = dialect in ("draft3", "draft4")
+    defs_key = "definitions" if legacy else "$defs"
+    id_key = "id" if legacy else "$id"
+    defs = schema.setdefault(defs_key, {})
+    for uri in external:
+        entry = copy.deepcopy(frame.resources[uri])
+        if isinstance(entry, dict):
+            entry.setdefault(id_key, uri)
+        defs.setdefault(uri, entry)
+    return schema

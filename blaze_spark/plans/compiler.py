@@ -57,6 +57,7 @@ _KNOWN_KEYWORDS = {
     "additionalItems", "contains", "minContains", "maxContains",
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
     "unevaluatedProperties", "unevaluatedItems",
+    "contentEncoding", "contentMediaType", "contentSchema",
 }
 
 # ops produced by the "validation" vocabulary — inert when a custom
@@ -76,6 +77,10 @@ class _Ctx:
         self.mode = mode
         self.format_assertion = format_assertion
         self.vocab_validation = True
+        # id(subschema dict) -> JSON-pointer within the source document;
+        # annotation instructions carry it so output can report the
+        # SCHEMA location across $ref jumps (annotationsuite parity)
+        self.sloc: Dict[int, str] = {}
         self.targets: List[Optional[List[dict]]] = []
         self.target_base: List[str] = []
         # (id(subschema), base) -> target index
@@ -167,6 +172,7 @@ def compile_schema(
     frame = Frame(schema, dialect, resolver=resolver)
     ctx = _Ctx(frame, mode, format_assertion)
     ctx.vocab_validation = vocab_validation
+    _map_slocs(schema, "", ctx.sloc)
     # reserve target 0 for the entry program
     ctx.targets.append(None)
     ctx.target_base.append(frame.root_base)
@@ -191,6 +197,19 @@ def compile_schema(
         "target_base": ctx.target_base,
         "dynamic_labels": dynamic_labels,
     })
+
+
+def _map_slocs(node: Any, pointer: str, out: Dict[int, str]) -> None:
+    """Record the JSON-pointer of every dict in the document by object
+    identity — annotation instructions look their schema location up
+    here (cheap: one pass, pointers shared as strings)."""
+    if isinstance(node, dict):
+        out[id(node)] = pointer
+        for k, v in node.items():
+            _map_slocs(v, pointer + ptr.to_string([k]), out)
+    elif isinstance(node, list):
+        for i, v in enumerate(node):
+            _map_slocs(v, f"{pointer}/{i}", out)
 
 
 def _find_embedded_resource(doc: Any, uri: str) -> Optional[dict]:
@@ -403,12 +422,29 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
                               _kloc(kp, "contentMediaType"),
                               {"name": schema["contentMediaType"],
                                "encoding": schema.get("contentEncoding")}))
-    if isinstance(schema.get("format"), str) and ctx.format_assertion:
-        # format is annotation-only by default (2019-09+ spec; the
-        # reference gates it behind the format_assertion tweak,
-        # compiler.h:93-106) — assertion mode is an explicit opt-in
-        out.append(_instr("format", _kloc(kp, "format"),
-                          {"name": schema["format"]}))
+    if isinstance(schema.get("format"), str):
+        if ctx.format_assertion:
+            # format is annotation-only by default (2019-09+ spec; the
+            # reference gates it behind the format_assertion tweak,
+            # compiler.h:93-106) — assertion mode is an explicit opt-in
+            out.append(_instr("format", _kloc(kp, "format"),
+                              {"name": schema["format"]}))
+        elif ctx.mode == "exhaustive":
+            out.append(_annotation_instr(
+                schema, "format", schema["format"], kp, ctx))
+    if ctx.mode == "exhaustive" and dialect in ("2019-09", "2020-12"):
+        # content-* keywords are annotations (string instances only) in
+        # modern dialects; contentSchema additionally requires
+        # contentMediaType (official annotations suite content.json)
+        for ckw in ("contentEncoding", "contentMediaType"):
+            if isinstance(schema.get(ckw), str):
+                out.append(_annotation_instr(
+                    schema, ckw, schema[ckw], kp, ctx, when_string=True))
+        if "contentSchema" in schema \
+                and isinstance(schema.get("contentMediaType"), str):
+            out.append(_annotation_instr(
+                schema, "contentSchema", schema["contentSchema"], kp, ctx,
+                when_string=True))
     if _size(schema.get("minItems")) is not None:
         out.append(_instr("min_items", _kloc(kp, "minItems"),
                           {"bound": _size(schema["minItems"])}))
@@ -619,8 +655,7 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
         # default_compiler.cc:614-636)
         for key, value in schema.items():
             if key not in _KNOWN_KEYWORDS:
-                out.append(_instr("annotation", _kloc(kp, key),
-                                  {"keyword": key, "value": value}))
+                out.append(_annotation_instr(schema, key, value, kp, ctx))
     if not ctx.vocab_validation:
         out = [i for i in out if i["op"] not in _VALIDATION_OPS]
     if base != entered_base and not is_target_root:
@@ -630,6 +665,19 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
         # inside (suite: "after leaving a dynamic scope, it is not used")
         return [_instr("scope", kp, base, program=out)]
     return out
+
+
+def _annotation_instr(schema: dict, keyword: str, value: Any, kp: str,
+                      ctx: _Ctx, when_string: bool = False) -> dict:
+    """Build an AnnotationEmit instruction carrying the keyword's schema
+    location (None for schemas fetched from external resolvers)."""
+    operand: Dict[str, Any] = {"keyword": keyword, "value": value}
+    sbase = ctx.sloc.get(id(schema))
+    if sbase is not None:
+        operand["sloc"] = sbase + ptr.to_string([keyword])
+    if when_string:
+        operand["when_string"] = True
+    return _instr("annotation", _kloc(kp, keyword), operand)
 
 
 def _compile_ref(ref: str, base: str, kloc: str, ctx: _Ctx) -> dict:

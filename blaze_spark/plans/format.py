@@ -1,0 +1,93 @@
+"""Canonical keyword-ordering formatter.
+
+The analog of the reference's ``format()``
+(reference: src/format/include/sourcemeta/blaze/format.h:4-5, rank
+table src/format/format.cc:14-125): reorder every schema object's
+keywords into the opinionated JSON-Schema-aware order — core ids first,
+metadata, references, type-agnostic assertions, then number / string /
+array / object keywords, reusable definitions last. Unknown keywords
+keep their relative order after the known ones ("x-"-prefixed ones sort
+with the metadata block); non-schema objects (const/enum/example
+values) are never touched.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+from blaze_spark.plans.alterschema import _LIST_KEYS, _MAP_KEYS, _ONE_KEYS
+
+KEYWORD_RANK = {
+    # core ids first
+    "$schema": 0, "$id": 1, "id": 2, "$vocabulary": 3, "$anchor": 4,
+    "$dynamicAnchor": 5, "$recursiveAnchor": 6,
+    # metadata
+    "title": 7, "description": 8, "$comment": 10, "examples": 11,
+    "deprecated": 12, "readOnly": 13, "writeOnly": 14, "default": 15,
+    "x-": 16,  # placeholder rank for x- prefixed metadata
+    # references
+    "$ref": 17, "$dynamicRef": 18, "$recursiveRef": 19,
+    # any type
+    "type": 20, "disallow": 21, "extends": 22, "const": 23, "enum": 24,
+    "optional": 25, "requires": 26, "allOf": 27, "anyOf": 28, "oneOf": 29,
+    "not": 30, "if": 31, "then": 32, "else": 33,
+    # numbers
+    "exclusiveMaximum": 34, "maximum": 35, "maximumCanEqual": 36,
+    "exclusiveMinimum": 37, "minimum": 38, "minimumCanEqual": 39,
+    "multipleOf": 40, "divisibleBy": 41, "maxDecimal": 42,
+    # strings
+    "pattern": 43, "format": 44, "maxLength": 45, "minLength": 46,
+    "contentEncoding": 47, "contentMediaType": 48, "contentSchema": 49,
+    # arrays
+    "maxItems": 50, "minItems": 51, "uniqueItems": 52, "maxContains": 53,
+    "minContains": 54, "contains": 55, "prefixItems": 56, "items": 57,
+    "additionalItems": 58, "unevaluatedItems": 59,
+    # objects
+    "required": 60, "maxProperties": 61, "minProperties": 62,
+    "propertyNames": 63, "properties": 64, "patternProperties": 65,
+    "additionalProperties": 66, "unevaluatedProperties": 67,
+    "dependentRequired": 68, "dependencies": 69, "dependentSchemas": 70,
+    # reusable utilities last
+    "$defs": 71, "definitions": 72,
+}
+_DEFAULT_RANK = 100  # unknown keywords after everything, original order
+
+
+def keyword_rank(keyword: str) -> int:
+    if keyword.startswith("x-"):
+        return KEYWORD_RANK["x-"]
+    return KEYWORD_RANK.get(keyword, _DEFAULT_RANK)
+
+
+def _reorder(schema: dict) -> dict:
+    items = list(schema.items())
+    items.sort(key=lambda kv: keyword_rank(kv[0]))  # stable: ties keep order
+    return dict(items)
+
+
+def _format(node: Any) -> Any:
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for key, value in _reorder(node).items():
+        if key in _MAP_KEYS and isinstance(value, dict):
+            out[key] = {name: _format(sub) for name, sub in value.items()}
+        elif key in _LIST_KEYS and isinstance(value, list):
+            out[key] = [_format(sub) for sub in value]
+        elif key in _ONE_KEYS:
+            out[key] = _format(value)
+        elif key == "items" and isinstance(value, list):
+            out[key] = [_format(sub) for sub in value]
+        elif key == "dependencies" and isinstance(value, dict):
+            out[key] = {n: _format(s) if isinstance(s, (dict, bool)) else s
+                        for n, s in value.items()}
+        else:
+            out[key] = value  # non-schema value: untouched
+    return out
+
+
+def format_schema(schema: Any) -> Any:
+    """Return a canonically keyword-ordered copy of ``schema``
+    (booleans pass through; the input is never mutated)."""
+    return _format(copy.deepcopy(schema))

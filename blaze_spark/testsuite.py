@@ -1,0 +1,92 @@
+"""Test-suite DSL runner: execute ``.json`` test files against compiled
+plans.
+
+The analog of the reference's TestSuite
+(reference: src/test/include/sourcemeta/blaze/test.h:42-71): a suite
+document names target schema(s) (by URI through the resolver, or
+inline) plus test cases ``{description, valid, data}``; each case runs
+under BOTH fast and exhaustive compiled plans, and passes only when
+both verdicts equal the expectation (the reference compiles
+schemas_fast and schemas_exhaustive the same way).
+
+Suite document shape::
+
+    {"target": "<schema uri>",        # or "targets": [...], or
+     "schema": {...inline schema...},
+     "tests": [{"description": "...", "valid": true, "data": ...}]}
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, List, NamedTuple, Optional
+
+from blaze_spark.operators.evaluator import evaluate
+from blaze_spark.plans.compiler import compile_schema
+
+
+class TestCaseResult(NamedTuple):
+    target: str
+    index: int
+    description: str
+    expected: bool
+    actual_fast: bool
+    actual_exhaustive: bool
+    wall_sec: float
+
+    @property
+    def passed(self) -> bool:
+        return self.expected == self.actual_fast == self.actual_exhaustive
+
+
+class TestSuiteResult(NamedTuple):
+    total: int
+    passed: int
+    cases: List[TestCaseResult]
+
+
+def run_test_suite(
+    suite: dict,
+    *,
+    default_dialect: str = "2020-12",
+    resolver: Optional[Callable[[str], Any]] = None,
+    callback: Optional[Callable[[TestCaseResult], None]] = None,
+) -> TestSuiteResult:
+    """Run every test case against every target; ``callback`` fires per
+    case (the reference's per-case Callback, test.h:106-110)."""
+    targets: List[tuple] = []
+    if "schema" in suite:
+        targets.append(("<inline>", suite["schema"]))
+    for uri in suite.get("targets", []) or (
+            [suite["target"]] if "target" in suite else []):
+        if resolver is None:
+            raise ValueError(f"target {uri!r} needs a resolver")
+        doc = resolver(uri)
+        if doc is None:
+            raise KeyError(f"unresolvable target {uri!r}")
+        targets.append((uri, doc))
+    if not targets:
+        raise ValueError("suite declares no schema/target(s)")
+
+    cases: List[TestCaseResult] = []
+    for name, schema in targets:
+        fast = compile_schema(schema, default_dialect=default_dialect,
+                              mode="fast", resolver=resolver)
+        exhaustive = compile_schema(schema, default_dialect=default_dialect,
+                                    mode="exhaustive", resolver=resolver)
+        for i, test in enumerate(suite.get("tests", [])):
+            t0 = time.perf_counter()
+            got_fast = evaluate(fast, test["data"]).valid
+            got_exh = evaluate(exhaustive, test["data"]).valid
+            case = TestCaseResult(
+                target=name, index=i,
+                description=test.get("description", f"case {i}"),
+                expected=bool(test["valid"]),
+                actual_fast=got_fast, actual_exhaustive=got_exh,
+                wall_sec=round(time.perf_counter() - t0, 6))
+            cases.append(case)
+            if callback is not None:
+                callback(case)
+    return TestSuiteResult(
+        total=len(cases), passed=sum(1 for c in cases if c.passed),
+        cases=cases)

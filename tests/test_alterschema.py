@@ -338,3 +338,43 @@ def test_upgrade_rejects_downgrade():
     with pytest.raises(ValueError):
         upgrade({"$schema": "https://json-schema.org/draft/2020-12/schema"},
                 target="draft7")
+
+
+def test_upgrade_draft3_to_draft4():
+    up = upgrade({"$schema": "http://json-schema.org/draft-03/schema#",
+                  "type": "object",
+                  "extends": {"maxProperties": 5},
+                  "properties": {"a": {"type": "integer", "required": True,
+                                       "divisibleBy": 2},
+                                 "b": {"required": False}},
+                  "disallow": ["array", {"maxProperties": 0}]},
+                 target="draft4")
+    assert up["$schema"] == "http://json-schema.org/draft-04/schema#"
+    assert up["required"] == ["a"]
+    assert up["properties"]["a"] == {"type": "integer", "multipleOf": 2}
+    assert {"maxProperties": 5} in up["allOf"]
+    assert {"not": {"anyOf": [{"type": "array"}, {"maxProperties": 0}]}} \
+        in up["allOf"]
+    assert "disallow" not in up and "extends" not in up
+
+
+def test_upgrade_draft3_type_union_with_schema():
+    up = upgrade({"$schema": "http://json-schema.org/draft-03/schema#",
+                  "type": ["string", {"minimum": 3}]}, target="draft4")
+    assert "type" not in up
+    assert up["allOf"] == [{"anyOf": [{"type": "string"}, {"minimum": 3}]}]
+
+
+def test_upgrade_draft3_full_chain_preserves_validation():
+    schema = {"$schema": "http://json-schema.org/draft-03/schema#",
+              "type": "object",
+              "properties": {"a": {"type": "integer", "required": True,
+                                   "minimum": 0, "exclusiveMinimum": True},
+                             "b": {"disallow": "string"}}}
+    up = upgrade(schema, target="2020-12")
+    plan_old = compile_schema(schema, default_dialect="draft3", mode="fast")
+    plan_new = compile_schema(up, mode="fast")
+    probes = [{"a": 1}, {"a": 0}, {}, {"a": 2, "b": "x"}, {"a": 2, "b": 3},
+              {"a": -1}, {"a": "x"}, 5]
+    for p in probes:
+        assert evaluate(plan_old, p).valid == evaluate(plan_new, p).valid, p

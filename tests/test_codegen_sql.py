@@ -1,0 +1,108 @@
+"""Plan → SQL codegen: the generated standalone predicate must agree
+row-for-row with the engine's own verdicts (the VERDICT r1 'done'
+criterion: generated SQL for DOCUMENTS_SCHEMA matches the
+validate_documents oracle in DuckDB)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from blaze_spark.operators.validate import validate_rows
+from blaze_spark.plans.codegen_sql import (
+    SqlUnsupported,
+    plan_to_sql_predicate,
+    validation_sql,
+)
+from blaze_spark.plans.compiler import compile_schema
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("schema,table,id_col", [
+    (E.DOCUMENTS_SCHEMA, "documents", "doc_id"),
+    (E.LINEITEM_SCHEMA, "lineitem", "l_orderkey"),
+])
+def test_generated_sql_matches_engine(spark, schema, table, id_col):
+    df = spark.read.parquet(f"{SF}/{table}.parquet")
+    plan = compile_schema(schema, mode="fast")
+    sql = validation_sql(plan, f"'{SF}/{table}.parquet'",
+                         [id_col], dict(df.dtypes))
+    con = duckdb.connect()
+    duck = con.execute(sql).df()
+
+    got = {}
+    want = {}
+    if table == "lineitem":
+        # composite natural key: aggregate per id for a stable compare
+        duck_rows = duck.groupby(id_col)["valid"].all()
+        for k, v in duck_rows.items():
+            got[k] = bool(v)
+        spark_rows = (validate_rows(df, schema)
+                      .groupBy(id_col).agg({"valid": "min"}).collect())
+        for r in spark_rows:
+            want[r[0]] = bool(r[1])
+    else:
+        for r in duck.itertuples(index=False):
+            got[r[0]] = bool(r[1])
+        for r in validate_rows(df, schema).select(id_col, "valid").collect():
+            want[r[0]] = bool(r[1])
+    assert got == want
+    assert any(not v for v in want.values())  # fixtures contain violations
+
+
+def test_generated_sql_matches_handwritten_oracle(spark):
+    """The codegen output and the hand-written driver oracle for
+    validate_documents agree on every row."""
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = compile_schema(E.DOCUMENTS_SCHEMA, mode="fast")
+    pred = plan_to_sql_predicate(plan, dict(df.dtypes))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    mismatch = con.execute(f"""
+        SELECT count(*) FROM (
+          SELECT doc_id, ({pred}) AS a,
+                 ({E.oracle_sql()['validate_documents'].split('SELECT doc_id, ')[1].rsplit(' AS valid')[0]}) AS b
+          FROM documents) WHERE a <> b""").fetchone()[0]
+    assert mismatch == 0
+
+
+def test_sql_codegen_rejects_out_of_subset():
+    plan = compile_schema({"type": "object",
+                           "properties": {"a": {"uniqueItems": True}}})
+    with pytest.raises(SqlUnsupported):
+        plan_to_sql_predicate(plan, {"a": "array<int>"})
+    plan2 = compile_schema(
+        {"$schema": "https://json-schema.org/draft/2020-12/schema",
+         "$id": "https://x/", "type": "object",
+         "properties": {"a": {"$dynamicRef": "#missing"}}},
+        apply_rewrites=False)
+    with pytest.raises(SqlUnsupported):
+        plan_to_sql_predicate(plan2, {"a": "string"})
+
+
+def test_sql_codegen_static_types_and_literals():
+    plan = compile_schema({
+        "type": "object",
+        "required": ["name"],
+        "properties": {
+            "name": {"type": "string", "minLength": 2, "pattern": "^[a-z']+$"},
+            "age": {"type": "integer", "minimum": 0, "maximum": 150},
+            "score": {"type": "number", "multipleOf": 0.5},
+        },
+    })
+    cols = {"name": "string", "age": "bigint", "score": "double"}
+    sql = validation_sql(plan, "people", ["name"], cols)
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE people AS SELECT * FROM (VALUES
+        ('bob', 30, 1.5), ('x', 20, 1.0), ('o''k', -1, 2.0),
+        (NULL, 5, 0.25), ('fine', NULL, NULL))
+        t(name, age, score)""")
+    rows = {r[0]: r[1] for r in con.execute(
+        sql.replace("FROM people", "FROM people")).fetchall()}
+    assert rows["bob"] is True
+    assert rows["x"] is False          # minLength
+    assert rows["o'k"] is False        # negative age (and quote-escaping)
+    assert rows[None] is False         # required
+    assert rows["fine"] is True        # absent optional columns pass

@@ -1,0 +1,134 @@
+"""format() / bundle() / test-suite runner — the remaining reference
+API surfaces from VERDICT r1 'What's missing' (#6, #7, #8)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from compliance import make_resolver  # noqa: E402
+
+from blaze_spark.operators.evaluator import evaluate
+from blaze_spark.plans.bundle import bundle
+from blaze_spark.plans.compiler import compile_schema
+from blaze_spark.plans.format import format_schema, keyword_rank
+from blaze_spark.testsuite import run_test_suite
+
+
+# --- format -----------------------------------------------------------------
+
+def test_format_reorders_canonically():
+    got = format_schema({
+        "minLength": 3, "type": "string", "title": "T", "$id": "https://x",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "pattern": "^a", "x-meta": 1, "$defs": {}, "default": "a",
+    })
+    assert list(got) == ["$schema", "$id", "title", "default", "x-meta",
+                         "type", "pattern", "minLength", "$defs"]
+
+
+def test_format_recurses_and_keeps_non_schema_values():
+    got = format_schema({
+        "properties": {"a": {"minimum": 1, "type": "integer"}},
+        "type": "object",
+        "const_like": {"z": 1, "a": 2},
+        "enum": [{"zz": 1, "aa": 2}],
+    })
+    assert list(got) == ["type", "enum", "properties", "const_like"]
+    assert list(got["properties"]["a"]) == ["type", "minimum"]
+    # values of non-schema keywords are untouched (original key order)
+    assert list(got["const_like"]) == ["z", "a"]
+    assert list(got["enum"][0]) == ["zz", "aa"]
+
+
+def test_format_semantics_preserved():
+    schema = {"type": "object", "required": ["a"],
+              "properties": {"a": {"minimum": 3, "type": "integer"}}}
+    plan_a = compile_schema(schema)
+    plan_b = compile_schema(format_schema(schema))
+    for inst in [{"a": 5}, {"a": 1}, {}, {"a": "x"}]:
+        assert evaluate(plan_a, inst).valid == evaluate(plan_b, inst).valid
+
+
+def test_keyword_rank_x_prefix_and_unknown():
+    assert keyword_rank("x-anything") < keyword_rank("type")
+    assert keyword_rank("totallyUnknown") > keyword_rank("definitions")
+
+
+# --- bundle -----------------------------------------------------------------
+
+def test_bundle_inlines_remote_refs():
+    resolver = make_resolver("draft2020-12")
+    schema = {"$schema": "https://json-schema.org/draft/2020-12/schema",
+              "$id": "https://example.com/root",
+              "$ref": "http://localhost:1234/integer.json"}
+    bundled = bundle(schema, resolver=resolver)
+    assert "http://localhost:1234/integer.json" in bundled["$defs"]
+    # compiles and validates with NO resolver
+    plan = compile_schema(bundled, apply_rewrites=False)
+    assert evaluate(plan, 5).valid is True
+    assert evaluate(plan, "x").valid is False
+    # parity with the resolver-backed original
+    plan_orig = compile_schema(schema, resolver=resolver,
+                               apply_rewrites=False)
+    for inst in [5, 1.5, "x", None]:
+        assert evaluate(plan, inst).valid == evaluate(plan_orig, inst).valid
+
+
+def test_bundle_transitive_refs():
+    resolver = make_resolver("draft2020-12")
+    # subSchemas.json holds a $ref into itself (refToInteger → integer)
+    schema = {"$schema": "https://json-schema.org/draft/2020-12/schema",
+              "$id": "https://example.com/r2",
+              "properties": {
+                  "n": {"$ref": "http://localhost:1234/draft2020-12/"
+                                "subSchemas.json#/$defs/refToInteger"}}}
+    bundled = bundle(schema, resolver=resolver)
+    plan = compile_schema(bundled, apply_rewrites=False)
+    assert evaluate(plan, {"n": 3}).valid
+    assert not evaluate(plan, {"n": "x"}).valid
+
+
+def test_bundle_no_external_refs_is_identity():
+    schema = {"type": "object",
+              "$defs": {"a": {"type": "integer"}},
+              "properties": {"x": {"$ref": "#/$defs/a"}}}
+    assert bundle(schema) == schema
+
+
+# --- test-suite DSL runner ----------------------------------------------------
+
+def test_suite_runner_inline_schema():
+    suite = {
+        "schema": {"type": "integer", "minimum": 3},
+        "tests": [
+            {"description": "ok", "valid": True, "data": 5},
+            {"description": "too small", "valid": False, "data": 1},
+            {"description": "wrong type", "valid": False, "data": "x"},
+        ],
+    }
+    seen = []
+    result = run_test_suite(suite, callback=seen.append)
+    assert result.total == 3 and result.passed == 3
+    assert len(seen) == 3 and all(c.passed for c in seen)
+    assert seen[0].actual_fast is True and seen[1].actual_exhaustive is False
+
+
+def test_suite_runner_reports_failures():
+    suite = {"schema": {"type": "string"},
+             "tests": [{"valid": True, "data": 42}]}
+    result = run_test_suite(suite)
+    assert result.passed == 0
+    assert not result.cases[0].passed
+
+
+def test_suite_runner_resolved_target():
+    resolver = make_resolver("draft2020-12")
+    suite = {"target": "http://localhost:1234/integer.json",
+             "tests": [{"valid": True, "data": 3},
+                       {"valid": False, "data": "no"}]}
+    result = run_test_suite(suite, resolver=resolver)
+    assert (result.total, result.passed) == (2, 2)
+    assert result.cases[0].target == "http://localhost:1234/integer.json"
