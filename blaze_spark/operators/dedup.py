@@ -30,6 +30,21 @@ MINHASH_K = 12
 MINHASH_BAND = 2
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Heavy per-row fan-out stages (shingling explodes each document
+    ~50×, with interpreted higher-order expressions per row) need at
+    least ``defaultParallelism`` input slices; a small single-row-group
+    parquet file otherwise runs the whole stage on ONE core (splitting
+    by byte range can't divide a row group). No-op when the scan
+    already has enough partitions — a 100 TB input has thousands, so
+    this never adds a shuffle at scale."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _tokens(col: str):
     # lowercase, split on non-alphanumeric runs, drop empties — the
     # portable tokenizer shared with the SQL oracle
@@ -54,7 +69,8 @@ def _shingles(col: str, n: int = 3):
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical content: md5 fingerprint → groupBy.
     Shuffles (fingerprint, id) only — content never moves."""
-    return (df.select(F.md5(F.col(text_col)).alias("fingerprint"),
+    return (_ensure_parallelism(df)
+              .select(F.md5(F.col(text_col)).alias("fingerprint"),
                       F.col(id_col))
               .groupBy("fingerprint")
               .agg(F.count(F.lit(1)).alias("dup_count"),
@@ -75,8 +91,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     collapses each partition to one partial row per id. The K mins are
     stacked back to (id, hash_index, minhash) rows after aggregation —
     post-agg output is K×|ids|, which is the result size anyway."""
-    toks = df.select(F.col(id_col),
-                     F.explode(F.array_distinct(_shingles(text_col))).alias("tok"))
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(text_col))).alias("tok"))
     hashed = toks.select(
         id_col,
         *[F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))).alias(f"h{i}")
@@ -131,8 +148,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signed long, so ANSI mode is safe), and the fingerprint is assembled
     in two's complement (bit 63 contributes −2^63) so it fits a BIGINT
     bit-exactly on both Spark and the SQL oracle."""
-    toks = df.select(F.col(id_col),
-                     F.explode(_tokens(text_col)).alias("tok"))
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
     md5 = F.md5(F.col("tok"))
     hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")   # bits 32..63
     lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")   # bits 0..31
@@ -161,15 +178,20 @@ def embedding_near_duplicates(df: DataFrame, id_col: str,
     scale run it WITHIN IVF buckets (similarity.assign_centroid first,
     then this per centroid_id) so the join is bucket-local rather than
     O(n²) global."""
-    from blaze_spark.operators.similarity import cosine
+    from blaze_spark.operators.similarity import _dot, _norm
 
+    # per-row norms hoisted out of the pair loop (one interpreted
+    # higher-order aggregate per ROW, one dot product per PAIR)
     a = df.select(F.col(id_col).alias("id_a"),
-                  F.col(vec_col).alias("vec_a"))
+                  F.col(vec_col).alias("vec_a"),
+                  _norm(F.col(vec_col)).alias("norm_a"))
     b = df.select(F.col(id_col).alias("id_b"),
-                  F.col(vec_col).alias("vec_b"))
+                  F.col(vec_col).alias("vec_b"),
+                  _norm(F.col(vec_col)).alias("norm_b"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
-                     cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"))
+                     (_dot(F.col("vec_a"), F.col("vec_b"))
+                      / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"))
              .where(F.col("cosine") >= threshold))
 
 
@@ -187,19 +209,23 @@ def embedding_near_duplicates_bucketed(df: DataFrame, id_col: str,
     Approximate by construction: a pair straddling two buckets is not
     compared (recall < 1, the standard IVF trade — measured against the
     exact form in tests/test_dedup_scale.py)."""
-    from blaze_spark.operators.similarity import assign_centroid, cosine
+    from blaze_spark.operators.similarity import _dot, _norm, assign_centroid
 
-    bucketed = assign_centroid(df, centroids, vec_col)
+    bucketed = assign_centroid(df, centroids, vec_col) \
+        .withColumn("__norm__", _norm(F.col(vec_col)))
     a = bucketed.select(F.col("centroid_id"),
                         F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("vec_a"))
+                        F.col(vec_col).alias("vec_a"),
+                        F.col("__norm__").alias("norm_a"))
     b = bucketed.select(F.col("centroid_id"),
                         F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("vec_b"))
+                        F.col(vec_col).alias("vec_b"),
+                        F.col("__norm__").alias("norm_b"))
     return (a.join(b, "centroid_id")
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
-                     cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine"))
+                     (_dot(F.col("vec_a"), F.col("vec_b"))
+                      / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"))
              .where(F.col("cosine") >= threshold))
 
 
@@ -217,8 +243,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     joined against the token document frequencies), not via a
     driver-side ``count()``, so the query stays a single lazy plan and
     the input is scanned once."""
-    toks = (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(_tokens(text_col))).alias("tok")))
+    toks = (_ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(_tokens(text_col))).alias("tok")))
     doc_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_count"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     kept_toks = (doc_freq.crossJoin(F.broadcast(n_docs))
