@@ -274,6 +274,49 @@ def q_dedup_embedding_bucketed(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_media_features(spark, sf_dir):
+    # multimodal pipeline: synthetic SIMG media (deterministic per
+    # media_id) -> Arrow-batched decode + grid-pooled features.
+    # rows-only check by design: the decode/pool math is numpy over
+    # binary payloads, not SQL-expressible.
+    from blaze_spark.operators.multimodal import extract_features, media_table
+
+    media = media_table(spark, 200)
+    f = extract_features(media, dim=4)
+    return f.select("media_id", "payload_sha256", "payload_bytes")
+
+
+def q_media_roundtrip(spark, sf_dir):
+    # oracle-checkable multimodal plumbing: encode each document's first
+    # 64 ASCII bytes as a 4x16 SIMG image (numpy, Arrow batches), then
+    # hash the pixel bytes back OUT of the binary payload JVM-side
+    # (substring on BinaryType + sha2). DuckDB recomputes the same hash
+    # from the text column — byte-exact proof the binary container
+    # round-trips through Spark.
+    from blaze_spark.operators.multimodal import MEDIA_SCHEMA, simg_encode
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def to_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("ascii")[:64].ljust(64, b" ")
+                arr = np.frombuffer(b, dtype=np.uint8).reshape(4, 16)
+                rows.append((did, "image", "image/x-simg", simg_encode(arr),
+                             (16, 4, None)))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = docs.mapInPandas(to_media, MEDIA_SCHEMA)
+    return media.select(
+        F.col("media_id"),
+        F.length("payload").alias("payload_bytes"),
+        F.sha2(F.expr("substring(payload, 13, 64)"), 256).alias("pixels_sha256"))
+
+
 def q_column_stats_hll(spark, sf_dir):
     # sketch-based distinct counts (the 100 TB path) — rows-only check:
     # HLL estimates are engine-specific by design
@@ -333,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
+        "media_features": q_media_features,
+        "media_roundtrip": q_media_roundtrip,
         "column_stats_hll": q_column_stats_hll,
     }
 
@@ -682,6 +727,13 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.35""",
         # column_stats_hll: sketch-based — rows-only check by design.
+        # media_features: numpy decode/pool math — rows-only by design.
+        "media_roundtrip": """
+            SELECT doc_id AS media_id,
+                   76 AS payload_bytes,
+                   sha256(rpad(substring(text, 1, 64), 64, ' '))
+                       AS pixels_sha256
+            FROM documents""",
         "simhash": """
             WITH tok AS (
               SELECT doc_id,

@@ -1,22 +1,30 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
-metadata struct. The Spark-side plumbing (schema, batch shape, Arrow
-transfer, partition sizing) is real and tested; the actual codec step is
-stubbed behind ``DecodeUnavailable`` / a deterministic fake because no
-media libraries exist in this container — swap ``_decode_image_stub``
-for PIL/libvips and the operator contract is unchanged.
+metadata struct, processed with Arrow-batched ``mapInPandas`` (payload
+bytes stay off the JVM heap; ``spark.sql.execution.arrow.
+maxRecordsPerBatch`` bounds executor memory per batch; repartition by
+size-class before heavy decodes so one giant payload doesn't skew a
+task).
 
-Scale note: ``mapInPandas`` receives Arrow record batches; payload bytes
-stay off the JVM heap, and ``spark.sql.execution.arrow.maxRecordsPerBatch``
-bounds executor memory per batch. Repartition by size-class before heavy
-decodes so one giant video doesn't skew a task.
+Decoding strategy — two tiers, both with REAL Spark plumbing:
+
+* **SIMG** — a self-describing uncompressed grayscale raster
+  (``b"SIMG" + width:u32 + height:u32 + row-major u8 pixels``) used for
+  the end-to-end pipeline: decode, box-filter resize, grid-pooled
+  feature extraction are all real numpy math, deterministic and
+  unit-testable with no codec libraries.
+* **real codecs** (JPEG/PNG/...) — honestly stubbed behind
+  ``DecodeUnavailable`` (no media libs in this container); swap
+  ``decode_image`` for PIL/libvips and every operator downstream is
+  unchanged (same signatures, same batch shape).
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,48 +49,179 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("feature", T.ArrayType(T.FloatType()), True),
 ])
 
+_SIMG_MAGIC = b"SIMG"
+
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by real decode paths: media codecs are not installed in
-    this environment. The deterministic fake below keeps the pipeline
-    testable end-to-end."""
+    """Raised for real codec formats: media libraries are not installed
+    in this environment. The SIMG path keeps the pipeline fully
+    functional end-to-end."""
 
 
-def _decode_image_stub(payload: bytes, dim: int = 8) -> list:
-    """STUB decode → feature vector. Deterministic fake: sha256 bytes
-    scaled to [0,1). Replace with a real decode+embed; the signature and
-    batch shape are the contract."""
+# ---------------------------------------------------------------------------
+# SIMG codec (pure numpy — real decode, not a stub)
+
+def simg_encode(pixels) -> bytes:
+    """Encode a HxW uint8 numpy array as SIMG bytes."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape
+    return _SIMG_MAGIC + struct.pack("<II", w, h) + arr.tobytes()
+
+
+def simg_decode(payload: bytes):
+    """Decode SIMG bytes → HxW uint8 numpy array."""
+    import numpy as np
+
+    w, h = struct.unpack("<II", payload[4:12])
+    return np.frombuffer(payload[12:12 + w * h],
+                         dtype=np.uint8).reshape(h, w)
+
+
+def decode_image(payload: Optional[bytes]):
+    """Decode a payload to a HxW uint8 array. SIMG decodes for real;
+    anything else needs a codec library this container lacks."""
     if payload is None:
         return None
-    digest = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in digest[:dim]]
+    if payload[:4] == _SIMG_MAGIC:
+        return simg_decode(payload)
+    raise DecodeUnavailable(
+        f"no codec for payload magic {payload[:4]!r} — install PIL/libvips "
+        "and extend decode_image; the Spark plumbing is format-agnostic")
 
+
+def _box_resize(img, out_h: int, out_w: int):
+    """Area-averaging (box-filter) resize via index mapping — exact for
+    integer downscales, sensible for any target size."""
+    import numpy as np
+
+    h, w = img.shape
+    ys = (np.arange(out_h + 1) * h // out_h).astype(int)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(int)
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        rows = img[ys[i]:max(ys[i + 1], ys[i] + 1)]
+        for j in range(out_w):
+            out[i, j] = rows[:, xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# fixtures: deterministic synthetic media table
+
+def media_table(spark, n: int, width: int = 32, height: int = 24):
+    """Deterministic synthetic media rows: SIMG gradient+hash-noise
+    images (every byte reproducible from media_id alone), one JPEG-ish
+    impostor (magic bytes only) per 10 rows to exercise the
+    DecodeUnavailable path, plus video rows with metadata only."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        if i % 10 == 9:
+            rows.append((i, "image", "image/jpeg", b"\xff\xd8\xff\xe0-fake",
+                         (None, None, None)))
+            continue
+        if i % 10 == 8:
+            rows.append((i, "video", "video/mp4", None,
+                         (None, None, 1000 * (i % 7 + 1))))
+            continue
+        rng = np.random.default_rng(seed=i)
+        yy, xx = np.mgrid[0:height, 0:width]
+        img = ((xx * 255 // max(width - 1, 1)) * (i % 3 + 1)
+               + yy * (i % 5) + rng.integers(0, 32, (height, width))) % 256
+        rows.append((i, "image", "image/x-simg",
+                     simg_encode(img.astype(np.uint8)),
+                     (width, height, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# operators
 
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
-    """Arrow-batched feature extraction over MEDIA_SCHEMA rows."""
+    """Arrow-batched feature extraction over MEDIA_SCHEMA rows.
+
+    SIMG payloads: REAL features — the image is grid-pooled (box
+    resize) to ``dim`` cells and normalized to [0,1]. Undecodable
+    payloads fall back to a sha256-derived deterministic vector (flagged
+    by convention: callers can join against ``decodable_flags`` to
+    split populations)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
+        def feat(p):
+            if p is None:
+                return None
+            try:
+                img = decode_image(p)
+            except DecodeUnavailable:
+                digest = hashlib.sha256(p).digest()
+                return [b / 255.0 for b in digest[:dim]]
+            pooled = _box_resize(img, 1, dim)[0]
+            return [float(x) / 255.0 for x in pooled]
+
         for pdf in batches:
-            out = pd.DataFrame({
+            yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload_sha256": [
                     hashlib.sha256(p).hexdigest() if p is not None else None
                     for p in pdf["payload"]],
                 "payload_bytes": [
                     len(p) if p is not None else None for p in pdf["payload"]],
-                "feature": [_decode_image_stub(p, dim) for p in pdf["payload"]],
+                "feature": [feat(p) for p in pdf["payload"]],
             })
-            yield out
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Box-filter resize of every decodable image payload; output rows
+    keep MEDIA_SCHEMA shape with resized SIMG payloads + updated meta.
+    Undecodable/absent payloads pass through unchanged."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def resize(p):
+            if p is None:
+                return p
+            try:
+                img = decode_image(p)
+            except DecodeUnavailable:
+                return p
+            return simg_encode(_box_resize(img, out_h, out_w))
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [resize(p) for p in pdf["payload"]]
+            out["meta"] = [
+                {"width": out_w, "height": out_h,
+                 "duration_ms": (m or {}).get("duration_ms")}
+                if p is not None else m
+                for p, m in zip(out["payload"], pdf["meta"])]
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decodable_flags(df: DataFrame) -> DataFrame:
+    """(media_id, decodable) without moving payload bytes to the driver:
+    magic-byte sniff, JVM-side (no Python)."""
+    return df.select(
+        "media_id",
+        (F.col("payload").isNotNull()
+         & (F.substring(F.col("payload").cast("binary"), 1, 4)
+            == F.lit(_SIMG_MAGIC))).alias("decodable"))
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: computes the frame timestamps to
-    decode from metadata only (no payload read). The decode itself is the
-    stubbed step; this shows the partition/explode shape."""
+    decode from metadata only (no payload read). The decode itself is
+    the codec-gated step; this shows the partition/explode shape."""
     n_frames = F.floor(F.col("meta.duration_ms") / every_ms).cast("int")
     return (df.where(F.col("kind") == "video")
               .select("media_id",

@@ -1,0 +1,87 @@
+"""Multimodal pipeline: real SIMG decode/resize/feature math over Arrow
+batches, honest DecodeUnavailable gating for codec formats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from blaze_spark.operators.multimodal import (
+    DecodeUnavailable,
+    decodable_flags,
+    decode_image,
+    extract_features,
+    media_table,
+    resize_images,
+    simg_decode,
+    simg_encode,
+)
+
+
+def test_simg_roundtrip():
+    img = np.arange(24 * 32, dtype=np.uint8).reshape(24, 32) % 256
+    assert np.array_equal(simg_decode(simg_encode(img)), img)
+
+
+def test_decode_real_codec_is_honest():
+    with pytest.raises(DecodeUnavailable):
+        decode_image(b"\xff\xd8\xff\xe0jpegdata")
+
+
+def test_box_resize_exact_on_integer_downscale():
+    from blaze_spark.operators.multimodal import _box_resize
+
+    img = np.array([[0, 0, 100, 100],
+                    [0, 0, 100, 100],
+                    [200, 200, 40, 40],
+                    [200, 200, 40, 40]], dtype=np.uint8)
+    out = _box_resize(img, 2, 2)
+    assert out.tolist() == [[0, 100], [200, 40]]
+
+
+def test_media_pipeline_end_to_end(spark):
+    df = spark.createDataFrame(
+        media_table(spark, 30).collect(),
+        schema=media_table(spark, 1).schema)  # exercise schema stability
+    feats = extract_features(df, dim=4).toPandas().set_index("media_id")
+    # SIMG rows: real grid-pooled features, deterministic
+    simg_ids = [i for i in range(30) if i % 10 < 8]
+    for i in simg_ids:
+        f = feats.loc[i, "feature"]
+        assert len(f) == 4 and all(0.0 <= x <= 1.0 for x in f)
+    # the same media_id always produces the same feature (seeded)
+    feats2 = extract_features(df, dim=4).toPandas().set_index("media_id")
+    assert list(feats.loc[3, "feature"]) == list(feats2.loc[3, "feature"])
+    # impostor codec rows get the hash fallback, nulls stay null
+    assert feats.loc[9, "feature"] is not None
+    assert feats.loc[8, "feature"] is None  # video row has no payload
+
+    flags = {r["media_id"]: r["decodable"]
+             for r in decodable_flags(df).collect()}
+    assert flags[0] is True and flags[9] is False and flags[8] is False
+
+
+def test_resize_images_updates_payload_and_meta(spark):
+    df = media_table(spark, 8, width=32, height=24)
+    out = resize_images(df, 8, 6).toPandas().set_index("media_id")
+    img = decode_image(bytes(out.loc[0, "payload"]))
+    assert img.shape == (6, 8)
+    assert out.loc[0, "meta"]["width"] == 8
+    # resized content equals a local numpy reference
+    from blaze_spark.operators.multimodal import _box_resize
+
+    src = decode_image(bytes(
+        df.where("media_id = 0").collect()[0]["payload"]))
+    assert np.array_equal(img, _box_resize(src, 6, 8))
+
+
+def test_feature_is_resize_pooling(spark):
+    """The feature vector IS the 1×dim box resize — pin the math."""
+    from blaze_spark.operators.multimodal import _box_resize
+
+    df = media_table(spark, 1)
+    row = df.collect()[0]
+    feats = extract_features(df, dim=8).collect()[0]["feature"]
+    img = decode_image(bytes(row["payload"]))
+    want = [float(x) / 255.0 for x in _box_resize(img, 1, 8)[0]]
+    assert feats == pytest.approx(want)
