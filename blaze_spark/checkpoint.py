@@ -106,9 +106,15 @@ class CheckpointedValidation:
 
         parent = self._current()
         done: Dict[str, dict] = {}
+        legacy_keys = False
         if parent and parent.get("plan_hash") == phash \
                 and parent.get("input_fingerprint") == input_fingerprint:
             done = dict(parent.get("partitions", {}))
+            # manifests written before key_version 2 keyed partitions by
+            # str(part); honor them so an upgrade doesn't re-validate a
+            # completed table (their None/'None' collision was already
+            # inherent to that format)
+            legacy_keys = parent.get("key_version", 1) < 2
 
         partitions = [r[0] for r in
                       df.select(partition_col).distinct().collect()]
@@ -116,6 +122,9 @@ class CheckpointedValidation:
 
         for part in partitions:
             key = _part_key(part)
+            if legacy_keys and key not in done and str(part) in done:
+                # migrate the entry so the next manifest is fully v2
+                done[key] = done.pop(str(part))
             if key in done:
                 continue
             t0 = time.perf_counter()
@@ -152,6 +161,7 @@ class CheckpointedValidation:
                          "wall_sec": metrics["wall_sec"]}
             manifest = {
                 "snapshot_id": uuid.uuid4().hex[:12],
+                "key_version": 2,
                 "parent_id": (parent or {}).get("snapshot_id"),
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                               time.gmtime()),

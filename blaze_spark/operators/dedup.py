@@ -40,7 +40,17 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     this never adds a shuffle at scale."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # metadata-only probe: len(inputFiles()) never plans/executes the
+    # query (df.rdd under AQE would eagerly materialize upstream query
+    # stages at plan-construction time). Heuristic: file-backed inputs
+    # with fewer files than cores can't parallelize the scan (byte-range
+    # splits don't divide a row group); non-file sources report no files
+    # and pass through untouched.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -71,12 +71,19 @@ def simg_encode(pixels) -> bytes:
 
 
 def simg_decode(payload: bytes):
-    """Decode SIMG bytes → HxW uint8 numpy array."""
+    """Decode SIMG bytes → HxW uint8 numpy array. Raises
+    DecodeUnavailable for truncated/corrupt containers — a malformed
+    row must route to the fallback path, never kill the Spark task."""
     import numpy as np
 
-    w, h = struct.unpack("<II", payload[4:12])
-    return np.frombuffer(payload[12:12 + w * h],
-                         dtype=np.uint8).reshape(h, w)
+    try:
+        w, h = struct.unpack("<II", payload[4:12])
+        if w <= 0 or h <= 0 or len(payload) < 12 + w * h:
+            raise ValueError("truncated SIMG payload")
+        return np.frombuffer(payload[12:12 + w * h],
+                             dtype=np.uint8).reshape(h, w)
+    except (struct.error, ValueError) as exc:
+        raise DecodeUnavailable(f"corrupt SIMG payload: {exc}") from exc
 
 
 def decode_image(payload: Optional[bytes]):
@@ -84,11 +91,12 @@ def decode_image(payload: Optional[bytes]):
     anything else needs a codec library this container lacks."""
     if payload is None:
         return None
-    if payload[:4] == _SIMG_MAGIC:
+    if bytes(payload[:4]) == _SIMG_MAGIC:
         return simg_decode(payload)
     raise DecodeUnavailable(
-        f"no codec for payload magic {payload[:4]!r} — install PIL/libvips "
-        "and extend decode_image; the Spark plumbing is format-agnostic")
+        f"no codec for payload magic {bytes(payload[:4])!r} — install "
+        "PIL/libvips and extend decode_image; the Spark plumbing is "
+        "format-agnostic")
 
 
 def _box_resize(img, out_h: int, out_w: int):
@@ -187,22 +195,26 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
         import pandas as pd
 
         def resize(p):
+            """(payload, resized?) — meta is rewritten ONLY for rows
+            actually resized; undecodable payloads pass through with
+            their original meta intact."""
             if p is None:
-                return p
+                return p, False
             try:
                 img = decode_image(p)
             except DecodeUnavailable:
-                return p
-            return simg_encode(_box_resize(img, out_h, out_w))
+                return p, False
+            return simg_encode(_box_resize(img, out_h, out_w)), True
 
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = [resize(p) for p in pdf["payload"]]
+            results = [resize(p) for p in pdf["payload"]]
+            out["payload"] = [p for p, _ in results]
             out["meta"] = [
                 {"width": out_w, "height": out_h,
                  "duration_ms": (m or {}).get("duration_ms")}
-                if p is not None else m
-                for p, m in zip(out["payload"], pdf["meta"])]
+                if resized else m
+                for (_, resized), m in zip(results, pdf["meta"])]
             yield out
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -42,7 +42,12 @@ def _walk(schema: Any, pointer: str = ""):
     yield pointer, schema
     # materialized: callers may rename keys of yielded dicts mid-walk
     for key, value in list(schema.items()):
-        if key in _MAP_KEYS and isinstance(value, dict):
+        if key == "items" and isinstance(value, list):
+            # tuple-form items must be checked BEFORE _ONE_KEYS ("items"
+            # is in both shapes)
+            for i, sub in enumerate(value):
+                yield from _walk(sub, f"{pointer}/items/{i}")
+        elif key in _MAP_KEYS and isinstance(value, dict):
             for name, sub in value.items():
                 yield from _walk(sub, f"{pointer}/{key}/{name}")
         elif key in _LIST_KEYS and isinstance(value, list):
@@ -50,13 +55,21 @@ def _walk(schema: Any, pointer: str = ""):
                 yield from _walk(sub, f"{pointer}/{key}/{i}")
         elif key in _ONE_KEYS:
             yield from _walk(value, f"{pointer}/{key}")
-        elif key == "items" and isinstance(value, list):
-            for i, sub in enumerate(value):
-                yield from _walk(sub, f"{pointer}/items/{i}")
         elif key == "dependencies" and isinstance(value, dict):
             for name, sub in value.items():
                 if isinstance(sub, (dict, bool)):
                     yield from _walk(sub, f"{pointer}/dependencies/{name}")
+        elif key == "extends":  # draft-3: schema or list of schemas
+            subs = value if isinstance(value, list) else [value]
+            for i, sub in enumerate(subs):
+                yield from _walk(sub, f"{pointer}/extends/{i}"
+                                 if isinstance(value, list)
+                                 else f"{pointer}/extends")
+        elif key in ("type", "disallow") and isinstance(value, list):
+            # draft-3 unions may hold inline schema branches
+            for i, sub in enumerate(value):
+                if isinstance(sub, dict):
+                    yield from _walk(sub, f"{pointer}/{key}/{i}")
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,19 @@ def _sql_lit(value) -> str:
     return json.dumps(value)
 
 
+import re as _re
+
+# lookaround, or a backreference outside a character class
+_NON_RE2 = _re.compile(r"\(\?[=!<]|(?<!\\)\\[1-9]")
+
+
+def _require_re2(pattern: str) -> None:
+    if _NON_RE2.search(pattern):
+        raise SqlUnsupported(
+            f"pattern {pattern!r} uses lookaround/backreferences — "
+            "not expressible in RE2-based SQL engines")
+
+
 def _prop_check_sql(instr: dict, col: str, dtype: str) -> str:
     """One instruction on one column → SQL predicate (TRUE = passes),
     evaluated only when the column is non-NULL (the caller wraps)."""
@@ -89,8 +102,10 @@ def _prop_check_sql(instr: dict, col: str, dtype: str) -> str:
     if op == "pattern":
         if jt != "string":
             return "TRUE"
-        # ECMA-262 source patterns; the emitted regex targets the
-        # RE2-compatible subset (no lookaround in JSON-Schema practice)
+        # ECMA-262 source patterns; the target engines use RE2, which
+        # lacks lookaround and backreferences — refuse those here so the
+        # caller falls back to tier 2 instead of failing at query time
+        _require_re2(v["pattern"])
         return f"regexp_matches({col}, {_sql_lit(v['pattern'])})"
     if op in ("min_length", "max_length"):
         if jt != "string":

@@ -134,7 +134,11 @@ def compile_schema(
     circuit, the reference's Mode::FastValidation) or ``exhaustive``
     (collect every violation; Mode::Exhaustive, compiler.h:84-89)."""
     if apply_rewrites:
-        schema = rewrite(schema)
+        # dialect resolved BEFORE rewriting: a draft-3 document (declared
+        # or via default_dialect) must skip modern hoisting rules even
+        # without a $schema marker
+        schema = rewrite(schema,
+                         dialect=dialect_of(schema, default_dialect))
     dialect = dialect_of(schema, default_dialect)
     vocab_validation = True
     if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):

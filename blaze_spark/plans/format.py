@@ -71,14 +71,15 @@ def _format(node: Any) -> Any:
         return node
     out = {}
     for key, value in _reorder(node).items():
-        if key in _MAP_KEYS and isinstance(value, dict):
+        if key == "items" and isinstance(value, list):
+            # tuple-form items: must win over the _ONE_KEYS membership
+            out[key] = [_format(sub) for sub in value]
+        elif key in _MAP_KEYS and isinstance(value, dict):
             out[key] = {name: _format(sub) for name, sub in value.items()}
         elif key in _LIST_KEYS and isinstance(value, list):
             out[key] = [_format(sub) for sub in value]
         elif key in _ONE_KEYS:
             out[key] = _format(value)
-        elif key == "items" and isinstance(value, list):
-            out[key] = [_format(sub) for sub in value]
         elif key == "dependencies" and isinstance(value, dict):
             out[key] = {n: _format(s) if isinstance(s, (dict, bool)) else s
                         for n, s in value.items()}

@@ -14,15 +14,32 @@ schema that generates the expressions — SURVEY.md §4.1).
 from __future__ import annotations
 
 import copy
-from typing import Any, Callable, Dict, List, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from blaze_spark.plans.jsonvals import canonical_key, is_integral
 
 Rule = Callable[[dict], bool]  # mutates in place; returns True if changed
 
 # per-rewrite() context: rules that would change annotation flow must not
-# fire when the document tracks unevaluated* (annotations feed those)
-_CTX = {"has_unevaluated": False}
+# fire when the document tracks unevaluated* (annotations feed those).
+# Thread-local so concurrent compile_schema() calls on one driver can't
+# race each other's guard state.
+import threading
+
+_TLS = threading.local()
+
+
+class _Ctx:
+    """dict-like thread-local view (rules index _CTX["has_unevaluated"])."""
+
+    def __getitem__(self, key: str) -> Any:
+        return getattr(_TLS, key, False)
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        setattr(_TLS, key, value)
+
+
+_CTX = _Ctx()
 
 
 # keywords that interact across a schema object: hoisting them between a
@@ -849,7 +866,8 @@ def _apply_once(schema: Any) -> Tuple[Any, bool]:
     return schema, changed
 
 
-def rewrite(schema: Any, max_iterations: int = 10) -> Any:
+def rewrite(schema: Any, max_iterations: int = 10,
+            dialect: Optional[str] = None) -> Any:
     """Apply all rules bottom-up to fixpoint (reference runs its rule sets
     to fixpoint the same way; alterschema.h:40-66). Operates on a deep
     copy — the input schema is never mutated.
@@ -860,10 +878,11 @@ def rewrite(schema: Any, max_iterations: int = 10) -> Any:
     schema = copy.deepcopy(schema)
     if not isinstance(schema, dict):
         return schema
-    if isinstance(schema.get("$schema"), str) \
-            and "draft-03" in schema["$schema"]:
-        # draft-3 ignores modern combinator keywords entirely; hoisting
-        # rules would promote their contents into enforced positions
+    if dialect == "draft3" or (isinstance(schema.get("$schema"), str)
+                               and "draft-03" in schema["$schema"]):
+        # draft-3 (declared OR defaulted) ignores modern combinator
+        # keywords entirely; hoisting rules would promote their
+        # contents into enforced positions
         return schema
     blob = repr(schema)
     # any reference keyword: JSON-pointer refs into rewritten locations

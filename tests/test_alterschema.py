@@ -378,3 +378,42 @@ def test_upgrade_draft3_full_chain_preserves_validation():
               {"a": -1}, {"a": "x"}, 5]
     for p in probes:
         assert evaluate(plan_old, p).valid == evaluate(plan_new, p).valid, p
+
+
+# --- round-2 code-review regressions -----------------------------------------
+
+def test_walk_reaches_tuple_items_and_draft3_branches():
+    """lint/upgrade/format must descend into tuple-form items and
+    draft-3 extends/disallow/type-union schema branches."""
+    findings = lint({"items": [{"enum": []}, {"title": " x "}]})
+    rules = {f["rule"] for f in findings}
+    assert "forbid_empty_enum" in rules and "title_description_trim" in rules
+
+    up = upgrade({"$schema": "http://json-schema.org/draft-03/schema#",
+                  "extends": {"properties": {"x": {"required": True,
+                                                   "type": "string"}}}},
+                 target="2020-12")
+    blob = repr(up)
+    assert "'required': True" not in blob
+    assert up["allOf"][0]["required"] == ["x"]
+
+    up2 = upgrade({"$schema": "http://json-schema.org/draft-03/schema#",
+                   "items": [{"id": "https://x/i", "divisibleBy": 2}]},
+                  target="2020-12")
+    inner = up2["prefixItems"][0]
+    assert inner == {"$id": "https://x/i", "multipleOf": 2}
+
+
+def test_format_orders_tuple_items():
+    from blaze_spark.plans.format import format_schema
+
+    got = format_schema({"items": [{"minimum": 1, "type": "integer"}]})
+    assert list(got["items"][0]) == ["type", "minimum"]
+
+
+def test_rewrite_skips_draft3_by_default_dialect():
+    """compile with default_dialect=draft3 and NO $schema: modern
+    hoisting must not promote ignored combinator contents."""
+    plan = compile_schema({"allOf": [{"type": "string"}]},
+                          default_dialect="draft3")
+    assert evaluate(plan, 5).valid  # draft-3 ignores allOf entirely

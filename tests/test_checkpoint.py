@@ -143,3 +143,30 @@ def test_streak_update_timeout_evicts():
                       st2))
     assert st2.updated == (1, 1) and st2.rearmed and not st2.removed
     assert out[0]["streak"].iloc[0] == 1
+
+
+def test_legacy_manifest_keys_honored_on_resume(spark, corpus, tmp_path,
+                                                monkeypatch):
+    """A checkpoint written with pre-v2 str(part) keys must not be
+    re-validated after the key-format upgrade (code-review r2)."""
+    runner = CheckpointedValidation(str(tmp_path))
+    manifest = runner.run(spark, corpus, SCHEMA, "part_id", ["repo"], "fp1")
+    # rewrite the CURRENT manifest to the legacy format: drop
+    # key_version, re-key partitions by str(part) (ints: same string,
+    # so simulate legacy explicitly)
+    cur = (tmp_path / "CURRENT").read_text()
+    path = tmp_path / cur
+    m = json.loads(path.read_text())
+    m.pop("key_version", None)
+    path.write_text(json.dumps(m))
+
+    calls = []
+    import blaze_spark.checkpoint as cp
+
+    real = cp.validate_rows
+    monkeypatch.setattr(cp, "validate_rows",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    resumed = CheckpointedValidation(str(tmp_path)).run(
+        spark, corpus, SCHEMA, "part_id", ["repo"], "fp1")
+    assert calls == []  # nothing re-validated
+    assert len(resumed["partitions"]) == 8

@@ -106,3 +106,12 @@ def test_sql_codegen_static_types_and_literals():
     assert rows["o'k"] is False        # negative age (and quote-escaping)
     assert rows[None] is False         # required
     assert rows["fine"] is True        # absent optional columns pass
+
+
+def test_sql_codegen_rejects_non_re2_patterns():
+    for pat in [r"(?=x)a", r"(a)\1", r"(?<!b)a"]:
+        plan = compile_schema({"type": "object",
+                               "properties": {"a": {"pattern": pat}}},
+                              apply_rewrites=False)
+        with pytest.raises(SqlUnsupported):
+            plan_to_sql_predicate(plan, {"a": "string"})

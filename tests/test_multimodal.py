@@ -85,3 +85,28 @@ def test_feature_is_resize_pooling(spark):
     img = decode_image(bytes(row["payload"]))
     want = [float(x) / 255.0 for x in _box_resize(img, 1, 8)[0]]
     assert feats == pytest.approx(want)
+
+
+def test_corrupt_simg_routes_to_fallback_not_crash(spark):
+    from blaze_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (0, "image", "image/x-simg", b"SIMG\x01\x00", (None, None, None)),
+        (1, "image", "image/x-simg",
+         b"SIMG" + b"\xff\xff\xff\x7f" * 2 + b"short", (None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(df, dim=4).collect()
+    assert all(r["feature"] is not None for r in out)  # hash fallback
+    resized = resize_images(df, 4, 4).collect()
+    assert bytes(resized[0]["payload"]) == b"SIMG\x01\x00"  # pass-through
+
+
+def test_resize_keeps_meta_for_undecodable(spark):
+    from blaze_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [(0, "image", "image/jpeg", b"\xff\xd8\xff\xe0-fake",
+             (640, 480, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(df, 8, 8).collect()[0]
+    assert out["meta"]["width"] == 640 and out["meta"]["height"] == 480
