@@ -263,7 +263,104 @@ def _lint_valid_examples(s: dict, _p: str) -> Optional[str]:
     return None
 
 
+def _lint_comment_trim(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/comment_trim.h"""
+    v = s.get("$comment")
+    if isinstance(v, str) and v != v.strip():
+        return "`$comment` has leading/trailing whitespace"
+    return None
+
+
+def _lint_vacuous_applicator_defaults(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/properties_default.h, items_schema_default.h,
+    pattern_properties_default.h, property_names_default.h,
+    unevaluated_items_default.h, unevaluated_properties_default.h"""
+    for kw in ("properties", "patternProperties"):
+        if s.get(kw) == {}:
+            return f"`{kw}` is empty — it asserts nothing"
+    for kw in ("items", "additionalItems", "additionalProperties",
+               "propertyNames", "unevaluatedItems", "unevaluatedProperties"):
+        if s.get(kw) is True or s.get(kw) == {}:
+            return f"`{kw}` is the default (true) schema — it asserts nothing"
+    return None
+
+
+def _lint_divisible_by_default(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/divisible_by_default.h"""
+    if s.get("divisibleBy") == 1:
+        return "`divisibleBy: 1` is the default — every number satisfies it"
+    return None
+
+
+def _lint_disallow_default(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/disallow_default.h"""
+    if s.get("disallow") == []:
+        return "`disallow` is empty — it asserts nothing"
+    return None
+
+
+def _lint_portable_anchor_names(s: dict, _p: str) -> Optional[str]:
+    """reference: linter/portable_anchor_names.h — anchors outside
+    ^[A-Za-z][A-Za-z0-9_:.-]*$ break on stricter implementations."""
+    for kw in ("$anchor", "$dynamicAnchor"):
+        v = s.get(kw)
+        if isinstance(v, str) \
+                and not re.match(r"^[A-Za-z][A-Za-z0-9_:.\-]*$", v):
+            return f"`{kw}` value {v!r} is not a portable anchor name"
+    return None
+
+
+def _lint_unknown_keywords_prefix(s: dict, _p: str) -> Optional[str]:
+    """reference: common/unknown_keywords_prefix.h (surfaced as lint):
+    unknown keywords should use an `x-` prefix so readers can tell
+    extensions from typos."""
+    from blaze_spark.plans.compiler import _KNOWN_KEYWORDS
+
+    for key in s:
+        if key not in _KNOWN_KEYWORDS and not key.startswith("x-") \
+                and key not in ("title", "description", "default", "examples",
+                                "deprecated", "readOnly", "writeOnly",
+                                "disallow", "extends", "divisibleBy"):
+            return (f"unknown keyword {key!r} — prefix extensions with "
+                    "'x-' to distinguish them from typos")
+    return None
+
+
+def _lint_official_dialect_uri(s: dict, _p: str) -> Optional[str]:
+    """reference: common/draft_official_dialect_with_https.h,
+    modern_official_dialect_with_http.h, *_empty_fragment.h — the
+    official metaschema URIs have one canonical spelling each."""
+    v = s.get("$schema")
+    if not isinstance(v, str):
+        return None
+    if v.startswith("https://json-schema.org/draft-"):
+        return "legacy draft $schema URIs use http://, not https://"
+    if v.startswith("http://json-schema.org/draft/20"):
+        return "modern dialect $schema URIs use https://, not http://"
+    if v.startswith("http://json-schema.org/draft-") and not v.endswith("#"):
+        return "legacy draft $schema URIs end with an empty fragment (#)"
+    if v.startswith("https://json-schema.org/draft/20") and v.endswith("#"):
+        return "modern dialect $schema URIs carry no empty fragment"
+    return None
+
+
+def _lint_top_level_metadata(s: dict, p: str) -> Optional[str]:
+    """reference: linter/top_level_title.h — a titled root documents
+    itself; only fires at the document root."""
+    if p == "" and ("$schema" in s or "$id" in s) and "title" not in s:
+        return "a top-level `title` is recommended"
+    return None
+
+
 LINT_RULES: List[Tuple[str, LintRule]] = [
+    ("comment_trim", _lint_comment_trim),
+    ("vacuous_applicator_defaults", _lint_vacuous_applicator_defaults),
+    ("divisible_by_default", _lint_divisible_by_default),
+    ("disallow_default", _lint_disallow_default),
+    ("portable_anchor_names", _lint_portable_anchor_names),
+    ("unknown_keywords_prefix", _lint_unknown_keywords_prefix),
+    ("official_dialect_uri", _lint_official_dialect_uri),
+    ("top_level_title", _lint_top_level_metadata),
     ("forbid_empty_enum", _lint_forbid_empty_enum),
     ("const_not_in_enum", _lint_const_not_in_enum),
     ("enum_to_const", _lint_enum_to_const),

@@ -778,7 +778,72 @@ def _rule_unnecessary_allof_wrapper(s: dict) -> bool:
     return False
 
 
+def _rule_exclusive_boolean_integer_fold(s: dict) -> bool:
+    """draft-4 boolean exclusive bounds on integer-typed schemas fold
+    into the plain bound (x < N ⟺ x ≤ N−1 for integers; reference:
+    exclusive_maximum_boolean_integer_fold.h,
+    exclusive_minimum_boolean_integer_fold.h)."""
+    if s.get("type") != "integer":
+        return False
+    changed = False
+    hi = s.get("maximum")
+    if s.get("exclusiveMaximum") is True and isinstance(hi, int) \
+            and not isinstance(hi, bool):
+        s["maximum"] = hi - 1
+        del s["exclusiveMaximum"]
+        changed = True
+    lo = s.get("minimum")
+    if s.get("exclusiveMinimum") is True and isinstance(lo, int) \
+            and not isinstance(lo, bool):
+        s["minimum"] = lo + 1
+        del s["exclusiveMinimum"]
+        changed = True
+    return changed
+
+
+# assertion keywords whose effect the enum filter below fully captures
+# (pure value predicates; no annotations, no applicators, no format —
+# format is annotation-only by default and assertion-mode configurable)
+_ENUM_ABSORBABLE = {
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+    "multipleOf", "minLength", "maxLength", "pattern",
+    "minItems", "maxItems", "uniqueItems", "minProperties", "maxProperties",
+}
+
+
+def _rule_enum_drop_redundant_validation(s: dict) -> bool:
+    """With an enum present, sibling value assertions are decidable
+    per member at rewrite time: filter the enum through them and drop
+    them — the compiled plan becomes a single hash-set membership test
+    (reference: enum_drop_redundant_validation.h + enum_filter_by_type.h).
+    Only pure assertion keywords participate (draft-4 boolean exclusive
+    bounds and `type` have dialect-dependent semantics — handled by
+    their own rules)."""
+    values = s.get("enum")
+    if not isinstance(values, list) or not values:
+        return False
+    present = [k for k in _ENUM_ABSORBABLE if k in s]
+    if not present or any(isinstance(s[k], bool)
+                          for k in present if k.startswith("exclusive")):
+        return False
+    sub = {k: s[k] for k in present}
+    try:
+        from blaze_spark.operators.evaluator import evaluate as _eval
+        from blaze_spark.plans.compiler import compile_schema as _compile
+
+        plan = _compile(copy.deepcopy(sub), apply_rewrites=False, mode="fast")
+        kept = [v for v in values if _eval(plan, v).valid]
+    except Exception:
+        return False
+    s["enum"] = kept
+    for k in present:
+        del s[k]
+    return True
+
+
 RULES: List[Rule] = [
+    _rule_exclusive_boolean_integer_fold,
+    _rule_enum_drop_redundant_validation,
     _rule_duplicate_required_values,
     _rule_duplicate_anyof_branches,
     _rule_then_else_without_if,

@@ -417,3 +417,38 @@ def test_rewrite_skips_draft3_by_default_dialect():
     plan = compile_schema({"allOf": [{"type": "string"}]},
                           default_dialect="draft3")
     assert evaluate(plan, 5).valid  # draft-3 ignores allOf entirely
+
+
+def test_exclusive_boolean_integer_fold():  # exclusive_maximum_boolean_integer_fold.h
+    _check({"type": "integer", "maximum": 10, "exclusiveMaximum": True,
+            "minimum": 0, "exclusiveMinimum": True},
+           {"type": "integer", "maximum": 9, "minimum": 1},
+           dialect="draft4")
+
+
+def test_enum_drop_redundant_validation():  # enum_drop_redundant_validation.h
+    _check({"enum": [1, 5, 12, "abc", "x"], "minimum": 3, "maxLength": 2},
+           {"enum": [5, 12, "x"]})
+    # format is annotation-only: never absorbed
+    s = {"enum": ["a"], "format": "email"}
+    got = rewrite(s)
+    assert "format" in got
+
+
+def test_lint_round2_rules():
+    findings = lint({
+        "$schema": "https://json-schema.org/draft-07/schema#",
+        "$comment": " pad ",
+        "properties": {
+            "a": {"items": True},
+            "b": {"$anchor": "9bad"},
+            "c": {"myExtension": 1},
+        },
+    })
+    rules = {f["rule"] for f in findings}
+    assert {"comment_trim", "vacuous_applicator_defaults",
+            "portable_anchor_names", "unknown_keywords_prefix",
+            "official_dialect_uri", "top_level_title"} <= rules
+    # x- prefixed extensions are fine
+    assert not any(f["rule"] == "unknown_keywords_prefix"
+                   for f in lint({"x-ext": 1}))
