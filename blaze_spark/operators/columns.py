@@ -343,6 +343,11 @@ def _property_program_checks(program, col: Column, dtype: T.DataType,
         if op == "type" and isinstance(dtype, T.StructType) \
                 and child["value"]["types"] == ["object"]:
             continue  # struct column IS an object: statically satisfied
+        if op in ("all_of", "any_of", "one_of", "not", "if_then_else"):
+            checks.extend(_combinator_checks(
+                child, col, dtype, prop, plan, kloc_prefix, seen_targets,
+                iloc))
+            continue
         check = compile_property_check(child, col, dtype, prop)
         checks.append(ColumnCheck(
             kloc_prefix + check.keyword_location, iloc,
@@ -355,6 +360,91 @@ def _and_all(preds) -> Column:
     for p in preds:
         out = p if out is None else (out & p)
     return out
+
+
+def _combinator_checks(child, col: Column, dtype: T.DataType, prop: str,
+                       plan, kloc_prefix: str, seen_targets, iloc: str):
+    """Logical combinators as pure Column predicates — tier 1 for
+    anyOf/oneOf/allOf/not/if-then-else over scalar programs (the
+    LogicalOr/Xor/And/Not analogs). Violation-row emission mirrors the
+    interpreter's EXHAUSTIVE behavior exactly (evaluator _h_any_of
+    etc.): branch violations surface only when the combinator itself
+    fails, `not` and passing combinators emit the summary only."""
+    op = child["op"]
+    static = _static_type_name(dtype)
+    kloc = kloc_prefix + child["kloc"]
+
+    def branch(program):
+        return _property_program_checks(program, col, dtype, prop, plan,
+                                        kloc_prefix, seen_targets, iloc)
+
+    def conj(checks):
+        return _and_all(c.predicate for c in checks) if checks else F.lit(True)
+
+    if op == "not":
+        inner = conj(branch(child["program"]))
+        msg = F.lit(f"The {static} value was expected to not validate "
+                    "against the given subschema, but it did")
+        return [ColumnCheck(kloc, iloc, ~inner, msg)]
+
+    if op == "if_then_else":
+        cond = conj(branch(child["cond"]))
+        then_checks = branch(child.get("then", []))
+        else_checks = branch(child.get("orelse", []))
+        out = []
+        # the taken branch's own violations, suppressed on the other path
+        for c in then_checks:
+            out.append(ColumnCheck(c.keyword_location, c.instance_location,
+                                   ~cond | c.predicate, c.message))
+        for c in else_checks:
+            out.append(ColumnCheck(c.keyword_location, c.instance_location,
+                                   cond | c.predicate, c.message))
+        return out
+
+    branches = [branch(p) for p in child["programs"]]
+    preds = [conj(bc) for bc in branches]
+    n = len(branches)
+    plural = (f"at least one of the {n} given subschemas" if n > 1
+              else "the given subschema")
+    if op == "all_of":
+        out = [c for bc in branches for c in bc]
+        msg = F.lit(f"The {static} value was expected to validate against "
+                    + (f"the {n} given subschemas" if n > 1
+                       else "the given subschema"))
+        out.append(ColumnCheck(kloc, iloc, _and_all(preds), msg))
+        return out
+    if op == "any_of":
+        passed = None
+        for p in preds:
+            passed = p if passed is None else (passed | p)
+        out = []
+        for bc in branches:  # branch violations only when ALL fail
+            for c in bc:
+                out.append(ColumnCheck(c.keyword_location,
+                                       c.instance_location,
+                                       passed | c.predicate, c.message))
+        msg = F.lit(f"The {static} value was expected to validate against "
+                    + plural)
+        out.append(ColumnCheck(kloc, iloc, passed, msg))
+        return out
+    if op == "one_of":
+        n_true = None
+        for p in preds:
+            term = p.cast("int")
+            n_true = term if n_true is None else (n_true + term)
+        none_passed = n_true == 0
+        out = []
+        for bc in branches:  # branch violations only when NONE pass
+            for c in bc:
+                out.append(ColumnCheck(c.keyword_location,
+                                       c.instance_location,
+                                       ~none_passed | c.predicate, c.message))
+        msg = F.lit(f"The {static} value was expected to validate against "
+                    + (f"one and only one of the {n} given subschemas"
+                       if n > 1 else "the given subschema"))
+        out.append(ColumnCheck(kloc, iloc, n_true == 1, msg))
+        return out
+    raise TierUnsupported(f"combinator {op!r} has no Column form")
 
 
 def compile_column_checks(plan: dict, schema: T.StructType,

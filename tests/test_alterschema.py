@@ -191,9 +191,11 @@ def test_unnecessary_allof_wrapper():  # unnecessary_allof_wrapper.h
 
 
 def test_rewrite_unlocks_tier1(spark):
-    """A schema that previously needed the tier-2 interpreter (a `not`
-    applicator has no Column form) compiles to tier 1 after
-    double-negation elimination (VERDICT r1 'done' criterion)."""
+    """A schema that needs the tier-2 interpreter before rewriting (a
+    vacuous `propertyNames` applicator has no Column form) compiles to
+    tier 1 after canonicalization (VERDICT r1 'done' criterion).
+    (The original fixture used not(not(...)) — obsoleted when logical
+    combinators themselves gained Column forms.)"""
     from blaze_spark.operators.columns import (
         TierUnsupported,
         compile_column_checks,
@@ -201,13 +203,20 @@ def test_rewrite_unlocks_tier1(spark):
     from pyspark.sql import types as T
 
     schema = {"type": "object",
-              "properties": {"a": {"not": {"not": {"type": "string"}}}}}
+              "propertyNames": {"type": "string"},
+              "properties": {"a": {"type": "string"}}}
     dtype = T.StructType([T.StructField("a", T.StringType())])
     plan_raw = compile_schema(schema, apply_rewrites=False)
     with pytest.raises(TierUnsupported):
         compile_column_checks(plan_raw, dtype)
     plan_rw = compile_schema(schema)  # rewrites on
     assert compile_column_checks(plan_rw, dtype)  # tier 1 now
+    # and the old double-negation fixture is simply tier 1 either way
+    plan_notnot = compile_schema(
+        {"type": "object",
+         "properties": {"a": {"not": {"not": {"type": "string"}}}}},
+        apply_rewrites=False)
+    assert compile_column_checks(plan_notnot, dtype)
 
 
 # --- lint -------------------------------------------------------------------

@@ -1,0 +1,87 @@
+"""Tier-1 logical combinators: anyOf/oneOf/allOf/not/if-then-else over
+scalar property programs compile to pure Column predicates (no Python
+in the plan), with verdict AND violation-location parity against the
+tier-2 interpreter."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.validate import validate_rows, violations_table
+
+SCHEMA = {
+    "type": "object",
+    "required": ["name"],
+    "properties": {
+        "name": {"anyOf": [{"type": "string", "minLength": 3},
+                           {"const": "ok"}]},
+        "code": {"oneOf": [{"type": "integer", "minimum": 100},
+                           {"type": "integer", "maximum": 0}]},
+        "tag": {"not": {"enum": ["forbidden", "banned"]}},
+        "size": {"if": {"minimum": 100},
+                 "then": {"multipleOf": 10},
+                 "else": {"minimum": 0}},
+        "mixed": {"allOf": [{"type": "string"}, {"maxLength": 4}]},
+    },
+}
+
+ROWS = [
+    (0, "alice", 150, "fine", 120, "abc"),
+    (1, "ok", -5, "forbidden", 50, "abcde"),     # tag + mixed fail
+    (2, "x", 50, "fine", 105, "ab"),             # name, code, size fail
+    (3, None, None, None, None, None),           # required name fails
+    (4, "bob", 200, "banned", -3, "a"),          # tag + size(else) fail
+]
+COLS = ["row_id", "name", "code", "tag", "size", "mixed"]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, COLS)
+
+
+def test_combinators_stay_tier1(spark, df):
+    v = validate_rows(df, SCHEMA, force_tier=1)  # must not raise
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_combinator_verdict_parity(spark, df):
+    t1 = {r["row_id"]: r["valid"] for r in
+          validate_rows(df, SCHEMA, force_tier=1)
+          .select("row_id", "valid").collect()}
+    t2 = {r["row_id"]: r["valid"] for r in
+          validate_rows(df, SCHEMA, force_tier=2)
+          .select("row_id", "valid").collect()}
+    assert t1 == t2
+    assert t1[0] is True and t1[1] is False and t1[2] is False
+
+
+def test_combinator_violation_kloc_parity(spark, df):
+    def klocs(tier):
+        vt = violations_table(
+            validate_rows(df, SCHEMA, force_tier=tier), ["row_id"])
+        return sorted(map(tuple, vt.select(
+            "row_id", "keyword_location", "instance_location")
+            .collect()))
+
+    assert klocs(1) == klocs(2)
+
+
+def test_combinator_messages_match_interpreter_taxonomy(spark, df):
+    vt = violations_table(
+        validate_rows(df, SCHEMA, force_tier=1), ["row_id"]).collect()
+    msgs = {r["keyword_location"]: r["message"] for r in vt}
+    assert "not validate against the given subschema, but it did" in \
+        msgs["/properties/tag/not"]
+    assert "at least one of the 2 given subschemas" in \
+        msgs["/properties/name/anyOf"]
+    assert "one and only one of the 2 given subschemas" in \
+        msgs["/properties/code/oneOf"]
