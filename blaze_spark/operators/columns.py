@@ -364,19 +364,25 @@ def _and_all(preds) -> Column:
 
 def _combinator_checks(child, col: Column, dtype: T.DataType, prop: str,
                        plan, kloc_prefix: str, seen_targets, iloc: str):
-    """Logical combinators as pure Column predicates — tier 1 for
-    anyOf/oneOf/allOf/not/if-then-else over scalar programs (the
-    LogicalOr/Xor/And/Not analogs). Violation-row emission mirrors the
-    interpreter's EXHAUSTIVE behavior exactly (evaluator _h_any_of
-    etc.): branch violations surface only when the combinator itself
-    fails, `not` and passing combinators emit the summary only."""
-    op = child["op"]
-    static = _static_type_name(dtype)
-    kloc = kloc_prefix + child["kloc"]
-
+    """Property-level combinators: delegate to the shared emission with
+    the property-program branch compiler."""
     def branch(program):
         return _property_program_checks(program, col, dtype, prop, plan,
                                         kloc_prefix, seen_targets, iloc)
+
+    return _combinator_emit(child, branch, _static_type_name(dtype),
+                            kloc_prefix + child["kloc"], iloc)
+
+
+def _combinator_emit(child, branch, static: str, kloc: str, iloc: str):
+    """Logical combinators as pure Column predicates — tier 1 for
+    anyOf/oneOf/allOf/not/if-then-else (the LogicalOr/Xor/And/Not
+    analogs); ``branch`` compiles one sub-program to ColumnChecks.
+    Violation-row emission mirrors the interpreter's EXHAUSTIVE behavior
+    exactly (evaluator _h_any_of etc.): branch violations surface only
+    when the combinator itself fails, `not` and passing combinators emit
+    the summary only."""
+    op = child["op"]
 
     def conj(checks):
         return _and_all(c.predicate for c in checks) if checks else F.lit(True)
@@ -448,9 +454,13 @@ def _combinator_checks(child, col: Column, dtype: T.DataType, prop: str,
 
 
 def compile_column_checks(plan: dict, schema: T.StructType,
-                          df: Optional[DataFrame] = None) -> List[ColumnCheck]:
+                          df: Optional[DataFrame] = None,
+                          _seen: frozenset = frozenset({0})
+                          ) -> List[ColumnCheck]:
     """Compile plan targets[0] over a flat row schema. Raises
-    TierUnsupported when the plan doesn't fit tier 1."""
+    TierUnsupported when the plan doesn't fit tier 1. ``_seen`` tracks
+    inlined $ref targets (target 0 = the root program, so a ref back to
+    it is recursion by construction)."""
     # Column checks are exhaustive by construction (every predicate is
     # evaluated), so the `track` flag alone doesn't force tier 2 — only
     # dynamic scoping does; unevaluated* ops surface below as unsupported
@@ -519,7 +529,48 @@ def compile_column_checks(plan: dict, schema: T.StructType,
             for program in instr["programs"]:
                 checks.extend(compile_column_checks(
                     {**plan, "targets": [program] + plan["targets"][1:]},
-                    schema, df))
+                    schema, df, _seen=_seen))
+            continue
+        if op in ("any_of", "one_of", "not", "if_then_else"):
+            # row-level combinators: same emission as property level,
+            # with root-program branch compilation
+            def _root_branch(program):
+                return compile_column_checks(
+                    {**plan, "targets": [program] + plan["targets"][1:]},
+                    schema, df, _seen=_seen)
+
+            checks.extend(_combinator_emit(instr, _root_branch, "object",
+                                           instr["kloc"], ""))
+            continue
+        if op == "ref":
+            target = instr["value"]
+            if target in _seen:
+                raise TierUnsupported("recursive $ref needs tier 2")
+            sub = compile_column_checks(
+                {**plan, "targets": [plan["targets"][target]]
+                 + plan["targets"][1:]},
+                schema, df, _seen=_seen | {target})
+            checks.extend(sub)
+            if sub:
+                checks.append(ColumnCheck(
+                    instr["kloc"], "",
+                    _and_all(c.predicate for c in sub),
+                    F.lit("The object value was expected to validate "
+                          "against the referenced schema")))
+            continue
+        if op == "dependent_schema":
+            trigger = v["name"]
+            trig = (F.col(trigger).isNotNull() if trigger in fields
+                    else F.lit(False))
+            sub = compile_column_checks(
+                {**plan, "targets": [instr.get("program", [])]
+                 + plan["targets"][1:]},
+                schema, df, _seen=_seen)
+            for c in sub:
+                checks.append(ColumnCheck(
+                    c.keyword_location, c.instance_location,
+                    F.when(trig, c.predicate).otherwise(F.lit(True)),
+                    c.message))
             continue
         if op == "dependent_required":
             for trigger, names in v["deps"].items():

@@ -85,3 +85,73 @@ def test_combinator_messages_match_interpreter_taxonomy(spark, df):
         msgs["/properties/name/anyOf"]
     assert "one and only one of the 2 given subschemas" in \
         msgs["/properties/code/oneOf"]
+
+
+# --- root-level combinators ---------------------------------------------------
+
+ROOT_SCHEMA = {
+    "type": "object",
+    "anyOf": [{"required": ["name"]}, {"required": ["code"]}],
+    "oneOf": [{"properties": {"size": {"minimum": 100}}, "required": ["size"]},
+              {"required": ["tag"]}],
+    "not": {"required": ["name", "code", "tag", "size", "mixed"]},
+    "if": {"required": ["mixed"]},
+    "then": {"properties": {"mixed": {"minLength": 2}}},
+    "dependentSchemas": {"tag": {"required": ["code"]}},
+}
+
+
+def test_root_combinators_stay_tier1(spark, df):
+    v = validate_rows(df, ROOT_SCHEMA, force_tier=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        v.explain("formatted")
+    assert "MapInPandas" not in buf.getvalue()
+
+
+def test_root_combinator_parity(spark, df):
+    t1 = {r["row_id"]: r["valid"] for r in
+          validate_rows(df, ROOT_SCHEMA, force_tier=1)
+          .select("row_id", "valid").collect()}
+    t2 = {r["row_id"]: r["valid"] for r in
+          validate_rows(df, ROOT_SCHEMA, force_tier=2)
+          .select("row_id", "valid").collect()}
+    assert t1 == t2
+
+    def klocs(tier):
+        vt = violations_table(
+            validate_rows(df, ROOT_SCHEMA, force_tier=tier), ["row_id"])
+        return sorted(map(tuple, vt.select(
+            "row_id", "keyword_location", "instance_location").collect()))
+
+    assert klocs(1) == klocs(2)
+
+
+def test_root_ref_inlines_tier1(spark, df):
+    schema = {"type": "object", "$ref": "#/$defs/base",
+              "$defs": {"base": {"required": ["name"]}}}
+    v1 = validate_rows(df, schema, force_tier=1)
+    v2 = validate_rows(df, schema, force_tier=2)
+    a = {r["row_id"]: r["valid"] for r in v1.select("row_id", "valid").collect()}
+    b = {r["row_id"]: r["valid"] for r in v2.select("row_id", "valid").collect()}
+    assert a == b and a[3] is False
+
+
+def test_recursive_root_ref_falls_to_tier2(spark, df):
+    from blaze_spark.operators.columns import (
+        TierUnsupported,
+        compile_column_checks,
+    )
+    from blaze_spark.plans.compiler import compile_schema
+
+    schema = {"type": "object",
+              "anyOf": [{"$ref": "#"}, {"required": ["name"]}]}
+    plan = compile_schema(schema, apply_rewrites=False, mode="exhaustive")
+    with pytest.raises(TierUnsupported):
+        compile_column_checks(plan, df.schema)
+    # tier 2 hits the evaluation depth guard (the reference's behavior
+    # for unboundedly recursive schemas, evaluator_dispatch.h:2764-2768)
+    from blaze_spark.operators.evaluator import evaluate
+
+    with pytest.raises(RecursionError):
+        evaluate(plan, {"name": "x"})
