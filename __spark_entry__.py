@@ -65,6 +65,21 @@ EVENT_PROPS_SCHEMA = {
 
 KNOWN_LANGS = ["en", "de", "fr"]
 
+# combinator-heavy policy: exercises the tier-1 Column forms of
+# anyOf / oneOf / not / if-then-else (operators/columns._combinator_emit)
+DOCUMENTS_POLICY_SCHEMA = {
+    "type": "object",
+    "required": ["doc_id"],
+    "properties": {
+        "lang": {"anyOf": [{"enum": ["en", "fr"]}, {"const": "de"}]},
+        "doc_id": {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]},
+        "n_chars": {"if": {"minimum": 200},
+                    "then": {"maximum": 380},
+                    "else": {"minimum": 5}},
+        "source": {"not": {"pattern": "^src1[0-9]$"}},
+    },
+}
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -105,6 +120,12 @@ def q_validate_messages_pattern(spark, sf_dir):
     vt = violations_table(v, ["doc_id"])
     return (vt.where(F.col("keyword_location") == "/properties/source/pattern")
               .select("doc_id", "message"))
+
+
+def q_validate_documents_policy(spark, sf_dir):
+    v = validate_rows(_docs(spark, sf_dir), DOCUMENTS_POLICY_SCHEMA)
+    return v.select("doc_id", "valid",
+                    F.size("violations").alias("n_violations"))
 
 
 def q_partition_report(spark, sf_dir):
@@ -347,6 +368,7 @@ def q_events_windowed_violations(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
+        "validate_documents_policy": q_validate_documents_policy,
         "validate_documents_violations": q_validate_documents_violations,
         "validate_messages_pattern": q_validate_messages_pattern,
         "partition_report": q_partition_report,
@@ -459,6 +481,31 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY check_idx) - 1 AS INT) AS seq,
                    kloc AS keyword_location, iloc AS instance_location
             FROM v""",
+        "validate_documents_policy": """
+            WITH t AS (
+              SELECT doc_id, lang, n_chars, source,
+                     CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END AS v_req,
+                     CASE WHEN lang IS NOT NULL
+                          AND NOT (lang IN ('en','fr') OR lang = 'de')
+                          THEN 3 ELSE 0 END AS v_anyof,
+                     CASE WHEN doc_id IS NOT NULL THEN
+                       CASE (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                           + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                         WHEN 0 THEN 3 WHEN 2 THEN 1 ELSE 0 END
+                       ELSE 0 END AS v_oneof,
+                     CASE WHEN n_chars IS NOT NULL AND (
+                            (n_chars >= 200 AND n_chars > 380)
+                         OR (n_chars < 200 AND n_chars < 5))
+                          THEN 1 ELSE 0 END AS v_ite,
+                     CASE WHEN source IS NOT NULL
+                          AND regexp_matches(source, '^src1[0-9]$')
+                          THEN 1 ELSE 0 END AS v_not
+              FROM documents)
+            SELECT doc_id,
+                   (v_req + v_anyof + v_oneof + v_ite + v_not = 0) AS valid,
+                   CAST(v_req + v_anyof + v_oneof + v_ite + v_not AS INT)
+                       AS n_violations
+            FROM t""",
         "validate_messages_pattern": """
             SELECT doc_id,
                    'The string value "' || source ||

@@ -155,3 +155,14 @@ def test_recursive_root_ref_falls_to_tier2(spark, df):
 
     with pytest.raises(RecursionError):
         evaluate(plan, {"name": "x"})
+
+
+def test_documents_policy_schema_is_tier1(spark):
+    """The driver-contract combinator policy stays on the Column path."""
+    import __spark_entry__ as E
+    from blaze_spark.operators.columns import compile_column_checks
+    from blaze_spark.plans.compiler import compile_schema
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = compile_schema(E.DOCUMENTS_POLICY_SCHEMA, mode="exhaustive")
+    assert compile_column_checks(plan, docs.schema)  # no TierUnsupported
