@@ -73,3 +73,75 @@ def test_serialization_and_rewrites_preserve_semantics(instance, idx):
     want = evaluate(fast_plan, instance).valid
     assert evaluate(_ROUNDTRIP[idx], instance).valid == want
     assert evaluate(_RAW_PLANS[idx], instance).valid == want
+
+
+# --- randomized schemas: the 45-rule rewrite engine is semantics-preserving ---
+
+_scalar = (st.none() | st.booleans()
+           | st.integers(min_value=-20, max_value=20)
+           | st.sampled_from([0.5, 1.5, 3.0, -2.5])
+           | st.sampled_from(["a", "ab", "abc", "x", ""]))
+
+_names = st.sampled_from(["a", "b", "c"])
+
+
+def _assertions(children):
+    return st.fixed_dictionaries({}, optional={
+        "type": st.sampled_from(["string", "number", "integer", "boolean",
+                                 "null", "array", "object"])
+        | st.lists(st.sampled_from(["string", "number", "integer", "null"]),
+                   min_size=1, max_size=3),
+        "enum": st.lists(_scalar, min_size=1, max_size=4),
+        "const": _scalar,
+        "minimum": st.integers(-5, 5) | st.sampled_from([0.5, 2.5]),
+        "maximum": st.integers(-5, 8) | st.sampled_from([1.5, 6.5]),
+        "exclusiveMinimum": st.integers(-5, 5),
+        "exclusiveMaximum": st.integers(-5, 8),
+        "multipleOf": st.sampled_from([1, 2, 0.5]),
+        "minLength": st.integers(0, 4),
+        "maxLength": st.integers(0, 6),
+        "pattern": st.sampled_from(["^a", "b$", "^[a-z]*$"]),
+        "minItems": st.integers(0, 3),
+        "maxItems": st.integers(0, 4),
+        "uniqueItems": st.booleans(),
+        "minProperties": st.integers(0, 3),
+        "maxProperties": st.integers(0, 4),
+        "required": st.lists(_names, max_size=3),
+        "properties": st.dictionaries(_names, children, max_size=2),
+        "items": children,
+        "contains": children,
+        "minContains": st.integers(0, 2),
+        "maxContains": st.integers(0, 3),
+        "not": children,
+        "allOf": st.lists(children, min_size=1, max_size=2),
+        "anyOf": st.lists(children, min_size=1, max_size=2),
+        "oneOf": st.lists(children, min_size=1, max_size=2),
+        "if": children,
+        "then": children,
+        "else": children,
+        "dependentRequired": st.dictionaries(
+            _names, st.lists(_names, max_size=2), max_size=2),
+        "propertyNames": st.fixed_dictionaries(
+            {}, optional={"type": st.just("string"),
+                          "maxLength": st.integers(0, 4)}),
+    })
+
+
+random_schemas = st.recursive(
+    _assertions(st.just(True)), _assertions, max_leaves=10)
+
+
+@settings(max_examples=150, deadline=None)
+@given(schema=random_schemas, instance=json_values)
+def test_random_schema_rewrite_preserves_semantics(schema, instance):
+    raw = compile_schema(schema, mode="fast", apply_rewrites=False)
+    rewritten = compile_schema(schema, mode="fast")
+    assert evaluate(raw, instance).valid == evaluate(rewritten, instance).valid
+
+
+@settings(max_examples=150, deadline=None)
+@given(schema=random_schemas, instance=json_values)
+def test_random_schema_modes_agree(schema, instance):
+    fast = compile_schema(schema, mode="fast")
+    exh = compile_schema(schema, mode="exhaustive")
+    assert evaluate(fast, instance).valid == evaluate(exh, instance).valid
