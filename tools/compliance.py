@@ -50,6 +50,13 @@ def make_resolver(dialect: str):
                 if os.path.exists(p):
                     with open(p) as fh:
                         return json.load(fh)
+        if uri.startswith("https://spec.openapis.org/"):
+            # OpenAPI dialect/meta documents, vendored verbatim
+            p = os.path.join("/root/reference/vendor/openapi",
+                             uri[len("https://spec.openapis.org/"):])
+            if os.path.exists(p):
+                with open(p) as fh:
+                    return json.load(fh)
         if uri.startswith("https://json-schema.org/draft/"):
             tail = uri[len("https://json-schema.org/draft/"):]
             ver, _, name = tail.partition("/")
