@@ -20,6 +20,7 @@ SUITE = "/root/reference/vendor/jsonschema-test-suite"
 REMOTES = os.path.join(SUITE, "remotes")
 
 DIALECTS = {
+    "draft3": "draft3",
     "draft4": "draft4",
     "draft6": "draft6",
     "draft7": "draft7",
