@@ -106,3 +106,36 @@ def test_streaming_stateful_violation_streaks(spark, tmp_path):
         assert rows["zh"]["streak"] == 1 and rows["zh"]["total_invalid"] > 0
     # a fully-valid key has streak 0
     assert any(r["streak"] == 0 for r in rows.values())
+
+
+def test_streaming_windowed_violation_rate(spark, tmp_path):
+    """Watermarked windowed aggregation over a validated stream — the
+    late-data path (readStream → validate → window+watermark → sink)."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark.streaming.validate_stream import (
+        validate_stream,
+        violation_rate_by_window,
+    )
+
+    src = str(tmp_path / "in3")
+    docs = (spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+            .withColumn("ts", F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("doc_id") * 30)))
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    validated = validate_stream(stream, E.DOCUMENTS_SCHEMA)
+    rates = violation_rate_by_window(validated, "ts", window="1 minute",
+                                     watermark="2 minutes")
+    q = (rates.writeStream.format("memory").queryName("rates_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rates_out").collect()
+    # append mode emits only watermark-closed windows; row counts sum to
+    # at most the input and every rate is a valid fraction
+    assert rows, "no closed windows emitted"
+    assert sum(r["row_count"] for r in rows) <= 40
+    for r in rows:
+        assert 0.0 <= r["violation_rate"] <= 1.0
+        assert r["window_end"] > r["window_start"]
