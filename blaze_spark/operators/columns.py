@@ -522,18 +522,10 @@ def compile_column_checks(plan: dict, schema: T.StructType,
                             F.when(guard, check.predicate).otherwise(F.lit(True)),
                             check.message))
             continue
-        if op == "all_of":
-            # allOf is pure conjunction: inline every branch's checks
-            # (exact parity with the interpreter's inlined fast mode,
-            # reference: default_compiler_draft4.h:45-58)
-            for program in instr["programs"]:
-                checks.extend(compile_column_checks(
-                    {**plan, "targets": [program] + plan["targets"][1:]},
-                    schema, df, _seen=_seen))
-            continue
-        if op in ("any_of", "one_of", "not", "if_then_else"):
-            # row-level combinators: same emission as property level,
-            # with root-program branch compilation
+        if op in ("all_of", "any_of", "one_of", "not", "if_then_else"):
+            # row-level combinators: same emission (incl. the allOf
+            # summary violation) as the property level and the
+            # interpreter, with root-program branch compilation
             def _root_branch(program):
                 return compile_column_checks(
                     {**plan, "targets": [program] + plan["targets"][1:]},
@@ -550,6 +542,11 @@ def compile_column_checks(plan: dict, schema: T.StructType,
                 {**plan, "targets": [plan["targets"][target]]
                  + plan["targets"][1:]},
                 schema, df, _seen=_seen | {target})
+            # target-program klocs are target-relative: prefix with the
+            # ref's own location (tier-2 threads it via eprefix)
+            sub = [ColumnCheck(instr["kloc"] + c.keyword_location,
+                               c.instance_location, c.predicate, c.message)
+                   for c in sub]
             checks.extend(sub)
             if sub:
                 checks.append(ColumnCheck(

@@ -305,7 +305,7 @@ def _lint_portable_anchor_names(s: dict, _p: str) -> Optional[str]:
     for kw in ("$anchor", "$dynamicAnchor"):
         v = s.get(kw)
         if isinstance(v, str) \
-                and not re.match(r"^[A-Za-z][A-Za-z0-9_:.\-]*$", v):
+                and not re.match(r"^[A-Za-z][A-Za-z0-9_.\-]*$", v):
             return f"`{kw}` value {v!r} is not a portable anchor name"
     return None
 
@@ -319,8 +319,7 @@ def _lint_unknown_keywords_prefix(s: dict, _p: str) -> Optional[str]:
     for key in s:
         if key not in _KNOWN_KEYWORDS and not key.startswith("x-") \
                 and key not in ("title", "description", "default", "examples",
-                                "deprecated", "readOnly", "writeOnly",
-                                "disallow", "extends", "divisibleBy"):
+                                "deprecated", "readOnly", "writeOnly"):
             return (f"unknown keyword {key!r} — prefix extensions with "
                     "'x-' to distinguish them from typos")
     return None

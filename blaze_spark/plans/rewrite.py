@@ -782,8 +782,10 @@ def _rule_exclusive_boolean_integer_fold(s: dict) -> bool:
     """draft-4 boolean exclusive bounds on integer-typed schemas fold
     into the plain bound (x < N ⟺ x ≤ N−1 for integers; reference:
     exclusive_maximum_boolean_integer_fold.h,
-    exclusive_minimum_boolean_integer_fold.h)."""
-    if s.get("type") != "integer":
+    exclusive_minimum_boolean_integer_fold.h). Draft-4 ONLY: under
+    draft-6+ a boolean exclusive bound is a spec error the compiler
+    ignores, so folding it would tighten the plain bound."""
+    if _CTX["dialect"] != "draft4" or s.get("type") != "integer":
         return False
     changed = False
     hi = s.get("maximum")
@@ -831,7 +833,12 @@ def _rule_enum_drop_redundant_validation(s: dict) -> bool:
         from blaze_spark.operators.evaluator import evaluate as _eval
         from blaze_spark.plans.compiler import compile_schema as _compile
 
-        plan = _compile(copy.deepcopy(sub), apply_rewrites=False, mode="fast")
+        # compile under the DOCUMENT's dialect: e.g. draft-4 ignores
+        # numeric exclusive bounds, so 2020-12 semantics would
+        # over-filter the enum there
+        plan = _compile(copy.deepcopy(sub), apply_rewrites=False,
+                        mode="fast",
+                        default_dialect=_CTX["dialect"] or "2020-12")
         kept = [v for v in values if _eval(plan, v).valid]
     except Exception:
         return False
@@ -957,6 +964,9 @@ def rewrite(schema: Any, max_iterations: int = 10,
     if "$ref" in blob or "$dynamicRef" in blob or "$recursiveRef" in blob:
         return schema
     _CTX["has_unevaluated"] = "unevaluated" in blob
+    from blaze_spark.plans.frame import dialect_of as _dof
+
+    _CTX["dialect"] = dialect or _dof(schema, "2020-12")
     for _ in range(max_iterations):
         schema, changed = _apply_once(schema)
         if not changed:

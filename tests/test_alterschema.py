@@ -34,7 +34,7 @@ def _accepts(schema, dialect="2020-12", apply_rewrites=True):
 
 def _check(schema, expect, dialect="2020-12"):
     """rewrite(schema) == expect AND validation behavior is unchanged."""
-    got = rewrite(schema)
+    got = rewrite(schema, dialect=dialect)
     assert got == expect, got
     assert _accepts(schema, dialect, apply_rewrites=False) == \
         _accepts(expect, dialect, apply_rewrites=False), schema
@@ -461,3 +461,25 @@ def test_lint_round2_rules():
     # x- prefixed extensions are fine
     assert not any(f["rule"] == "unknown_keywords_prefix"
                    for f in lint({"x-ext": 1}))
+
+
+def test_boolean_exclusive_fold_is_draft4_only():
+    """Under modern dialects a boolean exclusive bound is a spec error
+    the compiler ignores — folding it would tighten the plain bound
+    (code-review r2b finding 1)."""
+    s = {"type": "integer", "maximum": 10, "exclusiveMaximum": True}
+    assert rewrite(s, dialect="2020-12") == s
+    assert _accepts(s) == _accepts(s, apply_rewrites=False)
+
+
+def test_enum_absorption_respects_dialect():
+    """draft-4 ignores NUMERIC exclusive bounds; the enum filter must
+    compile the absorbed assertions under the document's dialect
+    (code-review r2b finding 2)."""
+    s = {"enum": [1, 5], "exclusiveMinimum": 3}
+    got = rewrite(s, dialect="draft4")
+    assert got["enum"] == [1, 5]  # draft-4: the bound asserts nothing
+    assert _accepts(s, "draft4") == _accepts(s, "draft4",
+                                             apply_rewrites=False)
+    got2020 = rewrite(s, dialect="2020-12")
+    assert got2020 == {"const": 5}  # filtered, then single-enum -> const

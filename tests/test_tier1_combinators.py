@@ -35,6 +35,7 @@ ROWS = [
     (2, "x", 50, "fine", 105, "ab"),             # name, code, size fail
     (3, None, None, None, None, None),           # required name fails
     (4, "bob", 200, "banned", -3, "a"),          # tag + size(else) fail
+    (5, "xy", None, "tagged", 10, "ab"),         # dependentSchemas fails
 ]
 COLS = ["row_id", "name", "code", "tag", "size", "mixed"]
 
@@ -166,3 +167,41 @@ def test_documents_policy_schema_is_tier1(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = compile_schema(E.DOCUMENTS_POLICY_SCHEMA, mode="exhaustive")
     assert compile_column_checks(plan, docs.schema)  # no TierUnsupported
+
+
+def test_root_dependent_schema_failing_path(spark, df):
+    """Row 5 has tag present but code null: dependentSchemas must fire
+    identically in both tiers (code-review r2b)."""
+    for tier in (1, 2):
+        v = {r["row_id"]: r["valid"] for r in
+             validate_rows(df, {"type": "object",
+                                "dependentSchemas":
+                                    {"tag": {"required": ["code"]}}},
+                           force_tier=tier)
+             .select("row_id", "valid").collect()}
+        assert v[5] is False and v[0] is True and v[3] is True, (tier, v)
+
+
+def test_root_ref_and_allof_violation_kloc_parity(spark, df):
+    """Root $ref sub-violations carry the ref-prefixed keyword location
+    and root allOf emits its summary row — exactly like the interpreter
+    (code-review r2b findings 3-4)."""
+    schemas = [
+        {"type": "object", "$ref": "#/$defs/base",
+         "$defs": {"base": {"required": ["name"]}}},
+        {"type": "object", "allOf": [{"required": ["name"]},
+                                     {"required": ["code"]}]},
+    ]
+    for schema in schemas:
+        def klocs(tier):
+            vt = violations_table(
+                validate_rows(df, schema, force_tier=tier), ["row_id"])
+            return sorted(map(tuple, vt.select(
+                "row_id", "keyword_location").collect()))
+
+        assert klocs(1) == klocs(2), schema
+    # and the ref case concretely shows the prefixed location
+    vt = violations_table(
+        validate_rows(df, schemas[0], force_tier=1), ["row_id"])
+    locs = {r["keyword_location"] for r in vt.collect()}
+    assert "/$ref/required" in locs and "/$ref" in locs
