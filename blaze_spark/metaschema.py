@@ -1,0 +1,59 @@
+"""Metaschema validation: check schemas AGAINST their dialect's
+metaschema — the official metaschemas compile and evaluate like any
+other schema (the 2020-12 one exercises $dynamicRef/$dynamicAnchor and
+the full vocabulary machinery; the reference validates metaschemas the
+same way, README.markdown "schemas all the way down").
+
+``check_schema`` verdicts one schema; ``validate_schema_column`` lifts
+it over a DataFrame column of schema documents (a schema REGISTRY is a
+table like any other at pipeline scale — tier-2 Arrow batches, one
+compiled metaschema plan broadcast to executors).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+from blaze_spark.operators.evaluator import EvalResult, evaluate
+from blaze_spark.plans.compiler import compile_schema
+from blaze_spark.plans.frame import DIALECT_URIS
+
+_DIALECT_TO_URI = {d: u for u, d in DIALECT_URIS.items()}
+_plan_cache: Dict[Tuple[str, str], dict] = {}
+
+
+def metaschema_plan(dialect: str, resolver: Callable[[str], Any],
+                    mode: str = "exhaustive") -> dict:
+    """Compile the official metaschema of ``dialect`` (resolver must
+    supply the vendored/official metaschema documents). Cached per
+    (dialect, mode) — metaschemas are immutable."""
+    key = (dialect, mode)
+    if key not in _plan_cache:
+        uri = _DIALECT_TO_URI[dialect]
+        meta = resolver(uri) or resolver(uri.rstrip("#"))
+        if meta is None:
+            raise KeyError(f"resolver cannot supply metaschema {uri!r}")
+        _plan_cache[key] = compile_schema(
+            meta, default_dialect=dialect, resolver=resolver, mode=mode)
+    return _plan_cache[key]
+
+
+def check_schema(schema: Any, *, resolver: Callable[[str], Any],
+                 dialect: Optional[str] = None,
+                 mode: str = "exhaustive") -> EvalResult:
+    """Validate ``schema`` against its declared (or given) dialect's
+    metaschema; violations carry metaschema keyword locations."""
+    from blaze_spark.plans.frame import dialect_of
+
+    d = dialect or dialect_of(schema, "2020-12")
+    return evaluate(metaschema_plan(d, resolver, mode), schema)
+
+
+def validate_schema_column(df, json_col: str, *, resolver,
+                           dialect: str = "2020-12"):
+    """Per-row metaschema validation of a JSON schema column — the
+    registry-audit operator (valid + violations columns attached)."""
+    from blaze_spark.operators.validate import validate_json_column
+
+    return validate_json_column(df, json_col,
+                                metaschema_plan(dialect, resolver))

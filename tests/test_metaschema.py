@@ -1,0 +1,50 @@
+"""Metaschema validation: the engine validates schemas against their
+own dialect metaschemas (2020-12 exercises $dynamicRef end-to-end)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from compliance import make_resolver  # noqa: E402
+
+from blaze_spark.metaschema import check_schema, validate_schema_column
+
+RESOLVER = make_resolver("draft2020-12")
+
+CASES = [
+    ({"type": "string", "minLength": 3}, True),
+    ({"type": 42}, False),
+    ({"minLength": -1}, False),
+    ({"properties": {"a": {"type": "strong"}}}, False),
+    ({"$defs": {"x": {"items": {"type": "null"}}}}, True),
+    (True, True),
+    ({"required": "nope"}, False),
+    ({"exclusiveMinimum": True}, False),  # boolean form is draft-4 only
+]
+
+
+@pytest.mark.parametrize("schema,want", CASES,
+                         ids=[json.dumps(s)[:30] for s, _ in CASES])
+def test_check_schema_2020_12(schema, want):
+    res = check_schema(schema, resolver=RESOLVER)
+    assert res.valid is want
+    if not want:
+        assert res.violations
+
+
+def test_check_schema_draft4_boolean_exclusive():
+    res = check_schema({"minimum": 1, "exclusiveMinimum": True},
+                       resolver=make_resolver("draft4"), dialect="draft4")
+    assert res.valid
+
+
+def test_validate_schema_registry_column(spark):
+    rows = [(i, json.dumps(s)) for i, (s, _) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, ["schema_id", "schema_json"])
+    out = validate_schema_column(df, "schema_json", resolver=RESOLVER)
+    got = {r["schema_id"]: r["valid"] for r in out.collect()}
+    assert got == {i: want for i, (_, want) in enumerate(CASES)}
