@@ -1,0 +1,33 @@
+"""Faithful alterschema engine: canonicalizer / linter / upgrade modes.
+
+The analog of the reference's SchemaTransformer + rule corpus
+(reference: src/alterschema/transformer.cc, src/alterschema/alterschema.cc
+add(), rule headers under src/alterschema/{canonicalizer,common,linter,
+upgrade}/). Unlike ``plans/rewrite.py`` (the compile-time optimizer,
+which trades fidelity for safety), this package reproduces the
+reference's transformation *outputs* rule-for-rule and is verified
+against the reference's own test corpus
+(test/alterschema/alterschema_*_test.cc) parsed in place.
+"""
+
+from blaze_spark.plans.transform.engine import (
+    SchemaTransformer,
+    Trace,
+)
+from blaze_spark.plans.transform.modes import (
+    canonicalize,
+    lint_fix,
+    lint_check,
+    make_transformer,
+    upgrade_schema,
+)
+
+__all__ = [
+    "SchemaTransformer",
+    "Trace",
+    "canonicalize",
+    "lint_fix",
+    "lint_check",
+    "make_transformer",
+    "upgrade_schema",
+]

@@ -1,0 +1,515 @@
+"""SchemaTransformer: location analysis + rule fixpoint application.
+
+The analog of the reference's transformer
+(reference: src/alterschema/transformer.cc — check_rules() walks every
+framed subschema location and runs each rule's condition;
+SchemaTransformer::apply() iterates mutating rules to fixpoint,
+re-framing after each transform). Rules are Python objects with the
+same contract as SchemaTransformRule (name, message, mutates,
+condition, transform).
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+from blaze_spark.plans.frame import joinuri
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform import walker as W
+
+Pointer = Tuple[Any, ...]  # ('properties', 'foo', 'items', 0, ...)
+
+
+def pointer_str(pointer: Pointer) -> str:
+    out = []
+    for tok in pointer:
+        t = str(tok)
+        out.append("/" + t.replace("~", "~0").replace("/", "~1"))
+    return "".join(out)
+
+
+def get_at(doc: Any, pointer: Pointer) -> Any:
+    cur = doc
+    for tok in pointer:
+        cur = cur[tok]
+    return cur
+
+
+def set_at(doc: Any, pointer: Pointer, value: Any) -> None:
+    cur = doc
+    for tok in pointer[:-1]:
+        cur = cur[tok]
+    cur[pointer[-1]] = value
+
+
+@dataclass
+class Location:
+    pointer: Pointer
+    parent: Optional[Pointer]
+    dialect: Optional[str]          # governing dialect URI
+    vocabularies: V.Vocabularies
+    base: str                       # base URI of the enclosing resource
+    is_resource: bool
+
+
+@dataclass
+class Reference:
+    origin: Pointer                 # pointer of the $ref keyword itself
+    keyword: str                    # $ref / $dynamicRef / $recursiveRef
+    value: str                      # raw reference string
+    base: str                       # base URI it resolves against
+
+
+@dataclass
+class Trace:
+    pointer: str
+    name: str
+    message: str
+    fixable: bool
+    result: Any = None
+
+
+class TransformFrame:
+    """Lightweight frame: subschema locations + raw references, built
+    in document order (reference frame.locations() / frame.references())."""
+
+    def __init__(self, root: Any,
+                 resolver: Optional[Callable[[str], Any]],
+                 default_dialect: str = "",
+                 default_id: str = "") -> None:
+        self.root = root
+        self.resolver = resolver
+        self.default_dialect = default_dialect or ""
+        self.default_id = default_id or ""
+        self.locations: List[Location] = []
+        self.by_pointer: Dict[Pointer, Location] = {}
+        self.references: List[Reference] = []
+        self.resources: Dict[str, Pointer] = {}
+        self.anchors: Dict[Tuple[str, str], Pointer] = {}
+        self._analyse()
+
+    # -- analysis --------------------------------------------------------
+
+    def _dialect_uri(self, node: Any, inherited: str) -> str:
+        if isinstance(node, dict):
+            ds = node.get("$schema")
+            if isinstance(ds, str):
+                return ds
+        return inherited
+
+    def _id_of(self, node: dict, vocab: V.Vocabularies) -> Optional[str]:
+        if not vocab or not vocab.isdisjoint(
+                {V.V20_CORE, V.V19_CORE, V.D7, V.D6}):
+            rid = node.get("$id")
+            if isinstance(rid, str) and rid:
+                return rid
+        if not vocab or not vocab.isdisjoint({V.D4, V.D3}):
+            rid = node.get("id")
+            if isinstance(rid, str) and rid:
+                return rid
+        return None
+
+    def _analyse(self) -> None:
+        root = self.root
+        dialect = self._dialect_uri(root, self.default_dialect)
+        self._walk(root, (), None, dialect, self.default_id, True)
+        # the reference stores locations in a std::map keyed by URI
+        # (frame.h:146-153), so rule application visits subschemas in
+        # lexicographic URI order, not document order
+        def _uri_key(loc: Location) -> str:
+            res_len = 0
+            for res_ptr in self.resources.values():
+                if len(res_ptr) <= len(loc.pointer) and \
+                        loc.pointer[:len(res_ptr)] == res_ptr and \
+                        len(res_ptr) > res_len:
+                    res_len = len(res_ptr)
+            rel = loc.pointer[res_len:]
+            if loc.is_resource and not rel:
+                return loc.base
+            return loc.base + "#" + pointer_str(rel)
+
+        self.locations.sort(key=_uri_key)
+
+    def _walk(self, node: Any, pointer: Pointer, parent: Optional[Pointer],
+              dialect: str, base: str, is_root: bool) -> None:
+        vocab = V.dialect_vocabularies(dialect, self.resolver)
+        is_resource = is_root
+        if isinstance(node, dict):
+            if not is_root and isinstance(node.get("$schema"), str) and (
+                    "$id" in node or "id" in node):
+                # only embedded RESOURCES may re-declare their dialect —
+                # a $schema without a sibling identifier is ignored
+                # (reference: common/ignored_metaschema.h)
+                new_dialect = self._dialect_uri(node, dialect)
+                new_vocab = V.dialect_vocabularies(new_dialect,
+                                                   self.resolver)
+                if self._id_of(node, new_vocab) is not None:
+                    dialect = new_dialect
+                    vocab = new_vocab
+            rid = self._id_of(node, vocab)
+            if rid is not None:
+                resolved = joinuri(base or "", rid)
+                frag_free, _, frag = resolved.partition("#")
+                if frag and not frag.startswith("/"):
+                    # legacy fragment-only ids act as plain anchors
+                    self.anchors.setdefault(
+                        (frag_free or base, frag), pointer)
+                if frag_free and frag_free != base:
+                    base = frag_free
+                    is_resource = True
+                    self.resources.setdefault(frag_free, pointer)
+            if is_root:
+                self.resources.setdefault(base, pointer)
+            anchor = node.get("$anchor")
+            if isinstance(anchor, str) and W.walk_type(
+                    "$anchor", vocab) == W.OTHER:
+                self.anchors.setdefault((base, anchor), pointer)
+            danchor = node.get("$dynamicAnchor")
+            if isinstance(danchor, str) and W.walk_type(
+                    "$dynamicAnchor", vocab) == W.OTHER:
+                self.anchors.setdefault((base, danchor), pointer)
+        self.locations.append(Location(
+            pointer=pointer, parent=parent, dialect=dialect or None,
+            vocabularies=vocab, base=base, is_resource=is_resource))
+        self.by_pointer[pointer] = self.locations[-1]
+        if not isinstance(node, dict):
+            return
+        for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
+            val = node.get(kw)
+            if isinstance(val, str) and \
+                    W.walk_type(kw, vocab) == W.REFERENCE:
+                self.references.append(Reference(
+                    origin=pointer + (kw,), keyword=kw, value=val, base=base))
+        for rel, child, _orderly in W.subschema_entries(node, vocab):
+            self._walk(child, pointer + rel, pointer, dialect, base, False)
+
+    # -- reference traversal --------------------------------------------
+
+    def traverse(self, ref: str, base: str) -> Optional[Pointer]:
+        """Resolve a reference string to the pointer of its target
+        subschema within the root document, or None (the analog of
+        frame.traverse(uri) in rule conditions)."""
+        resolved = joinuri(base or "", ref)
+        uri, _, frag = resolved.partition("#")
+        if uri in self.resources:
+            start = self.resources[uri]
+        elif not uri:
+            start = ()
+        else:
+            return None
+        from urllib.parse import unquote
+        frag = unquote(frag)
+        if not frag:
+            return start
+        if not frag.startswith("/"):
+            return self.anchors.get((uri or self._root_base(), frag))
+        pointer = list(start)
+        node = get_at(self.root, start)
+        for raw in frag[1:].split("/"):
+            tok: Any = raw.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, list):
+                try:
+                    tok = int(tok)
+                except ValueError:
+                    return None
+            try:
+                node = node[tok]
+            except (KeyError, IndexError, TypeError):
+                return None
+            pointer.append(tok)
+        return tuple(pointer)
+
+    def _root_base(self) -> str:
+        return self.locations[0].base if self.locations else ""
+
+    # -- helpers used by rules ------------------------------------------
+
+    def keyword_of(self, location: Location) -> Optional[str]:
+        """The applicator keyword this location hangs from (first token
+        of the pointer relative to the parent), or None at a root."""
+        if location.parent is None:
+            return None
+        rel = location.pointer[len(location.parent):]
+        return rel[0] if rel and isinstance(rel[0], str) else None
+
+    def walk_up(self, location: Location,
+                should_continue: Callable[[str], bool],
+                matches: Callable[[Any, V.Vocabularies], bool]
+                ) -> Optional[Location]:
+        """WALK_UP analog (alterschema.cc:60-93): climb parents while
+        ``should_continue(keyword_type)`` holds for every crossed
+        keyword; return the first ancestor whose schema matches."""
+        current = location
+        while current.parent is not None:
+            parent_loc = self.by_pointer.get(current.parent)
+            if parent_loc is None:
+                return None
+            rel = current.pointer[len(parent_loc.pointer):]
+            if not rel or not isinstance(rel[0], str):
+                return None
+            ktype = W.walk_type(rel[0], parent_loc.vocabularies)
+            if not should_continue(ktype):
+                return None
+            parent_schema = get_at(self.root, parent_loc.pointer)
+            if matches(parent_schema, parent_loc.vocabularies):
+                return parent_loc
+            current = parent_loc
+        return None
+
+    def walk_up_in_place(self, location: Location,
+                         matches: Callable[[Any, V.Vocabularies], bool]
+                         ) -> Optional[Location]:
+        """WALK_UP_IN_PLACE_APPLICATORS analog (alterschema.cc:95-107)."""
+        return self.walk_up(
+            location, lambda t: t in W.IN_PLACE_APPLICATORS, matches)
+
+    def has_references_through(self, prefix: Pointer) -> bool:
+        """True when any reference resolves to a pointer under
+        ``prefix`` (frame.has_references_through analog)."""
+        for reference in self.references:
+            dest = self.traverse(reference.value, reference.base)
+            if dest is not None and dest[:len(prefix)] == prefix:
+                return True
+        return False
+
+
+def rebase(pointer: Pointer, old_prefix: Pointer,
+           new_prefix: Pointer) -> Pointer:
+    """Pointer.rebase analog: swap a leading prefix when it matches."""
+    if pointer[:len(old_prefix)] == old_prefix:
+        return new_prefix + pointer[len(old_prefix):]
+    return pointer
+
+
+class Rule:
+    """SchemaTransformRule analog. Subclasses set ``name``/``message``
+    and override ``condition`` (and ``transform`` when fixable)."""
+
+    name: str = ""
+    message: str = ""
+    mutates: bool = True
+    reframe: bool = True
+
+    def condition(self, schema: Any, root: Any, vocab: V.Vocabularies,
+                  frame: TransformFrame, location: Location,
+                  is_metaschema: bool) -> Union[bool, list, dict]:
+        raise NotImplementedError
+
+    def transform(self, schema: Any, result: Any) -> None:
+        raise NotImplementedError(
+            f"rule {self.name} cannot be automatically transformed")
+
+    def rereference(self, target: Pointer, current: Pointer,
+                    result: Any) -> Optional[Pointer]:
+        """Relocate a reference-target pointer broken by transform()
+        (SchemaTransformRule::rereference analog). ``target`` and
+        ``current`` are resource-relative. None = cannot fix."""
+        return None
+
+
+class RuleConditionStillHolds(RuntimeError):
+    pass
+
+
+class SchemaTransformer:
+    """Reference SchemaTransformer analog (transformer.cc:176-410)."""
+
+    def __init__(self) -> None:
+        self.rules: List[Rule] = []
+
+    def add(self, rule: Rule) -> None:
+        self.rules.append(rule)
+
+    def remove(self, name: str) -> bool:
+        before = len(self.rules)
+        self.rules = [r for r in self.rules if r.name != name]
+        return len(self.rules) != before
+
+    # -- check ----------------------------------------------------------
+
+    def _check_rules(self, schema: Any, frame: TransformFrame,
+                     traces: List[Trace], exclude_keyword: str,
+                     non_mutating_only: bool, is_metaschema: bool
+                     ) -> Tuple[bool, int]:
+        ok = True
+        count = failures = 0
+        for location in frame.locations:
+            if not location.vocabularies:
+                continue  # unknown dialect: no rule semantics to apply
+            current = get_at(schema, location.pointer)
+            count += 1
+            failed = False
+            for rule in self.rules:
+                if non_mutating_only and rule.mutates:
+                    continue
+                result = self._run_condition(
+                    rule, current, schema, location, frame,
+                    exclude_keyword, is_metaschema)
+                if result:
+                    failed = True
+                    traces.append(Trace(pointer_str(location.pointer),
+                                        rule.name, rule.message,
+                                        rule.mutates, result))
+            if failed:
+                failures += 1
+                ok = False
+        health = 100 if count == 0 else 100 - (failures * 100 // count)
+        return ok, health
+
+    def _run_condition(self, rule: Rule, current: Any, schema: Any,
+                       location: Location, frame: TransformFrame,
+                       exclude_keyword: str, is_metaschema: bool) -> Any:
+        result = rule.condition(current, schema, location.vocabularies,
+                                frame, location, is_metaschema)
+        if result and exclude_keyword and isinstance(current, dict):
+            excl = current.get(exclude_keyword)
+            if excl == rule.name or (
+                    isinstance(excl, list) and rule.name in excl):
+                return False
+        return result
+
+    def check(self, schema: Any,
+              resolver: Optional[Callable[[str], Any]] = None,
+              default_dialect: str = "", default_id: str = "",
+              exclude_keyword: str = "", is_metaschema: bool = False,
+              traces: Optional[List[Trace]] = None) -> Tuple[bool, int]:
+        frame = TransformFrame(schema, resolver, default_dialect, default_id)
+        return self._check_rules(schema, frame,
+                                 traces if traces is not None else [],
+                                 exclude_keyword, False, is_metaschema)
+
+    # -- apply ----------------------------------------------------------
+
+    def apply(self, schema: Any,
+              resolver: Optional[Callable[[str], Any]] = None,
+              default_dialect: str = "", default_id: str = "",
+              exclude_keyword: str = "", is_metaschema: bool = False,
+              traces: Optional[List[Trace]] = None,
+              max_applications: int = 10000) -> Tuple[bool, int, Any]:
+        """Apply mutating rules to fixpoint (transformer.cc:220-387 —
+        re-framed after every application). Returns
+        (no unfixable findings remain, health, transformed document);
+        the input container is mutated in place except when a rule
+        replaces the root wholesale (e.g. with a boolean)."""
+        if traces is None:
+            traces = []
+        applications = 0
+        while not isinstance(schema, bool):
+            frame = TransformFrame(schema, resolver, default_dialect,
+                                   default_id)
+            applied = False
+            for location in frame.locations:
+                if not location.vocabularies:
+                    continue  # unknown dialect: no rule semantics to apply
+                try:
+                    current = get_at(schema, location.pointer)
+                except (KeyError, IndexError, TypeError):
+                    continue  # stale location after an earlier transform
+                for rule in self.rules:
+                    if not rule.mutates:
+                        continue
+                    result = self._run_condition(
+                        rule, current, schema, location, frame,
+                        exclude_keyword, is_metaschema)
+                    if not result:
+                        continue
+                    saved_refs = self._snapshot_references(frame)
+                    replaced = rule.transform(current, result)
+                    if replaced is not None:
+                        if location.pointer == ():
+                            schema = replaced
+                        else:
+                            set_at(schema, location.pointer, replaced)
+                    self._fix_references(schema, frame, rule, location,
+                                         result, saved_refs)
+                    traces.append(Trace(pointer_str(location.pointer),
+                                        rule.name, rule.message, True,
+                                        result))
+                    applications += 1
+                    if applications > max_applications:
+                        raise RuleConditionStillHolds(
+                            f"transform did not converge (rule {rule.name})")
+                    applied = True
+                    break
+                if applied:
+                    break
+            if not applied:
+                break
+        if isinstance(schema, bool):
+            return True, 100, schema
+        frame = TransformFrame(schema, resolver, default_dialect, default_id)
+        ok, health = self._check_rules(schema, frame, traces, exclude_keyword,
+                                      True, is_metaschema)
+        return ok, health, schema
+
+    # -- broken-reference repair (transformer.cc:262-350 analog) ---------
+
+    @staticmethod
+    def _try_get(doc: Any, pointer: Pointer) -> bool:
+        try:
+            get_at(doc, pointer)
+            return True
+        except (KeyError, IndexError, TypeError):
+            return False
+
+    @staticmethod
+    def _resource_offset(frame: TransformFrame, pointer: Pointer) -> int:
+        """Length of the deepest resource prefix containing ``pointer``."""
+        best = 0
+        for res_ptr in frame.resources.values():
+            if len(res_ptr) > best and \
+                    pointer[:len(res_ptr)] == res_ptr:
+                best = len(res_ptr)
+        return best
+
+    def _snapshot_references(self, frame: TransformFrame) -> list:
+        saved = []
+        for ref in frame.references:
+            resolved = joinuri(ref.base or "", ref.value)
+            uri, _, fragment = resolved.partition("#")
+            if not fragment.startswith("/"):
+                continue
+            dest = frame.traverse(ref.value, ref.base)
+            if dest is None:
+                continue
+            dest_offset = self._resource_offset(frame, dest)
+            saved.append((ref, uri, fragment, dest, dest_offset))
+        return saved
+
+    def _fix_references(self, schema: Any, frame: TransformFrame,
+                        rule: Rule, location: Location, result: Any,
+                        saved_refs: list) -> None:
+        loc_offset = self._resource_offset(frame, location.pointer)
+        current_rel = location.pointer[loc_offset:]
+        for ref, _uri, fragment, dest, dest_offset in saved_refs:
+            if self._try_get(schema, dest):
+                continue
+            origin = ref.origin
+            if not self._try_get(schema, origin[:-1]):
+                # the $ref itself was relocated by the transform
+                origin_offset = self._resource_offset(frame, origin)
+                new_origin_rel = rule.rereference(
+                    origin[origin_offset:], current_rel, result)
+                if new_origin_rel is None:
+                    continue
+                origin = origin[:origin_offset] + tuple(new_origin_rel)
+                if not self._try_get(schema, origin[:-1]):
+                    continue
+            new_rel = rule.rereference(dest[dest_offset:], current_rel,
+                                       result)
+            if new_rel is None or tuple(new_rel) == dest[dest_offset:]:
+                continue
+            # a fragment spelled root-relative keeps its resource prefix
+            # (transformer.cc:344-349)
+            if fragment == pointer_str(dest):
+                new_frag = dest[:dest_offset] + tuple(new_rel)
+            else:
+                new_frag = tuple(new_rel)
+            prefix = ref.value.partition("#")[0]
+            new_value = prefix + "#" + pointer_str(new_frag)
+            try:
+                set_at(schema, origin, new_value)
+            except (KeyError, IndexError, TypeError):
+                continue

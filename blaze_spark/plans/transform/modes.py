@@ -1,0 +1,282 @@
+"""Mode registries: which rules run for canonicalize / lint / upgrade.
+
+Mirrors sourcemeta::blaze::add(bundle, mode)
+(reference: src/alterschema/alterschema.cc:306-552) — registration
+ORDER matters (rules earlier in the list win ties at a location), so
+the lists below keep the reference's exact ordering, minus rules for
+dialects outside this engine's scope (draft0-2).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Callable, List, Optional, Tuple
+
+from blaze_spark.plans.transform import rules_canonicalizer as C
+from blaze_spark.plans.transform.engine import SchemaTransformer, Trace
+
+try:
+    from blaze_spark.plans.transform import rules_common as M
+except ImportError:  # pragma: no cover - during incremental build
+    M = None
+
+try:
+    from blaze_spark.plans.transform import rules_linter as L
+except ImportError:  # pragma: no cover
+    L = None
+
+try:
+    from blaze_spark.plans.transform import rules_upgrade as U
+except ImportError:  # pragma: no cover
+    U = None
+
+
+def _common_rules(mode: str) -> List:
+    """The shared rule block (alterschema.cc:379-517) in registration
+    order; `mode` is 'canonicalizer' or 'linter'."""
+    if M is None:
+        return []
+    rules = []
+    if mode in ("linter", "canonicalizer") and L is not None:
+        rules.append(L.DefinitionsToDefs())
+    rules += [
+        M.ContentMediaTypeWithoutEncoding(),
+        M.ContentSchemaWithoutMediaType(),
+        M.DraftOfficialDialectWithHttps(),
+        M.DraftOfficialDialectWithoutEmptyFragment(),
+        M.NonApplicableTypeSpecificKeywords(),
+        M.NonApplicableDisallowTypes(),
+        M.DisallowNarrowsType(),
+        M.AnyOfRemoveFalseSchemas(),
+        M.AnyOfTrueSimplify(),
+        M.DuplicateAllOfBranches(),
+        M.DuplicateAnyOfBranches(),
+        M.FlattenNestedAllOf(),
+        M.FlattenNestedExtends(),
+        M.FlattenNestedAnyOf(),
+    ]
+    if mode == "canonicalizer":
+        rules.append(C.Draft3TypeAny())
+    rules += [
+        M.UnsatisfiableInPlaceApplicatorType(),
+        M.AllOfFalseSimplify(),
+        M.AnyOfFalseSimplify(),
+        M.OneOfFalseSimplify(),
+        M.DoubleNegationElimination(),
+        M.OneOfToAnyOfDisjointTypes(),
+        M.UnsatisfiableDropValidation(),
+        M.ElseWithoutIf(),
+        M.IfWithoutThenElse(),
+        M.IgnoredMetaschema(),
+        M.MaxContainsWithoutContains(),
+        M.MinContainsWithoutContains(),
+        M.NotFalse(),
+    ]
+    if mode != "canonicalizer" and L is not None:
+        rules += [L.ThenEmpty(), L.ElseEmpty()]
+    rules += [
+        M.ThenWithoutIf(),
+        M.DependenciesPropertyTautology(),
+        M.DependentRequiredTautology(),
+        M.EqualNumericBoundsToEnum(),
+        M.MaximumRealForInteger(),
+        M.MinimumRealForInteger(),
+        M.SingleTypeArray(),
+        M.EnumWithType(),
+        M.NonApplicableEnumValidationKeywords(),
+        M.DuplicateEnumValues(),
+        M.DuplicateRequiredValues(),
+        M.ConstWithType(),
+        M.ConstInEnum(),
+        M.NonApplicableAdditionalItems(),
+        M.ModernOfficialDialectWithEmptyFragment(),
+        M.ModernOfficialDialectWithHttp(),
+        M.ExclusiveMaximumNumberAndMaximum(),
+        M.ExclusiveMinimumNumberAndMinimum(),
+        M.ExclusiveBoundsFalseDrop(),
+        M.DraftRefSiblings(),
+        M.DynamicRefToStaticRef(),
+        M.UnknownKeywordsPrefix(),
+        M.UnknownLocalRef(),
+        M.RequiredPropertiesInProperties(),
+        M.OrphanDefinitions(),
+    ]
+    return rules
+
+
+def make_transformer(mode: str) -> SchemaTransformer:
+    """mode: 'canonicalizer' | 'linter' | 'upgrade:<target>' where
+    target is draft4/draft6/draft7/2019-09/2020-12."""
+    transformer = SchemaTransformer()
+    if mode.startswith("upgrade:"):
+        if U is None:
+            raise NotImplementedError("upgrade rules not available")
+        for rule in U.upgrade_rules(mode.split(":", 1)[1]):
+            transformer.add(rule)
+        return transformer
+    if mode == "canonicalizer":
+        head = [
+            C.ExclusiveMinimumBooleanIntegerFold(),
+            C.ExclusiveMaximumBooleanIntegerFold(),
+            C.UnsatisfiableExclusiveEqualBounds(),
+            C.CommentDrop(),
+            C.DeprecatedFalseDrop(),
+            C.RecursiveAnchorFalseDrop(),
+            C.UnevaluatedItemsToItems(),
+            C.UnevaluatedPropertiesToAdditionalProperties(),
+            C.IfThenElseImplicit(),
+            C.ImplicitObjectKeywords(),
+            C.ImplicitContainsKeywords(),
+            C.ExtendsToArray(),
+            C.DisallowToArrayOfSchemas(),
+            C.InlineSingleUseRef(),
+            C.AllOfMergeCompatibleBranches(),
+            C.TypeInheritInPlace(),
+            C.TypeUnionImplicit(),
+            C.TypeArrayToAnyOf(),
+        ]
+        for rule in head:
+            transformer.add(rule)
+        for rule in _common_rules("canonicalizer"):
+            transformer.add(rule)
+        # alterschema.cc:445-460 — canonicalizer-only sugar expansions
+        for rule in (
+                C.ConstAsEnum(),
+                C.EqualNumericBoundsToConst(),
+                C.ExclusiveMaximumIntegerToMaximum(),
+                C.ExclusiveMinimumIntegerToMinimum(),
+                C.TypeBooleanAsEnum(),
+                C.TypeNullAsEnum(),
+                C.MaxContainsCoveredByMaxItems(),
+                C.MinItemsGivenMinContains(),
+                C.MinPropertiesCoveredByRequired(),
+                C.MinLengthImplicit(),
+                C.MultipleOfImplicit(),
+                C.DivisibleByImplicit(),
+                C.ItemsImplicit(),
+        ):
+            transformer.add(rule)
+        for rule in _canonicalizer_tail():
+            transformer.add(rule)
+        return transformer
+    if mode == "linter":
+        for rule in _common_rules("linter"):
+            transformer.add(rule)
+        if L is not None:
+            for rule in L.linter_only_rules():
+                transformer.add(rule)
+        for rule in _wrapper_tail("linter"):
+            transformer.add(rule)
+        return transformer
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _wrapper_tail(mode: str) -> List:
+    """alterschema.cc:504-518: the UnnecessaryAllOf*/Drop*/EmptyObject
+    block shared by every mode (with canonicalizer exclusions)."""
+    if M is None:
+        return []
+    rules = []
+    if mode != "canonicalizer" and L is not None:
+        rules.append(L.UnnecessaryAllOfRefWrapperModern())
+    rules += [M.UnnecessaryAllOfRefWrapperDraft(),
+              M.UnnecessaryExtendsRefWrapper()]
+    if mode != "canonicalizer" and L is not None:
+        rules += [L.UnnecessaryAllOfWrapper(), L.UnnecessaryExtendsWrapper()]
+    rules += [M.DropAllOfEmptySchemas(), M.DropExtendsEmptySchemas(),
+              M.EmptyObjectAsTrue()]
+    return rules
+
+
+def _canonicalizer_tail() -> List:
+    """alterschema.cc:499-551: canonicalizer-only tail rules."""
+    rules = _wrapper_tail("canonicalizer")
+    rules += [
+        C.UnsatisfiableTypeAndEnum(),
+        C.EnumFilterByType(),
+        C.TypeUnionToSchemas(),
+        C.TypeUnionDistributeKeywords(),
+        C.DependenciesToAnyOf(),
+        C.DependenciesToExtendsDisallow(),
+        C.DependentSchemasToAnyOf(),
+        C.DependentRequiredToAnyOf(),
+        C.EnumDropRedundantValidation(),
+        C.EnumSplitByType(),
+        C.TypeWithApplicatorToAllOf(),
+        C.TypeWithApplicatorToExtends(),
+        C.EmptyDefinitionsDrop(),
+        C.EmptyDefsDrop(),
+        C.EmptyDependenciesDrop(),
+        C.EmptyDependentSchemasDrop(),
+        C.EmptyDependentRequiredDrop(),
+        C.EmptyDisallowDrop(),
+        C.AdditionalItemsImplicit(),
+        C.RequiredPropertyImplicit(),
+        C.OptionalPropertyImplicit(),
+        C.DuplicateDisallowEntries(),
+        C.DisallowArrayToExtends(),
+        C.DisallowExtendsToType(),
+        C.DisallowTypeUnionToExtends(),
+        C.DisallowDoubleNegation(),
+        C.RequiredToExtends(),
+        C.SingleBranchAllOf(),
+        C.SingleBranchAnyOf(),
+        C.SingleBranchOneOf(),
+    ]
+    return rules
+
+
+# -- public convenience APIs ---------------------------------------------
+
+
+def canonicalize(schema: Any,
+                 resolver: Optional[Callable[[str], Any]] = None,
+                 default_dialect: str = "",
+                 default_id: str = "") -> Any:
+    """Reference CANONICALIZE (AlterSchemaMode::Canonicalizer apply)."""
+    doc = copy.deepcopy(schema)
+    transformer = make_transformer("canonicalizer")
+    _ok, _health, doc = transformer.apply(
+        doc, resolver=resolver, default_dialect=default_dialect,
+        default_id=default_id)
+    return doc
+
+
+def lint_check(schema: Any,
+               resolver: Optional[Callable[[str], Any]] = None,
+               default_dialect: str = "",
+               default_id: str = "") -> Tuple[bool, List[Trace]]:
+    """AlterSchemaMode::Linter check (no fixes)."""
+    traces: List[Trace] = []
+    transformer = make_transformer("linter")
+    ok, _health = transformer.check(
+        schema, resolver=resolver, default_dialect=default_dialect,
+        default_id=default_id, traces=traces)
+    return ok, traces
+
+
+def lint_fix(schema: Any,
+             resolver: Optional[Callable[[str], Any]] = None,
+             default_dialect: str = "",
+             default_id: str = "") -> Tuple[bool, List[Trace], Any]:
+    """AlterSchemaMode::Linter apply (fix what is fixable)."""
+    doc = copy.deepcopy(schema)
+    traces: List[Trace] = []
+    transformer = make_transformer("linter")
+    ok, _health, doc = transformer.apply(
+        doc, resolver=resolver, default_dialect=default_dialect,
+        default_id=default_id, traces=traces)
+    return ok, traces, doc
+
+
+def upgrade_schema(schema: Any, target: str,
+                   resolver: Optional[Callable[[str], Any]] = None,
+                   default_dialect: str = "",
+                   is_metaschema: bool = False) -> Any:
+    """AlterSchemaMode::Upgrade<target> apply."""
+    doc = copy.deepcopy(schema)
+    transformer = make_transformer(f"upgrade:{target}")
+    _ok, _health, doc = transformer.apply(
+        doc, resolver=resolver, default_dialect=default_dialect,
+        is_metaschema=is_metaschema)
+    return doc

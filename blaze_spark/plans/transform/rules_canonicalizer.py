@@ -1,0 +1,2380 @@
+"""Canonicalizer rules (reference: src/alterschema/canonicalizer/*.h).
+
+Each class reimplements the semantics of the same-named reference rule
+(cited per class); registration order lives in modes.py and mirrors
+alterschema.cc add(). Rules only cover draft3..2020-12 — the engine's
+dialect scope — so the reference's draft0-2-only rules
+(minimum_can_equal_*, max_decimal_implicit, ...) are omitted.
+"""
+
+from __future__ import annotations
+
+import copy
+import math
+from typing import Any
+
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform import walker as W
+from blaze_spark.plans.transform.engine import Rule
+from blaze_spark.plans.transform.rules_util import (
+    APP_MODERN, CORE_MODERN, D3_ONLY, VAL_MODERN,
+    is_number, is_integer, json_equal, json_key, json_strict_key,
+    json_type,
+    parse_schema_type, vocab_any,
+    T_ARRAY, T_BOOLEAN, T_INTEGER, T_NULL, T_OBJECT, T_REAL, T_STRING,
+)
+
+_D34 = frozenset({V.D3, V.D4})
+_UNEVAL = frozenset({V.V20_UNEVALUATED, V.V19_APPLICATOR})
+_NON_APPLICATOR_TYPES = {W.UNKNOWN, W.ASSERTION, W.ANNOTATION, W.COMMENT,
+                         W.OTHER, W.LOCATION_MEMBERS}
+
+
+def _exclusive_fold_value(bound: Any, up: bool) -> Any:
+    """minimum+exclusive → next integer above (or below for maximum);
+    mirrors exclusive_minimum_boolean_integer_fold.h transform().
+    Infinities pass through unchanged (the reference's arbitrary-
+    precision Decimal keeps huge literals; ±1 does not change them)."""
+    if is_integer(bound):
+        return bound + 1 if up else bound - 1
+    value = float(bound)
+    if math.isinf(value):
+        return value
+    stepped = math.ceil(value) if up else math.floor(value)
+    if stepped == value:
+        stepped += 1 if up else -1
+    return int(stepped)
+
+
+class ExclusiveMinimumBooleanIntegerFold(Rule):
+    """reference: canonicalizer/exclusive_minimum_boolean_integer_fold.h"""
+
+    name = "exclusive_minimum_boolean_integer_fold"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _D34) or not isinstance(schema, dict):
+            return False
+        if schema.get("type") != "integer":
+            return False
+        if schema.get("exclusiveMinimum") is not True:
+            return False
+        return is_number(schema.get("minimum"))
+
+    def transform(self, schema, result):
+        schema["minimum"] = _exclusive_fold_value(schema["minimum"], True)
+        del schema["exclusiveMinimum"]
+
+
+class ExclusiveMaximumBooleanIntegerFold(Rule):
+    """reference: canonicalizer/exclusive_maximum_boolean_integer_fold.h"""
+
+    name = "exclusive_maximum_boolean_integer_fold"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _D34) or not isinstance(schema, dict):
+            return False
+        if schema.get("type") != "integer":
+            return False
+        if schema.get("exclusiveMaximum") is not True:
+            return False
+        return is_number(schema.get("maximum"))
+
+    def transform(self, schema, result):
+        schema["maximum"] = _exclusive_fold_value(schema["maximum"], False)
+        del schema["exclusiveMaximum"]
+
+
+class UnsatisfiableExclusiveEqualBounds(Rule):
+    """reference: canonicalizer/unsatisfiable_exclusive_equal_bounds.h"""
+
+    name = "unsatisfiable_exclusive_equal_bounds"
+    reframe = False
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _D34) or not isinstance(schema, dict):
+            return False
+        if schema.get("type") not in ("number", "integer"):
+            return False
+        mn, mx = schema.get("minimum"), schema.get("maximum")
+        if not (is_number(mn) and is_number(mx) and json_equal(mn, mx)):
+            return False
+        return (schema.get("exclusiveMinimum") is True
+                or schema.get("exclusiveMaximum") is True)
+
+    def transform(self, schema, result):
+        return False  # replace the subschema with the false schema
+
+
+class CommentDrop(Rule):
+    """reference: canonicalizer/comment_drop.h"""
+
+    name = "comment_drop"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, frozenset({V.D7, V.V19_CORE, V.V20_CORE}))
+                and isinstance(schema, dict) and "$comment" in schema)
+
+    def transform(self, schema, result):
+        del schema["$comment"]
+
+
+class DeprecatedFalseDrop(Rule):
+    """reference: canonicalizer/deprecated_false_drop.h"""
+
+    name = "deprecated_false_drop"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, frozenset({V.V19_METADATA, V.V20_METADATA}))
+                and isinstance(schema, dict)
+                and schema.get("deprecated") is False)
+
+    def transform(self, schema, result):
+        del schema["deprecated"]
+
+
+class RecursiveAnchorFalseDrop(Rule):
+    """reference: canonicalizer/recursive_anchor_false_drop.h"""
+
+    name = "recursive_anchor_false_drop"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (V.V19_CORE in vocab and isinstance(schema, dict)
+                and schema.get("$recursiveAnchor") is False)
+
+    def transform(self, schema, result):
+        del schema["$recursiveAnchor"]
+
+
+class _UnevaluatedRename(Rule):
+    source = ""
+    target = ""
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _UNEVAL) or not isinstance(schema, dict):
+            return False
+        if self.source not in schema:
+            return False
+        for key in schema:
+            if key == self.source:
+                continue
+            if W.walk_type(key, vocab) not in _NON_APPLICATOR_TYPES:
+                return False
+        return True
+
+    def transform(self, schema, result):
+        schema[self.target] = schema.pop(self.source)
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        return rebase(target, current + (self.source,),
+                      current + (self.target,))
+
+
+class UnevaluatedItemsToItems(_UnevaluatedRename):
+    """reference: canonicalizer/unevaluated_items_to_items.h"""
+
+    name = "unevaluated_items_to_items"
+    source, target = "unevaluatedItems", "items"
+
+
+class UnevaluatedPropertiesToAdditionalProperties(_UnevaluatedRename):
+    """reference:
+    canonicalizer/unevaluated_properties_to_additional_properties.h"""
+
+    name = "unevaluated_properties_to_additional_properties"
+    source, target = "unevaluatedProperties", "additionalProperties"
+
+
+class IfThenElseImplicit(Rule):
+    """reference: canonicalizer/if_then_else_implicit.h"""
+
+    name = "if_then_else_implicit"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, frozenset(
+                    {V.D7, V.V19_APPLICATOR, V.V20_APPLICATOR}))
+                and isinstance(schema, dict) and "if" in schema
+                and ("then" in schema or "else" in schema)
+                and not ("then" in schema and "else" in schema))
+
+    def transform(self, schema, result):
+        if "then" not in schema:
+            schema["then"] = True
+        if "else" not in schema:
+            schema["else"] = True
+
+
+class ImplicitObjectKeywords(Rule):
+    """reference: canonicalizer/implicit_object_keywords.h (covers both
+    the object- and array-typed implicit keyword sets)"""
+
+    name = "implicit_object_keywords"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict):
+            return False
+        type_value = schema.get("type")
+        if not isinstance(type_value, str):
+            return False
+        work = {}
+        legacy = vocab_any(vocab, frozenset({V.D3, V.D4, V.D6, V.D7}))
+        if type_value == "object":
+            if "patternProperties" not in schema and vocab_any(
+                    vocab, frozenset({V.D3, V.D4, V.D6, V.D7,
+                                      V.V19_APPLICATOR, V.V20_APPLICATOR})):
+                work["patternProperties"] = True
+            if "propertyNames" not in schema and vocab_any(
+                    vocab, frozenset({V.D6, V.D7,
+                                      V.V19_APPLICATOR, V.V20_APPLICATOR})):
+                work["propertyNames"] = True
+            if "minProperties" not in schema and vocab_any(
+                    vocab, frozenset({V.V20_VALIDATION, V.V19_VALIDATION,
+                                      V.D7, V.D6, V.D4})):
+                work["minProperties"] = True
+            if "properties" not in schema and (
+                    (V.V20_VALIDATION in vocab and V.V20_APPLICATOR in vocab)
+                    or (V.V19_VALIDATION in vocab
+                        and V.V19_APPLICATOR in vocab)
+                    or legacy):
+                work["properties"] = True
+            if legacy and "additionalProperties" not in schema:
+                work["additionalProperties"] = True
+            work["additionalProperties_as_object"] = V.D3 in vocab
+        elif type_value == "array":
+            if not vocab_any(vocab, frozenset(
+                    {V.D3, V.D4, V.D6, V.D7,
+                     V.V19_APPLICATOR, V.V20_APPLICATOR})):
+                return False
+            modern = vocab_any(vocab, APP_MODERN)
+            if "uniqueItems" not in schema:
+                work["uniqueItems"] = True
+            if not modern and "items" not in schema:
+                work["items"] = True
+            work["items_as_object"] = V.D3 in vocab
+            if "minItems" not in schema:
+                work["minItems"] = True
+        else:
+            return False
+        if not any(v for k, v in work.items()
+                   if not k.endswith("_as_object")):
+            return False
+        return work
+
+    def transform(self, schema, result):
+        if result.get("patternProperties"):
+            schema["patternProperties"] = {}
+        if result.get("propertyNames"):
+            schema["propertyNames"] = True
+        if result.get("minProperties"):
+            required = schema.get("required")
+            schema["minProperties"] = (
+                len(required) if isinstance(required, list) else 0)
+        if result.get("properties"):
+            schema["properties"] = {}
+        if result.get("additionalProperties"):
+            schema["additionalProperties"] = (
+                {} if result.get("additionalProperties_as_object") else True)
+        if result.get("uniqueItems"):
+            schema["uniqueItems"] = False
+        if result.get("items"):
+            schema["items"] = {} if result.get("items_as_object") else True
+        if result.get("minItems"):
+            schema["minItems"] = 0
+
+
+class ImplicitContainsKeywords(Rule):
+    """reference: canonicalizer/implicit_contains_keywords.h"""
+
+    name = "implicit_contains_keywords"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, APP_MODERN) or not isinstance(schema, dict):
+            return False
+        if schema.get("type") != "array":
+            return False
+        if "contains" in schema:
+            return "minContains" not in schema
+        if "minContains" in schema or "maxContains" in schema:
+            return False
+        hit = frame.walk_up_in_place(
+            location,
+            lambda ancestor, avocab: isinstance(ancestor, dict)
+            and "unevaluatedItems" in ancestor
+            and V.V20_UNEVALUATED in avocab)
+        return hit is None
+
+    def transform(self, schema, result):
+        if "contains" not in schema:
+            schema["contains"] = True
+            schema["minContains"] = 0
+        else:
+            schema["minContains"] = 1
+
+
+class ExtendsToArray(Rule):
+    """reference: canonicalizer/extends_to_array.h"""
+
+    name = "extends_to_array"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, D3_ONLY) and isinstance(schema, dict)
+                and "extends" in schema
+                and not isinstance(schema["extends"], list))
+
+    def transform(self, schema, result):
+        schema["extends"] = [schema["extends"]]
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        return rebase(target, current + ("extends",),
+                      current + ("extends", 0))
+
+
+def _type_string_to_schema(type_name: str) -> Any:
+    if type_name == "null":
+        return {"enum": [None]}
+    if type_name == "boolean":
+        return {"enum": [False, True]}
+    if type_name == "any":
+        return {}
+    return {"type": type_name}
+
+
+class DisallowToArrayOfSchemas(Rule):
+    """reference: canonicalizer/disallow_to_array_of_schemas.h"""
+
+    name = "disallow_to_array_of_schemas"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, D3_ONLY) or not isinstance(schema, dict):
+            return False
+        if "disallow" not in schema:
+            return False
+        disallow = schema["disallow"]
+        if isinstance(disallow, str):
+            return True
+        if isinstance(disallow, list):
+            return any(isinstance(e, str) for e in disallow)
+        return False
+
+    def transform(self, schema, result):
+        disallow = schema["disallow"]
+        if isinstance(disallow, str):
+            schema["disallow"] = [_type_string_to_schema(disallow)]
+            return
+        schema["disallow"] = [
+            _type_string_to_schema(e) if isinstance(e, str) else e
+            for e in disallow]
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        return rebase(target, current + ("disallow",),
+                      current + ("disallow", 0))
+
+
+class InlineSingleUseRef(Rule):
+    """reference: canonicalizer/inline_single_use_ref.h — inline an
+    allOf branch that is a bare $ref to a single-use, untyped
+    definitions/$defs entry when a sibling branch pins the type."""
+
+    name = "inline_single_use_ref"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict) or len(schema) != 1:
+            return False
+        ref = schema.get("$ref")
+        if not isinstance(ref, str) or location.parent is None:
+            return False
+        rel = location.pointer[len(location.parent):]
+        if (len(rel) < 2 or rel[0] != "allOf"
+                or not isinstance(rel[1], int)):
+            return False
+        from blaze_spark.plans.transform.engine import get_at
+        parent_schema = get_at(root, location.parent)
+        all_of = parent_schema.get("allOf") if isinstance(
+            parent_schema, dict) else None
+        if not isinstance(all_of, list):
+            return False
+        idx = rel[1]
+        if not any(isinstance(s, dict) and ("type" in s or "enum" in s)
+                   for i, s in enumerate(all_of) if i != idx):
+            return False
+        if not vocab_any(vocab, frozenset(
+                {V.V20_CORE, V.V19_CORE, V.D7, V.D6, V.D4})):
+            return False
+        target = frame.traverse(ref, location.base)
+        if target is None:
+            return False
+        if len(target) < 2 or target[0] not in ("definitions", "$defs"):
+            return False
+        ref_count = 0
+        for reference in frame.references:
+            dest = frame.traverse(reference.value, reference.base)
+            if dest is None:
+                continue
+            if (dest[:len(target)] == target
+                    or target[:len(dest)] == dest):
+                ref_count += 1
+        if ref_count != 1:
+            return False
+        target_schema = get_at(root, target)
+        if not isinstance(target_schema, dict):
+            return False
+        if "type" in target_schema or "enum" in target_schema:
+            return False
+        if any(k in target_schema for k in
+               ("$id", "id", "$anchor", "$dynamicAnchor",
+                "$recursiveAnchor")):
+            return False
+        return {"target": copy.deepcopy(target_schema),
+                "target_pointer": target}
+
+    def transform(self, schema, result):
+        return result["target"]
+
+    def rereference(self, target, current, result):
+        tp = tuple(result["target_pointer"])
+        if target[:len(tp)] == tp:
+            return current + target[len(tp):]
+        return target
+
+
+def _mergeable_branch(branch: Any) -> bool:
+    return isinstance(branch, dict) and not any(
+        k in branch for k in ("$ref", "$dynamicRef", "$recursiveRef", "$id",
+                              "$schema", "id", "$anchor", "$dynamicAnchor",
+                              "$recursiveAnchor"))
+
+
+class AllOfMergeCompatibleBranches(Rule):
+    """reference: canonicalizer/allof_merge_compatible_branches.h"""
+
+    name = "allof_merge_compatible_branches"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6, V.D4})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        all_of = schema.get("allOf")
+        if not isinstance(all_of, list) or len(all_of) < 2:
+            return False
+        if frame.has_references_through(location.pointer + ("allOf",)):
+            return False
+        for ia, a in enumerate(all_of):
+            if not _mergeable_branch(a):
+                continue
+            for ib in range(ia + 1, len(all_of)):
+                b = all_of[ib]
+                if not _mergeable_branch(b):
+                    continue
+                a_type_only = len(a) == 1 and "type" in a
+                b_type_only = len(b) == 1 and "type" in b
+                if not a_type_only and not b_type_only:
+                    continue
+                non_type = b if a_type_only else a
+                if any(k in non_type for k in
+                       ("anyOf", "oneOf", "allOf", "not", "if")):
+                    continue
+                if any(k in b for k in a):
+                    continue
+                crossed = False
+                for k in a:
+                    if any(dep in b for dep in
+                           W.walk_dependencies(k, vocab)):
+                        crossed = True
+                        break
+                if not crossed:
+                    for k in b:
+                        if any(dep in a for dep in
+                               W.walk_dependencies(k, vocab)):
+                            crossed = True
+                            break
+                if crossed:
+                    continue
+                return {"into": ia, "from": ib}
+        return False
+
+    def transform(self, schema, result):
+        all_of = schema["allOf"]
+        target = all_of[result["into"]]
+        source = all_of[result["from"]]
+        for k, v in source.items():
+            target[k] = v
+        del all_of[result["from"]]
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        rel = target[len(current):] if target[:len(current)] == current \
+            else None
+        if not rel or rel[0] != "allOf" or len(rel) < 2 or \
+                not isinstance(rel[1], int):
+            return target
+        index = rel[1]
+        if index == result["from"]:
+            return rebase(target, current + ("allOf", result["from"]),
+                          current + ("allOf", result["into"]))
+        if index > result["from"]:
+            return rebase(target, current + ("allOf", index),
+                          current + ("allOf", index - 1))
+        return target
+
+
+def _infer_type_from_enum(values: list) -> str:
+    """infer_type_from_enum (type_inherit_in_place.h): the narrowest
+    single JSON type covering every enum member, checked in the
+    reference's fixed order."""
+    types = {json_type(v) for v in values}
+    if types == {T_STRING}:
+        return "string"
+    if types == {T_INTEGER}:
+        return "integer"
+    if types <= {T_INTEGER, T_REAL}:
+        return "number"
+    if types == {T_OBJECT}:
+        return "object"
+    if types == {T_ARRAY}:
+        return "array"
+    if types == {T_NULL}:
+        return "null"
+    if types == {T_BOOLEAN}:
+        return "boolean"
+    return ""
+
+
+def _member_scan_blocks(schema: dict, vocab) -> bool:
+    """Shared member scan (type_union_implicit.h:46-57): True when the
+    schema carries a reference or a non-`contentSchema` in-place
+    applicator, which makes type inference unsafe."""
+    for key in schema:
+        ktype = W.walk_type(key, vocab)
+        if ktype == W.REFERENCE:
+            return True
+        if ktype != W.APP_VALUE_INPLACE_OTHER and \
+                ktype in W.IN_PLACE_APPLICATORS:
+            return True
+    return False
+
+
+class TypeInheritInPlace(Rule):
+    """reference: canonicalizer/type_inherit_in_place.h"""
+
+    name = "type_inherit_in_place"
+    message = ("An untyped schema inside an in-place applicator inherits "
+               "the type from its nearest typed ancestor")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        from blaze_spark.plans.transform.engine import get_at
+        if not isinstance(schema, dict):
+            return False
+        if not vocab_any(vocab, frozenset(
+                {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4,
+                 V.D3})):
+            return False
+        if "type" in schema or "enum" in schema:
+            return False
+        if vocab_any(vocab, frozenset(
+                {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6})) \
+                and "const" in schema:
+            return False
+        if _member_scan_blocks(schema, vocab):
+            return False
+        ancestor = frame.walk_up(
+            location,
+            lambda t: (t in W.IN_PLACE_APPLICATORS
+                       and t != W.APP_ELEMENTS_INPLACE),
+            lambda s, _v: isinstance(s, dict) and "type" in s)
+        if ancestor is not None:
+            atype = get_at(root, ancestor.pointer)["type"]
+            if isinstance(atype, list) and not all(
+                    isinstance(e, str) for e in atype):
+                return False
+            return {"type": copy.deepcopy(atype)}
+        # climb through in-place applicators; inherit from a typed
+        # sibling branch when crossing an allOf edge
+        current = location
+        while current.parent is not None:
+            parent_loc = frame.by_pointer.get(current.parent)
+            if parent_loc is None:
+                break
+            rel = current.pointer[len(parent_loc.pointer):]
+            if not rel or not isinstance(rel[0], str):
+                break
+            ktype = W.walk_type(rel[0], parent_loc.vocabularies)
+            if ktype not in W.IN_PLACE_APPLICATORS:
+                break
+            if ktype == W.APP_ELEMENTS_INPLACE and len(rel) >= 2 \
+                    and isinstance(rel[1], int):
+                parent_schema = get_at(root, parent_loc.pointer)
+                branches = parent_schema.get(rel[0]) if isinstance(
+                    parent_schema, dict) else None
+                if isinstance(branches, list):
+                    for i, sibling in enumerate(branches):
+                        if i == rel[1] or not isinstance(sibling, dict):
+                            continue
+                        stype = sibling.get("type")
+                        if isinstance(stype, str):
+                            return {"type": stype}
+                        senum = sibling.get("enum")
+                        if isinstance(senum, list) and senum:
+                            inferred = _infer_type_from_enum(senum)
+                            if inferred:
+                                return {"type": inferred}
+                        sref = sibling.get("$ref")
+                        if isinstance(sref, str):
+                            tgt = frame.traverse(sref, parent_loc.base)
+                            if tgt is not None:
+                                ref_schema = get_at(root, tgt)
+                                if isinstance(ref_schema, dict):
+                                    rtype = ref_schema.get("type")
+                                    if isinstance(rtype, str):
+                                        return {"type": rtype}
+            current = parent_loc
+        return False
+
+    def transform(self, schema, result):
+        schema["type"] = result["type"]
+
+
+class TypeUnionImplicit(Rule):
+    """reference: canonicalizer/type_union_implicit.h"""
+
+    name = "type_union_implicit"
+    message = "Not setting `type` is equivalent to accepting any type"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        from blaze_spark.plans.transform.engine import get_at
+        if not isinstance(schema, dict) or not schema:
+            return False
+        if V.D3 in vocab and "disallow" in schema:
+            return False
+        if not vocab_any(vocab, frozenset(
+                {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4,
+                 V.D3})):
+            return False
+        if "type" in schema or "enum" in schema:
+            return False
+        if vocab_any(vocab, frozenset(
+                {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6})) \
+                and "const" in schema:
+            return False
+        if _member_scan_blocks(schema, vocab):
+            return False
+        # a typed/enumed allOf sibling already constrains the type
+        current = location
+        while current.parent is not None:
+            parent_loc = frame.by_pointer.get(current.parent)
+            if parent_loc is None:
+                break
+            rel = current.pointer[len(parent_loc.pointer):]
+            if not rel or not isinstance(rel[0], str):
+                break
+            ktype = W.walk_type(rel[0], parent_loc.vocabularies)
+            if ktype not in W.IN_PLACE_APPLICATORS:
+                break
+            if ktype == W.APP_ELEMENTS_INPLACE and len(rel) >= 2 \
+                    and isinstance(rel[1], int):
+                parent_schema = get_at(root, parent_loc.pointer)
+                branches = parent_schema.get(rel[0]) if isinstance(
+                    parent_schema, dict) else None
+                if isinstance(branches, list):
+                    for i, sibling in enumerate(branches):
+                        if i == rel[1] or not isinstance(sibling, dict):
+                            continue
+                        if "type" in sibling:
+                            return False
+                        senum = sibling.get("enum")
+                        if isinstance(senum, list) and senum:
+                            return False
+            current = parent_loc
+        return True
+
+    def transform(self, schema, result):
+        schema["type"] = ["null", "boolean", "object", "array", "string",
+                          "number"]
+
+
+class TypeArrayToAnyOf(Rule):
+    """reference: canonicalizer/type_array_to_any_of.h"""
+
+    name = "type_array_to_any_of"
+    message = ("Setting `type` to more than one choice is syntax sugar "
+               "to `anyOf` over the corresponding types")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict):
+            return False
+        if not ((V.V20_VALIDATION in vocab and V.V20_APPLICATOR in vocab)
+                or (V.V19_VALIDATION in vocab
+                    and V.V19_APPLICATOR in vocab)
+                or vocab_any(vocab, frozenset({V.D7, V.D6, V.D4}))):
+            return False
+        if not isinstance(schema.get("type"), list):
+            return False
+        keyword_instances = {}
+        for key in schema:
+            if key == "type":
+                continue
+            instances = W.walk_instances(key, vocab)
+            if instances and not (
+                    vocab_any(vocab, frozenset(
+                        {V.V20_UNEVALUATED, V.V19_APPLICATOR}))
+                    and key in ("unevaluatedProperties",
+                                "unevaluatedItems")):
+                keyword_instances[key] = instances
+        return {"kw": keyword_instances}
+
+    def transform(self, schema, result):
+        keyword_instances = result["kw"]
+        branch_index = result["branch_index"] = {}
+        disjunctors = []
+        for idx, type_name in enumerate(schema["type"]):
+            branch = {"type": type_name}
+            type_set = parse_schema_type(type_name)
+            for kw, instances in keyword_instances.items():
+                if instances & type_set:
+                    branch[kw] = copy.deepcopy(schema[kw])
+                    branch_index.setdefault(kw, idx)
+            disjunctors.append(branch)
+        for kw in keyword_instances:
+            del schema[kw]
+        del schema["type"]
+        if "anyOf" in schema:
+            first = {"anyOf": schema.pop("anyOf")}
+            second = {"anyOf": disjunctors}
+            if "allOf" in schema:
+                allof_index = len(schema["allOf"]) + 1
+                schema["allOf"].append(first)
+                schema["allOf"].append(second)
+            else:
+                allof_index = 1
+                schema["allOf"] = [first, second]
+            result["prefix"] = ("allOf", allof_index, "anyOf")
+        else:
+            schema["anyOf"] = disjunctors
+            result["prefix"] = ("anyOf",)
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        rel = target[len(current):] if target[:len(current)] == current \
+            else None
+        if not rel or not isinstance(rel[0], str):
+            return target
+        keyword = rel[0]
+        match = result.get("branch_index", {}).get(keyword)
+        if match is None:
+            return target
+        return rebase(target, current + (keyword,),
+                      current + result["prefix"] + (match, keyword))
+
+
+from blaze_spark.plans.transform.rules_common import is_empty_schema
+
+_VAL_3UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION,
+                      V.D7, V.D6, V.D4, V.D3})
+_INT_MATCH_6UP = frozenset({V.D6, V.D7, V.V19_VALIDATION, V.V20_VALIDATION})
+
+
+def _enum_value_matches(value, declared, integer_matches_integral):
+    if json_type(value) in declared:
+        return True
+    return (integer_matches_integral and isinstance(value, float)
+            and value == int(value))
+
+
+class Draft3TypeAny(Rule):
+    """reference: canonicalizer/draft3_type_any.h"""
+
+    name = "draft3_type_any"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        type_value = schema.get("type")
+        if type_value is None:
+            return False
+        if isinstance(type_value, str):
+            return type_value == "any"
+        if isinstance(type_value, list):
+            for element in type_value:
+                if element == "any":
+                    return True
+                if isinstance(element, dict):
+                    if not element:
+                        return True
+                    if len(element) == 1 and element.get("type") == "any":
+                        return True
+        return False
+
+    def transform(self, schema, result):
+        del schema["type"]
+
+
+class UnsatisfiableTypeAndEnum(Rule):
+    """reference: canonicalizer/unsatisfiable_type_and_enum.h"""
+
+    name = "unsatisfiable_type_and_enum"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_3UP) or not isinstance(schema, dict):
+            return False
+        type_value = schema.get("type")
+        if not isinstance(type_value, str):
+            return False
+        enum_value = schema.get("enum")
+        if not isinstance(enum_value, list) or not enum_value:
+            return False
+        declared = parse_schema_type(type_value)
+        if not declared:
+            return False
+        imi = (vocab_any(vocab, _INT_MATCH_6UP) and T_INTEGER in declared)
+        return not any(_enum_value_matches(v, declared, imi)
+                       for v in enum_value)
+
+    def transform(self, schema, result):
+        return False
+
+
+class EnumFilterByType(Rule):
+    """reference: canonicalizer/enum_filter_by_type.h"""
+
+    name = "enum_filter_by_type"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_3UP) or not isinstance(schema, dict):
+            return False
+        type_value = schema.get("type")
+        if not isinstance(type_value, str):
+            return False
+        enum_value = schema.get("enum")
+        if not isinstance(enum_value, list) or not enum_value:
+            return False
+        declared = parse_schema_type(type_value)
+        if not declared:
+            return False
+        imi = (vocab_any(vocab, _INT_MATCH_6UP) and T_INTEGER in declared)
+        matching = [i for i, v in enumerate(enum_value)
+                    if _enum_value_matches(v, declared, imi)]
+        if not matching or len(matching) == len(enum_value):
+            return False
+        return {"matching": matching}
+
+    def transform(self, schema, result):
+        schema["enum"] = [schema["enum"][i] for i in result["matching"]]
+
+
+class TypeUnionToSchemas(Rule):
+    """reference: canonicalizer/type_union_to_schemas.h"""
+
+    name = "type_union_to_schemas"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        type_value = schema.get("type")
+        if not isinstance(type_value, list):
+            return False
+        return any(isinstance(e, str) for e in type_value)
+
+    def transform(self, schema, result):
+        schema["type"] = [
+            _type_string_to_schema(e) if isinstance(e, str) else e
+            for e in schema["type"]]
+
+
+def _branch_type_set(branch: Any) -> set:
+    """branch_type_set (type_union_distribute_keywords.h)."""
+    if not isinstance(branch, dict):
+        return set()
+    type_value = branch.get("type")
+    if isinstance(type_value, (str, list)):
+        return parse_schema_type(type_value)
+    enum_value = branch.get("enum")
+    if isinstance(enum_value, list):
+        return {json_type(v) for v in enum_value}
+    return set()
+
+
+class TypeUnionDistributeKeywords(Rule):
+    """reference: canonicalizer/type_union_distribute_keywords.h"""
+
+    name = "type_union_distribute_keywords"
+    message = ("A type-specific keyword sibling to a `type` union belongs "
+               "inside the branch of the type that it applies to")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        type_value = schema.get("type")
+        if not isinstance(type_value, list) or not type_value:
+            return False
+        if not all(isinstance(b, dict) for b in type_value):
+            return False
+        moves = []
+        movable = []
+        wrap = False
+        for key in schema:
+            if key in ("type", "required"):
+                continue
+            ktype = W.walk_type(key, vocab)
+            if ktype == W.REFERENCE:
+                continue
+            instances = W.walk_instances(key, vocab)
+            if not instances:
+                continue
+            movable.append(key)
+            targets = []
+            has_match = False
+            conflict = False
+            for index, branch in enumerate(type_value):
+                branch_types = _branch_type_set(branch)
+                if not (branch_types & instances):
+                    continue
+                has_match = True
+                if key in branch:
+                    conflict = True
+                    break
+                targets.append(index)
+            if not has_match or conflict:
+                wrap = True
+            else:
+                moves.append((key, targets))
+        if not movable:
+            return False
+        if wrap:
+            return {"wrap": True, "keywords": movable}
+        return {"wrap": False, "moves": moves}
+
+    def transform(self, schema, result):
+        if result["wrap"]:
+            union_branch = {"type": schema["type"]}
+            sibling_branch = {}
+            for key in result["keywords"]:
+                sibling_branch[key] = schema[key]
+            del schema["type"]
+            for key in result["keywords"]:
+                del schema[key]
+            if isinstance(schema.get("extends"), list):
+                result["type_index"] = len(schema["extends"])
+                schema["extends"].append(union_branch)
+                result["sibling_index"] = len(schema["extends"])
+                schema["extends"].append(sibling_branch)
+            else:
+                result["type_index"] = 0
+                result["sibling_index"] = 1
+                schema["extends"] = [union_branch, sibling_branch]
+            return
+        for key, targets in result["moves"]:
+            value = schema[key]
+            for index in targets:
+                schema["type"][index][key] = copy.deepcopy(value)
+        for key, _targets in result["moves"]:
+            del schema[key]
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        if result["wrap"]:
+            type_prefix = current + ("type",)
+            if target[:len(type_prefix)] == type_prefix:
+                n = len(result.get("_extends_base", 0) if False else ())
+                return rebase(target, type_prefix,
+                              current + ("extends",
+                                         result["type_index"], "type"))
+            for keyword in result["keywords"]:
+                prefix = current + (keyword,)
+                if target[:len(prefix)] == prefix:
+                    return rebase(target, prefix,
+                                  current + ("extends",
+                                             result["sibling_index"],
+                                             keyword))
+            return target
+        for key, targets in result["moves"]:
+            if not targets:
+                continue
+            prefix = current + (key,)
+            if target[:len(prefix)] == prefix:
+                return rebase(target, prefix,
+                              current + ("type", targets[0], key))
+        return target
+
+
+class DependenciesToAnyOf(Rule):
+    """reference: canonicalizer/dependencies_to_any_of.h"""
+
+    name = "dependencies_to_any_of"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D4, V.D6, V.D7})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        dependencies = schema.get("dependencies")
+        if not isinstance(dependencies, dict):
+            return False
+        return any(isinstance(v, (dict, bool, list))
+                   for v in dependencies.values())
+
+    def transform(self, schema, result):
+        branches = []
+        processed = []
+        for name, value in schema["dependencies"].items():
+            if isinstance(value, (dict, bool)):
+                branches.append({"anyOf": [
+                    {"not": {"type": "object", "required": [name]}},
+                    {"allOf": [{"type": "object", "required": [name]},
+                               value]},
+                ]})
+            elif isinstance(value, list):
+                branches.append({"anyOf": [
+                    {"not": {"type": "object", "required": [name]}},
+                    {"type": "object", "required": [name] + list(value)},
+                ]})
+            else:
+                continue
+            processed.append(name)
+        for name in processed:
+            del schema["dependencies"][name]
+        if not schema["dependencies"]:
+            del schema["dependencies"]
+        if isinstance(schema.get("allOf"), list):
+            schema["allOf"].extend(branches)
+        else:
+            schema["allOf"] = branches
+
+
+def _d3_required_property(name: str) -> dict:
+    return {"type": "object",
+            "properties": {name: {"required": True}},
+            "patternProperties": {},
+            "additionalProperties": {}}
+
+
+class DependenciesToExtendsDisallow(Rule):
+    """reference: canonicalizer/dependencies_to_extends_disallow.h"""
+
+    name = "dependencies_to_extends_disallow"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        dependencies = schema.get("dependencies")
+        if not isinstance(dependencies, dict):
+            return False
+        return any(isinstance(v, (dict, bool, list, str))
+                   for v in dependencies.values())
+
+    def transform(self, schema, result):
+        branches = []
+        processed = []
+        for name, value in schema["dependencies"].items():
+            not_required = {"disallow": [_d3_required_property(name)]}
+            if isinstance(value, (dict, bool)):
+                branches.append({"type": [
+                    not_required,
+                    {"extends": [_d3_required_property(name), value]},
+                ]})
+            elif isinstance(value, (str, list)):
+                dependents = [value] if isinstance(value, str) else [
+                    d for d in value if isinstance(d, str)]
+                props = {name: {"required": True}}
+                for dep in dependents:
+                    props[dep] = {"required": True}
+                branches.append({"type": [
+                    not_required,
+                    {"type": "object", "properties": props,
+                     "patternProperties": {},
+                     "additionalProperties": {}},
+                ]})
+            else:
+                continue
+            processed.append(name)
+        for name in processed:
+            del schema["dependencies"][name]
+        if not schema["dependencies"]:
+            del schema["dependencies"]
+        if isinstance(schema.get("extends"), list):
+            schema["extends"].extend(branches)
+        else:
+            schema["extends"] = branches
+
+
+class DependentSchemasToAnyOf(Rule):
+    """reference: canonicalizer/dependent_schemas_to_any_of.h"""
+
+    name = "dependent_schemas_to_any_of"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, APP_MODERN) or not isinstance(schema, dict):
+            return False
+        dependent = schema.get("dependentSchemas")
+        if not isinstance(dependent, dict) or not dependent:
+            return False
+        if not vocab_any(vocab, VAL_MODERN):
+            raise RuntimeError(
+                "Cannot canonicalise `dependentSchemas` without the "
+                "Validation vocabulary")
+        return True
+
+    def transform(self, schema, result):
+        branches = []
+        for name, value in schema["dependentSchemas"].items():
+            branches.append({"anyOf": [
+                {"properties": {name: False}},
+                {"allOf": [{"type": "object", "required": [name]}, value]},
+            ]})
+        del schema["dependentSchemas"]
+        if isinstance(schema.get("allOf"), list):
+            schema["allOf"].extend(branches)
+        else:
+            schema["allOf"] = branches
+
+
+class DependentRequiredToAnyOf(Rule):
+    """reference: canonicalizer/dependent_required_to_any_of.h"""
+
+    name = "dependent_required_to_any_of"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, VAL_MODERN) or not isinstance(schema, dict):
+            return False
+        dependent = schema.get("dependentRequired")
+        if not isinstance(dependent, dict) or not dependent:
+            return False
+        if not any(isinstance(v, list) for v in dependent.values()):
+            return False
+        if not vocab_any(vocab, APP_MODERN):
+            raise RuntimeError(
+                "Cannot canonicalise `dependentRequired` without the "
+                "Applicator vocabulary")
+        return True
+
+    def transform(self, schema, result):
+        branches = []
+        processed = []
+        for name, value in schema["dependentRequired"].items():
+            if not isinstance(value, list):
+                continue
+            branches.append({"anyOf": [
+                {"properties": {name: False}},
+                {"type": "object", "required": [name] + list(value)},
+            ]})
+            processed.append(name)
+        for name in processed:
+            del schema["dependentRequired"][name]
+        if not schema["dependentRequired"]:
+            del schema["dependentRequired"]
+        if isinstance(schema.get("allOf"), list):
+            schema["allOf"].extend(branches)
+        else:
+            schema["allOf"] = branches
+
+
+class EnumDropRedundantValidation(Rule):
+    """reference: canonicalizer/enum_drop_redundant_validation.h"""
+
+    name = "enum_drop_redundant_validation"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_3UP) or not isinstance(schema, dict):
+            return False
+        if "type" in schema:
+            return False
+        if not isinstance(schema.get("enum"), list):
+            return False
+        has_if_group = (vocab_any(vocab, frozenset(
+            {V.D7, V.V19_APPLICATOR, V.V20_APPLICATOR})) and "if" in schema)
+        drop = []
+        wrap = []
+        for key, value in schema.items():
+            if key == "enum":
+                continue
+            if has_if_group and key in ("then", "else"):
+                continue
+            ktype = W.walk_type(key, vocab)
+            if ktype in (W.UNKNOWN, W.ANNOTATION, W.OTHER, W.COMMENT,
+                         W.LOCATION_MEMBERS):
+                continue
+            if key == "required" and V.D3 in vocab:
+                continue
+            if value is True:
+                if not frame.has_references_through(
+                        location.pointer + (key,)):
+                    drop.append(key)
+                continue
+            if isinstance(value, dict) and not value:
+                drop.append(key)
+                continue
+            if not frame.has_references_through(location.pointer + (key,)):
+                wrap.append(key)
+        if not drop and not wrap:
+            return False
+        return {"drop": drop, "wrap": wrap, "has_if_group": has_if_group,
+                "pre_draft4": V.D3 in vocab}
+
+    def transform(self, schema, result):
+        for key in result["drop"]:
+            del schema[key]
+        wrap = result["wrap"]
+        if not wrap:
+            return
+        new_allof = []
+        for key in wrap:
+            branch = {key: schema[key]}
+            if key == "if" and result["has_if_group"]:
+                if "then" in schema:
+                    branch["then"] = schema["then"]
+                if "else" in schema:
+                    branch["else"] = schema["else"]
+            new_allof.append(branch)
+            del schema[key]
+            if key == "if" and result["has_if_group"]:
+                schema.pop("then", None)
+                schema.pop("else", None)
+        new_allof.append({"enum": schema.pop("enum")})
+        wrapper = "extends" if result["pre_draft4"] else "allOf"
+        schema[wrapper] = new_allof
+
+
+class EnumSplitByType(Rule):
+    """reference: canonicalizer/enum_split_by_type.h"""
+
+    name = "enum_split_by_type"
+    message = ("An `enum` whose values span more than one type is the "
+               "disjunction of its single-type subsets, so it splits into "
+               "a union of single-type enums")
+
+    @staticmethod
+    def _kind_of(value):
+        kind = json_type(value)
+        return T_REAL if kind == T_INTEGER else kind
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        any_of_dialect = (
+            vocab_any(vocab, frozenset({V.D4, V.D6, V.D7}))
+            or (V.V19_VALIDATION in vocab and V.V19_APPLICATOR in vocab)
+            or (V.V20_VALIDATION in vocab and V.V20_APPLICATOR in vocab))
+        type_union_dialect = V.D3 in vocab
+        if not (any_of_dialect or type_union_dialect):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        enumeration = schema.get("enum")
+        if not isinstance(enumeration, list) or not enumeration:
+            return False
+        kinds = {self._kind_of(v) for v in enumeration}
+        if len(kinds) <= 1:
+            return False
+        for key in schema:
+            if key == "enum":
+                continue
+            ktype = W.walk_type(key, vocab)
+            if ktype not in (W.ANNOTATION, W.COMMENT, W.OTHER, W.UNKNOWN,
+                             W.LOCATION_MEMBERS):
+                return False
+        return {"any_of": any_of_dialect}
+
+    def transform(self, schema, result):
+        branches = []
+        for value in schema["enum"]:
+            kind = self._kind_of(value)
+            for branch in branches:
+                if self._kind_of(branch["enum"][0]) == kind:
+                    branch["enum"].append(value)
+                    break
+            else:
+                branches.append({"enum": [value]})
+        del schema["enum"]
+        schema["anyOf" if result["any_of"] else "type"] = branches
+
+
+_TWA_APPLICATORS = ("not", "anyOf", "allOf", "oneOf", "if")
+_TWA_APPLICATORS_WITHOUT_ALLOF = ("not", "anyOf", "oneOf", "if")
+
+
+def _twa_bit(keyword: str) -> int:
+    return {"not": 1, "anyOf": 2, "allOf": 4, "oneOf": 8,
+            "if": 16, "then": 16, "else": 16}.get(keyword, 0)
+
+
+class TypeWithApplicatorToAllOf(Rule):
+    """reference: canonicalizer/type_with_applicator_to_allof.h — lower
+    a schema mixing structural keywords with in-place applicators into
+    a single `allOf` conjunction (three strategies mirroring the
+    reference: FullRestructure / SafeExtract / MergeIntoAllOf)."""
+
+    name = "type_with_applicator_to_allof"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.D4, V.D6, V.D7, V.V19_APPLICATOR, V.V20_APPLICATOR})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        has_not = "not" in schema
+        has_anyof = "anyOf" in schema
+        has_allof = "allOf" in schema
+        has_oneof = "oneOf" in schema
+        has_if = vocab_any(vocab, frozenset(
+            {V.D7, V.V19_APPLICATOR, V.V20_APPLICATOR})) and "if" in schema
+        type_value = schema.get("type")
+        has_type = isinstance(type_value, str)
+        has_enum = "enum" in schema
+        is_modern = vocab_any(vocab, frozenset({V.V19_CORE, V.V20_CORE}))
+        has_ref = not is_modern and "$ref" in schema
+        has_modern_ref = is_modern and "$ref" in schema
+        has_dynamic_ref = V.V20_CORE in vocab and "$dynamicRef" in schema
+        has_recursive_ref = V.V19_CORE in vocab and "$recursiveRef" in schema
+        applicator_count = sum(
+            [has_not, has_anyof, has_allof, has_oneof, has_if,
+             has_modern_ref, has_dynamic_ref, has_recursive_ref])
+        has_structural = has_type or has_enum or has_ref
+        modern_ref_needs_wrapping = False
+        ref_annotations_only = False
+        if has_modern_ref or has_dynamic_ref or has_recursive_ref:
+            ref_annotations_only = True
+            for key in schema:
+                if key in ("$ref", "$dynamicRef", "$recursiveRef"):
+                    continue
+                ktype = W.walk_type(key, vocab)
+                if ktype not in (W.UNKNOWN, W.ANNOTATION, W.COMMENT):
+                    modern_ref_needs_wrapping = True
+                    if ktype not in (W.REFERENCE, W.OTHER,
+                                     W.LOCATION_MEMBERS):
+                        ref_annotations_only = False
+        has_unevaluated = (vocab_any(vocab, frozenset(
+            {V.V20_UNEVALUATED, V.V19_APPLICATOR}))
+            and ("unevaluatedProperties" in schema
+                 or "unevaluatedItems" in schema))
+        has_orphaned_typed_keywords = False
+        if is_modern and applicator_count >= 1 and not has_structural:
+            for key in schema:
+                if key in ("unevaluatedProperties", "unevaluatedItems"):
+                    continue
+                if W.walk_instances(key, vocab):
+                    has_orphaned_typed_keywords = True
+                    break
+        if not ((has_structural and applicator_count >= 1)
+                or applicator_count >= 2
+                or modern_ref_needs_wrapping
+                or (has_orphaned_typed_keywords
+                    and not ref_annotations_only)):
+            return False
+        strategy = "full"
+        applicators_with_refs = 0
+        for reference in frame.references:
+            src = reference.origin
+            if src[:len(location.pointer)] != location.pointer:
+                continue
+            rel = src[len(location.pointer):]
+            if not rel or not isinstance(rel[0], str):
+                continue
+            bit = _twa_bit(rel[0])
+            if not bit:
+                continue
+            dest = frame.traverse(reference.value, reference.base)
+            if dest is not None:
+                if dest[:len(location.pointer)] == location.pointer:
+                    rel_dest = dest[len(location.pointer):]
+                    if rel_dest and isinstance(rel_dest[0], str) and \
+                            rel_dest[0] in ("definitions", "$defs",
+                                            "dependencies",
+                                            "dependentSchemas"):
+                        continue
+                else:
+                    continue
+            strategy = "safe"
+            applicators_with_refs |= bit
+        if strategy == "safe" and not has_structural:
+            if not has_allof:
+                strategy = "full"
+            else:
+                all_refs_fixed = True
+                for reference in frame.references:
+                    src = reference.origin
+                    if src[:len(location.pointer)] != location.pointer:
+                        continue
+                    rel = src[len(location.pointer):]
+                    if not rel or not isinstance(rel[0], str):
+                        continue
+                    kw = rel[0]
+                    if kw not in ("not", "anyOf", "oneOf") and not (
+                            has_if and kw in ("if", "then", "else")):
+                        continue
+                    dest = frame.traverse(reference.value, reference.base)
+                    if dest is None:
+                        all_refs_fixed = False
+                        break
+                    rel_dest = dest[len(location.pointer):] if \
+                        dest[:len(location.pointer)] == location.pointer \
+                        else None
+                    if not rel_dest or not isinstance(rel_dest[0], str) \
+                            or rel_dest[0] != "allOf":
+                        all_refs_fixed = False
+                        break
+                if all_refs_fixed:
+                    strategy = "merge"
+                else:
+                    return False
+        return {
+            "strategy": strategy,
+            "has_if": has_if,
+            "has_modern_ref": has_modern_ref,
+            "has_dynamic_ref": has_dynamic_ref,
+            "has_recursive_ref": has_recursive_ref,
+            "has_unevaluated": has_unevaluated,
+            "ref_annotations_only": ref_annotations_only,
+            "applicators_with_refs": applicators_with_refs,
+        }
+
+    def transform(self, schema, result):
+        has_if = result["has_if"]
+        if result["strategy"] == "merge":
+            for applicator in _TWA_APPLICATORS_WITHOUT_ALLOF:
+                if applicator not in schema:
+                    continue
+                branch = {applicator: schema[applicator]}
+                if applicator == "if" and has_if:
+                    if "then" in schema:
+                        branch["then"] = schema["then"]
+                    if "else" in schema:
+                        branch["else"] = schema["else"]
+                schema["allOf"].append(branch)
+                del schema[applicator]
+            if has_if:
+                schema.pop("then", None)
+                schema.pop("else", None)
+            return
+        skip = {"not", "anyOf", "allOf", "oneOf", "$schema", "id", "$id",
+                "definitions", "$defs", "$anchor", "$dynamicAnchor",
+                "$recursiveAnchor", "$vocabulary", "dependencies",
+                "dependentSchemas"}
+        typed_branch = {}
+        typed_keywords = []
+        for key, value in schema.items():
+            if key in skip:
+                continue
+            if has_if and key in ("if", "then", "else"):
+                continue
+            if result["has_modern_ref"] and key == "$ref":
+                continue
+            if result["has_dynamic_ref"] and key == "$dynamicRef":
+                continue
+            if result["has_recursive_ref"] and key == "$recursiveRef":
+                continue
+            if result["has_unevaluated"] and key in (
+                    "unevaluatedProperties", "unevaluatedItems"):
+                continue
+            typed_branch[key] = value
+            typed_keywords.append(key)
+        for key in typed_keywords:
+            del schema[key]
+        result["typed_keywords"] = list(typed_keywords)
+        if result["strategy"] == "safe":
+            if isinstance(schema.get("allOf"), list):
+                result["typed_branch_index"] = len(schema["allOf"])
+                schema["allOf"].append(typed_branch)
+            else:
+                result["typed_branch_index"] = 0
+                schema["allOf"] = [typed_branch]
+            for kw, flag in (("$ref", "has_modern_ref"),
+                             ("$dynamicRef", "has_dynamic_ref"),
+                             ("$recursiveRef", "has_recursive_ref")):
+                if result[flag] and kw in schema:
+                    schema["allOf"].append({kw: schema.pop(kw)})
+            for applicator in _TWA_APPLICATORS_WITHOUT_ALLOF:
+                if applicator not in schema:
+                    continue
+                if result["applicators_with_refs"] & _twa_bit(applicator):
+                    continue
+                branch = {applicator: schema[applicator]}
+                if applicator == "if" and has_if:
+                    if "then" in schema:
+                        branch["then"] = schema["then"]
+                    if "else" in schema:
+                        branch["else"] = schema["else"]
+                schema["allOf"].append(branch)
+                del schema[applicator]
+                if applicator == "if" and has_if:
+                    schema.pop("then", None)
+                    schema.pop("else", None)
+            return
+        # FullRestructure
+        result["ref_count"] = sum(
+            1 for flag in ("has_modern_ref", "has_dynamic_ref",
+                           "has_recursive_ref") if result[flag])
+        new_allof = []
+        for kw, flag in (("$ref", "has_modern_ref"),
+                         ("$dynamicRef", "has_dynamic_ref"),
+                         ("$recursiveRef", "has_recursive_ref")):
+            if result[flag] and kw in schema:
+                branch = {kw: schema[kw]}
+                if result["ref_annotations_only"] and typed_keywords:
+                    branch.update(typed_branch)
+                    typed_keywords = []
+                new_allof.append(branch)
+        result["applicator_present"] = []
+        for applicator in _TWA_APPLICATORS:
+            if applicator not in schema:
+                continue
+            branch = {applicator: schema[applicator]}
+            if applicator == "if" and has_if:
+                if "then" in schema:
+                    branch["then"] = schema["then"]
+                if "else" in schema:
+                    branch["else"] = schema["else"]
+            new_allof.append(branch)
+            result["applicator_present"].append(applicator)
+        if typed_keywords:
+            result["typed_branch_index"] = len(new_allof)
+            new_allof.append(typed_branch)
+        result["typed_keywords"] = list(typed_keywords)
+        new_schema = {}
+        for key in ("$schema", "id", "$id", "definitions", "$defs",
+                    "$anchor", "$dynamicAnchor", "$recursiveAnchor",
+                    "$vocabulary", "dependencies", "dependentSchemas"):
+            if key in schema:
+                new_schema[key] = schema[key]
+        if result["has_unevaluated"]:
+            for key in ("unevaluatedProperties", "unevaluatedItems"):
+                if key in schema:
+                    new_schema[key] = schema[key]
+        new_schema["allOf"] = new_allof
+        return new_schema
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        if target[:len(current)] != current:
+            return target
+        rel = target[len(current):]
+        if not rel or not isinstance(rel[0], str):
+            return target
+        keyword = rel[0]
+        if keyword in result.get("typed_keywords", ()):
+            idx = result.get("typed_branch_index")
+            if idx is None:
+                return target
+            return rebase(target, current + (keyword,),
+                          current + ("allOf", idx, keyword))
+        if result["strategy"] == "full":
+            index = result.get("ref_count", 0)
+            for applicator in result.get("applicator_present", ()):
+                if keyword == applicator or (
+                        result["has_if"] and applicator == "if"
+                        and keyword in ("then", "else")):
+                    return rebase(target, current + (keyword,),
+                                  current + ("allOf", index, keyword))
+                index += 1
+        return target
+
+
+class TypeWithApplicatorToExtends(Rule):
+    """reference: canonicalizer/type_with_applicator_to_extends.h"""
+
+    name = "type_with_applicator_to_extends"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        has_extends = isinstance(schema.get("extends"), list)
+        has_disallow = isinstance(schema.get("disallow"), list)
+        type_value = schema.get("type")
+        has_type_array = isinstance(type_value, list)
+        has_type = isinstance(type_value, str)
+        has_enum = "enum" in schema
+        applicator_count = sum([has_extends, has_disallow, has_type_array])
+        has_structural = has_type or has_enum
+        return ((has_structural and applicator_count >= 1)
+                or applicator_count >= 2)
+
+    def transform(self, schema, result):
+        typed_branch = {}
+        typed_keywords = []
+        for key, value in schema.items():
+            if key in ("extends", "disallow", "$schema", "id"):
+                continue
+            if key == "type" and isinstance(value, list):
+                continue
+            typed_branch[key] = value
+            typed_keywords.append(key)
+        for key in typed_keywords:
+            del schema[key]
+        new_extends = []
+        applicator_present = []
+        for applicator in ("extends", "disallow", "type"):
+            if applicator not in schema:
+                continue
+            value = schema[applicator]
+            if applicator == "type" and not isinstance(value, list):
+                continue
+            new_extends.append({applicator: value})
+            applicator_present.append(applicator)
+        typed_index = None
+        if typed_keywords:
+            typed_index = len(new_extends)
+            new_extends.append(typed_branch)
+        new_schema = {}
+        for key in ("$schema", "id"):
+            if key in schema:
+                new_schema[key] = schema[key]
+        new_schema["extends"] = new_extends
+        self._layout = (list(typed_keywords), applicator_present,
+                        typed_index)
+        return new_schema
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        typed_keywords, applicator_present, typed_index = self._layout
+        if target[:len(current)] != current:
+            return target
+        rel = target[len(current):]
+        if not rel or not isinstance(rel[0], str):
+            return target
+        keyword = rel[0]
+        if keyword in typed_keywords and typed_index is not None:
+            return rebase(target, current + (keyword,),
+                          current + ("extends", typed_index, keyword))
+        index = 0
+        for applicator in applicator_present:
+            if keyword == applicator:
+                return rebase(target, current + (keyword,),
+                              current + ("extends", index, keyword))
+            index += 1
+        return target
+
+
+class _EmptyContainerDrop(Rule):
+    keyword = ""
+    vocab_group: frozenset = frozenset()
+    container_type = dict
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, self.vocab_group) or not isinstance(
+                schema, dict):
+            return False
+        value = schema.get(self.keyword)
+        return type(value) is self.container_type and not value
+
+    def transform(self, schema, result):
+        del schema[self.keyword]
+
+
+class EmptyDefinitionsDrop(_EmptyContainerDrop):
+    """reference: canonicalizer/empty_definitions_drop.h"""
+
+    name = "empty_definitions_drop"
+    keyword = "definitions"
+    vocab_group = frozenset({V.D4, V.D6, V.D7})
+
+
+class EmptyDefsDrop(_EmptyContainerDrop):
+    """reference: canonicalizer/empty_defs_drop.h"""
+
+    name = "empty_defs_drop"
+    keyword = "$defs"
+    vocab_group = CORE_MODERN
+
+
+class EmptyDependenciesDrop(_EmptyContainerDrop):
+    """reference: canonicalizer/empty_dependencies_drop.h"""
+
+    name = "empty_dependencies_drop"
+    keyword = "dependencies"
+    vocab_group = frozenset({V.D3, V.D4, V.D6, V.D7})
+
+
+class EmptyDependentSchemasDrop(_EmptyContainerDrop):
+    """reference: canonicalizer/empty_dependent_schemas_drop.h"""
+
+    name = "empty_dependent_schemas_drop"
+    keyword = "dependentSchemas"
+    vocab_group = APP_MODERN
+
+
+class EmptyDependentRequiredDrop(_EmptyContainerDrop):
+    """reference: canonicalizer/empty_dependent_required_drop.h"""
+
+    name = "empty_dependent_required_drop"
+    keyword = "dependentRequired"
+    vocab_group = VAL_MODERN
+
+
+class EmptyDisallowDrop(_EmptyContainerDrop):
+    """reference: canonicalizer/empty_disallow_drop.h"""
+
+    name = "empty_disallow_drop"
+    keyword = "disallow"
+    vocab_group = D3_ONLY
+    container_type = list
+
+
+class AdditionalItemsImplicit(Rule):
+    """reference: canonicalizer/additional_items_implicit.h"""
+
+    name = "additional_items_implicit"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D3, V.D4, V.D6, V.D7})):
+            return False
+        if not isinstance(schema, dict) or schema.get("type") != "array":
+            return False
+        if not (isinstance(schema.get("items"), list)
+                and "additionalItems" not in schema):
+            return False
+        return {"draft3": V.D3 in vocab}
+
+    def transform(self, schema, result):
+        schema["additionalItems"] = {} if result["draft3"] else True
+
+
+class RequiredPropertyImplicit(Rule):
+    """reference: canonicalizer/required_property_implicit.h"""
+
+    name = "required_property_implicit"
+
+    @staticmethod
+    def _eligible(prop):
+        return (isinstance(prop, dict) and prop
+                and "$ref" not in prop and "required" not in prop)
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        if schema.get("type") != "object":
+            return False
+        properties = schema.get("properties")
+        if not isinstance(properties, dict):
+            return False
+        return any(self._eligible(p) for p in properties.values())
+
+    def transform(self, schema, result):
+        for prop in schema["properties"].values():
+            if self._eligible(prop):
+                prop["required"] = False
+
+
+class DuplicateDisallowEntries(Rule):
+    """reference: canonicalizer/duplicate_disallow_entries.h"""
+
+    name = "duplicate_disallow_entries"
+    message = ("Setting duplicate subschemas in `disallow` is redundant, "
+               "as negating the same subschema more than once is "
+               "guaranteed to not affect the validation result")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        disallow = schema.get("disallow")
+        if not isinstance(disallow, list):
+            return False
+        keys = [json_strict_key(e) for e in disallow]
+        if len(set(keys)) == len(keys):
+            return False
+        return not frame.has_references_through(
+            location.pointer + ("disallow",))
+
+    def transform(self, schema, result):
+        from blaze_spark.plans.transform.rules_util import unique_values
+        schema["disallow"] = unique_values(schema["disallow"])
+
+
+class DisallowArrayToExtends(Rule):
+    """reference: canonicalizer/disallow_array_to_extends.h"""
+
+    name = "disallow_array_to_extends"
+    message = ("A multi-way `disallow` is the conjunction of single "
+               "negations: each element becomes its own single-element "
+               "`disallow` in an `extends` branch")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        disallow = schema.get("disallow")
+        return isinstance(disallow, list) and len(disallow) > 1
+
+    def condition_result_holder(self):
+        pass
+
+    def transform(self, schema, result):
+        branches = [{"disallow": [e]} for e in schema["disallow"]]
+        del schema["disallow"]
+        extends = schema.get("extends")
+        if isinstance(extends, list):
+            self._extends_start = len(extends)
+            extends.extend(branches)
+        elif extends is not None:
+            self._extends_start = 1
+            schema["extends"] = [extends] + branches
+        else:
+            self._extends_start = 0
+            schema["extends"] = branches
+
+    def rereference(self, target, current, result):
+        prefix = current + ("disallow",)
+        if target[:len(prefix)] != prefix:
+            return target
+        rel = target[len(prefix):]
+        if not rel or not isinstance(rel[0], int):
+            return target
+        index = rel[0]
+        return (current + ("extends", self._extends_start + index,
+                           "disallow", 0) + rel[1:])
+
+
+def _wraps_single_constraint(schema: dict, keyword: str, vocab) -> bool:
+    for key in schema:
+        if key == keyword:
+            continue
+        ktype = W.walk_type(key, vocab)
+        if ktype not in (W.ANNOTATION, W.COMMENT, W.OTHER, W.UNKNOWN,
+                         W.LOCATION_MEMBERS):
+            return False
+    return True
+
+
+def _has_references_to(frame, pointer) -> bool:
+    for reference in frame.references:
+        dest = frame.traverse(reference.value, reference.base)
+        if dest == pointer:
+            return True
+    return False
+
+
+class DisallowExtendsToType(Rule):
+    """reference: canonicalizer/disallow_extends_to_type.h"""
+
+    name = "disallow_extends_to_type"
+    message = ("Negating a conjunction is the disjunction of the "
+               "negations: an `extends` under `disallow` becomes a `type` "
+               "union where each branch is its own single negation")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        disallow = schema.get("disallow")
+        if not isinstance(disallow, list) or len(disallow) != 1:
+            return False
+        element = disallow[0]
+        if not (isinstance(element, dict)
+                and isinstance(element.get("extends"), list)
+                and element["extends"]):
+            return False
+        if not (_wraps_single_constraint(schema, "disallow", vocab)
+                and _wraps_single_constraint(element, "extends", vocab)):
+            return False
+        return not _has_references_to(
+            frame, location.pointer + ("disallow", 0))
+
+    def transform(self, schema, result):
+        branches = [{"disallow": [b]}
+                    for b in schema["disallow"][0]["extends"]]
+        del schema["disallow"]
+        schema["type"] = branches
+
+    def rereference(self, target, current, result):
+        prefix = current + ("disallow", 0, "extends")
+        if target[:len(prefix)] != prefix:
+            return target
+        rel = target[len(prefix):]
+        if not rel or not isinstance(rel[0], int):
+            return target
+        return current + ("type", rel[0], "disallow", 0) + rel[1:]
+
+
+class DisallowTypeUnionToExtends(Rule):
+    """reference: canonicalizer/disallow_type_union_to_extends.h"""
+
+    name = "disallow_type_union_to_extends"
+    message = ("Negating a disjunction is the conjunction of the "
+               "negations: a `type` union under `disallow` becomes an "
+               "`extends` where each branch is its own single negation")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        disallow = schema.get("disallow")
+        if not isinstance(disallow, list) or len(disallow) != 1:
+            return False
+        element = disallow[0]
+        if not (isinstance(element, dict)
+                and isinstance(element.get("type"), list)
+                and element["type"]):
+            return False
+        if not (_wraps_single_constraint(schema, "disallow", vocab)
+                and _wraps_single_constraint(element, "type", vocab)):
+            return False
+        return not _has_references_to(
+            frame, location.pointer + ("disallow", 0))
+
+    def transform(self, schema, result):
+        branches = [{"disallow": [m]}
+                    for m in schema["disallow"][0]["type"]]
+        del schema["disallow"]
+        schema["extends"] = branches
+
+    def rereference(self, target, current, result):
+        prefix = current + ("disallow", 0, "type")
+        if target[:len(prefix)] != prefix:
+            return target
+        rel = target[len(prefix):]
+        if not rel or not isinstance(rel[0], int):
+            return target
+        return current + ("extends", rel[0], "disallow", 0) + rel[1:]
+
+
+def _is_single_negation(schema: Any) -> bool:
+    return (isinstance(schema, dict) and len(schema) == 1
+            and isinstance(schema.get("disallow"), list)
+            and len(schema["disallow"]) == 1)
+
+
+class DisallowDoubleNegation(Rule):
+    """reference: canonicalizer/disallow_double_negation.h"""
+
+    name = "disallow_double_negation"
+    message = ("A `disallow` whose single negated schema is itself a "
+               "`disallow` of a single schema is a double negation "
+               "equivalent to the inner schema")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        disallow = schema.get("disallow")
+        if not isinstance(disallow, list) or len(disallow) != 1:
+            return False
+        if not _is_single_negation(disallow[0]):
+            return False
+        if not _wraps_single_constraint(schema, "disallow", vocab):
+            return False
+        wrapper = location.pointer
+        node = disallow[0]
+        while _is_single_negation(node):
+            wrapper = wrapper + ("disallow", 0)
+            if _has_references_to(frame, wrapper):
+                return False
+            node = node["disallow"][0]
+        return True
+
+    def transform(self, schema, result):
+        inner = schema["disallow"][0]["disallow"][0]
+        del schema["disallow"]
+        while _is_single_negation(inner) and _is_single_negation(
+                inner["disallow"][0]):
+            inner = inner["disallow"][0]["disallow"][0]
+        if isinstance(inner, dict):
+            for k, v in inner.items():
+                schema[k] = v
+
+    def rereference(self, target, current, result):
+        old_prefix = current + ("disallow", 0, "disallow", 0)
+        while target[:len(old_prefix) + 4] == \
+                old_prefix + ("disallow", 0, "disallow", 0):
+            old_prefix = old_prefix + ("disallow", 0, "disallow", 0)
+        if target[:len(old_prefix)] != old_prefix:
+            return target
+        return current + target[len(old_prefix):]
+
+
+class RequiredToExtends(Rule):
+    """reference: canonicalizer/required_to_extends.h"""
+
+    name = "required_to_extends"
+    message = ("In Draft 3 canonical form, `required` is only ever a "
+               "sibling of `extends`; its other siblings are wrapped into "
+               "an `extends` branch")
+
+    _TOP = {"required", "extends", "$schema", "id", "$ref"}
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        if not isinstance(schema.get("required"), bool):
+            return False
+        return any(k not in self._TOP for k in schema)
+
+    def transform(self, schema, result):
+        wrapped = [k for k in schema if k not in self._TOP]
+        self._wrapped = wrapped
+        branch = {k: schema[k] for k in wrapped}
+        for k in wrapped:
+            del schema[k]
+        extends = schema.get("extends")
+        if isinstance(extends, list):
+            self._branch_index = len(extends)
+            extends.append(branch)
+        elif extends is not None:
+            self._branch_index = 1
+            schema["extends"] = [extends, branch]
+        else:
+            self._branch_index = 0
+            schema["extends"] = [branch]
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        for keyword in self._wrapped:
+            prefix = current + (keyword,)
+            if target[:len(prefix)] == prefix:
+                return rebase(target, prefix,
+                              current + ("extends", self._branch_index,
+                                         keyword))
+        return target
+
+
+class _SingleBranchCombinator(Rule):
+    keyword = ""
+    rename_with_unevaluated = False  # anyOf/oneOf → allOf under unevaluated*
+    block_on_unevaluated = False     # allOf blocks entirely
+    check_branch_refs = False        # allOf refuses $ref-bearing branches
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        kw = self.keyword
+        if not vocab_any(vocab, frozenset(
+                {V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6, V.D4})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        branches = schema.get(kw)
+        if not isinstance(branches, list) or len(branches) != 1:
+            return False
+        has_unevaluated = (vocab_any(vocab, frozenset(
+            {V.V20_UNEVALUATED, V.V19_APPLICATOR}))
+            and ("unevaluatedProperties" in schema
+                 or "unevaluatedItems" in schema))
+        if self.block_on_unevaluated and has_unevaluated:
+            return False
+        if frame.has_references_through(location.pointer + (kw,)):
+            return False
+        branch = branches[0]
+        if self.check_branch_refs and isinstance(branch, dict):
+            if any(k in branch for k in
+                   ("$ref", "$dynamicRef", "$recursiveRef")):
+                return False
+        return {"has_unevaluated": has_unevaluated}
+
+    def transform(self, schema, result):
+        kw = self.keyword
+        if self.rename_with_unevaluated and result["has_unevaluated"]:
+            schema["allOf"] = schema.pop(kw)
+            return
+        branch = schema[kw][0]
+        if isinstance(branch, bool):
+            if branch:
+                del schema[kw]
+                return
+            return False
+        for k, v in branch.items():
+            schema[k] = v
+        del schema[kw]
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        if self.rename_with_unevaluated and result.get("has_unevaluated"):
+            return rebase(target, current + (self.keyword,),
+                          current + ("allOf",))
+        prefix = current + (self.keyword, 0)
+        if target[:len(prefix)] != prefix:
+            return target
+        return current + target[len(prefix):]
+
+
+class SingleBranchAllOf(_SingleBranchCombinator):
+    """reference: canonicalizer/single_branch_allof.h"""
+
+    name = "single_branch_allof"
+    keyword = "allOf"
+    block_on_unevaluated = True
+    check_branch_refs = True
+
+
+class SingleBranchAnyOf(_SingleBranchCombinator):
+    """reference: canonicalizer/single_branch_anyof.h"""
+
+    name = "single_branch_anyof"
+    keyword = "anyOf"
+    rename_with_unevaluated = True
+
+
+class SingleBranchOneOf(_SingleBranchCombinator):
+    """reference: canonicalizer/single_branch_oneof.h"""
+
+    name = "single_branch_oneof"
+    keyword = "oneOf"
+    rename_with_unevaluated = True
+
+
+class ConstAsEnum(Rule):
+    """reference: canonicalizer/const_as_enum.h"""
+
+    name = "const_as_enum"
+    message = ("Setting `const` is syntax sugar for an "
+               "enumeration of a single value")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, frozenset(
+                    {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6}))
+                and isinstance(schema, dict) and "const" in schema
+                and "enum" not in schema)
+
+    def transform(self, schema, result):
+        schema["enum"] = [schema.pop("const")]
+
+
+class EqualNumericBoundsToConst(Rule):
+    """reference: linter/equal_numeric_bounds_to_const.h"""
+
+    name = "equal_numeric_bounds_to_const"
+    message = ("Setting `minimum` and `maximum` to the same number only "
+               "leaves one possible value")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        if schema.get("type") not in ("integer", "number"):
+            return False
+        mn, mx = schema.get("minimum"), schema.get("maximum")
+        if not (is_number(mn) and is_number(mx) and json_equal(mn, mx)):
+            return False
+        emn = schema.get("exclusiveMinimum")
+        if is_number(emn) and emn >= mn:
+            return False
+        emx = schema.get("exclusiveMaximum")
+        if is_number(emx) and emx <= mx:
+            return False
+        return True
+
+    def transform(self, schema, result):
+        schema["const"] = schema.pop("minimum")
+        del schema["type"]
+        del schema["maximum"]
+
+
+class _ExclusiveIntegerToBound(Rule):
+    keyword = ""
+    target = ""
+    up = False  # True = exclusiveMinimum → minimum (add 1 / ceil)
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6})):
+            return False
+        if not isinstance(schema, dict) or self.target in schema:
+            return False
+        if schema.get("type") != "integer":
+            return False
+        return is_number(schema.get(self.keyword))
+
+    def transform(self, schema, result):
+        schema[self.target] = _exclusive_fold_value(
+            schema.pop(self.keyword), self.up)
+
+
+class ExclusiveMaximumIntegerToMaximum(_ExclusiveIntegerToBound):
+    """reference: canonicalizer/exclusive_maximum_integer_to_maximum.h"""
+
+    name = "exclusive_maximum_integer_to_maximum"
+    message = ("Setting `exclusiveMaximum` when `type` is `integer` is "
+               "syntax sugar for `maximum`")
+    keyword, target, up = "exclusiveMaximum", "maximum", False
+
+
+class ExclusiveMinimumIntegerToMinimum(_ExclusiveIntegerToBound):
+    """reference: canonicalizer/exclusive_minimum_integer_to_minimum.h"""
+
+    name = "exclusive_minimum_integer_to_minimum"
+    message = ("Setting `exclusiveMinimum` when `type` is `integer` is "
+               "syntax sugar for `minimum`")
+    keyword, target, up = "exclusiveMinimum", "minimum", True
+
+
+class TypeBooleanAsEnum(Rule):
+    """reference: canonicalizer/type_boolean_as_enum.h"""
+
+    name = "type_boolean_as_enum"
+    message = ("Setting `type` to `boolean` is syntax sugar for an "
+               "enumeration of two values: `false` and `true`")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, _VAL_3UP) and isinstance(schema, dict)
+                and "enum" not in schema and "const" not in schema
+                and schema.get("type") == "boolean")
+
+    def transform(self, schema, result):
+        del schema["type"]
+        schema["enum"] = [False, True]
+
+
+class TypeNullAsEnum(Rule):
+    """reference: canonicalizer/type_null_as_enum.h"""
+
+    name = "type_null_as_enum"
+    message = ("Setting `type` to `null` is syntax sugar for an "
+               "enumeration of a single value: `null`")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, _VAL_3UP) and isinstance(schema, dict)
+                and "enum" not in schema and "const" not in schema
+                and schema.get("type") == "null")
+
+    def transform(self, schema, result):
+        del schema["type"]
+        schema["enum"] = [None]
+
+
+class MaxContainsCoveredByMaxItems(Rule):
+    """reference: canonicalizer/max_contains_covered_by_max_items.h"""
+
+    name = "max_contains_covered_by_max_items"
+    message = ("Setting the `maxContains` keyword to a number greater "
+               "than or equal to the array upper bound does not add any "
+               "further constraint")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, VAL_MODERN) or not isinstance(schema, dict):
+            return False
+        max_contains = schema.get("maxContains")
+        max_items = schema.get("maxItems")
+        return (is_integer(max_contains) and is_integer(max_items)
+                and max_contains > max_items)
+
+    def transform(self, schema, result):
+        schema["maxContains"] = schema["maxItems"]
+
+
+class MinItemsGivenMinContains(Rule):
+    """reference: canonicalizer/min_items_given_min_contains.h"""
+
+    name = "min_items_given_min_contains"
+    message = ("Every array has a minimum size of zero items but may be "
+               "affected by `minContains`")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, VAL_MODERN) and isinstance(schema, dict)
+                and "minItems" not in schema
+                and schema.get("type") == "array")
+
+    def transform(self, schema, result):
+        if "contains" in schema and is_integer(schema.get("minContains")):
+            schema["minItems"] = schema["minContains"]
+        else:
+            schema["minItems"] = 0
+
+
+class MinPropertiesCoveredByRequired(Rule):
+    """reference: canonicalizer/min_properties_covered_by_required.h"""
+
+    name = "min_properties_covered_by_required"
+    message = ("Setting `minProperties` to a number less than `required` "
+               "does not add any further constraint")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        min_properties = schema.get("minProperties")
+        if not is_integer(min_properties):
+            return False
+        required = schema.get("required")
+        if not isinstance(required, list):
+            return False
+        keys = [json_strict_key(v) for v in required]
+        if len(set(keys)) != len(keys):
+            return False
+        return len(required) > min_properties
+
+    def transform(self, schema, result):
+        schema["minProperties"] = len(schema["required"])
+
+
+class MinLengthImplicit(Rule):
+    """reference: canonicalizer/min_length_implicit.h"""
+
+    name = "min_length_implicit"
+    message = "Every string has a minimum length of zero characters"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, _VAL_3UP) and isinstance(schema, dict)
+                and "minLength" not in schema
+                and schema.get("type") == "string")
+
+    def transform(self, schema, result):
+        schema["minLength"] = 0
+
+
+class MultipleOfImplicit(Rule):
+    """reference: canonicalizer/multiple_of_implicit.h"""
+
+    name = "multiple_of_implicit"
+    message = "The unit of `multipleOf` is the integer 1"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, frozenset(
+                    {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4}))
+                and isinstance(schema, dict)
+                and "multipleOf" not in schema
+                and schema.get("type") == "integer")
+
+    def transform(self, schema, result):
+        schema["multipleOf"] = 1
+
+
+class DivisibleByImplicit(Rule):
+    """reference: canonicalizer/divisible_by_implicit.h"""
+
+    name = "divisible_by_implicit"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (V.D3 in vocab and isinstance(schema, dict)
+                and "divisibleBy" not in schema
+                and schema.get("type") == "integer")
+
+    def transform(self, schema, result):
+        schema["divisibleBy"] = 1
+
+
+class ItemsImplicit(Rule):
+    """reference: canonicalizer/items_implicit.h"""
+
+    name = "items_implicit"
+    message = ("Every array has an implicit `items` "
+               "that consists of the boolean schema `true`")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not ((V.V20_VALIDATION in vocab and V.V20_APPLICATOR in vocab)
+                or (V.V19_VALIDATION in vocab
+                    and V.V19_APPLICATOR in vocab)
+                or vocab_any(vocab, frozenset({V.D7, V.D6}))):
+            return False
+        if not isinstance(schema, dict) or "items" in schema:
+            return False
+        if schema.get("type") != "array":
+            return False
+        uneval = frozenset({V.V20_UNEVALUATED, V.V19_APPLICATOR})
+        if "unevaluatedItems" in schema and vocab_any(vocab, uneval):
+            return False
+        hit = frame.walk_up_in_place(
+            location,
+            lambda ancestor, avocab: isinstance(ancestor, dict)
+            and "unevaluatedItems" in ancestor
+            and not avocab.isdisjoint(uneval))
+        return hit is None
+
+    def transform(self, schema, result):
+        schema["items"] = True
+
+
+class OptionalPropertyImplicit(Rule):
+    """reference: canonicalizer/optional_property_implicit.h — draft0-2
+    only, outside this engine's dialect scope (never fires)."""
+
+    name = "optional_property_implicit"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return False
+
+    def transform(self, schema, result):
+        raise NotImplementedError

@@ -1,0 +1,1816 @@
+"""Common rules shared by canonicalizer and linter modes
+(reference: src/alterschema/common/*.h). Registration order lives in
+modes.py (mirrors alterschema.cc:379-517)."""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, List, Optional, Set
+
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform import walker as W
+from blaze_spark.plans.transform.engine import Rule, get_at
+from blaze_spark.plans.transform.rules_util import (
+    is_number, is_integer, json_equal, json_key, json_strict_key,
+    json_type,
+    parse_schema_type, unique_values, vocab_any,
+    T_ARRAY, T_BOOLEAN, T_INTEGER, T_NULL, T_OBJECT, T_REAL, T_STRING,
+)
+
+_APP_6UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6})
+_APP_4UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6, V.D4})
+_APP_MODERN = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR})
+_VAL_4UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4})
+_VAL_6UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6})
+_VAL_3UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION,
+                      V.D7, V.D6, V.D4, V.D3})
+
+
+class ContentMediaTypeWithoutEncoding(Rule):
+    """reference: common/content_media_type_without_encoding.h"""
+
+    name = "content_media_type_without_encoding"
+    message = ("The `contentMediaType` keyword is meaningless "
+               "without the presence of the `contentEncoding` keyword")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, frozenset(
+                    {V.V20_CONTENT, V.V19_CONTENT, V.D7}))
+                and isinstance(schema, dict)
+                and "contentMediaType" in schema
+                and "contentEncoding" not in schema)
+
+    def transform(self, schema, result):
+        del schema["contentMediaType"]
+
+
+class ContentSchemaWithoutMediaType(Rule):
+    """reference: common/content_schema_without_media_type.h"""
+
+    name = "content_schema_without_media_type"
+    message = ("The `contentSchema` keyword is meaningless without the "
+               "presence of the `contentMediaType` keyword")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not (vocab_any(vocab, frozenset({V.V20_CONTENT, V.V19_CONTENT}))
+                and isinstance(schema, dict)
+                and "contentSchema" in schema
+                and "contentMediaType" not in schema):
+            return False
+        return not frame.has_references_through(
+            location.pointer + ("contentSchema",))
+
+    def transform(self, schema, result):
+        del schema["contentSchema"]
+
+
+_HTTPS_DRAFT_URIS = {
+    f"https://json-schema.org/draft-0{n}/{kind}{frag}"
+    for n in range(0, 8) if n != 5
+    for kind in ("schema", "hyper-schema")
+    for frag in ("", "#")
+}
+
+_HTTP_DRAFT_URIS_NO_FRAGMENT = {
+    f"http://json-schema.org/draft-0{n}/{kind}"
+    for n in range(0, 8) if n != 5
+    for kind in ("schema", "hyper-schema")
+}
+
+
+class DraftOfficialDialectWithHttps(Rule):
+    """reference: common/draft_official_dialect_with_https.h"""
+
+    name = "draft_official_dialect_with_https"
+    message = ("The official dialect URI of Draft 7 and older must use "
+               "\"http://\" instead of \"https://\"")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D3, V.D4, V.D6, V.D7})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        dialect = schema.get("$schema")
+        return (isinstance(dialect, str)
+                and dialect in _HTTPS_DRAFT_URIS)
+
+    def transform(self, schema, result):
+        schema["$schema"] = "http://" + schema["$schema"][len("https://"):]
+
+
+class DraftOfficialDialectWithoutEmptyFragment(Rule):
+    """reference: common/draft_official_dialect_without_empty_fragment.h"""
+
+    name = "draft_official_dialect_without_empty_fragment"
+    message = ("The official dialect URI of Draft 7 and older "
+               "versions must contain the empty fragment")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict):
+            return False
+        dialect = schema.get("$schema")
+        return (isinstance(dialect, str)
+                and dialect in _HTTP_DRAFT_URIS_NO_FRAGMENT)
+
+    def transform(self, schema, result):
+        schema["$schema"] = schema["$schema"] + "#"
+
+
+class NonApplicableTypeSpecificKeywords(Rule):
+    """reference: common/non_applicable_type_specific_keywords.h"""
+
+    name = "non_applicable_type_specific_keywords"
+    message = ("Avoid keywords that don't apply to the type or "
+               "types that the current subschema expects")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict):
+            return False
+        current_types: Set[str] = set()
+        if vocab_any(vocab, _VAL_3UP) and "type" in schema:
+            current_types = parse_schema_type(schema["type"])
+        if vocab_any(vocab, _VAL_3UP):
+            enum_value = schema.get("enum")
+            if isinstance(enum_value, list):
+                current_types.update(json_type(e) for e in enum_value)
+        if vocab_any(vocab, _VAL_6UP) and "const" in schema:
+            current_types.add(json_type(schema["const"]))
+        if not current_types:
+            return False
+        dead = []
+        for key in schema:
+            instances = W.walk_instances(key, vocab)
+            if not instances:
+                continue
+            if key == "required" and V.D3 in vocab:
+                continue
+            if not (instances & current_types):
+                if frame.has_references_through(location.pointer + (key,)):
+                    continue
+                dead.append(key)
+        return {"keys": dead} if dead else False
+
+    def transform(self, schema, result):
+        for key in result["keys"]:
+            del schema[key]
+
+
+def _known_type_form(type_value: Any) -> bool:
+    if isinstance(type_value, str):
+        return type_value != "any"
+    if not isinstance(type_value, list):
+        return False
+    return all(isinstance(e, str) and e != "any" for e in type_value)
+
+
+def _disallow_entry_types(entry: Any) -> Set[str]:
+    """extract_type_names (disallow_narrows_type.h): the type names an
+    entry covers, or empty when it is not a pure type constraint."""
+    if isinstance(entry, str):
+        return {entry} if entry != "any" else set()
+    if not isinstance(entry, dict) or len(entry) != 1:
+        return set()
+    entry_type = entry.get("type")
+    if isinstance(entry_type, str):
+        return {entry_type} if entry_type != "any" else set()
+    if isinstance(entry_type, list):
+        out = set()
+        for e in entry_type:
+            if not isinstance(e, str) or e == "any":
+                return set()
+            out.add(e)
+        return out
+    return set()
+
+
+class NonApplicableDisallowTypes(Rule):
+    """reference: common/non_applicable_disallow_types.h"""
+
+    name = "non_applicable_disallow_types"
+    message = ("`disallow` entries whose type cannot overlap with the "
+               "parent `type` can never match and can be dropped")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        disallow = schema.get("disallow")
+        if not isinstance(disallow, list) or not disallow:
+            return False
+        parent_type = schema.get("type")
+        if parent_type is None or not _known_type_form(parent_type):
+            return False
+        parent_types = parse_schema_type(parent_type)
+        if not parent_types:
+            return False
+        dead = []
+        for index, entry in enumerate(disallow):
+            entry_types: Set[str] = set()
+            if isinstance(entry, str) and entry != "any":
+                entry_types = parse_schema_type(entry)
+            elif isinstance(entry, dict):
+                entry_type = entry.get("type")
+                if entry_type is not None and _known_type_form(entry_type):
+                    entry_types = parse_schema_type(entry_type)
+            if entry_types and not (parent_types & entry_types):
+                dead.append(index)
+        if not dead:
+            return False
+        if frame.has_references_through(location.pointer + ("disallow",)):
+            return False
+        return {"dead": dead}
+
+    def transform(self, schema, result):
+        dead = set(result["dead"])
+        new_disallow = [e for i, e in enumerate(schema["disallow"])
+                        if i not in dead]
+        if new_disallow:
+            schema["disallow"] = new_disallow
+        else:
+            del schema["disallow"]
+
+
+class DisallowNarrowsType(Rule):
+    """reference: common/disallow_narrows_type.h"""
+
+    name = "disallow_narrows_type"
+    message = ("When `disallow` excludes types that are also in the parent "
+               "`type`, those types can be removed from `type` and the "
+               "corresponding `disallow` entries dropped")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        disallow = schema.get("disallow")
+        if not isinstance(disallow, list) or not disallow:
+            return False
+        parent_type = schema.get("type")
+        if not isinstance(parent_type, list) or len(parent_type) <= 1:
+            return False
+        parent_names = set()
+        for entry in parent_type:
+            if not isinstance(entry, str) or entry == "any":
+                return False
+            parent_names.add(entry)
+        dead = []
+        narrowed: Set[str] = set()
+        for index, entry in enumerate(disallow):
+            entry_types = _disallow_entry_types(entry)
+            if not entry_types:
+                continue
+            if not entry_types <= parent_names:
+                continue
+            dead.append(index)
+            narrowed |= entry_types
+        if not dead or len(narrowed) >= len(parent_names):
+            return False
+        if frame.has_references_through(location.pointer + ("disallow",)):
+            return False
+        return {"dead": dead, "narrowed": narrowed}
+
+    def transform(self, schema, result):
+        dead = set(result["dead"])
+        narrowed = result["narrowed"]
+        schema["type"] = [e for e in schema["type"]
+                          if isinstance(e, str) and e not in narrowed]
+        new_disallow = [e for i, e in enumerate(schema["disallow"])
+                        if i not in dead]
+        if new_disallow:
+            schema["disallow"] = new_disallow
+        else:
+            del schema["disallow"]
+
+
+class AnyOfRemoveFalseSchemas(Rule):
+    """reference: common/anyof_remove_false_schemas.h"""
+
+    name = "anyof_remove_false_schemas"
+    message = ("The boolean schema `false` is guaranteed to never match in "
+               "`anyOf`, as it is sufficient for any other branch to match")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_6UP) or not isinstance(schema, dict):
+            return False
+        anyof = schema.get("anyOf")
+        if not isinstance(anyof, list) or not any(
+                e is False for e in anyof):
+            return False
+        if frame.has_references_through(location.pointer + ("anyOf",)):
+            return False
+        if not any(e is not False for e in anyof):
+            return False
+        return True
+
+    def transform(self, schema, result):
+        schema["anyOf"] = [e for e in schema["anyOf"] if e is not False]
+
+
+class AnyOfTrueSimplify(Rule):
+    """reference: common/anyof_true_simplify.h"""
+
+    name = "anyof_true_simplify"
+    message = "An `anyOf` with a `true` or `{}` branch always succeeds"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_4UP) or not isinstance(schema, dict):
+            return False
+        anyof = schema.get("anyOf")
+        if not isinstance(anyof, list):
+            return False
+        if vocab_any(vocab, _APP_MODERN):
+            # unevaluated* anywhere above keeps anyOf annotations alive
+            cursor = location
+            while cursor is not None:
+                node = get_at(root, cursor.pointer)
+                if isinstance(node, dict) and (
+                        "unevaluatedItems" in node
+                        or "unevaluatedProperties" in node):
+                    return False
+                if cursor.parent is None:
+                    break
+                cursor = frame.by_pointer.get(cursor.parent)
+        for entry in anyof:
+            if entry is True or (isinstance(entry, dict) and not entry):
+                if frame.has_references_through(
+                        location.pointer + ("anyOf",)):
+                    return False
+                return True
+        return False
+
+    def transform(self, schema, result):
+        del schema["anyOf"]
+
+
+class _DuplicateBranches(Rule):
+    keyword = ""
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_4UP) or not isinstance(schema, dict):
+            return False
+        branches = schema.get(self.keyword)
+        if not isinstance(branches, list):
+            return False
+        keys = [json_strict_key(b) for b in branches]
+        return len(set(keys)) != len(keys)
+
+    def transform(self, schema, result):
+        from blaze_spark.plans.transform.rules_util import json_strict_key
+        original = schema[self.keyword]
+        seen = {}
+        out = []
+        self._index_mapping = {}
+        for index, value in enumerate(original):
+            key = json_strict_key(value)
+            if key in seen:
+                self._index_mapping[index] = seen[key]
+            else:
+                seen[key] = len(out)
+                self._index_mapping[index] = len(out)
+                out.append(value)
+        schema[self.keyword] = out
+
+    def rereference(self, target, current, result):
+        prefix = current + (self.keyword,)
+        if target[:len(prefix)] != prefix:
+            return target
+        rel = target[len(prefix):]
+        if not rel or not isinstance(rel[0], int):
+            return target
+        new_index = self._index_mapping.get(rel[0])
+        if new_index is None:
+            return target
+        return prefix + (new_index,) + rel[1:]
+
+
+class DuplicateAllOfBranches(_DuplicateBranches):
+    """reference: common/duplicate_allof_branches.h"""
+
+    name = "duplicate_allof_branches"
+    message = ("Setting duplicate subschemas in `allOf` is redundant, as it "
+               "produces unnecessary additional validation that is "
+               "guaranteed to not affect the validation result")
+    keyword = "allOf"
+
+
+class DuplicateAnyOfBranches(_DuplicateBranches):
+    """reference: common/duplicate_anyof_branches.h"""
+
+    name = "duplicate_anyof_branches"
+    message = ("Setting duplicate subschemas in `anyOf` is redundant, as it "
+               "produces unnecessary additional validation that is "
+               "guaranteed to not affect the validation result")
+    keyword = "anyOf"
+
+
+class _FlattenNested(Rule):
+    keyword = ""
+    vocab_group: frozenset = frozenset()
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        kw = self.keyword
+        if not vocab_any(vocab, self.vocab_group) or not isinstance(
+                schema, dict):
+            return False
+        branches = schema.get(kw)
+        if not isinstance(branches, list):
+            return False
+        if not any(isinstance(b, dict) and len(b) == 1
+                   and isinstance(b.get(kw), list) for b in branches):
+            return False
+        if frame.has_references_through(location.pointer + (kw,)):
+            return False
+        return True
+
+    def _collect(self, node: Any, out: List[Any]) -> None:
+        kw = self.keyword
+        for child in node[kw]:
+            if isinstance(child, dict) and len(child) == 1 \
+                    and isinstance(child.get(kw), list):
+                self._collect(child, out)
+            else:
+                out.append(child)
+
+    def transform(self, schema, result):
+        kw = self.keyword
+        out: List[Any] = []
+        self._mapping = []  # (outer, inner-or-None, new)
+        for index, branch in enumerate(schema[kw]):
+            if isinstance(branch, dict) and len(branch) == 1 \
+                    and isinstance(branch.get(kw), list):
+                self._collect_mapped(branch, index, out)
+            else:
+                self._mapping.append((index, None, len(out)))
+                out.append(branch)
+        schema[kw] = out
+
+    def _collect_mapped(self, node, outer, out):
+        kw = self.keyword
+        for inner_index, child in enumerate(node[kw]):
+            if isinstance(child, dict) and len(child) == 1 \
+                    and isinstance(child.get(kw), list):
+                self._collect_mapped(child, outer, out)
+            else:
+                self._mapping.append((outer, inner_index, len(out)))
+                out.append(child)
+
+    def rereference(self, target, current, result):
+        kw = self.keyword
+        prefix = current + (kw,)
+        if target[:len(prefix)] != prefix:
+            return target
+        rel = target[len(prefix):]
+        if not rel or not isinstance(rel[0], int):
+            return target
+        old_index = rel[0]
+        for outer, inner, mapped in self._mapping:
+            if outer == old_index and inner is not None:
+                old_sub = prefix + (old_index, kw, inner)
+                if target[:len(old_sub)] == old_sub:
+                    return prefix + (mapped,) + target[len(old_sub):]
+            elif outer == old_index and inner is None:
+                return prefix + (mapped,) + rel[1:]
+        return target
+
+
+class FlattenNestedAllOf(_FlattenNested):
+    """reference: common/flatten_nested_allof.h"""
+
+    name = "flatten_nested_allof"
+    message = ("An `allOf` branch that only contains another `allOf` can "
+               "be flattened into the parent `allOf`")
+    keyword = "allOf"
+    vocab_group = _APP_4UP
+
+
+class FlattenNestedExtends(_FlattenNested):
+    """reference: common/flatten_nested_extends.h"""
+
+    name = "flatten_nested_extends"
+    message = ("An `extends` branch that only contains another `extends` "
+               "can be flattened into the parent `extends`")
+    keyword = "extends"
+    vocab_group = frozenset({V.D3})
+
+
+class FlattenNestedAnyOf(_FlattenNested):
+    """reference: common/flatten_nested_anyof.h"""
+
+    name = "flatten_nested_anyof"
+    message = ("An `anyOf` branch that only contains another `anyOf` can "
+               "be flattened into the parent `anyOf`")
+    keyword = "anyOf"
+    vocab_group = _APP_4UP
+
+
+def is_empty_schema(value: Any) -> bool:
+    """reference: foundation.cc:23 — `true` or `{}`."""
+    return value is True or (isinstance(value, dict) and not value)
+
+
+class UnsatisfiableInPlaceApplicatorType(Rule):
+    """reference: common/unsatisfiable_in_place_applicator_type.h"""
+
+    name = "unsatisfiable_in_place_applicator_type"
+    message = ("An in-place applicator branch that defines a `type` with no "
+               "overlap with the parent `type` can never be satisfied")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict) or "type" not in schema:
+            return False
+        if not vocab_any(vocab, _VAL_3UP):
+            return False
+        parent_types = parse_schema_type(schema["type"])
+        if not parent_types:
+            return False
+        positions = []
+        for key, value in schema.items():
+            ktype = W.walk_type(key, vocab)
+            if ktype in (W.APP_ELEMENTS_INPLACE, W.APP_ELEMENTS_INPLACE_SOME):
+                if not isinstance(value, list):
+                    continue
+                for index, branch in enumerate(value):
+                    if not isinstance(branch, dict) or "type" not in branch:
+                        continue
+                    branch_types = parse_schema_type(branch["type"])
+                    if branch_types and not (parent_types & branch_types):
+                        positions.append((key, index))
+            elif ktype in (W.APP_VALUE_INPLACE_MAYBE,
+                           W.APP_VALUE_INPLACE_NEGATE):
+                if not isinstance(value, dict) or "type" not in value:
+                    continue
+                branch_types = parse_schema_type(value["type"])
+                if branch_types and not (parent_types & branch_types):
+                    positions.append((key,))
+        return {"positions": positions} if positions else False
+
+    def transform(self, schema, result):
+        for pos in result["positions"]:
+            if len(pos) == 2:
+                schema[pos[0]][pos[1]] = False
+            else:
+                schema[pos[0]] = False
+
+
+class _CombinatorFalseSimplify(Rule):
+    keyword = ""
+    single_only = True
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_6UP) or not isinstance(schema, dict):
+            return False
+        if "not" in schema:
+            return False
+        branches = schema.get(self.keyword)
+        if not isinstance(branches, list):
+            return False
+        if self.single_only:
+            if len(branches) != 1 or branches[0] is not False:
+                return False
+        elif not any(b is False for b in branches):
+            return False
+        return not frame.has_references_through(
+            location.pointer + (self.keyword,))
+
+    def transform(self, schema, result):
+        del schema[self.keyword]
+        schema["not"] = True
+
+
+class AllOfFalseSimplify(_CombinatorFalseSimplify):
+    """reference: common/allof_false_simplify.h"""
+
+    name = "allof_false_simplify"
+    message = "When `allOf` contains a `false` branch, the schema is " \
+              "unsatisfiable"
+    keyword = "allOf"
+    single_only = False
+
+
+class AnyOfFalseSimplify(_CombinatorFalseSimplify):
+    """reference: common/anyof_false_simplify.h"""
+
+    name = "anyof_false_simplify"
+    message = "An `anyOf` of a single `false` branch is unsatisfiable"
+    keyword = "anyOf"
+
+
+class OneOfFalseSimplify(_CombinatorFalseSimplify):
+    """reference: common/oneof_false_simplify.h"""
+
+    name = "oneof_false_simplify"
+    message = "A `oneOf` of a single `false` branch is unsatisfiable"
+    keyword = "oneOf"
+
+
+class DoubleNegationElimination(Rule):
+    """reference: common/double_negation_elimination.h"""
+
+    name = "double_negation_elimination"
+    message = ("A `not` whose value is a schema containing only another "
+               "`not` is equivalent to the inner value")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_4UP) or not isinstance(schema, dict):
+            return False
+        outer = schema.get("not")
+        if not isinstance(outer, dict) or len(outer) != 1:
+            return False
+        inner = outer.get("not")
+        if inner is None or inner is False:
+            return False
+        if "not" not in outer:
+            return False
+        if vocab_any(vocab, frozenset(
+                {V.V20_UNEVALUATED, V.V19_APPLICATOR})) and (
+                "unevaluatedProperties" in schema
+                or "unevaluatedItems" in schema):
+            return False
+        return not frame.has_references_through(location.pointer + ("not",))
+
+    def transform(self, schema, result):
+        inner = schema["not"]["not"]
+        del schema["not"]
+        while (isinstance(inner, dict) and len(inner) == 1
+               and isinstance(inner.get("not"), dict)
+               and len(inner["not"]) == 1 and "not" in inner["not"]
+               and inner["not"]["not"] is not False):
+            inner = inner["not"]["not"]
+        if isinstance(inner, dict):
+            for k, v in inner.items():
+                schema[k] = v
+
+    def rereference(self, target, current, result):
+        old_prefix = current + ("not", "not")
+        while target[:len(old_prefix) + 2] == old_prefix + ("not", "not"):
+            old_prefix = old_prefix + ("not", "not")
+        if target[:len(old_prefix)] != old_prefix:
+            return target
+        return current + target[len(old_prefix):]
+
+
+class OneOfToAnyOfDisjointTypes(Rule):
+    """reference: common/oneof_to_anyof_disjoint_types.h"""
+
+    name = "oneof_to_anyof_disjoint_types"
+    message = ("A `oneOf` where all branches have disjoint types can be "
+               "safely converted to `anyOf`")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_4UP) or not isinstance(schema, dict):
+            return False
+        oneof = schema.get("oneOf")
+        if not isinstance(oneof, list) or len(oneof) <= 1:
+            return False
+        has_validation = vocab_any(vocab, _VAL_4UP)
+        has_const = vocab_any(vocab, _VAL_6UP)
+        type_sets = []
+        for branch in oneof:
+            if not isinstance(branch, dict):
+                return False
+            type_value = branch.get("type")
+            const_defined = has_const and "const" in branch
+            enum_value = branch.get("enum") if has_validation else None
+            has_enum = isinstance(enum_value, list)
+            if type_value is not None:
+                branch_types = parse_schema_type(type_value)
+                if not branch_types:
+                    return False
+                type_sets.append(branch_types)
+            elif const_defined and not has_enum:
+                type_sets.append({json_type(branch["const"])})
+            elif has_enum and not const_defined:
+                type_sets.append({json_type(e) for e in enum_value})
+            else:
+                return False
+        for i in range(len(type_sets)):
+            for j in range(i + 1, len(type_sets)):
+                if type_sets[i] & type_sets[j]:
+                    return False
+        return True
+
+    def transform(self, schema, result):
+        schema["anyOf"] = schema.pop("oneOf")
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        return rebase(target, current + ("oneOf",), current + ("anyOf",))
+
+
+def _is_disallow_tautology(value: Any) -> bool:
+    if isinstance(value, str):
+        return value == "any"
+    if is_empty_schema(value):
+        return True
+    if isinstance(value, list):
+        return any(
+            (e == "any" if isinstance(e, str) else is_empty_schema(e))
+            for e in value)
+    return False
+
+
+_REMOVABLE_FOR_UNSAT = {
+    W.ASSERTION, W.REFERENCE, W.LOCATION_MEMBERS,
+} | set(W.IN_PLACE_APPLICATORS) | {
+    W.APP_MEMBERS_PROP_STATIC, W.APP_MEMBERS_PROP_REGEX,
+    W.APP_VALUE_SOME_PROP, W.APP_VALUE_ANY_PROP_KEY,
+    W.APP_VALUE_ANY_ITEM, W.APP_VALUE_SOME_ITEM, W.APP_VALUE_PARENT,
+    W.APP_ELEMENTS_ITEM, W.APP_VALUE_OR_ELEMENTS_ITEM,
+}
+
+
+class UnsatisfiableDropValidation(Rule):
+    """reference: common/unsatisfiable_drop_validation.h"""
+
+    name = "unsatisfiable_drop_validation"
+    message = ("Do not place assertions or applicators next to an "
+               "unsatisfiable negation")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6, V.D3})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        if V.D3 in vocab:
+            trigger = "disallow" if (
+                "disallow" in schema
+                and _is_disallow_tautology(schema["disallow"])) else ""
+        else:
+            trigger = "not" if (
+                "not" in schema
+                and is_empty_schema(schema["not"])) else ""
+        if not trigger:
+            return False
+        keys = []
+        for key in schema:
+            if key == trigger:
+                continue
+            if W.walk_type(key, vocab) not in _REMOVABLE_FOR_UNSAT:
+                continue
+            if frame.has_references_through(location.pointer + (key,)):
+                continue
+            keys.append(key)
+        return {"keys": keys} if keys else False
+
+    def transform(self, schema, result):
+        for key in result["keys"]:
+            del schema[key]
+
+
+class _MeaninglessWithout(Rule):
+    keyword = ""
+    requires: tuple = ()
+    vocab_group: frozenset = frozenset()
+    check_refs = True
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, self.vocab_group) or not isinstance(
+                schema, dict):
+            return False
+        if self.keyword not in schema:
+            return False
+        if any(k in schema for k in self.requires):
+            return False
+        if self.check_refs and frame.has_references_through(
+                location.pointer + (self.keyword,)):
+            return False
+        return True
+
+    def transform(self, schema, result):
+        del schema[self.keyword]
+
+
+class ElseWithoutIf(_MeaninglessWithout):
+    """reference: common/else_without_if.h"""
+
+    name = "else_without_if"
+    message = ("The `else` keyword is meaningless "
+               "without the presence of the `if` keyword")
+    keyword, requires = "else", ("if",)
+    vocab_group = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7})
+
+
+class IfWithoutThenElse(_MeaninglessWithout):
+    """reference: common/if_without_then_else.h"""
+
+    name = "if_without_then_else"
+    message = ("The `if` keyword is meaningless "
+               "without the presence of the `then` or `else` keywords")
+    keyword, requires = "if", ("then", "else")
+    vocab_group = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7})
+
+
+class ThenWithoutIf(_MeaninglessWithout):
+    """reference: common/then_without_if.h"""
+
+    name = "then_without_if"
+    message = ("The `then` keyword is meaningless "
+               "without the presence of the `if` keyword")
+    keyword, requires = "then", ("if",)
+    vocab_group = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7})
+
+
+class IgnoredMetaschema(Rule):
+    """reference: common/ignored_metaschema.h"""
+
+    name = "ignored_metaschema"
+    message = ("A `$schema` declaration without a sibling identifier (or "
+               "with a sibling `$ref` in Draft 7 and older dialects), is "
+               "ignored")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict):
+            return False
+        declared = schema.get("$schema")
+        if not isinstance(declared, str) or not declared:
+            return False
+        return declared != (location.dialect or "")
+
+    def transform(self, schema, result):
+        del schema["$schema"]
+
+
+class MaxContainsWithoutContains(_MeaninglessWithout):
+    """reference: common/max_contains_without_contains.h"""
+
+    name = "max_contains_without_contains"
+    message = ("The `maxContains` keyword is meaningless "
+               "without the presence of the `contains` keyword")
+    keyword, requires = "maxContains", ("contains",)
+    vocab_group = frozenset({V.V20_VALIDATION, V.V19_VALIDATION})
+    check_refs = False
+
+
+class MinContainsWithoutContains(_MeaninglessWithout):
+    """reference: common/min_contains_without_contains.h"""
+
+    name = "min_contains_without_contains"
+    message = ("The `minContains` keyword is meaningless "
+               "without the presence of the `contains` keyword")
+    keyword, requires = "minContains", ("contains",)
+    vocab_group = frozenset({V.V20_VALIDATION, V.V19_VALIDATION})
+    check_refs = False
+
+
+class NotFalse(Rule):
+    """reference: common/not_false.h"""
+
+    name = "not_false"
+    message = ("Setting the `not` keyword to `false` imposes no "
+               "constraints. Negating `false` yields the always-true "
+               "schema")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_4UP) or not isinstance(schema, dict):
+            return False
+        if schema.get("not") is not False:
+            return False
+        return not frame.has_references_through(location.pointer + ("not",))
+
+    def transform(self, schema, result):
+        del schema["not"]
+
+
+class DependenciesPropertyTautology(Rule):
+    """reference: common/dependencies_property_tautology.h"""
+
+    name = "dependencies_property_tautology"
+    message = ("Defining requirements for a property using `dependencies` "
+               "that is already marked as required is an unnecessarily "
+               "complex use of `dependencies`")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D7, V.D6, V.D4, V.D3})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        dependencies = schema.get("dependencies")
+        if not isinstance(dependencies, dict):
+            return False
+        if V.D3 in vocab:
+            properties = schema.get("properties")
+            if not isinstance(properties, dict):
+                return False
+            for name, prop in properties.items():
+                if isinstance(prop, dict) and prop.get("required") is True \
+                        and isinstance(dependencies.get(name), (list, str)):
+                    return {"draft3": True}
+            return False
+        required = schema.get("required")
+        if not isinstance(required, list):
+            return False
+        for element in required:
+            if isinstance(element, str) and isinstance(
+                    dependencies.get(element), (list, str)):
+                return {"draft3": False}
+        return False
+
+    def transform(self, schema, result):
+        if result["draft3"]:
+            self._transform_boolean(schema)
+        else:
+            self._transform_array(schema)
+
+    @staticmethod
+    def _transform_array(schema):
+        requirements = list(schema["required"])
+        dependencies = schema["dependencies"]
+        while True:
+            match = False
+            for element in list(requirements):
+                if not isinstance(element, str) or \
+                        element not in dependencies:
+                    continue
+                dependents = dependencies[element]
+                if isinstance(dependents, list):
+                    for dependent in dependents:
+                        if isinstance(dependent, str):
+                            match = True
+                            requirements.append(dependent)
+                    del dependencies[element]
+                elif isinstance(dependents, str):
+                    match = True
+                    requirements.append(dependents)
+                    del dependencies[element]
+            if not match:
+                break
+        schema["required"] = requirements
+
+    @staticmethod
+    def _transform_boolean(schema):
+        properties = schema["properties"]
+        dependencies = schema["dependencies"]
+        while True:
+            match = False
+            snapshot = [name for name, prop in properties.items()
+                        if isinstance(prop, dict)
+                        and prop.get("required") is True]
+            for name in snapshot:
+                if name not in dependencies:
+                    continue
+                dependents = dependencies[name]
+                new_required = []
+                if isinstance(dependents, str):
+                    new_required.append(dependents)
+                elif isinstance(dependents, list):
+                    new_required.extend(
+                        d for d in dependents if isinstance(d, str))
+                else:
+                    continue
+                for dep_name in new_required:
+                    if dep_name not in properties:
+                        properties[dep_name] = {"required": True}
+                        match = True
+                    elif isinstance(properties[dep_name], dict):
+                        existing = properties[dep_name]
+                        if existing.get("required") is not True:
+                            existing["required"] = True
+                            match = True
+                del dependencies[name]
+            if not match:
+                break
+
+
+class DependentRequiredTautology(Rule):
+    """reference: common/dependent_required_tautology.h"""
+
+    name = "dependent_required_tautology"
+    message = ("Defining requirements for a property using "
+               "`dependentRequired` that is already marked as required is "
+               "an unnecessarily complex use of `dependentRequired`")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.V20_VALIDATION, V.V19_VALIDATION})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        dependent = schema.get("dependentRequired")
+        required = schema.get("required")
+        if not isinstance(dependent, dict) or not isinstance(required, list):
+            return False
+        return any(isinstance(e, str) and e in dependent for e in required)
+
+    def transform(self, schema, result):
+        requirements = list(schema["required"])
+        dependent = schema["dependentRequired"]
+        while True:
+            match = False
+            for element in list(requirements):
+                if not isinstance(element, str) or element not in dependent:
+                    continue
+                dependents = dependent[element]
+                if isinstance(dependents, list):
+                    for d in dependents:
+                        if isinstance(d, str):
+                            match = True
+                            requirements.append(d)
+                    del dependent[element]
+            if not match:
+                break
+        schema["required"] = requirements
+
+
+class EqualNumericBoundsToEnum(Rule):
+    """reference: common/equal_numeric_bounds_to_enum.h"""
+
+    name = "equal_numeric_bounds_to_enum"
+    message = ("Setting `minimum` and `maximum` to the same number only "
+               "leaves one possible value")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D4, V.D3})) or not isinstance(
+                schema, dict):
+            return False
+        if schema.get("type") not in ("integer", "number"):
+            return False
+        mn, mx = schema.get("minimum"), schema.get("maximum")
+        if not (is_number(mn) and is_number(mx) and json_equal(mn, mx)):
+            return False
+        if schema.get("exclusiveMinimum") is True:
+            return False
+        if schema.get("exclusiveMaximum") is True:
+            return False
+        return True
+
+    def transform(self, schema, result):
+        schema["enum"] = [schema["minimum"]]
+        del schema["type"]
+        del schema["minimum"]
+        del schema["maximum"]
+
+
+class _RealBoundForInteger(Rule):
+    keyword = ""
+    up = False  # True = ceil (minimum), False = floor (maximum)
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_3UP) or not isinstance(schema, dict):
+            return False
+        if schema.get("type") != "integer":
+            return False
+        bound = schema.get(self.keyword)
+        if not is_number(bound) or is_integer(bound):
+            return False
+        import math as _math
+        if _math.isinf(float(bound)):
+            return False
+        return float(bound) != int(bound)
+
+    def transform(self, schema, result):
+        import math as _math
+        value = float(schema[self.keyword])
+        schema[self.keyword] = int(
+            _math.ceil(value) if self.up else _math.floor(value))
+
+
+class MaximumRealForInteger(_RealBoundForInteger):
+    """reference: common/maximum_real_for_integer.h"""
+
+    name = "maximum_real_for_integer"
+    message = ("If an instance is guaranteed to be an integer, setting a "
+               "real number upper bound is the same as a floor of that "
+               "upper bound")
+    keyword, up = "maximum", False
+
+
+class MinimumRealForInteger(_RealBoundForInteger):
+    """reference: common/minimum_real_for_integer.h"""
+
+    name = "minimum_real_for_integer"
+    message = ("If an instance is guaranteed to be an integer, setting a "
+               "real number lower bound is the same as a ceil of that "
+               "lower bound")
+    keyword, up = "minimum", True
+
+
+class SingleTypeArray(Rule):
+    """reference: common/single_type_array.h"""
+
+    name = "single_type_array"
+    message = ("Setting `type` to an array of a single type is "
+               "the same as directly declaring such type")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_3UP) or not isinstance(schema, dict):
+            return False
+        type_value = schema.get("type")
+        return (isinstance(type_value, list) and len(type_value) == 1
+                and isinstance(type_value[0], str))
+
+    def transform(self, schema, result):
+        schema["type"] = schema["type"][0]
+
+
+class EnumWithType(Rule):
+    """reference: common/enum_with_type.h"""
+
+    name = "enum_with_type"
+    message = ("Setting `type` alongside `enum` is considered an "
+               "anti-pattern, as the enumeration choices already imply "
+               "their respective types")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_3UP) or not isinstance(schema, dict):
+            return False
+        if "type" not in schema:
+            return False
+        type_value = schema["type"]
+        enum_value = schema.get("enum")
+        if not isinstance(enum_value, list):
+            return False
+        if V.D3 in vocab:
+            if type_value == "any":
+                return True
+            if isinstance(type_value, list):
+                has_tautology = False
+                has_unknown_subschema = False
+                for entry in type_value:
+                    if entry == "any":
+                        has_tautology = True
+                        break
+                    if isinstance(entry, dict):
+                        if not entry:
+                            has_tautology = True
+                            break
+                        has_unknown_subschema = True
+                if has_tautology:
+                    return True
+                if has_unknown_subschema:
+                    return False
+        current_types = parse_schema_type(type_value)
+        if not current_types:
+            return False
+        integer_matches_integral = (
+            vocab_any(vocab, frozenset({V.D6, V.D7}))
+            and T_INTEGER in current_types)
+        for item in enum_value:
+            if json_type(item) in current_types:
+                continue
+            if integer_matches_integral and isinstance(item, float) \
+                    and item == int(item):
+                continue
+            return False
+        return True
+
+    def transform(self, schema, result):
+        del schema["type"]
+
+
+class NonApplicableEnumValidationKeywords(Rule):
+    """reference: common/non_applicable_enum_validation_keywords.h"""
+
+    name = "non_applicable_enum_validation_keywords"
+    message = ("Setting validation keywords that do not apply to any item "
+               "in `enum` is considered an anti-pattern")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_3UP) or not isinstance(schema, dict):
+            return False
+        if "type" in schema:
+            return False
+        enum_value = schema.get("enum")
+        if not isinstance(enum_value, list):
+            return False
+        enum_types = {json_type(v) for v in enum_value}
+        if not enum_types:
+            return False
+        keys = []
+        for key, value in schema.items():
+            instances = W.walk_instances(key, vocab)
+            if not instances:
+                continue
+            if V.D3 in vocab and key == "required" and isinstance(
+                    value, bool):
+                continue
+            if not (instances & enum_types):
+                keys.append(key)
+        return {"keys": keys} if keys else False
+
+    def transform(self, schema, result):
+        for key in result["keys"]:
+            del schema[key]
+
+
+class DuplicateEnumValues(Rule):
+    """reference: common/duplicate_enum_values.h"""
+
+    name = "duplicate_enum_values"
+    message = "Setting duplicate values in `enum` is considered an " \
+              "anti-pattern"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_3UP) or not isinstance(schema, dict):
+            return False
+        enum_value = schema.get("enum")
+        if not isinstance(enum_value, list):
+            return False
+        keys = [json_strict_key(v) for v in enum_value]
+        return len(set(keys)) != len(keys)
+
+    def transform(self, schema, result):
+        schema["enum"] = unique_values(schema["enum"])
+
+
+class DuplicateRequiredValues(Rule):
+    """reference: common/duplicate_required_values.h — note the
+    reference SORTS the deduplicated array (std::sort + std::unique)"""
+
+    name = "duplicate_required_values"
+    message = ("Setting duplicate values in `required` is considered an "
+               "anti-pattern")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_4UP) or not isinstance(schema, dict):
+            return False
+        required = schema.get("required")
+        if not isinstance(required, list):
+            return False
+        keys = [json_strict_key(v) for v in required]
+        return len(set(keys)) != len(keys)
+
+    def transform(self, schema, result):
+        schema["required"] = sorted(
+            {v for v in schema["required"] if isinstance(v, str)})
+
+
+class ConstWithType(Rule):
+    """reference: common/const_with_type.h"""
+
+    name = "const_with_type"
+    message = ("Setting `type` alongside `const` is considered an "
+               "anti-pattern, as the constant already implies its "
+               "respective type")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_6UP) or not isinstance(schema, dict):
+            return False
+        if "type" not in schema or "const" not in schema:
+            return False
+        current_types = parse_schema_type(schema["type"])
+        if not current_types:
+            return False
+        return json_type(schema["const"]) in current_types
+
+    def transform(self, schema, result):
+        del schema["type"]
+
+
+class ConstInEnum(Rule):
+    """reference: common/const_in_enum.h"""
+
+    name = "const_in_enum"
+    message = ("If the `const` and `enum` keyword overlap, then `enum` is "
+               "redundant and can be removed")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_6UP) or not isinstance(schema, dict):
+            return False
+        if "const" not in schema:
+            return False
+        enum_value = schema.get("enum")
+        if not isinstance(enum_value, list):
+            return False
+        const_key = json_key(schema["const"])
+        return any(json_key(e) == const_key for e in enum_value)
+
+    def transform(self, schema, result):
+        del schema["enum"]
+
+
+class NonApplicableAdditionalItems(Rule):
+    """reference: common/non_applicable_additional_items.h"""
+
+    name = "non_applicable_additional_items"
+    message = ("The `additionalItems` keyword is ignored when the "
+               "`items` keyword is either not present or set to a schema")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.V19_APPLICATOR, V.D7, V.D6, V.D4, V.D3})):
+            return False
+        if not isinstance(schema, dict) or "additionalItems" not in schema:
+            return False
+        if frame.has_references_through(
+                location.pointer + ("additionalItems",)):
+            return False
+        items = schema.get("items")
+        if items is None:
+            return True
+        return isinstance(items, (dict, bool))
+
+    def transform(self, schema, result):
+        del schema["additionalItems"]
+
+
+_MODERN_URIS_WITH_FRAGMENT = {
+    "https://json-schema.org/draft/2019-09/schema#",
+    "https://json-schema.org/draft/2019-09/hyper-schema#",
+    "https://json-schema.org/draft/2020-12/schema#",
+    "https://json-schema.org/draft/2020-12/hyper-schema#",
+}
+
+_MODERN_URIS_HTTP = {
+    f"http://json-schema.org/draft/{d}/{kind}{frag}"
+    for d in ("2019-09", "2020-12")
+    for kind in ("schema", "hyper-schema")
+    for frag in ("", "#")
+}
+
+
+class ModernOfficialDialectWithEmptyFragment(Rule):
+    """reference: common/modern_official_dialect_with_empty_fragment.h"""
+
+    name = "modern_official_dialect_with_empty_fragment"
+    message = ("The official dialect URI of 2019-09 and newer versions "
+               "must not contain the empty fragment")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (isinstance(schema, dict)
+                and schema.get("$schema") in _MODERN_URIS_WITH_FRAGMENT)
+
+    def transform(self, schema, result):
+        schema["$schema"] = schema["$schema"][:-1]
+
+
+class ModernOfficialDialectWithHttp(Rule):
+    """reference: common/modern_official_dialect_with_http.h"""
+
+    name = "modern_official_dialect_with_http"
+    message = ("The official dialect URI of 2019-09 and later must use "
+               "\"https://\" instead of \"http://\"")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.V20_CORE, V.V19_CORE})):
+            return False
+        return (isinstance(schema, dict)
+                and schema.get("$schema") in _MODERN_URIS_HTTP)
+
+    def transform(self, schema, result):
+        schema["$schema"] = "https://" + schema["$schema"][len("http://"):]
+
+
+class _ExclusiveNumberAndBound(Rule):
+    exclusive = ""
+    plain = ""
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_6UP) or not isinstance(schema, dict):
+            return False
+        return (is_number(schema.get(self.plain))
+                and is_number(schema.get(self.exclusive)))
+
+
+class ExclusiveMaximumNumberAndMaximum(_ExclusiveNumberAndBound):
+    """reference: common/exclusive_maximum_number_and_maximum.h"""
+
+    name = "exclusive_maximum_number_and_maximum"
+    message = ("Setting both `exclusiveMaximum` and `maximum` at the same "
+               "time is considered an anti-pattern. You should choose one")
+    exclusive, plain = "exclusiveMaximum", "maximum"
+
+    def transform(self, schema, result):
+        if schema["maximum"] < schema["exclusiveMaximum"]:
+            del schema["exclusiveMaximum"]
+        else:
+            del schema["maximum"]
+
+
+class ExclusiveMinimumNumberAndMinimum(_ExclusiveNumberAndBound):
+    """reference: common/exclusive_minimum_number_and_minimum.h"""
+
+    name = "exclusive_minimum_number_and_minimum"
+    message = ("Setting both `exclusiveMinimum` and `minimum` at the same "
+               "time is considered an anti-pattern. You should choose one")
+    exclusive, plain = "exclusiveMinimum", "minimum"
+
+    def transform(self, schema, result):
+        if schema["exclusiveMinimum"] < schema["minimum"]:
+            del schema["exclusiveMinimum"]
+        else:
+            del schema["minimum"]
+
+
+class ExclusiveBoundsFalseDrop(Rule):
+    """reference: common/exclusive_bounds_false_drop.h"""
+
+    name = "exclusive_bounds_false_drop"
+    message = ("Setting `exclusiveMinimum` or `exclusiveMaximum` to "
+               "`false` adds no constraint")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D3, V.D4})) or not isinstance(
+                schema, dict):
+            return False
+        if schema.get("type") not in ("integer", "number"):
+            return False
+        keys = [k for k in ("exclusiveMinimum", "exclusiveMaximum")
+                if schema.get(k) is False]
+        return {"keys": keys} if keys else False
+
+    def transform(self, schema, result):
+        for key in result["keys"]:
+            del schema[key]
+
+
+class DraftRefSiblings(Rule):
+    """reference: common/draft_ref_siblings.h"""
+
+    name = "draft_ref_siblings"
+    message = ("In Draft 7 and older dialects, keywords sibling "
+               "to `$ref` are never evaluated")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D7, V.D6, V.D4, V.D3})):
+            return False
+        if not isinstance(schema, dict) or "$ref" not in schema:
+            return False
+        keys = []
+        for key in schema:
+            ktype = W.walk_type(key, vocab)
+            if ktype in (W.REFERENCE, W.COMMENT) or key == "$schema":
+                continue
+            keys.append(key)
+        return {"keys": keys} if keys else False
+
+    def transform(self, schema, result):
+        for key in result["keys"]:
+            del schema[key]
+
+
+class DynamicRefToStaticRef(Rule):
+    """reference: common/dynamic_ref_to_static_ref.h"""
+
+    name = "dynamic_ref_to_static_ref"
+    message = ("A dynamic reference whose destination is unambiguous can "
+               "be expressed as a static reference")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict) or "$ref" in schema:
+            return False
+        if V.V20_CORE in vocab and isinstance(
+                schema.get("$dynamicRef"), str):
+            ref = schema["$dynamicRef"]
+            target = frame.traverse(ref, location.base)
+            if target is None:
+                return False
+            fragment = ref.partition("#")[2]
+            target_schema = get_at(root, target)
+            if isinstance(target_schema, dict):
+                danchor = target_schema.get("$dynamicAnchor")
+                if isinstance(danchor, str) and fragment == danchor:
+                    return False
+            return {"keyword": "$dynamicRef"}
+        if V.V19_CORE in vocab and isinstance(
+                schema.get("$recursiveRef"), str):
+            ref = schema["$recursiveRef"]
+            target = frame.traverse(ref, location.base)
+            if target is None:
+                return False
+            target_schema = get_at(root, target)
+            if isinstance(target_schema, dict) and \
+                    target_schema.get("$recursiveAnchor") is True:
+                return False
+            return {"keyword": "$recursiveRef"}
+        return False
+
+    def transform(self, schema, result):
+        schema["$ref"] = schema.pop(result["keyword"])
+
+
+class UnknownKeywordsPrefix(Rule):
+    """reference: common/unknown_keywords_prefix.h"""
+
+    name = "unknown_keywords_prefix"
+    message = ("Future versions of JSON Schema will refuse to evaluate "
+               "unknown keywords or custom keywords from optional "
+               "vocabularies that don't have an x- prefix")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict):
+            return False
+        if V.has_unknown(vocab):
+            return False
+        keys = [key for key in schema
+                if not key.startswith("x-")
+                and W.walk_type(key, vocab) == W.UNKNOWN]
+        return {"keys": keys} if keys else False
+
+    def transform(self, schema, result):
+        self._renames = {}
+        for key in result["keys"]:
+            prefixed = "x-" + key
+            while prefixed in schema:
+                prefixed = "x-" + prefixed
+            self._renames[key] = prefixed
+            schema[prefixed] = schema.pop(key)
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        for old_name, new_name in self._renames.items():
+            out = rebase(target, current + (old_name,),
+                         current + (new_name,))
+            if out != target:
+                return out
+        return target
+
+
+class UnknownLocalRef(Rule):
+    """reference: common/unknown_local_ref.h"""
+
+    name = "unknown_local_ref"
+    message = ("Local references that point to unknown locations are "
+               "invalid and will result in evaluation failures")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.V20_CORE, V.V19_CORE, V.D7, V.D6, V.D4, V.D3})):
+            return False
+        if not isinstance(schema, dict) or not isinstance(
+                schema.get("$ref"), str):
+            return False
+        from blaze_spark.plans.frame import joinuri
+        resolved = joinuri(location.base or "", schema["$ref"])
+        if "#" not in resolved:
+            return False
+        if frame.traverse(schema["$ref"], location.base) is not None:
+            return False
+        base_uri = resolved.partition("#")[0]
+        if base_uri and frame.traverse(base_uri, location.base) is None:
+            return False
+        return True
+
+    def transform(self, schema, result):
+        del schema["$ref"]
+
+
+class RequiredPropertiesInProperties(Rule):
+    """reference: common/required_properties_in_properties.h"""
+
+    name = "required_properties_in_properties"
+    message = ("Every property listed in the `required` keyword must be "
+               "explicitly defined using the `properties` keyword")
+
+    @staticmethod
+    def _defined_in_properties(schema: Any, prop: str) -> bool:
+        properties = schema.get("properties") if isinstance(
+            schema, dict) else None
+        return isinstance(properties, dict) and prop in properties
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not ((V.V20_VALIDATION in vocab and V.V20_APPLICATOR in vocab)
+                or (V.V19_VALIDATION in vocab
+                    and V.V19_APPLICATOR in vocab)
+                or vocab_any(vocab, frozenset({V.D7, V.D6, V.D4}))):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        required = schema.get("required")
+        if not isinstance(required, list) or not required:
+            return False
+        additional = schema.get("additionalProperties")
+        if additional is not None and additional is not True:
+            return False
+        missing = []
+        for index, prop in enumerate(required):
+            if not isinstance(prop, str):
+                continue
+            if self._defined_in_properties(schema, prop):
+                continue
+            if frame.walk_up_in_place(
+                    location,
+                    lambda s, _v, p=prop:
+                    self._defined_in_properties(s, p)) is not None:
+                continue
+            missing.append(index)
+        return {"missing": missing} if missing else False
+
+    def transform(self, schema, result):
+        if not isinstance(schema.get("properties"), dict):
+            schema["properties"] = {}
+        for index in result["missing"]:
+            schema["properties"][schema["required"][index]] = True
+
+
+class OrphanDefinitions(Rule):
+    """reference: common/orphan_definitions.h — a definitions/$defs
+    entry is an orphan when no reference from a REACHABLE subschema
+    resolves into it (reachability = root subtree minus definition
+    containers, closed over references)."""
+
+    name = "orphan_definitions"
+    message = ("Schema definitions in `$defs` or `definitions` that "
+               "are never internally referenced can be removed")
+
+    @staticmethod
+    def _reachable_closure(frame, root):
+        container_prefixes = []
+        for loc in frame.locations:
+            if not isinstance(get_at(root, loc.pointer), dict):
+                continue
+            node = get_at(root, loc.pointer)
+            for kw in ("$defs", "definitions"):
+                if W.walk_type(kw, loc.vocabularies) == W.LOCATION_MEMBERS \
+                        and isinstance(node.get(kw), dict):
+                    for name in node[kw]:
+                        container_prefixes.append(
+                            loc.pointer + (kw, name))
+
+        def under_container(pointer):
+            return [p for p in container_prefixes
+                    if pointer[:len(p)] == p]
+
+        reachable = set()
+        for loc in frame.locations:
+            if not under_container(loc.pointer):
+                reachable.add(loc.pointer)
+        changed = True
+        while changed:
+            changed = False
+            for reference in frame.references:
+                origin_schema = reference.origin[:-1]
+                if origin_schema not in frame.by_pointer:
+                    continue
+                if origin_schema not in reachable:
+                    continue
+                dest = frame.traverse(reference.value, reference.base)
+                if dest is None:
+                    continue
+                for loc in frame.locations:
+                    if loc.pointer[:len(dest)] == dest and \
+                            loc.pointer not in reachable:
+                        reachable.add(loc.pointer)
+                        changed = True
+        return reachable
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict):
+            return False
+        modern_core = vocab_any(vocab, frozenset({V.V20_CORE, V.V19_CORE}))
+        draft_defs = vocab_any(vocab, frozenset({V.D7, V.D6, V.D4}))
+        has_defs = modern_core and isinstance(schema.get("$defs"), dict)
+        has_definitions = (modern_core or draft_defs) and isinstance(
+            schema.get("definitions"), dict)
+        if not has_defs and not has_definitions:
+            return False
+        standalone = all(
+            frame.traverse(r.value, r.base) is not None
+            for r in frame.references)
+        reachable = self._reachable_closure(frame, root)
+        orphans = []
+        for container, enabled in (("$defs", has_defs),
+                                   ("definitions", has_definitions)):
+            if not enabled:
+                continue
+            for name, entry in schema[container].items():
+                entry_pointer = location.pointer + (container, name)
+                if entry_pointer in reachable:
+                    continue
+                if any(r[:len(entry_pointer)] == entry_pointer
+                       for r in reachable):
+                    continue
+                if not standalone and self._has_dynamic_anchor(entry):
+                    continue
+                orphans.append((container, name))
+        return {"orphans": orphans} if orphans else False
+
+    @staticmethod
+    def _has_dynamic_anchor(entry: Any) -> bool:
+        if isinstance(entry, dict):
+            if "$dynamicAnchor" in entry or "$recursiveAnchor" in entry:
+                return True
+            return any(OrphanDefinitions._has_dynamic_anchor(v)
+                       for v in entry.values())
+        if isinstance(entry, list):
+            return any(OrphanDefinitions._has_dynamic_anchor(v)
+                       for v in entry)
+        return False
+
+    def transform(self, schema, result):
+        for container, name in result["orphans"]:
+            del schema[container][name]
+        for container in ("$defs", "definitions"):
+            if container in schema and not schema[container]:
+                del schema[container]
+
+
+class UnnecessaryAllOfRefWrapperDraft(Rule):
+    """reference: common/unnecessary_allof_ref_wrapper_draft.h"""
+
+    name = "unnecessary_allof_ref_wrapper_draft"
+    message = ("Wrapping `$ref` in `allOf` is only necessary if "
+               "there are other sibling keywords")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D7, V.D6, V.D4})):
+            return False
+        if not isinstance(schema, dict) or len(schema) != 1:
+            return False
+        all_of = schema.get("allOf")
+        if not isinstance(all_of, list) or len(all_of) != 1:
+            return False
+        entry = all_of[0]
+        return (isinstance(entry, dict) and len(entry) == 1
+                and "$ref" in entry)
+
+    def transform(self, schema, result):
+        schema["$ref"] = schema.pop("allOf")[0]["$ref"]
+
+
+class UnnecessaryExtendsRefWrapper(Rule):
+    """reference: common/unnecessary_extends_ref_wrapper.h"""
+
+    name = "unnecessary_extends_ref_wrapper"
+    message = ("Wrapping `$ref` in `extends` is only necessary if "
+               "there are other sibling keywords")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab:
+            return False
+        if not isinstance(schema, dict) or len(schema) != 1:
+            return False
+        extends = schema.get("extends")
+        if isinstance(extends, dict):
+            return len(extends) == 1 and "$ref" in extends
+        if isinstance(extends, list):
+            return (len(extends) == 1 and isinstance(extends[0], dict)
+                    and len(extends[0]) == 1 and "$ref" in extends[0])
+        return False
+
+    def transform(self, schema, result):
+        extends = schema.pop("extends")
+        if isinstance(extends, list):
+            schema["$ref"] = extends[0]["$ref"]
+        else:
+            schema["$ref"] = extends["$ref"]
+
+
+class DropAllOfEmptySchemas(Rule):
+    """reference: common/drop_allof_empty_schemas.h"""
+
+    name = "drop_allof_empty_schemas"
+    message = "Empty schemas in `allOf` are redundant and can be removed"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_4UP) or not isinstance(schema, dict):
+            return False
+        all_of = schema.get("allOf")
+        if not isinstance(all_of, list) or not all_of:
+            return False
+        return any(is_empty_schema(e) for e in all_of)
+
+    def transform(self, schema, result):
+        new_allof = [e for e in schema["allOf"] if not is_empty_schema(e)]
+        if new_allof:
+            schema["allOf"] = new_allof
+        else:
+            del schema["allOf"]
+
+
+class DropExtendsEmptySchemas(Rule):
+    """reference: common/drop_extends_empty_schemas.h"""
+
+    name = "drop_extends_empty_schemas"
+    message = "Empty schemas in `extends` are redundant and can be removed"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.D3 not in vocab or not isinstance(schema, dict):
+            return False
+        if "extends" not in schema:
+            return False
+        if frame.has_references_through(location.pointer + ("extends",)):
+            return False
+        extends = schema["extends"]
+        if is_empty_schema(extends):
+            return {"whole": True}
+        if isinstance(extends, list) and extends and any(
+                is_empty_schema(e) for e in extends):
+            return {"whole": False}
+        return False
+
+    def transform(self, schema, result):
+        if result["whole"]:
+            del schema["extends"]
+            return
+        new_extends = [e for e in schema["extends"]
+                       if not is_empty_schema(e)]
+        if new_extends:
+            schema["extends"] = new_extends
+        else:
+            del schema["extends"]
+
+
+class EmptyObjectAsTrue(Rule):
+    """reference: common/empty_object_as_true.h"""
+
+    name = "empty_object_as_true"
+    message = ("The empty schema `{}` accepts all values and is "
+               "equivalent to the boolean schema `true`")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, frozenset(
+                    {V.V20_CORE, V.V19_CORE, V.D7, V.D6, V.D4}))
+                and isinstance(schema, dict) and not schema)
+
+    def transform(self, schema, result):
+        return True

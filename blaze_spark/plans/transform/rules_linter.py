@@ -1,0 +1,318 @@
+"""Linter rules (reference: src/alterschema/linter/*.h). A few of
+these also run in canonicalizer mode (DefinitionsToDefs) or in the
+shared wrapper tail (ThenEmpty/ElseEmpty/UnnecessaryAllOf*)."""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform import walker as W
+from blaze_spark.plans.transform.engine import Rule, get_at, rebase
+from blaze_spark.plans.transform.rules_common import is_empty_schema
+from blaze_spark.plans.transform.rules_util import (
+    is_number, is_integer, json_equal, json_strict_key, json_type,
+    parse_schema_type, vocab_any,
+)
+
+_APP_7UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7})
+_APP_4UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6, V.D4})
+_APP_MODERN = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR})
+_CORE_MODERN = frozenset({V.V20_CORE, V.V19_CORE})
+_UNEVAL = frozenset({V.V20_UNEVALUATED, V.V19_APPLICATOR})
+
+
+class DefinitionsToDefs(Rule):
+    """reference: linter/definitions_to_defs.h"""
+
+    name = "definitions_to_defs"
+    message = ("`definitions` was superseded by `$defs` in "
+               "2019-09 and later versions")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, _CORE_MODERN) and isinstance(schema, dict)
+                and "definitions" in schema and "$defs" not in schema)
+
+    def transform(self, schema, result):
+        schema["$defs"] = schema.pop("definitions")
+
+    def rereference(self, target, current, result):
+        return rebase(target, current + ("definitions",),
+                      current + ("$defs",))
+
+
+class _IfBranchEmpty(Rule):
+    keyword = ""
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_7UP) or not isinstance(schema, dict):
+            return False
+        value = schema.get(self.keyword)
+        if value is None or not is_empty_schema(value):
+            return False
+        if_value = schema.get("if")
+        if not isinstance(value, dict) and if_value is True:
+            return False
+        return not frame.has_references_through(
+            location.pointer + (self.keyword,))
+
+    def transform(self, schema, result):
+        del schema[self.keyword]
+
+
+class ThenEmpty(_IfBranchEmpty):
+    """reference: linter/then_empty.h"""
+
+    name = "then_empty"
+    message = ("Setting the `then` keyword to the empty schema "
+               "does not add any further constraint")
+    keyword = "then"
+
+
+class ElseEmpty(_IfBranchEmpty):
+    """reference: linter/else_empty.h"""
+
+    name = "else_empty"
+    message = ("Setting the `else` keyword to the empty schema "
+               "does not add any further constraint")
+    keyword = "else"
+
+
+class UnnecessaryAllOfRefWrapperModern(Rule):
+    """reference: linter/unnecessary_allof_ref_wrapper_modern.h"""
+
+    name = "unnecessary_allof_ref_wrapper_modern"
+    message = ("Wrapping `$ref` in `allOf` was only necessary in "
+               "JSON Schema Draft 7 and older")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_MODERN) or not isinstance(schema, dict):
+            return False
+        all_of = schema.get("allOf")
+        if not isinstance(all_of, list):
+            return False
+        if len(all_of) > 1 and all(
+                isinstance(e, dict) and "$ref" in e for e in all_of):
+            return False
+        hits = []
+        for index, entry in enumerate(all_of):
+            if isinstance(entry, dict) and "$ref" in entry \
+                    and "$id" not in entry and "$ref" not in schema:
+                hits.append(index)
+        return {"hits": hits} if hits else False
+
+    def transform(self, schema, result):
+        for index in result["hits"]:
+            entry = schema["allOf"][index]
+            if "$ref" not in schema:
+                schema["$ref"] = entry["$ref"]
+                del entry["$ref"]
+        schema["allOf"] = [e for e in schema["allOf"]
+                           if not is_empty_schema(e)]
+        if not schema["allOf"]:
+            del schema["allOf"]
+
+
+class _UnnecessaryWrapper(Rule):
+    """Shared logic of unnecessary_allof_wrapper.h /
+    unnecessary_extends_wrapper.h — elevate non-conflicting keywords
+    out of conjunction branches."""
+
+    keyword = ""
+
+    def _vocab_ok(self, vocab):
+        raise NotImplementedError
+
+    def _is_anonymous(self, entry, vocab) -> bool:
+        raise NotImplementedError
+
+    def _skip_annotations_first(self) -> bool:
+        return False
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        kw = self.keyword
+        if not self._vocab_ok(vocab) or not isinstance(schema, dict):
+            return False
+        branches = schema.get(kw)
+        if not isinstance(branches, list) or not branches:
+            return False
+        keyword_frequency = {}
+        if self._skip_annotations_first():
+            for entry in branches:
+                if not isinstance(entry, dict):
+                    continue
+                for prop in entry:
+                    ktype = W.walk_type(prop, vocab)
+                    if ktype in (W.ANNOTATION, W.COMMENT):
+                        continue
+                    keyword_frequency[prop] = \
+                        keyword_frequency.get(prop, 0) + 1
+        dependency_blocked = set()
+        for key in schema:
+            if key in ("unevaluatedProperties", "unevaluatedItems") and \
+                    vocab_any(vocab, _UNEVAL) and \
+                    self._skip_annotations_first():
+                continue
+            dependency_blocked.update(W.walk_dependencies(key, vocab))
+        parent_types = set()
+        if "type" in schema and self._parent_type_usable(schema["type"],
+                                                         vocab):
+            parent_types = parse_schema_type(schema["type"])
+        hits: List[tuple] = []
+        elevated = set()
+
+        def try_elevate(entry, index, key, value) -> bool:
+            if key in elevated:
+                return False
+            if key in schema and not json_equal(schema[key], value):
+                return False
+            if key in dependency_blocked:
+                return False
+            if keyword_frequency.get(key, 0) > 1:
+                return False
+            instances = W.walk_instances(key, vocab)
+            if instances and parent_types and not (
+                    instances & parent_types):
+                return False
+            for dep in W.walk_dependencies(key, vocab):
+                if dep not in entry and (dep in schema or dep in elevated):
+                    return False
+            hits.append((index, key))
+            elevated.add(key)
+            if not (vocab_any(vocab, _UNEVAL)
+                    and self._skip_annotations_first()
+                    and key in ("unevaluatedProperties",
+                                "unevaluatedItems")):
+                for dep in W.walk_dependencies(key, vocab):
+                    if dep not in entry:
+                        dependency_blocked.add(dep)
+            return True
+
+        for index in range(len(branches) - 1, -1, -1):
+            entry = branches[index]
+            if not isinstance(entry, dict) or not entry or "$ref" in entry:
+                continue
+            entry_pointer = location.pointer + (kw, index)
+            if any(frame.traverse(r.value, r.base) == entry_pointer
+                   for r in frame.references):
+                continue
+            if not self._is_anonymous(entry, vocab):
+                continue
+            if self._skip_annotations_first() and vocab_any(
+                    vocab, _UNEVAL) and (
+                    "unevaluatedProperties" in entry
+                    or "unevaluatedItems" in entry):
+                continue
+            if self._skip_annotations_first():
+                entry_has_non_annotation = False
+                non_annotation_elevated = False
+                for key, value in entry.items():
+                    ktype = W.walk_type(key, vocab)
+                    if ktype in (W.ANNOTATION, W.COMMENT):
+                        continue
+                    entry_has_non_annotation = True
+                    if try_elevate(entry, index, key, value):
+                        non_annotation_elevated = True
+                if not entry_has_non_annotation or non_annotation_elevated:
+                    for key, value in entry.items():
+                        ktype = W.walk_type(key, vocab)
+                        if ktype not in (W.ANNOTATION, W.COMMENT):
+                            continue
+                        try_elevate(entry, index, key, value)
+            else:
+                for key, value in entry.items():
+                    try_elevate(entry, index, key, value)
+        return {"hits": hits} if hits else False
+
+    def _parent_type_usable(self, type_value, vocab) -> bool:
+        return True
+
+    def transform(self, schema, result):
+        kw = self.keyword
+        for index, key in result["hits"]:
+            if key not in schema:
+                schema[key] = schema[kw][index][key]
+            del schema[kw][index][key]
+
+    def rereference(self, target, current, result):
+        prefix = current + (self.keyword,)
+        if target[:len(prefix)] != prefix:
+            return target
+        rel = target[len(prefix):]
+        if len(rel) < 2 or not isinstance(rel[0], int):
+            return target
+        return rebase(target, prefix + (rel[0], rel[1]),
+                      current + (rel[1],))
+
+
+class UnnecessaryAllOfWrapper(_UnnecessaryWrapper):
+    """reference: linter/unnecessary_allof_wrapper.h"""
+
+    name = "unnecessary_allof_wrapper"
+    message = ("Keywords inside `allOf` that do not conflict with "
+               "the parent schema can be elevated")
+    keyword = "allOf"
+
+    def _vocab_ok(self, vocab):
+        return vocab_any(vocab, _APP_4UP)
+
+    def _skip_annotations_first(self):
+        return True
+
+    def _parent_type_usable(self, type_value, vocab):
+        return vocab_any(vocab, frozenset(
+            {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4}))
+
+    def _is_anonymous(self, entry, vocab):
+        if vocab_any(vocab, _CORE_MODERN):
+            if "$id" in entry or "$anchor" in entry:
+                return False
+            if V.V20_CORE in vocab and "$dynamicAnchor" in entry:
+                return False
+            if V.V19_CORE in vocab and entry.get(
+                    "$recursiveAnchor") is True:
+                return False
+            return True
+        if vocab_any(vocab, frozenset({V.D7, V.D6})):
+            return "$id" not in entry
+        if V.D4 in vocab:
+            return "id" not in entry
+        return False
+
+
+def _known_type_form(type_value: Any) -> bool:
+    if isinstance(type_value, str):
+        return type_value != "any"
+    if not isinstance(type_value, list):
+        return False
+    return all(isinstance(e, str) and e != "any" for e in type_value)
+
+
+class UnnecessaryExtendsWrapper(_UnnecessaryWrapper):
+    """reference: linter/unnecessary_extends_wrapper.h"""
+
+    name = "unnecessary_extends_wrapper"
+    message = ("Keywords inside `extends` that do not conflict "
+               "with the parent schema can be elevated")
+    keyword = "extends"
+
+    def _vocab_ok(self, vocab):
+        return V.D3 in vocab
+
+    def _parent_type_usable(self, type_value, vocab):
+        return _known_type_form(type_value)
+
+    def _is_anonymous(self, entry, vocab):
+        return "id" not in entry
+
+
+def linter_only_rules() -> List[Rule]:
+    """The Linter-mode-only block (alterschema.cc:462-502), in
+    registration order. Extended as rules are ported."""
+    from blaze_spark.plans.transform import rules_canonicalizer as C
+    rules: List[Rule] = [C.EqualNumericBoundsToConst()]
+    rules.extend(_LINTER_ONLY)
+    return rules
+
+
+_LINTER_ONLY: List[Rule] = []

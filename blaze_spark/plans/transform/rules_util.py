@@ -1,0 +1,168 @@
+"""Shared helpers for alterschema rules.
+
+Mirrors the reference's foundation helpers used across rule headers:
+``parse_schema_type`` (foundation.cc:829-866 — string/array of type
+names → JSON-type bitset, "number" covering Integer+Real),
+sourcemeta JSON equality (json_value.cc:499 — numeric values compare
+across Integer/Real, booleans stay distinct), and the vocabulary
+groups rules gate on.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, FrozenSet, Iterable, List, Optional, Set
+
+from blaze_spark.plans.transform import vocab as V
+
+# JSON::Type names used in type bitsets
+T_NULL = "null"
+T_BOOLEAN = "boolean"
+T_INTEGER = "integer"
+T_REAL = "real"
+T_STRING = "string"
+T_ARRAY = "array"
+T_OBJECT = "object"
+
+# vocab groups matching the recurring ONLY_CONTINUE_IF gates
+VAL_3UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION,
+                     V.D7, V.D6, V.D4, V.D3})
+VAL_4UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4})
+VAL_6UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6})
+VAL_MODERN = frozenset({V.V20_VALIDATION, V.V19_VALIDATION})
+APP_3UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR,
+                     V.D7, V.D6, V.D4, V.D3})
+APP_4UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6, V.D4})
+APP_6UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6})
+APP_7UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7})
+APP_MODERN = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR})
+CORE_MODERN = frozenset({V.V20_CORE, V.V19_CORE})
+META_MODERN = frozenset({V.V20_METADATA, V.V19_METADATA})
+CONTENT = frozenset({V.V20_CONTENT, V.V19_CONTENT})
+D3_ONLY = frozenset({V.D3})
+DRAFTS_347 = frozenset({V.D3, V.D4, V.D6, V.D7})
+
+
+def vocab_any(vocab: V.Vocabularies, wanted: FrozenSet[str]) -> bool:
+    return not vocab.isdisjoint(wanted)
+
+
+def is_number(v: Any) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def is_integer(v: Any) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def is_real(v: Any) -> bool:
+    return isinstance(v, float)
+
+
+def json_type(v: Any) -> str:
+    if v is None:
+        return T_NULL
+    if isinstance(v, bool):
+        return T_BOOLEAN
+    if isinstance(v, int):
+        return T_INTEGER
+    if isinstance(v, float):
+        return T_REAL
+    if isinstance(v, str):
+        return T_STRING
+    if isinstance(v, list):
+        return T_ARRAY
+    return T_OBJECT
+
+
+def parse_schema_type(type_value: Any) -> Set[str]:
+    """'number' covers both integer and real (foundation.cc:840-843)."""
+    out: Set[str] = set()
+
+    def one(name: Any) -> None:
+        if name == "number":
+            out.update({T_INTEGER, T_REAL})
+        elif name in (T_NULL, T_BOOLEAN, T_OBJECT, T_ARRAY, T_INTEGER,
+                      T_STRING):
+            out.add(name)
+
+    if isinstance(type_value, str):
+        one(type_value)
+    elif isinstance(type_value, list):
+        for item in type_value:
+            if isinstance(item, str):
+                one(item)
+    return out
+
+
+def json_equal(a: Any, b: Any) -> bool:
+    """sourcemeta JSON operator== (json_value.cc:499): numbers compare
+    across integer/real; booleans never equal numbers."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if is_number(a) and is_number(b):
+        return float(a) == float(b) or a == b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return (a.keys() == b.keys()
+                and all(json_equal(v, b[k]) for k, v in a.items()))
+    if isinstance(a, list) and isinstance(b, list):
+        return (len(a) == len(b)
+                and all(json_equal(x, y) for x, y in zip(a, b)))
+    return type(a) is type(b) and a == b
+
+
+def json_key(v: Any) -> Any:
+    """Hashable canonical key with the same equality as json_equal."""
+    if isinstance(v, bool):
+        return ("b", v)
+    if is_number(v):
+        f = float(v)
+        return ("n", int(v) if f == int(f) and abs(f) < 1e18 else f)
+    if isinstance(v, str):
+        return ("s", v)
+    if v is None:
+        return ("z",)
+    if isinstance(v, list):
+        return ("a", tuple(json_key(x) for x in v))
+    return ("o", tuple(sorted((k, json_key(x)) for k, x in v.items())))
+
+
+def json_strict_key(v: Any) -> Any:
+    """Hashable key mirroring the reference's hash-guarded dedup
+    (json_value.cc:808: duplicates need fast_hash equality AND ==) —
+    in practice integers and reals NEVER dedup against each other,
+    even when numerically equal."""
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("r", v)
+    if isinstance(v, str):
+        return ("s", v)
+    if v is None:
+        return ("z",)
+    if isinstance(v, list):
+        return ("a", tuple(json_strict_key(x) for x in v))
+    return ("o", tuple(sorted((k, json_strict_key(x))
+                              for k, x in v.items())))
+
+
+def unique_values(values: Iterable[Any]) -> List[Any]:
+    seen = set()
+    out = []
+    for v in values:
+        k = json_strict_key(v)
+        if k not in seen:
+            seen.add(k)
+            out.append(v)
+    return out
+
+
+def ceil_to_int(value: float) -> int:
+    return int(math.ceil(value))
+
+
+def floor_to_int(value: float) -> int:
+    return int(math.floor(value))

@@ -1,0 +1,149 @@
+"""Vocabulary model for the alterschema engine.
+
+Mirrors the reference's ``Vocabularies::Known`` enum and per-dialect
+vocabulary resolution (reference:
+src/foundation/include/sourcemeta/blaze/foundation_vocabularies.h:31,
+frame.vocabularies()). A subschema's vocabulary set is derived from the
+governing dialect URI; 2019-09/2020-12 metaschemas may narrow it via
+``$vocabulary`` (both ``true`` and ``false`` entries are in force —
+optionality only concerns unknown-vocabulary errors).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, FrozenSet, Optional
+
+# Known vocabulary identifiers (subset the engine supports: draft3+).
+D3 = "draft3"
+D4 = "draft4"
+D6 = "draft6"
+D7 = "draft7"
+V19_CORE = "2019core"
+V19_APPLICATOR = "2019applicator"
+V19_VALIDATION = "2019validation"
+V19_METADATA = "2019metadata"
+V19_FORMAT = "2019format"
+V19_CONTENT = "2019content"
+V20_CORE = "2020core"
+V20_APPLICATOR = "2020applicator"
+V20_VALIDATION = "2020validation"
+V20_METADATA = "2020metadata"
+V20_FORMAT_ANNOTATION = "2020format-annotation"
+V20_FORMAT_ASSERTION = "2020format-assertion"
+V20_CONTENT = "2020content"
+V20_UNEVALUATED = "2020unevaluated"
+OAS31_BASE = "oas31base"
+OAS32_BASE = "oas32base"
+
+Vocabularies = FrozenSet[str]
+
+_VOCAB_URI = {
+    "https://json-schema.org/draft/2019-09/vocab/core": V19_CORE,
+    "https://json-schema.org/draft/2019-09/vocab/applicator": V19_APPLICATOR,
+    "https://json-schema.org/draft/2019-09/vocab/validation": V19_VALIDATION,
+    "https://json-schema.org/draft/2019-09/vocab/meta-data": V19_METADATA,
+    "https://json-schema.org/draft/2019-09/vocab/format": V19_FORMAT,
+    "https://json-schema.org/draft/2019-09/vocab/content": V19_CONTENT,
+    "https://json-schema.org/draft/2020-12/vocab/core": V20_CORE,
+    "https://json-schema.org/draft/2020-12/vocab/applicator": V20_APPLICATOR,
+    "https://json-schema.org/draft/2020-12/vocab/validation": V20_VALIDATION,
+    "https://json-schema.org/draft/2020-12/vocab/meta-data": V20_METADATA,
+    "https://json-schema.org/draft/2020-12/vocab/format-annotation":
+        V20_FORMAT_ANNOTATION,
+    "https://json-schema.org/draft/2020-12/vocab/format-assertion":
+        V20_FORMAT_ASSERTION,
+    "https://json-schema.org/draft/2020-12/vocab/content": V20_CONTENT,
+    "https://json-schema.org/draft/2020-12/vocab/unevaluated": V20_UNEVALUATED,
+    "https://spec.openapis.org/oas/3.1/vocab/base": OAS31_BASE,
+    "https://spec.openapis.org/oas/3.2/vocab/base": OAS32_BASE,
+}
+
+FULL_2019 = frozenset({V19_CORE, V19_APPLICATOR, V19_VALIDATION,
+                       V19_METADATA, V19_FORMAT, V19_CONTENT})
+FULL_2020 = frozenset({V20_CORE, V20_APPLICATOR, V20_VALIDATION,
+                       V20_METADATA, V20_FORMAT_ANNOTATION, V20_CONTENT,
+                       V20_UNEVALUATED})
+
+_OFFICIAL = {
+    "http://json-schema.org/draft-03/schema": frozenset({D3}),
+    "http://json-schema.org/draft-03/hyper-schema": frozenset({D3}),
+    "http://json-schema.org/draft-04/schema": frozenset({D4}),
+    "http://json-schema.org/draft-04/hyper-schema": frozenset({D4}),
+    "http://json-schema.org/draft-06/schema": frozenset({D6}),
+    "http://json-schema.org/draft-06/hyper-schema": frozenset({D6}),
+    "http://json-schema.org/draft-07/schema": frozenset({D7}),
+    "http://json-schema.org/draft-07/hyper-schema": frozenset({D7}),
+    "https://json-schema.org/draft/2019-09/schema": FULL_2019,
+    "https://json-schema.org/draft/2019-09/hyper-schema": FULL_2019,
+    "https://json-schema.org/draft/2020-12/schema": FULL_2020,
+    "https://json-schema.org/draft/2020-12/hyper-schema": FULL_2020,
+}
+
+# scheme mirrors: https:// variants of old-draft URIs and http://
+# variants of modern URIs identify the same base dialect (the
+# ModernOfficialDialectWithHttp / DraftOfficialDialectWithHttps rules
+# then normalize the spelling)
+for _uri, _set in list(_OFFICIAL.items()):
+    if _uri.startswith("http://"):
+        _OFFICIAL["https://" + _uri[len("http://"):]] = _set
+    elif _uri.startswith("https://"):
+        _OFFICIAL["http://" + _uri[len("https://"):]] = _set
+
+MODERN_VALIDATION = frozenset({V20_VALIDATION, V19_VALIDATION, D7, D6, D4, D3})
+MODERN_VALIDATION_4UP = frozenset({V20_VALIDATION, V19_VALIDATION, D7, D6, D4})
+MODERN_VALIDATION_6UP = frozenset({V20_VALIDATION, V19_VALIDATION, D7, D6})
+MODERN_APPLICATOR = frozenset({V20_APPLICATOR, V19_APPLICATOR, D7, D6, D4, D3})
+OLD_DRAFTS = frozenset({D3})  # engine scope: draft3 is the oldest dialect
+
+
+def dialect_vocabularies(
+    dialect_uri: Optional[str],
+    resolver: Optional[Callable[[str], Any]] = None,
+    _depth: int = 0,
+) -> Vocabularies:
+    """Resolve a ``$schema`` URI to its vocabulary set. Custom
+    metaschemas are resolved (via ``resolver``) and honored through
+    their ``$vocabulary`` declaration, falling back to the metaschema's
+    own dialect when they declare none (reference: frame.vocabularies)."""
+    if not dialect_uri:
+        return frozenset()
+    bare = dialect_uri.split("#", 1)[0]
+    if bare in _OFFICIAL:
+        return _OFFICIAL[bare]
+    if resolver is not None and _depth < 4:
+        try:
+            meta = resolver(dialect_uri)
+        except Exception:
+            meta = None
+        if meta is None:
+            try:
+                meta = resolver(bare)
+            except Exception:
+                meta = None
+        if isinstance(meta, dict):
+            vocab = meta.get("$vocabulary")
+            if isinstance(vocab, dict):
+                out = set()
+                for uri in vocab:
+                    if uri in _VOCAB_URI:
+                        out.add(_VOCAB_URI[uri])
+                    else:
+                        # track unrecognized vocabularies (reference:
+                        # Vocabularies::has_unknown) — rules like
+                        # unknown_keywords_prefix must stand down
+                        out.add("?" + uri)
+                return frozenset(out)
+            meta_schema = meta.get("$schema")
+            if isinstance(meta_schema, str) and meta_schema.split("#")[0] != bare:
+                return dialect_vocabularies(meta_schema, resolver, _depth + 1)
+    return frozenset()
+
+
+def contains_any(vocab: Vocabularies, wanted) -> bool:
+    return not vocab.isdisjoint(wanted)
+
+
+def has_unknown(vocab: Vocabularies) -> bool:
+    """True when the metaschema declared a vocabulary this engine does
+    not recognize (Vocabularies::has_unknown analog)."""
+    return any(v.startswith("?") for v in vocab)

@@ -1,0 +1,267 @@
+"""Dialect-aware keyword walker.
+
+The analog of the reference's ``schema_walker``
+(reference: src/foundation/known_walker.cc:2752 — per-keyword handlers
+switching on the active vocabulary set). Classifies every keyword into
+the reference's ``SchemaKeywordType`` taxonomy
+(foundation_types.h:68-170) so rules and the location walk can reason
+about applicators uniformly across draft3..2020-12 (+ the OpenAPI base
+vocabulary for lint parity).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, List, Tuple
+
+from blaze_spark.plans.transform import vocab as V
+
+# SchemaKeywordType constants (string-valued for cheap comparison)
+UNKNOWN = "unknown"
+ASSERTION = "assertion"
+ANNOTATION = "annotation"
+REFERENCE = "reference"
+OTHER = "other"
+COMMENT = "comment"
+LOCATION_MEMBERS = "location_members"
+APP_MEMBERS_PROP_STATIC = "app_members_prop_static"
+APP_MEMBERS_PROP_REGEX = "app_members_prop_regex"
+APP_VALUE_SOME_PROP = "app_value_some_prop"
+APP_VALUE_ANY_PROP_KEY = "app_value_any_prop_key"
+APP_VALUE_ANY_ITEM = "app_value_any_item"
+APP_VALUE_SOME_ITEM = "app_value_some_item"
+APP_VALUE_PARENT = "app_value_parent"
+APP_ELEMENTS_ITEM = "app_elements_item"
+APP_VALUE_OR_ELEMENTS_ITEM = "app_value_or_elements_item"
+APP_VALUE_OR_ELEMENTS_INPLACE = "app_value_or_elements_inplace"
+APP_MEMBERS_INPLACE_SOME = "app_members_inplace_some"
+APP_ELEMENTS_INPLACE = "app_elements_inplace"
+APP_ELEMENTS_INPLACE_SOME = "app_elements_inplace_some"
+APP_ELEMENTS_INPLACE_SOME_NEGATE = "app_elements_inplace_some_negate"
+APP_VALUE_INPLACE_MAYBE = "app_value_inplace_maybe"
+APP_VALUE_INPLACE_OTHER = "app_value_inplace_other"
+APP_VALUE_INPLACE_NEGATE = "app_value_inplace_negate"
+
+IN_PLACE_APPLICATORS = {
+    APP_VALUE_OR_ELEMENTS_INPLACE, APP_MEMBERS_INPLACE_SOME,
+    APP_ELEMENTS_INPLACE, APP_ELEMENTS_INPLACE_SOME,
+    APP_ELEMENTS_INPLACE_SOME_NEGATE, APP_VALUE_INPLACE_MAYBE,
+    APP_VALUE_INPLACE_OTHER, APP_VALUE_INPLACE_NEGATE,
+}
+
+# vocab groups (ordering within a keyword list = reference check order)
+_APP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6, V.D4, V.D3})
+_APP_4UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6, V.D4})
+_APP_6UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6})
+_APP_7UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7})
+_VAL = frozenset({V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4, V.D3})
+_VAL_4UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4})
+_VAL_6UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6})
+_VAL_MODERN = frozenset({V.V20_VALIDATION, V.V19_VALIDATION})
+_META = frozenset({V.V20_METADATA, V.V19_METADATA, V.D7, V.D6, V.D4, V.D3})
+_META_6UP = frozenset({V.V20_METADATA, V.V19_METADATA, V.D7, V.D6})
+_META_MODERN = frozenset({V.V20_METADATA, V.V19_METADATA})
+_CORE = frozenset({V.V20_CORE, V.V19_CORE, V.D7, V.D6, V.D4, V.D3})
+_CORE_MODERN = frozenset({V.V20_CORE, V.V19_CORE})
+_CONTENT = frozenset({V.V20_CONTENT, V.V19_CONTENT})
+_OAS = frozenset({V.OAS31_BASE, V.OAS32_BASE})
+
+# keyword -> ordered [(vocab-group, type)]; first non-disjoint group wins
+_TABLE = {
+    "$id": [(_CORE_MODERN | frozenset({V.D7, V.D6}), OTHER)],
+    "id": [(frozenset({V.D4, V.D3}), OTHER)],
+    "$schema": [(_CORE, OTHER)],
+    "$ref": [(_CORE, REFERENCE)],
+    "$defs": [(_CORE_MODERN, LOCATION_MEMBERS)],
+    "definitions": [(_CORE_MODERN | frozenset({V.D7, V.D6, V.D4, V.D3}),
+                     LOCATION_MEMBERS)],
+    "$comment": [(_CORE_MODERN | frozenset({V.D7}), COMMENT)],
+    "$anchor": [(_CORE_MODERN, OTHER)],
+    "$vocabulary": [(_CORE_MODERN, OTHER)],
+    "$dynamicRef": [(frozenset({V.V20_CORE}), REFERENCE)],
+    "$dynamicAnchor": [(frozenset({V.V20_CORE}), OTHER)],
+    "$recursiveRef": [(frozenset({V.V19_CORE}), REFERENCE)],
+    "$recursiveAnchor": [(frozenset({V.V19_CORE}), OTHER)],
+    "oneOf": [(_APP_4UP, APP_ELEMENTS_INPLACE_SOME)],
+    "anyOf": [(_APP_4UP, APP_ELEMENTS_INPLACE_SOME)],
+    "allOf": [(_APP_4UP, APP_ELEMENTS_INPLACE)],
+    "if": [(_APP_7UP, APP_VALUE_INPLACE_MAYBE)],
+    "then": [(_APP_7UP, APP_VALUE_INPLACE_MAYBE)],
+    "else": [(_APP_7UP, APP_VALUE_INPLACE_MAYBE)],
+    "not": [(_APP_4UP, APP_VALUE_INPLACE_NEGATE)],
+    "properties": [(_APP, APP_MEMBERS_PROP_STATIC)],
+    "additionalProperties": [(_APP, APP_VALUE_SOME_PROP)],
+    "patternProperties": [(_APP, APP_MEMBERS_PROP_REGEX)],
+    "propertyNames": [(_APP_6UP, APP_VALUE_ANY_PROP_KEY)],
+    "dependentSchemas": [(frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR}),
+                          APP_MEMBERS_INPLACE_SOME)],
+    "dependencies": [(frozenset({V.D7, V.D6, V.D4, V.D3}),
+                      APP_MEMBERS_INPLACE_SOME)],
+    "contains": [(_APP_6UP, APP_VALUE_ANY_ITEM)],
+    "items": [(frozenset({V.V20_APPLICATOR}), APP_VALUE_SOME_ITEM),
+              (frozenset({V.V19_APPLICATOR, V.D7, V.D6, V.D4, V.D3}),
+               APP_VALUE_OR_ELEMENTS_ITEM)],
+    "prefixItems": [(frozenset({V.V20_APPLICATOR}), APP_ELEMENTS_ITEM)],
+    "additionalItems": [(frozenset({V.V19_APPLICATOR, V.D7, V.D6, V.D4, V.D3}),
+                         APP_VALUE_SOME_ITEM)],
+    "unevaluatedProperties": [
+        (frozenset({V.V20_UNEVALUATED, V.V19_APPLICATOR}),
+         APP_VALUE_SOME_PROP)],
+    "unevaluatedItems": [
+        (frozenset({V.V20_UNEVALUATED, V.V19_APPLICATOR}),
+         APP_VALUE_SOME_ITEM)],
+    "type": [(frozenset({V.D3}), APP_ELEMENTS_INPLACE_SOME),
+             (_VAL, ASSERTION)],
+    "enum": [(_VAL, ASSERTION)],
+    "const": [(_VAL_6UP, ASSERTION)],
+    "multipleOf": [(_VAL_4UP, ASSERTION)],
+    "maximum": [(_VAL, ASSERTION)],
+    "minimum": [(_VAL, ASSERTION)],
+    "exclusiveMaximum": [(_VAL, ASSERTION)],
+    "exclusiveMinimum": [(_VAL, ASSERTION)],
+    "maxLength": [(_VAL, ASSERTION)],
+    "minLength": [(_VAL, ASSERTION)],
+    "pattern": [(_VAL, ASSERTION)],
+    "maxItems": [(_VAL, ASSERTION)],
+    "minItems": [(_VAL, ASSERTION)],
+    "uniqueItems": [(_VAL, ASSERTION)],
+    "maxProperties": [(_VAL_4UP, ASSERTION)],
+    "minProperties": [(_VAL_4UP, ASSERTION)],
+    "required": [(_VAL, ASSERTION)],
+    "dependentRequired": [(_VAL_MODERN, ASSERTION)],
+    "minContains": [(_VAL_MODERN, ASSERTION)],
+    "maxContains": [(_VAL_MODERN, ASSERTION)],
+    # modern metadata keywords are annotations; in the drafts they are
+    # mere comments (known_walker.cc handle_title etc.)
+    "title": [(_META_MODERN, ANNOTATION),
+              (frozenset({V.D7, V.D6, V.D4, V.D3}), COMMENT)],
+    "description": [(_META_MODERN, ANNOTATION),
+                    (frozenset({V.D7, V.D6, V.D4, V.D3}), COMMENT)],
+    "default": [(_META_MODERN, ANNOTATION),
+                (frozenset({V.D7, V.D6, V.D4, V.D3}), COMMENT)],
+    "deprecated": [(_META_MODERN, ANNOTATION)],
+    "readOnly": [(_META_MODERN, ANNOTATION),
+                 (frozenset({V.D7, V.D6}), COMMENT)],
+    "writeOnly": [(_META_MODERN, ANNOTATION),
+                  (frozenset({V.D7, V.D6}), COMMENT)],
+    "examples": [(_META_MODERN, ANNOTATION),
+                 (frozenset({V.D7, V.D6}), COMMENT)],
+    "format": [(frozenset({V.V20_FORMAT_ASSERTION}), ASSERTION),
+               (frozenset({V.V20_FORMAT_ANNOTATION, V.V19_FORMAT}),
+                ANNOTATION),
+               (frozenset({V.D7, V.D6, V.D4, V.D3}), OTHER)],
+    "contentSchema": [(_CONTENT, APP_VALUE_INPLACE_OTHER)],
+    "contentMediaType": [(_CONTENT, ANNOTATION),
+                         (frozenset({V.D7, V.D6}), COMMENT)],
+    "contentEncoding": [(_CONTENT, ANNOTATION),
+                        (frozenset({V.D7, V.D6}), COMMENT)],
+    "extends": [(frozenset({V.D3}), APP_VALUE_OR_ELEMENTS_INPLACE)],
+    "disallow": [(frozenset({V.D3}), APP_ELEMENTS_INPLACE_SOME_NEGATE)],
+    "divisibleBy": [(frozenset({V.D3}), ASSERTION)],
+    "discriminator": [(_OAS, OTHER)],
+    "xml": [(_OAS, OTHER)],
+    "externalDocs": [(_OAS, OTHER)],
+    "example": [(_OAS, OTHER)],
+}
+
+
+def walk_type(keyword: str, vocabularies: V.Vocabularies) -> str:
+    for group, typ in _TABLE.get(keyword, ()):
+        if not vocabularies.isdisjoint(group):
+            return typ
+    return UNKNOWN
+
+
+# keyword -> instance JSON types it constrains (walker `instances`;
+# empty/absent = applies to every instance type). Only keywords with a
+# walk_type other than UNKNOWN get their instances reported.
+_INSTANCES = {
+    "properties": {"object"}, "patternProperties": {"object"},
+    "additionalProperties": {"object"}, "propertyNames": {"object"},
+    "dependentSchemas": {"object"}, "dependencies": {"object"},
+    "unevaluatedProperties": {"object"},
+    "required": {"object"}, "dependentRequired": {"object"},
+    "minProperties": {"object"}, "maxProperties": {"object"},
+    "items": {"array"}, "prefixItems": {"array"},
+    "additionalItems": {"array"}, "unevaluatedItems": {"array"},
+    "contains": {"array"}, "minContains": {"array"},
+    "maxContains": {"array"}, "minItems": {"array"},
+    "maxItems": {"array"}, "uniqueItems": {"array"},
+    "minLength": {"string"}, "maxLength": {"string"},
+    "pattern": {"string"}, "format": {"string"},
+    "contentSchema": {"string"}, "contentMediaType": {"string"},
+    "contentEncoding": {"string"},
+    "multipleOf": {"integer", "real"}, "divisibleBy": {"integer", "real"},
+    "minimum": {"integer", "real"}, "maximum": {"integer", "real"},
+    "exclusiveMinimum": {"integer", "real"},
+    "exclusiveMaximum": {"integer", "real"},
+}
+
+
+def walk_instances(keyword: str, vocabularies: V.Vocabularies) -> frozenset:
+    if walk_type(keyword, vocabularies) == UNKNOWN:
+        return frozenset()
+    return frozenset(_INSTANCES.get(keyword, ()))
+
+
+# keyword -> sibling keywords it depends on (walker `dependencies`,
+# excluding the draft<=7 `$ref` sibling marker, which rules that merge
+# branches never hit because $ref branches are not mergeable)
+_DEPENDENCIES = {
+    "additionalProperties": ("properties", "patternProperties"),
+    "unevaluatedProperties": ("properties", "patternProperties",
+                              "additionalProperties"),
+    "additionalItems": ("items",),
+    "unevaluatedItems": ("prefixItems", "items", "additionalItems"),
+    "then": ("if",),
+    "else": ("if",),
+}
+
+
+def walk_dependencies(keyword: str,
+                      vocabularies: V.Vocabularies) -> tuple:
+    if walk_type(keyword, vocabularies) == UNKNOWN:
+        return ()
+    if keyword == "items" and V.V20_APPLICATOR in vocabularies:
+        return ("prefixItems",)
+    return _DEPENDENCIES.get(keyword, ())
+
+
+def _is_schema(value: Any) -> bool:
+    return isinstance(value, (dict, bool))
+
+
+def subschema_entries(
+    schema: dict, vocabularies: V.Vocabularies,
+) -> Iterator[Tuple[Tuple[Any, ...], Any, bool]]:
+    """Yield (relative pointer tokens, child, orderly) for every direct
+    child subschema of ``schema``, in document order (the reference's
+    frame walks the same way).  ``orderly`` is unused today but kept to
+    mirror SchemaIteratorEntry."""
+    for key, value in schema.items():
+        typ = walk_type(key, vocabularies)
+        if typ in (APP_MEMBERS_PROP_STATIC, APP_MEMBERS_PROP_REGEX,
+                   APP_MEMBERS_INPLACE_SOME, LOCATION_MEMBERS):
+            if isinstance(value, dict):
+                for name, sub in value.items():
+                    if _is_schema(sub):
+                        yield (key, name), sub, True
+        elif typ in (APP_ELEMENTS_ITEM, APP_ELEMENTS_INPLACE,
+                     APP_ELEMENTS_INPLACE_SOME,
+                     APP_ELEMENTS_INPLACE_SOME_NEGATE):
+            if isinstance(value, list):
+                for i, sub in enumerate(value):
+                    if _is_schema(sub):
+                        yield (key, i), sub, True
+        elif typ in (APP_VALUE_SOME_PROP, APP_VALUE_ANY_PROP_KEY,
+                     APP_VALUE_ANY_ITEM, APP_VALUE_SOME_ITEM,
+                     APP_VALUE_PARENT, APP_VALUE_INPLACE_MAYBE,
+                     APP_VALUE_INPLACE_OTHER, APP_VALUE_INPLACE_NEGATE):
+            if _is_schema(value):
+                yield (key,), value, True
+        elif typ in (APP_VALUE_OR_ELEMENTS_ITEM, APP_VALUE_OR_ELEMENTS_INPLACE):
+            if isinstance(value, list):
+                for i, sub in enumerate(value):
+                    if _is_schema(sub):
+                        yield (key, i), sub, True
+            elif _is_schema(value):
+                yield (key,), value, True

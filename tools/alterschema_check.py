@@ -1,0 +1,204 @@
+#!/usr/bin/env python3
+"""Run the reference's alterschema test corpus against this engine.
+
+Parses the reference's gtest files in place
+(test/alterschema/alterschema_*_test.cc via tools/cc_cases.py) and
+replays every canonicalize / upgrade / lint case through
+blaze_spark.plans.transform, comparing with sourcemeta JSON equality
+(numbers compare across int/real; booleans stay distinct).
+
+Usage: python tools/alterschema_check.py [-v] [pattern ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from cc_cases import parse_file  # noqa: E402
+
+from blaze_spark.plans.transform.modes import (  # noqa: E402
+    canonicalize, lint_check, lint_fix, upgrade_schema)
+from blaze_spark.plans.transform.rules_util import json_equal  # noqa: E402
+
+CASES_DIR = "/root/reference/test/alterschema"
+
+# The reference test suite's custom resolver entries
+# (test/alterschema/alterschema_test_utils.h:12-95)
+_TEST_DOCS = {
+    "https://sourcemeta.com/2020-12-custom-vocabulary-optional": {
+        "$id": "https://sourcemeta.com/2020-12-custom-vocabulary-optional",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$vocabulary": {
+            "https://json-schema.org/draft/2020-12/vocab/core": True,
+            "https://sourcemeta.com/2020-12-custom-vocabulary-optional":
+                False,
+        },
+    },
+    "https://example.com": {
+        "$id": "https://example.com",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "type": "string",
+    },
+    "https://example.com/external": {
+        "$id": "https://example.com/external",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "type": "string",
+    },
+    "https://example.com/external-with-defs": {
+        "$id": "https://example.com/external-with-defs",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$defs": {"foo": {"type": "string"}},
+    },
+    "ref.schema.json": {
+        "$id": "ref.schema.json",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+    },
+    "https://example.com/ref.json": {
+        "$id": "https://example.com/ref.json",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "type": "integer",
+    },
+    "https://sourcemeta.com/2020-12-validation-without-applicator": {
+        "$id":
+            "https://sourcemeta.com/2020-12-validation-without-applicator",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$vocabulary": {
+            "https://json-schema.org/draft/2020-12/vocab/core": True,
+            "https://json-schema.org/draft/2020-12/vocab/validation": True,
+        },
+    },
+    "https://sourcemeta.com/2020-12-applicator-without-validation": {
+        "$id":
+            "https://sourcemeta.com/2020-12-applicator-without-validation",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$vocabulary": {
+            "https://json-schema.org/draft/2020-12/vocab/core": True,
+            "https://json-schema.org/draft/2020-12/vocab/applicator": True,
+        },
+    },
+    "https://example.com/unsupported-vocabulary-metaschema": {
+        "$id": "https://example.com/unsupported-vocabulary-metaschema",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$vocabulary": {
+            "https://json-schema.org/draft/2020-12/vocab/core": True,
+            "https://json-schema.org/draft/2020-12/vocab/applicator": True,
+            "https://json-schema.org/draft/2020-12/vocab/validation": True,
+            "https://json-schema.org/draft/2020-12/vocab/meta-data": True,
+            "https://example.com/vocab/unsupported-fictional": True,
+        },
+    },
+}
+
+
+def test_resolver(uri: str):
+    return _TEST_DOCS.get(uri.rstrip("#").rstrip("/")) or \
+        _TEST_DOCS.get(uri)
+
+
+_UPGRADE_TARGET = {
+    "UPGRADE_DRAFT_4": "draft4",
+    "UPGRADE_DRAFT_6": "draft6",
+    "UPGRADE_DRAFT_7": "draft7",
+    "UPGRADE_2019_09": "2019-09",
+    "UPGRADE_2020_12": "2020-12",
+}
+
+
+def run_case(case):
+    """Returns (status, actual) where status in {pass, fail, skip, error}."""
+    macro = case.macro
+    if macro == "CANONICALIZE_AND_VALIDATE":
+        actual = canonicalize(case.document, resolver=test_resolver)
+        return ("pass" if json_equal(actual, case.expected) else "fail",
+                actual)
+    if macro and macro.startswith("UPGRADE_"):
+        base = macro
+        kwargs = {}
+        if base.endswith("_WITH_DIALECT"):
+            base = base[:-len("_WITH_DIALECT")]
+            kwargs["default_dialect"] = case.default_dialect or ""
+        if base.endswith("_AS_METASCHEMA"):
+            base = base[:-len("_AS_METASCHEMA")]
+            kwargs["is_metaschema"] = True
+        target = _UPGRADE_TARGET.get(base)
+        if target is None:
+            return "skip", None
+        actual = upgrade_schema(case.document, target,
+                                resolver=test_resolver, **kwargs)
+        return ("pass" if json_equal(actual, case.expected) else "fail",
+                actual)
+    if macro in ("LINT_AND_FIX", "LINT_WITHOUT_FIX"):
+        if macro == "LINT_AND_FIX":
+            ok, traces, actual = lint_fix(case.document,
+                                          resolver=test_resolver)
+        else:
+            ok, traces = lint_check(case.document, resolver=test_resolver)
+            actual = case.document
+        status = "pass"
+        if case.expected is not None and not json_equal(actual,
+                                                        case.expected):
+            status = "fail"
+        if case.traces_size is not None and len(traces) != case.traces_size:
+            status = "fail"
+        for i, (ptr, name, message, fixable) in enumerate(
+                case.expected_traces):
+            if i >= len(traces):
+                status = "fail"
+                break
+            got = traces[i]
+            if (got.pointer, got.name, got.message, got.fixable) != (
+                    ptr, name, message, fixable):
+                status = "fail"
+                break
+        if case.result_first is not None and ok != case.result_first:
+            status = "fail"
+        return status, actual
+    return "skip", None
+
+
+def main() -> int:
+    verbose = "-v" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    patterns = args or ["canonicalize", "lint", "upgrade"]
+    files = sorted(glob.glob(f"{CASES_DIR}/alterschema_*_test.cc"))
+    # engine dialect scope: draft3..2020-12 (+ openapi lint)
+    out_of_scope = ("draft0", "draft1", "draft2")
+    totals = {"pass": 0, "fail": 0, "skip": 0, "error": 0}
+    for path in files:
+        stem = path.rsplit("/", 1)[-1]
+        if not any(p in stem for p in patterns):
+            continue
+        if any(d in stem for d in out_of_scope):
+            continue
+        counts = {"pass": 0, "fail": 0, "skip": 0, "error": 0}
+        for case in parse_file(path):
+            if case.macro is None or case.document is None:
+                continue
+            try:
+                status, actual = run_case(case)
+            except Exception as exc:  # noqa: BLE001 - report & continue
+                status, actual = "error", repr(exc)
+            counts[status] += 1
+            totals[status] += 1
+            if verbose and status in ("fail", "error"):
+                print(f"--- {stem} :: {case.name} [{status}]")
+                print("  input:   ", json.dumps(case.document)[:300])
+                if case.expected is not None:
+                    print("  expected:", json.dumps(case.expected)[:300])
+                print("  actual:  ", (json.dumps(actual)[:300]
+                                      if not isinstance(actual, str)
+                                      else actual[:300]))
+        print(f"{stem:55s} pass={counts['pass']:4d} fail={counts['fail']:4d}"
+              f" err={counts['error']:3d} skip={counts['skip']:3d}")
+    print(f"TOTAL pass={totals['pass']} fail={totals['fail']}"
+          f" err={totals['error']} skip={totals['skip']}")
+    return 0 if totals["fail"] == totals["error"] == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

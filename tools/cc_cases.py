@@ -1,0 +1,253 @@
+"""Extract test cases from the reference's gtest alterschema corpus.
+
+The reference ships its alterschema expectations inline in C++ test
+files (reference: test/alterschema/alterschema_*_test.cc) as
+``parse_json(R"JSON(...)JSON")`` literals plus assertion macros
+(``CANONICALIZE_AND_VALIDATE``, ``UPGRADE_*``, ``LINT_AND_FIX``,
+``LINT_WITHOUT_FIX`` + ``EXPECT_LINT_TRACE`` — see
+test/alterschema/alterschema_test_utils.h). This module parses those
+files *in place* (the same read-in-place approach as
+tools/compliance.py uses for the official suite) so the corpus is never
+copied into this repo.
+
+Nothing here executes C++; it is a narrow structural parser for the
+handful of gtest idioms those files use.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+_TEST_RE = re.compile(r"^TEST(?:_F)?\(\s*([A-Za-z0-9_]+)\s*,\s*([A-Za-z0-9_]+)\s*\)", re.M)
+_JSON_RE = re.compile(r'R"JSON\((.*?)\)JSON"', re.S)
+# `<type> name = ... parse_json(R"JSON(...)JSON");`  (type may be auto/const JSON)
+_ASSIGN_RE = re.compile(
+    r'(?:auto|sourcemeta::core::JSON)\s+(\w+)\s*=[^;]*?R"JSON\((.*?)\)JSON"',
+    re.S,
+)
+# `<type> name = ... parse_json("false");`  (plain C string literal)
+_ASSIGN_PLAIN_RE = re.compile(
+    r'(?:auto|sourcemeta::core::JSON)\s+(\w+)\s*='
+    r'[^;]*?parse_json\(\s*"((?:[^"\\]|\\.)*)"\s*\)',
+    re.S,
+)
+
+
+@dataclass
+class Case:
+    suite: str
+    name: str
+    file: str
+    macro: Optional[str] = None          # CANONICALIZE_AND_VALIDATE / UPGRADE_* / LINT_*
+    macro_args: List[str] = field(default_factory=list)
+    document: Any = None
+    expected: Any = None                 # expected transformed document (if asserted)
+    expected_traces: List[Tuple[str, str, str, bool]] = field(default_factory=list)
+    traces_size: Optional[int] = None
+    result_first: Optional[bool] = None  # EXPECT_TRUE/FALSE(result.first)
+    default_dialect: Optional[str] = None
+    as_metaschema: bool = False
+    raw: str = ""
+
+
+def _split_tests(source: str) -> List[Tuple[str, str, str]]:
+    """Return (suite, name, body) per TEST/TEST_F block."""
+    out = []
+    matches = list(_TEST_RE.finditer(source))
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(source)
+        out.append((m.group(1), m.group(2), source[m.start():end]))
+    return out
+
+
+def _parse_json_literal(text: str) -> Any:
+    return json.loads(text)
+
+
+def _cpp_string_args(arg_text: str) -> List[Any]:
+    """Parse a macro argument list containing identifiers, integers,
+    booleans and (possibly adjacent-concatenated) C++ string literals."""
+    args: List[Any] = []
+    i, n = 0, len(arg_text)
+    cur_str: Optional[str] = None
+    token = ""
+
+    def flush_token():
+        nonlocal token, cur_str
+        t = token.strip()
+        token = ""
+        if cur_str is not None:
+            args.append(cur_str)
+            cur_str = None
+            return
+        if not t:
+            return
+        if t == "true":
+            args.append(True)
+        elif t == "false":
+            args.append(False)
+        else:
+            try:
+                args.append(int(t))
+            except ValueError:
+                args.append(("ident", t))
+
+    while i < n:
+        c = arg_text[i]
+        if c == '"':
+            j = i + 1
+            buf = []
+            while j < n:
+                if arg_text[j] == "\\" and j + 1 < n:
+                    esc = arg_text[j + 1]
+                    buf.append({"n": "\n", "t": "\t", '"': '"', "\\": "\\"}.get(esc, esc))
+                    j += 2
+                    continue
+                if arg_text[j] == '"':
+                    break
+                buf.append(arg_text[j])
+                j += 1
+            cur_str = (cur_str or "") + "".join(buf)
+            i = j + 1
+            continue
+        if c == ",":
+            flush_token()
+            i += 1
+            continue
+        token += c
+        i += 1
+    flush_token()
+    return args
+
+
+def _find_macro_call(body: str, macro: str) -> Optional[str]:
+    """Return the raw argument text of the first `macro(...)` call,
+    balancing parentheses (arguments may contain nested parens)."""
+    m = re.search(r"\b" + re.escape(macro) + r"\s*\(", body)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    start = i
+    while i < len(body) and depth:
+        if body[i] == "(":
+            depth += 1
+        elif body[i] == ")":
+            depth -= 1
+        elif body[i] == '"':  # skip string contents
+            i += 1
+            while i < len(body) and body[i] != '"':
+                if body[i] == "\\":
+                    i += 1
+                i += 1
+        i += 1
+    return body[start:i - 1]
+
+
+_UPGRADE_MACROS = [
+    "UPGRADE_DRAFT_4_WITH_DIALECT", "UPGRADE_DRAFT_6_WITH_DIALECT",
+    "UPGRADE_DRAFT_7_WITH_DIALECT", "UPGRADE_2019_09_WITH_DIALECT",
+    "UPGRADE_2020_12_WITH_DIALECT", "UPGRADE_2019_09_AS_METASCHEMA",
+    "UPGRADE_2020_12_AS_METASCHEMA", "UPGRADE_DRAFT_4", "UPGRADE_DRAFT_6",
+    "UPGRADE_DRAFT_7", "UPGRADE_2019_09", "UPGRADE_2020_12",
+]
+
+
+def parse_file(path: str) -> List[Case]:
+    with open(path, "r", encoding="utf-8") as fh:
+        source = fh.read()
+    cases: List[Case] = []
+    for suite, name, body in _split_tests(source):
+        case = Case(suite=suite, name=name, file=path, raw=body)
+        assigns: Dict[str, Any] = {}
+        for m in _ASSIGN_RE.finditer(body):
+            try:
+                assigns[m.group(1)] = _parse_json_literal(m.group(2))
+            except json.JSONDecodeError:
+                pass
+        for m in _ASSIGN_PLAIN_RE.finditer(body):
+            if m.group(1) in assigns:
+                continue
+            try:
+                text = m.group(2).replace('\\"', '"').replace("\\\\", "\\")
+                assigns[m.group(1)] = _parse_json_literal(text)
+            except json.JSONDecodeError:
+                pass
+
+        def _resolve(var: str) -> Any:
+            return assigns.get(var)
+
+        if "CANONICALIZE_AND_VALIDATE" in body:
+            case.macro = "CANONICALIZE_AND_VALIDATE"
+            case.document = _resolve("document")
+            case.expected = _resolve("expected")
+        elif "LINT_AND_FIX" in body or "LINT_WITHOUT_FIX" in body:
+            case.macro = "LINT_AND_FIX" if "LINT_AND_FIX" in body else "LINT_WITHOUT_FIX"
+            case.document = _resolve("document")
+            # fix-mode tests re-assert the mutated document against
+            # a second literal via EXPECT_EQ(document, expected)
+            if re.search(r"EXPECT_EQ\(\s*document\s*,\s*expected\s*\)", body):
+                case.expected = _resolve("expected")
+            for m in re.finditer(r"EXPECT_LINT_TRACE\s*\(", body):
+                raw = _find_macro_call(body[m.start():], "EXPECT_LINT_TRACE")
+                if raw is None:
+                    continue
+                args = _cpp_string_args(raw)
+                # (traces, index, pointer, name, message, fixable)
+                if len(args) >= 6:
+                    case.expected_traces.append(
+                        (args[2], args[3], args[4], bool(args[5])))
+            msize = re.search(r"EXPECT_EQ\(\s*traces\.size\(\)\s*,\s*(\d+)", body)
+            if msize:
+                case.traces_size = int(msize.group(1))
+            if re.search(r"EXPECT_TRUE\(\s*result\.first\s*\)", body):
+                case.result_first = True
+            elif re.search(r"EXPECT_FALSE\(\s*result\.first\s*\)", body):
+                case.result_first = False
+        else:
+            for macro in _UPGRADE_MACROS:
+                if macro + "(" in body.replace(" ", "") or re.search(r"\b" + macro + r"\s*\(", body):
+                    raw = _find_macro_call(body, macro)
+                    if raw is None:
+                        continue
+                    case.macro = macro
+                    args = _cpp_string_args(raw)
+                    idents = [a[1] for a in args if isinstance(a, tuple) and a[0] == "ident"]
+                    strs = [a for a in args if isinstance(a, str)]
+                    if idents:
+                        case.document = _resolve(idents[0])
+                        if len(idents) > 1:
+                            case.expected = _resolve(idents[1])
+                    if macro.endswith("_WITH_DIALECT") and strs:
+                        case.default_dialect = strs[0]
+                    if macro.endswith("_AS_METASCHEMA"):
+                        case.as_metaschema = True
+                    break
+        cases.append(case)
+    return cases
+
+
+if __name__ == "__main__":
+    import glob
+    import sys
+
+    paths = sys.argv[1:] or sorted(
+        glob.glob("/root/reference/test/alterschema/alterschema_*_test.cc"))
+    total = {"ok": 0, "no_macro": 0, "no_doc": 0}
+    per_macro: Dict[str, int] = {}
+    for p in paths:
+        for c in parse_file(p):
+            if c.macro is None:
+                total["no_macro"] += 1
+                print("NO-MACRO", p.split("/")[-1], c.name)
+            elif c.document is None:
+                total["no_doc"] += 1
+                print("NO-DOC", p.split("/")[-1], c.name, c.macro)
+            else:
+                total["ok"] += 1
+                per_macro[c.macro] = per_macro.get(c.macro, 0) + 1
+    print(total)
+    for k in sorted(per_macro):
+        print(f"  {k}: {per_macro[k]}")
