@@ -101,11 +101,12 @@ class TransformFrame:
 
     def _id_of(self, node: dict, vocab: V.Vocabularies) -> Optional[str]:
         if not vocab or not vocab.isdisjoint(
-                {V.V20_CORE, V.V19_CORE, V.D7, V.D6}):
+                {V.V20_CORE, V.V19_CORE, V.D7, V.D6, V.D7H, V.D6H}):
             rid = node.get("$id")
             if isinstance(rid, str) and rid:
                 return rid
-        if not vocab or not vocab.isdisjoint({V.D4, V.D3}):
+        if not vocab or not vocab.isdisjoint(
+                {V.D4, V.D3, V.D4H, V.D3H}):
             rid = node.get("id")
             if isinstance(rid, str) and rid:
                 return rid
@@ -145,7 +146,13 @@ class TransformFrame:
                 new_dialect = self._dialect_uri(node, dialect)
                 new_vocab = V.dialect_vocabularies(new_dialect,
                                                    self.resolver)
-                if self._id_of(node, new_vocab) is not None:
+                # in draft<=7 dialects a sibling $ref overrides the rest,
+                # so $schema next to $ref is ignored too
+                ref_overrides = "$ref" in node and not new_vocab.isdisjoint(
+                    {V.D3, V.D4, V.D6, V.D7,
+                     V.D3H, V.D4H, V.D6H, V.D7H})
+                if not ref_overrides and \
+                        self._id_of(node, new_vocab) is not None:
                     dialect = new_dialect
                     vocab = new_vocab
             rid = self._id_of(node, vocab)
@@ -271,6 +278,24 @@ class TransformFrame:
         for reference in self.references:
             dest = self.traverse(reference.value, reference.base)
             if dest is not None and dest[:len(prefix)] == prefix:
+                return True
+        return False
+
+    def has_references_through_keyword(self, pointer: Pointer,
+                                       keyword: str) -> bool:
+        """The Token overload rules actually use
+        (jsonpointer_pointer.h:602-610 via frame.cc:1553): when the
+        destination is not exactly one level above the query, the
+        keyword is IGNORED and any destination under ``pointer``
+        counts."""
+        for reference in self.references:
+            dest = self.traverse(reference.value, reference.base)
+            if dest is None:
+                continue
+            if len(pointer) == len(dest) + 1:
+                if pointer[:len(dest)] == dest and pointer[-1] == keyword:
+                    return True
+            elif dest[:len(pointer)] == pointer:
                 return True
         return False
 

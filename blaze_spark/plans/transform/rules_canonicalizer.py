@@ -239,7 +239,7 @@ class ImplicitObjectKeywords(Rule):
                 work["properties"] = True
             if legacy and "additionalProperties" not in schema:
                 work["additionalProperties"] = True
-            work["additionalProperties_as_object"] = V.D3 in vocab
+            work["additionalProperties_as_object"] = not vocab.isdisjoint({V.D3, V.D3H})
         elif type_value == "array":
             if not vocab_any(vocab, frozenset(
                     {V.D3, V.D4, V.D6, V.D7,
@@ -250,7 +250,7 @@ class ImplicitObjectKeywords(Rule):
                 work["uniqueItems"] = True
             if not modern and "items" not in schema:
                 work["items"] = True
-            work["items_as_object"] = V.D3 in vocab
+            work["items_as_object"] = not vocab.isdisjoint({V.D3, V.D3H})
             if "minItems" not in schema:
                 work["minItems"] = True
         else:
@@ -460,7 +460,7 @@ class AllOfMergeCompatibleBranches(Rule):
         all_of = schema.get("allOf")
         if not isinstance(all_of, list) or len(all_of) < 2:
             return False
-        if frame.has_references_through(location.pointer + ("allOf",)):
+        if frame.has_references_through_keyword(location.pointer, "allOf"):
             return False
         for ia, a in enumerate(all_of):
             if not _mergeable_branch(a):
@@ -647,7 +647,7 @@ class TypeUnionImplicit(Rule):
         from blaze_spark.plans.transform.engine import get_at
         if not isinstance(schema, dict) or not schema:
             return False
-        if V.D3 in vocab and "disallow" in schema:
+        if not vocab.isdisjoint({V.D3, V.D3H}) and "disallow" in schema:
             return False
         if not vocab_any(vocab, frozenset(
                 {V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4,
@@ -789,7 +789,7 @@ class Draft3TypeAny(Rule):
     name = "draft3_type_any"
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         type_value = schema.get("type")
         if type_value is None:
@@ -870,7 +870,7 @@ class TypeUnionToSchemas(Rule):
     name = "type_union_to_schemas"
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         type_value = schema.get("type")
         if not isinstance(type_value, list):
@@ -904,7 +904,7 @@ class TypeUnionDistributeKeywords(Rule):
                "inside the branch of the type that it applies to")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         type_value = schema.get("type")
         if not isinstance(type_value, list) or not type_value:
@@ -1056,7 +1056,7 @@ class DependenciesToExtendsDisallow(Rule):
     name = "dependencies_to_extends_disallow"
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         dependencies = schema.get("dependencies")
         if not isinstance(dependencies, dict):
@@ -1195,22 +1195,22 @@ class EnumDropRedundantValidation(Rule):
             if ktype in (W.UNKNOWN, W.ANNOTATION, W.OTHER, W.COMMENT,
                          W.LOCATION_MEMBERS):
                 continue
-            if key == "required" and V.D3 in vocab:
+            if key == "required" and not vocab.isdisjoint({V.D3, V.D3H}):
                 continue
             if value is True:
-                if not frame.has_references_through(
-                        location.pointer + (key,)):
+                if not frame.has_references_through_keyword(
+                        location.pointer, key):
                     drop.append(key)
                 continue
             if isinstance(value, dict) and not value:
                 drop.append(key)
                 continue
-            if not frame.has_references_through(location.pointer + (key,)):
+            if not frame.has_references_through_keyword(location.pointer, key):
                 wrap.append(key)
         if not drop and not wrap:
             return False
         return {"drop": drop, "wrap": wrap, "has_if_group": has_if_group,
-                "pre_draft4": V.D3 in vocab}
+                "pre_draft4": not vocab.isdisjoint({V.D3, V.D3H})}
 
     def transform(self, schema, result):
         for key in result["drop"]:
@@ -1254,7 +1254,7 @@ class EnumSplitByType(Rule):
             vocab_any(vocab, frozenset({V.D4, V.D6, V.D7}))
             or (V.V19_VALIDATION in vocab and V.V19_APPLICATOR in vocab)
             or (V.V20_VALIDATION in vocab and V.V20_APPLICATOR in vocab))
-        type_union_dialect = V.D3 in vocab
+        type_union_dialect = not vocab.isdisjoint({V.D3, V.D3H})
         if not (any_of_dialect or type_union_dialect):
             return False
         if not isinstance(schema, dict):
@@ -1574,7 +1574,7 @@ class TypeWithApplicatorToExtends(Rule):
     name = "type_with_applicator_to_extends"
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         has_extends = isinstance(schema.get("extends"), list)
         has_disallow = isinstance(schema.get("disallow"), list)
@@ -1721,7 +1721,7 @@ class AdditionalItemsImplicit(Rule):
         if not (isinstance(schema.get("items"), list)
                 and "additionalItems" not in schema):
             return False
-        return {"draft3": V.D3 in vocab}
+        return {"draft3": not vocab.isdisjoint({V.D3, V.D3H})}
 
     def transform(self, schema, result):
         schema["additionalItems"] = {} if result["draft3"] else True
@@ -1738,7 +1738,7 @@ class RequiredPropertyImplicit(Rule):
                 and "$ref" not in prop and "required" not in prop)
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         if schema.get("type") != "object":
             return False
@@ -1762,7 +1762,7 @@ class DuplicateDisallowEntries(Rule):
                "guaranteed to not affect the validation result")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         disallow = schema.get("disallow")
         if not isinstance(disallow, list):
@@ -1770,8 +1770,7 @@ class DuplicateDisallowEntries(Rule):
         keys = [json_strict_key(e) for e in disallow]
         if len(set(keys)) == len(keys):
             return False
-        return not frame.has_references_through(
-            location.pointer + ("disallow",))
+        return not frame.has_references_through_keyword(location.pointer, "disallow")
 
     def transform(self, schema, result):
         from blaze_spark.plans.transform.rules_util import unique_values
@@ -1787,7 +1786,7 @@ class DisallowArrayToExtends(Rule):
                "`disallow` in an `extends` branch")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         disallow = schema.get("disallow")
         return isinstance(disallow, list) and len(disallow) > 1
@@ -1849,7 +1848,7 @@ class DisallowExtendsToType(Rule):
                "union where each branch is its own single negation")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         disallow = schema.get("disallow")
         if not isinstance(disallow, list) or len(disallow) != 1:
@@ -1890,7 +1889,7 @@ class DisallowTypeUnionToExtends(Rule):
                "`extends` where each branch is its own single negation")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         disallow = schema.get("disallow")
         if not isinstance(disallow, list) or len(disallow) != 1:
@@ -1937,7 +1936,7 @@ class DisallowDoubleNegation(Rule):
                "equivalent to the inner schema")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         disallow = schema.get("disallow")
         if not isinstance(disallow, list) or len(disallow) != 1:
@@ -1986,7 +1985,7 @@ class RequiredToExtends(Rule):
     _TOP = {"required", "extends", "$schema", "id", "$ref"}
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         if not isinstance(schema.get("required"), bool):
             return False
@@ -2042,7 +2041,7 @@ class _SingleBranchCombinator(Rule):
                  or "unevaluatedItems" in schema))
         if self.block_on_unevaluated and has_unevaluated:
             return False
-        if frame.has_references_through(location.pointer + (kw,)):
+        if frame.has_references_through_keyword(location.pointer, kw):
             return False
         branch = branches[0]
         if self.check_branch_refs and isinstance(branch, dict):
@@ -2328,7 +2327,7 @@ class DivisibleByImplicit(Rule):
     name = "divisible_by_implicit"
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        return (V.D3 in vocab and isinstance(schema, dict)
+        return (not vocab.isdisjoint({V.D3, V.D3H}) and isinstance(schema, dict)
                 and "divisibleBy" not in schema
                 and schema.get("type") == "integer")
 

@@ -57,8 +57,7 @@ class ContentSchemaWithoutMediaType(Rule):
                 and "contentSchema" in schema
                 and "contentMediaType" not in schema):
             return False
-        return not frame.has_references_through(
-            location.pointer + ("contentSchema",))
+        return not frame.has_references_through_keyword(location.pointer, "contentSchema")
 
     def transform(self, schema, result):
         del schema["contentSchema"]
@@ -86,7 +85,8 @@ class DraftOfficialDialectWithHttps(Rule):
                "\"http://\" instead of \"https://\"")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if not vocab_any(vocab, frozenset({V.D3, V.D4, V.D6, V.D7})):
+        if not vocab_any(vocab, frozenset(
+                {V.D3, V.D4, V.D6, V.D7, V.D3H, V.D4H, V.D6H, V.D7H})):
             return False
         if not isinstance(schema, dict):
             return False
@@ -142,10 +142,10 @@ class NonApplicableTypeSpecificKeywords(Rule):
             instances = W.walk_instances(key, vocab)
             if not instances:
                 continue
-            if key == "required" and V.D3 in vocab:
+            if key == "required" and not vocab.isdisjoint({V.D3, V.D3H}):
                 continue
             if not (instances & current_types):
-                if frame.has_references_through(location.pointer + (key,)):
+                if frame.has_references_through_keyword(location.pointer, key):
                     continue
                 dead.append(key)
         return {"keys": dead} if dead else False
@@ -191,7 +191,7 @@ class NonApplicableDisallowTypes(Rule):
                "parent `type` can never match and can be dropped")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         disallow = schema.get("disallow")
         if not isinstance(disallow, list) or not disallow:
@@ -238,7 +238,7 @@ class DisallowNarrowsType(Rule):
                "corresponding `disallow` entries dropped")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         disallow = schema.get("disallow")
         if not isinstance(disallow, list) or not disallow:
@@ -294,7 +294,7 @@ class AnyOfRemoveFalseSchemas(Rule):
         if not isinstance(anyof, list) or not any(
                 e is False for e in anyof):
             return False
-        if frame.has_references_through(location.pointer + ("anyOf",)):
+        if frame.has_references_through_keyword(location.pointer, "anyOf"):
             return False
         if not any(e is not False for e in anyof):
             return False
@@ -330,8 +330,7 @@ class AnyOfTrueSimplify(Rule):
                 cursor = frame.by_pointer.get(cursor.parent)
         for entry in anyof:
             if entry is True or (isinstance(entry, dict) and not entry):
-                if frame.has_references_through(
-                        location.pointer + ("anyOf",)):
+                if frame.has_references_through_keyword(location.pointer, "anyOf"):
                     return False
                 return True
         return False
@@ -416,7 +415,7 @@ class _FlattenNested(Rule):
         if not any(isinstance(b, dict) and len(b) == 1
                    and isinstance(b.get(kw), list) for b in branches):
             return False
-        if frame.has_references_through(location.pointer + (kw,)):
+        if frame.has_references_through_keyword(location.pointer, kw):
             return False
         return True
 
@@ -567,8 +566,8 @@ class _CombinatorFalseSimplify(Rule):
                 return False
         elif not any(b is False for b in branches):
             return False
-        return not frame.has_references_through(
-            location.pointer + (self.keyword,))
+        return not frame.has_references_through_keyword(
+            location.pointer, self.keyword)
 
     def transform(self, schema, result):
         del schema[self.keyword]
@@ -624,7 +623,7 @@ class DoubleNegationElimination(Rule):
                 "unevaluatedProperties" in schema
                 or "unevaluatedItems" in schema):
             return False
-        return not frame.has_references_through(location.pointer + ("not",))
+        return not frame.has_references_through_keyword(location.pointer, "not")
 
     def transform(self, schema, result):
         inner = schema["not"]["not"]
@@ -726,11 +725,12 @@ class UnsatisfiableDropValidation(Rule):
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
         if not vocab_any(vocab, frozenset(
-                {V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6, V.D3})):
+                {V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6,
+                 V.D3, V.D3H})):
             return False
         if not isinstance(schema, dict):
             return False
-        if V.D3 in vocab:
+        if not vocab.isdisjoint({V.D3, V.D3H}):
             trigger = "disallow" if (
                 "disallow" in schema
                 and _is_disallow_tautology(schema["disallow"])) else ""
@@ -746,7 +746,7 @@ class UnsatisfiableDropValidation(Rule):
                 continue
             if W.walk_type(key, vocab) not in _REMOVABLE_FOR_UNSAT:
                 continue
-            if frame.has_references_through(location.pointer + (key,)):
+            if frame.has_references_through_keyword(location.pointer, key):
                 continue
             keys.append(key)
         return {"keys": keys} if keys else False
@@ -770,8 +770,8 @@ class _MeaninglessWithout(Rule):
             return False
         if any(k in schema for k in self.requires):
             return False
-        if self.check_refs and frame.has_references_through(
-                location.pointer + (self.keyword,)):
+        if self.check_refs and frame.has_references_through_keyword(
+                location.pointer, self.keyword):
             return False
         return True
 
@@ -864,7 +864,7 @@ class NotFalse(Rule):
             return False
         if schema.get("not") is not False:
             return False
-        return not frame.has_references_through(location.pointer + ("not",))
+        return not frame.has_references_through_keyword(location.pointer, "not")
 
     def transform(self, schema, result):
         del schema["not"]
@@ -879,14 +879,15 @@ class DependenciesPropertyTautology(Rule):
                "complex use of `dependencies`")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if not vocab_any(vocab, frozenset({V.D7, V.D6, V.D4, V.D3})):
+        if not vocab_any(vocab, frozenset(
+                {V.D7, V.D6, V.D4, V.D3, V.D3H})):
             return False
         if not isinstance(schema, dict):
             return False
         dependencies = schema.get("dependencies")
         if not isinstance(dependencies, dict):
             return False
-        if V.D3 in vocab:
+        if not vocab.isdisjoint({V.D3, V.D3H}):
             properties = schema.get("properties")
             if not isinstance(properties, dict):
                 return False
@@ -1110,7 +1111,8 @@ class EnumWithType(Rule):
                "their respective types")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if not vocab_any(vocab, _VAL_3UP) or not isinstance(schema, dict):
+        if not vocab_any(vocab, _VAL_3UP | {V.D3H}) or not isinstance(
+                schema, dict):
             return False
         if "type" not in schema:
             return False
@@ -1118,7 +1120,7 @@ class EnumWithType(Rule):
         enum_value = schema.get("enum")
         if not isinstance(enum_value, list):
             return False
-        if V.D3 in vocab:
+        if not vocab.isdisjoint({V.D3, V.D3H}):
             if type_value == "any":
                 return True
             if isinstance(type_value, list):
@@ -1179,7 +1181,7 @@ class NonApplicableEnumValidationKeywords(Rule):
             instances = W.walk_instances(key, vocab)
             if not instances:
                 continue
-            if V.D3 in vocab and key == "required" and isinstance(
+            if not vocab.isdisjoint({V.D3, V.D3H}) and key == "required" and isinstance(
                     value, bool):
                 continue
             if not (instances & enum_types):
@@ -1290,8 +1292,7 @@ class NonApplicableAdditionalItems(Rule):
             return False
         if not isinstance(schema, dict) or "additionalItems" not in schema:
             return False
-        if frame.has_references_through(
-                location.pointer + ("additionalItems",)):
+        if frame.has_references_through_keyword(location.pointer, "additionalItems"):
             return False
         items = schema.get("items")
         if items is None:
@@ -1677,7 +1678,8 @@ class OrphanDefinitions(Rule):
     @staticmethod
     def _has_dynamic_anchor(entry: Any) -> bool:
         if isinstance(entry, dict):
-            if "$dynamicAnchor" in entry or "$recursiveAnchor" in entry:
+            if isinstance(entry.get("$dynamicAnchor"), str) or \
+                    entry.get("$recursiveAnchor") is True:
                 return True
             return any(OrphanDefinitions._has_dynamic_anchor(v)
                        for v in entry.values())
@@ -1725,7 +1727,7 @@ class UnnecessaryExtendsRefWrapper(Rule):
                "there are other sibling keywords")
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab:
+        if vocab.isdisjoint({V.D3, V.D3H}):
             return False
         if not isinstance(schema, dict) or len(schema) != 1:
             return False
@@ -1774,7 +1776,7 @@ class DropExtendsEmptySchemas(Rule):
     message = "Empty schemas in `extends` are redundant and can be removed"
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
-        if V.D3 not in vocab or not isinstance(schema, dict):
+        if vocab.isdisjoint({V.D3, V.D3H}) or not isinstance(schema, dict):
             return False
         if "extends" not in schema:
             return False

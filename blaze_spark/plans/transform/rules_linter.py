@@ -53,8 +53,8 @@ class _IfBranchEmpty(Rule):
         if_value = schema.get("if")
         if not isinstance(value, dict) and if_value is True:
             return False
-        return not frame.has_references_through(
-            location.pointer + (self.keyword,))
+        return not frame.has_references_through_keyword(
+            location.pointer, self.keyword)
 
     def transform(self, schema, result):
         del schema[self.keyword]
@@ -297,7 +297,7 @@ class UnnecessaryExtendsWrapper(_UnnecessaryWrapper):
     keyword = "extends"
 
     def _vocab_ok(self, vocab):
-        return V.D3 in vocab
+        return not vocab.isdisjoint({V.D3, V.D3H})
 
     def _parent_type_usable(self, type_value, vocab):
         return _known_type_form(type_value)
@@ -316,3 +316,902 @@ def linter_only_rules() -> List[Rule]:
 
 
 _LINTER_ONLY: List[Rule] = []
+
+
+_VAL_MODERN = frozenset({V.V20_VALIDATION, V.V19_VALIDATION})
+_VAL_6UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6})
+_VAL_4UP = frozenset({V.V20_VALIDATION, V.V19_VALIDATION, V.D7, V.D6, V.D4})
+_META_3UP = frozenset({V.V20_METADATA, V.V19_METADATA,
+                       V.D7, V.D6, V.D4, V.D3, V.D3H})
+_META_MODERN_7 = frozenset({V.V20_METADATA, V.V19_METADATA, V.D7})
+_META_MODERN_6UP = frozenset({V.V20_METADATA, V.V19_METADATA, V.D7, V.D6})
+_CONTENT = frozenset({V.V20_CONTENT, V.V19_CONTENT})
+_APP_3UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR,
+                      V.D7, V.D6, V.D4, V.D3})
+_APP_6UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6})
+
+
+class ConstNotInEnum(Rule):
+    """reference: linter/const_not_in_enum.h (check-only)"""
+
+    name = "const_not_in_enum"
+    message = ("Do not set the `const` and `enum` keyword at the same "
+               "time, mainly when their values diverge")
+    mutates = False
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_6UP) or not isinstance(schema, dict):
+            return False
+        if "const" not in schema:
+            return False
+        enum_value = schema.get("enum")
+        if not isinstance(enum_value, list):
+            return False
+        return not any(json_equal(e, schema["const"]) for e in enum_value)
+
+
+class _KeywordDefaultDrop(Rule):
+    """Erase a keyword set to its vacuous default value."""
+
+    keyword = ""
+    vocab_group: frozenset = frozenset()
+    check_refs = False
+
+    def _is_default(self, value: Any) -> bool:
+        raise NotImplementedError
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, self.vocab_group) or not isinstance(
+                schema, dict):
+            return False
+        if self.keyword not in schema:
+            return False
+        if not self._is_default(schema[self.keyword]):
+            return False
+        if self.check_refs and frame.has_references_through_keyword(
+                location.pointer, self.keyword):
+            return False
+        return True
+
+    def transform(self, schema, result):
+        del schema[self.keyword]
+
+
+class ContentSchemaDefault(_KeywordDefaultDrop):
+    """reference: linter/content_schema_default.h"""
+
+    name = "content_schema_default"
+    message = ("Setting the `contentSchema` keyword to the true schema "
+               "does not add any further constraint")
+    keyword = "contentSchema"
+    vocab_group = _CONTENT
+    check_refs = True
+
+    def _is_default(self, value):
+        return is_empty_schema(value)
+
+
+class DependenciesDefault(_KeywordDefaultDrop):
+    """reference: linter/dependencies_default.h"""
+
+    name = "dependencies_default"
+    message = ("Setting the `dependencies` keyword to an empty object "
+               "does not add any further constraint")
+    keyword = "dependencies"
+    vocab_group = frozenset({V.D7, V.D6, V.D4, V.D3, V.D3H})
+    check_refs = True
+
+    def _is_default(self, value):
+        return isinstance(value, dict) and not value
+
+
+class DependentRequiredDefault(_KeywordDefaultDrop):
+    """reference: linter/dependent_required_default.h"""
+
+    name = "dependent_required_default"
+    message = ("Setting the `dependentRequired` keyword to an empty "
+               "object does not add any further constraint")
+    keyword = "dependentRequired"
+    vocab_group = _VAL_MODERN
+
+    def _is_default(self, value):
+        return isinstance(value, dict) and not value
+
+
+class ItemsArrayDefault(_KeywordDefaultDrop):
+    """reference: linter/items_array_default.h"""
+
+    name = "items_array_default"
+    message = ("Setting the `items` keyword to the empty array "
+               "does not add any further constraint")
+    keyword = "items"
+    vocab_group = frozenset({V.V19_APPLICATOR, V.D7, V.D6, V.D4, V.D3})
+
+    def _is_default(self, value):
+        return isinstance(value, list) and not value
+
+
+class ItemsSchemaDefault(_KeywordDefaultDrop):
+    """reference: linter/items_schema_default.h"""
+
+    name = "items_schema_default"
+    message = ("Setting the `items` keyword to the true schema "
+               "does not add any further constraint")
+    keyword = "items"
+    vocab_group = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR,
+                             V.D7, V.D6, V.D4, V.D3})
+    check_refs = True
+
+    def _is_default(self, value):
+        return is_empty_schema(value)
+
+
+class DisallowDefault(_KeywordDefaultDrop):
+    """reference: linter/disallow_default.h"""
+
+    name = "disallow_default"
+    message = ("Setting the `disallow` keyword to the empty "
+               "array does not add any further constraint")
+    keyword = "disallow"
+    vocab_group = frozenset({V.D3})
+
+    def _is_default(self, value):
+        return isinstance(value, list) and not value
+
+
+def _is_one(value: Any) -> bool:
+    return is_number(value) and float(value) == 1.0
+
+
+class DivisibleByDefault(Rule):
+    """reference: linter/divisible_by_default.h"""
+
+    name = "divisible_by_default"
+    message = "Setting `divisibleBy` to 1 does not add any further " \
+              "constraint"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (not vocab.isdisjoint({V.D3, V.D3H}) and isinstance(schema, dict)
+                and schema.get("type") == "integer"
+                and _is_one(schema.get("divisibleBy")))
+
+    def transform(self, schema, result):
+        del schema["divisibleBy"]
+
+
+class MultipleOfDefault(Rule):
+    """reference: linter/multiple_of_default.h"""
+
+    name = "multiple_of_default"
+    message = "Setting `multipleOf` to 1 does not add any further " \
+              "constraint"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (vocab_any(vocab, _VAL_4UP) and isinstance(schema, dict)
+                and schema.get("type") == "integer"
+                and _is_one(schema.get("multipleOf")))
+
+    def transform(self, schema, result):
+        del schema["multipleOf"]
+
+
+class PatternPropertiesDefault(_KeywordDefaultDrop):
+    """reference: linter/pattern_properties_default.h"""
+
+    name = "pattern_properties_default"
+    message = ("Setting the `patternProperties` keyword to the empty "
+               "object does not add any further constraint")
+    keyword = "patternProperties"
+    vocab_group = _APP_3UP
+
+    def _is_default(self, value):
+        return isinstance(value, dict) and not value
+
+
+def _is_ecma_regex(pattern: str) -> bool:
+    """Strict ECMA-262 regex check (core is_regex_ecma analog): Python
+    acceptance is necessary but not sufficient — reject constructs the
+    ECMA grammar forbids even though other engines allow them."""
+    import re
+    if re.search(r"\(\?P[<=]", pattern):
+        return False  # Python/PCRE named groups: ECMA uses (?<name>...)
+    if "[[:" in pattern:
+        return False  # POSIX character classes
+    # identity escapes of ASCII letters are invalid in ECMA unless the
+    # letter names a recognized class/escape
+    for m in re.finditer(r"\\([A-Za-z])", pattern):
+        if m.group(1) not in "bBdDsSwWfnrtvcxupkPQE0":
+            return False
+        if m.group(1) in "QE":
+            return False  # PCRE quoting, not ECMA
+    try:
+        from blaze_spark.functions.regexes import compile_ecma
+        compile_ecma(pattern)
+        return True
+    except re.error:
+        return False
+    except Exception:
+        return False
+
+
+class PatternNonEcmaRegex(Rule):
+    """reference: linter/pattern_non_ecma_regex.h (check-only)"""
+
+    name = "pattern_non_ecma_regex"
+    message = ("For interoperability reasons, only set this keyword to a "
+               "regular expression that strictly adheres to the ECMA-262 "
+               "dialect")
+    mutates = False
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset(
+                {V.V20_VALIDATION, V.V19_VALIDATION,
+                 V.D7, V.D6, V.D4, V.D3, V.D7H, V.D6H, V.D4H, V.D3H})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        pattern = schema.get("pattern")
+        return isinstance(pattern, str) and not _is_ecma_regex(pattern)
+
+
+class PatternPropertiesNonEcmaRegex(Rule):
+    """reference: linter/pattern_properties_non_ecma_regex.h (check-only)"""
+
+    name = "pattern_properties_non_ecma_regex"
+    message = ("For interoperability reasons, only set the keys of this "
+               "keyword to regular expressions that strictly adhere to "
+               "the ECMA-262 dialect")
+    mutates = False
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_3UP) or not isinstance(schema, dict):
+            return False
+        pattern_properties = schema.get("patternProperties")
+        if not isinstance(pattern_properties, dict):
+            return False
+        return any(not _is_ecma_regex(k) for k in pattern_properties)
+
+
+class PropertiesDefault(_KeywordDefaultDrop):
+    """reference: linter/properties_default.h"""
+
+    name = "properties_default"
+    message = ("Setting the `properties` keyword to the empty object "
+               "does not add any further constraint")
+    keyword = "properties"
+    vocab_group = _APP_3UP
+
+    def _is_default(self, value):
+        return isinstance(value, dict) and not value
+
+
+class PropertyNamesDefault(_KeywordDefaultDrop):
+    """reference: linter/property_names_default.h"""
+
+    name = "property_names_default"
+    message = ("Setting the `propertyNames` keyword to the empty object "
+               "does not add any further constraint")
+    keyword = "propertyNames"
+    vocab_group = _APP_6UP
+    check_refs = True
+
+    def _is_default(self, value):
+        return isinstance(value, dict) and not value
+
+
+class PropertyNamesTypeDefault(Rule):
+    """reference: linter/property_names_type_default.h"""
+
+    name = "property_names_type_default"
+    message = ("Setting the `type` keyword to `string` inside "
+               "`propertyNames` does not add any further constraint")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _APP_6UP) or not isinstance(schema, dict):
+            return False
+        property_names = schema.get("propertyNames")
+        if not isinstance(property_names, dict):
+            return False
+        type_value = property_names.get("type")
+        if type_value == "string":
+            return True
+        return (isinstance(type_value, list) and type_value
+                and all(e == "string" for e in type_value))
+
+    def transform(self, schema, result):
+        del schema["propertyNames"]["type"]
+
+
+class UnevaluatedItemsDefault(_KeywordDefaultDrop):
+    """reference: linter/unevaluated_items_default.h"""
+
+    name = "unevaluated_items_default"
+    message = ("Setting the `unevaluatedItems` keyword to the true schema "
+               "does not add any further constraint")
+    keyword = "unevaluatedItems"
+    vocab_group = _UNEVAL
+    check_refs = True
+
+    def _is_default(self, value):
+        return is_empty_schema(value)
+
+
+class UnevaluatedPropertiesDefault(_KeywordDefaultDrop):
+    """reference: linter/unevaluated_properties_default.h"""
+
+    name = "unevaluated_properties_default"
+    message = ("Setting the `unevaluatedProperties` keyword to the true "
+               "schema does not add any further constraint")
+    keyword = "unevaluatedProperties"
+    vocab_group = _UNEVAL
+    check_refs = True
+
+    def _is_default(self, value):
+        return is_empty_schema(value)
+
+
+class UnsatisfiableMaxContains(Rule):
+    """reference: linter/unsatisfiable_max_contains.h"""
+
+    name = "unsatisfiable_max_contains"
+    message = ("Setting the `maxContains` keyword to a number greater "
+               "than or equal to the array upper bound does not add any "
+               "further constraint")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_MODERN) or not isinstance(
+                schema, dict):
+            return False
+        max_contains = schema.get("maxContains")
+        max_items = schema.get("maxItems")
+        return (is_integer(max_contains) and is_integer(max_items)
+                and max_contains >= max_items)
+
+    def transform(self, schema, result):
+        del schema["maxContains"]
+
+
+class IncoherentMinMaxContains(Rule):
+    """reference: linter/incoherent_min_max_contains.h (check-only)"""
+
+    name = "incoherent_min_max_contains"
+    message = ("`minContains` greater than `maxContains` makes the schema "
+               "unsatisfiable")
+    mutates = False
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_MODERN) or not isinstance(
+                schema, dict):
+            return False
+        if "contains" not in schema:
+            return False
+        min_contains = schema.get("minContains")
+        max_contains = schema.get("maxContains")
+        return (is_integer(min_contains) and is_integer(max_contains)
+                and min_contains > max_contains)
+
+
+class UnsatisfiableMinProperties(Rule):
+    """reference: linter/unsatisfiable_min_properties.h"""
+
+    name = "unsatisfiable_min_properties"
+    message = ("Setting `minProperties` to a number less than `required` "
+               "does not add any further constraint")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_4UP) or not isinstance(schema, dict):
+            return False
+        min_properties = schema.get("minProperties")
+        if not is_integer(min_properties):
+            return False
+        required = schema.get("required")
+        if not isinstance(required, list):
+            return False
+        keys = [json_strict_key(v) for v in required]
+        if len(set(keys)) != len(keys):
+            return False
+        return len(required) >= min_properties
+
+    def transform(self, schema, result):
+        del schema["minProperties"]
+
+
+class EnumToConst(Rule):
+    """reference: linter/enum_to_const.h"""
+
+    name = "enum_to_const"
+    message = "An `enum` of a single value can be expressed as `const`"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_6UP) or not isinstance(schema, dict):
+            return False
+        if "const" in schema:
+            return False
+        enum_value = schema.get("enum")
+        return isinstance(enum_value, list) and len(enum_value) == 1
+
+    def transform(self, schema, result):
+        schema["const"] = schema.pop("enum")[0]
+
+
+class ForbidEmptyEnum(Rule):
+    """reference: linter/forbid_empty_enum.h"""
+
+    name = "forbid_empty_enum"
+    message = "An empty `enum` validates nothing and is unsatisfiable"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _VAL_4UP) or not isinstance(schema, dict):
+            return False
+        if "not" in schema:
+            return False
+        enum_value = schema.get("enum")
+        if not (isinstance(enum_value, list) and not enum_value):
+            return False
+        return not frame.has_references_through(location.pointer)
+
+    def transform(self, schema, result):
+        del schema["enum"]
+        schema["not"] = {}
+
+
+class _TopLevelMetadata(Rule):
+    keyword = ""
+    mutates = False
+    vocab_group: frozenset = frozenset()
+    empty_check = staticmethod(lambda v: isinstance(v, str) and not v)
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if location.pointer != ():
+            return False
+        if not vocab_any(vocab, self.vocab_group):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        value = schema.get(self.keyword)
+        if value is None:
+            return True
+        return self.empty_check(value)
+
+
+class TopLevelTitle(_TopLevelMetadata):
+    """reference: linter/top_level_title.h (check-only)"""
+
+    name = "top_level_title"
+    message = ("Set a concise non-empty title at the top level of the "
+               "schema to explain what the definition is about")
+    keyword = "title"
+    vocab_group = _META_3UP
+
+
+class TopLevelDescription(_TopLevelMetadata):
+    """reference: linter/top_level_description.h (check-only)"""
+
+    name = "top_level_description"
+    message = ("Set a non-empty description at the top level of the "
+               "schema to explain what the definition is about in detail")
+    keyword = "description"
+    vocab_group = _META_3UP
+
+
+class TopLevelExamples(_TopLevelMetadata):
+    """reference: linter/top_level_examples.h (check-only)"""
+
+    name = "top_level_examples"
+    message = ("Set a non-empty examples array at the top level of the "
+               "schema to illustrate the expected data")
+    keyword = "examples"
+    vocab_group = _META_MODERN_6UP
+    empty_check = staticmethod(lambda v: isinstance(v, list) and not v)
+
+
+class TitleDescriptionEqual(Rule):
+    """reference: linter/title_description_equal.h"""
+
+    name = "title_description_equal"
+    message = ("The title and description metadata keywords should not "
+               "be set to the same value")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _META_3UP) or not isinstance(schema, dict):
+            return False
+        return (isinstance(schema.get("title"), str)
+                and isinstance(schema.get("description"), str)
+                and schema["title"] == schema["description"])
+
+    def transform(self, schema, result):
+        del schema["description"]
+
+
+class _TrailingPeriod(Rule):
+    keyword = ""
+    vocab_group = _META_3UP
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, self.vocab_group) or not isinstance(
+                schema, dict):
+            return False
+        value = schema.get(self.keyword)
+        return isinstance(value, str) and value.endswith(".")
+
+    def transform(self, schema, result):
+        schema[self.keyword] = schema[self.keyword].rstrip(".")
+
+
+class TitleTrailingPeriod(_TrailingPeriod):
+    """reference: linter/title_trailing_period.h"""
+
+    name = "title_trailing_period"
+    message = ("Titles should not end with a period to give user "
+               "interfaces flexibility in presenting the text")
+    keyword = "title"
+
+
+class DescriptionTrailingPeriod(_TrailingPeriod):
+    """reference: linter/description_trailing_period.h"""
+
+    name = "description_trailing_period"
+    message = ("Descriptions should not end with a period to give user "
+               "interfaces flexibility in presenting the text")
+    keyword = "description"
+
+
+class _Trim(Rule):
+    keyword = ""
+    vocab_group = _META_3UP
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, self.vocab_group) or not isinstance(
+                schema, dict):
+            return False
+        value = schema.get(self.keyword)
+        return isinstance(value, str) and value != value.strip()
+
+    def transform(self, schema, result):
+        schema[self.keyword] = schema[self.keyword].strip()
+
+
+class TitleTrim(_Trim):
+    """reference: linter/title_trim.h"""
+
+    name = "title_trim"
+    message = "Titles should not contain leading or trailing whitespace"
+    keyword = "title"
+
+
+class DescriptionTrim(_Trim):
+    """reference: linter/description_trim.h"""
+
+    name = "description_trim"
+    message = ("Descriptions should not contain leading or trailing "
+               "whitespace")
+    keyword = "description"
+
+
+class CommentTrim(_Trim):
+    """reference: linter/comment_trim.h"""
+
+    name = "comment_trim"
+    message = "Comments should not contain leading or trailing whitespace"
+    keyword = "$comment"
+    vocab_group = frozenset({V.V20_CORE, V.V19_CORE, V.D7})
+
+
+class ConflictingReadOnlyWriteOnly(Rule):
+    """reference: linter/conflicting_readonly_writeonly.h (check-only)"""
+
+    name = "conflicting_readonly_writeonly"
+    message = "The `readOnly` and `writeOnly` keywords are mutually " \
+              "exclusive"
+    mutates = False
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _META_MODERN_7) or not isinstance(
+                schema, dict):
+            return False
+        return (schema.get("readOnly") is True
+                and schema.get("writeOnly") is True)
+
+
+class DuplicateExamples(Rule):
+    """reference: linter/duplicate_examples.h"""
+
+    name = "duplicate_examples"
+    message = "Setting duplicate values in `examples` is redundant"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _META_MODERN_6UP) or not isinstance(
+                schema, dict):
+            return False
+        examples = schema.get("examples")
+        if not isinstance(examples, list):
+            return False
+        keys = [json_strict_key(v) for v in examples]
+        return len(set(keys)) != len(keys)
+
+    def transform(self, schema, result):
+        from blaze_spark.plans.transform.rules_util import unique_values
+        schema["examples"] = unique_values(schema["examples"])
+
+
+class SimplePropertiesIdentifiers(Rule):
+    """reference: linter/simple_properties_identifiers.h (check-only)"""
+
+    name = "simple_properties_identifiers"
+    message = ("Set `properties` to identifier names that can be easily "
+               "mapped to programming languages (matching "
+               "[A-Za-z_][A-Za-z0-9_]*)")
+    mutates = False
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        import re
+        if not vocab_any(vocab, _APP_3UP) or not isinstance(schema, dict):
+            return False
+        properties = schema.get("properties")
+        if not isinstance(properties, dict) or not properties:
+            return False
+        if vocab_any(vocab, _CORE_MODERN):
+            # skip metaschemas declaring $vocabulary
+            base_ptr = frame.resources.get(location.base)
+            if base_ptr is not None:
+                resource = get_at(root, base_ptr)
+                if isinstance(resource, dict) and "$vocabulary" in resource:
+                    return False
+        else:
+            if location.base and (
+                    location.base == (location.dialect or "")
+                    or location.base + "#" == (location.dialect or "")):
+                return False
+        pattern = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+        return any(not pattern.match(k) for k in properties)
+
+
+class PortableAnchorNames(Rule):
+    """reference: linter/portable_anchor_names.h (check-only)"""
+
+    name = "portable_anchor_names"
+    message = ("Keep anchors within the safe allowed character set across "
+               "JSON Schema dialects (`^[A-Za-z][A-Za-z0-9_.-]*$`)")
+    mutates = False
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        import re
+        if not vocab_any(vocab, frozenset(
+                {V.V20_CORE, V.V19_CORE, V.D7, V.D6, V.D4})):
+            return False
+        if not isinstance(schema, dict):
+            return False
+        safe = re.compile(r"^[A-Za-z][A-Za-z0-9_.\-]*$")
+        anchors = []
+        if vocab_any(vocab, _CORE_MODERN):
+            anchors.append(schema.get("$anchor"))
+        if V.V20_CORE in vocab:
+            anchors.append(schema.get("$dynamicAnchor"))
+        for value in anchors:
+            if isinstance(value, str) and value and not safe.match(value):
+                return True
+        if vocab_any(vocab, frozenset({V.D7, V.D6, V.D4})):
+            id_keyword = "id" if V.D4 in vocab else "$id"
+            value = schema.get(id_keyword)
+            if isinstance(value, str) and "#" in value:
+                fragment = value.partition("#")[2]
+                if fragment and not safe.match(fragment):
+                    return True
+        return False
+
+
+class InvalidExternalRef(Rule):
+    """reference: linter/invalid_external_ref.h (check-only)"""
+
+    name = "invalid_external_ref"
+    message = "External references must point to schemas that can be " \
+              "resolved"
+    mutates = False
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if all(frame.traverse(r.value, r.base) is not None
+               for r in frame.references):
+            return False  # standalone schema
+        if not vocab_any(vocab, frozenset(
+                {V.V20_CORE, V.V19_CORE, V.D7, V.D6, V.D4, V.D3})):
+            return False
+        if not isinstance(schema, dict) or not isinstance(
+                schema.get("$ref"), str):
+            return False
+        if frame.traverse(schema["$ref"], location.base) is not None:
+            return False
+        from blaze_spark.plans.frame import joinuri
+        resolved = joinuri(location.base or "", schema["$ref"])
+        base, _, fragment = resolved.partition("#")
+        if not base:
+            return False
+        if frame.traverse(base, location.base) is not None:
+            return False
+        if frame.resolver is None:
+            return True
+        try:
+            remote = frame.resolver(base)
+        except Exception:
+            remote = None
+        if remote is None:
+            return True
+        if fragment:
+            remote_frame = type(frame)(remote, frame.resolver,
+                                       location.dialect or "", base)
+            return remote_frame.traverse("#" + fragment, base) is None
+        return False
+
+
+_KNOWN_FORMATS = {
+    "draft3": {"date-time", "date", "time", "utc-millisec", "regex",
+               "color", "style", "phone", "uri", "email", "ip-address",
+               "ipv6", "host-name"},
+    "draft4": {"date-time", "email", "hostname", "ipv4", "ipv6", "uri"},
+    "draft6": {"date-time", "email", "hostname", "ipv4", "ipv6", "uri",
+               "uri-reference", "uri-template", "json-pointer"},
+    "draft7": {"date-time", "date", "time", "email", "idn-email",
+               "hostname", "idn-hostname", "ipv4", "ipv6", "uri",
+               "uri-reference", "iri", "iri-reference", "uri-template",
+               "json-pointer", "relative-json-pointer", "regex"},
+    "modern": {"date-time", "date", "time", "duration", "email",
+               "idn-email", "hostname", "idn-hostname", "ipv4", "ipv6",
+               "uri", "uri-reference", "iri", "iri-reference", "uuid",
+               "uri-template", "json-pointer", "relative-json-pointer",
+               "regex"},
+}
+
+
+class UnknownFormatPrefix(Rule):
+    """reference: linter/unknown_format_prefix.h"""
+
+    name = "unknown_format_prefix"
+    message = ("For interoperability purposes, the JSON Schema "
+               "specification advises against the use of `format` values "
+               "that are not explicitly defined by the specification")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not isinstance(schema, dict) or not isinstance(
+                schema.get("format"), str):
+            return False
+        if not vocab.isdisjoint({V.D3, V.D3H}):
+            known = _KNOWN_FORMATS["draft3"]
+        elif V.D4 in vocab:
+            known = _KNOWN_FORMATS["draft4"]
+        elif V.D6 in vocab:
+            known = _KNOWN_FORMATS["draft6"]
+        elif V.D7 in vocab:
+            known = _KNOWN_FORMATS["draft7"]
+        elif vocab_any(vocab, frozenset(
+                {V.V19_FORMAT, V.V20_FORMAT_ANNOTATION,
+                 V.V20_FORMAT_ASSERTION})):
+            known = _KNOWN_FORMATS["modern"]
+        else:
+            return False
+        return schema["format"] not in known
+
+    def transform(self, schema, result):
+        prefixed = "x-format"
+        while prefixed in schema:
+            prefixed = "x-" + prefixed
+        schema[prefixed] = schema.pop("format")
+
+
+_EVAL_URN = "urn:x-blaze-spark:alterschema-valid-check"
+
+
+def _evaluates_at(frame, location, instance):
+    """Validate ``instance`` against the subschema AT ``location``
+    evaluated in its full root context (linter/valid_default.h compiles
+    through the frame so $ref into siblings and external documents
+    resolve); None when evaluation is impossible."""
+    import copy as _copy
+    from blaze_spark.plans.transform.engine import pointer_str
+    try:
+        from blaze_spark.operators.evaluator import evaluate
+        from blaze_spark.plans.compiler import compile_schema
+        root = _copy.deepcopy(frame.root)
+        root_loc = frame.locations[0] if frame.locations else None
+        wrapper = {}
+        dialect = (root_loc.dialect if root_loc else None) or             (location.dialect or "")
+        if dialect:
+            wrapper["$schema"] = dialect
+        wrapper["$ref"] = _EVAL_URN + "#" + pointer_str(location.pointer)
+
+        def resolver(uri):
+            if uri.split("#")[0] == _EVAL_URN:
+                return root
+            if frame.resolver is not None:
+                return frame.resolver(uri)
+            return None
+
+        plan = compile_schema(wrapper, mode="fast", resolver=resolver)
+        return evaluate(plan, instance).valid
+    except Exception:
+        return None
+
+
+class ValidDefault(Rule):
+    """reference: linter/valid_default.h"""
+
+    name = "valid_default"
+    message = "Only set a `default` value that validates against the " \
+              "schema"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _META_3UP) or not isinstance(schema, dict):
+            return False
+        if "default" not in schema:
+            return False
+        if vocab_any(vocab, frozenset({V.D7, V.D6, V.D4, V.D3})) and \
+                "$ref" in schema:
+            return False
+        return _evaluates_at(frame, location, schema["default"]) is False
+
+    def transform(self, schema, result):
+        del schema["default"]
+
+
+class ValidExamples(Rule):
+    """reference: linter/valid_examples.h"""
+
+    name = "valid_examples"
+    message = ("Only include instances in the `examples` array "
+               "that validate against the schema")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, _META_MODERN_6UP) or not isinstance(
+                schema, dict):
+            return False
+        examples = schema.get("examples")
+        if not isinstance(examples, list) or not examples:
+            return False
+        if vocab_any(vocab, frozenset({V.D7, V.D6})) and "$ref" in schema:
+            return False
+        return any(_evaluates_at(frame, location, ex) is False
+                   for ex in examples)
+
+    def transform(self, schema, result):
+        del schema["examples"]
+
+
+_LINTER_ONLY.extend([
+    ConstNotInEnum(),
+    ContentSchemaDefault(),
+    DependenciesDefault(),
+    DependentRequiredDefault(),
+    ItemsArrayDefault(),
+    ItemsSchemaDefault(),
+    DisallowDefault(),
+    DivisibleByDefault(),
+    MultipleOfDefault(),
+    PatternPropertiesDefault(),
+    PatternNonEcmaRegex(),
+    PatternPropertiesNonEcmaRegex(),
+    PropertiesDefault(),
+    PropertyNamesDefault(),
+    PropertyNamesTypeDefault(),
+    UnevaluatedItemsDefault(),
+    UnevaluatedPropertiesDefault(),
+    UnsatisfiableMaxContains(),
+    IncoherentMinMaxContains(),
+    UnsatisfiableMinProperties(),
+    EnumToConst(),
+    ForbidEmptyEnum(),
+    TopLevelTitle(),
+    TopLevelDescription(),
+    TopLevelExamples(),
+    TitleDescriptionEqual(),
+    TitleTrailingPeriod(),
+    DescriptionTrailingPeriod(),
+    TitleTrim(),
+    DescriptionTrim(),
+    CommentTrim(),
+    ConflictingReadOnlyWriteOnly(),
+    DuplicateExamples(),
+    SimplePropertiesIdentifiers(),
+    PortableAnchorNames(),
+    InvalidExternalRef(),
+    UnknownFormatPrefix(),
+    ValidDefault(),
+    ValidExamples(),
+])

@@ -18,6 +18,13 @@ D3 = "draft3"
 D4 = "draft4"
 D6 = "draft6"
 D7 = "draft7"
+# hyper-schema dialects are DISTINCT Known constants in the reference
+# (foundation_vocabularies.h) — most rules gate on the plain dialects
+# only, so e.g. top_level_title does not fire on hyper-schema documents
+D3H = "draft3-hyper"
+D4H = "draft4-hyper"
+D6H = "draft6-hyper"
+D7H = "draft7-hyper"
 V19_CORE = "2019core"
 V19_APPLICATOR = "2019applicator"
 V19_VALIDATION = "2019validation"
@@ -66,13 +73,13 @@ FULL_2020 = frozenset({V20_CORE, V20_APPLICATOR, V20_VALIDATION,
 
 _OFFICIAL = {
     "http://json-schema.org/draft-03/schema": frozenset({D3}),
-    "http://json-schema.org/draft-03/hyper-schema": frozenset({D3}),
+    "http://json-schema.org/draft-03/hyper-schema": frozenset({D3H}),
     "http://json-schema.org/draft-04/schema": frozenset({D4}),
-    "http://json-schema.org/draft-04/hyper-schema": frozenset({D4}),
+    "http://json-schema.org/draft-04/hyper-schema": frozenset({D4H}),
     "http://json-schema.org/draft-06/schema": frozenset({D6}),
-    "http://json-schema.org/draft-06/hyper-schema": frozenset({D6}),
+    "http://json-schema.org/draft-06/hyper-schema": frozenset({D6H}),
     "http://json-schema.org/draft-07/schema": frozenset({D7}),
-    "http://json-schema.org/draft-07/hyper-schema": frozenset({D7}),
+    "http://json-schema.org/draft-07/hyper-schema": frozenset({D7H}),
     "https://json-schema.org/draft/2019-09/schema": FULL_2019,
     "https://json-schema.org/draft/2019-09/hyper-schema": FULL_2019,
     "https://json-schema.org/draft/2020-12/schema": FULL_2020,

@@ -164,7 +164,20 @@ _TABLE = {
 }
 
 
+_HYPER_TO_PLAIN = {V.D3H: V.D3, V.D4H: V.D4, V.D6H: V.D6, V.D7H: V.D7}
+
+
+def _fold_hyper(vocabularies: V.Vocabularies) -> V.Vocabularies:
+    """The walker classifies keywords identically under hyper-schema
+    dialects (known_walker.cc lists every _Hyper variant alongside the
+    plain one)."""
+    if vocabularies.isdisjoint(_HYPER_TO_PLAIN):
+        return vocabularies
+    return frozenset(_HYPER_TO_PLAIN.get(v, v) for v in vocabularies)
+
+
 def walk_type(keyword: str, vocabularies: V.Vocabularies) -> str:
+    vocabularies = _fold_hyper(vocabularies)
     for group, typ in _TABLE.get(keyword, ()):
         if not vocabularies.isdisjoint(group):
             return typ
@@ -198,6 +211,7 @@ _INSTANCES = {
 
 
 def walk_instances(keyword: str, vocabularies: V.Vocabularies) -> frozenset:
+    vocabularies = _fold_hyper(vocabularies)
     if walk_type(keyword, vocabularies) == UNKNOWN:
         return frozenset()
     return frozenset(_INSTANCES.get(keyword, ()))
@@ -219,10 +233,19 @@ _DEPENDENCIES = {
 
 def walk_dependencies(keyword: str,
                       vocabularies: V.Vocabularies) -> tuple:
+    vocabularies = _fold_hyper(vocabularies)
     if walk_type(keyword, vocabularies) == UNKNOWN:
         return ()
     if keyword == "items" and V.V20_APPLICATOR in vocabularies:
         return ("prefixItems",)
+    if keyword == "contains" and (
+            (V.V20_APPLICATOR in vocabularies
+             and V.V20_VALIDATION in vocabularies)
+            or (V.V19_APPLICATOR in vocabularies
+                and V.V19_VALIDATION in vocabularies)):
+        # known_walker.cc handle_contains: minContains/maxContains ride
+        # along with contains
+        return ("minContains", "maxContains")
     return _DEPENDENCIES.get(keyword, ())
 
 
@@ -233,6 +256,7 @@ def _is_schema(value: Any) -> bool:
 def subschema_entries(
     schema: dict, vocabularies: V.Vocabularies,
 ) -> Iterator[Tuple[Tuple[Any, ...], Any, bool]]:
+    vocabularies = _fold_hyper(vocabularies)
     """Yield (relative pointer tokens, child, orderly) for every direct
     child subschema of ``schema``, in document order (the reference's
     frame walks the same way).  ``orderly`` is unused today but kept to

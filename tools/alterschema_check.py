@@ -95,9 +95,20 @@ _TEST_DOCS = {
 }
 
 
+import compliance as _compliance
+
+_FALLBACK_RESOLVER = _compliance.make_resolver("2020-12")
+
+
 def test_resolver(uri: str):
-    return _TEST_DOCS.get(uri.rstrip("#").rstrip("/")) or \
-        _TEST_DOCS.get(uri)
+    doc = _TEST_DOCS.get(uri.rstrip("#").rstrip("/")) or _TEST_DOCS.get(uri)
+    if doc is not None:
+        return doc
+    # OpenAPI dialects and official metaschemas (vendored)
+    try:
+        return _FALLBACK_RESOLVER(uri)
+    except Exception:
+        return None
 
 
 _UPGRADE_TARGET = {
