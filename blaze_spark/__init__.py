@@ -31,3 +31,9 @@ from blaze_spark.plans.codegen_sql import (  # noqa: F401
 )
 from blaze_spark.functions.trace import trace  # noqa: F401
 from blaze_spark.testsuite import run_test_suite  # noqa: F401
+from blaze_spark.plans.transform import (  # noqa: F401
+    canonicalize,
+    lint_check,
+    lint_fix,
+    upgrade_schema,
+)

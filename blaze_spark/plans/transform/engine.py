@@ -92,8 +92,16 @@ class TransformFrame:
 
     # -- analysis --------------------------------------------------------
 
+    # staged-upgrade marker (reference: upgrade/helpers.h — a subschema
+    # already bumped to the next dialect carries this override until the
+    # document root's $schema catches up)
+    DIALECT_OVERRIDE = "x-sourcemeta-dialect-override-subschema"
+
     def _dialect_uri(self, node: Any, inherited: str) -> str:
         if isinstance(node, dict):
+            override = node.get(self.DIALECT_OVERRIDE)
+            if isinstance(override, str) and override:
+                return override
             ds = node.get("$schema")
             if isinstance(ds, str):
                 return ds
@@ -138,7 +146,11 @@ class TransformFrame:
         vocab = V.dialect_vocabularies(dialect, self.resolver)
         is_resource = is_root
         if isinstance(node, dict):
-            if not is_root and isinstance(node.get("$schema"), str) and (
+            override = node.get(self.DIALECT_OVERRIDE)
+            if not is_root and isinstance(override, str) and override:
+                dialect = override
+                vocab = V.dialect_vocabularies(dialect, self.resolver)
+            elif not is_root and isinstance(node.get("$schema"), str) and (
                     "$id" in node or "id" in node):
                 # only embedded RESOURCES may re-declare their dialect —
                 # a $schema without a sibling identifier is ignored

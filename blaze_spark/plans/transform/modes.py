@@ -111,6 +111,8 @@ def make_transformer(mode: str) -> SchemaTransformer:
     if mode.startswith("upgrade:"):
         if U is None:
             raise NotImplementedError("upgrade rules not available")
+        # upgrade modes run ONLY the upgrade rules (alterschema.cc:347
+        # returns early before the shared blocks)
         for rule in U.upgrade_rules(mode.split(":", 1)[1]):
             transformer.add(rule)
         return transformer

@@ -1,0 +1,1066 @@
+"""Upgrade rules (reference: src/alterschema/upgrade/*.h).
+
+Each stage upgrades one dialect hop, deepest subschemas first: a
+subschema transformed ahead of its document root carries the
+``x-sourcemeta-dialect-override-subschema`` marker (upgrade/helpers.h)
+so the frame reports it at the NEXT dialect, letting later stages pick
+it up; UpgradeDialectOverrideCleanup drops the markers at the end.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Optional, Tuple
+
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform.engine import Rule, TransformFrame, get_at
+from blaze_spark.plans.transform.rules_util import is_number, vocab_any
+
+OVERRIDE = TransformFrame.DIALECT_OVERRIDE
+
+DRAFT_3_URL = "http://json-schema.org/draft-03/schema#"
+DRAFT_4_URL = "http://json-schema.org/draft-04/schema#"
+DRAFT_6_URL = "http://json-schema.org/draft-06/schema#"
+DRAFT_7_URL = "http://json-schema.org/draft-07/schema#"
+URL_2019 = "https://json-schema.org/draft/2019-09/schema"
+URL_2020 = "https://json-schema.org/draft/2020-12/schema"
+
+
+def mark_override(schema: dict, dialect: str) -> None:
+    schema[OVERRIDE] = dialect
+
+
+def drop_overrides(schema: Any, is_root: bool) -> None:
+    """upgrade/helpers.h drop_dialect_overrides"""
+    if isinstance(schema, list):
+        for item in schema:
+            drop_overrides(item, False)
+        return
+    if not isinstance(schema, dict):
+        return
+    if not is_root and isinstance(schema.get("$schema"), str):
+        return
+    schema.pop(OVERRIDE, None)
+    for value in list(schema.values()):
+        drop_overrides(value, False)
+
+
+def current_dialect_or_override(schema: Any) -> str:
+    if not isinstance(schema, dict):
+        return ""
+    override = schema.get(OVERRIDE)
+    if isinstance(override, str):
+        return override
+    ds = schema.get("$schema")
+    return ds if isinstance(ds, str) else ""
+
+
+def subschema_at_dialect(schema: Any, location, dialect: str) -> bool:
+    current = current_dialect_or_override(schema)
+    if current:
+        return current == dialect
+    return isinstance(schema, dict) and location.pointer == ()
+
+
+def _sanitize_anchor(original: str, in_use: set,
+                     first_ok, body_ok) -> str:
+    """upgrade/helpers.h sanitize_anchor_with_policy"""
+    sanitized = "".join(c if body_ok(c) else "-" for c in original)
+    while not sanitized or not first_ok(sanitized[0]) or \
+            sanitized in in_use:
+        sanitized = "x-" + sanitized
+    return sanitized
+
+
+def _strict_descendants(frame: TransformFrame, pointer):
+    for loc in frame.locations:
+        if len(loc.pointer) > len(pointer) and \
+                loc.pointer[:len(pointer)] == pointer:
+            yield loc
+
+
+class _PrefixPromotedKeywords(Rule):
+    """prefix_promoted_*_keywords.h: future keywords used under an
+    older dialect get an x- prefix so the upgrade cannot change their
+    meaning."""
+
+    keywords: tuple = ()
+    vocab_gate: frozenset = frozenset()
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if vocab.isdisjoint(self.vocab_gate) or not isinstance(
+                schema, dict):
+            return False
+        return any(k in schema for k in self.keywords)
+
+    def transform(self, schema, result):
+        self._renames = {}
+        for keyword in self.keywords:
+            if keyword not in schema:
+                continue
+            prefixed = "x-" + keyword
+            while prefixed in schema:
+                prefixed = "x-" + prefixed
+            self._renames[keyword] = prefixed
+            schema[prefixed] = schema.pop(keyword)
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        for old, new in self._renames.items():
+            out = rebase(target, current + (old,), current + (new,))
+            if out != target:
+                return out
+        return target
+
+
+class PrefixPromotedDraft4Keywords(_PrefixPromotedKeywords):
+    name = "prefix_promoted_draft_4_keywords"
+    keywords = ("multipleOf", "maxProperties", "minProperties", "allOf",
+                "anyOf", "oneOf", "not")
+    vocab_gate = frozenset({V.D3})
+
+
+class PrefixPromotedDraft6Keywords(_PrefixPromotedKeywords):
+    name = "prefix_promoted_draft_6_keywords"
+    keywords = ("const", "contains", "propertyNames", "examples")
+    vocab_gate = frozenset({V.D4})
+
+
+class PrefixPromotedDraft7Keywords(_PrefixPromotedKeywords):
+    name = "prefix_promoted_draft_7_keywords"
+    keywords = ("$comment", "if", "then", "else", "readOnly", "writeOnly",
+                "contentMediaType", "contentEncoding")
+    vocab_gate = frozenset({V.D6})
+
+
+class PrefixPromoted201909Keywords(_PrefixPromotedKeywords):
+    name = "prefix_promoted_2019_09_keywords"
+    keywords = ("$anchor", "$recursiveAnchor", "$recursiveRef",
+                "$vocabulary", "$defs", "dependentSchemas",
+                "dependentRequired", "unevaluatedItems",
+                "unevaluatedProperties", "maxContains", "minContains",
+                "contentSchema", "deprecated")
+    vocab_gate = frozenset({V.D7})
+
+
+class PrefixPromoted202012Keywords(_PrefixPromotedKeywords):
+    name = "prefix_promoted_2020_12_keywords"
+    keywords = ("prefixItems", "$dynamicAnchor", "$dynamicRef")
+    vocab_gate = frozenset({V.V19_CORE})
+
+
+def _type_string_to_branch(name: str) -> dict:
+    return {"type": name}
+
+
+class UpgradeDraft3ToDraft4(Rule):
+    """reference: upgrade/upgrade_draft_3_to_draft_4.h"""
+
+    name = "upgrade_draft_3_to_draft_4"
+
+    @staticmethod
+    def _has_pending(sub: Any) -> bool:
+        if not isinstance(sub, dict):
+            return False
+        if sub.get("$schema") == DRAFT_3_URL:
+            return True
+        type_value = sub.get("type")
+        if type_value == "any":
+            return True
+        if isinstance(type_value, list) and any(
+                e == "any" or isinstance(e, dict) for e in type_value):
+            return True
+        if isinstance(sub.get("disallow"), (str, list, dict)):
+            return True
+        if isinstance(sub.get("extends"), (list, dict)):
+            return True
+        if "divisibleBy" in sub:
+            return True
+        properties = sub.get("properties")
+        if isinstance(properties, dict) and any(
+                isinstance(p, dict) and isinstance(p.get("required"), bool)
+                for p in properties.values()):
+            return True
+        dependencies = sub.get("dependencies")
+        if isinstance(dependencies, dict) and any(
+                isinstance(v, str) for v in dependencies.values()):
+            return True
+        fmt = sub.get("format")
+        return fmt in ("host-name", "ip-address")
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D3, V.D3H})) or not isinstance(
+                schema, dict):
+            return False
+        root_via_default = location.pointer == () and "$schema" not in schema
+        if not (self._has_pending(schema) or root_via_default):
+            return False
+        for loc in _strict_descendants(frame, location.pointer):
+            sub = get_at(root, loc.pointer)
+            if isinstance(sub, dict) and "$ref" in sub:
+                continue
+            if self._has_pending(sub):
+                return False
+        return True
+
+    def transform(self, schema, result):
+        self._rewrite_type_any(schema)
+        self._rewrite_type_array_with_subschemas(schema)
+        self._rewrite_disallow(schema)
+        if "extends" in schema and "allOf" not in schema and isinstance(
+                schema["extends"], (list, dict)):
+            value = schema.pop("extends")
+            schema["allOf"] = value if isinstance(value, list) else [value]
+        if "divisibleBy" in schema and "multipleOf" not in schema:
+            schema["multipleOf"] = schema.pop("divisibleBy")
+        self._rewrite_required_booleans(schema)
+        dependencies = schema.get("dependencies")
+        if isinstance(dependencies, dict):
+            for key, value in dependencies.items():
+                if isinstance(value, str):
+                    dependencies[key] = [value]
+        fmt = schema.get("format")
+        if fmt == "host-name":
+            schema["format"] = "hostname"
+        elif fmt == "ip-address":
+            schema["format"] = "ipv4"
+        if schema.get("$schema") == DRAFT_3_URL:
+            schema["$schema"] = DRAFT_4_URL
+            drop_overrides(schema, True)
+        else:
+            mark_override(schema, DRAFT_4_URL)
+
+    @staticmethod
+    def _rewrite_type_any(schema):
+        type_value = schema.get("type")
+        if type_value == "any":
+            del schema["type"]
+        elif isinstance(type_value, list) and "any" in [
+                e for e in type_value if isinstance(e, str)]:
+            del schema["type"]
+
+    @staticmethod
+    def _rewrite_type_array_with_subschemas(schema):
+        type_value = schema.get("type")
+        if not isinstance(type_value, list) or not any(
+                isinstance(e, dict) for e in type_value):
+            return
+        branches = []
+        for element in type_value:
+            if isinstance(element, str):
+                branches.append({"type": element})
+            elif isinstance(element, dict):
+                branches.append(element)
+        del schema["type"]
+        schema["anyOf"] = branches
+
+    @staticmethod
+    def _rewrite_disallow(schema):
+        if "disallow" not in schema or "not" in schema:
+            return
+        disallow = schema["disallow"]
+        if not isinstance(disallow, (str, list, dict)):
+            return
+        if disallow == "any" or (
+                isinstance(disallow, list) and "any" in [
+                    e for e in disallow if isinstance(e, str)]):
+            del schema["disallow"]
+            schema["not"] = {}
+            return
+        if isinstance(disallow, str):
+            negated = {"type": disallow}
+        elif isinstance(disallow, list):
+            if not any(isinstance(e, dict) for e in disallow):
+                negated = {"type": disallow}
+            else:
+                branches = []
+                for element in disallow:
+                    if isinstance(element, str):
+                        branches.append(_type_string_to_branch(element))
+                    elif isinstance(element, dict):
+                        branches.append(element)
+                negated = {"anyOf": branches}
+        else:
+            negated = disallow
+        del schema["disallow"]
+        schema["not"] = negated
+
+    @staticmethod
+    def _rewrite_required_booleans(schema):
+        properties = schema.get("properties")
+        if not isinstance(properties, dict):
+            return
+        newly_required = []
+        for key, prop in properties.items():
+            if isinstance(prop, dict) and isinstance(
+                    prop.get("required"), bool):
+                if prop.pop("required"):
+                    newly_required.append(key)
+        if not newly_required:
+            return
+        existing = schema.get("required")
+        if not isinstance(existing, list):
+            schema["required"] = newly_required
+            return
+        already = {v for v in existing if isinstance(v, str)}
+        for name in newly_required:
+            if name not in already:
+                existing.append(name)
+                already.add(name)
+
+
+_PLAIN_FIRST = re.compile(r"[A-Za-z]")
+_PLAIN_BODY = re.compile(r"[A-Za-z0-9_:.\-]")
+
+
+def _is_strict_plain_name(fragment: str) -> bool:
+    return bool(fragment) and bool(_PLAIN_FIRST.fullmatch(fragment[0])) \
+        and all(_PLAIN_BODY.fullmatch(c) for c in fragment[1:])
+
+
+def _id_fragment(value: Any) -> Optional[str]:
+    if not isinstance(value, str) or "#" not in value:
+        return None
+    return value.partition("#")[2]
+
+
+class UpgradeDraft4ToDraft6(Rule):
+    """reference: upgrade/upgrade_draft_4_to_draft_6.h"""
+
+    name = "upgrade_draft_4_to_draft_6"
+
+    PROMOTED = ("const", "contains", "propertyNames", "examples")
+
+    # -- pending pattern --------------------------------------------------
+
+    @classmethod
+    def _has_pending(cls, sub: Any) -> bool:
+        if not isinstance(sub, dict):
+            return False
+        if sub.get("$schema") == DRAFT_4_URL:
+            return True
+        if isinstance(sub.get("id"), str) and "$id" not in sub:
+            fragment = _id_fragment(sub["id"])
+            if fragment is None or fragment == "" or \
+                    _is_strict_plain_name(fragment):
+                return True
+        if isinstance(sub.get("exclusiveMinimum"), bool):
+            return True
+        if isinstance(sub.get("exclusiveMaximum"), bool):
+            return True
+        return any(k in sub for k in cls.PROMOTED)
+
+    # -- anchor collection (draft-4 `id` plain-name fragments) ------------
+
+    _WALK_OBJ = ("definitions", "properties", "patternProperties",
+                 "dependencies")
+    _WALK_ARR = ("allOf", "anyOf", "oneOf")
+    _WALK_ONE = ("additionalProperties", "additionalItems", "not")
+
+    @classmethod
+    def _walk_resource(cls, sub: Any, is_root: bool):
+        if not isinstance(sub, dict):
+            return
+        if not is_root and cls._starts_sub_resource(sub):
+            return
+        yield sub
+        for kw in cls._WALK_OBJ:
+            if isinstance(sub.get(kw), dict):
+                for child in sub[kw].values():
+                    yield from cls._walk_resource(child, False)
+        for kw in cls._WALK_ARR:
+            if isinstance(sub.get(kw), list):
+                for child in sub[kw]:
+                    yield from cls._walk_resource(child, False)
+        for kw in cls._WALK_ONE:
+            if kw in sub:
+                yield from cls._walk_resource(sub[kw], False)
+        items = sub.get("items")
+        if isinstance(items, list):
+            for child in items:
+                yield from cls._walk_resource(child, False)
+        elif items is not None:
+            yield from cls._walk_resource(items, False)
+
+    @staticmethod
+    def _starts_sub_resource(sub: dict) -> bool:
+        value = sub.get("id")
+        if not isinstance(value, str):
+            return False
+        if value.startswith("#"):
+            return False
+        return bool(value.partition("#")[0])
+
+    @classmethod
+    def _invalid_anchors(cls, resource_root: Any) -> List[str]:
+        out = []
+        for sub in cls._walk_resource(resource_root, True):
+            value = sub.get("id")
+            if not isinstance(value, str):
+                continue
+            fragment = _id_fragment(value)
+            if fragment and not _is_strict_plain_name(fragment):
+                out.append(fragment)
+        return out
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D4, V.D4H})) or not isinstance(
+                schema, dict):
+            return False
+        is_resource_scope = location.is_resource or location.pointer == ()
+        sanitize = is_resource_scope and bool(self._invalid_anchors(schema))
+        other = self._has_pending(schema)
+        root_via_default = location.pointer == () and "$schema" not in schema
+        if not (sanitize or other or root_via_default):
+            return False
+        if not sanitize and other and self._enclosing_needs_sanitization(
+                root, frame, location):
+            return False
+        if not sanitize:
+            for loc in _strict_descendants(frame, location.pointer):
+                sub = get_at(root, loc.pointer)
+                if isinstance(sub, dict) and "$ref" in sub:
+                    continue
+                if self._has_pending(sub):
+                    return False
+        return {"sanitize": sanitize}
+
+    def _enclosing_needs_sanitization(self, root, frame, location) -> bool:
+        closest = None
+        for loc in frame.locations:
+            if not (loc.is_resource or loc.pointer == ()):
+                continue
+            if len(loc.pointer) > len(location.pointer):
+                continue
+            if location.pointer[:len(loc.pointer)] != loc.pointer:
+                continue
+            if closest is None or len(loc.pointer) > len(closest.pointer):
+                closest = loc
+        if closest is None:
+            return False
+        return bool(self._invalid_anchors(get_at(root, closest.pointer)))
+
+    def transform(self, schema, result):
+        if result["sanitize"]:
+            self._apply_sanitization(schema)
+            if any(self._has_pending(s)
+                   for s in self._walk_resource(schema, True)
+                   if s is not schema) or False:
+                pass
+            if self._resource_has_descendant_pending(schema):
+                return
+        if isinstance(schema.get("id"), str) and "$id" not in schema:
+            schema["$id"] = schema.pop("id")
+        if isinstance(schema.get("exclusiveMinimum"), bool):
+            exclusive = schema.pop("exclusiveMinimum")
+            if exclusive and is_number(schema.get("minimum")):
+                schema["exclusiveMinimum"] = schema.pop("minimum")
+        if isinstance(schema.get("exclusiveMaximum"), bool):
+            exclusive = schema.pop("exclusiveMaximum")
+            if exclusive and is_number(schema.get("maximum")):
+                schema["exclusiveMaximum"] = schema.pop("maximum")
+        if schema.get("$schema") == DRAFT_4_URL:
+            schema["$schema"] = DRAFT_6_URL
+            drop_overrides(schema, True)
+        else:
+            mark_override(schema, DRAFT_6_URL)
+
+    @classmethod
+    def _resource_has_descendant_pending(cls, resource_root) -> bool:
+        for sub in cls._walk_resource(resource_root, True):
+            if sub is resource_root:
+                continue
+            if cls._has_pending(sub):
+                return True
+        return False
+
+    def _apply_sanitization(self, schema):
+        existing = set()
+        for sub in self._walk_resource(schema, True):
+            fragment = _id_fragment(sub.get("id"))
+            if fragment:
+                existing.add(fragment)
+        invalid = self._invalid_anchors(schema)
+        renames = {}
+        in_use = set(existing)
+        for original in invalid:
+            if original in renames:
+                continue
+            in_use.discard(original)
+            new = _sanitize_anchor(
+                original, in_use,
+                lambda c: bool(_PLAIN_FIRST.fullmatch(c)),
+                lambda c: bool(_PLAIN_BODY.fullmatch(c)))
+            renames[original] = new
+            in_use.add(new)
+        resource_base = ""
+        if isinstance(schema.get("id"), str):
+            resource_base = schema["id"].partition("#")[0]
+        for sub in self._walk_resource(schema, True):
+            value = sub.get("id")
+            if isinstance(value, str):
+                fragment = _id_fragment(value)
+                if fragment and fragment in renames:
+                    base = value.partition("#")[0]
+                    sub["id"] = base + "#" + renames[fragment]
+            ref = sub.get("$ref")
+            if isinstance(ref, str):
+                fragment = _id_fragment(ref)
+                if fragment and fragment in renames:
+                    base = ref.partition("#")[0]
+                    same_base = (ref.startswith("#")
+                                 or (resource_base
+                                     and base == resource_base))
+                    if same_base:
+                        sub["$ref"] = base + "#" + renames[fragment]
+
+
+class UpgradeDraft6ToDraft7(Rule):
+    """reference: upgrade/upgrade_draft_6_to_draft_7.h"""
+
+    name = "upgrade_draft_6_to_draft_7"
+
+    PROMOTED = ("$comment", "if", "then", "else", "readOnly", "writeOnly",
+                "contentMediaType", "contentEncoding")
+
+    @classmethod
+    def _has_pending(cls, sub: Any) -> bool:
+        if not isinstance(sub, dict):
+            return False
+        if sub.get("$schema") in (DRAFT_4_URL, DRAFT_6_URL):
+            return True
+        return any(k in sub for k in cls.PROMOTED)
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D6, V.D6H})):
+            return False
+        if not subschema_at_dialect(schema, location, DRAFT_6_URL):
+            return False
+        for loc in _strict_descendants(frame, location.pointer):
+            sub = get_at(root, loc.pointer)
+            if isinstance(sub, dict) and "$ref" in sub:
+                continue
+            if self._has_pending(sub):
+                return False
+        return True
+
+    def transform(self, schema, result):
+        if schema.get("$schema") == DRAFT_6_URL:
+            schema["$schema"] = DRAFT_7_URL
+            drop_overrides(schema, True)
+        else:
+            mark_override(schema, DRAFT_7_URL)
+
+
+_SHADOW_EXEMPT = {"$schema", "$id", "title", "description", "default",
+                  "examples", "$comment", "readOnly", "writeOnly",
+                  "deprecated", "contentMediaType", "contentEncoding"}
+_PROMOTED_2019 = PrefixPromoted201909Keywords.keywords
+_PROMOTED_D7 = UpgradeDraft6ToDraft7.PROMOTED
+_PROMOTED_D6 = UpgradeDraft4ToDraft6.PROMOTED
+
+
+class UpgradeDraft7To201909(Rule):
+    """reference: upgrade/upgrade_draft_7_to_draft_2019_09.h"""
+
+    name = "upgrade_draft_7_to_2019_09"
+
+    @staticmethod
+    def _has_actionable_id_fragment(sub: Any) -> bool:
+        if not isinstance(sub, dict) or not isinstance(
+                sub.get("$id"), str):
+            return False
+        value = sub["$id"]
+        if "#" not in value:
+            return False
+        fragment = value.partition("#")[2]
+        return fragment == "" or _is_strict_plain_name(fragment)
+
+    @staticmethod
+    def _has_actionable_dependencies(sub: Any) -> bool:
+        if not isinstance(sub, dict) or not isinstance(
+                sub.get("dependencies"), dict):
+            return False
+        if "dependentRequired" in sub or "dependentSchemas" in sub:
+            return False
+        return all(isinstance(v, (list, dict, bool))
+                   for v in sub["dependencies"].values())
+
+    @staticmethod
+    def _has_actionable_ref_siblings(sub: Any) -> bool:
+        if not isinstance(sub, dict) or "$ref" not in sub:
+            return False
+        return any(k != "$ref" and k not in _SHADOW_EXEMPT
+                   and not k.startswith("x-") for k in sub)
+
+    @classmethod
+    def _has_pending(cls, sub: Any) -> bool:
+        if not isinstance(sub, dict):
+            return False
+        if current_dialect_or_override(sub) == DRAFT_7_URL:
+            return True
+        return (cls._has_actionable_id_fragment(sub)
+                or cls._has_actionable_dependencies(sub)
+                or cls._has_actionable_ref_siblings(sub))
+
+    @classmethod
+    def _descendant_pending(cls, sub: Any, dialect: Optional[str]) -> bool:
+        if not isinstance(sub, dict):
+            return False
+        if sub.get("$schema") in (DRAFT_4_URL, DRAFT_6_URL, DRAFT_7_URL):
+            return True
+        if isinstance(sub.get("id"), str) and "$id" not in sub:
+            return True
+        if isinstance(sub.get("exclusiveMinimum"), bool) or isinstance(
+                sub.get("exclusiveMaximum"), bool):
+            return True
+        if dialect == DRAFT_4_URL and any(k in sub for k in _PROMOTED_D6):
+            return True
+        if dialect == DRAFT_6_URL and any(k in sub for k in _PROMOTED_D7):
+            return True
+        if dialect == DRAFT_7_URL and any(k in sub for k in _PROMOTED_2019):
+            return True
+        return cls._has_pending(sub)
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if not vocab_any(vocab, frozenset({V.D7, V.D7H})) or not isinstance(
+                schema, dict):
+            return False
+        needs_transition = (
+            subschema_at_dialect(schema, location, DRAFT_7_URL)
+            or self._has_actionable_id_fragment(schema)
+            or self._has_actionable_dependencies(schema)
+            or self._has_actionable_ref_siblings(schema))
+        needs_meta_vocab = (is_meta and location.pointer == ()
+                            and "$vocabulary" not in schema)
+        if not (needs_transition or needs_meta_vocab):
+            return False
+        for loc in _strict_descendants(frame, location.pointer):
+            sub = get_at(root, loc.pointer)
+            if self._descendant_pending(sub, loc.dialect):
+                return False
+        return {"meta_vocab": needs_meta_vocab}
+
+    def transform(self, schema, result):
+        self._renames: List[Tuple[tuple, tuple]] = []
+        self._prefix_ref_siblings(schema)
+        self._split_id_fragment(schema)
+        self._split_dependencies(schema)
+        if schema.get("$schema") == DRAFT_7_URL:
+            schema["$schema"] = URL_2019
+            drop_overrides(schema, True)
+        else:
+            mark_override(schema, URL_2019)
+        if result["meta_vocab"]:
+            schema["$vocabulary"] = {
+                "https://json-schema.org/draft/2019-09/vocab/core": True,
+                "https://json-schema.org/draft/2019-09/vocab/applicator":
+                    True,
+                "https://json-schema.org/draft/2019-09/vocab/validation":
+                    True,
+                "https://json-schema.org/draft/2019-09/vocab/meta-data":
+                    True,
+                "https://json-schema.org/draft/2019-09/vocab/format": False,
+                "https://json-schema.org/draft/2019-09/vocab/content": True,
+            }
+
+    def _prefix_ref_siblings(self, schema):
+        if "$ref" not in schema:
+            return
+        siblings = [k for k in schema
+                    if k != "$ref" and k not in _SHADOW_EXEMPT
+                    and not k.startswith("x-")]
+        for keyword in siblings:
+            prefixed = "x-" + keyword
+            while prefixed in schema:
+                prefixed = "x-" + prefixed
+            self._renames.append(((keyword,), (prefixed,)))
+            schema[prefixed] = schema.pop(keyword)
+
+    @staticmethod
+    def _split_id_fragment(schema):
+        if not isinstance(schema.get("$id"), str) or \
+                "#" not in schema["$id"]:
+            return
+        value = schema["$id"]
+        base, _, fragment = value.partition("#")
+        plain = _is_strict_plain_name(fragment)
+        if not base:
+            if plain:
+                schema["$anchor"] = fragment
+                del schema["$id"]
+            elif fragment == "":
+                del schema["$id"]
+            return
+        if not plain and fragment != "":
+            return
+        schema["$id"] = base
+        if plain:
+            schema["$anchor"] = fragment
+
+    def _split_dependencies(self, schema):
+        if not self._has_actionable_dependencies(schema):
+            return
+        dependent_required = {}
+        dependent_schemas = {}
+        for key, value in schema["dependencies"].items():
+            if isinstance(value, list):
+                dependent_required[key] = value
+            else:
+                dependent_schemas[key] = value
+        del schema["dependencies"]
+        if not dependent_required and not dependent_schemas:
+            return
+        if dependent_schemas:
+            for key in dependent_schemas:
+                self._renames.append((("dependencies", key),
+                                      ("dependentSchemas", key)))
+            schema["dependentSchemas"] = dependent_schemas
+        if dependent_required:
+            if not dependent_schemas:
+                self._renames.append((("dependencies",),
+                                      ("dependentRequired",)))
+            else:
+                for key in dependent_required:
+                    self._renames.append((("dependencies", key),
+                                          ("dependentRequired", key)))
+            schema["dependentRequired"] = dependent_required
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        for old, new in getattr(self, "_renames", ()):
+            out = rebase(target, current + old, current + new)
+            if out != target:
+                return out
+        return target
+
+
+_VOCAB_MAP_2019_2020 = {
+    "https://json-schema.org/draft/2019-09/vocab/core":
+        "https://json-schema.org/draft/2020-12/vocab/core",
+    "https://json-schema.org/draft/2019-09/vocab/applicator":
+        "https://json-schema.org/draft/2020-12/vocab/applicator",
+    "https://json-schema.org/draft/2019-09/vocab/validation":
+        "https://json-schema.org/draft/2020-12/vocab/validation",
+    "https://json-schema.org/draft/2019-09/vocab/meta-data":
+        "https://json-schema.org/draft/2020-12/vocab/meta-data",
+    "https://json-schema.org/draft/2019-09/vocab/format":
+        "https://json-schema.org/draft/2020-12/vocab/format-annotation",
+    "https://json-schema.org/draft/2019-09/vocab/content":
+        "https://json-schema.org/draft/2020-12/vocab/content",
+}
+_APPLICATOR_2019 = "https://json-schema.org/draft/2019-09/vocab/applicator"
+_APPLICATOR_2020 = "https://json-schema.org/draft/2020-12/vocab/applicator"
+_UNEVALUATED_2020 = "https://json-schema.org/draft/2020-12/vocab/unevaluated"
+
+_ANCHOR_2020_FIRST = re.compile(r"[A-Za-z_]")
+_ANCHOR_2020_BODY = re.compile(r"[A-Za-z0-9_.\-]")
+
+
+def _is_valid_2020_anchor(name: str) -> bool:
+    return bool(name) and bool(_ANCHOR_2020_FIRST.fullmatch(name[0])) \
+        and all(_ANCHOR_2020_BODY.fullmatch(c) for c in name[1:])
+
+
+class Upgrade201909To202012(Rule):
+    """reference: upgrade/upgrade_2019_09_to_2020_12.h"""
+
+    name = "upgrade_2019_09_to_2020_12"
+
+    @staticmethod
+    def _inside_contains_wrapper(pointer) -> bool:
+        return (len(pointer) >= 2 and pointer[-1] == "not"
+                and pointer[-2] == "not")
+
+    @classmethod
+    def _has_pending(cls, sub: Any, pointer) -> bool:
+        if not isinstance(sub, dict):
+            return False
+        if not any(k in sub for k in (
+                "$schema", "$recursiveAnchor", "$recursiveRef", "items",
+                "additionalItems", "contains", "$vocabulary")):
+            return False
+        if sub.get("$schema") == URL_2019:
+            return True
+        if any(k in sub for k in ("$recursiveAnchor", "$recursiveRef",
+                                  "additionalItems")):
+            return True
+        if isinstance(sub.get("items"), list):
+            return True
+        if "contains" in sub and not cls._inside_contains_wrapper(pointer):
+            return True
+        vocab_value = sub.get("$vocabulary")
+        if isinstance(vocab_value, dict) and any(
+                k in _VOCAB_MAP_2019_2020 for k in vocab_value):
+            return True
+        return False
+
+    def _resource_anchors(self, root, frame, resource_pointer):
+        """(name, subschema-pointer) for every $anchor within the
+        resource (not crossing embedded resources)."""
+        out = []
+        for loc in frame.locations:
+            if loc.pointer[:len(resource_pointer)] != resource_pointer:
+                continue
+            if loc.is_resource and len(loc.pointer) > len(resource_pointer):
+                continue
+            sub = get_at(root, loc.pointer)
+            if isinstance(sub, dict) and isinstance(
+                    sub.get("$anchor"), str):
+                out.append((sub["$anchor"], loc.pointer))
+        return out
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        if V.V19_CORE not in vocab or not isinstance(schema, dict):
+            return False
+        is_resource_scope = location.is_resource or location.pointer == ()
+        if is_resource_scope:
+            all_anchors = self._resource_anchors(root, frame,
+                                                 location.pointer)
+            invalid = [(n, p) for n, p in all_anchors
+                       if n and not _is_valid_2020_anchor(n)]
+            if invalid:
+                return {"sanitize": True, "invalid": invalid,
+                        "all_anchors": all_anchors,
+                        "base_pointer": location.pointer}
+        else:
+            closest = self._enclosing_resource(frame, location)
+            if closest is not None:
+                invalid = [(n, p) for n, p in self._resource_anchors(
+                    root, frame, closest.pointer)
+                    if n and not _is_valid_2020_anchor(n)]
+                if invalid:
+                    return False
+        for loc in _strict_descendants(frame, location.pointer):
+            sub = get_at(root, loc.pointer)
+            if self._has_pending(sub, loc.pointer):
+                return False
+        if not self._has_pending(schema, location.pointer) and not \
+                subschema_at_dialect(schema, location, URL_2019):
+            return False
+        return {
+            "sanitize": False,
+            "_has_recursive": self._resource_has_recursive_anchor(
+                frame, root, location),
+            "_has_uneval": self._document_has_unevaluated_items(
+                frame, root),
+            "_inside_wrapper": self._inside_contains_wrapper(
+                location.pointer),
+        }
+
+    @staticmethod
+    def _enclosing_resource(frame, location):
+        closest = None
+        for loc in frame.locations:
+            if not (loc.is_resource or loc.pointer == ()):
+                continue
+            if len(loc.pointer) > len(location.pointer):
+                continue
+            if location.pointer[:len(loc.pointer)] != loc.pointer:
+                continue
+            if closest is None or len(loc.pointer) > len(closest.pointer):
+                closest = loc
+        return closest
+
+    def _document_has_unevaluated_items(self, frame, root) -> bool:
+        from blaze_spark.plans.transform import walker as W
+        for loc in frame.locations:
+            sub = get_at(root, loc.pointer)
+            if isinstance(sub, dict) and "unevaluatedItems" in sub and \
+                    W.walk_type("unevaluatedItems",
+                                loc.vocabularies) != W.UNKNOWN:
+                return True
+        return False
+
+    def _resource_has_recursive_anchor(self, frame, root, location) -> bool:
+        closest = self._enclosing_resource(frame, location)
+        if closest is None:
+            return False
+        for loc in frame.locations:
+            if loc.pointer[:len(closest.pointer)] != closest.pointer:
+                continue
+            if loc.is_resource and len(loc.pointer) > len(closest.pointer):
+                continue
+            sub = get_at(root, loc.pointer)
+            if isinstance(sub, dict) and \
+                    sub.get("$recursiveAnchor") is True:
+                return True
+        return False
+
+    def condition_context(self, root, frame, location):
+        return (self._resource_has_recursive_anchor(frame, root, location),
+                self._document_has_unevaluated_items(frame, root))
+
+    def transform(self, schema, result):
+        self._renames = []
+        if result.get("sanitize"):
+            self._apply_anchor_sanitization(schema, result)
+            return
+        has_recursive = result.get("_has_recursive", False)
+        has_uneval = result.get("_has_uneval", False)
+        inside_wrapper = result.get("_inside_wrapper", False)
+        if isinstance(schema.get("$recursiveAnchor"), bool):
+            if schema.pop("$recursiveAnchor"):
+                schema["$dynamicAnchor"] = "meta"
+        if "$recursiveRef" in schema:
+            ref = schema.pop("$recursiveRef")
+            schema["$dynamicRef"] = "#meta" if has_recursive else ref
+        items = schema.get("items")
+        if isinstance(items, list):
+            if not items:
+                del schema["items"]
+            else:
+                self._renames.append((("items",), ("prefixItems",)))
+                schema["prefixItems"] = schema.pop("items")
+            if "additionalItems" in schema:
+                self._renames.append((("additionalItems",), ("items",)))
+                schema["items"] = schema.pop("additionalItems")
+        elif "additionalItems" in schema:
+            del schema["additionalItems"]
+        if "contains" in schema and not inside_wrapper and has_uneval:
+            wrapper_inner = {"contains": schema["contains"]}
+            if "minContains" in schema:
+                wrapper_inner["minContains"] = schema.pop("minContains")
+            if "maxContains" in schema:
+                wrapper_inner["maxContains"] = schema.pop("maxContains")
+            inner_not = {"not": wrapper_inner}
+            if "not" not in schema:
+                del schema["contains"]
+                schema["not"] = inner_not
+                self._renames.append((("contains",),
+                                      ("not", "not", "contains")))
+            else:
+                del schema["contains"]
+                outer_not = {"not": inner_not}
+                if isinstance(schema.get("allOf"), list):
+                    index = len(schema["allOf"])
+                    schema["allOf"].append(outer_not)
+                else:
+                    index = 0
+                    schema["allOf"] = [outer_not]
+                self._renames.append(
+                    (("contains",),
+                     ("allOf", index, "not", "not", "contains")))
+        self._rewrite_vocabulary(schema)
+        if schema.get("$schema") == URL_2019:
+            schema["$schema"] = URL_2020
+            drop_overrides(schema, True)
+        else:
+            mark_override(schema, URL_2020)
+
+    def _apply_anchor_sanitization(self, schema, result):
+        invalid = result["invalid"]
+        existing = {n for n, _p in result.get("all_anchors", ())}
+        in_use = set(existing)
+        renames = {}
+        for name, _pointer in invalid:
+            if name in renames:
+                continue
+            in_use.discard(name)
+            new = _sanitize_anchor(
+                name, in_use,
+                lambda c: bool(_ANCHOR_2020_FIRST.fullmatch(c)),
+                lambda c: bool(_ANCHOR_2020_BODY.fullmatch(c)))
+            renames[name] = new
+            in_use.add(new)
+        resource_uri = ""
+        if isinstance(schema.get("$id"), str):
+            resource_uri = schema["$id"].partition("#")[0]
+
+        def walk(sub):
+            if isinstance(sub, dict):
+                anchor = sub.get("$anchor")
+                if isinstance(anchor, str) and anchor in renames:
+                    sub["$anchor"] = renames[anchor]
+                ref = sub.get("$ref")
+                if isinstance(ref, str) and "#" in ref:
+                    base, _, fragment = ref.partition("#")
+                    if fragment in renames and (
+                            not base or base == resource_uri):
+                        sub["$ref"] = base + "#" + renames[fragment]
+                for v in sub.values():
+                    walk(v)
+            elif isinstance(sub, list):
+                for v in sub:
+                    walk(v)
+
+        walk(schema)
+
+    @staticmethod
+    def _rewrite_vocabulary(schema):
+        vocab_value = schema.get("$vocabulary")
+        if not isinstance(vocab_value, dict):
+            return
+        source_keys = set(vocab_value)
+        applicator_value = vocab_value.get(_APPLICATOR_2019)
+        inline_unevaluated = (applicator_value is not None
+                              and _UNEVALUATED_2020 not in source_keys)
+        fresh = {}
+        for key, value in vocab_value.items():
+            mapped = _VOCAB_MAP_2019_2020.get(key)
+            if mapped is None:
+                fresh[key] = value
+                if key == _APPLICATOR_2020 and inline_unevaluated:
+                    fresh[_UNEVALUATED_2020] = applicator_value
+                continue
+            if mapped in source_keys:
+                continue
+            fresh[mapped] = value
+            if key == _APPLICATOR_2019 and inline_unevaluated:
+                fresh[_UNEVALUATED_2020] = value
+        schema["$vocabulary"] = fresh
+
+    def rereference(self, target, current, result):
+        from blaze_spark.plans.transform.engine import rebase
+        for old, new in getattr(self, "_renames", ()):
+            out = rebase(target, current + tuple(old), current + tuple(new))
+            if out != target:
+                return out
+        return target
+
+
+class UpgradeDialectOverrideCleanup(Rule):
+    """reference: upgrade/upgrade_dialect_override_cleanup.h"""
+
+    name = "upgrade_dialect_override_cleanup"
+
+    def condition(self, schema, root, vocab, frame, location, is_meta):
+        return (location.pointer == () and isinstance(schema, dict)
+                and isinstance(schema.get(OVERRIDE), str))
+
+    def transform(self, schema, result):
+        if "$schema" not in schema:
+            schema["$schema"] = schema[OVERRIDE]
+        drop_overrides(schema, True)
+
+
+def upgrade_rules(target: str) -> List[Rule]:
+    """alterschema.cc:306-348 — the upgrade-mode-specific rule block
+    for a given target dialect."""
+    from blaze_spark.plans.transform import rules_common as M
+    from blaze_spark.plans.transform import rules_linter as L
+
+    rules: List[Rule] = [
+        M.DraftOfficialDialectWithHttps(),
+        M.DraftOfficialDialectWithoutEmptyFragment(),
+        PrefixPromotedDraft4Keywords(),
+        UpgradeDraft3ToDraft4(),
+    ]
+    order = ["draft4", "draft6", "draft7", "2019-09", "2020-12"]
+    if target not in order:
+        raise ValueError(f"unknown upgrade target {target!r}")
+    rank = order.index(target)
+    if rank >= 1:
+        rules += [PrefixPromotedDraft6Keywords(), UpgradeDraft4ToDraft6(),
+                  M.EmptyObjectAsTrue()]
+    if rank >= 2:
+        from blaze_spark.plans.transform import rules_canonicalizer as C
+        rules += [PrefixPromotedDraft7Keywords(), UpgradeDraft6ToDraft7(),
+                  L.EnumToConst()]
+    if rank >= 3:
+        rules += [PrefixPromoted201909Keywords(), UpgradeDraft7To201909(),
+                  L.DefinitionsToDefs()]
+    if rank >= 4:
+        rules += [PrefixPromoted202012Keywords(), Upgrade201909To202012()]
+    rules.append(UpgradeDialectOverrideCleanup())
+    return rules

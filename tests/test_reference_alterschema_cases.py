@@ -26,11 +26,10 @@ from cc_cases import parse_file  # noqa: E402
 CASES_DIR = "/root/reference/test/alterschema"
 OUT_OF_SCOPE = ("draft0", "draft1", "draft2")
 
-# corpora that pass completely today; upgrade files join as the
-# rule port completes (tools/alterschema_check.py tracks the frontier)
 FILES = sorted(
     path
-    for pattern in ("alterschema_canonicalize_*.cc", "alterschema_lint_*.cc")
+    for pattern in ("alterschema_canonicalize_*.cc", "alterschema_lint_*.cc",
+                    "alterschema_upgrade_*.cc")
     for path in glob.glob(f"{CASES_DIR}/{pattern}")
     if not any(d in path for d in OUT_OF_SCOPE)
 )
