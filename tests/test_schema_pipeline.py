@@ -1,0 +1,81 @@
+"""Distributed alterschema operators (operators/schema_pipeline.py):
+the Spark-scale form of the transform engine. Each row's result must
+equal the single-schema engine's output (same rule registry), and the
+plan must stay map-only (no shuffle)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from blaze_spark.operators.schema_pipeline import (
+    canonicalize_schemas,
+    lint_schemas,
+    upgrade_schemas,
+)
+from blaze_spark.plans.transform import canonicalize, lint_check, \
+    upgrade_schema
+
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+D4 = "http://json-schema.org/draft-04/schema#"
+
+SCHEMAS = [
+    {"$schema": D2020, "type": "string"},
+    {"$schema": D2020, "title": "T", "description": "T",
+     "enum": [1, 1, 2]},
+    {"$schema": D4, "type": "integer", "minimum": 0,
+     "exclusiveMinimum": True},
+    {"$schema": D2020, "type": ["string", "null"], "minLength": 1},
+]
+
+
+@pytest.fixture(scope="module")
+def schemas_df(spark):
+    rows = [(i, json.dumps(s)) for i, s in enumerate(SCHEMAS)]
+    return spark.createDataFrame(rows, ["sid", "schema_json"])
+
+
+def test_lint_schemas_matches_single_engine(spark, schemas_df):
+    got = {r["sid"]: r for r in lint_schemas(
+        schemas_df, "schema_json").collect()}
+    assert len(got) == len(SCHEMAS)
+    for i, schema in enumerate(SCHEMAS):
+        ok, traces = lint_check(schema)
+        row = got[i]
+        assert row["lint_ok"] == ok
+        assert [(f["pointer"], f["rule"]) for f in row["lint_findings"]] \
+            == [(t.pointer, t.name) for t in traces]
+
+
+def test_canonicalize_schemas_matches_single_engine(spark, schemas_df):
+    got = {r["sid"]: json.loads(r["canonical"]) for r in
+           canonicalize_schemas(schemas_df, "schema_json").collect()}
+    for i, schema in enumerate(SCHEMAS):
+        assert got[i] == canonicalize(schema), i
+
+
+def test_upgrade_schemas_matches_single_engine(spark, schemas_df):
+    got = {r["sid"]: json.loads(r["upgraded"]) for r in
+           upgrade_schemas(schemas_df, "schema_json",
+                           target="2020-12").collect()}
+    for i, schema in enumerate(SCHEMAS):
+        assert got[i] == upgrade_schema(schema, "2020-12"), i
+    # draft-4 exclusiveMinimum became numeric on the way up
+    assert got[2]["exclusiveMinimum"] == 0
+    assert got[2]["$schema"] == D2020
+
+
+def test_lint_schemas_malformed_input(spark):
+    df = spark.createDataFrame([(0, "{not json"), (1, "true")],
+                               ["sid", "schema_json"])
+    rows = {r["sid"]: r for r in lint_schemas(df, "schema_json").collect()}
+    assert rows[0]["lint_ok"] is False
+    assert rows[0]["lint_findings"][0]["rule"] == "parse_error"
+    assert rows[1]["lint_ok"] is True  # boolean schema lints clean
+
+
+def test_pipeline_plan_is_map_only(spark, schemas_df):
+    plan = lint_schemas(schemas_df, "schema_json")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure scale-out map
