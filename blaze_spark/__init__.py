@@ -36,4 +36,5 @@ from blaze_spark.plans.transform import (  # noqa: F401
     lint_check,
     lint_fix,
     upgrade_schema,
+    wrap_schema,
 )

@@ -21,6 +21,7 @@ from blaze_spark.plans.transform.modes import (
     make_transformer,
     upgrade_schema,
 )
+from blaze_spark.plans.transform.wrap import wrap_schema
 
 __all__ = [
     "SchemaTransformer",
@@ -30,4 +31,5 @@ __all__ = [
     "lint_check",
     "make_transformer",
     "upgrade_schema",
+    "wrap_schema",
 ]

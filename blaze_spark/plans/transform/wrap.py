@@ -1,0 +1,98 @@
+"""wrap(): extract a subschema as a standalone schema document.
+
+The analog of sourcemeta::blaze::wrap (reference:
+src/alterschema/wrap.cc) — given a framed location, produce a schema a
+user can compile independently: the bare subschema with its governing
+``$schema`` stamped on, or, when the subschema contains references, the
+whole document embedded under ``$defs/schema`` behind a ``$ref``
+(with an artificial relative identifier when the document has none, so
+relative references keep resolving as before).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Optional, Tuple
+
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform.engine import (
+    TransformFrame, get_at, pointer_str,
+)
+
+_WRAPPER_IDENTIFIER = "__sourcemeta-core-wrap__"
+_URL_2020 = "https://json-schema.org/draft/2020-12/schema"
+_OLD_DRAFTS = frozenset({V.D3, V.D4, V.D3H, V.D4H})
+_REF_OVERRIDES = frozenset({V.D3, V.D4, V.D6, V.D7,
+                            V.D3H, V.D4H, V.D6H, V.D7H})
+
+
+class WrapError(ValueError):
+    pass
+
+
+def _id_keyword(vocab: V.Vocabularies) -> str:
+    return "id" if not vocab.isdisjoint(_OLD_DRAFTS) else "$id"
+
+
+def _identify(schema: Any, vocab: V.Vocabularies) -> str:
+    """foundation.cc identify(): the declared identifier, treating
+    empty/"#" as none, and ignoring it under a draft<=7 `$ref`
+    override."""
+    if not isinstance(schema, dict):
+        return ""
+    value = schema.get(_id_keyword(vocab))
+    if not isinstance(value, str):
+        return ""
+    if "$ref" in schema and not vocab.isdisjoint(_REF_OVERRIDES):
+        return ""
+    if value in ("", "#"):
+        return ""
+    return value
+
+
+def _reidentify(schema: dict, identifier: str,
+                vocab: V.Vocabularies) -> None:
+    """foundation.cc reidentify(): assign the identifier; raise when a
+    draft<=7 top-level `$ref` would keep overriding it."""
+    schema[_id_keyword(vocab)] = identifier
+    if "$ref" in schema and not vocab.isdisjoint(_REF_OVERRIDES):
+        raise WrapError(
+            "Cannot process a JSON Schema Draft 7 or older with a "
+            "top-level `$ref` (which overrides sibling keywords) "
+            "without introducing undefined behavior")
+
+
+def wrap_schema(schema: Any, pointer: Tuple[Any, ...],
+                resolver=None, default_dialect: str = ""
+                ) -> Tuple[Any, Tuple[str, ...]]:
+    """Returns (standalone schema, base pointer into it) — base is
+    ("$ref",) when the result wraps the whole document."""
+    frame = TransformFrame(schema, resolver, default_dialect)
+    pointer = tuple(pointer)
+    location = frame.by_pointer[pointer]
+    dialect = location.dialect or default_dialect
+    if pointer == ():
+        doc = copy.deepcopy(schema)
+        if isinstance(doc, dict):
+            doc["$schema"] = dialect
+        return doc, ()
+    has_internal = any(
+        reference.origin[:len(pointer)] == pointer
+        for reference in frame.references)
+    if not has_internal:
+        sub = copy.deepcopy(get_at(schema, pointer))
+        if isinstance(sub, dict):
+            sub["$schema"] = dialect
+        return sub, ()
+    doc = copy.deepcopy(schema)
+    doc["$schema"] = dialect
+    identifier = _identify(doc, location.vocabularies) or \
+        _WRAPPER_IDENTIFIER
+    _reidentify(doc, identifier, location.vocabularies)
+    result = {"$schema": _URL_2020, "$defs": {"schema": doc}}
+    if "#" not in identifier:
+        result["$ref"] = identifier + "#" + pointer_str(pointer)
+    else:
+        result["$ref"] = "#" + pointer_str(
+            ("$defs", "schema") + pointer)
+    return result, ("$ref",)

@@ -29,7 +29,7 @@ OUT_OF_SCOPE = ("draft0", "draft1", "draft2")
 FILES = sorted(
     path
     for pattern in ("alterschema_canonicalize_*.cc", "alterschema_lint_*.cc",
-                    "alterschema_upgrade_*.cc")
+                    "alterschema_upgrade_*.cc", "alterschema_wrap_*.cc")
     for path in glob.glob(f"{CASES_DIR}/{pattern}")
     if not any(d in path for d in OUT_OF_SCOPE)
 )

@@ -123,6 +123,25 @@ _UPGRADE_TARGET = {
 def run_case(case):
     """Returns (status, actual) where status in {pass, fail, skip, error}."""
     macro = case.macro
+    if macro == "WRAP":
+        from blaze_spark.plans.transform.wrap import WrapError, wrap_schema
+        try:
+            actual, base = wrap_schema(
+                case.document, tuple(case.macro_args or ()),
+                resolver=test_resolver,
+                default_dialect=case.default_dialect or "")
+        except Exception as exc:  # the reference throws Schema*Error
+            return ("pass" if case.result_first is False else "error",
+                    repr(exc))
+        if case.result_first is False:
+            return "fail", actual  # expected a throw
+        status = "pass"
+        if case.expected is not None and not json_equal(actual,
+                                                        case.expected):
+            status = "fail"
+        if case.traces_size is not None and len(base) != case.traces_size:
+            status = "fail"
+        return status, actual
     if macro == "CANONICALIZE_AND_VALIDATE":
         actual = canonicalize(case.document, resolver=test_resolver)
         return ("pass" if json_equal(actual, case.expected) else "fail",
@@ -175,7 +194,7 @@ def run_case(case):
 def main() -> int:
     verbose = "-v" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    patterns = args or ["canonicalize", "lint", "upgrade"]
+    patterns = args or ["canonicalize", "lint", "upgrade", "wrap"]
     files = sorted(glob.glob(f"{CASES_DIR}/alterschema_*_test.cc"))
     # engine dialect scope: draft3..2020-12 (+ openapi lint)
     out_of_scope = ("draft0", "draft1", "draft2")

@@ -25,7 +25,8 @@ _TEST_RE = re.compile(r"^TEST(?:_F)?\(\s*([A-Za-z0-9_]+)\s*,\s*([A-Za-z0-9_]+)\s
 _JSON_RE = re.compile(r'R"JSON\((.*?)\)JSON"', re.S)
 # `<type> name = ... parse_json(R"JSON(...)JSON");`  (type may be auto/const JSON)
 _ASSIGN_RE = re.compile(
-    r'(?:auto|sourcemeta::core::JSON)\s+(\w+)\s*=[^;]*?R"JSON\((.*?)\)JSON"',
+    r'(?:auto|sourcemeta::core::JSON)\s+(\w+)\s*'
+    r'(?:=[^;]*?|\{[^;{]*?)R"JSON\((.*?)\)JSON"',
     re.S,
 )
 # `<type> name = ... parse_json("false");`  (plain C string literal)
@@ -179,7 +180,25 @@ def parse_file(path: str) -> List[Case]:
         def _resolve(var: str) -> Any:
             return assigns.get(var)
 
-        if "CANONICALIZE_AND_VALIDATE" in body:
+        if "wrap_schema(" in body:
+            case.macro = "WRAP"
+            case.document = _resolve("schema")
+            case.expected = _resolve("expected")
+            m = re.search(r"wrap_schema\(\s*schema,\s*\{([^}]*)\}"
+                          r"(?:\s*,\s*\"([^\"]*)\")?\s*\)", body)
+            if m:
+                tokens = re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1))
+                case.macro_args = tokens
+                if m.group(2):
+                    case.default_dialect = m.group(2)
+            if "EXPECT_THROW" in body:
+                case.result_first = False  # marks the throw expectation
+            if re.search(r"base\.at\(0\)\.to_property\(\), \"\$ref\"",
+                         body):
+                case.traces_size = 1  # base == ("$ref",)
+            elif "EXPECT_TRUE(base.empty())" in body:
+                case.traces_size = 0  # base == ()
+        elif "CANONICALIZE_AND_VALIDATE" in body:
             case.macro = "CANONICALIZE_AND_VALIDATE"
             case.document = _resolve("document")
             case.expected = _resolve("expected")
