@@ -23,7 +23,7 @@ __version__ = "0.2.0"
 from blaze_spark.plans.compiler import compile_schema  # noqa: F401
 from blaze_spark.operators.evaluator import evaluate  # noqa: F401
 from blaze_spark.plans.alterschema import lint, upgrade  # noqa: F401
-from blaze_spark.plans.bundle import bundle  # noqa: F401
+from blaze_spark.plans.bundle import bundle, dependencies  # noqa: F401
 from blaze_spark.plans.format import format_schema  # noqa: F401
 from blaze_spark.plans.codegen_sql import (  # noqa: F401
     plan_to_sql_predicate,

@@ -117,10 +117,12 @@ def pattern_mismatch(value: str, pattern: str) -> str:
 def string_size(value: str, minimum: Optional[int], maximum: Optional[int],
                 *, property_name: Optional[str] = None) -> str:
     """describe.cc:1673-1740 (min/maxLength)."""
+    # the reference stringifies the offending value into the message
+    # (evaluator_describe.cc:1713-1720 describe_stringify)
     subject = (
         f"The object property name {_quote(property_name)}"
         if property_name is not None
-        else "The string value"
+        else f"The string value {_quote(value)}"
     )
     n = len(property_name) if property_name is not None else len(value)
     got = f"but it consisted of {_plural(n, 'character')}"

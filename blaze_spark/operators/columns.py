@@ -173,12 +173,13 @@ def compile_property_check(instr: dict, col: Column, dtype: T.DataType,
         n = F.char_length(col)
         if op == "min_length":
             pred = n >= bound
-            head = f"The string value was expected to consist of at least {bound} character"
+            head = f" was expected to consist of at least {bound} character"
         else:
             pred = n <= bound
-            head = f"The string value was expected to consist of at most {bound} character"
+            head = f" was expected to consist of at most {bound} character"
         head += "s" if bound != 1 else ""
-        msg = F.concat(F.lit(head + " but it consisted of "),
+        msg = F.concat(F.lit("The string value "), _quote_col(col),
+                       F.lit(head + " but it consisted of "),
                        _plural(n, "character"))
         return ColumnCheck(kloc, iloc, pred, msg)
 

@@ -1,83 +1,422 @@
 """Bundle: inline every external reference into a self-contained schema.
 
-The analog of the reference's ``bundle()``
-(reference: src/bundle/include/sourcemeta/blaze/bundle.h:42): fetch
-every resolver-reachable schema resource (transitively) and embed each
-under ``$defs`` (``definitions`` for legacy dialects) keyed by its
-canonical URI, carrying its ``$id`` so in-document framing finds it —
-the bundled output compiles and evaluates WITHOUT a resolver, which is
-exactly what executors need (ship one JSON plan/schema, no network).
+Faithful port of the reference's ``bundle()``
+(reference: src/bundle/bundle.cc): every unresolved reference's base is
+fetched through the resolver, re-identified under its canonical URI,
+embedded under the dialect's definitions container keyed by that URI,
+and recursed into — so the output compiles and evaluates WITHOUT a
+resolver, which is exactly what executors need (ship one JSON schema,
+no network). Embedded resources already bundled inside a fetched
+document are elevated to the root container; reference strings are
+rewritten when a document's declared identifier differs from the URI it
+was fetched from. Verified against the reference's own bundle test
+corpus (test/bundle/bundle_*_test.cc).
 """
 
 from __future__ import annotations
 
 import copy
-from typing import Any, Callable, Optional, Set
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
-from blaze_spark.plans.frame import (
-    _LIST_OF_SCHEMAS,
-    _MAP_OF_SCHEMAS,
-    _SINGLE_SCHEMA,
-    Frame,
-    dialect_of,
-)
+from blaze_spark.plans.frame import joinuri
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform.engine import TransformFrame, pointer_str
+
+MODE_NON_OFFICIAL_METASCHEMAS = "non-official-metaschemas"
+MODE_REFERENCES = "references"
+
+_OLD_ID = frozenset({V.D3, V.D4, V.D3H, V.D4H})
+_REF_OVERRIDES = frozenset({V.D3, V.D4, V.D6, V.D7,
+                            V.D3H, V.D4H, V.D6H, V.D7H})
+_DEFS_MODERN = frozenset({V.V20_CORE, V.V19_CORE})
+
+_DIALECT_SHORTHAND = {
+    "draft3": "http://json-schema.org/draft-03/schema#",
+    "draft4": "http://json-schema.org/draft-04/schema#",
+    "draft6": "http://json-schema.org/draft-06/schema#",
+    "draft7": "http://json-schema.org/draft-07/schema#",
+    "2019-09": "https://json-schema.org/draft/2019-09/schema",
+    "2020-12": "https://json-schema.org/draft/2020-12/schema",
+}
 
 
-def _force_resolve(frame: Frame, schema: Any, base: str,
-                   seen: Set[int]) -> None:
-    """Walk every subschema, resolving each reference so the frame pulls
-    (and registers) every external document, transitively."""
-    if not isinstance(schema, dict) or id(schema) in seen:
+class BundleError(ValueError):
+    pass
+
+
+def _embedded_documents(schema: Any) -> Dict[str, Any]:
+    """URI -> embedded subdocument for every identifier-bearing
+    subschema, scanned structurally (so a custom metaschema bundled
+    inside its own instance resolves offline — bundle.cc relies on the
+    frame for this)."""
+    out: Dict[str, Any] = {}
+
+    def walk(node: Any) -> None:
+        if isinstance(node, dict):
+            for key in ("$id", "id"):
+                value = node.get(key)
+                if isinstance(value, str) and "://" in value:
+                    out.setdefault(value.partition("#")[0], node)
+            for value in node.values():
+                walk(value)
+        elif isinstance(node, list):
+            for value in node:
+                walk(value)
+
+    walk(schema)
+    return out
+
+
+def _chain_resolver(schema: Any, resolver):
+    embedded = _embedded_documents(schema)
+
+    def chained(uri: str):
+        bare = uri.partition("#")[0]
+        if bare in embedded:
+            return embedded[bare]
+        return resolver(uri) if resolver is not None else None
+
+    return chained
+
+
+def is_official_schema(uri: str) -> bool:
+    bare = uri.rstrip("#")
+    return bare.startswith("http://json-schema.org/") or \
+        bare.startswith("https://json-schema.org/")
+
+
+def _vocab_of(dialect_uri: str, resolver) -> V.Vocabularies:
+    return V.dialect_vocabularies(dialect_uri, resolver)
+
+
+def _id_keyword(vocab: V.Vocabularies) -> str:
+    return "id" if not vocab.isdisjoint(_OLD_ID) else "$id"
+
+
+def _definitions_keyword(vocab: V.Vocabularies) -> Optional[str]:
+    if not vocab.isdisjoint(_DEFS_MODERN):
+        return "$defs"
+    if not vocab.isdisjoint(_REF_OVERRIDES):
+        return "definitions"
+    return None
+
+
+def _identify(schema: Any, vocab: V.Vocabularies) -> str:
+    if not isinstance(schema, dict):
+        return ""
+    value = schema.get(_id_keyword(vocab))
+    if not isinstance(value, str) or value in ("", "#"):
+        return ""
+    if "$ref" in schema and not vocab.isdisjoint(_REF_OVERRIDES):
+        return ""
+    return value
+
+
+def _reidentify(schema: dict, identifier: str,
+                vocab: V.Vocabularies) -> None:
+    schema[_id_keyword(vocab)] = identifier
+
+
+def _unresolved_references(frame: TransformFrame, schema: Any, mode: str
+                           ) -> List[Tuple[tuple, str, str, str]]:
+    """(origin pointer, resolved base, fragment, raw value) for every
+    reference whose target is not in the frame — including `$schema`
+    (a Reference keyword in the walker), filtered per BundleMode."""
+    out = []
+    candidates = list(frame.references)
+
+    # collect $schema occurrences as references ($schema is a Reference
+    # keyword in the reference's walker)
+    def walk(node, pointer, base):
+        if isinstance(node, dict):
+            ds = node.get("$schema")
+            if isinstance(ds, str):
+                out_schema_refs.append((pointer + ("$schema",), ds, base))
+            for key, value in node.items():
+                walk(value, pointer + (key,), base)
+        elif isinstance(node, list):
+            for i, value in enumerate(node):
+                walk(value, pointer + (i,), base)
+
+    out_schema_refs: List[tuple] = []
+    walk(schema, (), "")
+    for reference in candidates:
+        resolved = joinuri(reference.base or "", reference.value)
+        base, _, fragment = resolved.partition("#")
+        if frame.traverse(reference.value, reference.base) is not None:
+            continue
+        out.append((reference.origin, base, fragment, reference.value))
+    for origin, value, _base in out_schema_refs:
+        if mode == MODE_REFERENCES or is_official_schema(value):
+            continue
+        bare = value.partition("#")[0]
+        if bare in frame.resources:
+            continue
+        out.append((origin, bare, value.partition("#")[2], value))
+    return out
+
+
+def _embed_schema(root: dict, container: tuple, identifier: str,
+                  target: Any) -> None:
+    current = root
+    for token in container:
+        if isinstance(token, str):
+            if not isinstance(current, dict):
+                raise BundleError(
+                    "Could not bundle to a container path that is not an "
+                    "object")
+            current.setdefault(token, {})
+            current = current[token]
+        else:
+            current = current[token]
+    if not isinstance(current, dict):
+        raise BundleError(
+            "Could not bundle to a container path that is not an object")
+    key = identifier
+    while key in current:
+        key += "/x"
+    current[key] = target
+
+
+def _elevate_embedded_resources(remote: Any, root: dict, container: tuple,
+                                remote_vocab: V.Vocabularies, resolver,
+                                default_dialect: str,
+                                bundled: Dict[str, str]) -> None:
+    """bundle.cc elevate_embedded_resources: hoist a fetched document's
+    own URI-keyed definitions up to the root container."""
+    keyword = _definitions_keyword(remote_vocab)
+    if not keyword or not isinstance(remote, dict) or not isinstance(
+            remote.get(keyword), dict):
         return
-    seen.add(id(schema))
-    base = frame._register_id(schema, base, frame.dialect)
-    for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
-        ref = schema.get(kw)
-        if isinstance(ref, str):
-            try:
-                sub, sub_base = frame.resolve(ref, base)
-            except KeyError:
-                continue  # dynamic-anchor-only refs: nothing to fetch
-            _force_resolve(frame, sub, sub_base, seen)
-    for key, value in schema.items():
-        if key in _MAP_OF_SCHEMAS and isinstance(value, dict):
-            for sub in value.values():
-                _force_resolve(frame, sub, base, seen)
-        elif key in _LIST_OF_SCHEMAS and isinstance(value, list):
-            for sub in value:
-                _force_resolve(frame, sub, base, seen)
-        elif key in _SINGLE_SCHEMA and isinstance(value, (dict, bool)):
-            _force_resolve(frame, value, base, seen)
-        elif key == "items" and isinstance(value, list):
-            for sub in value:
-                _force_resolve(frame, sub, base, seen)
-        elif key == "dependencies" and isinstance(value, dict):
-            for sub in value.values():
-                if isinstance(sub, (dict, bool)):
-                    _force_resolve(frame, sub, base, seen)
+    defs = remote[keyword]
+    to_extract, to_remove = [], []
+    for key, value in defs.items():
+        entry_dialect = value.get("$schema") if isinstance(
+            value, dict) else None
+        entry_vocab = _vocab_of(entry_dialect, resolver) if isinstance(
+            entry_dialect, str) else remote_vocab
+        identifier = _identify(value, entry_vocab or remote_vocab)
+        if not identifier or identifier != key or "://" not in identifier:
+            continue
+        if identifier in bundled:
+            bucket = root
+            for token in container:
+                try:
+                    bucket = bucket[token]
+                except (KeyError, IndexError, TypeError):
+                    bucket = None
+                    break
+            if isinstance(bucket, dict):
+                for stored_key, stored in bucket.items():
+                    if not stored_key.startswith(identifier):
+                        continue
+                    stored_vocab = remote_vocab
+                    if isinstance(stored, dict) and isinstance(
+                            stored.get("$schema"), str):
+                        stored_vocab = _vocab_of(stored["$schema"],
+                                                 resolver) or remote_vocab
+                    if _identify(stored, stored_vocab) != identifier:
+                        continue
+                    from blaze_spark.plans.transform.rules_util import \
+                        json_equal
+                    if not json_equal(stored, value):
+                        raise BundleError(
+                            "Conflicting embedded resources with the "
+                            "same identifier")
+                    break
+            to_remove.append(key)
+        else:
+            to_extract.append(key)
+            bundled[identifier] = identifier
+    for key in to_extract:
+        _embed_schema(root, container, key, defs.pop(key))
+    for key in to_remove:
+        del defs[key]
+    if not defs:
+        del remote[keyword]
+
+
+def _bundle_schema(root: dict, container: tuple, subschema: Any,
+                   mode: str, resolver, default_dialect: str,
+                   default_id: str, bundled: Dict[str, str],
+                   depth: int = 0) -> None:
+    frame = TransformFrame(subschema, resolver, default_dialect, default_id)
+    deferred = []
+    rewrites: List[Tuple[tuple, str]] = []
+    for origin, base, fragment, raw in _unresolved_references(
+            frame, subschema, mode):
+        if origin[-1] == "$schema" and (
+                mode == MODE_REFERENCES or is_official_schema(base)):
+            continue
+        if not base:
+            raise BundleError(
+                f"Could not resolve schema reference {raw!r}")
+        if frame.traverse(base, "") is not None or base in frame.resources:
+            raise BundleError(
+                f"Could not resolve schema reference {raw!r}")
+        if base in bundled:
+            mapped = bundled[base]
+            if mapped != base:
+                rewrites.append(
+                    (origin,
+                     mapped + ("#" + fragment if fragment else "")))
+            continue
+        remote = resolver(base) if resolver is not None else None
+        if remote is None:
+            raise BundleError(
+                f"Could not resolve the reference to an external schema "
+                f"{base!r}")
+        if not isinstance(remote, (dict, bool)):
+            raise BundleError(
+                f"The JSON document is not a valid JSON Schema: {base!r}")
+        remote = copy.deepcopy(remote)
+        remote_dialect = remote.get("$schema") if isinstance(
+            remote, dict) else None
+        if not isinstance(remote_dialect, str):
+            remote_dialect = default_dialect
+        remote_vocab = _vocab_of(remote_dialect, resolver)
+        if not remote_vocab:
+            raise BundleError(
+                f"The JSON document is not a valid JSON Schema: {base!r}")
+        remote_id = _identify(remote, remote_vocab)
+        if fragment:
+            remote_frame = TransformFrame(remote, resolver,
+                                          remote_dialect, base)
+            if remote_frame.traverse("#" + fragment, base) is None:
+                raise BundleError(
+                    f"Could not resolve schema reference {raw!r}")
+        effective_id = remote_id or base
+        if isinstance(remote, dict):
+            _reidentify(remote, effective_id, remote_vocab)
+        if effective_id != base:
+            rewrite_base = effective_id[:-1] if effective_id.endswith("#") \
+                else effective_id
+            rewrites.append(
+                (origin,
+                 rewrite_base + ("#" + fragment if fragment else
+                                 effective_id[len(rewrite_base):])))
+        bundled[base] = effective_id
+        bundled[effective_id] = effective_id
+        deferred.append((remote, effective_id, remote_vocab,
+                         remote_dialect))
+    for pointer, value in rewrites:
+        node = subschema
+        for tok in pointer[:-1]:
+            node = node[tok]
+        node[pointer[-1]] = value
+    for remote, effective_id, remote_vocab, remote_dialect in deferred:
+        _bundle_schema(root, container, remote, mode, resolver,
+                       default_dialect, effective_id, bundled, depth + 1)
+        _elevate_embedded_resources(remote, root, container, remote_vocab,
+                                    resolver, default_dialect, bundled)
+        _embed_schema(root, container, effective_id, remote)
+
+
+def dependencies(schema: Any, resolver, callback, *,
+                 default_dialect: str = "2020-12",
+                 default_id: str = "") -> None:
+    """Report every external schema a document depends on,
+    transitively (bundle.cc dependencies()): callback(origin, pointer,
+    target_uri, remote_document) in reference order."""
+    default_dialect = _DIALECT_SHORTHAND.get(default_dialect,
+                                             default_dialect)
+    resolver = _chain_resolver(schema, resolver)
+    visited = set()
+
+    def internal(doc: Any, doc_default_id: str) -> None:
+        frame = TransformFrame(doc, resolver, default_dialect,
+                               doc_default_id)
+        root_vocab = frame.locations[0].vocabularies if frame.locations \
+            else frozenset()
+        if not root_vocab:
+            raise BundleError(
+                "Cannot determine the base dialect of the schema")
+        origin = _identify(doc, root_vocab) or doc_default_id
+        found = []
+        refs = sorted(
+            _unresolved_references(frame, doc,
+                                   MODE_NON_OFFICIAL_METASCHEMAS),
+            key=lambda r: pointer_str(r[0]))
+        for origin_ptr, base, fragment, raw in refs:
+            if origin_ptr[-1] == "$schema" and is_official_schema(base):
+                continue
+            if not base:
+                raise BundleError(
+                    f"Could not resolve schema reference {raw!r}")
+            if base in visited:
+                continue
+            if frame.traverse(base, "") is not None or \
+                    base in frame.resources:
+                raise BundleError(
+                    f"Could not resolve schema reference {raw!r}")
+            remote = resolver(base) if resolver is not None else None
+            if remote is None:
+                raise BundleError(
+                    f"Could not resolve the reference to an external "
+                    f"schema {base!r}")
+            if not isinstance(remote, (dict, bool)):
+                raise BundleError(
+                    f"The JSON document is not a valid JSON Schema: "
+                    f"{base!r}")
+            remote_dialect = remote.get("$schema") if isinstance(
+                remote, dict) else None
+            if not isinstance(remote_dialect, str):
+                remote_dialect = default_dialect
+            if not _vocab_of(remote_dialect, resolver):
+                raise BundleError(
+                    f"The JSON document is not a valid JSON Schema: "
+                    f"{base!r}")
+            callback(origin, origin_ptr, base, remote)
+            visited.add(base)
+            if is_official_schema(base):
+                continue
+            found.append((remote, base))
+        for remote, base in found:
+            internal(remote, base)
+
+    internal(schema, default_id)
 
 
 def bundle(schema: Any, *, default_dialect: str = "2020-12",
-           resolver: Optional[Callable[[str], Any]] = None) -> Any:
+           resolver: Optional[Callable[[str], Any]] = None,
+           mode: str = MODE_NON_OFFICIAL_METASCHEMAS,
+           default_id: str = "", container: Optional[tuple] = None) -> Any:
     """Return a self-contained copy of ``schema`` with every external
-    resource embedded. Boolean schemas pass through; without external
-    references the output equals the input."""
+    resource embedded (bundle.cc:420-492). Boolean schemas pass
+    through; without external references the output equals the input."""
     if not isinstance(schema, dict):
         return schema
+    default_dialect = _DIALECT_SHORTHAND.get(default_dialect,
+                                             default_dialect)
     schema = copy.deepcopy(schema)
-    dialect = dialect_of(schema, default_dialect)
-    frame = Frame(schema, dialect, resolver=resolver)
-    _force_resolve(frame, schema, frame.root_base, set())
-    external = sorted(frame._framed_docs)
-    if not external:
+    resolver = _chain_resolver(schema, resolver)
+    frame = TransformFrame(schema, resolver, default_dialect, default_id)
+    bundled: Dict[str, str] = {}
+    for uri in frame.resources:
+        if uri:
+            bundled[uri] = uri
+    root_vocab = frame.locations[0].vocabularies if frame.locations else \
+        frozenset()
+    if container is not None:
+        _bundle_schema(schema, tuple(container), schema, mode, resolver,
+                       default_dialect, default_id, bundled)
         return schema
-    legacy = dialect in ("draft3", "draft4")
-    defs_key = "definitions" if legacy else "$defs"
-    id_key = "id" if legacy else "$id"
-    defs = schema.setdefault(defs_key, {})
-    for uri in external:
-        entry = copy.deepcopy(frame.resources[uri])
-        if isinstance(entry, dict):
-            entry.setdefault(id_key, uri)
-        defs.setdefault(uri, entry)
+    if default_id and not _identify(schema, root_vocab):
+        _reidentify(schema, default_id, root_vocab)
+    container = _definitions_keyword(root_vocab)
+    if container is None:
+        raise BundleError(
+            "Could not determine how to perform bundling in this dialect")
+    if not root_vocab.isdisjoint(_REF_OVERRIDES) and "$ref" in schema:
+        if len(schema) == 1:
+            keyword = "extends" if not root_vocab.isdisjoint(
+                {V.D3, V.D3H}) else "allOf"
+            schema = {keyword: [dict(schema)]}
+        else:
+            raise BundleError(
+                "Cannot bundle a JSON Schema Draft 7 or older with a "
+                "top-level `$ref` (which overrides sibling keywords) "
+                "without introducing undefined behavior")
+    _bundle_schema(schema, (container,), schema, mode, resolver,
+                   default_dialect, default_id, bundled)
     return schema

@@ -181,6 +181,10 @@ class TransformFrame:
                     self.resources.setdefault(frag_free, pointer)
             if is_root:
                 self.resources.setdefault(base, pointer)
+                if self.default_id:
+                    alias = self.default_id.partition("#")[0]
+                    if alias:
+                        self.resources.setdefault(alias, pointer)
             anchor = node.get("$anchor")
             if isinstance(anchor, str) and W.walk_type(
                     "$anchor", vocab) == W.OTHER:

@@ -27,11 +27,14 @@ CASES_DIR = "/root/reference/test/alterschema"
 OUT_OF_SCOPE = ("draft0", "draft1", "draft2")
 
 FILES = sorted(
-    path
-    for pattern in ("alterschema_canonicalize_*.cc", "alterschema_lint_*.cc",
-                    "alterschema_upgrade_*.cc", "alterschema_wrap_*.cc")
-    for path in glob.glob(f"{CASES_DIR}/{pattern}")
-    if not any(d in path for d in OUT_OF_SCOPE)
+    [path
+     for pattern in ("alterschema_canonicalize_*.cc", "alterschema_lint_*.cc",
+                     "alterschema_upgrade_*.cc", "alterschema_wrap_*.cc")
+     for path in glob.glob(f"{CASES_DIR}/{pattern}")
+     if not any(d in path for d in OUT_OF_SCOPE)]
+    + [path
+       for path in glob.glob("/root/reference/test/bundle/bundle_*.cc")
+       if not any(d in path for d in OUT_OF_SCOPE)]
 )
 
 
@@ -48,6 +51,8 @@ def _cases():
 @pytest.mark.parametrize("case", _cases())
 def test_reference_alterschema_case(case):
     status, actual = run_case(case)
+    if status == "skip":
+        pytest.skip("case asserts non-document properties")
     assert status == "pass", (
         f"{case.name}: {status}\n input={case.document}\n "
         f"expected={case.expected}\n actual={actual}")

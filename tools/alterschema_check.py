@@ -95,15 +95,37 @@ _TEST_DOCS = {
 }
 
 
+import json as _json
+import re as _re
+
 import compliance as _compliance
 
 _FALLBACK_RESOLVER = _compliance.make_resolver("2020-12")
+
+_VENDORED_DRAFT = _re.compile(
+    r"^https?://json-schema\.org/draft-0(\d)/(hyper-schema|links|schema)$")
+
+
+def _vendored_official(uri):
+    m = _VENDORED_DRAFT.match(uri.rstrip("#"))
+    if not m:
+        return None
+    path = (f"/root/reference/vendor/jsonschema-draft{m.group(1)}/"
+            f"{m.group(2)}.json")
+    try:
+        with open(path) as fh:
+            return _json.load(fh)
+    except OSError:
+        return None
 
 
 def test_resolver(uri: str):
     doc = _TEST_DOCS.get(uri.rstrip("#").rstrip("/")) or _TEST_DOCS.get(uri)
     if doc is not None:
         return doc
+    vendored = _vendored_official(uri)
+    if vendored is not None:
+        return vendored
     # OpenAPI dialects and official metaschemas (vendored)
     try:
         return _FALLBACK_RESOLVER(uri)
@@ -120,9 +142,81 @@ _UPGRADE_TARGET = {
 }
 
 
+_BUNDLE_RESOLVERS = {}
+
+
+def _bundle_resolver_for(path):
+    if path not in _BUNDLE_RESOLVERS:
+        from cc_cases import parse_resolver
+        docs = parse_resolver(path)
+
+        def resolver(uri, _docs=docs):
+            if uri in _docs:
+                return _docs[uri]
+            return test_resolver(uri)
+
+        _BUNDLE_RESOLVERS[path] = resolver
+    return _BUNDLE_RESOLVERS[path]
+
+
 def run_case(case):
     """Returns (status, actual) where status in {pass, fail, skip, error}."""
     macro = case.macro
+    if macro == "DEPENDENCIES":
+        from blaze_spark.plans.bundle import BundleError, dependencies
+        from blaze_spark.plans.transform.engine import pointer_str
+        traces = []
+        default_id = ""
+        for arg in case.macro_args:
+            if isinstance(arg, tuple) and arg[0] == "id":
+                default_id = arg[1]
+        try:
+            dependencies(
+                case.document, _bundle_resolver_for(case.file),
+                lambda origin, ptr, target, _doc: traces.append(
+                    (origin, pointer_str(ptr), target)),
+                default_dialect=case.default_dialect or "",
+                default_id=default_id)
+        except BundleError as exc:
+            return ("pass" if case.result_first is False else "error",
+                    repr(exc))
+        if case.result_first is False:
+            return "fail", traces
+        status = "pass"
+        if case.traces_size is not None and len(traces) != case.traces_size:
+            status = "fail"
+        for i, (origin, ptr, target, _fx) in enumerate(
+                case.expected_traces):
+            if i >= len(traces) or traces[i] != (origin, ptr, target):
+                status = "fail"
+                break
+        return status, traces
+    if macro == "BUNDLE":
+        from blaze_spark.plans.bundle import BundleError, bundle
+        mode = "references" if "References" in case.macro_args else             "non-official-metaschemas"
+        default_id = ""
+        container = None
+        for arg in case.macro_args:
+            if isinstance(arg, tuple) and arg[0] == "id":
+                default_id = arg[1]
+            elif isinstance(arg, tuple) and arg[0] == "container":
+                container = arg[1]
+        try:
+            actual = bundle(case.document,
+                            resolver=_bundle_resolver_for(case.file),
+                            mode=mode,
+                            default_dialect=case.default_dialect or "",
+                            default_id=default_id,
+                            container=container)
+        except BundleError as exc:
+            return ("pass" if case.result_first is False else "error",
+                    repr(exc))
+        if case.result_first is False:
+            return "fail", actual
+        if case.expected is None:
+            return "skip", actual
+        return ("pass" if json_equal(actual, case.expected) else "fail",
+                actual)
     if macro == "WRAP":
         from blaze_spark.plans.transform.wrap import WrapError, wrap_schema
         try:
@@ -194,8 +288,9 @@ def run_case(case):
 def main() -> int:
     verbose = "-v" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    patterns = args or ["canonicalize", "lint", "upgrade", "wrap"]
-    files = sorted(glob.glob(f"{CASES_DIR}/alterschema_*_test.cc"))
+    patterns = args or ["canonicalize", "lint", "upgrade", "wrap", "bundle"]
+    files = sorted(glob.glob(f"{CASES_DIR}/alterschema_*_test.cc")
+                  + glob.glob("/root/reference/test/bundle/bundle_*.cc"))
     # engine dialect scope: draft3..2020-12 (+ openapi lint)
     out_of_scope = ("draft0", "draft1", "draft2")
     totals = {"pass": 0, "fail": 0, "skip": 0, "error": 0}

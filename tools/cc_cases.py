@@ -156,6 +156,26 @@ _UPGRADE_MACROS = [
 ]
 
 
+_RESOLVER_RE = re.compile(
+    r'identifier ==\s*\n?\s*"([^"]+)"\s*\)\s*\{\s*'
+    r'return sourcemeta::core::parse_json\(R"JSON\((.*?)\)JSON"',
+    re.S,
+)
+
+
+def parse_resolver(path: str) -> Dict[str, Any]:
+    """Extract a test file's static test_resolver() document table."""
+    with open(path, "r", encoding="utf-8") as fh:
+        source = fh.read()
+    docs: Dict[str, Any] = {}
+    for m in _RESOLVER_RE.finditer(source):
+        try:
+            docs[m.group(1)] = _parse_json_literal(m.group(2))
+        except json.JSONDecodeError:
+            pass
+    return docs
+
+
 def parse_file(path: str) -> List[Case]:
     with open(path, "r", encoding="utf-8") as fh:
         source = fh.read()
@@ -180,7 +200,65 @@ def parse_file(path: str) -> List[Case]:
         def _resolve(var: str) -> Any:
             return assigns.get(var)
 
-        if "wrap_schema(" in body:
+        if "sourcemeta::blaze::dependencies(" in body:
+            case.macro = "DEPENDENCIES"
+            if "to_weak_pointer(" in body:
+                case.macro = None  # wrapper-paths mode: out of scope
+                cases.append(case)
+                continue
+            raw = _find_macro_call(body, "sourcemeta::blaze::dependencies")
+            if raw is not None:
+                strs = re.findall(r'"((?:[^"\\]|\\.)*)"', raw)
+                if strs:
+                    case.default_dialect = strs[0]
+                if len(strs) > 1:
+                    case.macro_args.append(("id", strs[1]))
+            case.document = _resolve("document")
+            case.expected_traces = []
+            for m in re.finditer(r"EXPECT_DEPENDENCY\s*\(", body):
+                raw = _find_macro_call(body[m.start():], "EXPECT_DEPENDENCY")
+                if raw is None:
+                    continue
+                args = _cpp_string_args(raw)
+                strs = [a for a in args if isinstance(a, str)]
+                if len(strs) >= 3:
+                    case.expected_traces.append(
+                        (strs[0], strs[1], strs[2], True))
+            msize = re.search(
+                r"EXPECT_EQ\(\s*traces\.size\(\)\s*,\s*(\d+)", body)
+            if msize:
+                case.traces_size = int(msize.group(1))
+            if "EXPECT_THROW" in body:
+                case.result_first = False
+        elif "sourcemeta::blaze::bundle(" in body:
+            case.macro = "BUNDLE"
+            if "to_weak_pointer(" in body:
+                case.macro = None  # wrapper-paths mode: out of scope
+                cases.append(case)
+                continue
+            case.document = _resolve("document")
+            case.expected = _resolve("expected")
+            case.macro_args = []
+            mode_m = re.search(r"BundleMode::(\w+)", body)
+            if mode_m:
+                case.macro_args.append(mode_m.group(1))
+            raw = _find_macro_call(body, "sourcemeta::blaze::bundle")
+            if raw is not None:
+                strs = re.findall(r'"((?:[^"\\]|\\.)*)"', raw)
+                # positional strings after the mode: dialect, then id
+                case.default_dialect = strs[0] if len(strs) > 0 else None
+                if len(strs) > 1:
+                    case.macro_args.append(("id", strs[1]))
+                pm = re.search(r"Pointer\{([^}]*)\}", raw)
+                if pm:
+                    tokens = []
+                    for tok in re.findall(
+                            r'"((?:[^"\\]|\\.)*)"|(\d+)', pm.group(1)):
+                        tokens.append(tok[0] if tok[0] else int(tok[1]))
+                    case.macro_args.append(("container", tuple(tokens)))
+            if "EXPECT_THROW" in body:
+                case.result_first = False
+        elif "wrap_schema(" in body:
             case.macro = "WRAP"
             case.document = _resolve("schema")
             case.expected = _resolve("expected")
