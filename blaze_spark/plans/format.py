@@ -88,7 +88,15 @@ def _format(node: Any) -> Any:
     return out
 
 
-def format_schema(schema: Any) -> Any:
+def format_schema(schema: Any, *,
+                  default_dialect: str = "2020-12") -> Any:
     """Return a canonically keyword-ordered copy of ``schema``
-    (booleans pass through; the input is never mutated)."""
+    (booleans pass through; the input is never mutated). Like the
+    reference's format(), a schema whose dialect cannot be determined
+    is rejected (format_test.cc no_dialect) — pass ``default_dialect``
+    ("2020-12" by convenience) to format dialect-less documents."""
+    if isinstance(schema, dict) and not isinstance(
+            schema.get("$schema"), str) and not default_dialect:
+        raise ValueError(
+            "Cannot determine the base dialect of the schema")
     return _format(copy.deepcopy(schema))

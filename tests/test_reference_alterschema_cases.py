@@ -35,6 +35,7 @@ FILES = sorted(
     + [path
        for path in glob.glob("/root/reference/test/bundle/bundle_*.cc")
        if not any(d in path for d in OUT_OF_SCOPE)]
+    + glob.glob("/root/reference/test/format/format_*.cc")
 )
 
 

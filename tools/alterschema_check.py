@@ -162,6 +162,23 @@ def _bundle_resolver_for(path):
 def run_case(case):
     """Returns (status, actual) where status in {pass, fail, skip, error}."""
     macro = case.macro
+    if macro == "FORMAT":
+        from blaze_spark.plans.format import format_schema
+        try:
+            actual = format_schema(case.document,
+                                   default_dialect=case.default_dialect
+                                   or "")
+        except Exception as exc:
+            return ("pass" if case.result_first is False else "error",
+                    repr(exc))
+        if case.result_first is False:
+            return "fail", actual
+        if case.expected is None:
+            return "skip", actual
+        # the reference compares PRETTIFIED strings: key order matters
+        ok = json.dumps(actual, sort_keys=False) == json.dumps(
+            case.expected, sort_keys=False)
+        return ("pass" if ok else "fail", actual)
     if macro == "DEPENDENCIES":
         from blaze_spark.plans.bundle import BundleError, dependencies
         from blaze_spark.plans.transform.engine import pointer_str
@@ -288,9 +305,11 @@ def run_case(case):
 def main() -> int:
     verbose = "-v" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    patterns = args or ["canonicalize", "lint", "upgrade", "wrap", "bundle"]
+    patterns = args or ["canonicalize", "lint", "upgrade", "wrap",
+                        "bundle", "format"]
     files = sorted(glob.glob(f"{CASES_DIR}/alterschema_*_test.cc")
-                  + glob.glob("/root/reference/test/bundle/bundle_*.cc"))
+                  + glob.glob("/root/reference/test/bundle/bundle_*.cc")
+                  + glob.glob("/root/reference/test/format/format_*.cc"))
     # engine dialect scope: draft3..2020-12 (+ openapi lint)
     out_of_scope = ("draft0", "draft1", "draft2")
     totals = {"pass": 0, "fail": 0, "skip": 0, "error": 0}

@@ -200,7 +200,26 @@ def parse_file(path: str) -> List[Case]:
         def _resolve(var: str) -> Any:
             return assigns.get(var)
 
-        if "sourcemeta::blaze::dependencies(" in body:
+        if "sourcemeta::blaze::format(" in body:
+            case.macro = "FORMAT"
+            case.document = _resolve("document")
+            raw = _find_macro_call(body, "sourcemeta::blaze::format")
+            if raw is not None:
+                strs = re.findall(r'"((?:[^"\\]|\\.)*)"', raw)
+                if strs:
+                    case.default_dialect = strs[0]
+            m = re.search(
+                r'EXPECT_EQ\(stream\.str\(\),\s*R"JSON\((.*?)\)JSON"',
+                body, re.S)
+            if m:
+                try:
+                    case.expected = json.loads(m.group(1))
+                except json.JSONDecodeError:
+                    pass
+                case.macro_args = [m.group(1)]
+            if "EXPECT_THROW" in body:
+                case.result_first = False
+        elif "sourcemeta::blaze::dependencies(" in body:
             case.macro = "DEPENDENCIES"
             if "to_weak_pointer(" in body:
                 case.macro = None  # wrapper-paths mode: out of scope
