@@ -74,3 +74,42 @@ def basic_output_df(validated: DataFrame, id_cols: List[str]) -> DataFrame:
         ).alias("errors"),
     ))
     return validated.select(*id_cols, doc.alias("output_json"))
+
+
+def standard(result: EvalResult, fmt: str = "basic") -> Dict[str, Any]:
+    """2020-12 Standard output document (reference:
+    test/output/output_standard_{flag,basic}.json — both suites replay
+    exactly against results evaluated with ``standard=True``):
+    ``flag`` = verdict only; ``basic`` = flat error list with
+    absoluteKeywordLocation, or location-grouped annotations."""
+    if fmt == "flag":
+        return {"valid": result.valid}
+    out: Dict[str, Any] = {"valid": result.valid}
+    if not result.valid:
+        out["errors"] = [
+            {
+                "keywordLocation": v.keyword_location,
+                "absoluteKeywordLocation":
+                    "#" + (getattr(v, "schema_location", None)
+                           or v.keyword_location),
+                "instanceLocation": v.instance_location,
+                "error": v.message,
+            }
+            for v in result.violations
+        ]
+        return out
+    grouped: Dict[Any, List[Any]] = {}
+    for a in (getattr(result, "annotations", None) or []):
+        grouped.setdefault(
+            (a.keyword_location, a.instance_location), []).append(a.value)
+    if grouped:
+        out["annotations"] = [
+            {
+                "keywordLocation": kloc,
+                "absoluteKeywordLocation": "#" + kloc,
+                "instanceLocation": iloc,
+                "annotation": values,
+            }
+            for (kloc, iloc), values in grouped.items()
+        ]
+    return out

@@ -82,9 +82,10 @@ class _Ann:
 
 class _State:
     __slots__ = ("plan", "targets", "fast", "track", "scopes", "depth",
-                 "annotations", "tracer")
+                 "annotations", "tracer", "standard")
 
-    def __init__(self, plan: dict, fast: bool) -> None:
+    def __init__(self, plan: dict, fast: bool,
+                 standard: bool = False) -> None:
         self.plan = plan
         self.targets = plan["targets"]
         self.fast = fast
@@ -95,16 +96,24 @@ class _State:
         # optional step callback (functions/trace.py TraceOutput analog;
         # reference: output_trace.h Pre/Post evaluation callback)
         self.tracer = None
+        # standard-output emission (reference parity for the 2020-12
+        # Standard Basic format): loop summary errors + applicator
+        # annotations that the default path leaves implicit
+        self.standard = standard
 
 
-def evaluate(plan: dict, instance: Any, *, mode: Optional[str] = None) -> EvalResult:
+def evaluate(plan: dict, instance: Any, *, mode: Optional[str] = None,
+             standard: bool = False) -> EvalResult:
     """Validate one parsed JSON instance against a compiled plan.
 
     ``mode`` defaults to the plan's compiled mode. Fast mode stops at the
     first violation; exhaustive collects all of them in evaluation order.
+    ``standard`` additionally emits the loop summary errors and
+    applicator annotations the 2020-12 Standard output formats carry
+    (reference: test/output/output_standard_basic.json).
     """
     fast = (mode or plan.get("mode", "fast")) == "fast"
-    state = _State(plan, fast)
+    state = _State(plan, fast, standard)
     state.scopes.append(plan.get("target_base", [""])[0])
     valid, violations, _ = _run_program(
         state, plan["targets"][0], instance, "", "", _Ann())
@@ -482,6 +491,7 @@ def _h_properties(state, instr, instance, iloc, eprefix, ann):
         return True, []
     valid, violations = True, []
     track = state.track
+    matched = []
     for entry in instr["entries"]:
         name = entry["name"]
         if name not in instance:
@@ -497,11 +507,27 @@ def _h_properties(state, instr, instance, iloc, eprefix, ann):
             iloc + isuf, eprefix, child_ann)
         if track:
             ann.props.add(name)
+        matched.append(name)
         if not ok:
             valid = False
             violations.extend(vio)
             if state.fast:
                 break
+    if state.standard and not state.fast:
+        kloc = eprefix + instr.get("kloc", "/properties")
+        if valid:
+            # the `properties` annotation: matched property names
+            # (evaluator_dispatch.h LoopProperties* annotate)
+            for name in matched:
+                state.annotations.append(Annotation(kloc, iloc, name))
+        else:
+            n = len(instr["entries"])
+            suffix = ("single defined property subschema" if n == 1
+                      else f"{n} defined properties subschemas")
+            violations.append(Violation(
+                kloc, iloc,
+                "The object value was expected to validate against "
+                f"the {suffix}"))
     return valid, violations
 
 
@@ -645,8 +671,9 @@ def _h_contains(state, instr, instance, iloc, eprefix, ann):
     minimum, maximum = v["min"], v["max"]
     count = 0
     matched: List[int] = []
+    child_violations: List[Violation] = []
     for i, item in enumerate(instance):
-        ok, _ = _run_branch(
+        ok, vio = _run_branch(
             state, instr["program"], item, iloc + f"/{i}", eprefix, _Ann())
         if ok:
             count += 1
@@ -654,9 +681,11 @@ def _h_contains(state, instr, instance, iloc, eprefix, ann):
             # short-circuit only when no upper bound and no tracking needed
             # (exhaustive flag on LoopContains, evaluator_dispatch.h:
             # 2630-2637)
-            if (state.fast and not state.track and maximum is None
-                    and count >= minimum):
+            if (state.fast and not state.track and not state.standard
+                    and maximum is None and count >= minimum):
                 break
+        elif state.standard:
+            child_violations.extend(vio)
     ok = count >= minimum and (maximum is None or count <= maximum)
     # contains-matched items count as "evaluated" for unevaluatedItems
     # only from 2020-12 on (2019-09 unevaluatedItems ignores contains
@@ -664,9 +693,15 @@ def _h_contains(state, instr, instance, iloc, eprefix, ann):
     if ok and state.track and v.get("mark", True):
         ann.items.update(matched)
     if ok:
+        if state.standard and not state.fast:
+            for i in matched:
+                state.annotations.append(
+                    Annotation(eprefix + instr["kloc"], iloc, i))
         return True, []
-    return False, [Violation(eprefix + instr["kloc"], iloc,
-                             D.contains_fail(instance, minimum, maximum))]
+    violations = child_violations if state.standard else []
+    violations.append(Violation(eprefix + instr["kloc"], iloc,
+                                D.contains_fail(instance, minimum, maximum)))
+    return False, violations
 
 
 def _h_type_union(state, instr, instance, iloc, eprefix, ann):
