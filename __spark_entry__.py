@@ -365,6 +365,33 @@ def q_events_windowed_violations(spark, sf_dir):
                   F.sum((~F.col("valid")).cast("long")).alias("invalid_rows")))
 
 
+def q_lint_document_schemas(spark, sf_dir):
+    """Distributed alterschema lint at scale: synthesize one JSON
+    Schema per document row and run the FULL 103-rule linter
+    (operators/schema_pipeline.py, mapInPandas, map-only plan) over the
+    column. The finding set is deterministic per row — duplicate enum
+    (source repeated) and the top-level-examples nudge always fire;
+    enum_with_type additionally fires iff every enum member is a string
+    (i.e. both source and lang are non-null) — so DuckDB can mirror the
+    counts exactly."""
+    docs = _docs(spark, sf_dir)
+    schema_json = F.to_json(F.struct(
+        F.lit("https://json-schema.org/draft/2020-12/schema").alias("$schema"),
+        F.lit("Document source policy").alias("title"),
+        F.lit("Synthesized per-row schema for lint at scale").alias(
+            "description"),
+        F.lit("string").alias("type"),
+        F.array(F.col("source"), F.col("lang"),
+                F.col("source")).alias("enum"),
+    ))
+    from blaze_spark.operators.schema_pipeline import lint_schemas
+    linted = lint_schemas(docs.withColumn("schema_json", schema_json),
+                          "schema_json")
+    return linted.select(
+        "doc_id", "lint_ok",
+        F.size("lint_findings").cast("int").alias("n_findings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -401,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_roundtrip": q_media_roundtrip,
         "column_stats_hll": q_column_stats_hll,
+        "lint_document_schemas": q_lint_document_schemas,
     }
 
 
@@ -551,6 +579,13 @@ def oracle_sql() -> dict[str, str]:
                         + (CASE WHEN CAST(props->>'$.k' AS BIGINT) > 80 THEN 1 ELSE 0 END)
                    END AS INT) AS n_violations
             FROM events""",
+        "lint_document_schemas": """
+            SELECT doc_id,
+                   false AS lint_ok,
+                   CAST(2 + CASE WHEN source IS NOT NULL
+                                  AND lang IS NOT NULL
+                             THEN 1 ELSE 0 END AS INT) AS n_findings
+            FROM documents""",
         "column_stats": """
             SELECT source,
                    count(*) AS row_count,
