@@ -115,3 +115,44 @@ def upgrade_schemas(df: DataFrame, column: str, target: str = "2020-12",
     target dialect (AlterSchemaMode::Upgrade<target>)."""
     return _transform_schemas(df, column, f"upgrade:{target}", "upgraded",
                               default_dialect)
+
+
+def bundle_schemas(df: DataFrame, column: str,
+                   registry: dict, default_dialect: str = "2020-12",
+                   mode: str = "non-official-metaschemas") -> DataFrame:
+    """Append a ``bundled`` column: each schema made self-contained by
+    inlining its external references from ``registry`` (URI → schema
+    document). The registry ships to executors by closure broadcast —
+    the Spark-scale form of resolver-backed bundling: schemas leave the
+    pipeline compilable WITHOUT any network access. Rows whose
+    references cannot be satisfied get NULL plus the error in
+    ``bundle_error``."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("bundled", T.StringType(), True),
+           T.StructField("bundle_error", T.StringType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blaze_spark.plans.bundle import BundleError, bundle
+
+        def resolver(uri, _r=registry):
+            return _r.get(uri) or _r.get(uri.rstrip("#"))
+
+        for batch in batches:
+            out, errs = [], []
+            for text in batch[column]:
+                try:
+                    doc = bundle(json.loads(text), resolver=resolver,
+                                 default_dialect=default_dialect, mode=mode)
+                    out.append(json.dumps(doc))
+                    errs.append(None)
+                except (BundleError, ValueError) as exc:
+                    out.append(None)
+                    errs.append(str(exc)[:200])
+            batch = batch.copy()
+            batch["bundled"] = out
+            batch["bundle_error"] = errs
+            yield batch
+
+    return df.mapInPandas(run, schema=out_schema)

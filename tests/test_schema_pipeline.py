@@ -79,3 +79,32 @@ def test_pipeline_plan_is_map_only(spark, schemas_df):
     plan = lint_schemas(schemas_df, "schema_json")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: pure scale-out map
+
+
+def test_bundle_schemas_with_broadcast_registry(spark):
+    import json as _json
+    from blaze_spark.operators.schema_pipeline import bundle_schemas
+    from blaze_spark.plans.compiler import compile_schema
+    from blaze_spark.operators.evaluator import evaluate
+
+    registry = {
+        "https://example.com/int": {
+            "$id": "https://example.com/int",
+            "$schema": D2020, "type": "integer"},
+    }
+    rows = [
+        (0, _json.dumps({"$schema": D2020,
+                         "$ref": "https://example.com/int"})),
+        (1, _json.dumps({"$schema": D2020,
+                         "$ref": "https://example.com/MISSING"})),
+    ]
+    df = spark.createDataFrame(rows, ["sid", "schema_json"])
+    got = {r["sid"]: r for r in
+           bundle_schemas(df, "schema_json", registry).collect()}
+    bundled = _json.loads(got[0]["bundled"])
+    assert "https://example.com/int" in bundled["$defs"]
+    # the bundled schema compiles and evaluates with NO resolver
+    plan = compile_schema(bundled, apply_rewrites=False)
+    assert evaluate(plan, 5).valid and not evaluate(plan, "x").valid
+    assert got[1]["bundled"] is None
+    assert "MISSING" in got[1]["bundle_error"]
