@@ -65,14 +65,151 @@ def validate_rows(df: DataFrame, schema_or_plan: Any, *,
     return validated.drop("__instance__")
 
 
+_SIMPLE_NAME = None  # compiled lazily (re import kept out of module top)
+
+
+def _static_object_prefilter(schema: Any, column: str):
+    """JVM definitely-valid prefilter for static-shape object schemas
+    (the r1 plan-audit suggestion: `F.from_json` JVM pre-parse so only
+    potentially-invalid rows reach the Python interpreter).
+
+    Soundness invariant: prefilter TRUE ⇒ tier-2 valid. Spark's
+    from_json is strict for long/double/boolean targets (a quoted "5"
+    or a 5.0 parses to NULL under LongType — probed on pyspark 4.1);
+    strings coerce, so a string field is classified by parsing the same
+    text under all four scalar views and requiring the string view
+    alone to hit. Rows the prefilter cannot prove valid (JSON nulls,
+    integral reals for integer fields, any dynamic feature) simply take
+    the exact Python path — never a wrong verdict, only a slower one.
+
+    Returns a Column or None when the schema is outside the static
+    gate (combinators, nested shapes, additional/pattern properties,
+    non-scalar enums, exotic property names...)."""
+    import re as _re
+
+    if not isinstance(schema, dict):
+        return None
+    if not set(schema) <= {"$schema", "type", "properties", "required",
+                           "title", "description"}:
+        return None
+    if schema.get("type", "object") != "object":
+        return None
+    properties = schema.get("properties", {})
+    required = schema.get("required", [])
+    if not isinstance(properties, dict) or not isinstance(required, list):
+        return None
+    name_rx = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    if not all(isinstance(n, str) and name_rx.match(n)
+               for n in list(properties) + list(required)):
+        return None
+    allowed = {"type", "minimum", "maximum", "exclusiveMinimum",
+               "exclusiveMaximum", "minLength", "maxLength", "pattern",
+               "enum", "const", "multipleOf"}
+    scalar_struct_type = {"integer": T.LongType(), "number": T.DoubleType(),
+                          "string": T.StringType(),
+                          "boolean": T.BooleanType()}
+    for ps in properties.values():
+        if not isinstance(ps, dict) or not set(ps) <= allowed:
+            return None
+        if ps and ps.get("type") not in scalar_struct_type:
+            return None
+
+    col = F.col(column)
+    fields = list(properties)
+    views = {}
+
+    def view(kind, dtype):
+        if kind not in views:
+            views[kind] = F.from_json(col, T.StructType(
+                [T.StructField(n, dtype) for n in fields]))
+        return views[kind]
+
+    # top-level object shape (MapType parse: non-null iff JSON object)
+    pred = col.isNotNull() & F.from_json(
+        col, T.MapType(T.StringType(), T.StringType())).isNotNull()
+
+    from blaze_spark.functions.regexes import ecma_to_java
+
+    for name, ps in properties.items():
+        present = F.get_json_object(col, f"$.{name}").isNotNull()
+        if not ps:  # empty subschema: any present value is fine
+            ok = F.lit(True)
+        else:
+            tp = ps["type"] if "type" in ps else None
+            if tp == "integer":
+                v = view("long", T.LongType())[name]
+                ok = v.isNotNull()
+            elif tp == "number":
+                v = view("double", T.DoubleType())[name]
+                ok = v.isNotNull()
+            elif tp == "boolean":
+                v = view("bool", T.BooleanType())[name]
+                ok = v.isNotNull()
+            else:  # string: the string view alone must hit
+                v = view("str", T.StringType())[name]
+                ok = (v.isNotNull()
+                      & view("long", T.LongType())[name].isNull()
+                      & view("double", T.DoubleType())[name].isNull()
+                      & view("bool", T.BooleanType())[name].isNull())
+            for key, value in ps.items():
+                if key == "minimum":
+                    ok = ok & (v >= value)
+                elif key == "maximum":
+                    ok = ok & (v <= value)
+                elif key == "exclusiveMinimum":
+                    ok = ok & (v > value)
+                elif key == "exclusiveMaximum":
+                    ok = ok & (v < value)
+                elif key == "minLength":
+                    ok = ok & (F.char_length(v) >= value)
+                elif key == "maxLength":
+                    ok = ok & (F.char_length(v) <= value)
+                elif key == "pattern":
+                    ok = ok & v.rlike(ecma_to_java(value))
+                elif key == "multipleOf":
+                    if not isinstance(value, int) or tp != "integer":
+                        return None
+                    ok = ok & (F.pmod(v, F.lit(value)) == 0)
+                elif key in ("enum", "const"):
+                    options = value if key == "enum" else [value]
+                    if not all(isinstance(o, (int, float, str, bool))
+                               for o in options):
+                        return None
+                    ok = ok & v.isin(options)
+        if name in required:
+            pred = pred & present & ok
+        else:
+            pred = pred & (~present | ok)
+    for name in required:
+        if name not in properties:
+            pred = pred & F.get_json_object(col, f"$.{name}").isNotNull()
+    return pred
+
+
 def validate_json_column(df: DataFrame, column: str, schema_or_plan: Any, *,
-                         mode: str = "exhaustive") -> DataFrame:
-    """Validate a JSON-text column with the tier-2 Arrow interpreter."""
+                         mode: str = "exhaustive",
+                         jvm_prefilter: bool = True) -> DataFrame:
+    """Validate a JSON-text column with the tier-2 Arrow interpreter.
+
+    When the constraint schema has a static scalar-object shape, a
+    JVM whole-stage-codegen prefilter proves most valid rows valid
+    without ever entering Python (from_json typed views); only rows it
+    cannot prove valid are interpreted. Verdicts and violations are
+    identical either way (tests/test_spark_validation.py parity)."""
     plan = _ensure_plan(schema_or_plan, mode)
-    return _interpret(df, column, plan, mode)
+    prefilter = None
+    if jvm_prefilter and isinstance(schema_or_plan, dict)             and "targets" not in schema_or_plan:
+        prefilter = _static_object_prefilter(schema_or_plan, column)
+    if prefilter is None:
+        return _interpret(df, column, plan, mode)
+    marked = df.withColumn("__jvm_valid__", prefilter)
+    validated = _interpret(marked, column, plan, mode,
+                           skip_col="__jvm_valid__")
+    return validated.drop("__jvm_valid__")
 
 
-def _interpret(df: DataFrame, column: str, plan: dict, mode: str) -> DataFrame:
+def _interpret(df: DataFrame, column: str, plan: dict, mode: str,
+               skip_col: Optional[str] = None) -> DataFrame:
     """mapInPandas interpreter: Arrow batches in, Arrow batches out.
 
     The plan ships to executors through the closure (it's pure JSON,
@@ -87,6 +224,7 @@ def _interpret(df: DataFrame, column: str, plan: dict, mode: str) -> DataFrame:
            T.StructField("violations", _VIOLATIONS_T, False)]
     )
     col_idx = df.columns.index(column)
+    skip_idx = df.columns.index(skip_col) if skip_col else None
     fast = mode == "fast"
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -96,7 +234,14 @@ def _interpret(df: DataFrame, column: str, plan: dict, mode: str) -> DataFrame:
         for pdf in batches:
             valid_out: List[bool] = []
             vio_out: List[list] = []
-            for text in pdf.iloc[:, col_idx]:
+            skips = (pdf.iloc[:, skip_idx].tolist()
+                     if skip_idx is not None else None)
+            for row_i, text in enumerate(pdf.iloc[:, col_idx]):
+                if skips is not None and skips[row_i] is True:
+                    # the JVM prefilter proved this row valid
+                    valid_out.append(True)
+                    vio_out.append([])
+                    continue
                 if text is None:
                     valid_out.append(False)
                     vio_out.append([("", "", "The value was expected to be a JSON document but it was null")])

@@ -232,3 +232,40 @@ def test_ivf_topk_matches_bruteforce_on_probed_buckets(spark):
     # with nprobe = all buckets, IVF must equal brute force
     assert sorted((r["query_id"], r["vec_id"], r["rank"]) for r in approx) == \
         sorted((r["query_id"], r["vec_id"], r["rank"]) for r in exact)
+
+
+def test_json_column_jvm_prefilter_parity(spark):
+    """The from_json JVM prefilter must be a pure optimization: hybrid
+    and pure-Python tier-2 agree on verdicts AND violations over the
+    adversarial payload matrix (type coercions, JSON nulls, integral
+    reals, missing keys, malformed text, non-object roots)."""
+    from blaze_spark.operators.validate import (
+        _static_object_prefilter, validate_json_column)
+
+    schema = {"type": "object", "required": ["k"],
+              "properties": {"k": {"type": "integer",
+                                   "minimum": 0, "maximum": 80},
+                             "s": {"type": "string", "minLength": 2},
+                             "f": {"type": "boolean"}}}
+    assert _static_object_prefilter(schema, "j") is not None
+    payloads = [
+        '{"k": 5}', '{"k": "5"}', '{"k": 5.0}', '{"k": 5.5}',
+        '{"k": true}', '{"k": null}', '{"k": -1}', '{"k": 81}', '{}',
+        '{"k": 5, "s": "ab"}', '{"k": 5, "s": "a"}', '{"k": 5, "s": 7}',
+        '{"k": 5, "s": true}', '{"k": 5, "f": true}', '{"k": 5, "f": 1}',
+        '{"k": 5, "extra": [1]}', '{"k": {}}', '{"k": [5]}',
+        'not json', None, '5', '[{"k": 5}]', 'true',
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
+                               ["rid", "j"])
+    hybrid = {r["rid"]: (r["valid"], [tuple(v) for v in r["violations"]])
+              for r in validate_json_column(df, "j", schema).collect()}
+    pure = {r["rid"]: (r["valid"], [tuple(v) for v in r["violations"]])
+            for r in validate_json_column(df, "j", schema,
+                                          jvm_prefilter=False).collect()}
+    assert hybrid == pure
+    # the dynamic-feature gate: combinators fall back to pure tier-2
+    assert _static_object_prefilter(
+        {"anyOf": [{"type": "object"}]}, "j") is None
+    assert _static_object_prefilter(
+        {"type": "object", "additionalProperties": False}, "j") is None
