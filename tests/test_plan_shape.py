@@ -139,3 +139,19 @@ def test_streaming_windowed_violation_rate(spark, tmp_path):
     for r in rows:
         assert 0.0 <= r["violation_rate"] <= 1.0
         assert r["window_end"] > r["window_start"]
+
+
+def test_json_prefilter_plan_is_map_only_jvm(spark):
+    """The hybrid tier-2 prefilter adds a pure-JVM Project (from_json
+    typed views) ahead of MapInPandas — no shuffle, no extra Python."""
+    from blaze_spark.operators.validate import validate_json_column
+
+    schema = {"type": "object", "required": ["k"],
+              "properties": {"k": {"type": "integer",
+                                   "minimum": 0, "maximum": 80}}}
+    df = spark.createDataFrame([('{"k": 5}',)], ["props"])
+    plan = validate_json_column(df, "props", schema) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "from_json" in plan  # the JVM prefilter made it into the plan
