@@ -11,8 +11,7 @@ condition, transform).
 
 from __future__ import annotations
 
-import copy
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
 from blaze_spark.plans.frame import joinuri

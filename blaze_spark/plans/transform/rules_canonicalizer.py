@@ -1791,9 +1791,6 @@ class DisallowArrayToExtends(Rule):
         disallow = schema.get("disallow")
         return isinstance(disallow, list) and len(disallow) > 1
 
-    def condition_result_holder(self):
-        pass
-
     def transform(self, schema, result):
         branches = [{"disallow": [e]} for e in schema["disallow"]]
         del schema["disallow"]

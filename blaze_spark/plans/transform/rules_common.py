@@ -4,17 +4,16 @@ modes.py (mirrors alterschema.cc:379-517)."""
 
 from __future__ import annotations
 
-import copy
-from typing import Any, List, Optional, Set
+from typing import Any, List, Set
 
 from blaze_spark.plans.transform import vocab as V
 from blaze_spark.plans.transform import walker as W
 from blaze_spark.plans.transform.engine import Rule, get_at
 from blaze_spark.plans.transform.rules_util import (
+    T_INTEGER,
     is_number, is_integer, json_equal, json_key, json_strict_key,
     json_type,
     parse_schema_type, unique_values, vocab_any,
-    T_ARRAY, T_BOOLEAN, T_INTEGER, T_NULL, T_OBJECT, T_REAL, T_STRING,
 )
 
 _APP_6UP = frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR, V.D7, V.D6})

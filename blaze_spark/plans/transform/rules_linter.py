@@ -11,7 +11,7 @@ from blaze_spark.plans.transform import walker as W
 from blaze_spark.plans.transform.engine import Rule, get_at, rebase
 from blaze_spark.plans.transform.rules_common import is_empty_schema
 from blaze_spark.plans.transform.rules_util import (
-    is_number, is_integer, json_equal, json_strict_key, json_type,
+    is_number, is_integer, json_equal, json_strict_key,
     parse_schema_type, vocab_any,
 )
 

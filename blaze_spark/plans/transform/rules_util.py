@@ -10,9 +10,8 @@ groups rules gate on.
 
 from __future__ import annotations
 
-import json
 import math
-from typing import Any, FrozenSet, Iterable, List, Optional, Set
+from typing import Any, FrozenSet, Iterable, List, Set
 
 from blaze_spark.plans.transform import vocab as V
 

@@ -11,7 +11,7 @@ vocabulary for lint parity).
 
 from __future__ import annotations
 
-from typing import Any, Iterator, List, Tuple
+from typing import Any, Iterator, Tuple
 
 from blaze_spark.plans.transform import vocab as V
 

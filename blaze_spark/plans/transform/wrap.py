@@ -12,7 +12,7 @@ relative references keep resolving as before).
 from __future__ import annotations
 
 import copy
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 from blaze_spark.plans.transform import vocab as V
 from blaze_spark.plans.transform.engine import (
