@@ -392,6 +392,38 @@ def q_lint_document_schemas(spark, sf_dir):
         F.size("lint_findings").cast("int").alias("n_findings"))
 
 
+def q_frame_document_schemas(spark, sf_dir):
+    """Distributed static analysis (frame) at scale: synthesize one
+    JSON Schema per document row and run the full SchemaFrame pass
+    (operators/schema_pipeline.frame_schemas — the reference's
+    src/frame component, mapInPandas, map-only plan). The location
+    table size is deterministic per row: a named schema frames 7 base
+    locations (resource + 6 pointer aliases), an anonymous one (null
+    doc_id) 6, and a lang property adds 2 — so DuckDB mirrors the
+    counts exactly."""
+    docs = _docs(spark, sf_dir)
+    schema_json = F.to_json(F.struct(
+        F.lit("https://json-schema.org/draft/2020-12/schema").alias("$schema"),
+        F.concat(F.lit("https://example.com/schema/"),
+                 F.col("doc_id")).alias("$id"),
+        F.lit("object").alias("type"),
+        F.struct(
+            F.struct(F.lit("string").alias("type")).alias("source"),
+            F.when(F.col("lang").isNotNull(),
+                   F.struct(F.lit("string").alias("type"))).alias("lang"),
+        ).alias("properties"),
+    ))
+    from blaze_spark.operators.schema_pipeline import frame_schemas
+    framed = frame_schemas(docs.withColumn("schema_json", schema_json),
+                           "schema_json")
+    return framed.select(
+        "doc_id",
+        F.size("frame_locations").cast("int").alias("n_locations"),
+        F.col("n_references").alias("n_references"),
+        F.col("n_unresolved").alias("n_unresolved"),
+        F.col("standalone").alias("standalone"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -429,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_roundtrip": q_media_roundtrip,
         "column_stats_hll": q_column_stats_hll,
         "lint_document_schemas": q_lint_document_schemas,
+        "frame_document_schemas": q_frame_document_schemas,
     }
 
 
@@ -585,6 +618,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 + CASE WHEN source IS NOT NULL
                                   AND lang IS NOT NULL
                              THEN 1 ELSE 0 END AS INT) AS n_findings
+            FROM documents""",
+        "frame_document_schemas": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id IS NULL THEN 6 ELSE 7 END
+                        + CASE WHEN lang IS NOT NULL THEN 2 ELSE 0 END
+                        AS INT) AS n_locations,
+                   CAST(1 AS INT) AS n_references,
+                   CAST(0 AS INT) AS n_unresolved,
+                   true AS standalone
             FROM documents""",
         "column_stats": """
             SELECT source,

@@ -25,6 +25,10 @@ from blaze_spark.operators.evaluator import evaluate  # noqa: F401
 from blaze_spark.plans.alterschema import lint, upgrade  # noqa: F401
 from blaze_spark.plans.bundle import bundle, dependencies  # noqa: F401
 from blaze_spark.plans.format import format_schema  # noqa: F401
+from blaze_spark.plans.schema_frame import (  # noqa: F401
+    SchemaFrame,
+    frame_schema,
+)
 from blaze_spark.plans.codegen_sql import (  # noqa: F401
     plan_to_sql_predicate,
     validation_sql,

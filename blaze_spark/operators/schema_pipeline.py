@@ -117,6 +117,78 @@ def upgrade_schemas(df: DataFrame, column: str, target: str = "2020-12",
                               default_dialect)
 
 
+_FRAME_LOC_T = T.ArrayType(T.StructType([
+    T.StructField("uri", T.StringType(), False),
+    T.StructField("ref_type", T.StringType(), False),
+    T.StructField("loc_type", T.StringType(), False),
+    T.StructField("pointer", T.StringType(), False),
+    T.StructField("base", T.StringType(), False),
+    T.StructField("orphan", T.BooleanType(), False),
+]), False)
+
+
+def frame_schemas(df: DataFrame, column: str,
+                  default_dialect: str = "") -> DataFrame:
+    """Append the static-analysis frame of each schema in ``column``
+    (plans/schema_frame.SchemaFrame — the reference's frame component):
+    a ``frame_locations`` array (URI -> location table), plus
+    ``n_references``, ``n_unresolved`` and ``standalone`` columns.
+
+    Spark-first shape: one SchemaFrame class per partition, Arrow
+    batches in and out, map-only (no shuffle) — registry-scale schema
+    inventory/reachability analysis runs embarrassingly parallel.
+    Rows that fail to frame get NULL locations plus ``frame_error``."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("frame_locations", _FRAME_LOC_T, True),
+           T.StructField("n_references", T.IntegerType(), True),
+           T.StructField("n_unresolved", T.IntegerType(), True),
+           T.StructField("standalone", T.BooleanType(), True),
+           T.StructField("frame_error", T.StringType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blaze_spark.plans.schema_frame import SchemaFrame, pointer_str
+        frame = SchemaFrame("references")
+        for batch in batches:
+            locs, n_refs, n_unres, alone, errs = [], [], [], [], []
+            for text in batch[column]:
+                try:
+                    frame.analyse(json.loads(text),
+                                  default_dialect=default_dialect)
+                    locs.append([
+                        {"uri": uri, "ref_type": reftype,
+                         "loc_type": location.type,
+                         "pointer": pointer_str(location.pointer),
+                         "base": location.base,
+                         "orphan": location.orphan}
+                        for (reftype, uri), location
+                        in frame.locations.items()])
+                    n_refs.append(len(frame.references))
+                    # meta-schema references resolve out-of-band; count
+                    # only actionable ($ref-family) unresolved targets
+                    n_unres.append(sum(
+                        1 for origin, _r in frame.unresolved_references()
+                        if origin[-1] != "$schema"))
+                    alone.append(frame.standalone)
+                    errs.append(None)
+                except Exception as exc:
+                    locs.append(None)
+                    n_refs.append(None)
+                    n_unres.append(None)
+                    alone.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            batch = batch.copy()
+            batch["frame_locations"] = locs
+            batch["n_references"] = pd.array(n_refs, dtype="Int32")
+            batch["n_unresolved"] = pd.array(n_unres, dtype="Int32")
+            batch["standalone"] = alone
+            batch["frame_error"] = errs
+            yield batch
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def bundle_schemas(df: DataFrame, column: str,
                    registry: dict, default_dialect: str = "2020-12",
                    mode: str = "non-official-metaschemas") -> DataFrame:

@@ -1,0 +1,1631 @@
+"""SchemaFrame: full static-analysis pass over a JSON Schema document.
+
+The analog of the reference's frame component (reference:
+src/frame/include/sourcemeta/blaze/frame.h:70 class SchemaFrame, impl
+src/frame/frame.cc) re-expressed in Python. Unlike the lightweight
+framings used by the compiler (plans/frame.py) and the alterschema
+engine (plans/transform/engine.py), this one computes the complete
+location table the reference exposes publicly:
+
+- every URI a document location is known by (resources, anchors,
+  JSON-Pointer aliases), each classified as Resource / Anchor /
+  Pointer / Subschema,
+- per-location dialect, base dialect, enclosing base resource,
+  parent subschema, property-name and orphan flags,
+- the reference map ($ref / $recursiveRef / $dynamicRef / $schema)
+  with destinations resolved and split into base + fragment,
+- standalone-ness, and static reachability between locations
+  (frame.cc:1810-1975 is_reachable / reachability graph).
+
+Everything is derived from the reference's observable behavior (its
+frame test corpus, replayed by tools/frame_check.py); the code is an
+independent implementation.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import re
+from urllib.parse import quote, unquote, urlsplit
+
+from blaze_spark.plans.frame import joinuri
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform import walker as W
+
+Pointer = Tuple[Any, ...]
+
+STATIC = "static"
+DYNAMIC = "dynamic"
+
+# location types; the numeric rank mirrors the reference enum order
+# (frame.h LocationType) used by uri(pointer) tie-breaking
+RESOURCE = "resource"
+ANCHOR = "anchor"
+POINTER = "pointer"
+SUBSCHEMA = "subschema"
+_TYPE_RANK = {RESOURCE: 0, ANCHOR: 1, POINTER: 2, SUBSCHEMA: 3}
+
+# ---------------------------------------------------------------------------
+# errors (frame_error.h analogs)
+
+
+class FrameError(ValueError):
+    """SchemaFrameError: framing failed (e.g. duplicate identifier)."""
+
+    def __init__(self, uri: str, message: str) -> None:
+        super().__init__(f"{message}: {uri}")
+        self.uri = uri
+        self.identifier = uri
+
+
+class AnchorCollisionError(FrameError):
+    """SchemaAnchorCollisionError analog: ``location``/``other`` carry
+    the two colliding anchor pointers (as pointer strings)."""
+
+    def __init__(self, uri: str, location: str = "",
+                 other: str = "") -> None:
+        super().__init__(uri, "Schema anchor already exists")
+        self.location = location
+        self.other = other
+
+
+class KeywordError(ValueError):
+    """SchemaKeywordError analog: a keyword holds an invalid value."""
+
+    def __init__(self, keyword: str, value: Any, message: str) -> None:
+        super().__init__(f"{message} ({keyword}: {value!r})")
+        self.keyword = keyword
+        self.value = value
+
+
+class UnknownBaseDialectError(ValueError):
+    """SchemaUnknownBaseDialectError analog."""
+
+
+class ResolutionError(ValueError):
+    """SchemaResolutionError analog: a metaschema could not be resolved."""
+
+    def __init__(self, uri: str, message: str) -> None:
+        super().__init__(f"{message}: {uri}")
+        self.uri = uri
+        self.identifier = uri
+
+
+class ReferenceError_(ValueError):
+    """SchemaReferenceError analog (invalid $recursiveRef etc.)."""
+
+    def __init__(self, identifier: str, location: str,
+                 message: str) -> None:
+        super().__init__(f"{message}: {identifier}{location}")
+        self.identifier = identifier
+        self.location = location
+
+
+# ---------------------------------------------------------------------------
+# base dialects (foundation_types.h SchemaBaseDialect; foundation.cc
+# to_base_dialect / to_string)
+
+B2020 = "JSON_Schema_2020_12"
+B2020H = "JSON_Schema_2020_12_Hyper"
+B2019 = "JSON_Schema_2019_09"
+B2019H = "JSON_Schema_2019_09_Hyper"
+BD7 = "JSON_Schema_Draft_7"
+BD7H = "JSON_Schema_Draft_7_Hyper"
+BD6 = "JSON_Schema_Draft_6"
+BD6H = "JSON_Schema_Draft_6_Hyper"
+BD4 = "JSON_Schema_Draft_4"
+BD4H = "JSON_Schema_Draft_4_Hyper"
+BD3 = "JSON_Schema_Draft_3"
+BD3H = "JSON_Schema_Draft_3_Hyper"
+BD2H = "JSON_Schema_Draft_2_Hyper"
+BD1H = "JSON_Schema_Draft_1_Hyper"
+BD0H = "JSON_Schema_Draft_0_Hyper"
+
+_BASE_DIALECT_URIS: Dict[str, str] = {}
+for _scheme in ("http", "https"):
+    _BASE_DIALECT_URIS[f"{_scheme}://json-schema.org/draft/2020-12/schema"] \
+        = B2020
+    _BASE_DIALECT_URIS[
+        f"{_scheme}://json-schema.org/draft/2020-12/hyper-schema"] = B2020H
+    _BASE_DIALECT_URIS[f"{_scheme}://json-schema.org/draft/2019-09/schema"] \
+        = B2019
+    _BASE_DIALECT_URIS[
+        f"{_scheme}://json-schema.org/draft/2019-09/hyper-schema"] = B2019H
+    for _n, _plain, _hyper in ((7, BD7, BD7H), (6, BD6, BD6H),
+                               (4, BD4, BD4H), (3, BD3, BD3H)):
+        _BASE_DIALECT_URIS[
+            f"{_scheme}://json-schema.org/draft-0{_n}/schema#"] = _plain
+        _BASE_DIALECT_URIS[
+            f"{_scheme}://json-schema.org/draft-0{_n}/hyper-schema#"] = _hyper
+    for _n, _hyper in ((2, BD2H), (1, BD1H), (0, BD0H)):
+        _BASE_DIALECT_URIS[
+            f"{_scheme}://json-schema.org/draft-0{_n}/hyper-schema#"] = _hyper
+for _uri, _base in list(_BASE_DIALECT_URIS.items()):
+    if _uri.endswith("#"):
+        _BASE_DIALECT_URIS.setdefault(_uri[:-1], _base)
+    else:
+        _BASE_DIALECT_URIS.setdefault(_uri + "#", _base)
+
+# draft 0-2 "schema" dialects chain to the hyper base dialect through
+# their own metaschemas ($schema: .../hyper-schema#); short-circuit that
+# chain so no resolver is needed for official ancient dialects
+_ANCIENT_SCHEMA_TO_HYPER = {}
+for _scheme in ("http", "https"):
+    for _n, _hyper in ((2, BD2H), (1, BD1H), (0, BD0H)):
+        _ANCIENT_SCHEMA_TO_HYPER[
+            f"{_scheme}://json-schema.org/draft-0{_n}/schema#"] = _hyper
+
+_OLD_ID = frozenset({BD4, BD4H, BD3, BD3H, BD2H, BD1H, BD0H})
+_REF_OVERRIDES = frozenset({BD7, BD7H, BD6, BD6H, BD4, BD4H, BD3, BD3H,
+                            BD2H, BD1H, BD0H})
+_SUPPORTS_ID_ANCHORS = frozenset({BD7, BD7H, BD6, BD6H, BD4, BD4H, BD3, BD3H})
+
+DIALECT_OVERRIDE = "x-sourcemeta-dialect-override-subschema"
+
+
+def id_keyword(base_dialect: str) -> str:
+    """helpers.h id_keyword(): "id" for draft 4 and older."""
+    return "id" if base_dialect in _OLD_ID else "$id"
+
+
+def ref_overrides(base_dialect: str) -> bool:
+    return base_dialect in _REF_OVERRIDES
+
+
+def _stringify(value: Any) -> str:
+    return json.dumps(value, separators=(",", ":"))
+
+
+def _dialect_keyword(schema: Any, default_dialect: str,
+                     allow_override: bool = True) -> str:
+    """foundation.cc dialect(): the declared $schema (or staged
+    override), else the default."""
+    if allow_override and isinstance(schema, dict):
+        override = schema.get(DIALECT_OVERRIDE)
+        if isinstance(override, str) and override:
+            return override
+    if not isinstance(schema, dict) or "$schema" not in schema:
+        return default_dialect
+    value = schema["$schema"]
+    if not isinstance(value, str):
+        raise KeywordError("$schema", _stringify(value),
+                           "The dialect value is invalid")
+    return value
+
+
+def _id_matches(candidate: Any, identifier: str) -> bool:
+    """embedded_metaschema_matches (helpers.h:121-136): the candidate
+    declares the identifier under $id or id (canonical comparison)."""
+    if not isinstance(candidate, dict):
+        return False
+    canonical = canon_uri(identifier)
+    for keyword in ("$id", "id"):
+        value = candidate.get(keyword)
+        if isinstance(value, str) and (
+                value == identifier or canon_uri(value) == canonical):
+            return True
+    return False
+
+
+def _embedded_candidate(document: Any, identifier: str
+                        ) -> Tuple[Optional[Any], str]:
+    """embedded_metaschema_candidate (helpers.h:138-173): search the
+    document's top-level $defs/definitions for the identifier."""
+    if not isinstance(document, dict):
+        return None, ""
+    for container in ("$defs", "definitions"):
+        entries = document.get(container)
+        if not isinstance(entries, dict):
+            continue
+        direct = entries.get(identifier)
+        if direct is not None and _id_matches(direct, identifier):
+            return direct, container
+        for entry in entries.values():
+            if _id_matches(entry, identifier):
+                return entry, container
+    return None, ""
+
+
+_MODERN_BASES = frozenset({B2020, B2020H, B2019, B2019H})
+
+
+def _link_container_valid(container: str, base_dialect: str) -> bool:
+    if base_dialect in _MODERN_BASES:
+        return container in ("$defs", "definitions")
+    if base_dialect in (BD2H, BD1H, BD0H):
+        return False  # drafts 0-2 have no definitions container
+    return container == "definitions"
+
+
+def metaschema_try_embedded(document: Any, identifier: str,
+                            resolver) -> Optional[Any]:
+    """foundation.cc metaschema_try_embedded: a custom metaschema may
+    live inside the document itself; its chain must terminate at an
+    official base dialect (a broken/cyclic chain raises
+    UnknownBaseDialectError, matching the reference)."""
+    if not is_uri(identifier):
+        return None
+    candidate, container = _embedded_candidate(document, identifier)
+    if candidate is None:
+        return None
+    visited = set()
+    links = [(candidate, identifier, container)]
+    current, current_identifier = candidate, identifier
+    terminal: Optional[str] = None
+    while True:
+        if current_identifier in visited:
+            raise UnknownBaseDialectError(current_identifier)
+        visited.add(current_identifier)
+        if not isinstance(current, dict):
+            raise UnknownBaseDialectError(current_identifier)
+        dialect_value = current.get("$schema")
+        if not isinstance(dialect_value, str):
+            raise UnknownBaseDialectError(current_identifier)
+        if dialect_value in _BASE_DIALECT_URIS:
+            terminal = _BASE_DIALECT_URIS[dialect_value]
+            break
+        if dialect_value in _ANCIENT_SCHEMA_TO_HYPER:
+            terminal = _ANCIENT_SCHEMA_TO_HYPER[dialect_value]
+            break
+        remote = resolver(dialect_value) if resolver is not None else None
+        if remote is not None:
+            current, current_identifier = remote, dialect_value
+            continue
+        if not is_uri(dialect_value):
+            return None
+        nxt, nxt_container = _embedded_candidate(document, dialect_value)
+        if nxt is None:
+            return None
+        links.append((nxt, dialect_value, nxt_container))
+        current, current_identifier = nxt, dialect_value
+    for link, link_identifier, link_container in links:
+        if not _link_container_valid(link_container, terminal):
+            return None
+        keyword = id_keyword(terminal)
+        value = link.get(keyword) if isinstance(link, dict) else None
+        if not (isinstance(value, str)
+                and (value == link_identifier
+                     or canon_uri(value) == canon_uri(link_identifier))):
+            return None
+    return candidate
+
+
+def is_uri(value: str) -> bool:
+    try:
+        parts = urlsplit(value)
+    except ValueError:
+        return False
+    return bool(parts.scheme)
+
+
+def base_dialect_of(schema: Any,
+                    resolver: Optional[Callable[[str], Any]],
+                    default_dialect: str = "",
+                    allow_override: bool = True) -> Optional[str]:
+    """foundation.cc base_dialect(): walk the metaschema chain up to a
+    known base dialect. The schema's own containers may embed the
+    metaschema (base_dialect_with_visited, foundation.cc:400-478).
+    Returns None when no dialect info exists at all."""
+    visited = set()
+    current = schema
+    dialect = _dialect_keyword(current, default_dialect, allow_override)
+    while True:
+        if not dialect:
+            return None
+        if dialect in _BASE_DIALECT_URIS:
+            return _BASE_DIALECT_URIS[dialect]
+        if dialect in _ANCIENT_SCHEMA_TO_HYPER:
+            return _ANCIENT_SCHEMA_TO_HYPER[dialect]
+        if dialect in visited:
+            raise UnknownBaseDialectError(dialect)
+        visited.add(dialect)
+        embedded = metaschema_try_embedded(schema, dialect, resolver)
+        if embedded is not None:
+            nxt = _dialect_keyword(embedded, dialect, allow_override)
+            if nxt == dialect:
+                raise UnknownBaseDialectError(dialect)
+            current, dialect = embedded, nxt
+            continue
+        meta = resolver(dialect) if resolver is not None else None
+        if meta is None:
+            if not is_uri_reference(dialect):
+                raise KeywordError("$schema", dialect,
+                                   "The dialect is not a valid URI")
+            if not urlsplit(dialect).scheme:
+                raise ResolutionError(
+                    dialect, "Relative meta-schema URIs are not valid "
+                             "according to the JSON Schema specification")
+            raise ResolutionError(
+                dialect, "Could not resolve the metaschema of the schema")
+        nxt = _dialect_keyword(meta, dialect, allow_override)
+        if nxt == dialect:
+            raise UnknownBaseDialectError(dialect)
+        current, dialect = meta, nxt
+
+
+def identify(schema: Any, base_dialect: str, default_id: str = "") -> str:
+    """foundation.cc identify(): the declared identifier under the id
+    keyword of the base dialect; ""/"#" count as none; a sibling $ref
+    overrides it in draft 3-7 (but not in drafts 0-2)."""
+    if not isinstance(schema, dict):
+        return default_id
+    keyword = id_keyword(base_dialect)
+    if keyword not in schema:
+        return default_id
+    value = schema[keyword]
+    if not isinstance(value, str):
+        raise KeywordError(keyword, _stringify(value),
+                           "The schema identifier is invalid")
+    if "$ref" in schema and base_dialect in frozenset(
+            {BD7, BD7H, BD6, BD6H, BD4, BD4H, BD3, BD3H}):
+        return default_id
+    if value in ("", "#"):
+        return default_id
+    return value
+
+
+# ---------------------------------------------------------------------------
+# URI handling (sourcemeta::core::URI canonicalize / to_uri analogs)
+
+_FRAGMENT_SAFE = "/?:@!$&'()*+,;=-._~"
+
+
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _norm_pct(component: str) -> str:
+    """RFC 3986 6.2.2: decode percent-encoded unreserved characters,
+    uppercase the hex digits of the rest."""
+    def sub(match):
+        char = chr(int(match.group(1), 16))
+        return char if char in _UNRESERVED else "%" + match.group(1).upper()
+
+    return _PCT_RE.sub(sub, component)
+
+
+def _remove_dot_segments(path: str) -> str:
+    out: List[str] = []
+    for segment in path.split("/"):
+        if segment == ".":
+            continue
+        if segment == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+            continue
+        out.append(segment)
+    if path.endswith(("/.", "/..")):
+        out.append("")
+    result = "/".join(out)
+    if path.startswith("/") and not result.startswith("/"):
+        result = "/" + result
+    return result
+
+
+def canon_uri(value: str) -> str:
+    """URI canonicalization: lowercase scheme/host, strip default
+    ports and dot segments, drop an empty fragment."""
+    if not value:
+        return value
+    parts = urlsplit(value)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc
+    if netloc:
+        host = (parts.hostname or "").lower()
+        if "@" in netloc:
+            host = netloc.split("@", 1)[0] + "@" + host
+        try:
+            port = parts.port
+        except ValueError:
+            port = None
+        if port is not None and not (
+                (scheme == "http" and port == 80)
+                or (scheme == "https" and port == 443)):
+            host = f"{host}:{port}"
+        netloc = host
+    path = _norm_pct(parts.path)
+    if scheme and netloc:
+        path = _remove_dot_segments(path)
+        if not path:
+            path = ""
+    out = ""
+    if scheme:
+        out += scheme + ":"
+    if netloc or scheme in ("http", "https", "file", "ftp", "ws", "wss"):
+        out += "//" + netloc
+    out += path
+    if parts.query or value.split("#")[0].endswith("?"):
+        out += "?" + _norm_pct(parts.query)
+    if parts.fragment:
+        out += "#" + _norm_pct(parts.fragment)
+    return out
+
+
+def pointer_str(pointer: Pointer) -> str:
+    out = []
+    for tok in pointer:
+        t = str(tok)
+        out.append("/" + t.replace("~", "~0").replace("/", "~1"))
+    return "".join(out)
+
+
+def parse_pointer(text: str) -> Pointer:
+    """Parse "/a/b/0" into a token tuple (indices stay strings here —
+    token identity is positional, matching to_string round-trips)."""
+    if not text:
+        return ()
+    assert text.startswith("/"), text
+    return tuple(raw.replace("~1", "/").replace("~0", "~")
+                 for raw in text[1:].split("/"))
+
+
+def _pointer_fragment(pointer: Pointer) -> str:
+    return quote(pointer_str(pointer), safe=_FRAGMENT_SAFE)
+
+
+def to_uri(pointer: Pointer, base: str = "") -> str:
+    """core to_uri(pointer, base): base URI with the pointer as its
+    fragment; canonical (empty fragment dropped)."""
+    frag = _pointer_fragment(pointer)
+    if not frag:
+        return canon_uri(base) if base else ""
+    return (canon_uri(base) if base else "") + "#" + frag
+
+
+def resolve_ref(base: str, ref: str) -> str:
+    """URI::resolve_from (vendor core resolution.cc:37-76 behavior):
+    absolute refs win; against a RELATIVE base, fragment-only refs
+    attach, single-segment relative paths merge, anything else is
+    left unchanged."""
+    if not ref:
+        return base
+    ref_parts = urlsplit(ref)
+    if ref_parts.scheme:
+        return ref
+    if not base:
+        return ref
+    base_parts = urlsplit(base)
+    if not base_parts.scheme:
+        if ref.startswith("#"):
+            return base.split("#")[0] + ref
+        path = ref_parts.path
+        if path and not base_parts.path.startswith("/") and \
+                not path.startswith("/") and "/" not in path:
+            merged = base_parts.path.rsplit("/", 1)[0] + "/" + path \
+                if "/" in base_parts.path else path
+            out = merged
+            if ref_parts.query:
+                out += "?" + ref_parts.query
+            if ref_parts.fragment:
+                out += "#" + ref_parts.fragment
+            return out
+        return ref
+    return joinuri(base, ref)
+
+
+def _resolve_uri(base: str, ref: str) -> str:
+    return canon_uri(resolve_ref(base or "", ref))
+
+
+def _split_base_fragment(destination: str
+                         ) -> Tuple[str, Optional[str]]:
+    """set_base_and_fragment (frame.cc:355-377)."""
+    if not destination:
+        return "", None
+    hash_position = destination.find("#")
+    if hash_position != -1:
+        base = "" if hash_position == 0 else destination[:hash_position]
+        return base, destination[hash_position + 1:]
+    return destination, None
+
+
+def _canon_ref_fragment(destination: str) -> str:
+    """canonicalize_pointer_fragment: re-serialize percent-encoded
+    JSON-Pointer fragments into their canonical escaped spelling."""
+    base, fragment = _split_base_fragment(destination)
+    if fragment is None or "%" not in fragment:
+        return destination
+    decoded = unquote(fragment)
+    if not decoded.startswith("/"):
+        return destination
+    return base + "#" + quote(decoded, safe=_FRAGMENT_SAFE)
+
+
+def _uri_fragment(uri: str) -> Optional[str]:
+    _, fragment = _split_base_fragment(uri)
+    return fragment
+
+
+def _with_fragment(base: str, fragment: str) -> str:
+    bare = canon_uri(base.split("#")[0])
+    if not fragment:
+        return bare
+    return bare + "#" + quote(fragment, safe=_FRAGMENT_SAFE)
+
+
+_URI_CHARS_RE = re.compile(
+    r"^(?:[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=]|%[0-9A-Fa-f]{2})*$")
+
+
+def is_uri_reference(value: str) -> bool:
+    """URIParseError analog: RFC 3986 character-level validity."""
+    if not _URI_CHARS_RE.match(value):
+        return False
+    try:
+        urlsplit(value)
+        return True
+    except ValueError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# anchors (frame.cc find_anchors)
+
+_A_STATIC, _A_DYNAMIC, _A_ALL = "static", "dynamic", "all"
+
+
+def _valid_anchor_2020(name: str) -> bool:
+    if not name:
+        return False
+    first = name[0]
+    if not (first.isascii() and (first.isalpha() or first == "_")):
+        return False
+    return all(c.isascii() and (c.isalnum() or c in "-_.")
+               for c in name[1:])
+
+
+def _valid_anchor_legacy(name: str) -> bool:
+    if not name:
+        return False
+    first = name[0]
+    if not (first.isascii() and first.isalpha()):
+        return False
+    return all(c.isascii() and (c.isalnum() or c in "-_.:")
+               for c in name[1:])
+
+
+def _find_anchors(schema: Any, vocab: V.Vocabularies
+                  ) -> List[Tuple[str, str]]:
+    result: List[Tuple[str, str]] = []
+
+    def merge(name: str, typ: str) -> None:
+        for i, (n, _t) in enumerate(result):
+            if n == name:
+                result[i] = (name, _A_ALL)
+                return
+        result.append((name, typ))
+
+    if isinstance(schema, dict) and V.V20_CORE in vocab:
+        dyn = schema.get("$dynamicAnchor")
+        if isinstance(dyn, str):
+            if not _valid_anchor_2020(dyn):
+                raise KeywordError("$dynamicAnchor", dyn,
+                                   "Invalid dynamic anchor value")
+            result.append((dyn, _A_DYNAMIC))
+        anchor = schema.get("$anchor")
+        if isinstance(anchor, str):
+            if not _valid_anchor_2020(anchor):
+                raise KeywordError("$anchor", anchor, "Invalid anchor value")
+            merge(anchor, _A_STATIC)
+    if isinstance(schema, dict) and V.V19_CORE in vocab:
+        rec = schema.get("$recursiveAnchor")
+        if rec is not None:
+            if not isinstance(rec, bool):
+                raise KeywordError("$recursiveAnchor", _stringify(rec),
+                                   "Invalid recursive anchor value")
+            if rec:
+                result.append(("", _A_DYNAMIC))
+        anchor = schema.get("$anchor")
+        if isinstance(anchor, str):
+            if not _valid_anchor_legacy(anchor):
+                raise KeywordError("$anchor", anchor, "Invalid anchor value")
+            merge(anchor, _A_STATIC)
+    if isinstance(schema, dict) and not vocab.isdisjoint(
+            {V.D7, V.D7H, V.D6, V.D6H}):
+        rid = schema.get("$id")
+        if isinstance(rid, str) and rid.startswith("#") and len(rid) > 1:
+            name = rid[1:]
+            if not _valid_anchor_legacy(name):
+                raise KeywordError("$id", rid, "Invalid anchor value")
+            result.append((name, _A_STATIC))
+    if isinstance(schema, dict) and not vocab.isdisjoint(
+            {V.D4, V.D4H, V.D3, V.D3H}):
+        rid = schema.get("id")
+        if isinstance(rid, str) and rid.startswith("#") and len(rid) > 1:
+            if not is_uri_reference(rid):
+                raise KeywordError("id", rid,
+                                   "The identifier is not a valid URI")
+            result.append((rid[1:], _A_STATIC))
+    return result
+
+
+# ---------------------------------------------------------------------------
+# subschema iterator (foundation walker.cc walk())
+
+
+@dataclass
+class _IterEntry:
+    parent: Optional[Pointer]
+    pointer: Pointer
+    dialect: str
+    vocabularies: V.Vocabularies
+    base_dialect: Optional[str]
+    subschema: Any
+    orphan: bool
+    property_name: bool
+
+
+def _is_schema(value: Any) -> bool:
+    return isinstance(value, (dict, bool))
+
+
+BASE_DIALECT_URI = {
+    B2020: "https://json-schema.org/draft/2020-12/schema",
+    B2020H: "https://json-schema.org/draft/2020-12/hyper-schema",
+    B2019: "https://json-schema.org/draft/2019-09/schema",
+    B2019H: "https://json-schema.org/draft/2019-09/hyper-schema",
+    BD7: "http://json-schema.org/draft-07/schema#",
+    BD7H: "http://json-schema.org/draft-07/hyper-schema#",
+    BD6: "http://json-schema.org/draft-06/schema#",
+    BD6H: "http://json-schema.org/draft-06/hyper-schema#",
+    BD4: "http://json-schema.org/draft-04/schema#",
+    BD4H: "http://json-schema.org/draft-04/hyper-schema#",
+    BD3: "http://json-schema.org/draft-03/schema#",
+    BD3H: "http://json-schema.org/draft-03/hyper-schema#",
+    BD2H: "http://json-schema.org/draft-02/hyper-schema#",
+    BD1H: "http://json-schema.org/draft-01/hyper-schema#",
+    BD0H: "http://json-schema.org/draft-00/hyper-schema#",
+}
+
+_BASE_TO_VOCAB = {
+    BD7: frozenset({V.D7}), BD7H: frozenset({V.D7H}),
+    BD6: frozenset({V.D6}), BD6H: frozenset({V.D6H}),
+    BD4: frozenset({V.D4}), BD4H: frozenset({V.D4H}),
+    BD3: frozenset({V.D3}), BD3H: frozenset({V.D3H}),
+    BD2H: frozenset({V.D2H}), BD1H: frozenset({V.D1H}),
+    BD0H: frozenset({V.D0H}),
+}
+
+
+def _resolve_dialect_at(subschema: Any, inherited_dialect: str,
+                        inherited_base: str, resolver, level: int,
+                        allow_override: bool) -> Tuple[str, str, bool]:
+    """walker.cc resolve_dialect_at(): (dialect, base_dialect,
+    override_active) at this subschema. Resolution/unknown-base errors
+    propagate, matching the reference (identify rethrows them when no
+    default identifier was given)."""
+    local = _dialect_keyword(subschema, inherited_dialect, allow_override)
+    override_active = local != _dialect_keyword(subschema,
+                                                inherited_dialect, False)
+    base_for_local = base_dialect_of(subschema, resolver, local,
+                                     allow_override)
+    sid = ""
+    if base_for_local is not None:
+        sid = identify(subschema, base_for_local)
+    if not sid and local != inherited_dialect and not override_active:
+        sid = identify(subschema, inherited_base)
+        if sid:
+            local = inherited_dialect
+    if not override_active and level > 0 and not sid:
+        return inherited_dialect, inherited_base, False
+    if local != inherited_dialect:
+        base = base_for_local if base_for_local is not None \
+            else inherited_base
+    else:
+        base = inherited_base
+    return local, base, override_active
+
+
+def _frame_vocabularies(subschema: Any, dialect: str, base_dialect: str,
+                        resolver) -> V.Vocabularies:
+    """foundation.cc vocabularies(): (1) official pre-vocab dialect →
+    that single known vocabulary; (2) pre-vocab base dialect → its
+    known vocabulary; (3)/(4) vocabulary-aware dialects resolve the
+    metaschema (embedded in the subschema first) and honor
+    $vocabulary, defaulting to core-only when none is declared."""
+    bare = dialect.split("#")[0]
+    official = V._OFFICIAL.get(bare)
+    if official is not None:
+        return official
+    if base_dialect not in _MODERN_BASES:
+        return _BASE_TO_VOCAB.get(base_dialect, frozenset())
+    meta = metaschema_try_embedded(subschema, dialect, resolver)
+    if meta is None:
+        meta = resolver(dialect) if resolver is not None else None
+    if meta is None:
+        raise ResolutionError(
+            dialect, "Could not resolve the metaschema of the schema")
+    core = V.V20_CORE if base_dialect in (B2020, B2020H) else V.V19_CORE
+    vocab = meta.get("$vocabulary") if isinstance(meta, dict) else None
+    if not isinstance(vocab, dict):
+        return frozenset({core})
+    out = {V._VOCAB_URI.get(uri, "?" + uri) for uri in vocab}
+    if core not in out:
+        raise FrameError(dialect,
+                         "The core vocabulary must always be present")
+    return frozenset(out)
+
+
+def _walk(parent: Optional[Pointer], pointer: Pointer,
+          entries: List[_IterEntry], subschema: Any, resolver,
+          dialect: str, base_dialect: str, level: int,
+          orphan: bool, property_name: bool) -> None:
+    if not _is_schema(subschema):
+        return
+    enclosing_ref_overrides = isinstance(subschema, dict) and \
+        "$ref" in subschema and ref_overrides(base_dialect)
+    cur_dialect, cur_base, override_active = _resolve_dialect_at(
+        subschema, dialect, base_dialect, resolver, level,
+        not enclosing_ref_overrides)
+    vocab = _frame_vocabularies(subschema, cur_dialect, cur_base, resolver)
+    entries.append(_IterEntry(
+        parent=parent, pointer=pointer, dialect=cur_dialect,
+        vocabularies=vocab, base_dialect=cur_base, subschema=subschema,
+        orphan=orphan, property_name=property_name))
+    if not isinstance(subschema, dict):
+        return
+    if override_active:
+        child_dialect, child_base, _ = _resolve_dialect_at(
+            subschema, dialect, base_dialect, resolver, level, False)
+    else:
+        child_dialect, child_base = cur_dialect, cur_base
+    has_overriding_ref = "$ref" in subschema and ref_overrides(cur_base)
+    for key, value in subschema.items():
+        ktype = W.walk_type(key, vocab)
+        if has_overriding_ref and ktype != W.REFERENCE:
+            continue
+        if ktype in (W.APP_VALUE_SOME_PROP, W.APP_VALUE_ANY_ITEM,
+                     W.APP_VALUE_SOME_ITEM, W.APP_VALUE_PARENT):
+            _walk(pointer, pointer + (key,), entries, value, resolver,
+                  child_dialect, child_base, level + 1, orphan, False)
+        elif ktype == W.APP_VALUE_ANY_PROP_KEY:
+            _walk(pointer, pointer + (key,), entries, value, resolver,
+                  child_dialect, child_base, level + 1, orphan, True)
+        elif ktype in (W.APP_VALUE_INPLACE_OTHER, W.APP_VALUE_INPLACE_NEGATE,
+                       W.APP_VALUE_INPLACE_MAYBE):
+            _walk(pointer, pointer + (key,), entries, value, resolver,
+                  child_dialect, child_base, level + 1, orphan,
+                  property_name)
+        elif ktype == W.APP_ELEMENTS_ITEM:
+            if isinstance(value, list):
+                for index, element in enumerate(value):
+                    _walk(pointer, pointer + (key, index), entries, element,
+                          resolver, child_dialect, child_base, level + 1,
+                          orphan, False)
+        elif ktype in (W.APP_ELEMENTS_INPLACE, W.APP_ELEMENTS_INPLACE_SOME,
+                       W.APP_ELEMENTS_INPLACE_SOME_NEGATE):
+            if isinstance(value, list):
+                for index, element in enumerate(value):
+                    _walk(pointer, pointer + (key, index), entries, element,
+                          resolver, child_dialect, child_base, level + 1,
+                          orphan, property_name)
+        elif ktype in (W.APP_MEMBERS_PROP_STATIC, W.APP_MEMBERS_PROP_REGEX):
+            if isinstance(value, dict):
+                for prop, sub in value.items():
+                    _walk(pointer, pointer + (key, prop), entries, sub,
+                          resolver, child_dialect, child_base, level + 1,
+                          orphan, False)
+        elif ktype == W.APP_MEMBERS_INPLACE_SOME:
+            if isinstance(value, dict):
+                for prop, sub in value.items():
+                    _walk(pointer, pointer + (key, prop), entries, sub,
+                          resolver, child_dialect, child_base, level + 1,
+                          orphan, property_name)
+        elif ktype == W.LOCATION_MEMBERS:
+            if isinstance(value, dict):
+                for prop, sub in value.items():
+                    _walk(pointer, pointer + (key, prop), entries, sub,
+                          resolver, child_dialect, child_base, level + 1,
+                          True, False)
+        elif ktype == W.APP_VALUE_OR_ELEMENTS_ITEM:
+            if isinstance(value, list):
+                for index, element in enumerate(value):
+                    _walk(pointer, pointer + (key, index), entries, element,
+                          resolver, child_dialect, child_base, level + 1,
+                          orphan, False)
+            else:
+                _walk(pointer, pointer + (key,), entries, value, resolver,
+                      child_dialect, child_base, level + 1, orphan, False)
+        elif ktype == W.APP_VALUE_OR_ELEMENTS_INPLACE:
+            if isinstance(value, list):
+                for index, element in enumerate(value):
+                    _walk(pointer, pointer + (key, index), entries, element,
+                          resolver, child_dialect, child_base, level + 1,
+                          orphan, property_name)
+            else:
+                _walk(pointer, pointer + (key,), entries, value, resolver,
+                      child_dialect, child_base, level + 1, orphan,
+                      property_name)
+
+
+def _iter_subschemas(document: Any, resolver,
+                     default_dialect: str = "") -> List[_IterEntry]:
+    """SchemaIterator (walker.cc:383-413): deep walk from the root."""
+    entries: List[_IterEntry] = []
+    resolved_dialect = _dialect_keyword(document, default_dialect)
+    if not resolved_dialect:
+        entries.append(_IterEntry(
+            parent=None, pointer=(), dialect="", vocabularies=frozenset(),
+            base_dialect=None, subschema=document, orphan=False,
+            property_name=False))
+        return entries
+    base = base_dialect_of(document, resolver, resolved_dialect)
+    if base is None:
+        raise UnknownBaseDialectError(resolved_dialect)
+    _walk(None, (), entries, document, resolver, resolved_dialect, base,
+          0, False, False)
+    return entries
+
+
+# ---------------------------------------------------------------------------
+# the frame itself
+
+
+@dataclass
+class Location:
+    parent: Optional[Pointer]
+    type: str
+    base: str
+    pointer: Pointer
+    relative_pointer: int
+    dialect: str
+    base_dialect: str
+    property_name: bool
+    orphan: bool
+
+
+@dataclass
+class ReferencesEntry:
+    original: str
+    destination: str
+    base: str
+    fragment: Optional[str]
+
+
+def _get_at(doc: Any, pointer: Pointer) -> Any:
+    cur = doc
+    for tok in pointer:
+        if isinstance(cur, list):
+            cur = cur[int(tok)]
+        else:
+            cur = cur[tok]
+    return cur
+
+
+def _all_pointers(node: Any, prefix: Pointer = ()) -> List[Pointer]:
+    """core PointerWalker: every JSON Pointer in the document."""
+    out = [prefix]
+    if isinstance(node, dict):
+        for key, value in node.items():
+            out.extend(_all_pointers(value, prefix + (key,)))
+    elif isinstance(node, list):
+        for index, value in enumerate(node):
+            out.extend(_all_pointers(value, prefix + (index,)))
+    return out
+
+
+def _sort_key(pointer: Pointer) -> Tuple:
+    return tuple(("i", "%020d" % tok) if isinstance(tok, int)
+                 else ("p", tok) for tok in pointer)
+
+
+class SchemaFrame:
+    """The reference SchemaFrame analog (frame.h:70). Mode "locations"
+    skips reference resolution; "references" (default) computes the
+    full reference map, standalone-ness, and reachability."""
+
+    def __init__(self, mode: str = "references") -> None:
+        assert mode in ("locations", "references")
+        self.mode = mode
+        self.reset()
+
+    def reset(self) -> None:
+        self.root: str = ""
+        self.locations: Dict[Tuple[str, str], Location] = {}
+        self.references: Dict[Tuple[str, Pointer], ReferencesEntry] = {}
+        self.standalone: bool = False
+        self._resolver = None
+        self._document: Any = None
+        self._caches: Dict[str, Any] = {}
+
+    # -- store (frame.cc:384-422) -----------------------------------------
+
+    def _store(self, reftype: str, loctype: str, uri: str, base: str,
+               pointer: Pointer, relative_pointer: int, dialect: str,
+               base_dialect: str, parent: Optional[Pointer],
+               property_name: bool, orphan: bool,
+               ignore_if_present: bool = False,
+               already_canonical: bool = False) -> None:
+        canonical = uri if already_canonical else canon_uri(uri)
+        key = (reftype, canonical)
+        if key in self.locations:
+            if ignore_if_present:
+                return
+            if loctype == ANCHOR:
+                raise AnchorCollisionError(
+                    canonical, pointer_str(pointer),
+                    pointer_str(self.locations[key].pointer))
+            raise FrameError(canonical, "Schema identifier already exists")
+        location = Location(
+            parent=parent, type=loctype, base=base, pointer=pointer,
+            relative_pointer=relative_pointer, dialect=dialect,
+            base_dialect=base_dialect, property_name=property_name,
+            orphan=orphan)
+        if canonical == base:
+            location.base = canonical
+        self.locations[key] = location
+
+    # -- analyse (frame.cc:568-1306) --------------------------------------
+
+    def analyse(self, document: Any,
+                resolver: Optional[Callable[[str], Any]] = None,
+                default_dialect: str = "", default_id: str = "",
+                paths: Optional[List[Pointer]] = None) -> "SchemaFrame":
+        self.reset()
+        # the document's own embedded metaschemas take precedence over
+        # what the caller's resolver knows about (frame.cc:585-600)
+        def effective_resolver(uri, _resolver=resolver, _doc=document):
+            embedded = metaschema_try_embedded(_doc, uri, _resolver)
+            if embedded is not None:
+                return embedded
+            return _resolver(uri) if _resolver is not None else None
+
+        self._resolver = effective_resolver
+        self._document = document
+        if paths is None:
+            paths = [()]
+
+        subschemas: Dict[Pointer, Tuple[bool, bool, Optional[Pointer]]] = {}
+        subschema_entries: List[Tuple[_IterEntry, Optional[str]]] = []
+        base_uris: Dict[Pointer, List[str]] = {}
+        base_dialects: Dict[Pointer, Tuple[str, str]] = {}
+
+        for path in paths:
+            schema = _get_at(document, path)
+            root_base_dialect = base_dialect_of(
+                schema, effective_resolver, default_dialect)
+            if root_base_dialect is None:
+                raise UnknownBaseDialectError(default_dialect)
+            root_id: Optional[str] = None
+            if not path:
+                maybe_id = identify(schema, root_base_dialect, default_id)
+                if maybe_id:
+                    if not is_uri_reference(maybe_id):
+                        raise KeywordError(
+                            id_keyword(root_base_dialect), maybe_id,
+                            "The identifier is not a valid URI")
+                    root_id = canon_uri(maybe_id)
+                    self.root = root_id
+            root_dialect = _dialect_keyword(schema, default_dialect)
+            has_explicit_different_id = bool(
+                root_id and default_id and root_id != default_id)
+            if has_explicit_different_id:
+                default_id_canonical = canon_uri(default_id)
+                self._store(STATIC, RESOURCE, default_id_canonical,
+                            self.root, path, len(path), root_dialect,
+                            root_base_dialect, None, False, False)
+                base_uris[path] = [root_id, default_id_canonical]
+
+            current_entries: List[int] = []
+            for relative in _iter_subschemas(schema, effective_resolver,
+                                             default_dialect):
+                entry = _IterEntry(
+                    parent=(path + relative.parent
+                            if relative.parent is not None else None),
+                    pointer=path + relative.pointer,
+                    dialect=relative.dialect,
+                    vocabularies=relative.vocabularies,
+                    base_dialect=relative.base_dialect,
+                    subschema=relative.subschema,
+                    orphan=relative.orphan,
+                    property_name=relative.property_name)
+                base_dialects[entry.pointer] = (
+                    entry.dialect, entry.base_dialect or root_base_dialect)
+                default_for_entry = root_id or "" \
+                    if not entry.pointer else ""
+                sid = identify(entry.subschema,
+                               entry.base_dialect or root_base_dialect,
+                               default_for_entry) or None
+                subschemas[entry.pointer] = (
+                    entry.orphan, entry.property_name, entry.parent)
+                subschema_entries.append((entry, sid))
+                current_entries.append(len(subschema_entries) - 1)
+
+            for entry_index in current_entries:
+                entry, sid = subschema_entries[entry_index]
+                pointer = entry.pointer
+                base_dialect = entry.base_dialect or root_base_dialect
+                if sid is not None:
+                    overridden = isinstance(entry.subschema, dict) and \
+                        "$ref" in entry.subschema and \
+                        ref_overrides(base_dialect)
+                    legacy_anchor_id = \
+                        base_dialect in _SUPPORTS_ID_ANCHORS and \
+                        sid.startswith("#")
+                    if not overridden and not legacy_anchor_id:
+                        bases, _base_ptr = self._find_nearest_bases(
+                            base_uris, pointer, sid)
+                        for base_string in bases:
+                            if entry_index == 0 and \
+                                    has_explicit_different_id and \
+                                    default_id and \
+                                    default_id == base_string:
+                                continue
+                            fragment = _uri_fragment(sid)
+                            if fragment:
+                                raise FrameError(
+                                    sid, "Identifiers must not contain "
+                                         "non-empty fragments")
+                            if not is_uri_reference(sid):
+                                raise KeywordError(
+                                    id_keyword(base_dialect), sid,
+                                    "The identifier is not a valid URI")
+                            is_absolute = bool(urlsplit(sid).scheme)
+                            new_id = _resolve_uri(base_string, sid)
+                            match = self.locations.get((STATIC, new_id))
+                            if match is not None and \
+                                    match.pointer != pointer:
+                                raise FrameError(
+                                    new_id,
+                                    "Schema identifier already exists")
+                            if not is_absolute or match is None:
+                                self._store(
+                                    STATIC, RESOURCE, new_id, new_id,
+                                    pointer, len(pointer), entry.dialect,
+                                    base_dialect, entry.parent,
+                                    entry.property_name, entry.orphan,
+                                    already_canonical=True)
+                            bucket = base_uris.setdefault(pointer, [])
+                            if new_id not in bucket:
+                                bucket.append(new_id)
+
+                if self.mode != "locations":
+                    literal_dialect = ""
+                    if isinstance(entry.subschema, dict):
+                        literal_dialect = _dialect_keyword(
+                            entry.subschema, "", allow_override=False)
+                    if literal_dialect:
+                        bases, _bp = self._find_nearest_bases(
+                            base_uris, pointer, sid)
+                        destination = literal_dialect
+                        if bases:
+                            destination = resolve_ref(bases[0], literal_dialect)
+                        destination = canon_uri(destination)
+                        ref_entry = ReferencesEntry(
+                            original=literal_dialect,
+                            destination=destination, base="", fragment=None)
+                        ref_entry.base, ref_entry.fragment = \
+                            _split_base_fragment(destination)
+                        self.references[
+                            (STATIC, pointer + ("$schema",))] = ref_entry
+
+                for name, anchor_type in _find_anchors(entry.subschema,
+                                                       entry.vocabularies):
+                    bases, base_ptr = self._find_nearest_bases(
+                        base_uris, pointer, sid)
+                    is_2020 = V.V20_CORE in entry.vocabularies
+                    if not bases:
+                        anchor_uri = "#" + quote(name, safe=_FRAGMENT_SAFE) \
+                            if name else "#"
+                        anchor_uri = canon_uri(anchor_uri) if name else ""
+                        self._emit_anchor(
+                            anchor_type, anchor_uri, "", pointer,
+                            len(base_ptr), entry, base_dialect, is_2020,
+                            skip_existing=False)
+                    else:
+                        first = True
+                        for base_string in bases:
+                            anchor_uri = _with_fragment(base_string, name)
+                            if not first and \
+                                    (STATIC, anchor_uri) in self.locations:
+                                continue
+                            base_loc = self.locations.get(
+                                (STATIC, base_string))
+                            base_view = base_string if base_loc is None \
+                                else base_string
+                            self._emit_anchor(
+                                anchor_type, anchor_uri, base_view, pointer,
+                                len(base_ptr), entry, base_dialect, is_2020,
+                                skip_existing=False)
+                            first = False
+
+            # pointer pass: every JSON Pointer in the schema under every
+            # enclosing base URI (frame.cc:983-1075)
+            pointers = sorted(_all_pointers(schema), key=_sort_key)
+            for relative_pointer in pointers:
+                pointer = path + relative_pointer
+                dialect_match, every_base = self._dialect_and_bases(
+                    base_dialects, base_uris, pointer)
+                if dialect_match is not None:
+                    dialect_for_pointer, base_dialect_for_pointer = \
+                        base_dialects[dialect_match]
+                else:
+                    dialect_for_pointer = root_dialect
+                    base_dialect_for_pointer = root_base_dialect
+                nearest_base = next(
+                    ((b, p) for b, p in every_base if b), None)
+                nearest_base_depth = len(nearest_base[1]) \
+                    if nearest_base else 0
+                subschema_info = subschemas.get(pointer)
+                for base_string, base_pointer in every_base:
+                    resolved = pointer[len(base_pointer):]
+                    uri = to_uri(resolved, base_string)
+                    if (STATIC, uri) in self.locations:
+                        continue
+                    if nearest_base is not None:
+                        base_view = nearest_base[0]
+                    else:
+                        base_view = base_string
+                    if subschema_info is not None:
+                        orphan, property_name, parent = subschema_info
+                        self._store(STATIC, SUBSCHEMA, uri, base_view,
+                                    pointer, nearest_base_depth,
+                                    dialect_for_pointer,
+                                    base_dialect_for_pointer, parent,
+                                    property_name, orphan,
+                                    already_canonical=True)
+                    else:
+                        parent_pointer = dialect_match \
+                            if dialect_match is not None else ()
+                        parent_info = subschemas.get(parent_pointer)
+                        parent_pn = bool(parent_info and parent_info[1])
+                        parent_orphan = bool(parent_info and parent_info[0])
+                        self._store(STATIC, POINTER, uri, base_view,
+                                    pointer, nearest_base_depth,
+                                    dialect_for_pointer,
+                                    base_dialect_for_pointer,
+                                    parent_pointer, parent_pn,
+                                    parent_orphan, already_canonical=True)
+
+        if self.mode == "locations":
+            return self
+
+        # reference resolution (frame.cc:1082-1240)
+        for entry, sid in subschema_entries:
+            if not isinstance(entry.subschema, dict):
+                continue
+            pointer = entry.pointer
+            bases, _bp = self._find_nearest_bases(base_uris, pointer, sid)
+            ref_value = entry.subschema.get("$ref")
+            if ref_value is not None:
+                if not isinstance(ref_value, str):
+                    raise KeywordError("$ref", _stringify(ref_value),
+                                       "Invalid reference value")
+                if not is_uri_reference(ref_value):
+                    raise KeywordError("$ref", ref_value,
+                                       "The reference is not a valid URI")
+                destination = ref_value
+                if bases:
+                    destination = resolve_ref(bases[0], ref_value)
+                destination = _canon_ref_fragment(canon_uri(destination))
+                ref_entry = ReferencesEntry(
+                    original=ref_value, destination=destination,
+                    base="", fragment=None)
+                ref_entry.base, ref_entry.fragment = \
+                    _split_base_fragment(destination)
+                self.references[(STATIC, pointer + ("$ref",))] = ref_entry
+
+            if V.V19_CORE in entry.vocabularies and \
+                    "$recursiveRef" in entry.subschema:
+                rec = entry.subschema["$recursiveRef"]
+                if not isinstance(rec, str):
+                    raise KeywordError("$recursiveRef", _stringify(rec),
+                                       "Invalid recursive reference value")
+                if rec != "#":
+                    raise ReferenceError_(
+                        sid or "",
+                        pointer_str(pointer + ("$recursiveRef",)),
+                        "Invalid recursive reference")
+                anchor_uri = bases[0] if bases else ""
+                reftype = DYNAMIC if (DYNAMIC, anchor_uri) in \
+                    self.locations else STATIC
+                ref_entry = ReferencesEntry(
+                    original=rec, destination=canon_uri(anchor_uri),
+                    base="", fragment=None)
+                ref_entry.base, ref_entry.fragment = \
+                    _split_base_fragment(ref_entry.destination)
+                self.references[
+                    (reftype, pointer + ("$recursiveRef",))] = ref_entry
+
+            if V.V20_CORE in entry.vocabularies and \
+                    "$dynamicRef" in entry.subschema:
+                dyn = entry.subschema["$dynamicRef"]
+                if not isinstance(dyn, str):
+                    raise KeywordError("$dynamicRef", _stringify(dyn),
+                                       "Invalid dynamic reference value")
+                if not is_uri_reference(dyn):
+                    raise KeywordError(
+                        "$dynamicRef", dyn,
+                        "The dynamic reference is not a valid URI")
+                destination = dyn
+                if bases:
+                    destination = resolve_ref(bases[0], dyn)
+                destination = _canon_ref_fragment(canon_uri(destination))
+                fragment = _uri_fragment(destination)
+                behaves_as_static = fragment is None or (
+                    (STATIC, destination) in self.locations
+                    and (DYNAMIC, destination) not in self.locations)
+                ref_entry = ReferencesEntry(
+                    original=dyn, destination=destination,
+                    base="", fragment=None)
+                ref_entry.base, ref_entry.fragment = \
+                    _split_base_fragment(destination)
+                self.references[
+                    (STATIC if behaves_as_static else DYNAMIC,
+                     pointer + ("$dynamicRef",))] = ref_entry
+
+        # standalone (frame.cc:1243-1258)
+        self.standalone = all(
+            key[1][-1] == "$schema"
+            or (STATIC, ref.destination) in self.locations
+            or (DYNAMIC, ref.destination) in self.locations
+            for key, ref in self.references.items())
+
+        if self.standalone:
+            # dynamic references with a single possible anchor are
+            # static references in disguise (frame.cc:1260-1306)
+            dynamic_anchors: Dict[str, List[str]] = {}
+            for (reftype, uri), location in self.locations.items():
+                if reftype == DYNAMIC and location.type == ANCHOR:
+                    fragment = _uri_fragment(uri) or ""
+                    dynamic_anchors.setdefault(fragment, []).append(uri)
+            to_delete, to_insert = [], []
+            for (reftype, origin), ref in self.references.items():
+                if reftype != DYNAMIC or ref.fragment is None:
+                    continue
+                candidates = dynamic_anchors.get(ref.fragment, [])
+                if len(candidates) != 1:
+                    continue
+                to_delete.append((reftype, origin))
+                new_entry = ReferencesEntry(
+                    original=ref.original, destination=candidates[0],
+                    base="", fragment=None)
+                new_entry.base, new_entry.fragment = \
+                    _split_base_fragment(candidates[0])
+                to_insert.append(((STATIC, origin), new_entry))
+            for key in to_delete:
+                del self.references[key]
+            for key, value in to_insert:
+                self.references[key] = value
+        return self
+
+    def _emit_anchor(self, anchor_type: str, anchor_uri: str,
+                     base_view: str, pointer: Pointer,
+                     relative_pointer: int, entry: _IterEntry,
+                     base_dialect: str, is_2020: bool,
+                     skip_existing: bool) -> None:
+        if anchor_type in (_A_STATIC, _A_ALL):
+            self._store(STATIC, ANCHOR, anchor_uri, base_view, pointer,
+                        relative_pointer, entry.dialect, base_dialect,
+                        entry.parent, entry.property_name, entry.orphan,
+                        already_canonical=True)
+        if anchor_type in (_A_DYNAMIC, _A_ALL):
+            self._store(DYNAMIC, ANCHOR, anchor_uri, base_view, pointer,
+                        relative_pointer, entry.dialect, base_dialect,
+                        entry.parent, entry.property_name, entry.orphan,
+                        already_canonical=True)
+            if is_2020:
+                self._store(STATIC, ANCHOR, anchor_uri, base_view, pointer,
+                            relative_pointer, entry.dialect, base_dialect,
+                            entry.parent, entry.property_name, entry.orphan,
+                            ignore_if_present=True, already_canonical=True)
+
+    @staticmethod
+    def _find_nearest_bases(base_uris: Dict[Pointer, List[str]],
+                            pointer: Pointer, default_base: Optional[str]
+                            ) -> Tuple[List[str], Pointer]:
+        current = pointer
+        while True:
+            if current in base_uris:
+                return base_uris[current], current
+            if not current:
+                break
+            current = current[:-1]
+        if default_base:
+            return [default_base], ()
+        return [], ()
+
+    @staticmethod
+    def _dialect_and_bases(base_dialects: Dict[Pointer, Tuple[str, str]],
+                           base_uris: Dict[Pointer, List[str]],
+                           pointer: Pointer
+                           ) -> Tuple[Optional[Pointer],
+                                      List[Tuple[str, Pointer]]]:
+        dialect_match: Optional[Pointer] = None
+        every_base: List[Tuple[str, Pointer]] = []
+        current = pointer
+        while True:
+            if dialect_match is None and current in base_dialects:
+                dialect_match = current
+            for base in base_uris.get(current, ()):
+                every_base.append((base, current))
+            if not current:
+                break
+            current = current[:-1]
+        if not every_base or every_base[-1][1] != ():
+            every_base.append(("", ()))
+        return dialect_match, every_base
+
+    # -- queries -----------------------------------------------------------
+
+    def traverse(self, uri: str) -> Optional[Location]:
+        hit = self.locations.get((STATIC, uri))
+        if hit is not None:
+            return hit
+        return self.locations.get((DYNAMIC, uri))
+
+    def traverse_pointer(self, pointer: Pointer,
+                         loctype: Optional[str] = None
+                         ) -> Optional[Location]:
+        table = self._pointer_to_location()
+        hits = table.get(tuple(pointer))
+        if not hits:
+            return None
+        if loctype is None:
+            return hits[0]
+        for location in hits:
+            if location.type == loctype:
+                return location
+        return None
+
+    def uri_of(self, pointer: Pointer) -> Optional[str]:
+        best_key, best_rank = None, 99
+        for (reftype, uri), location in self.locations.items():
+            if tuple(location.pointer) == tuple(pointer) and \
+                    _TYPE_RANK[location.type] < best_rank:
+                best_key, best_rank = uri, _TYPE_RANK[location.type]
+        return best_key
+
+    def reference(self, reftype: str,
+                  pointer: Pointer) -> Optional[ReferencesEntry]:
+        return self.references.get((reftype, tuple(pointer)))
+
+    def dereference(self, location: Location,
+                    relative: Pointer = ()
+                    ) -> Tuple[str, Optional[Location]]:
+        effective = tuple(location.pointer) + tuple(relative)
+        entry = self.references.get((STATIC, effective))
+        if entry is None:
+            if (DYNAMIC, effective) in self.references:
+                return DYNAMIC, None
+            return STATIC, None
+        return STATIC, self.locations.get((STATIC, entry.destination))
+
+    def unresolved_references(self) -> List[Tuple[Pointer,
+                                                  ReferencesEntry]]:
+        return [(key[1], ref) for key, ref in self.references.items()
+                if self.traverse(ref.destination) is None]
+
+    def resource_uris(self) -> List[str]:
+        return [uri for (reftype, uri), location in self.locations.items()
+                if location.type == RESOURCE]
+
+    def has_references_to(self, pointer: Pointer) -> bool:
+        pointer = tuple(pointer)
+        for (reftype, _origin), ref in self.references.items():
+            if reftype == STATIC:
+                match = self.locations.get((STATIC, ref.destination))
+                if match is not None and \
+                        tuple(match.pointer) == pointer:
+                    return True
+            else:
+                for (ltype, uri), location in self.locations.items():
+                    if location.type == ANCHOR and ltype == DYNAMIC and \
+                            tuple(location.pointer) == pointer:
+                        if ref.fragment is None or \
+                                (_uri_fragment(uri) or "") == ref.fragment:
+                            return True
+        return False
+
+    def has_references_through(self, pointer: Pointer) -> bool:
+        prefix = tuple(pointer)
+        for (reftype, _origin), ref in self.references.items():
+            if reftype == STATIC:
+                match = self.locations.get((STATIC, ref.destination))
+                if match is not None and \
+                        tuple(match.pointer)[:len(prefix)] == prefix:
+                    return True
+            else:
+                for (ltype, uri), location in self.locations.items():
+                    if location.type == ANCHOR and ltype == DYNAMIC and \
+                            tuple(location.pointer)[:len(prefix)] == prefix:
+                        if ref.fragment is None or \
+                                (_uri_fragment(uri) or "") == ref.fragment:
+                            return True
+        return False
+
+    def relative_instance_location(self, location: Location) -> Pointer:
+        return tuple(location.pointer)[location.relative_pointer:]
+
+    def vocabularies_of(self, location: Location) -> V.Vocabularies:
+        return _frame_vocabularies(
+            _get_at(self._document, location.pointer), location.dialect,
+            location.base_dialect, self._resolver)
+
+    # -- reachability (frame.cc:1625-1975) ----------------------------------
+
+    def _pointer_to_location(self) -> Dict[Pointer, List[Location]]:
+        cache = self._caches.get("ptl")
+        if cache is None:
+            cache = {}
+            for location in self.locations.values():
+                cache.setdefault(tuple(location.pointer),
+                                 []).append(location)
+            self._caches["ptl"] = cache
+        return cache
+
+    def _location_members_children(self) -> set:
+        cache = self._caches.get("members")
+        if cache is None:
+            cache = set()
+            for location in self.locations.values():
+                if location.type != SUBSCHEMA or location.parent is None:
+                    continue
+                relative = tuple(location.pointer)[len(location.parent):]
+                if not relative or not isinstance(relative[0], str):
+                    continue
+                parent_loc = self.traverse_pointer(location.parent)
+                if parent_loc is None:
+                    continue
+                vocab = self.vocabularies_of(parent_loc)
+                if W.walk_type(relative[0], vocab) == W.LOCATION_MEMBERS:
+                    cache.add(tuple(location.pointer))
+            self._caches["members"] = cache
+        return cache
+
+    def _references_by_destination(self) -> Dict[Pointer, List[Pointer]]:
+        cache = self._caches.get("refgraph")
+        if cache is None:
+            cache = {}
+            dynamic_anchors: Dict[str, List[Pointer]] = {}
+            for (reftype, uri), location in self.locations.items():
+                if reftype == DYNAMIC and location.type == ANCHOR:
+                    fragment = _uri_fragment(uri) or ""
+                    dynamic_anchors.setdefault(fragment, []).append(
+                        tuple(location.pointer))
+            for (reftype, origin), ref in self.references.items():
+                if not origin:
+                    continue
+                if reftype == DYNAMIC and ref.fragment is not None:
+                    for dest in dynamic_anchors.get(ref.fragment, ()):
+                        cache.setdefault(dest, []).append(tuple(origin))
+                    continue
+                destination = self.locations.get(
+                    (STATIC, ref.destination))
+                if destination is not None:
+                    cache.setdefault(tuple(destination.pointer),
+                                     []).append(tuple(origin))
+            self._caches["refgraph"] = cache
+        return cache
+
+    def _reachability_graph(self) -> Dict[int, List[Tuple[Location,
+                                                          bool, bool]]]:
+        cache = self._caches.get("reach_graph")
+        if cache is None:
+            cache = {}
+            table = self._pointer_to_location()
+            for location in self.locations.values():
+                pointer = tuple(location.pointer)
+                if not pointer:
+                    continue
+                for parent_loc in table.get(pointer[:-1], ()):
+                    cache.setdefault(id(parent_loc), []).append(
+                        (location, location.orphan, False))
+            for dest_pointer, sources in \
+                    self._references_by_destination().items():
+                candidates = table.get(dest_pointer, ())
+                destination = None
+                for candidate in candidates:
+                    if candidate.type != POINTER:
+                        destination = candidate
+                        break
+                if destination is None and candidates:
+                    destination = candidates[0]
+                if destination is None:
+                    continue
+                for source in sources:
+                    if not source:
+                        continue
+                    for source_parent in table.get(source[:-1], ()):
+                        cache.setdefault(id(source_parent), []).append(
+                            (destination, False, True))
+            self._caches["reach_graph"] = cache
+        return cache
+
+    def is_reachable(self, base: Location, location: Location) -> bool:
+        """frame.cc is_reachable(): can evaluation starting at ``base``
+        ever reach ``location``? $defs members only count when entered
+        through a reference."""
+        assert location.type != POINTER
+        key = (tuple(base.pointer), base.orphan)
+        reached = self._caches.setdefault("reach", {}).get(key)
+        if reached is None:
+            reached = self._bfs_reachable(base)
+            self._caches["reach"][key] = reached
+        return tuple(location.pointer) in reached
+
+    def _bfs_reachable(self, base: Location) -> set:
+        graph = self._reachability_graph()
+        members = self._location_members_children()
+        reached = {tuple(base.pointer)}
+        visited = {id(base)}
+        queue = [base]
+        while queue:
+            current = queue.pop()
+            for target, orphan_context_only, is_reference in \
+                    graph.get(id(current), ()):
+                if id(target) in visited:
+                    continue
+                if orphan_context_only and not base.orphan \
+                        and not current.orphan:
+                    continue
+                if not is_reference and orphan_context_only:
+                    target_pointer = tuple(target.pointer)
+                    if target_pointer in members:
+                        keyword_path = target_pointer[:-1]
+                        if keyword_path[:len(current.pointer)] == \
+                                tuple(current.pointer):
+                            continue
+                visited.add(id(target))
+                reached.add(tuple(target.pointer))
+                queue.append(target)
+        return reached
+
+    # -- export -------------------------------------------------------------
+
+    def to_json(self) -> dict:
+        """frame.cc to_json() analog (position tracking unsupported:
+        "position" is always null, as when no tracker is passed)."""
+        out: dict = {"locations": {"static": {}, "dynamic": {}},
+                     "references": []}
+        for (reftype, uri) in sorted(self.locations):
+            location = self.locations[(reftype, uri)]
+            out["locations"][reftype][uri] = {
+                "parent": pointer_str(location.parent)
+                if location.parent is not None else None,
+                "type": location.type,
+                "root": self.root or None,
+                "base": location.base,
+                "pointer": pointer_str(location.pointer),
+                "position": None,
+                "relativePointer": pointer_str(
+                    self.relative_instance_location(location)),
+                "dialect": location.dialect,
+                "baseDialect": BASE_DIALECT_URI[location.base_dialect],
+                "propertyName": location.property_name,
+                "orphan": location.orphan,
+            }
+        # std::map key order: Static (enum 0) before Dynamic, then by
+        # pointer
+        for (reftype, origin) in sorted(
+                self.references,
+                key=lambda k: (0 if k[0] == STATIC else 1,
+                               _sort_key(k[1]))):
+            ref = self.references[(reftype, origin)]
+            out["references"].append({
+                "type": reftype,
+                "origin": pointer_str(origin),
+                "position": None,
+                "destination": ref.destination,
+                "base": ref.base or None,
+                "fragment": ref.fragment,
+            })
+        return out
+
+
+def frame_schema(document: Any,
+                 resolver: Optional[Callable[[str], Any]] = None,
+                 default_dialect: str = "", default_id: str = "",
+                 mode: str = "references") -> SchemaFrame:
+    """Convenience one-shot: analyse ``document`` and return the frame."""
+    frame = SchemaFrame(mode)
+    frame.analyse(copy.deepcopy(document), resolver, default_dialect,
+                  default_id)
+    return frame

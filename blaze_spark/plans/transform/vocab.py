@@ -13,7 +13,14 @@ from __future__ import annotations
 
 from typing import Any, Callable, FrozenSet, Optional
 
-# Known vocabulary identifiers (subset the engine supports: draft3+).
+# Known vocabulary identifiers (subset the engine supports: draft3+;
+# draft0-2 exist for frame-level analysis only, like the reference).
+D0 = "draft0"
+D1 = "draft1"
+D2 = "draft2"
+D0H = "draft0-hyper"
+D1H = "draft1-hyper"
+D2H = "draft2-hyper"
 D3 = "draft3"
 D4 = "draft4"
 D6 = "draft6"
@@ -72,6 +79,12 @@ FULL_2020 = frozenset({V20_CORE, V20_APPLICATOR, V20_VALIDATION,
                        V20_UNEVALUATED})
 
 _OFFICIAL = {
+    "http://json-schema.org/draft-00/schema": frozenset({D0}),
+    "http://json-schema.org/draft-00/hyper-schema": frozenset({D0H}),
+    "http://json-schema.org/draft-01/schema": frozenset({D1}),
+    "http://json-schema.org/draft-01/hyper-schema": frozenset({D1H}),
+    "http://json-schema.org/draft-02/schema": frozenset({D2}),
+    "http://json-schema.org/draft-02/hyper-schema": frozenset({D2H}),
     "http://json-schema.org/draft-03/schema": frozenset({D3}),
     "http://json-schema.org/draft-03/hyper-schema": frozenset({D3H}),
     "http://json-schema.org/draft-04/schema": frozenset({D4}),

@@ -61,6 +61,7 @@ _META = frozenset({V.V20_METADATA, V.V19_METADATA, V.D7, V.D6, V.D4, V.D3})
 _META_6UP = frozenset({V.V20_METADATA, V.V19_METADATA, V.D7, V.D6})
 _META_MODERN = frozenset({V.V20_METADATA, V.V19_METADATA})
 _CORE = frozenset({V.V20_CORE, V.V19_CORE, V.D7, V.D6, V.D4, V.D3})
+_D012 = frozenset({V.D2, V.D1, V.D0})
 _CORE_MODERN = frozenset({V.V20_CORE, V.V19_CORE})
 _CONTENT = frozenset({V.V20_CONTENT, V.V19_CONTENT})
 _OAS = frozenset({V.OAS31_BASE, V.OAS32_BASE})
@@ -68,9 +69,9 @@ _OAS = frozenset({V.OAS31_BASE, V.OAS32_BASE})
 # keyword -> ordered [(vocab-group, type)]; first non-disjoint group wins
 _TABLE = {
     "$id": [(_CORE_MODERN | frozenset({V.D7, V.D6}), OTHER)],
-    "id": [(frozenset({V.D4, V.D3}), OTHER)],
-    "$schema": [(_CORE, OTHER)],
-    "$ref": [(_CORE, REFERENCE)],
+    "id": [(frozenset({V.D4, V.D3, V.D2, V.D1, V.D0}), OTHER)],
+    "$schema": [(_CORE | _D012, OTHER)],
+    "$ref": [(_CORE | _D012, REFERENCE)],
     "$defs": [(_CORE_MODERN, LOCATION_MEMBERS)],
     "definitions": [(_CORE_MODERN | frozenset({V.D7, V.D6, V.D4, V.D3}),
                      LOCATION_MEMBERS)],
@@ -88,8 +89,8 @@ _TABLE = {
     "then": [(_APP_7UP, APP_VALUE_INPLACE_MAYBE)],
     "else": [(_APP_7UP, APP_VALUE_INPLACE_MAYBE)],
     "not": [(_APP_4UP, APP_VALUE_INPLACE_NEGATE)],
-    "properties": [(_APP, APP_MEMBERS_PROP_STATIC)],
-    "additionalProperties": [(_APP, APP_VALUE_SOME_PROP)],
+    "properties": [(_APP | _D012, APP_MEMBERS_PROP_STATIC)],
+    "additionalProperties": [(_APP | _D012, APP_VALUE_SOME_PROP)],
     "patternProperties": [(_APP, APP_MEMBERS_PROP_REGEX)],
     "propertyNames": [(_APP_6UP, APP_VALUE_ANY_PROP_KEY)],
     "dependentSchemas": [(frozenset({V.V20_APPLICATOR, V.V19_APPLICATOR}),
@@ -98,7 +99,8 @@ _TABLE = {
                       APP_MEMBERS_INPLACE_SOME)],
     "contains": [(_APP_6UP, APP_VALUE_ANY_ITEM)],
     "items": [(frozenset({V.V20_APPLICATOR}), APP_VALUE_SOME_ITEM),
-              (frozenset({V.V19_APPLICATOR, V.D7, V.D6, V.D4, V.D3}),
+              (frozenset({V.V19_APPLICATOR, V.D7, V.D6, V.D4, V.D3,
+                          V.D2, V.D1, V.D0}),
                APP_VALUE_OR_ELEMENTS_ITEM)],
     "prefixItems": [(frozenset({V.V20_APPLICATOR}), APP_ELEMENTS_ITEM)],
     "additionalItems": [(frozenset({V.V19_APPLICATOR, V.D7, V.D6, V.D4, V.D3}),
@@ -164,7 +166,8 @@ _TABLE = {
 }
 
 
-_HYPER_TO_PLAIN = {V.D3H: V.D3, V.D4H: V.D4, V.D6H: V.D6, V.D7H: V.D7}
+_HYPER_TO_PLAIN = {V.D3H: V.D3, V.D4H: V.D4, V.D6H: V.D6, V.D7H: V.D7,
+                   V.D0H: V.D0, V.D1H: V.D1, V.D2H: V.D2}
 
 
 def _fold_hyper(vocabularies: V.Vocabularies) -> V.Vocabularies:

@@ -1,0 +1,33 @@
+"""Replay the reference's frame corpus (test/frame/frame_*_test.cc)
+against SchemaFrame — every location/reference/reachability assertion,
+parsed in place by tools/frame_cases.py. Pure Python (no Spark)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from tools.frame_cases import parse_file
+from tools.frame_check import run_case
+
+REFERENCE = "/root/reference/test/frame"
+
+_CASES = []
+for _path in sorted(glob.glob(os.path.join(REFERENCE, "frame_*test.cc"))):
+    for _case in parse_file(_path):
+        _CASES.append(pytest.param(
+            _case,
+            id=f"{os.path.basename(_path)[:-8]}:{_case.name}",
+            marks=[pytest.mark.skip(reason=_case.skip)]
+            if _case.skip else []))
+
+
+@pytest.mark.parametrize("case", _CASES)
+def test_frame_case(case):
+    run_case(case)
+
+
+def test_corpus_is_substantial():
+    assert len([c for c in _CASES if not c.values[0].skip]) >= 350

@@ -108,3 +108,36 @@ def test_bundle_schemas_with_broadcast_registry(spark):
     assert evaluate(plan, 5).valid and not evaluate(plan, "x").valid
     assert got[1]["bundled"] is None
     assert "MISSING" in got[1]["bundle_error"]
+
+
+def test_frame_schemas_distributed(spark):
+    import json as _json
+    from blaze_spark.operators.schema_pipeline import frame_schemas
+    from blaze_spark.plans.schema_frame import frame_schema
+
+    rows = [
+        (0, _json.dumps({"$schema": D2020,
+                         "$id": "https://example.com/a",
+                         "$ref": "https://example.com/missing"})),
+        (1, _json.dumps({"$schema": D2020,
+                         "properties": {"x": {"$anchor": "foo"}}})),
+        (2, "{broken"),
+    ]
+    df = spark.createDataFrame(rows, ["sid", "schema_json"])
+    result = frame_schemas(df, "schema_json")
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle
+    got = {r["sid"]: r for r in result.collect()}
+    # row 0: unresolved external ref, not standalone
+    assert got[0]["n_unresolved"] == 1 and got[0]["standalone"] is False
+    # row 1 matches the single-schema frame exactly
+    local = frame_schema(_json.loads(rows[1][1]))
+    assert got[1]["n_references"] == len(local.references)
+    assert {loc["uri"] for loc in got[1]["frame_locations"]} == \
+        {uri for (_t, uri) in local.locations}
+    anchor = [loc for loc in got[1]["frame_locations"]
+              if loc["loc_type"] == "anchor"]
+    assert anchor and anchor[0]["uri"] == "#foo"
+    # row 2: malformed text surfaces as frame_error, not a crash
+    assert got[2]["frame_locations"] is None
+    assert "JSONDecodeError" in got[2]["frame_error"]

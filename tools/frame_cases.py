@@ -1,0 +1,455 @@
+"""Extract test cases from the reference's gtest frame corpus.
+
+Parses test/frame/frame_*_test.cc in place (same approach as
+tools/cc_cases.py for alterschema): each TEST body becomes a sequence
+of ops — ("analyse", doc, mode, default_dialect, default_id),
+("analyse_throw", ..., error_name), and ("assert", kind, args...) for
+the EXPECT_* macros of frame_test_utils.h. Tests using constructs the
+runner does not model (wrapper paths, try/catch field inspection,
+to_json golden comparisons) are surfaced as skips with a reason.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+from tools.cc_cases import _split_tests  # reuse the TEST block splitter
+
+_DOC_RE = re.compile(
+    r'(?:const\s+)?(?:auto|sourcemeta::core::JSON)\s+(\w+)\s*=\s*'
+    r'sourcemeta::core::parse_json\(\s*R"JSON\((.*?)\)JSON"\s*\)',
+    re.S,
+)
+_FRAME_RE = re.compile(
+    r'SchemaFrame\s+(\w+)\s*\{\s*'
+    r'sourcemeta::blaze::SchemaFrame::Mode::(\w+)\s*\}')
+_ANALYSE_RE = re.compile(r'(\w+)\.analyse\(')
+_THROW_RE = re.compile(r'EXPECT_THROW\(')
+_MACRO_RE = re.compile(
+    r'\b(EXPECT_FRAME_STATIC_[A-Z0-9_]+|EXPECT_FRAME_DYNAMIC_[A-Z0-9_]+'
+    r'|EXPECT_ANONYMOUS_FRAME_STATIC_[A-Z]+'
+    r'|EXPECT_ANONYMOUS_FRAME_DYNAMIC_ANCHOR'
+    r'|EXPECT_STATIC_REFERENCE|EXPECT_DYNAMIC_REFERENCE'
+    r'|EXPECT_FRAME_LOCATION_REACHABLE|EXPECT_FRAME_LOCATION_NON_REACHABLE'
+    r'|EXPECT_EQ|EXPECT_TRUE|EXPECT_FALSE)\s*\(')
+
+# dialect/base-dialect pairs baked into the per-file macro wrappers
+_DIALECTS = {
+    "DRAFT0": ("http://json-schema.org/draft-00/schema#",
+               "JSON_Schema_Draft_0_Hyper"),
+    "DRAFT1": ("http://json-schema.org/draft-01/schema#",
+               "JSON_Schema_Draft_1_Hyper"),
+    "DRAFT2": ("http://json-schema.org/draft-02/schema#",
+               "JSON_Schema_Draft_2_Hyper"),
+    "DRAFT3": ("http://json-schema.org/draft-03/schema#",
+               "JSON_Schema_Draft_3"),
+    "DRAFT4": ("http://json-schema.org/draft-04/schema#",
+               "JSON_Schema_Draft_4"),
+    "DRAFT6": ("http://json-schema.org/draft-06/schema#",
+               "JSON_Schema_Draft_6"),
+    "DRAFT7": ("http://json-schema.org/draft-07/schema#",
+               "JSON_Schema_Draft_7"),
+    "2019_09": ("https://json-schema.org/draft/2019-09/schema",
+                "JSON_Schema_2019_09"),
+    "2020_12": ("https://json-schema.org/draft/2020-12/schema",
+                "JSON_Schema_2020_12"),
+}
+
+_ERROR_RE = re.compile(r'sourcemeta::blaze::(\w+)\)')
+_POINTER_DECL_RE = re.compile(
+    r'sourcemeta::core::Pointer\s+(\w+)\{([^}]*)\}')
+_TRY_RE = re.compile(r'\btry\s*\{')
+_CATCH_RE = re.compile(
+    r'catch\s*\(\s*(?:const\s+)?sourcemeta::blaze::(\w+)\s*&\s*error\s*\)'
+    r'\s*\{')
+_FIELD_RE = re.compile(
+    r'EXPECT_EQ\(\s*(?:sourcemeta::core::to_string\()?'
+    r'error\.(\w+)\(\)\)?\s*,\s*("(?:[^"\\]|\\.)*")\s*\)')
+
+
+@dataclass
+class FrameCase:
+    suite: str
+    name: str
+    file: str
+    ops: List[Tuple] = field(default_factory=list)
+    skip: Optional[str] = None
+    raw: str = ""
+
+
+def _balanced(source: str, start: int) -> Tuple[str, int]:
+    """Return (inner, end_index) for the parenthesized group opening at
+    ``start`` (which must point at '(')."""
+    depth = 0
+    index = start
+    in_string = False
+    while index < len(source):
+        char = source[index]
+        if in_string:
+            if char == "\\":
+                index += 2
+                continue
+            if char == '"':
+                in_string = False
+        elif char == '"':
+            in_string = True
+        elif char == "(":
+            depth += 1
+        elif char == ")":
+            depth -= 1
+            if depth == 0:
+                return source[start + 1:index], index + 1
+        index += 1
+    raise ValueError("unbalanced parens")
+
+
+def _split_args(inner: str) -> List[str]:
+    out, depth, current, in_string = [], 0, [], False
+    index = 0
+    while index < len(inner):
+        char = inner[index]
+        if in_string:
+            current.append(char)
+            if char == "\\":
+                current.append(inner[index + 1])
+                index += 2
+                continue
+            if char == '"':
+                in_string = False
+        elif char == '"':
+            in_string = True
+            current.append(char)
+        elif char in "({[":
+            depth += 1
+            current.append(char)
+        elif char in ")}]":
+            depth -= 1
+            current.append(char)
+        elif char == "," and depth == 0:
+            out.append("".join(current).strip())
+            current = []
+        else:
+            current.append(char)
+        index += 1
+    if current:
+        out.append("".join(current).strip())
+    return out
+
+
+_STR_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
+
+
+def _value(token: str) -> Any:
+    token = token.strip()
+    if token == "std::nullopt":
+        return None
+    if token == "true":
+        return True
+    if token == "false":
+        return False
+    if token.endswith(".root()"):
+        return ("ROOT",)
+    parts = _STR_RE.findall(token)
+    if parts and token.lstrip().startswith('"'):
+        # adjacent C++ string literals concatenate
+        return "".join(json.loads('"%s"' % p) for p in parts)
+    try:
+        return int(token)
+    except ValueError:
+        return token  # enum token / identifier
+
+
+def _strip_line_comments(source: str) -> str:
+    """Remove // comments (outside string literals and R"JSON blocks)."""
+    out = []
+    index, length = 0, len(source)
+    while index < length:
+        char = source[index]
+        if source.startswith('R"JSON(', index):
+            end = source.index(')JSON"', index) + len(')JSON"')
+            out.append(source[index:end])
+            index = end
+        elif char == '"':
+            end = index + 1
+            while end < length:
+                if source[end] == "\\":
+                    end += 2
+                    continue
+                if source[end] == '"':
+                    break
+                end += 1
+            out.append(source[index:end + 1])
+            index = end + 1
+        elif char == "/" and index + 1 < length and \
+                source[index + 1] == "/":
+            while index < length and source[index] != "\n":
+                index += 1
+        else:
+            out.append(char)
+            index += 1
+    return "".join(out)
+
+
+def parse_file(path: str) -> List[FrameCase]:
+    source = _strip_line_comments(open(path).read())
+    cases = []
+    for suite, name, body in _split_tests(source):
+        case = FrameCase(suite=suite, name=name, file=path, raw=body)
+        cases.append(case)
+        docs = {}
+        frames = {}
+        pointers = {}
+        for match in _POINTER_DECL_RE.finditer(body):
+            tokens = tuple(json.loads(t.strip())
+                           for t in match.group(2).split(",")
+                           if t.strip().startswith('"'))
+            pointers[match.group(1)] = tokens
+        events = []
+        for match in _TRY_RE.finditer(body):
+            events.append((match.start(), "try", match))
+        for match in _DOC_RE.finditer(body):
+            events.append((match.start(), "doc", match))
+        for match in _FRAME_RE.finditer(body):
+            events.append((match.start(), "frame", match))
+        for match in _ANALYSE_RE.finditer(body):
+            events.append((match.start(), "analyse", match))
+        for match in _THROW_RE.finditer(body):
+            events.append((match.start(), "throw", match))
+        for match in _MACRO_RE.finditer(body):
+            events.append((match.start(), "macro", match))
+        events.sort(key=lambda e: e[0])
+        consumed_until = 0
+        try:
+            for position, kind, match in events:
+                if position < consumed_until:
+                    continue
+                if kind == "doc":
+                    docs[match.group(1)] = json.loads(match.group(2))
+                elif kind == "try":
+                    # try { frame.analyse(...); FAIL(); } catch (Err &e) {
+                    #   EXPECT_EQ(e.field(), "...") ... }
+                    brace_end = _match_brace(body, body.index("{", position))
+                    try_body = body[position:brace_end]
+                    analyse = _ANALYSE_RE.search(try_body)
+                    if analyse is None:
+                        case.skip = "try without analyse"
+                        break
+                    call_start = position + analyse.start()
+                    inner, call_end = _balanced(
+                        body, body.index("(", call_start + len(
+                            analyse.group(1)) + len(".analyse") - 1))
+                    op = _analyse_op(
+                        body[call_start:call_end], analyse, docs, frames,
+                        pointers)
+                    if op is None:
+                        case.skip = "unsupported analyse form in try"
+                        break
+                    catch = _CATCH_RE.search(body, brace_end)
+                    if catch is None:
+                        case.skip = "try without typed catch"
+                        break
+                    catch_end = _match_brace(
+                        body, body.index("{", catch.end() - 1))
+                    fields = {m.group(1): json.loads(m.group(2))
+                              for m in _FIELD_RE.finditer(
+                                  body[catch.start():catch_end])}
+                    case.ops.append(
+                        ("analyse_throw_fields",) + op[1:]
+                        + (catch.group(1), fields))
+                    consumed_until = catch_end
+                elif kind == "frame":
+                    frames[match.group(1)] = match.group(2).lower()
+                elif kind == "throw":
+                    inner, end = _balanced(body, body.index("(", position))
+                    consumed_until = end
+                    args = _split_args(inner)
+                    error = _ERROR_RE.search(args[-1] + ")")
+                    call = args[0]
+                    analyse = _ANALYSE_RE.search(call)
+                    if analyse is None:
+                        case.skip = "EXPECT_THROW on non-analyse call"
+                        break
+                    op = _analyse_op(call, analyse, docs, frames, pointers)
+                    if op is None:
+                        case.skip = "unsupported analyse form"
+                        break
+                    case.ops.append(
+                        ("analyse_throw",) + op[1:]
+                        + (error.group(1) if error else "",))
+                elif kind == "analyse":
+                    inner, end = _balanced(
+                        body, body.index("(", match.end() - 1))
+                    consumed_until = end
+                    op = _analyse_op(
+                        match.group(0) + inner + ")", match, docs, frames,
+                        pointers)
+                    if op is None:
+                        case.skip = "unsupported analyse form"
+                        break
+                    case.ops.append(op)
+                elif kind == "macro":
+                    macro = match.group(1)
+                    inner, end = _balanced(
+                        body, body.index("(", match.end() - 1))
+                    consumed_until = end
+                    args = _split_args(inner)
+                    op = _macro_op(macro, args, docs, pointers)
+                    if op is None:
+                        case.skip = f"unsupported macro {macro}({inner[:60]})"
+                        break
+                    if op:
+                        case.ops.append(op)
+        except Exception as exc:  # parser limitation → skip, never crash
+            case.skip = f"parse error: {exc}"
+    return cases
+
+
+def _match_brace(source: str, start: int) -> int:
+    """End index (exclusive) of the brace block opening at ``start``."""
+    depth = 0
+    index = start
+    in_string = False
+    while index < len(source):
+        char = source[index]
+        if in_string:
+            if char == "\\":
+                index += 2
+                continue
+            if char == '"':
+                in_string = False
+        elif char == '"':
+            in_string = True
+        elif char == "{":
+            depth += 1
+        elif char == "}":
+            depth -= 1
+            if depth == 0:
+                return index + 1
+        index += 1
+    raise ValueError("unbalanced braces")
+
+
+def _analyse_op(call: str, match, docs, frames,
+                pointers=None) -> Optional[Tuple]:
+    inner = call[call.index("(") + 1:call.rindex(")")]
+    args = _split_args(inner)
+    frame_var = call.split(".analyse")[0].strip().split()[-1].lstrip("(")
+    mode = frames.get(frame_var, "references")
+    if not args or args[0] not in docs:
+        return None
+    document = docs[args[0]]
+    default_dialect = ""
+    default_id = ""
+    paths = None
+    extra = args[3:] if len(args) > 3 else []
+    if len(extra) >= 1:
+        value = _value(extra[0])
+        if not isinstance(value, str):
+            return None
+        default_dialect = value
+    if len(extra) >= 2:
+        value = _value(extra[1])
+        if not isinstance(value, str):
+            return None
+        default_id = value
+    if len(extra) >= 3:
+        spec = extra[2].strip()
+        if not (spec.startswith("{") and spec.endswith("}")):
+            return None
+        paths = []
+        for element in _split_args(spec[1:-1]):
+            if not element:
+                continue
+            name = re.search(r'to_weak_pointer\((\w+)\)', element)
+            if name is None or (pointers or {}).get(name.group(1)) is None:
+                return None
+            paths.append(pointers[name.group(1)])
+    return ("analyse", document, mode, default_dialect, default_id, paths)
+
+
+def _macro_op(macro: str, args: List[str], docs=None,
+              pointers=None) -> Optional[Tuple]:
+    values = [_value(a) for a in args]
+    if macro in ("EXPECT_STATIC_REFERENCE", "EXPECT_DYNAMIC_REFERENCE"):
+        reftype = "static" if "STATIC" in macro else "dynamic"
+        _frame, pointer, uri, base, fragment, original = values
+        return ("assert_reference", reftype, pointer, uri, base,
+                fragment, original)
+    if macro in ("EXPECT_FRAME_LOCATION_REACHABLE",
+                 "EXPECT_FRAME_LOCATION_NON_REACHABLE"):
+        _frame, reftype, reference, base = values
+        return ("assert_reachable", reftype.lower(), reference, base,
+                macro.endswith("_NON_REACHABLE") is False)
+    if macro == "EXPECT_EQ":
+        left, right = args
+        if ".locations().size()" in left:
+            return ("assert_location_count", _value(right))
+        if ".references().size()" in left:
+            return ("assert_reference_count", _value(right))
+        if ".root()" in left:
+            return ("assert_root", _value(right))
+        if ".mode()" in left and "Mode::" in right:
+            return ("assert_mode",
+                    "locations" if "Locations" in right else "references")
+        if left.strip() == "result" and (docs or {}).get(right.strip()) \
+                is not None:
+            return ("assert_to_json", docs[right.strip()])
+        return None
+    if macro in ("EXPECT_TRUE", "EXPECT_FALSE"):
+        expr = args[0]
+        if ".standalone()" in expr:
+            return ("assert_standalone", macro == "EXPECT_TRUE")
+        if ".root().empty()" in expr:
+            return ("assert_root_empty", macro == "EXPECT_TRUE")
+        if ".empty()" in expr:
+            return ("assert_empty", macro == "EXPECT_TRUE")
+        for method in ("has_references_to", "has_references_through"):
+            if f".{method}(" in expr:
+                name = re.search(r'to_weak_pointer\((\w+)\)', expr)
+                if name is None or \
+                        (pointers or {}).get(name.group(1)) is None:
+                    return None
+                return (f"assert_{method}", pointers[name.group(1)],
+                        macro == "EXPECT_TRUE")
+        contains = re.search(
+            r'\.locations\(\)\.contains\(\s*\{\s*sourcemeta::blaze::'
+            r'SchemaReferenceType::(\w+)\s*,\s*("(?:[^"\\]|\\.)*")',
+            expr)
+        if contains:
+            return ("assert_contains", contains.group(1).lower(),
+                    json.loads(contains.group(2)),
+                    macro == "EXPECT_TRUE")
+        return None
+    anonymous = macro.startswith("EXPECT_ANONYMOUS_")
+    reftype = "dynamic" if "_DYNAMIC_" in macro else "static"
+    loctype = macro.rsplit("_", 1)[-1].lower()
+    if loctype not in ("resource", "anchor", "pointer", "subschema"):
+        return None
+    dialect_key = None
+    for key in _DIALECTS:
+        if f"_{key}_" in macro:
+            dialect_key = key
+            break
+    values = values[1:]  # drop the frame argument
+    if anonymous:
+        if dialect_key is not None:
+            reference, pointer, parent, property_name, orphan = values
+            dialect, base_dialect = _DIALECTS[dialect_key]
+        else:
+            (reference, pointer, dialect, base_dialect, parent,
+             property_name, orphan) = values
+        return ("assert_anonymous", reftype, loctype, reference, pointer,
+                dialect, base_dialect, parent, property_name, orphan)
+    if dialect_key is not None:
+        (reference, root_id, pointer, base, relative, parent,
+         property_name, orphan) = values
+        dialect, base_dialect = _DIALECTS[dialect_key]
+    else:
+        (reference, root_id, pointer, dialect, base_dialect, base,
+         relative, parent, property_name, orphan) = values
+    return ("assert_location", reftype, loctype, reference, root_id,
+            pointer, dialect, base_dialect, base, relative, parent,
+            property_name, orphan)

@@ -1,0 +1,248 @@
+"""Replay the reference's frame test corpus against SchemaFrame.
+
+Usage: python tools/frame_check.py [-v] [pattern...]
+
+Parses test/frame/frame_*_test.cc in place (tools/frame_cases.py) and
+runs each TEST's ops against blaze_spark.plans.schema_frame.SchemaFrame,
+checking every location/reference/reachability assertion.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blaze_spark.plans import schema_frame as SF
+from tools.frame_cases import parse_file
+
+REFERENCE = "/root/reference/test/frame"
+
+_ERRORS = {
+    "SchemaFrameError": (SF.FrameError,),
+    "SchemaAnchorCollisionError": (SF.AnchorCollisionError,),
+    "SchemaKeywordError": (SF.KeywordError,),
+    "SchemaUnknownBaseDialectError": (SF.UnknownBaseDialectError,),
+    "SchemaResolutionError": (SF.ResolutionError,),
+    "SchemaReferenceError": (SF.ReferenceError_,),
+    "": (Exception,),
+}
+
+
+def _check(condition, message):
+    if not condition:
+        raise AssertionError(message)
+
+
+def run_case(case) -> None:
+    frame = SF.SchemaFrame("references")
+
+    def loc(reftype, reference):
+        key = (reftype, reference)
+        _check(key in frame.locations,
+               f"missing location {key}; have "
+               f"{sorted(frame.locations)[:12]}...")
+        return frame.locations[key]
+
+    def resolve_base(value):
+        return frame.root if value == ("ROOT",) else value
+
+    for op in case.ops:
+        kind = op[0]
+        if kind == "analyse":
+            _document, mode, default_dialect, default_id, paths = op[1:]
+            frame = SF.SchemaFrame(mode)
+            frame.analyse(_document, resolver=None,
+                          default_dialect=default_dialect,
+                          default_id=default_id, paths=paths)
+        elif kind in ("analyse_throw", "analyse_throw_fields"):
+            fields = {}
+            if kind == "analyse_throw_fields":
+                (_document, mode, default_dialect, default_id, paths,
+                 error, fields) = op[1:]
+            else:
+                (_document, mode, default_dialect, default_id, paths,
+                 error) = op[1:]
+            frame = SF.SchemaFrame(mode)
+            try:
+                frame.analyse(_document, resolver=None,
+                              default_dialect=default_dialect,
+                              default_id=default_id, paths=paths)
+            except _ERRORS.get(error, (Exception,)) as exc:
+                for name, expected in fields.items():
+                    got = getattr(exc, name, None)
+                    _check(got == expected,
+                           f"{error}.{name}: {got!r} != {expected!r}")
+                continue
+            except Exception as exc:
+                raise AssertionError(
+                    f"expected {error}, got {type(exc).__name__}: {exc}")
+            raise AssertionError(f"expected {error}, nothing raised")
+        elif kind == "assert_has_references_to":
+            pointer, expected = op[1:]
+            got = frame.has_references_to(pointer)
+            _check(got == expected,
+                   f"has_references_to({pointer}) {got} != {expected}")
+        elif kind == "assert_has_references_through":
+            pointer, expected = op[1:]
+            got = frame.has_references_through(pointer)
+            _check(got == expected,
+                   f"has_references_through({pointer}) {got} != {expected}")
+        elif kind == "assert_mode":
+            _check(frame.mode == op[1], f"mode {frame.mode} != {op[1]}")
+        elif kind == "assert_contains":
+            reftype, uri, expected = op[1:]
+            got = (reftype, uri) in frame.locations
+            _check(got == expected,
+                   f"contains(({reftype}, {uri!r})) {got} != {expected}")
+        elif kind == "assert_to_json":
+            expected = op[1]
+            got = frame.to_json()
+            if got != expected:
+                import json as _json
+                raise AssertionError(
+                    "to_json mismatch:\n got: %s\nwant: %s" % (
+                        _json.dumps(got, indent=1, sort_keys=True)[:2000],
+                        _json.dumps(expected, indent=1,
+                                    sort_keys=True)[:2000]))
+        elif kind == "assert_location_count":
+            _check(len(frame.locations) == op[1],
+                   f"location count {len(frame.locations)} != {op[1]}: "
+                   f"{sorted(frame.locations)}")
+        elif kind == "assert_reference_count":
+            _check(len(frame.references) == op[1],
+                   f"reference count {len(frame.references)} != {op[1]}: "
+                   f"{[(k[0], SF.pointer_str(k[1])) for k in frame.references]}")
+        elif kind == "assert_root":
+            _check(frame.root == op[1], f"root {frame.root!r} != {op[1]!r}")
+        elif kind == "assert_standalone":
+            _check(frame.standalone == op[1],
+                   f"standalone {frame.standalone} != {op[1]}")
+        elif kind == "assert_root_empty":
+            _check((frame.root == "") == op[1],
+                   f"root empty? {frame.root!r} != {op[1]}")
+        elif kind == "assert_empty":
+            empty = not frame.locations and not frame.references
+            _check(empty == op[1], f"empty {empty} != {op[1]}")
+        elif kind == "assert_reference":
+            reftype, pointer, uri, base, fragment, original = op[1:]
+            table = {(t, SF.pointer_str(p)): r
+                     for (t, p), r in frame.references.items()}
+            _check((reftype, pointer) in table,
+                   f"missing reference ({reftype}, {pointer}); have "
+                   f"{sorted(table)}")
+            entry = table[(reftype, pointer)]
+            _check(entry.destination == uri,
+                   f"{pointer}: destination {entry.destination!r} != {uri!r}")
+            _check(entry.base == (base or ""),
+                   f"{pointer}: base {entry.base!r} != {base!r}")
+            _check(entry.fragment == fragment,
+                   f"{pointer}: fragment {entry.fragment!r} != {fragment!r}")
+            _check(entry.original == original,
+                   f"{pointer}: original {entry.original!r} != {original!r}")
+        elif kind == "assert_reachable":
+            reftype, reference, base, expected = op[1:]
+            target = loc(reftype, reference)
+            base_loc = frame.traverse(resolve_base(base))
+            _check(base_loc is not None, f"traverse({base!r}) empty")
+            got = frame.is_reachable(base_loc, target)
+            _check(got == expected,
+                   f"is_reachable({base!r} -> {reference!r}) "
+                   f"{got} != {expected}")
+        elif kind == "assert_anonymous":
+            (reftype, loctype, reference, pointer, dialect, base_dialect,
+             parent, property_name, orphan) = op[1:]
+            location = loc(reftype, reference)
+            _check(frame.root == "", f"root {frame.root!r} not empty")
+            _compare_location(
+                frame, reference, location, loctype, pointer, dialect,
+                base_dialect, parent, property_name, orphan)
+        elif kind == "assert_location":
+            (reftype, loctype, reference, root_id, pointer, dialect,
+             base_dialect, base, relative, parent, property_name,
+             orphan) = op[1:]
+            location = loc(reftype, reference)
+            _check(frame.root == root_id,
+                   f"root {frame.root!r} != {root_id!r}")
+            _check(location.base == base,
+                   f"{reference}: base {location.base!r} != {base!r}")
+            _check(frame.traverse(location.base) is not None,
+                   f"{reference}: base {location.base!r} not traversable")
+            got_rel = SF.pointer_str(
+                frame.relative_instance_location(location))
+            _check(got_rel == relative,
+                   f"{reference}: relative {got_rel!r} != {relative!r}")
+            _compare_location(
+                frame, reference, location, loctype, pointer, dialect,
+                base_dialect, parent, property_name, orphan)
+        else:
+            raise AssertionError(f"unknown op {kind}")
+
+
+def _compare_location(frame, reference, location, loctype, pointer,
+                      dialect, base_dialect, parent, property_name,
+                      orphan) -> None:
+    _check(location.type == loctype,
+           f"{reference}: type {location.type} != {loctype}")
+    got_pointer = SF.pointer_str(location.pointer)
+    _check(got_pointer == pointer,
+           f"{reference}: pointer {got_pointer!r} != {pointer!r}")
+    _check(location.dialect == dialect,
+           f"{reference}: dialect {location.dialect!r} != {dialect!r}")
+    _check(location.base_dialect == base_dialect,
+           f"{reference}: base dialect {location.base_dialect!r} "
+           f"!= {base_dialect!r}")
+    got_parent = None if location.parent is None \
+        else SF.pointer_str(location.parent)
+    _check(got_parent == parent,
+           f"{reference}: parent {got_parent!r} != {parent!r}")
+    _check(location.property_name == property_name,
+           f"{reference}: property_name {location.property_name} "
+           f"!= {property_name}")
+    _check(location.orphan == orphan,
+           f"{reference}: orphan {location.orphan} != {orphan}")
+
+
+def main(argv) -> int:
+    verbose = "-v" in argv
+    patterns = [a for a in argv if not a.startswith("-")]
+    total_pass = total_fail = total_err = total_skip = 0
+    for path in sorted(glob.glob(os.path.join(REFERENCE,
+                                              "frame_*test.cc"))):
+        filename = os.path.basename(path)
+        if patterns and not any(p in filename for p in patterns):
+            continue
+        n_pass = n_fail = n_err = n_skip = 0
+        for case in parse_file(path):
+            if case.skip:
+                n_skip += 1
+                if verbose:
+                    print(f"--- {filename} :: {case.name} [skip] "
+                          f"{case.skip}")
+                continue
+            try:
+                run_case(case)
+                n_pass += 1
+            except AssertionError as exc:
+                n_fail += 1
+                print(f"--- {filename} :: {case.name} [fail]")
+                print(f"  {exc}")
+            except Exception as exc:
+                n_err += 1
+                print(f"--- {filename} :: {case.name} [error]")
+                print(f"  {type(exc).__name__}: {exc}")
+        print(f"{filename:<44} pass={n_pass:4d} fail={n_fail:4d} "
+              f"err={n_err:3d} skip={n_skip:3d}")
+        total_pass += n_pass
+        total_fail += n_fail
+        total_err += n_err
+        total_skip += n_skip
+    print(f"TOTAL pass={total_pass} fail={total_fail} err={total_err} "
+          f"skip={total_skip}")
+    return 1 if total_fail or total_err else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
