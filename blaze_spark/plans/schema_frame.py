@@ -368,6 +368,52 @@ def identify(schema: Any, base_dialect: str, default_id: str = "") -> str:
     return value
 
 
+class ReferenceObjectResourceError(ValueError):
+    """SchemaReferenceObjectResourceError analog: reidentify() cannot
+    give an identifier to a draft<=7 object with a sibling $ref."""
+
+    def __init__(self, identifier: str) -> None:
+        super().__init__(
+            "Cannot identify a schema whose sibling $ref overrides it: "
+            + identifier)
+        self.identifier = identifier
+
+
+def identify_schema(schema: Any, resolver=None, default_dialect: str = "",
+                    default_id: str = "", allow_override: bool = True
+                    ) -> str:
+    """foundation.cc identify(schema, resolver, ...): resolve the base
+    dialect first, then read the identifier under its id keyword.
+    Unresolvable metaschemas fall back to ``default_id`` when given."""
+    try:
+        base = base_dialect_of(schema, resolver, default_dialect,
+                               allow_override)
+    except ResolutionError:
+        if default_id:
+            return default_id
+        raise
+    if base is None:
+        return default_id
+    return identify(schema, base, default_id)
+
+
+def anonymize(schema: Any, base_dialect: str) -> None:
+    """foundation.cc anonymize(): drop the identifier in place."""
+    if isinstance(schema, dict):
+        schema.pop(id_keyword(base_dialect), None)
+
+
+def reidentify(schema: Any, new_identifier: str, base_dialect: str
+               ) -> None:
+    """foundation.cc reidentify(): assign the identifier in place; a
+    draft<=7 sibling $ref would keep overriding it, which is an
+    error."""
+    assert isinstance(schema, dict)
+    schema[id_keyword(base_dialect)] = new_identifier
+    if "$ref" in schema and not identify(schema, base_dialect):
+        raise ReferenceObjectResourceError(new_identifier)
+
+
 # ---------------------------------------------------------------------------
 # URI handling (sourcemeta::core::URI canonicalize / to_uri analogs)
 

@@ -1,0 +1,42 @@
+"""Replay the reference's foundation base_dialect / dialect / identify
+corpus (test/foundation/foundation_*_test.cc) against the
+plans/schema_frame helpers, parsed in place by
+tools/foundation_check.py. Pure Python (no Spark)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from tools.cc_cases import _split_tests
+from tools.foundation_check import REFERENCE, Skip, _resolver_for, \
+    _strip_line_comments, run_case
+
+_CASES = []
+for _path in sorted(
+        glob.glob(os.path.join(REFERENCE, "foundation_base_dialect_*.cc"))
+        + glob.glob(os.path.join(REFERENCE, "foundation_dialect_*.cc"))
+        + glob.glob(os.path.join(REFERENCE, "foundation_identify_*.cc"))):
+    _source = _strip_line_comments(open(_path).read())
+    for _suite, _name, _body in _split_tests(_source):
+        _CASES.append(pytest.param(
+            _path, _body,
+            id=f"{os.path.basename(_path)[:-8]}:{_name}"))
+
+_RESOLVERS = {}
+
+
+@pytest.mark.parametrize("path,body", _CASES)
+def test_foundation_case(path, body):
+    if path not in _RESOLVERS:
+        _RESOLVERS[path] = _resolver_for(path)
+    try:
+        run_case(body, _RESOLVERS[path])
+    except Skip as exc:  # pragma: no cover - corpus is fully supported
+        pytest.skip(str(exc))
+
+
+def test_corpus_is_substantial():
+    assert len(_CASES) >= 390

@@ -1,0 +1,115 @@
+"""Hand-ported frame_test.cc cases the gtest parser skips (C++
+iterator callbacks, vocabulary-enum macros), plus API-surface checks
+for plans/schema_frame.py. Pure Python."""
+
+from __future__ import annotations
+
+from blaze_spark.plans import schema_frame as SF
+from blaze_spark.plans.transform import vocab as V
+
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+
+
+def test_uri_iterators():
+    # reference: test/frame/frame_test.cc:1197 (uri_iterators)
+    document = {
+        "$id": "https://www.sourcemeta.com/schema",
+        "$schema": D2020,
+        "items": {"$id": "test", "$anchor": "foo", "type": "string"},
+    }
+    frame = SF.frame_schema(document)
+    uris = {uri for (_reftype, uri) in frame.locations}
+    assert len(frame.locations) == 12 and len(uris) == 12
+    assert uris == {
+        "https://www.sourcemeta.com/schema",
+        "https://www.sourcemeta.com/test",
+        "https://www.sourcemeta.com/test#foo",
+        "https://www.sourcemeta.com/schema#/$id",
+        "https://www.sourcemeta.com/schema#/$schema",
+        "https://www.sourcemeta.com/schema#/items",
+        "https://www.sourcemeta.com/schema#/items/$id",
+        "https://www.sourcemeta.com/schema#/items/$anchor",
+        "https://www.sourcemeta.com/schema#/items/type",
+        "https://www.sourcemeta.com/test#/$id",
+        "https://www.sourcemeta.com/test#/$anchor",
+        "https://www.sourcemeta.com/test#/type",
+    }
+    assert frame.resource_uris() == [
+        "https://www.sourcemeta.com/schema",
+        "https://www.sourcemeta.com/test"]
+    assert len(frame.references) == 1
+
+
+_EMBEDDED_META_DOC = {
+    "$schema": "https://example.com/meta",
+    "$id": "https://example.com/schema",
+    "type": "string",
+    "$defs": {
+        "https://example.com/meta": {
+            "$id": "https://example.com/meta",
+            "$schema": D2020,
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://json-schema.org/draft/2020-12/vocab/validation":
+                    True,
+            },
+            "type": "object",
+        }
+    },
+}
+
+
+def test_vocabularies_embedded_custom_metaschema():
+    # reference: frame_test.cc:3364
+    frame = SF.frame_schema(_EMBEDDED_META_DOC)
+    root = frame.traverse("https://example.com/schema")
+    assert root is not None
+    assert frame.vocabularies_of(root) == \
+        frozenset({V.V20_CORE, V.V20_VALIDATION})
+    meta = frame.traverse("https://example.com/meta")
+    assert meta is not None
+    assert frame.vocabularies_of(meta) == V.FULL_2020
+
+
+def test_vocabularies_embedded_custom_metaschema_precedence():
+    # reference: frame_test.cc:3415 — the embedded copy beats a
+    # resolver that knows a conflicting definition
+    def resolver(identifier):
+        if identifier == "https://example.com/meta":
+            return {
+                "$id": "https://example.com/meta",
+                "$schema": D2020,
+                "$vocabulary": {
+                    "https://json-schema.org/draft/2020-12/vocab/core":
+                        True},
+            }
+        return None
+
+    frame = SF.frame_schema(_EMBEDDED_META_DOC, resolver=resolver)
+    root = frame.traverse("https://example.com/schema")
+    assert frame.vocabularies_of(root) == \
+        frozenset({V.V20_CORE, V.V20_VALIDATION})
+
+
+def test_dereference_and_uri_of():
+    document = {
+        "$schema": D2020,
+        "$id": "https://example.com/root",
+        "$ref": "#/$defs/a",
+        "$defs": {"a": {"type": "string"}},
+    }
+    frame = SF.frame_schema(document)
+    root = frame.traverse("https://example.com/root")
+    reftype, target = frame.dereference(root, ("$ref",))
+    assert reftype == SF.STATIC and target is not None
+    assert tuple(target.pointer) == ("$defs", "a")
+    assert frame.uri_of(("$defs", "a")) == \
+        "https://example.com/root#/$defs/a"
+    assert frame.uri_of(()) == "https://example.com/root"
+
+
+def test_frame_schema_does_not_mutate_input():
+    document = {"$schema": D2020, "items": {"$anchor": "x"}}
+    snapshot = {"$schema": D2020, "items": {"$anchor": "x"}}
+    SF.frame_schema(document)
+    assert document == snapshot

@@ -103,7 +103,8 @@ import compliance as _compliance
 _FALLBACK_RESOLVER = _compliance.make_resolver("2020-12")
 
 _VENDORED_DRAFT = _re.compile(
-    r"^https?://json-schema\.org/draft-0(\d)/(hyper-schema|links|schema)$")
+    r"^https?://json-schema\.org/draft-0(\d)/"
+    r"(hyper-schema-output|hyper-schema|json-ref|links|schema)$")
 
 
 def _vendored_official(uri):

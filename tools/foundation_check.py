@@ -1,0 +1,375 @@
+"""Replay the reference's foundation base_dialect / dialect / identify
+test corpus against blaze_spark.plans.schema_frame helpers.
+
+Usage: python tools/foundation_check.py [-v] [pattern...]
+
+Parses test/foundation/foundation_{base_dialect,dialect,identify}_*.cc
+in place: each TEST body is interpreted as a small statement sequence
+(document literals, helper calls into local variables, mutations,
+EXPECT_* assertions). Per-file ``test_resolver`` documents chain to the
+reference's vendored official metaschemas.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from blaze_spark.plans import schema_frame as SF
+from tools.alterschema_check import test_resolver as _official_resolver
+from tools.cc_cases import _split_tests, parse_resolver
+from tools.frame_cases import _balanced, _split_args, _strip_line_comments, \
+    _value
+
+REFERENCE = "/root/reference/test/foundation"
+
+_DOC_RE = re.compile(
+    r'(?:const\s+)?(?:auto|sourcemeta::core::JSON)\s+(\w+)\s*(?:=\s*|\{)'
+    r'sourcemeta::core::parse_json\(\s*(R"JSON\(.*?\)JSON"|"(?:[^"\\]|\\.)*")'
+    r'\s*\)',
+    re.S,
+)
+_LOCAL_RESOLVER_RE = re.compile(
+    r'identifier\s*==\s*"((?:[^"\\]|\\.)*)"[^}]*?return\s+(\w+);', re.S)
+_TRY_RE = re.compile(r'\btry\s*\{')
+_CATCH_RE = re.compile(
+    r'catch\s*\(\s*(?:const\s+)?sourcemeta::blaze::(\w+)\s*&\s*error\s*\)'
+    r'\s*\{')
+_FIELD_RE = re.compile(
+    r'EXPECT_EQ\(\s*(?:sourcemeta::core::to_string\()?'
+    r'error\.(\w+)\(\)\)?\s*,\s*("(?:[^"\\]|\\.)*")\s*\)')
+_ANY_CALL_RE = re.compile(
+    r'sourcemeta::blaze::(base_dialect|dialect|identify|anonymize|'
+    r'reidentify)\(')
+_DOC_LITERAL_RE = re.compile(
+    r'(?:const\s+)?sourcemeta::core::JSON\s+(\w+)\{(true|false)\}')
+_CALL_RE = re.compile(
+    r'(?:const\s+)?auto\s+(\w+)\{\s*sourcemeta::blaze::'
+    r'(to_base_dialect|base_dialect|dialect|identify)\(', re.S)
+_MUTATE_RE = re.compile(
+    r'sourcemeta::blaze::(anonymize|reidentify)\(')
+_EXPECT_RE = re.compile(
+    r'\b(EXPECT_EQ|EXPECT_TRUE|EXPECT_FALSE|EXPECT_THROW)\s*\(')
+
+_ERRORS = {
+    "SchemaKeywordError": (SF.KeywordError,),
+    "SchemaUnknownBaseDialectError": (SF.UnknownBaseDialectError,),
+    "SchemaResolutionError": (SF.ResolutionError,),
+    "SchemaRelativeMetaschemaResolutionError": (SF.ResolutionError,),
+    "SchemaReferenceObjectResourceError":
+        (SF.ReferenceObjectResourceError,),
+    "SchemaError": (ValueError,),
+    "": (Exception,),
+}
+
+
+class Skip(Exception):
+    pass
+
+
+def _parse_doc_value(text: str):
+    if text.startswith('R"JSON('):
+        return json.loads(text[len('R"JSON('):-len(')JSON"')])
+    return json.loads(json.loads(text))
+
+
+def _resolver_for(path):
+    docs = parse_resolver(path)
+
+    def resolver(uri, _docs=docs):
+        hit = _docs.get(uri) or _docs.get(uri.rstrip("#"))
+        if hit is not None:
+            return hit
+        return _official_resolver(uri)
+
+    return resolver
+
+
+def _arg_resolver(token: str, resolver, env):
+    token = token.strip()
+    if "resolver" in token:
+        return resolver
+    raise Skip(f"unsupported resolver arg {token!r}")
+
+
+def _base_dialect_arg(token: str, env):
+    token = token.strip()
+    match = re.search(r'SchemaBaseDialect::(\w+)', token)
+    if match:
+        return match.group(1)
+    if token.endswith(".value()") and token[:-len(".value()")] in env:
+        return env[token[:-len(".value()")]]
+    raise Skip(f"unsupported base-dialect arg {token!r}")
+
+
+def _run_call(func: str, args, resolver, env, docs):
+    if func == "to_base_dialect":
+        uri = _value(args[0])
+        if not isinstance(uri, str):
+            raise Skip(f"unsupported to_base_dialect arg {args[0]!r}")
+        return SF._BASE_DIALECT_URIS.get(uri)
+    doc_name = args[0].strip()
+    if doc_name not in docs:
+        raise Skip(f"unknown document {doc_name!r}")
+    document = docs[doc_name]
+    if func == "base_dialect":
+        rsl = _arg_resolver(args[1], resolver, env)
+        default_dialect = _value(args[2]) if len(args) > 2 else ""
+        allow = _value(args[3]) if len(args) > 3 else True
+        return SF.base_dialect_of(document, rsl, default_dialect or "",
+                                  allow_override=bool(allow))
+    if func == "dialect":
+        default_dialect = _value(args[1]) if len(args) > 1 else ""
+        allow = _value(args[2]) if len(args) > 2 else True
+        return SF._dialect_keyword(document, default_dialect or "",
+                                   bool(allow))
+    # identify: (doc, resolver[, dd[, did]]) or (doc, BaseDialect[, did])
+    second = args[1].strip()
+    if "SchemaBaseDialect::" in second or second.endswith(".value()"):
+        base = _base_dialect_arg(second, env)
+        default_id = _value(args[2]) if len(args) > 2 else ""
+        return SF.identify(document, base, default_id or "")
+    rsl = _arg_resolver(second, resolver, env)
+    default_dialect = _value(args[2]) if len(args) > 2 else ""
+    default_id = _value(args[3]) if len(args) > 3 else ""
+    allow = _value(args[4]) if len(args) > 4 else True
+    return SF.identify_schema(document, rsl, default_dialect or "",
+                              default_id or "", bool(allow))
+
+
+def _run_mutation(func: str, args, resolver, env, docs):
+    doc_name = args[0].strip()
+    if doc_name not in docs:
+        raise Skip(f"unknown document {doc_name!r}")
+    document = docs[doc_name]
+    if func == "anonymize":
+        SF.anonymize(document, _base_dialect_arg(args[1], env))
+        return
+    new_identifier = _value(args[1])
+    third = args[2].strip() if len(args) > 2 else ""
+    if "SchemaBaseDialect::" in third or third.endswith(".value()"):
+        SF.reidentify(document, new_identifier,
+                      _base_dialect_arg(third, env))
+    else:
+        rsl = _arg_resolver(third, resolver, env)
+        default_dialect = _value(args[3]) if len(args) > 3 else ""
+        base = SF.base_dialect_of(document, rsl, default_dialect or "")
+        if base is None:
+            raise SF.UnknownBaseDialectError(default_dialect)
+        SF.reidentify(document, new_identifier, base)
+
+
+def run_case(body: str, resolver) -> None:
+    docs = {}
+    env = {}
+    local_docs = {uri: name
+                  for uri, name in _LOCAL_RESOLVER_RE.findall(body)}
+    if local_docs:
+        outer = resolver
+
+        def resolver(uri, _outer=outer, _map=local_docs, _docs=docs):
+            name = _map.get(uri)
+            if name is not None and name in _docs:
+                return _docs[name]
+            return _outer(uri)
+
+    events = []
+    for match in _DOC_RE.finditer(body):
+        events.append((match.start(), "doc", match))
+    for match in _DOC_LITERAL_RE.finditer(body):
+        events.append((match.start(), "doc_literal", match))
+    for match in _CALL_RE.finditer(body):
+        events.append((match.start(), "call", match))
+    for match in _MUTATE_RE.finditer(body):
+        events.append((match.start(), "mutate", match))
+    for match in _EXPECT_RE.finditer(body):
+        events.append((match.start(), "expect", match))
+    for match in _TRY_RE.finditer(body):
+        events.append((match.start(), "try", match))
+    events.sort(key=lambda e: e[0])
+    consumed_until = 0
+    for position, kind, match in events:
+        if position < consumed_until:
+            continue
+        if kind == "doc":
+            docs[match.group(1)] = _parse_doc_value(match.group(2))
+        elif kind == "doc_literal":
+            docs[match.group(1)] = match.group(2) == "true"
+        elif kind == "call":
+            inner, end = _balanced(body, body.index("(", match.end() - 1))
+            consumed_until = end
+            env[match.group(1)] = _run_call(
+                match.group(2), _split_args(inner), resolver, env, docs)
+        elif kind == "mutate":
+            inner, end = _balanced(body, body.index("(", match.end() - 1))
+            consumed_until = end
+            _run_mutation(match.group(1), _split_args(inner), resolver,
+                          env, docs)
+        elif kind == "try":
+            from tools.frame_cases import _match_brace
+            brace_end = _match_brace(body, body.index("{", position))
+            try_body = body[position:brace_end]
+            call = _ANY_CALL_RE.search(try_body)
+            catch = _CATCH_RE.search(body, brace_end)
+            if call is None or catch is None:
+                raise Skip("unsupported try/catch form")
+            inner, _e = _balanced(try_body,
+                                  try_body.index("(", call.end() - 1))
+            catch_end = _match_brace(body, body.index("{", catch.end() - 1))
+            consumed_until = catch_end
+            fields = {m.group(1): json.loads(m.group(2))
+                      for m in _FIELD_RE.finditer(
+                          body[catch.start():catch_end])}
+            error_name = catch.group(1)
+            try:
+                func = call.group(1)
+                if func in ("anonymize", "reidentify"):
+                    _run_mutation(func, _split_args(inner), resolver,
+                                  env, docs)
+                else:
+                    _run_call(func, _split_args(inner), resolver, env,
+                              docs)
+            except _ERRORS.get(error_name, (Exception,)) as exc:
+                for field, expected in fields.items():
+                    got = getattr(exc, field, None)
+                    _check(got == expected,
+                           f"{error_name}.{field}: {got!r} "
+                           f"!= {expected!r}")
+                continue
+            except Skip:
+                raise
+            except Exception as exc:
+                raise AssertionError(
+                    f"expected {error_name}, got "
+                    f"{type(exc).__name__}: {exc}")
+            raise AssertionError(
+                f"expected {error_name}, nothing raised")
+        elif kind == "expect":
+            macro = match.group(1)
+            inner, end = _balanced(body, body.index("(", match.end() - 1))
+            consumed_until = end
+            args = _split_args(inner)
+            _run_expect(macro, args, resolver, env, docs)
+
+
+def _check(condition, message):
+    if not condition:
+        raise AssertionError(message)
+
+
+def _run_expect(macro, args, resolver, env, docs) -> None:
+    if macro == "EXPECT_THROW":
+        call_text = args[0]
+        error = re.search(r'sourcemeta::blaze::(\w+)$', args[-1].strip())
+        error_name = error.group(1) if error else ""
+        call = re.search(r'sourcemeta::blaze::'
+                         r'(base_dialect|dialect|identify|anonymize|'
+                         r'reidentify)\(', call_text)
+        if call is None:
+            raise Skip(f"unsupported EXPECT_THROW body {call_text[:60]!r}")
+        func = call.group(1)
+        inner, _end = _balanced(call_text, call_text.index(
+            "(", call.end() - 1))
+        call_args = _split_args(inner)
+        try:
+            if func in ("anonymize", "reidentify"):
+                _run_mutation(func, call_args, resolver, env, docs)
+            else:
+                _run_call(func, call_args, resolver, env, docs)
+        except _ERRORS.get(error_name, (Exception,)):
+            return
+        except Skip:
+            raise
+        except Exception as exc:
+            raise AssertionError(
+                f"expected {error_name}, got {type(exc).__name__}: {exc}")
+        raise AssertionError(f"expected {error_name}, nothing raised")
+    if macro in ("EXPECT_TRUE", "EXPECT_FALSE"):
+        expected = macro == "EXPECT_TRUE"
+        expr = args[0].strip()
+        if expr.endswith(".has_value()"):
+            name = expr[:-len(".has_value()")]
+            if name not in env:
+                raise Skip(f"unknown variable {name!r}")
+            _check((env[name] is not None) == expected,
+                   f"{name}.has_value() {env[name]!r} != {expected}")
+            return
+        if expr.endswith(".empty()"):
+            name = expr[:-len(".empty()")]
+            if name not in env:
+                raise Skip(f"unknown variable {name!r}")
+            _check((not env[name]) == expected,
+                   f"{name}.empty() {env[name]!r} != {expected}")
+            return
+        raise Skip(f"unsupported {macro}({expr[:60]!r})")
+    # EXPECT_EQ
+    left, right = args[0].strip(), args[1].strip()
+    if "to_string(" in left and "SchemaBaseDialect::" in left:
+        enum = re.search(r'SchemaBaseDialect::(\w+)', left).group(1)
+        _check(SF.BASE_DIALECT_URI[enum] == _value(right),
+               f"to_string({enum}) != {_value(right)!r}")
+        return
+    if left.endswith(".value()"):
+        left = left[:-len(".value()")]
+    if left in env:
+        enum = re.search(r'SchemaBaseDialect::(\w+)', right)
+        expected = enum.group(1) if enum else _value(right)
+        _check(env[left] == expected,
+               f"{left}: {env[left]!r} != {expected!r}")
+        return
+    if left in docs and right in docs:
+        _check(docs[left] == docs[right],
+               f"{left} != {right}: {docs[left]!r}")
+        return
+    raise Skip(f"unsupported EXPECT_EQ({left[:40]!r}, {right[:40]!r})")
+
+
+def main(argv) -> int:
+    verbose = "-v" in argv
+    patterns = [a for a in argv if not a.startswith("-")]
+    total_pass = total_fail = total_err = total_skip = 0
+    files = sorted(
+        glob.glob(os.path.join(REFERENCE, "foundation_base_dialect_*.cc"))
+        + glob.glob(os.path.join(REFERENCE, "foundation_dialect_*.cc"))
+        + glob.glob(os.path.join(REFERENCE, "foundation_identify_*.cc")))
+    for path in files:
+        filename = os.path.basename(path)
+        if patterns and not any(p in filename for p in patterns):
+            continue
+        resolver = _resolver_for(path)
+        source = _strip_line_comments(open(path).read())
+        n_pass = n_fail = n_err = n_skip = 0
+        for _suite, name, body in _split_tests(source):
+            try:
+                run_case(body, resolver)
+                n_pass += 1
+            except Skip as exc:
+                n_skip += 1
+                if verbose:
+                    print(f"--- {filename} :: {name} [skip] {exc}")
+            except AssertionError as exc:
+                n_fail += 1
+                print(f"--- {filename} :: {name} [fail]\n  {exc}")
+            except Exception as exc:
+                n_err += 1
+                print(f"--- {filename} :: {name} [error]\n  "
+                      f"{type(exc).__name__}: {exc}")
+        print(f"{filename:<48} pass={n_pass:4d} fail={n_fail:4d} "
+              f"err={n_err:3d} skip={n_skip:3d}")
+        total_pass += n_pass
+        total_fail += n_fail
+        total_err += n_err
+        total_skip += n_skip
+    print(f"TOTAL pass={total_pass} fail={total_fail} err={total_err} "
+          f"skip={total_skip}")
+    return 1 if total_fail or total_err else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
