@@ -95,6 +95,10 @@ class ResolutionError(ValueError):
         self.identifier = uri
 
 
+class UnknownDialectError(ValueError):
+    """SchemaUnknownDialectError analog: no dialect info at all."""
+
+
 class ReferenceError_(ValueError):
     """SchemaReferenceError analog (invalid $recursiveRef etc.)."""
 
@@ -769,19 +773,65 @@ def _resolve_dialect_at(subschema: Any, inherited_dialect: str,
     return local, base, override_active
 
 
-def _frame_vocabularies(subschema: Any, dialect: str, base_dialect: str,
-                        resolver) -> V.Vocabularies:
+# per-dialect vocabulary tables with the required/optional flag
+# (foundation.cc vocabularies() shortcut: 2019-09 format is OPTIONAL)
+_VOCAB_DETAIL_2020 = {
+    V.V20_CORE: True, V.V20_APPLICATOR: True, V.V20_UNEVALUATED: True,
+    V.V20_VALIDATION: True, V.V20_METADATA: True,
+    V.V20_FORMAT_ANNOTATION: True, V.V20_CONTENT: True,
+}
+_VOCAB_DETAIL_2019 = {
+    V.V19_CORE: True, V.V19_APPLICATOR: True, V.V19_VALIDATION: True,
+    V.V19_METADATA: True, V.V19_FORMAT: False, V.V19_CONTENT: True,
+}
+
+
+def parse_vocabularies_of(schema: Any, base_dialect: str
+                          ) -> Optional[Dict[str, bool]]:
+    """foundation.cc parse_vocabularies(): the schema's own
+    $vocabulary declaration (None for pre-vocabulary base dialects or
+    malformed declarations)."""
+    if base_dialect not in _MODERN_BASES:
+        return None
+    if not isinstance(schema, dict):
+        return None
+    vocabulary = schema.get("$vocabulary")
+    if not isinstance(vocabulary, dict):
+        return None
+    out: Dict[str, bool] = {}
+    for uri, required in vocabulary.items():
+        if not isinstance(required, bool):
+            return None
+        out[V._VOCAB_URI.get(uri, uri)] = required
+    return out
+
+
+def _vocab_detail(subschema: Any, dialect: str, base_dialect: str,
+                  resolver) -> Dict[str, bool]:
     """foundation.cc vocabularies(): (1) official pre-vocab dialect →
     that single known vocabulary; (2) pre-vocab base dialect → its
     known vocabulary; (3)/(4) vocabulary-aware dialects resolve the
     metaschema (embedded in the subschema first) and honor
-    $vocabulary, defaulting to core-only when none is declared."""
+    $vocabulary, defaulting to core-only when none is declared.
+    Values carry the required (true) / optional (false) flag."""
     bare = dialect.split("#")[0]
     official = V._OFFICIAL.get(bare)
-    if official is not None:
-        return official
+    hyper = bare.endswith("/hyper-schema")
+    if official == V.FULL_2020:
+        out = dict(_VOCAB_DETAIL_2020)
+        if hyper:
+            out[V.V19_HYPER] = True
+        return out
+    if official == V.FULL_2019:
+        out = dict(_VOCAB_DETAIL_2019)
+        if hyper:
+            out[V.V19_HYPER] = True
+        return out
+    if official is not None and len(official) == 1:
+        return {next(iter(official)): True}
     if base_dialect not in _MODERN_BASES:
-        return _BASE_TO_VOCAB.get(base_dialect, frozenset())
+        known = _BASE_TO_VOCAB.get(base_dialect, frozenset())
+        return {next(iter(known)): True} if known else {}
     meta = metaschema_try_embedded(subschema, dialect, resolver)
     if meta is None:
         meta = resolver(dialect) if resolver is not None else None
@@ -789,14 +839,41 @@ def _frame_vocabularies(subschema: Any, dialect: str, base_dialect: str,
         raise ResolutionError(
             dialect, "Could not resolve the metaschema of the schema")
     core = V.V20_CORE if base_dialect in (B2020, B2020H) else V.V19_CORE
-    vocab = meta.get("$vocabulary") if isinstance(meta, dict) else None
-    if not isinstance(vocab, dict):
-        return frozenset({core})
-    out = {V._VOCAB_URI.get(uri, "?" + uri) for uri in vocab}
+    out = parse_vocabularies_of(meta, base_dialect)
+    if not out:
+        return {core: True}
     if core not in out:
         raise FrameError(dialect,
                          "The core vocabulary must always be present")
-    return frozenset(out)
+    if not out[core]:
+        raise FrameError(dialect,
+                         "The core vocabulary must always be required")
+    return out
+
+
+def vocabularies_detailed(schema: Any, resolver=None,
+                          default_dialect: str = "") -> Dict[str, bool]:
+    """foundation.cc vocabularies(schema, resolver): resolve the base
+    dialect and dialect, then compute the in-force vocabulary set with
+    required/optional flags (embedded metaschemas take precedence)."""
+    base = base_dialect_of(schema, resolver, default_dialect)
+    if base is None:
+        raise UnknownBaseDialectError(default_dialect)
+    dialect = _dialect_keyword(schema, default_dialect)
+    if not dialect:
+        raise UnknownDialectError(default_dialect)
+    return _vocab_detail(schema, dialect, base, resolver)
+
+
+def _frame_vocabularies(subschema: Any, dialect: str, base_dialect: str,
+                        resolver) -> V.Vocabularies:
+    """Flat-set form of _vocab_detail for walker dispatch; unknown
+    vocabulary URIs keep the "?" marker convention of vocab.py."""
+    detail = _vocab_detail(subschema, dialect, base_dialect, resolver)
+    return frozenset(
+        key if "://" not in key and not key.startswith("urn:")
+        else "?" + key
+        for key in detail)
 
 
 def _walk(parent: Optional[Pointer], pointer: Pointer,

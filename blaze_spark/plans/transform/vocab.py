@@ -38,6 +38,7 @@ V19_VALIDATION = "2019validation"
 V19_METADATA = "2019metadata"
 V19_FORMAT = "2019format"
 V19_CONTENT = "2019content"
+V19_HYPER = "2019hyper-schema"
 V20_CORE = "2020core"
 V20_APPLICATOR = "2020applicator"
 V20_VALIDATION = "2020validation"
@@ -58,6 +59,7 @@ _VOCAB_URI = {
     "https://json-schema.org/draft/2019-09/vocab/meta-data": V19_METADATA,
     "https://json-schema.org/draft/2019-09/vocab/format": V19_FORMAT,
     "https://json-schema.org/draft/2019-09/vocab/content": V19_CONTENT,
+    "https://json-schema.org/draft/2019-09/vocab/hyper-schema": V19_HYPER,
     "https://json-schema.org/draft/2020-12/vocab/core": V20_CORE,
     "https://json-schema.org/draft/2020-12/vocab/applicator": V20_APPLICATOR,
     "https://json-schema.org/draft/2020-12/vocab/validation": V20_VALIDATION,

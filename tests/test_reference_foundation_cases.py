@@ -18,7 +18,9 @@ _CASES = []
 for _path in sorted(
         glob.glob(os.path.join(REFERENCE, "foundation_base_dialect_*.cc"))
         + glob.glob(os.path.join(REFERENCE, "foundation_dialect_*.cc"))
-        + glob.glob(os.path.join(REFERENCE, "foundation_identify_*.cc"))):
+        + glob.glob(os.path.join(REFERENCE, "foundation_identify_*.cc"))
+        + glob.glob(os.path.join(REFERENCE,
+                                 "foundation_vocabulary_*.cc"))):
     _source = _strip_line_comments(open(_path).read())
     for _suite, _name, _body in _split_tests(_source):
         _CASES.append(pytest.param(

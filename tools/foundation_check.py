@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from blaze_spark.plans import schema_frame as SF
-from tools.alterschema_check import test_resolver as _official_resolver
+from blaze_spark.plans.transform import vocab as V
+from tools.alterschema_check import _FALLBACK_RESOLVER, _vendored_official
 from tools.cc_cases import _split_tests, parse_resolver
 from tools.frame_cases import _balanced, _split_args, _strip_line_comments, \
     _value
@@ -46,16 +47,46 @@ _FIELD_RE = re.compile(
     r'error\.(\w+)\(\)\)?\s*,\s*("(?:[^"\\]|\\.)*")\s*\)')
 _ANY_CALL_RE = re.compile(
     r'sourcemeta::blaze::(base_dialect|dialect|identify|anonymize|'
-    r'reidentify)\(')
+    r'reidentify|parse_vocabularies|vocabularies)\(')
 _DOC_LITERAL_RE = re.compile(
     r'(?:const\s+)?sourcemeta::core::JSON\s+(\w+)\{(true|false)\}')
 _CALL_RE = re.compile(
-    r'(?:const\s+)?auto\s+(\w+)\{\s*sourcemeta::blaze::'
-    r'(to_base_dialect|base_dialect|dialect|identify)\(', re.S)
+    r'(?:const\s+)?(?:auto|sourcemeta::blaze::Vocabularies)\s+(\w+)\{\s*'
+    r'sourcemeta::blaze::'
+    r'(to_base_dialect|base_dialect|dialect|identify|'
+    r'parse_vocabularies|vocabularies)\(', re.S)
 _MUTATE_RE = re.compile(
     r'sourcemeta::blaze::(anonymize|reidentify)\(')
 _EXPECT_RE = re.compile(
-    r'\b(EXPECT_EQ|EXPECT_TRUE|EXPECT_FALSE|EXPECT_THROW)\s*\(')
+    r'\b(EXPECT_EQ|EXPECT_TRUE|EXPECT_FALSE|EXPECT_THROW'
+    r'|EXPECT_VOCABULARY_REQUIRED|EXPECT_VOCABULARY_OPTIONAL)\s*\(')
+
+_KNOWN_TO_V = {
+    "JSON_Schema_Draft_0": V.D0, "JSON_Schema_Draft_0_Hyper": V.D0H,
+    "JSON_Schema_Draft_1": V.D1, "JSON_Schema_Draft_1_Hyper": V.D1H,
+    "JSON_Schema_Draft_2": V.D2, "JSON_Schema_Draft_2_Hyper": V.D2H,
+    "JSON_Schema_Draft_3": V.D3, "JSON_Schema_Draft_3_Hyper": V.D3H,
+    "JSON_Schema_Draft_4": V.D4, "JSON_Schema_Draft_4_Hyper": V.D4H,
+    "JSON_Schema_Draft_6": V.D6, "JSON_Schema_Draft_6_Hyper": V.D6H,
+    "JSON_Schema_Draft_7": V.D7, "JSON_Schema_Draft_7_Hyper": V.D7H,
+    "JSON_Schema_2019_09_Core": V.V19_CORE,
+    "JSON_Schema_2019_09_Applicator": V.V19_APPLICATOR,
+    "JSON_Schema_2019_09_Validation": V.V19_VALIDATION,
+    "JSON_Schema_2019_09_Meta_Data": V.V19_METADATA,
+    "JSON_Schema_2019_09_Format": V.V19_FORMAT,
+    "JSON_Schema_2019_09_Content": V.V19_CONTENT,
+    "JSON_Schema_2020_12_Core": V.V20_CORE,
+    "JSON_Schema_2020_12_Applicator": V.V20_APPLICATOR,
+    "JSON_Schema_2020_12_Unevaluated": V.V20_UNEVALUATED,
+    "JSON_Schema_2020_12_Validation": V.V20_VALIDATION,
+    "JSON_Schema_2020_12_Meta_Data": V.V20_METADATA,
+    "JSON_Schema_2020_12_Format_Annotation": V.V20_FORMAT_ANNOTATION,
+    "JSON_Schema_2020_12_Format_Assertion": V.V20_FORMAT_ASSERTION,
+    "JSON_Schema_2020_12_Content": V.V20_CONTENT,
+    "JSON_Schema_2019_09_Hyper_Schema": V.V19_HYPER,
+    "OpenAPI_3_1_Base": V.OAS31_BASE,
+    "OpenAPI_3_2_Base": V.OAS32_BASE,
+}
 
 _ERRORS = {
     "SchemaKeywordError": (SF.KeywordError,),
@@ -65,6 +96,7 @@ _ERRORS = {
     "SchemaReferenceObjectResourceError":
         (SF.ReferenceObjectResourceError,),
     "SchemaError": (ValueError,),
+    "SchemaUnknownDialectError": (SF.UnknownDialectError,),
     "": (Exception,),
 }
 
@@ -77,6 +109,18 @@ def _parse_doc_value(text: str):
     if text.startswith('R"JSON('):
         return json.loads(text[len('R"JSON('):-len(')JSON"')])
     return json.loads(json.loads(text))
+
+
+def _official_resolver(uri):
+    """The reference's built-in schema_resolver: vendored official
+    metaschemas only."""
+    vendored = _vendored_official(uri)
+    if vendored is not None:
+        return vendored
+    try:
+        return _FALLBACK_RESOLVER(uri)
+    except Exception:
+        return None
 
 
 def _resolver_for(path):
@@ -93,6 +137,8 @@ def _resolver_for(path):
 
 def _arg_resolver(token: str, resolver, env):
     token = token.strip()
+    if token == "sourcemeta::blaze::schema_resolver":
+        return _official_resolver
     if "resolver" in token:
         return resolver
     raise Skip(f"unsupported resolver arg {token!r}")
@@ -109,6 +155,29 @@ def _base_dialect_arg(token: str, env):
 
 
 def _run_call(func: str, args, resolver, env, docs):
+    if func == "vocabularies":
+        doc_name = args[0].strip()
+        if doc_name not in docs:
+            raise Skip(f"unknown document {doc_name!r}")
+        rsl = _arg_resolver(args[1], resolver, env)
+        default_dialect = _value(args[2]) if len(args) > 2 else ""
+        return SF.vocabularies_detailed(docs[doc_name], rsl,
+                                        default_dialect or "")
+    if func == "parse_vocabularies":
+        doc_name = args[0].strip()
+        if doc_name not in docs:
+            raise Skip(f"unknown document {doc_name!r}")
+        second = args[1].strip() if len(args) > 1 else ""
+        if "SchemaBaseDialect::" in second:
+            return SF.parse_vocabularies_of(
+                docs[doc_name], _base_dialect_arg(second, env))
+        rsl = _arg_resolver(second, resolver, env)
+        default_dialect = _value(args[2]) if len(args) > 2 else ""
+        base = SF.base_dialect_of(docs[doc_name], rsl,
+                                  default_dialect or "")
+        if base is None:
+            return None
+        return SF.parse_vocabularies_of(docs[doc_name], base)
     if func == "to_base_dialect":
         uri = _value(args[0])
         if not isinstance(uri, str):
@@ -268,9 +337,7 @@ def _run_expect(macro, args, resolver, env, docs) -> None:
         call_text = args[0]
         error = re.search(r'sourcemeta::blaze::(\w+)$', args[-1].strip())
         error_name = error.group(1) if error else ""
-        call = re.search(r'sourcemeta::blaze::'
-                         r'(base_dialect|dialect|identify|anonymize|'
-                         r'reidentify)\(', call_text)
+        call = _ANY_CALL_RE.search(call_text)
         if call is None:
             raise Skip(f"unsupported EXPECT_THROW body {call_text[:60]!r}")
         func = call.group(1)
@@ -290,6 +357,20 @@ def _run_expect(macro, args, resolver, env, docs) -> None:
             raise AssertionError(
                 f"expected {error_name}, got {type(exc).__name__}: {exc}")
         raise AssertionError(f"expected {error_name}, nothing raised")
+    if macro in ("EXPECT_VOCABULARY_REQUIRED",
+                 "EXPECT_VOCABULARY_OPTIONAL"):
+        name = args[0].strip().lstrip("*")
+        if name not in env or not isinstance(env[name], dict):
+            raise Skip(f"unknown vocabulary variable {name!r}")
+        known = args[1].strip()
+        key = _KNOWN_TO_V.get(known)
+        _check(key is not None, f"unknown Known {known!r}")
+        _check(key in env[name],
+               f"{name} missing {known}: {sorted(env[name])}")
+        expected = macro.endswith("REQUIRED")
+        _check(env[name][key] == expected,
+               f"{name}[{known}] {env[name][key]} != {expected}")
+        return
     if macro in ("EXPECT_TRUE", "EXPECT_FALSE"):
         expected = macro == "EXPECT_TRUE"
         expr = args[0].strip()
@@ -317,6 +398,14 @@ def _run_expect(macro, args, resolver, env, docs) -> None:
         return
     if left.endswith(".value()"):
         left = left[:-len(".value()")]
+    size = re.match(r'^(\w+)(?:\.|->)size\(\)$', left)
+    if size and size.group(1) in env:
+        value = env[size.group(1)]
+        _check(value is not None and len(value) == _value(right),
+               f"{left}: {value and len(value)} != {_value(right)}")
+        return
+    if left.startswith("*"):
+        left = left[1:]
     if left in env:
         enum = re.search(r'SchemaBaseDialect::(\w+)', right)
         expected = enum.group(1) if enum else _value(right)
@@ -337,7 +426,8 @@ def main(argv) -> int:
     files = sorted(
         glob.glob(os.path.join(REFERENCE, "foundation_base_dialect_*.cc"))
         + glob.glob(os.path.join(REFERENCE, "foundation_dialect_*.cc"))
-        + glob.glob(os.path.join(REFERENCE, "foundation_identify_*.cc")))
+        + glob.glob(os.path.join(REFERENCE, "foundation_identify_*.cc"))
+        + glob.glob(os.path.join(REFERENCE, "foundation_vocabulary_*.cc")))
     for path in files:
         filename = os.path.basename(path)
         if patterns and not any(p in filename for p in patterns):
