@@ -1,0 +1,195 @@
+"""Extract test cases from the reference's foundation walker corpus
+(test/foundation/foundation_walker_*.cc, parsed in place).
+
+Each TEST asserts the full walker result for one (keyword, vocabulary
+set) pair: keyword type, source vocabulary, dependencies,
+order-dependencies, and applicable instance types.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, FrozenSet, List, Optional
+
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform import walker as W
+from tools.cc_cases import _split_tests
+from tools.frame_cases import _strip_line_comments
+
+_TYPE_MAP = {
+    "Assertion": W.ASSERTION,
+    "Annotation": W.ANNOTATION,
+    "Reference": W.REFERENCE,
+    "Other": W.OTHER,
+    "Comment": W.COMMENT,
+    "Unknown": W.UNKNOWN,
+    "LocationMembers": W.LOCATION_MEMBERS,
+    "ApplicatorValueTraverseSomeProperty": W.APP_VALUE_SOME_PROP,
+    "ApplicatorValueTraverseAnyPropertyKey": W.APP_VALUE_ANY_PROP_KEY,
+    "ApplicatorValueTraverseAnyItem": W.APP_VALUE_ANY_ITEM,
+    "ApplicatorValueTraverseSomeItem": W.APP_VALUE_SOME_ITEM,
+    "ApplicatorValueTraverseParent": W.APP_VALUE_PARENT,
+    "ApplicatorValueInPlaceOther": W.APP_VALUE_INPLACE_OTHER,
+    "ApplicatorValueInPlaceNegate": W.APP_VALUE_INPLACE_NEGATE,
+    "ApplicatorValueInPlaceMaybe": W.APP_VALUE_INPLACE_MAYBE,
+    "ApplicatorElementsTraverseItem": W.APP_ELEMENTS_ITEM,
+    "ApplicatorElementsInPlace": W.APP_ELEMENTS_INPLACE,
+    "ApplicatorElementsInPlaceSome": W.APP_ELEMENTS_INPLACE_SOME,
+    "ApplicatorElementsInPlaceSomeNegate":
+        W.APP_ELEMENTS_INPLACE_SOME_NEGATE,
+    "ApplicatorMembersTraversePropertyStatic": W.APP_MEMBERS_PROP_STATIC,
+    "ApplicatorMembersTraversePropertyRegex": W.APP_MEMBERS_PROP_REGEX,
+    "ApplicatorMembersInPlaceSome": W.APP_MEMBERS_INPLACE_SOME,
+    "ApplicatorValueOrElementsTraverseAnyItemOrItem":
+        W.APP_VALUE_OR_ELEMENTS_ITEM,
+    "ApplicatorValueOrElementsInPlace": W.APP_VALUE_OR_ELEMENTS_INPLACE,
+}
+
+_KNOWN_MAP = {
+    "JSON_Schema_Draft_0": V.D0, "JSON_Schema_Draft_0_Hyper": V.D0H,
+    "JSON_Schema_Draft_1": V.D1, "JSON_Schema_Draft_1_Hyper": V.D1H,
+    "JSON_Schema_Draft_2": V.D2, "JSON_Schema_Draft_2_Hyper": V.D2H,
+    "JSON_Schema_Draft_3": V.D3, "JSON_Schema_Draft_3_Hyper": V.D3H,
+    "JSON_Schema_Draft_4": V.D4, "JSON_Schema_Draft_4_Hyper": V.D4H,
+    "JSON_Schema_Draft_6": V.D6, "JSON_Schema_Draft_6_Hyper": V.D6H,
+    "JSON_Schema_Draft_7": V.D7, "JSON_Schema_Draft_7_Hyper": V.D7H,
+    "JSON_Schema_2019_09_Core": V.V19_CORE,
+    "JSON_Schema_2019_09_Applicator": V.V19_APPLICATOR,
+    "JSON_Schema_2019_09_Validation": V.V19_VALIDATION,
+    "JSON_Schema_2019_09_Meta_Data": V.V19_METADATA,
+    "JSON_Schema_2019_09_Format": V.V19_FORMAT,
+    "JSON_Schema_2019_09_Content": V.V19_CONTENT,
+    "JSON_Schema_2019_09_Hyper_Schema": V.V19_HYPER,
+    "JSON_Schema_2020_12_Core": V.V20_CORE,
+    "JSON_Schema_2020_12_Applicator": V.V20_APPLICATOR,
+    "JSON_Schema_2020_12_Unevaluated": V.V20_UNEVALUATED,
+    "JSON_Schema_2020_12_Validation": V.V20_VALIDATION,
+    "JSON_Schema_2020_12_Meta_Data": V.V20_METADATA,
+    "JSON_Schema_2020_12_Format_Annotation": V.V20_FORMAT_ANNOTATION,
+    "JSON_Schema_2020_12_Format_Assertion": V.V20_FORMAT_ASSERTION,
+    "JSON_Schema_2020_12_Content": V.V20_CONTENT,
+    "OpenAPI_3_1_Base": V.OAS31_BASE,
+    "OpenAPI_3_2_Base": V.OAS32_BASE,
+}
+
+_TYPE_NAME = {
+    "Null": "null", "Boolean": "boolean", "Object": "object",
+    "Array": "array", "String": "string", "Integer": "integer",
+    "Real": "real",
+}
+
+# vocabulary URI (as spelled in Vocabularies{...} literals) -> V const
+_URI_TO_V = dict(V._VOCAB_URI)
+for _uri, _set in V._OFFICIAL.items():
+    if len(_set) == 1:
+        _URI_TO_V[_uri] = next(iter(_set))
+        _URI_TO_V[_uri + "#"] = next(iter(_set))
+
+_VOCAB_DECL_RE = re.compile(
+    r'Vocabularies\s+(\w+)\s*\{((?:\s*\{[^}]*\},?)*)\s*\}', re.S)
+_VOCAB_ENTRY_RE = re.compile(r'\{\s*"([^"]+)"\s*,\s*(true|false)\s*\}')
+_WALK_RE = re.compile(r'schema_walker\("((?:[^"\\]|\\.)*)",\s*(\w+)\)')
+_TYPE_RE = re.compile(r'EXPECT_EQ\(result\.type,\s*'
+                      r'(?:sourcemeta::blaze::)?SchemaKeywordType::(\w+)\)')
+_VOCAB_HAS_RE = re.compile(
+    r'EXPECT_(TRUE|FALSE)\(result\.vocabulary\.has_value\(\)\)')
+_VOCAB_KNOWN_RE = re.compile(
+    r'EXPECT_VOCABULARY_KNOWN\(result\.vocabulary\.value\(\),\s*(\w+)\)')
+_SET_DECL_RE = re.compile(
+    r'std::unordered_set<std::string_view>\s+(\w+)\s*\{([^}]*)\}')
+_SET_ITEM_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
+_DEPS_EQ_RE = re.compile(r'EXPECT_EQ\(result\.(dependencies|'
+                         r'order_dependencies),\s*(\w+)\)')
+_DEPS_EMPTY_RE = re.compile(r'EXPECT_TRUE\(result\.(dependencies|'
+                            r'order_dependencies)\.empty\(\)\)')
+_INST_NONE_RE = re.compile(r'EXPECT_TRUE\(result\.instances\.none\(\)\)')
+_INST_EQ_RE = re.compile(
+    r'EXPECT_EQ\(\s*result\.instances,\s*'
+    r'(?:sourcemeta::core::)?make_set\(\{([^}]*)\}\)', re.S)
+_INST_TYPE_RE = re.compile(r'Type::(\w+)')
+
+
+@dataclass
+class WalkerCase:
+    name: str
+    file: str
+    keyword: str = ""
+    vocabularies: Dict[str, bool] = field(default_factory=dict)
+    type: Optional[str] = None
+    vocabulary: Optional[str] = None     # matched V const, None = none
+    vocabulary_checked: bool = False
+    dependencies: Optional[FrozenSet[str]] = None
+    order_dependencies: Optional[FrozenSet[str]] = None
+    instances: Optional[FrozenSet[str]] = None
+    skip: Optional[str] = None
+
+
+def parse_file(path: str) -> List[WalkerCase]:
+    source = _strip_line_comments(open(path).read())
+    file_vocabs: Dict[str, Dict[str, bool]] = {}
+    header = source.split("TEST(", 1)[0]
+    for match in _VOCAB_DECL_RE.finditer(header):
+        entries = {}
+        for uri, required in _VOCAB_ENTRY_RE.findall(match.group(2)):
+            key = _URI_TO_V.get(uri, uri)
+            entries[key] = required == "true"
+        file_vocabs[match.group(1)] = entries
+    cases = []
+    for _suite, name, body in _split_tests(source):
+        case = WalkerCase(name=name, file=path)
+        cases.append(case)
+        walk = _WALK_RE.search(body)
+        if walk is None:
+            case.skip = "no schema_walker call"
+            continue
+        case.keyword = walk.group(1).encode().decode("unicode_escape")
+        vocab_name = walk.group(2)
+        if vocab_name not in file_vocabs:
+            # inline or local declaration
+            local = _VOCAB_DECL_RE.search(body)
+            if local and local.group(1) == vocab_name:
+                entries = {}
+                for uri, req in _VOCAB_ENTRY_RE.findall(local.group(2)):
+                    entries[_URI_TO_V.get(uri, uri)] = req == "true"
+                file_vocabs[vocab_name] = entries
+            else:
+                case.skip = f"unknown vocabulary set {vocab_name!r}"
+                continue
+        case.vocabularies = file_vocabs[vocab_name]
+        type_match = _TYPE_RE.search(body)
+        if type_match is None or type_match.group(1) not in _TYPE_MAP:
+            case.skip = "no/unknown type assertion"
+            continue
+        case.type = _TYPE_MAP[type_match.group(1)]
+        has = _VOCAB_HAS_RE.search(body)
+        known = _VOCAB_KNOWN_RE.search(body)
+        if known is not None:
+            case.vocabulary_checked = True
+            if known.group(1) not in _KNOWN_MAP:
+                case.skip = "unparsed vocabulary assertion"
+                continue
+            case.vocabulary = _KNOWN_MAP[known.group(1)]
+        elif has is not None:
+            case.vocabulary_checked = True
+        sets = {m.group(1): frozenset(
+            _SET_ITEM_RE.findall(m.group(2)))
+            for m in _SET_DECL_RE.finditer(body)}
+        for field_name, set_name in _DEPS_EQ_RE.findall(body):
+            if set_name not in sets:
+                case.skip = f"unknown set {set_name!r}"
+                break
+            setattr(case, field_name, sets[set_name])
+        if case.skip:
+            continue
+        for field_name in _DEPS_EMPTY_RE.findall(body):
+            setattr(case, field_name, frozenset())
+        if _INST_NONE_RE.search(body):
+            case.instances = frozenset()
+        else:
+            inst = _INST_EQ_RE.search(body)
+            if inst is not None:
+                case.instances = frozenset(
+                    _TYPE_NAME[t] for t in
+                    _INST_TYPE_RE.findall(inst.group(1)))
+    return cases

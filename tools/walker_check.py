@@ -1,0 +1,76 @@
+"""Replay the reference's foundation walker corpus against the full
+walker registry (blaze_spark.plans.transform.walker.walk).
+
+Usage: python tools/walker_check.py [-v] [pattern...]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blaze_spark.plans.transform import walker as W
+from tools.walker_cases import parse_file
+
+REFERENCE = "/root/reference/test/foundation"
+
+
+def run_case(case) -> None:
+    result = W.walk(case.keyword, frozenset(case.vocabularies))
+    assert result.type == case.type, \
+        f"type {result.type!r} != {case.type!r}"
+    if case.vocabulary_checked:
+        assert result.vocabulary == case.vocabulary, \
+            f"vocabulary {result.vocabulary!r} != {case.vocabulary!r}"
+    if case.dependencies is not None:
+        assert result.dependencies == case.dependencies, \
+            f"dependencies {sorted(result.dependencies)} != " \
+            f"{sorted(case.dependencies)}"
+    if case.order_dependencies is not None:
+        assert result.order_dependencies == case.order_dependencies, \
+            f"order deps {sorted(result.order_dependencies)} != " \
+            f"{sorted(case.order_dependencies)}"
+    if case.instances is not None:
+        assert result.instances == case.instances, \
+            f"instances {sorted(result.instances)} != " \
+            f"{sorted(case.instances)}"
+
+
+def main(argv) -> int:
+    verbose = "-v" in argv
+    patterns = [a for a in argv if not a.startswith("-")]
+    total_pass = total_fail = total_skip = 0
+    for path in sorted(glob.glob(
+            os.path.join(REFERENCE, "foundation_walker_*.cc"))):
+        filename = os.path.basename(path)
+        if patterns and not any(p in filename for p in patterns):
+            continue
+        n_pass = n_fail = n_skip = 0
+        for case in parse_file(path):
+            if case.skip:
+                n_skip += 1
+                if verbose:
+                    print(f"--- {filename} :: {case.name} [skip] "
+                          f"{case.skip}")
+                continue
+            try:
+                run_case(case)
+                n_pass += 1
+            except AssertionError as exc:
+                n_fail += 1
+                print(f"--- {filename} :: {case.name} "
+                      f"({case.keyword!r}) [fail]\n  {exc}")
+        print(f"{filename:<44} pass={n_pass:4d} fail={n_fail:4d} "
+              f"skip={n_skip:3d}")
+        total_pass += n_pass
+        total_fail += n_fail
+        total_skip += n_skip
+    print(f"TOTAL pass={total_pass} fail={total_fail} skip={total_skip}")
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
