@@ -483,3 +483,33 @@ def test_enum_absorption_respects_dialect():
                                              apply_rewrites=False)
     got2020 = rewrite(s, dialect="2020-12")
     assert got2020 == {"const": 5}  # filtered, then single-enum -> const
+
+
+def test_allof_merge_keeps_incompatible_multipleof():
+    """Incompatible `multipleOf` branches must stay separate — merging
+    to the weaker constraint would wrongly admit 3 under
+    {multipleOf: 2} (reference
+    alterschema_canonicalize_2020_12_test.cc duplicate_allof_branches_5;
+    r2 VERDICT "What's wrong" #2)."""
+    from blaze_spark.plans.transform.modes import canonicalize
+    s = {"$schema": "https://json-schema.org/draft/2020-12/schema",
+         "multipleOf": 2, "allOf": [{"type": "number", "multipleOf": 1}]}
+    got = canonicalize(s)
+    branches = got.get("allOf", [got])
+    kept = [b.get("multipleOf") for b in branches
+            if isinstance(b, dict) and "multipleOf" in b]
+    assert 2 in kept, got  # the stronger constraint survives
+
+
+def test_walker_numeric_keywords_have_number_instances():
+    """The refreshed reference walker scopes numeric keywords to
+    {integer, real} (known_walker.cc handle_minimum etc.); the enum
+    lint rule depends on it."""
+    from blaze_spark.plans.transform import vocab as V
+    from blaze_spark.plans.transform import walker as W
+    for kw in ("minimum", "maximum", "exclusiveMinimum",
+               "exclusiveMaximum", "multipleOf"):
+        inst = W.walk_instances(kw, frozenset({V.V20_VALIDATION}))
+        assert inst == frozenset({"integer", "real"}), (kw, inst)
+    assert W.walk_instances("divisibleBy", frozenset({V.D3})) == \
+        frozenset({"integer", "real"})

@@ -1,0 +1,30 @@
+"""Fail loudly when the read-only reference tree has been refreshed.
+
+Round 2 shipped with 69 hidden parity failures because the reference
+corpus moved forward after the last verification run.  This test pins a
+digest of every consumed reference surface; on drift, re-run the parity
+tools (tools/alterschema_check.py, tools/frame_check.py,
+tools/foundation_check.py, tools/walker_diff.py, tools/compliance.py)
+until green and then update the record intentionally:
+
+    python tools/reference_digest.py --update
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import reference_digest  # noqa: E402
+
+
+def test_reference_tree_unchanged():
+    with open(reference_digest.RECORD) as fh:
+        recorded = json.load(fh)
+    actual = reference_digest.compute()
+    stale = sorted(root for root in actual
+                   if actual[root] != recorded.get(root))
+    assert not stale, (
+        f"reference refreshed under {stale}; re-run the parity tools and "
+        "then `python tools/reference_digest.py --update`")

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Digest of the reference trees our parity claims depend on.
+
+The reference at /root/reference can be refreshed between rounds; when
+that happens every "corpus X passes 100%" claim silently goes stale
+(round 2 shipped with 69 hidden failures this way).  This tool hashes
+the consumed reference surfaces; tests/test_reference_digest.py fails
+loudly when the recorded digest no longer matches, prompting a re-run
+of the parity tools and an intentional digest update:
+
+    python tools/reference_digest.py --update
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+# Every reference surface a parity tool or test consumes.
+WATCHED = [
+    "/root/reference/test/alterschema",
+    "/root/reference/test/frame",
+    "/root/reference/test/foundation",
+    "/root/reference/test/bundle",
+    "/root/reference/test/format",
+    "/root/reference/test/evaluator",
+    "/root/reference/test/referencing",
+    "/root/reference/src/foundation/known_walker.cc",
+    "/root/reference/vendor/jsonschema-test-suite/tests",
+]
+
+RECORD = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                      "reference_digest.json")
+
+
+def compute() -> dict:
+    out = {}
+    for root in WATCHED:
+        h = hashlib.sha256()
+        n = 0
+        if os.path.isfile(root):
+            h.update(open(root, "rb").read())
+            n = 1
+        else:
+            for dirpath, dirnames, filenames in os.walk(root):
+                dirnames.sort()
+                for name in sorted(filenames):
+                    path = os.path.join(dirpath, name)
+                    h.update(os.path.relpath(path, root).encode())
+                    h.update(open(path, "rb").read())
+                    n += 1
+        out[root] = {"sha256": h.hexdigest(), "files": n}
+    return out
+
+
+def main() -> int:
+    actual = compute()
+    if "--update" in sys.argv:
+        with open(RECORD, "w") as fh:
+            json.dump(actual, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"recorded {len(actual)} digests -> {RECORD}")
+        return 0
+    try:
+        with open(RECORD) as fh:
+            recorded = json.load(fh)
+    except OSError:
+        print("no recorded digest; run with --update first")
+        return 1
+    stale = [root for root in actual
+             if actual[root] != recorded.get(root)]
+    for root in stale:
+        print(f"DRIFT {root}: recorded {recorded.get(root)} "
+              f"!= actual {actual[root]}")
+    if stale:
+        print("reference refreshed — re-run the parity tools "
+              "(alterschema/frame/foundation/walker_diff/compliance) and "
+              "then: python tools/reference_digest.py --update")
+        return 1
+    print(f"reference digest OK ({len(actual)} surfaces)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,230 @@
+#!/usr/bin/env python3
+"""Diff our walker registry against the reference's known_walker.cc.
+
+Parses every ``handle_*`` function in
+/root/reference/src/foundation/known_walker.cc into
+(keyword, vocabulary) -> (type, instances, deps, order_deps) rows and
+compares them with blaze_spark.plans.transform.walker._ROWS.  Run after
+any reference refresh to find walker-metadata drift mechanically.
+
+Usage: python tools/walker_diff.py [-v]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from blaze_spark.plans.transform import vocab as V  # noqa: E402
+from blaze_spark.plans.transform import walker as W  # noqa: E402
+
+SRC = "/root/reference/src/foundation/known_walker.cc"
+
+KNOWN_TO_V = {
+    "JSON_Schema_2020_12_Core": V.V20_CORE,
+    "JSON_Schema_2020_12_Applicator": V.V20_APPLICATOR,
+    "JSON_Schema_2020_12_Validation": V.V20_VALIDATION,
+    "JSON_Schema_2020_12_Meta_Data": V.V20_METADATA,
+    "JSON_Schema_2020_12_Format_Annotation": V.V20_FORMAT_ANNOTATION,
+    "JSON_Schema_2020_12_Format_Assertion": V.V20_FORMAT_ASSERTION,
+    "JSON_Schema_2020_12_Content": V.V20_CONTENT,
+    "JSON_Schema_2020_12_Unevaluated": V.V20_UNEVALUATED,
+    "JSON_Schema_2019_09_Core": V.V19_CORE,
+    "JSON_Schema_2019_09_Applicator": V.V19_APPLICATOR,
+    "JSON_Schema_2019_09_Validation": V.V19_VALIDATION,
+    "JSON_Schema_2019_09_Meta_Data": V.V19_METADATA,
+    "JSON_Schema_2019_09_Format": V.V19_FORMAT,
+    "JSON_Schema_2019_09_Content": V.V19_CONTENT,
+    "JSON_Schema_2019_09_Hyper_Schema": V.V19_HYPER,
+    "JSON_Schema_Draft_7": V.D7,
+    "JSON_Schema_Draft_7_Hyper": V.D7H,
+    "JSON_Schema_Draft_6": V.D6,
+    "JSON_Schema_Draft_6_Hyper": V.D6H,
+    "JSON_Schema_Draft_4": V.D4,
+    "JSON_Schema_Draft_4_Hyper": V.D4H,
+    "JSON_Schema_Draft_3": V.D3,
+    "JSON_Schema_Draft_3_Hyper": V.D3H,
+    "JSON_Schema_Draft_2": V.D2,
+    "JSON_Schema_Draft_2_Hyper": V.D2H,
+    "JSON_Schema_Draft_1": V.D1,
+    "JSON_Schema_Draft_1_Hyper": V.D1H,
+    "JSON_Schema_Draft_0": V.D0,
+    "JSON_Schema_Draft_0_Hyper": V.D0H,
+    "OpenAPI_3_1_Base": V.OAS31_BASE,
+    "OpenAPI_3_2_Base": V.OAS32_BASE,
+}
+
+CPP_TYPE = {
+    "Object": "object", "Array": "array", "String": "string",
+    "Integer": "integer", "Real": "real", "Boolean": "boolean",
+    "Null": "null",
+}
+
+# SchemaKeywordType C++ name -> our walker type constant
+CPP_STRATEGY = {
+    "Unknown": W.UNKNOWN,
+    "Assertion": W.ASSERTION,
+    "Annotation": W.ANNOTATION,
+    "Reference": W.REFERENCE,
+    "Other": W.OTHER,
+    "Comment": W.COMMENT,
+    "LocationMembers": W.LOCATION_MEMBERS,
+    "ApplicatorMembersTraversePropertyStatic": W.APP_MEMBERS_PROP_STATIC,
+    "ApplicatorMembersTraversePropertyRegex": W.APP_MEMBERS_PROP_REGEX,
+    "ApplicatorValueTraverseSomeProperty": W.APP_VALUE_SOME_PROP,
+    "ApplicatorValueTraverseAnyPropertyKey": W.APP_VALUE_ANY_PROP_KEY,
+    "ApplicatorValueTraverseAnyItem": W.APP_VALUE_ANY_ITEM,
+    "ApplicatorValueTraverseSomeItem": W.APP_VALUE_SOME_ITEM,
+    "ApplicatorValueTraverseParent": W.APP_VALUE_PARENT,
+    "ApplicatorElementsTraverseItem": W.APP_ELEMENTS_ITEM,
+    "ApplicatorValueOrElementsTraverseAnyItemOrItem":
+        W.APP_VALUE_OR_ELEMENTS_ITEM,
+    "ApplicatorValueOrElementsInPlace": W.APP_VALUE_OR_ELEMENTS_INPLACE,
+    "ApplicatorMembersInPlaceSome": W.APP_MEMBERS_INPLACE_SOME,
+    "ApplicatorElementsInPlace": W.APP_ELEMENTS_INPLACE,
+    "ApplicatorElementsInPlaceSome": W.APP_ELEMENTS_INPLACE_SOME,
+    "ApplicatorElementsInPlaceSomeNegate":
+        W.APP_ELEMENTS_INPLACE_SOME_NEGATE,
+    "ApplicatorValueInPlaceMaybe": W.APP_VALUE_INPLACE_MAYBE,
+    "ApplicatorValueInPlaceOther": W.APP_VALUE_INPLACE_OTHER,
+    "ApplicatorValueInPlaceNegate": W.APP_VALUE_INPLACE_NEGATE,
+}
+
+_CALL = re.compile(
+    r"(CHECK_VOCABULARY(?:_WITH_DEPENDENCIES|_WITH_ORDER_DEPENDENCIES)?"
+    r"|RETURN_WITH_DEPENDENCIES|RETURN_WITH_ORDER_DEPENDENCIES|RETURN)"
+    r"\s*\((.*?)\)\s*(?=CHECK_VOCABULARY|RETURN|return\b|if\s*\(|\})", re.S)
+# Manual form: static const SchemaWalkerResult result{type, vocab,
+#   {deps...}, {odeps...}, types};
+_LITERAL = re.compile(
+    r"static const SchemaWalkerResult\s+\w+\{(.*?)\};", re.S)
+_HANDLER = re.compile(
+    r"auto (handle_\w+)\(const Vocabularies &\w*\)\s*"
+    r"->\s*const SchemaWalkerResult &\s*\{(.*?)\n\}", re.S)
+_REGISTRY = re.compile(r'\{"([^"]+)",\s*(handle_\w+)\}')
+
+
+def _split_args(body: str):
+    """Split a macro argument list on top-level commas."""
+    depth = 0
+    cur, out = [], []
+    in_str = False
+    for ch in body:
+        if in_str:
+            cur.append(ch)
+            if ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+            cur.append(ch)
+        elif ch in "({[":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")}]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def _parse_macro_rows(body):
+    rows = []
+    for macro, argstr in _CALL.findall(body):
+        args = _split_args(argstr)
+        vocab_cpp = args[0].split("::")[-1].strip()
+        vocab = KNOWN_TO_V.get(vocab_cpp)
+        types = frozenset(
+            CPP_TYPE[t] for t in re.findall(r"Type::(\w+)", args[1]))
+        strategy = CPP_STRATEGY.get(args[2].strip(), args[2].strip())
+        extras = tuple(
+            s.strip().strip("()").strip().strip('"') for s in args[3:])
+        deps, odeps = ((), extras) if "ORDER" in macro else (extras, ())
+        rows.append((vocab, strategy, types, deps, odeps))
+    return rows
+
+
+def _parse_literal_rows(body):
+    rows = []
+    for argstr in _LITERAL.findall(body):
+        args = _split_args(argstr)
+        if len(args) < 2 or "SchemaKeywordType" not in args[0]:
+            continue
+        strategy_cpp = args[0].split("::")[-1].strip()
+        strategy = CPP_STRATEGY.get(strategy_cpp, strategy_cpp)
+        vocab = KNOWN_TO_V.get(args[1].split("::")[-1].strip())
+        deps = tuple(re.findall(r'"([^"]+)"', args[2])) if len(args) > 2 \
+            else ()
+        odeps = tuple(re.findall(r'"([^"]+)"', args[3])) if len(args) > 3 \
+            else ()
+        types = frozenset(
+            CPP_TYPE[t]
+            for t in re.findall(r"Type::(\w+)", args[4])) \
+            if len(args) > 4 else frozenset()
+        rows.append((vocab, strategy, types, deps, odeps))
+    return rows
+
+
+def parse_reference():
+    src = open(SRC).read()
+    handlers = {}
+    for name, body in _HANDLER.findall(src):
+        # strip literal blocks before macro parsing so they don't garble
+        macro_body = _LITERAL.sub("RESULT_LITERAL;", body)
+        rows = _parse_macro_rows(macro_body) + _parse_literal_rows(body)
+        handlers[name] = rows
+    registry = {}
+    for kw, handler in _REGISTRY.findall(src):
+        registry[kw] = handlers.get(handler, [])
+    return registry
+
+
+def main() -> int:
+    verbose = "-v" in sys.argv
+    ref = parse_reference()
+    ours = W._ROWS
+    drift = 0
+    for kw, ref_rows in sorted(ref.items()):
+        our_rows = ours.get(kw, ())
+        our_map = {}
+        for vocab, _req, typ, inst, deps, odeps in our_rows:
+            our_map.setdefault(vocab, (typ, frozenset(inst),
+                                       frozenset(deps), frozenset(odeps)))
+        seen_vocabs = set()
+        for vocab, strategy, types, deps, odeps in ref_rows:
+            if vocab is None or vocab in seen_vocabs:
+                continue
+            seen_vocabs.add(vocab)
+            got = our_map.get(vocab)
+            want = (strategy, types, frozenset(deps), frozenset(odeps))
+            if got is None:
+                drift += 1
+                print(f"MISSING  {kw!r} @ {vocab}: want {want}")
+            elif got != want:
+                drift += 1
+                print(f"DIFF     {kw!r} @ {vocab}:\n"
+                      f"  ours {got}\n  ref  {want}")
+            elif verbose:
+                print(f"ok       {kw!r} @ {vocab}")
+        ref_vocabs = {r[0] for r in ref_rows}
+        for vocab in our_map:
+            if vocab not in ref_vocabs:
+                drift += 1
+                print(f"EXTRA    {kw!r} @ {vocab}: ours {our_map[vocab]}")
+    for kw in sorted(set(ours) - set(ref)):
+        print(f"NOT-IN-REF {kw!r} (ours only)")
+    print(f"TOTAL drift rows: {drift}  (keywords ref={len(ref)} "
+          f"ours={len(ours)})")
+    return 0 if drift == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
