@@ -125,13 +125,20 @@ def _static_object_prefilter(schema: Any, column: str):
         return views[kind]
 
     # top-level object shape (MapType parse: non-null iff JSON object)
-    pred = col.isNotNull() & F.from_json(
-        col, T.MapType(T.StringType(), T.StringType())).isNotNull()
+    obj_map = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
+    pred = col.isNotNull() & obj_map.isNotNull()
 
     from blaze_spark.functions.regexes import ecma_to_java
 
     for name, ps in properties.items():
-        present = F.get_json_object(col, f"$.{name}").isNotNull()
+        # Presence must distinguish a JSON null value from an absent key
+        # (get_json_object returns NULL for both, which proved
+        # {"a": null} valid against properties.a = {"type": "string"} —
+        # ADVICE r2 finding 1). map_contains_key over the object-map
+        # view is true for a present-but-null member; the null value
+        # then fails the typed ok-predicate and the row takes the exact
+        # Python path.
+        present = F.map_contains_key(obj_map, name)
         if not ps:  # empty subschema: any present value is fine
             ok = F.lit(True)
         else:
@@ -151,20 +158,45 @@ def _static_object_prefilter(schema: Any, column: str):
                       & view("long", T.LongType())[name].isNull()
                       & view("double", T.DoubleType())[name].isNull()
                       & view("bool", T.BooleanType())[name].isNull())
+            numeric = tp in ("integer", "number")
             for key, value in ps.items():
-                if key == "minimum":
-                    ok = ok & (v >= value)
-                elif key == "maximum":
-                    ok = ok & (v <= value)
-                elif key == "exclusiveMinimum":
-                    ok = ok & (v > value)
-                elif key == "exclusiveMaximum":
-                    ok = ok & (v < value)
-                elif key == "minLength":
-                    ok = ok & (F.char_length(v) >= value)
-                elif key == "maxLength":
-                    ok = ok & (F.char_length(v) <= value)
+                # Keyword operands must be the right Python type or the
+                # built expression crashes at plan time (a draft-4
+                # boolean exclusiveMinimum builds `v > true` →
+                # DATATYPE_MISMATCH — ADVICE r2 finding 3); and numeric/
+                # string keywords are vacuous for other instance types
+                # (minLength over an integer field would not even
+                # typecheck), so they gate on tp instead of comparing.
+                if key in ("minimum", "maximum", "exclusiveMinimum",
+                           "exclusiveMaximum"):
+                    if isinstance(value, bool) or \
+                            not isinstance(value, (int, float)):
+                        return None
+                    if not numeric:
+                        continue  # vacuous: v is proven non-numeric
+                    if key == "minimum":
+                        ok = ok & (v >= value)
+                    elif key == "maximum":
+                        ok = ok & (v <= value)
+                    elif key == "exclusiveMinimum":
+                        ok = ok & (v > value)
+                    else:
+                        ok = ok & (v < value)
+                elif key in ("minLength", "maxLength"):
+                    if isinstance(value, bool) or \
+                            not isinstance(value, int):
+                        return None
+                    if tp != "string":
+                        continue  # vacuous: v is proven non-string
+                    if key == "minLength":
+                        ok = ok & (F.char_length(v) >= value)
+                    else:
+                        ok = ok & (F.char_length(v) <= value)
                 elif key == "pattern":
+                    if not isinstance(value, str):
+                        return None
+                    if tp != "string":
+                        continue
                     ok = ok & v.rlike(ecma_to_java(value))
                 elif key == "multipleOf":
                     if not isinstance(value, int) or tp != "integer":
@@ -172,17 +204,31 @@ def _static_object_prefilter(schema: Any, column: str):
                     ok = ok & (F.pmod(v, F.lit(value)) == 0)
                 elif key in ("enum", "const"):
                     options = value if key == "enum" else [value]
+                    # Options must match the field's view type: a mixed
+                    # enum (e.g. ["a", 3] against an integer view)
+                    # would force a cast inside In() — same plan-time
+                    # crash class as the boolean-bound bug.
+                    if numeric:
+                        match = [o for o in options
+                                 if isinstance(o, (int, float))
+                                 and not isinstance(o, bool)]
+                    elif tp == "boolean":
+                        match = [o for o in options if isinstance(o, bool)]
+                    else:
+                        match = [o for o in options if isinstance(o, str)]
                     if not all(isinstance(o, (int, float, str, bool))
                                for o in options):
                         return None
-                    ok = ok & v.isin(options)
+                    if not match:
+                        return None  # enum excludes tp: never provable
+                    ok = ok & v.isin(match)
         if name in required:
             pred = pred & present & ok
         else:
             pred = pred & (~present | ok)
     for name in required:
         if name not in properties:
-            pred = pred & F.get_json_object(col, f"$.{name}").isNotNull()
+            pred = pred & F.map_contains_key(obj_map, name)
     return pred
 
 

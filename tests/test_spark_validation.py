@@ -269,3 +269,42 @@ def test_json_column_jvm_prefilter_parity(spark):
         {"anyOf": [{"type": "object"}]}, "j") is None
     assert _static_object_prefilter(
         {"type": "object", "additionalProperties": False}, "j") is None
+
+
+def test_prefilter_null_value_is_not_absent(spark):
+    """{"a": null} must fail {"properties": {"a": {"type": "string"}}}
+    on the DEFAULT (prefilter) path: get_json_object conflated JSON
+    null with absent and proved the row valid (ADVICE r2 finding 1)."""
+    df = spark.createDataFrame(
+        [('{"a": null}',), ('{"a": "x"}',), ('{}',)], ["doc"])
+    schema = {"type": "object",
+              "properties": {"a": {"type": "string"}}}
+    for pf in (True, False):
+        got = {r.doc: r.valid for r in validate_json_column(
+            df, "doc", schema, jvm_prefilter=pf).collect()}
+        assert got == {'{"a": null}': False, '{"a": "x"}': True,
+                       '{}': True}, (pf, got)
+
+
+def test_prefilter_survives_malformed_keyword_operands(spark):
+    """Keyword operands of the wrong type (draft-4 boolean
+    exclusiveMinimum, minLength on an integer field, a mixed-type
+    enum) must not crash plan construction (ADVICE r2 finding 3)."""
+    df = spark.createDataFrame([('{"n": 4}',), ('{"n": 3}',)], ["doc"])
+    bool_bound = {"$schema": "http://json-schema.org/draft-04/schema#",
+                  "type": "object",
+                  "properties": {"n": {"type": "integer", "minimum": 3,
+                                       "exclusiveMinimum": True}}}
+    got = {r.doc: r.valid
+           for r in validate_json_column(df, "doc", bool_bound).collect()}
+    assert got == {'{"n": 4}': True, '{"n": 3}': False}
+    crossed = {"type": "object",
+               "properties": {"n": {"type": "integer", "minLength": 3}}}
+    got = {r.doc: r.valid
+           for r in validate_json_column(df, "doc", crossed).collect()}
+    assert got == {'{"n": 4}': True, '{"n": 3}': True}
+    mixed = {"type": "object",
+             "properties": {"n": {"type": "integer", "enum": ["a", 3]}}}
+    got = {r.doc: r.valid
+           for r in validate_json_column(df, "doc", mixed).collect()}
+    assert got == {'{"n": 4}': False, '{"n": 3}': True}
