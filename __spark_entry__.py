@@ -296,15 +296,54 @@ def q_dedup_embedding_bucketed(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    # multimodal pipeline: synthetic SIMG media (deterministic per
-    # media_id) -> Arrow-batched decode + grid-pooled features.
-    # rows-only check by design: the decode/pool math is numpy over
-    # binary payloads, not SQL-expressible.
-    from blaze_spark.operators.multimodal import extract_features, media_table
+    # multimodal pipeline over the documents table: each doc becomes a
+    # media row (SIMG image of its first 64 ASCII bytes; every 10th a
+    # JPEG-magic impostor exercising the DecodeUnavailable fallback;
+    # every 8th-of-10 a payload-less video row), then Arrow-batched
+    # decode + grid-pooled features. The numpy feature vector itself has
+    # no SQL twin and is dropped, but the row set IS oracle-checkable
+    # (r2 VERDICT next-round #8): payload_bytes comes from the Python
+    # feature extractor and payload_hexsha256 hashes the hex encoding of
+    # the payload JVM-side — hex is injective, so a match proves
+    # byte-exact payloads, and DuckDB (whose sha256 is VARCHAR-only) can
+    # rebuild the same hex string from the text column.
+    from blaze_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                  extract_features,
+                                                  simg_encode)
 
-    media = media_table(spark, 200)
-    f = extract_features(media, dim=4)
-    return f.select("media_id", "payload_sha256", "payload_bytes")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def to_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if did % 10 == 8:
+                    rows.append((did, "video", "video/mp4", None,
+                                 (None, None, 1000)))
+                elif did % 10 == 9:
+                    rows.append((did, "image", "image/jpeg",
+                                 b"\xff\xd8\xff\xe0-fake",
+                                 (None, None, None)))
+                else:
+                    b = text.encode("ascii")[:64].ljust(64, b" ")
+                    arr = np.frombuffer(b, dtype=np.uint8).reshape(4, 16)
+                    rows.append((did, "image", "image/x-simg",
+                                 simg_encode(arr), (16, 4, None)))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
+
+    media = docs.mapInPandas(to_media, MEDIA_SCHEMA)
+    feats = extract_features(media, dim=4)
+    hexsha = media.select(
+        "media_id",
+        F.sha2(F.upper(F.hex("payload")), 256).alias("payload_hexsha256"))
+    return (feats.join(hexsha, "media_id")
+                 .select("media_id",
+                         F.col("payload_bytes").cast("long")
+                         .alias("payload_bytes"),
+                         "payload_hexsha256"))
 
 
 def q_media_roundtrip(spark, sf_dir):
@@ -851,7 +890,20 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.35""",
         # column_stats_hll: sketch-based — rows-only check by design.
-        # media_features: numpy decode/pool math — rows-only by design.
+        # media_features: the numpy feature vector is dropped; the row set
+        # (payload length + sha256-of-hex-of-payload) is byte-checkable.
+        "media_features": r"""
+            SELECT doc_id AS media_id,
+                   CAST(CASE WHEN doc_id % 10 = 8 THEN NULL
+                             WHEN doc_id % 10 = 9 THEN 9
+                             ELSE 76 END AS BIGINT) AS payload_bytes,
+                   CASE WHEN doc_id % 10 = 8 THEN NULL
+                        WHEN doc_id % 10 = 9 THEN sha256('FFD8FFE02D66616B65')
+                        ELSE sha256('53494D471000000004000000'
+                                    || hex(encode(rpad(substring(text, 1, 64),
+                                                       64, ' '))))
+                   END AS payload_hexsha256
+            FROM documents""",
         "media_roundtrip": """
             SELECT doc_id AS media_id,
                    76 AS payload_bytes,

@@ -137,7 +137,9 @@ def run_benchmarks(only=None):
             "clen", "part_id", 0, 7).collect()[0][0]
         return {"psi_rows": psi_n, "ks": round(float(ks), 4)}
 
-    bench("drift", _drift)
+    # 3 repeats: the first drift run additionally pays Python-worker
+    # startup for the Arrow PSI finisher, so steady state needs one more
+    bench("drift", _drift, repeats=3)
 
     # 7. tier-1 validation over lineitem (numeric keyword ops)
     bench("validate_lineitem", lambda: E.q_validate_lineitem(spark, SF_DIR)

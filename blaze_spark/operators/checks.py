@@ -22,6 +22,7 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 # --------------------------------------------------------------------------
@@ -134,26 +135,45 @@ def psi(df: DataFrame, value_col: str, group_col: str,
                              F.col(value_col).cast("string").alias("bucket"))
     counts = bucketed.groupBy("grp", "bucket").agg(
         F.count(F.lit(1)).alias("n"))
-    totals = counts.groupBy("grp").agg(F.sum("n").alias("total"))
-    frac = (counts.join(totals, "grp")
-                  .select("grp", "bucket", (F.col("n") / F.col("total")).alias("p")))
-    base = (frac.where(F.col("grp") == baseline_value)
-                .select("bucket", F.col("p").alias("q")))
+    # The scale-bearing work ends at `counts`: a (groups x buckets)
+    # histogram, BOUNDED by construction at any input size. Finishing it
+    # with DataFrame joins costs ~1 s of planner/broadcast-job overhead
+    # on a few hundred rows (the r2 drift regression, VERDICT "What's
+    # wrong #3"); instead the PSI math runs in ONE Arrow batch
+    # (applyInPandas over a constant key guarantees a single frame).
+    # Semantics mirror the former join formulation exactly: a bucket
+    # missing on EITHER side is the drift signal and contributes
+    # (eps vs q); NULL buckets count toward the totals but contribute 0
+    # (SQL join-on-NULL never matched, so both sides fell to eps).
     eps = 1e-6
-    # full (group x bucket) grid: a bucket missing on EITHER side is
-    # exactly the drift signal, so it must contribute (eps vs q) — not be
-    # dropped. The grid is tiny (groups x distinct buckets), broadcastable.
-    groups = frac.where(F.col("grp") != baseline_value).select("grp").distinct()
-    buckets = (frac.select("bucket").union(base.select("bucket")).distinct())
-    grid = groups.crossJoin(F.broadcast(buckets))
-    joined = (grid
-              .join(frac, ["grp", "bucket"], "left")
-              .join(F.broadcast(base), ["bucket"], "left")
-              .withColumn("p", F.coalesce("p", F.lit(eps)))
-              .withColumn("q", F.coalesce("q", F.lit(eps))))
-    return (joined.groupBy("grp")
-                  .agg(F.sum((F.col("p") - F.col("q"))
-                             * F.log(F.col("p") / F.col("q"))).alias("psi"))
+    grp_field = counts.schema["grp"]
+    out_schema = T.StructType([grp_field,
+                               T.StructField("psi", T.DoubleType(), True)])
+
+    def finish(pdf):
+        import numpy as np
+        import pandas as pd
+
+        totals = pdf.groupby("grp", dropna=False)["n"].sum()
+        present = pdf[pdf["bucket"].notna()]
+        buckets = present["bucket"].unique()
+        base = present[present["grp"] == baseline_value]
+        q = (base.set_index("bucket")["n"] / totals.get(baseline_value, 1)) \
+            .reindex(buckets).fillna(eps).to_numpy(dtype=float)
+        rows = []
+        for grp in totals.index:
+            if grp == baseline_value or pd.isna(grp):
+                continue
+            g = present[present["grp"] == grp]
+            p = (g.set_index("bucket")["n"] / totals[grp]) \
+                .reindex(buckets).fillna(eps).to_numpy(dtype=float)
+            rows.append((grp, float(((p - q) * np.log(p / q)).sum())))
+        return pd.DataFrame(rows, columns=["grp", "psi"])
+
+    # constant-column group (an integer literal in groupBy would be read
+    # as a GROUP BY ordinal)
+    return (counts.withColumn("__all__", F.lit(1)).groupBy("__all__")
+                  .applyInPandas(lambda _key, pdf: finish(pdf), out_schema)
                   .orderBy("grp"))
 
 
@@ -190,6 +210,13 @@ def ks_statistic(df: DataFrame, value_col: str, group_col: str,
                     F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("na"),
                     F.sum(F.when(F.col(group_col) == group_b, 1).otherwise(0)).alias("nb"),
                 ))
+    # same single-scan guarantee as in psi(): `counts` (distinct values,
+    # tiny next to the input) feeds rng/bucketed/totals — without lineage
+    # truncation each branch re-runs the full content scan (the r2 drift
+    # regression, VERDICT "What's wrong #3"). Coalesced: |distinct
+    # values| rows spread over 32 shuffle partitions leave every
+    # downstream stage dominated by task overhead.
+    counts = counts.coalesce(4).localCheckpoint(eager=False)
     rng = counts.agg(F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax"))
     width = (F.col("vmax") - F.col("vmin")) / n_buckets
     bucketed = (counts.crossJoin(F.broadcast(rng))
@@ -203,19 +230,27 @@ def ks_statistic(df: DataFrame, value_col: str, group_col: str,
                                           F.sum("nb").alias("bnb"))
     lower = btot.select(F.col("bucket").alias("lb"),
                         F.col("bna").alias("lna"), F.col("bnb").alias("lnb"))
-    offsets = (btot.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+    # one broadcast self-join carries BOTH the prefix offsets (lb <
+    # bucket) and the grand totals (unconditional sum) — integer sums,
+    # so the fold order is exact; fusing them drops a broadcast exchange
+    # and the final crossJoin stage
+    offsets = (btot.join(F.broadcast(lower), F.lit(True), "left")
                    .groupBy("bucket")
-                   .agg(F.coalesce(F.sum("lna"), F.lit(0)).alias("off_a"),
-                        F.coalesce(F.sum("lnb"), F.lit(0)).alias("off_b")))
+                   .agg(F.sum(F.when(F.col("lb") < F.col("bucket"),
+                                     F.col("lna")).otherwise(0))
+                        .alias("off_a"),
+                        F.sum(F.when(F.col("lb") < F.col("bucket"),
+                                     F.col("lnb")).otherwise(0))
+                        .alias("off_b"),
+                        F.sum("lna").alias("ta"),
+                        F.sum("lnb").alias("tb")))
     w = (Window.partitionBy("bucket").orderBy(F.col(value_col))
                .rowsBetween(Window.unboundedPreceding, 0))
     cdf = (bucketed
            .join(F.broadcast(offsets), "bucket")
-           .select(value_col,
+           .select(value_col, "ta", "tb",
                    (F.col("off_a") + F.sum("na").over(w)).alias("ca"),
                    (F.col("off_b") + F.sum("nb").over(w)).alias("cb")))
-    totals = counts.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
-    return (cdf.crossJoin(F.broadcast(totals))
-               .select(F.abs(F.col("ca") / F.col("ta")
+    return (cdf.select(F.abs(F.col("ca") / F.col("ta")
                              - F.col("cb") / F.col("tb")).alias("d"))
                .agg(F.max("d").alias("ks_statistic")))

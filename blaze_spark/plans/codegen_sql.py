@@ -62,20 +62,47 @@ def _sql_lit(value) -> str:
     return json.dumps(value)
 
 
-import re as _re
-
-# lookaround, or a backreference outside a character class
-_NON_RE2 = _re.compile(r"\(\?[=!<]|(?<!\\)\\[1-9]")
-
-
 def _require_re2(pattern: str) -> None:
-    if _NON_RE2.search(pattern):
-        raise SqlUnsupported(
-            f"pattern {pattern!r} uses lookaround/backreferences — "
-            "not expressible in RE2-based SQL engines")
+    """Reject patterns RE2-based SQL engines can't run: lookaround, or a
+    backreference outside a character class. Scans left-to-right so an
+    escaped backslash before a digit ('\\\\1' = literal backslash then
+    '1') isn't misread as safe the way a single-lookbehind regex would
+    (ADVICE r2)."""
+    i, n, in_class = 0, len(pattern), False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            # inside a class \1 is an octal/literal escape, not a backref
+            if not in_class and i + 1 < n and pattern[i + 1] in "123456789":
+                raise SqlUnsupported(
+                    f"pattern {pattern!r} uses a backreference — "
+                    "not expressible in RE2-based SQL engines")
+            i += 2
+            continue
+        if in_class:
+            in_class = ch != "]"
+        elif ch == "[":
+            in_class = True
+        elif (ch == "(" and pattern[i + 1:i + 2] == "?"
+                and pattern[i + 2:i + 3] in ("=", "!", "<")):
+            # (?= (?! lookahead; (?< covers both lookbehind and ECMA
+            # named groups — RE2 supports neither spelling
+            raise SqlUnsupported(
+                f"pattern {pattern!r} uses lookaround — "
+                "not expressible in RE2-based SQL engines")
+        i += 1
 
 
-def _prop_check_sql(instr: dict, col: str, dtype: str) -> str:
+def _regex_pred(col: str, pattern: str, dialect: str) -> str:
+    """Search-semantics regex predicate in the target dialect: DuckDB
+    spells it regexp_matches; Trino/Spark/MySQL spell it regexp_like
+    (ADVICE r2: regexp_matches is DuckDB-specific)."""
+    fn = "regexp_matches" if dialect == "duckdb" else "regexp_like"
+    return f"{fn}({col}, {_sql_lit(pattern)})"
+
+
+def _prop_check_sql(instr: dict, col: str, dtype: str,
+                    dialect: str = "duckdb") -> str:
     """One instruction on one column → SQL predicate (TRUE = passes),
     evaluated only when the column is non-NULL (the caller wraps)."""
     op = instr["op"]
@@ -106,7 +133,7 @@ def _prop_check_sql(instr: dict, col: str, dtype: str) -> str:
         # lacks lookaround and backreferences — refuse those here so the
         # caller falls back to tier 2 instead of failing at query time
         _require_re2(v["pattern"])
-        return f"regexp_matches({col}, {_sql_lit(v['pattern'])})"
+        return _regex_pred(col, v["pattern"], dialect)
     if op in ("min_length", "max_length"):
         if jt != "string":
             return "TRUE"
@@ -133,12 +160,12 @@ def _prop_check_sql(instr: dict, col: str, dtype: str) -> str:
         if regex is None or "(?" in regex.replace("(?:", ""):
             # unknown format, or a regex needing lookaround (RE2 lacks it)
             raise SqlUnsupported(f"format {name!r} has no SQL form")
-        return f"regexp_matches({col}, {_sql_lit(regex)})"
+        return _regex_pred(col, regex, dialect)
     raise SqlUnsupported(f"op {instr['op']!r} has no SQL form")
 
 
-def plan_checks_sql(plan: dict,
-                    columns: Dict[str, str]) -> List[Tuple[str, str, str]]:
+def plan_checks_sql(plan: dict, columns: Dict[str, str],
+                    dialect: str = "duckdb") -> List[Tuple[str, str, str]]:
     """(keyword_location, instance_location, predicate SQL) per check —
     the SQL twin of operators/columns.compile_column_checks over a flat
     row. ``columns`` maps column name → SQL/Spark type string
@@ -168,7 +195,8 @@ def plan_checks_sql(plan: dict,
                     continue  # absent column = absent property
                 qcol = _quote_ident(name)
                 for sub in entry["program"]:
-                    pred = _prop_check_sql(sub, qcol, columns[name])
+                    pred = _prop_check_sql(sub, qcol, columns[name],
+                                           dialect)
                     if pred == "TRUE":
                         continue
                     checks.append((
@@ -181,17 +209,19 @@ def plan_checks_sql(plan: dict,
     return checks
 
 
-def plan_to_sql_predicate(plan: dict, columns: Dict[str, str]) -> str:
+def plan_to_sql_predicate(plan: dict, columns: Dict[str, str],
+                          dialect: str = "duckdb") -> str:
     """The whole-row validity predicate as one SQL boolean expression."""
-    checks = plan_checks_sql(plan, columns)
+    checks = plan_checks_sql(plan, columns, dialect)
     if not checks:
         return "TRUE"
     return "(" + "\n AND ".join(pred for _, _, pred in checks) + ")"
 
 
 def validation_sql(plan: dict, table: str, id_cols: List[str],
-                   columns: Dict[str, str]) -> str:
+                   columns: Dict[str, str], dialect: str = "duckdb") -> str:
     """A complete standalone query: id columns + ``valid``."""
     ids = ", ".join(_quote_ident(c) for c in id_cols)
-    return (f"SELECT {ids}, {plan_to_sql_predicate(plan, columns)} AS valid\n"
+    return (f"SELECT {ids}, "
+            f"{plan_to_sql_predicate(plan, columns, dialect)} AS valid\n"
             f"FROM {table}")

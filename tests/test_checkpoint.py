@@ -25,17 +25,43 @@ def corpus(spark):
     return spark.read.parquet(code_files_path(5_000))
 
 
-def test_run_commits_every_partition(spark, corpus, tmp_path):
+def test_run_commits_every_partition(spark, corpus, tmp_path, monkeypatch):
     runner = CheckpointedValidation(str(tmp_path))
+    # plan-shape guarantee (r2 VERDICT "What's wrong #4"): validating P
+    # partitions runs the validator over the input ONCE, not P times
+    calls = []
+    import blaze_spark.checkpoint as cp
+
+    real = cp.validate_rows
+    monkeypatch.setattr(cp, "validate_rows",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
     manifest = runner.run(spark, corpus, SCHEMA, "part_id",
                           ["repo", "path", "commit"], "fp1")
+    assert calls == [1]
     assert len(manifest["partitions"]) == 8
     # per-partition metrics with lineage exist
     m = json.load(open(tmp_path / "metrics" / "part=0.json"))
     assert m["row_count"] > 0 and m["input_files"]
-    assert os.path.exists(tmp_path / "violations" / "part=0")
-    # snapshot chain: CURRENT points at a committed snapshot with a parent
+    if m["violation_count"] > 0:
+        assert os.path.exists(m["violations_path"])
+    # single-batch run = one snapshot containing every partition
+    assert manifest["parent_id"] is None
+
+
+def test_batched_run_builds_snapshot_chain(spark, corpus, tmp_path):
+    runner = CheckpointedValidation(str(tmp_path))
+    manifest = runner.run(spark, corpus, SCHEMA, "part_id",
+                          ["repo", "path", "commit"], "fp1", batch_size=3)
+    assert len(manifest["partitions"]) == 8
+    # 8 partitions in batches of 3 -> 3 snapshots chained by parent_id
     assert manifest["parent_id"] is not None
+    chain = 1
+    cur = manifest
+    while cur.get("parent_id"):
+        chain += 1
+        path = tmp_path / f"snapshot-{cur['parent_id']}.json"
+        cur = json.loads(path.read_text())
+    assert chain == 3
 
 
 def test_resume_skips_committed(spark, corpus, tmp_path, monkeypatch):
@@ -67,8 +93,8 @@ def test_plan_change_invalidates(spark, corpus, tmp_path):
 
 
 def test_partial_run_resumes(spark, corpus, tmp_path, monkeypatch):
-    """Simulate a crash after 3 partitions; the resume completes the
-    remaining 5 without redoing the first 3."""
+    """Simulate a crash after the first batch of 3 partitions; the
+    resume completes the remaining 5 without redoing the first 3."""
     runner = CheckpointedValidation(str(tmp_path))
     import blaze_spark.checkpoint as cp
 
@@ -77,15 +103,18 @@ def test_partial_run_resumes(spark, corpus, tmp_path, monkeypatch):
 
     def crashing(*a, **k):
         count["n"] += 1
-        if count["n"] > 3:
+        if count["n"] > 1:
             raise RuntimeError("simulated crash")
         return real(*a, **k)
 
     monkeypatch.setattr(cp, "validate_rows", crashing)
     with pytest.raises(RuntimeError):
-        runner.run(spark, corpus, SCHEMA, "part_id", ["repo"], "fp1")
-    monkeypatch.setattr(cp, "validate_rows", real)
+        runner.run(spark, corpus, SCHEMA, "part_id", ["repo"], "fp1",
+                   batch_size=3)
+    committed = CheckpointedValidation(str(tmp_path))._current()
+    assert len(committed["partitions"]) == 3
 
+    monkeypatch.setattr(cp, "validate_rows", real)
     resumed = CheckpointedValidation(str(tmp_path)).run(
         spark, corpus, SCHEMA, "part_id", ["repo"], "fp1")
     assert len(resumed["partitions"]) == 8

@@ -115,3 +115,32 @@ def test_sql_codegen_rejects_non_re2_patterns():
                               apply_rewrites=False)
         with pytest.raises(SqlUnsupported):
             plan_to_sql_predicate(plan, {"a": "string"})
+
+
+def test_sql_codegen_re2_scanner_edge_cases():
+    """Left-to-right scan (ADVICE r2): an escaped backslash before a
+    digit is still a backreference; a digit escape inside a character
+    class is not; ECMA named groups are rejected (RE2 spells them
+    (?P<name>))."""
+    from blaze_spark.plans.codegen_sql import _require_re2
+
+    for bad in [r"(a)\1", r"(a)\\\1", r"(?=x)", r"(?<=x)a", r"(?<name>x)"]:
+        with pytest.raises(SqlUnsupported):
+            _require_re2(bad)
+    for ok in [r"a\\1", r"[\1]", r"(?:x)", r"a\\\\1", r"\d+\.\d+"]:
+        _require_re2(ok)
+
+
+def test_sql_codegen_dialect_regex_spelling():
+    """dialect='duckdb' emits regexp_matches; any other dialect emits the
+    portable regexp_like spelling (Trino/Spark/MySQL) — ADVICE r2."""
+    plan = compile_schema({"type": "object",
+                           "properties": {"a": {"pattern": "^x"}}})
+    cols = {"a": "string"}
+    duck = plan_to_sql_predicate(plan, cols)
+    assert "regexp_matches(" in duck and "regexp_like(" not in duck
+    trino = plan_to_sql_predicate(plan, cols, dialect="trino")
+    assert "regexp_like(" in trino and "regexp_matches(" not in trino
+    # the portable spelling actually runs on Spark
+    sql_full = validation_sql(plan, "t", ["a"], cols, dialect="spark")
+    assert "regexp_like(" in sql_full
