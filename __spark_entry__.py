@@ -463,6 +463,45 @@ def q_frame_document_schemas(spark, sf_dir):
         F.col("standalone").alias("standalone"))
 
 
+def q_codegen_typescript(spark, sf_dir):
+    """Distributed codegen at scale: synthesize one JSON Schema per
+    document row and generate its TypeScript type definitions
+    (operators/schema_pipeline.typescript_schemas — the reference's
+    src/codegen component, mapInPandas, map-only plan). The generated
+    text is a pure function of the lang column, so DuckDB reproduces
+    the EXACT .d.ts bytes with a template replace — a byte-level oracle
+    over the whole bundle→canonicalize→frame→IR→emit pipeline."""
+    docs = _docs(spark, sf_dir)
+    lang = F.coalesce(F.col("lang"), F.lit("xx"))
+    schema_json = F.concat(
+        F.lit('{"$schema":"https://json-schema.org/draft/2020-12/schema",'
+              '"type":"object","required":["id"],"properties":'
+              '{"id":{"type":"integer"},"a_'),
+        lang,
+        F.lit('":{"type":"string"}}}'))
+    from blaze_spark.operators.schema_pipeline import typescript_schemas
+    generated = typescript_schemas(
+        docs.withColumn("schema_json", schema_json), "schema_json")
+    return generated.select("doc_id", "typescript")
+
+
+def q_contamination(spark, sf_dir):
+    """Train/test decontamination screen: documents split 80/20 by
+    doc_id; for each held-out (test) doc, the fraction of its distinct
+    word 3-grams appearing anywhere in the training split
+    (operators/dedup.ngram_contamination — train side collapses to a
+    distinct gram set before the equi-join, so there is no quadratic
+    pair blow-up)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    out = DD.ngram_contamination(train, test, "doc_id", "text",
+                                 n=3, threshold=0.5)
+    return out.select(F.col("id").alias("doc_id"), "n_grams", "n_overlap",
+                      F.round("ratio", 6).alias("ratio"), "contaminated")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -501,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats_hll": q_column_stats_hll,
         "lint_document_schemas": q_lint_document_schemas,
         "frame_document_schemas": q_frame_document_schemas,
+        "codegen_typescript": q_codegen_typescript,
+        "contamination": q_contamination,
     }
 
 
@@ -666,6 +707,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS n_references,
                    CAST(0 AS INT) AS n_unresolved,
                    true AS standalone
+            FROM documents""",
+        "contamination": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+              FROM tok),
+            train AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 0),
+            test_g AS (SELECT doc_id, gram FROM g WHERE doc_id % 5 = 0),
+            tot AS (SELECT doc_id, count(*) AS n_grams
+                    FROM test_g GROUP BY 1),
+            ov AS (SELECT t.doc_id, count(*) AS n_overlap
+                   FROM test_g t JOIN train USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(tot.n_grams, 0) AS n_grams,
+                   coalesce(ov.n_overlap, 0) AS n_overlap,
+                   round(CASE WHEN coalesce(tot.n_grams, 0) > 0
+                              THEN coalesce(ov.n_overlap, 0) / tot.n_grams
+                              ELSE 0.0 END, 6) AS ratio,
+                   (CASE WHEN coalesce(tot.n_grams, 0) > 0
+                         THEN coalesce(ov.n_overlap, 0) / tot.n_grams
+                         ELSE 0.0 END) >= 0.5 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id % 5 = 0) d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN ov USING (doc_id)""",
+        # codegen_typescript: the generated .d.ts is a pure function of
+        # the lang column — the template below was derived by hand from
+        # the emission rules (entity sort is descending by pointer, so
+        # properties/id precedes properties/a_<lang>; "a_" keeps the
+        # member below "id" for every lang value)
+        "codegen_typescript": """
+            SELECT doc_id,
+                   replace('export type SchemaId = number;
+
+export type SchemaA_@L = string;
+
+export interface Schema {
+  "id": SchemaId;
+  "a_@L"?: SchemaA_@L;
+  [key: string]: unknown | undefined;
+}
+', '@L', coalesce(lang, 'xx')) AS typescript
             FROM documents""",
         "column_stats": """
             SELECT source,

@@ -280,3 +280,58 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                                 - F.col("intersection")))
                  .where(F.col("jaccard") >= threshold)
                  .select("id_a", "id_b", "jaccard"))
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Distinct space-joined word n-grams of ``text_col`` (the shared
+    portable tokenizer), as an array column; fewer than n tokens ->
+    empty array."""
+    toks = _tokens(text_col)
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - (n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+
+def ngram_contamination(train: DataFrame, test: DataFrame,
+                        id_col: str, text_col: str, n: int = 8,
+                        threshold: float = 0.5) -> DataFrame:
+    """Train/test contamination check: for every test document, the
+    fraction of its distinct word n-grams that appear ANYWHERE in the
+    training corpus (the standard decontamination screen before
+    training on scraped data).
+
+    Scale shape (the 100 TB path): the training side collapses to its
+    DISTINCT n-gram set first (one shuffle, map-side combined — a gram
+    in a billion train docs is ONE row), then a plain equi-join on the
+    gram string against the test side's exploded grams. Join fan-out is
+    bounded by 1 (the train side is a set), so no hot-key guard is
+    needed — unlike all-pairs Jaccard there is no quadratic blow-up.
+    Test docs with fewer than n tokens have no grams and report
+    ratio 0.
+
+    Returns (id, n_grams, n_overlap, ratio, contaminated) per test doc.
+    """
+    train_grams = (_ensure_parallelism(train)
+                   .select(F.explode(_word_ngrams(text_col, n))
+                           .alias("gram"))
+                   .distinct())
+    test_grams = (test.select(F.col(id_col).alias("id"),
+                              F.explode(_word_ngrams(text_col, n))
+                              .alias("gram")))
+    totals = test_grams.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    overlap = (test_grams.join(train_grams, "gram")
+               .groupBy("id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    base = test.select(F.col(id_col).alias("id")).distinct()
+    return (base.join(totals, "id", "left").join(overlap, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+                .withColumn("ratio",
+                            F.when(F.col("n_grams") > 0,
+                                   F.col("n_overlap") / F.col("n_grams"))
+                            .otherwise(F.lit(0.0)))
+                .withColumn("contaminated", F.col("ratio") >= threshold))

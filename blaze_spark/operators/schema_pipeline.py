@@ -228,3 +228,43 @@ def bundle_schemas(df: DataFrame, column: str,
             yield batch
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def typescript_schemas(df: DataFrame, column: str,
+                       prefix: str = "Schema",
+                       default_dialect: str = "") -> DataFrame:
+    """Append a ``typescript`` column: the generated TypeScript type
+    definitions for each JSON Schema in ``column``
+    (plans/codegen_ts.schema_to_typescript — the reference's codegen
+    component, src/codegen/codegen_typescript.cc).
+
+    Same Spark-first shape as the other schema pipelines: map-only
+    Arrow batches, no shuffle, no driver loop — generating typed client
+    bindings for a registry of 10^9 schemas is one linear pass. Rows
+    outside the codegen subset (e.g. ``not``) get NULL plus the error
+    in ``typescript_error``."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("typescript", T.StringType(), True),
+           T.StructField("typescript_error", T.StringType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blaze_spark.plans.codegen_ts import schema_to_typescript
+        for batch in batches:
+            out, errs = [], []
+            for text in batch[column]:
+                try:
+                    out.append(schema_to_typescript(
+                        json.loads(text), prefix=prefix,
+                        default_dialect=default_dialect))
+                    errs.append(None)
+                except Exception as exc:
+                    out.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            batch = batch.copy()
+            batch["typescript"] = out
+            batch["typescript_error"] = errs
+            yield batch
+
+    return df.mapInPandas(run, schema=out_schema)

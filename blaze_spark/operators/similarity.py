@@ -74,20 +74,26 @@ def assign_centroid(df: DataFrame, centroids: List[List[float]],
     list — a pure expression tree (no UDF). The row norm is computed
     once (not per centroid) and centroid norms are driver-side literals
     (centroids are model constants), leaving one interpreted
-    higher-order dot product per centroid."""
+    higher-order dot product per centroid.
+
+    Each per-centroid score is materialized as its OWN column in one
+    projection (Catalyst's CollapseProject keeps non-cheap expressions
+    un-inlined), so every interpreted dot product runs exactly once;
+    the argmax when-chain then compares plain attributes, which is
+    cheap. Ties keep the earliest centroid (strictly-greater)."""
     vnorm = "__vnorm__"
     out = df.withColumn(vnorm, _norm(F.col(vec_col)))
-    best_id, best_score = None, None
-    for i, c in enumerate(centroids):
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        s = _dot(F.col(vec_col), cvec) / (F.col(vnorm) * F.lit(_py_norm(c)))
-        if best_id is None:
-            best_id, best_score = F.lit(i), s
-        else:
-            cond = s > best_score
-            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return out.withColumn("centroid_id", best_id).drop(vnorm)
+    names = [f"__cscore{i}__" for i in range(len(centroids))]
+    out = out.select("*", *[
+        (_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+         / (F.col(vnorm) * F.lit(_py_norm(c)))).alias(name)
+        for name, c in zip(names, centroids)])
+    best_id, best_score = F.lit(0), F.col(names[0])
+    for i, name in enumerate(names[1:], start=1):
+        cond = F.col(name) > best_score
+        best_id = F.when(cond, F.lit(i)).otherwise(best_id)
+        best_score = F.when(cond, F.col(name)).otherwise(best_score)
+    return out.withColumn("centroid_id", best_id).drop(vnorm, *names)
 
 
 def ivf_topk(items: DataFrame, queries: DataFrame,

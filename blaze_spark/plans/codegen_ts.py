@@ -1,0 +1,875 @@
+"""Schema → TypeScript type-definition codegen.
+
+The analog of the reference's codegen module (reference:
+src/codegen/codegen.cc, codegen_default_compiler.h, codegen_symbol.cc,
+codegen_mangle.cc, codegen_typescript.cc): bundle the schema, run the
+full canonicalizer over it, frame it, compile every Resource/Subschema
+location into a small typed IR, and render the IR as TypeScript type
+definitions. Parity gate = the reference's e2e corpus
+(test/codegen/e2e/typescript), compared byte-for-byte via
+tools/codegen_check.py.
+
+The Spark angle: ``generate_typescript`` is a pure document→text
+function, so the distributed form (one generated .d.ts per schema in a
+column) rides the same map-only ``mapInPandas`` harness as the other
+schema pipelines (operators/schema_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+from urllib.parse import urlsplit
+
+from blaze_spark.plans import schema_frame as SF
+from blaze_spark.plans.bundle import MODE_REFERENCES, bundle
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform import walker as W
+from blaze_spark.plans.transform.modes import canonicalize
+
+Pointer = Tuple[Any, ...]
+
+
+class CodegenError(Exception):
+    """Base codegen failure (codegen_error.h)."""
+
+    def __init__(self, pointer: Pointer, message: str,
+                 keyword: Optional[str] = None) -> None:
+        super().__init__(message)
+        self.pointer = tuple(pointer)
+        self.keyword = keyword
+
+
+class CodegenUnsupportedKeywordError(CodegenError):
+    pass
+
+
+class CodegenUnsupportedKeywordValueError(CodegenError):
+    pass
+
+
+class CodegenUnexpectedSchemaError(CodegenError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# JSON prettify (vendor/core json/stringify.h) — needed byte-exact for
+# enum values embedded in the generated TypeScript
+
+_LINE_WIDTH = 80
+
+_STR_ESCAPES = {"\\": "\\\\", '"': '\\"', "\b": "\\b", "\f": "\\f",
+                "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+
+
+def _json_string(value: str) -> str:
+    out = ['"']
+    for ch in value:
+        esc = _STR_ESCAPES.get(ch)
+        if esc is not None:
+            out.append(esc)
+        elif ord(ch) < 0x20:
+            out.append(f"\\u{ord(ch):04x}")
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
+
+
+def _json_scalar(value: Any) -> str:
+    if value is None:
+        return "null"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, float):
+        if value == 0.0:
+            return "0.0"
+        if value == int(value) and abs(value) < 1e16:
+            return f"{value:.1f}"
+        return repr(value)
+    return _json_string(value)
+
+
+def prettify_json(value: Any, indentation: int = 0, indent_by: int = 2,
+                  property_size: int = 0) -> str:
+    """core prettify: 2-space indent, arrays inline when every element
+    is scalar and the line stays under 80 columns."""
+    if isinstance(value, dict):
+        if not value:
+            return "{}"
+        parts = ["{"]
+        items = list(value.items())
+        for i, (key, val) in enumerate(items):
+            prefix = " " * ((indentation + 1) * indent_by)
+            head = _json_string(key) + ": "
+            body = prettify_json(val, indentation + 1, indent_by,
+                                 len(head))
+            parts.append("\n" + prefix + head + body)
+            parts.append("\n" if i == len(items) - 1 else ",")
+        parts.append(" " * (indentation * indent_by) + "}")
+        return "".join(parts)
+    if isinstance(value, list):
+        effective = indentation * indent_by + property_size
+        inline: Optional[str] = None
+        if effective < _LINE_WIDTH:
+            buf = "["
+            ok = True
+            for i, item in enumerate(value):
+                if isinstance(item, (dict, list)):
+                    ok = False
+                    break
+                buf += " " + _json_scalar(item)
+                buf += " " if i == len(value) - 1 else ","
+                if len(buf) + effective >= _LINE_WIDTH:
+                    ok = False
+                    break
+            if ok:
+                inline = buf + "]"
+        if inline is not None:
+            return inline
+        if not value:
+            return "[]"
+        parts = ["["]
+        for i, item in enumerate(value):
+            prefix = " " * ((indentation + 1) * indent_by)
+            parts.append("\n" + prefix
+                         + prettify_json(item, indentation + 1, indent_by))
+            parts.append("\n" if i == len(value) - 1 else ",")
+        parts.append(" " * (indentation * indent_by) + "]")
+        return "".join(parts)
+    return _json_scalar(value)
+
+
+# ---------------------------------------------------------------------------
+# IR (codegen.h)
+
+@dataclass
+class IRType:
+    pointer: Pointer
+    symbol: List[str]
+
+
+@dataclass
+class IRScalar(IRType):
+    value: str  # "string" | "number" | "integer" | "boolean" | "null"
+
+
+@dataclass
+class IREnumeration(IRType):
+    values: List[Any]
+
+
+@dataclass
+class IRUnion(IRType):
+    values: List[IRType]
+
+
+@dataclass
+class IRIntersection(IRType):
+    values: List[IRType]
+
+
+@dataclass
+class IRObjectValue(IRType):
+    required: bool = False
+    immutable: bool = False
+
+
+@dataclass
+class IRObjectPatternProperty(IRType):
+    prefix: Optional[str] = None
+
+
+@dataclass
+class IRObject(IRType):
+    members: List[Tuple[str, IRObjectValue]] = field(default_factory=list)
+    additional: Union[bool, IRType] = True
+    pattern: List[IRObjectPatternProperty] = field(default_factory=list)
+
+
+@dataclass
+class IRArray(IRType):
+    items: Optional[IRType] = None
+
+
+@dataclass
+class IRTuple(IRType):
+    items: List[IRType] = field(default_factory=list)
+    additional: Optional[IRType] = None
+
+
+@dataclass
+class IRImpossible(IRType):
+    pass
+
+
+@dataclass
+class IRAny(IRType):
+    pass
+
+
+@dataclass
+class IRConditional(IRType):
+    condition: IRType = None  # type: ignore[assignment]
+    consequent: IRType = None  # type: ignore[assignment]
+    alternative: IRType = None  # type: ignore[assignment]
+
+
+@dataclass
+class IRReference(IRType):
+    target: IRType = None  # type: ignore[assignment]
+
+
+# ---------------------------------------------------------------------------
+# symbol (codegen_symbol.cc)
+
+def _strip_extensions(filename: str) -> str:
+    while True:
+        dot = filename.rfind(".")
+        if dot <= 0:
+            return filename
+        filename = filename[:dot]
+
+
+def _push_token_segments(result: List[str], value: str) -> None:
+    """URI-looking tokens contribute their path segments (file URIs:
+    the extension-stripped filename only); anything else is one
+    segment. Appended in reverse — the caller reverses the whole
+    symbol at the end."""
+    try:
+        parts = urlsplit(value)
+    except ValueError:
+        parts = None
+    if parts is not None and parts.scheme:
+        segments = [seg for seg in parts.path.split("/") if seg]
+        if segments:
+            segments[-1] = _strip_extensions(segments[-1])
+            if parts.scheme == "file":
+                result.append(segments[-1])
+            else:
+                result.extend(reversed(segments))
+            return
+    result.append(value)
+
+
+def symbol(frame: "SF.SchemaFrame", location: "SF.Location") -> List[str]:
+    """Human-meaningful name segments for a frame location: the last
+    pointer token of every subschema step up the parent chain."""
+    result: List[str] = []
+    current = tuple(location.pointer)
+    while True:
+        current_location = frame.traverse_pointer(current)
+        assert current_location is not None
+        if current_location.parent is None:
+            break
+        parent = tuple(current_location.parent)
+        token = current[-1]
+        if isinstance(token, str):
+            _push_token_segments(result, token)
+        else:
+            result.append(str(token))
+        current = parent
+    result.reverse()
+    return result
+
+
+# ---------------------------------------------------------------------------
+# mangle (codegen_mangle.cc)
+
+def _symbol_to_identifier(prefix: str, parts: List[str]) -> str:
+    result = prefix
+    for segment in parts:
+        if not segment:
+            continue
+        at_word_start = True
+        at_segment_start = True
+        for ch in segment:
+            if ch.isascii() and ch.isalpha():
+                result += ch.upper() if at_word_start else ch
+                at_word_start = False
+                at_segment_start = False
+            elif ch.isascii() and ch.isdigit():
+                if at_segment_start:
+                    result += "_"
+                result += ch
+                at_word_start = False
+                at_segment_start = False
+            elif ch in ("_", "$"):
+                result += ch
+                at_word_start = False
+                at_segment_start = False
+            else:
+                at_word_start = True
+    if not result:
+        return "_"
+    if result[0].isdigit():
+        result = "_" + result
+    return result
+
+
+def mangle(prefix: str, pointer: Pointer, parts: List[str],
+           cache: Dict[str, Pointer]) -> str:
+    """Collision-free TypeScript identifier: '_'-prefixed until unique
+    within ``cache`` (name → claiming pointer)."""
+    name = _symbol_to_identifier(prefix, parts)
+    pointer = tuple(pointer)
+    while True:
+        claimed = cache.get(name)
+        if claimed is None:
+            cache[name] = pointer
+            return name
+        if claimed == pointer:
+            return name
+        name = "_" + name
+
+
+# ---------------------------------------------------------------------------
+# default compiler (codegen_default_compiler.h)
+
+def _whitelist(schema_pointer: Pointer, subschema: dict,
+               allowed: frozenset) -> None:
+    for key in subschema:
+        if key not in allowed:
+            raise CodegenUnsupportedKeywordError(
+                schema_pointer, "Unsupported keyword in subschema", key)
+
+
+_META = ("title", "description", "default", "deprecated", "readOnly",
+         "writeOnly", "examples")
+_CORE = ("$schema", "$id", "$anchor", "$dynamicAnchor", "$defs",
+         "$vocabulary")
+_STRING_ALLOWED = frozenset(_CORE + _META + (
+    "type", "minLength", "maxLength", "pattern", "format",
+    "contentEncoding", "contentMediaType", "contentSchema"))
+_OBJECT_ALLOWED = frozenset(_CORE + _META + (
+    "type", "properties", "required", "additionalProperties",
+    "minProperties", "maxProperties", "propertyNames",
+    "patternProperties"))
+_NUMERIC_ALLOWED = frozenset(_CORE + _META + (
+    "type", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+    "multipleOf"))
+_ARRAY_ALLOWED = frozenset(_CORE + _META + (
+    "type", "items", "minItems", "maxItems", "uniqueItems", "contains",
+    "minContains", "maxContains", "additionalItems", "prefixItems"))
+_ENUM_ALLOWED = frozenset(_CORE + _META + ("enum",))
+_ANYOF_ALLOWED = frozenset(_CORE + _META + (
+    "anyOf", "unevaluatedProperties", "unevaluatedItems"))
+_ONEOF_ALLOWED = frozenset(_CORE + _META + (
+    "oneOf", "unevaluatedProperties", "unevaluatedItems"))
+_ALLOF_ALLOWED = frozenset(_CORE + _META + (
+    "allOf", "unevaluatedProperties", "unevaluatedItems"))
+_REF_ALLOWED = frozenset(_CORE + _META + ("$ref",))
+_DYNREF_ALLOWED = frozenset(_CORE + _META + ("$dynamicRef",))
+_IF_ALLOWED = frozenset(_CORE + _META + (
+    "if", "then", "else", "unevaluatedProperties", "unevaluatedItems"))
+
+_SUPPORTED_VOCABS = frozenset({
+    V.V20_CORE, V.V20_APPLICATOR, V.V20_VALIDATION, V.V20_UNEVALUATED,
+    V.V20_CONTENT, V.V20_METADATA, V.V20_FORMAT_ANNOTATION,
+    V.V20_FORMAT_ASSERTION,
+    V.V19_CORE, V.V19_APPLICATOR, V.V19_VALIDATION, V.V19_CONTENT,
+    V.V19_METADATA, V.V19_FORMAT,
+    V.D7, V.D6, V.D4,
+})
+
+
+def _ir_ref(frame: "SF.SchemaFrame", pointer: Pointer) -> IRType:
+    location = frame.traverse_pointer(tuple(pointer))
+    assert location is not None, pointer
+    return IRType(pointer=tuple(pointer), symbol=symbol(frame, location))
+
+
+_PREFIX_RE = re.compile(r"\^([a-zA-Z0-9\-_/@]+)(\.\*)?")
+
+
+def _regex_prefix(pattern: str) -> Optional[str]:
+    """core to_regex RegexTypePrefix rule (vendor/core regex.cc:33):
+    the whole pattern must be ``^`` + [a-zA-Z0-9-_/@]+ + optional
+    ``.*``."""
+    match = _PREFIX_RE.fullmatch(pattern)
+    return match.group(1) if match is not None else None
+
+
+def default_compiler(schema: Any, frame: "SF.SchemaFrame",
+                     location: "SF.Location", resolver,
+                     subschema: Any) -> IRType:
+    vocabularies = frame.vocabularies_of(location)
+    for vocab in vocabularies:
+        if vocab not in _SUPPORTED_VOCABS:
+            raise CodegenUnexpectedSchemaError(
+                tuple(location.pointer),
+                f"Unsupported required vocabulary: {vocab}")
+
+    pointer = tuple(location.pointer)
+    base = {"pointer": pointer, "symbol": symbol(frame, location)}
+
+    # The canonicalizer guarantees every subschema is in exactly one of
+    # the shapes below
+    if isinstance(subschema, bool):
+        return IRAny(**base) if subschema else IRImpossible(**base)
+    if "type" in subschema:
+        type_value = subschema["type"]
+        if not isinstance(type_value, str):
+            raise CodegenUnsupportedKeywordValueError(
+                pointer, "Expected a string value", "type")
+        if type_value == "string":
+            _whitelist(pointer, subschema, _STRING_ALLOWED)
+            return IRScalar(**base, value="string")
+        if type_value == "object":
+            return _compile_object(frame, pointer, base, subschema)
+        if type_value == "integer":
+            _whitelist(pointer, subschema, _NUMERIC_ALLOWED)
+            return IRScalar(**base, value="integer")
+        if type_value == "number":
+            _whitelist(pointer, subschema, _NUMERIC_ALLOWED)
+            return IRScalar(**base, value="number")
+        if type_value == "array":
+            return _compile_array(frame, pointer, base, subschema,
+                                  vocabularies)
+        raise CodegenUnsupportedKeywordValueError(
+            pointer, "Unsupported type value", "type")
+    if "enum" in subschema:
+        _whitelist(pointer, subschema, _ENUM_ALLOWED)
+        return _compile_enum(base, subschema["enum"])
+    if "anyOf" in subschema:
+        _whitelist(pointer, subschema, _ANYOF_ALLOWED)
+        return IRUnion(**base, values=[
+            _ir_ref(frame, pointer + ("anyOf", i))
+            for i in range(len(subschema["anyOf"]))])
+    if "oneOf" in subschema:
+        # a good enough approximation: TypeScript cannot check that the
+        # other branches do NOT match — a validation concern
+        _whitelist(pointer, subschema, _ONEOF_ALLOWED)
+        return IRUnion(**base, values=[
+            _ir_ref(frame, pointer + ("oneOf", i))
+            for i in range(len(subschema["oneOf"]))])
+    if "allOf" in subschema:
+        _whitelist(pointer, subschema, _ALLOF_ALLOWED)
+        branches = subschema["allOf"]
+        if len(branches) == 1:
+            return IRReference(**base,
+                               target=_ir_ref(frame, pointer + ("allOf", 0)))
+        return IRIntersection(**base, values=[
+            _ir_ref(frame, pointer + ("allOf", i))
+            for i in range(len(branches))])
+    if "$dynamicRef" in subschema:
+        _whitelist(pointer, subschema, _DYNREF_ALLOWED)
+        return _compile_dynamic_ref(frame, pointer, base)
+    if "$ref" in subschema:
+        _whitelist(pointer, subschema, _REF_ALLOWED)
+        entry = frame.reference(SF.STATIC, pointer + ("$ref",))
+        assert entry is not None
+        target = frame.traverse(entry.destination)
+        if target is None:
+            raise CodegenUnexpectedSchemaError(
+                pointer, "Could not resolve reference destination")
+        return IRReference(
+            **base, target=IRType(pointer=tuple(target.pointer),
+                                  symbol=symbol(frame, target)))
+    if "if" in subschema:
+        _whitelist(pointer, subschema, _IF_ALLOWED)
+        return IRConditional(
+            **base,
+            condition=_ir_ref(frame, pointer + ("if",)),
+            consequent=_ir_ref(frame, pointer + ("then",)),
+            alternative=_ir_ref(frame, pointer + ("else",)))
+    if "not" in subschema:
+        raise CodegenUnsupportedKeywordError(
+            pointer, "Unsupported keyword in subschema", "not")
+    raise CodegenUnexpectedSchemaError(pointer, "Unsupported schema")
+
+
+def _compile_object(frame, pointer, base, subschema) -> IRObject:
+    _whitelist(pointer, subschema, _OBJECT_ALLOWED)
+    # guaranteed by canonicalization
+    assert "properties" in subschema
+    required = set(subschema.get("required", ()))
+    members = []
+    for name in subschema["properties"]:
+        prop_pointer = pointer + ("properties", name)
+        prop_location = frame.traverse_pointer(prop_pointer)
+        assert prop_location is not None
+        members.append((name, IRObjectValue(
+            pointer=prop_pointer,
+            symbol=symbol(frame, prop_location),
+            required=name in required,
+            immutable=False)))
+    additional: Union[bool, IRType] = True
+    if "additionalProperties" in subschema:
+        extra = subschema["additionalProperties"]
+        if isinstance(extra, bool):
+            additional = extra
+        else:
+            additional = _ir_ref(frame,
+                                 pointer + ("additionalProperties",))
+    pattern = []
+    for name in subschema.get("patternProperties", ()):
+        pat_pointer = pointer + ("patternProperties", name)
+        pat_location = frame.traverse_pointer(pat_pointer)
+        assert pat_location is not None
+        pattern.append(IRObjectPatternProperty(
+            pointer=pat_pointer, symbol=symbol(frame, pat_location),
+            prefix=_regex_prefix(name)))
+    return IRObject(**base, members=members, additional=additional,
+                    pattern=pattern)
+
+
+def _compile_array(frame, pointer, base, subschema, vocabularies):
+    _whitelist(pointer, subschema, _ARRAY_ALLOWED)
+    if V.V20_APPLICATOR in vocabularies and "prefixItems" in subschema:
+        items = [_ir_ref(frame, pointer + ("prefixItems", i))
+                 for i in range(len(subschema["prefixItems"]))]
+        additional = _ir_ref(frame, pointer + ("items",)) \
+            if "items" in subschema else None
+        return IRTuple(**base, items=items, additional=additional)
+    legacy = {V.V19_APPLICATOR, V.D7, V.D6, V.D4, V.D3}
+    if not legacy.isdisjoint(vocabularies) and \
+            isinstance(subschema.get("items"), list):
+        items = [_ir_ref(frame, pointer + ("items", i))
+                 for i in range(len(subschema["items"]))]
+        additional = _ir_ref(frame, pointer + ("additionalItems",)) \
+            if "additionalItems" in subschema else None
+        return IRTuple(**base, items=items, additional=additional)
+    items_type = _ir_ref(frame, pointer + ("items",)) \
+        if "items" in subschema else None
+    return IRArray(**base, items=items_type)
+
+
+def _compile_enum(base, values):
+    if len(values) == 1 and values[0] is None:
+        return IRScalar(**base, value="null")
+    if len(values) == 2 and \
+            isinstance(values[0], bool) and isinstance(values[1], bool) \
+            and values[0] != values[1]:
+        return IRScalar(**base, value="boolean")
+    return IREnumeration(**base, values=list(values))
+
+
+def _compile_dynamic_ref(frame, pointer, base):
+    ref_pointer = pointer + ("$dynamicRef",)
+    # the frame converts single-target dynamic references to static
+    static = frame.reference(SF.STATIC, ref_pointer)
+    if static is not None:
+        target = frame.traverse(static.destination)
+        if target is None:
+            raise CodegenUnexpectedSchemaError(
+                pointer, "Could not resolve reference destination")
+        return IRReference(
+            **base, target=IRType(pointer=tuple(target.pointer),
+                                  symbol=symbol(frame, target)))
+    dynamic = frame.reference(SF.DYNAMIC, ref_pointer)
+    assert dynamic is not None and dynamic.fragment is not None
+    branches = []
+    # reference iterates frame.locations() — a std::map over
+    # (reftype, uri), so anchors come out in URI order
+    for (reftype, uri), entry in sorted(
+            frame.locations.items(),
+            key=lambda kv: (kv[0][0] != SF.STATIC, kv[0][1])):
+        if reftype != SF.DYNAMIC or entry.type != SF.ANCHOR:
+            continue
+        fragment = urlsplit(uri).fragment
+        if fragment != dynamic.fragment:
+            continue
+        branches.append(IRType(pointer=tuple(entry.pointer),
+                               symbol=symbol(frame, entry)))
+    assert branches
+    return IRUnion(**base, values=branches)
+
+
+# ---------------------------------------------------------------------------
+# compile (codegen.cc)
+
+def _is_validation_subschema(frame: "SF.SchemaFrame",
+                             location: "SF.Location") -> bool:
+    """True for subschemas under keywords that constrain values without
+    contributing to the type structure (contains, propertyNames)."""
+    if location.parent is None:
+        return False
+    parent = tuple(location.parent)
+    pointer = tuple(location.pointer)
+    if len(parent) >= len(pointer):
+        return False
+    keyword_token = pointer[len(parent)]
+    if not isinstance(keyword_token, str):
+        return False
+    parent_location = frame.traverse_pointer(parent)
+    if parent_location is None:
+        return False
+    vocabularies = frame.vocabularies_of(parent_location)
+    walker_type = W.walk(keyword_token, vocabularies).type
+    if walker_type in (W.APP_VALUE_ANY_PROP_KEY, W.APP_VALUE_ANY_ITEM):
+        return True
+    return _is_validation_subschema(frame, parent_location)
+
+
+def _pointer_sort_key(pointer: Pointer) -> Tuple:
+    # core Pointer ordering: property tokens sort before index tokens,
+    # properties bytewise, indexes numerically
+    return tuple((0, tok) if isinstance(tok, str) else (1, tok)
+                 for tok in pointer)
+
+
+def compile_ir(schema: Any, resolver: Optional[Callable[[str], Any]] = None,
+               default_dialect: str = "",
+               default_id: str = "",
+               compiler: Callable = default_compiler) -> List[IRType]:
+    """bundle → canonicalize → frame → one IR entity per
+    Resource/Subschema location, sorted dependencies-first (descending
+    pointer order)."""
+    # a custom metaschema may live inside the document itself; give
+    # every pipeline stage the same embedded-first resolution the frame
+    # applies internally (foundation.cc metaschema_try_embedded)
+    state = {"doc": schema}
+
+    def effective_resolver(uri, _resolver=resolver):
+        embedded = SF.metaschema_try_embedded(state["doc"], uri, _resolver)
+        if embedded is not None:
+            return embedded
+        return _resolver(uri) if _resolver is not None else None
+
+    schema = bundle(schema, default_dialect=default_dialect,
+                    resolver=effective_resolver, mode=MODE_REFERENCES,
+                    default_id=default_id)
+    state["doc"] = schema
+    schema = canonicalize(schema, resolver=effective_resolver,
+                          default_dialect=default_dialect,
+                          default_id=default_id)
+    state["doc"] = schema
+    frame = SF.SchemaFrame("references")
+    frame.analyse(schema, resolver=resolver,
+                  default_dialect=default_dialect, default_id=default_id)
+
+    visited = set()
+    result: List[IRType] = []
+    ordered = sorted(frame.locations.items(),
+                     key=lambda kv: (kv[0][0] != SF.STATIC, kv[0][1]))
+    for (_reftype, _uri), location in ordered:
+        if location.type not in (SF.RESOURCE, SF.SUBSCHEMA):
+            continue
+        # framing may report a resource more than once given default
+        # identifiers and nested resources
+        pointer = tuple(location.pointer)
+        if pointer in visited:
+            continue
+        visited.add(pointer)
+        if _is_validation_subschema(frame, location):
+            continue
+        subschema = SF._get_at(schema, pointer)
+        result.append(compiler(schema, frame, location, resolver,
+                               subschema))
+    result.sort(key=lambda entity: _pointer_sort_key(entity.pointer),
+                reverse=True)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# TypeScript generator (codegen_typescript.cc)
+
+def _ts_escape(value: str) -> str:
+    out = []
+    for ch in value:
+        esc = _STR_ESCAPES.get(ch)
+        if esc is not None:
+            out.append(esc)
+        elif ord(ch) < 0x20:
+            out.append(f"\\u{ord(ch):04x}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+class _TypeScript:
+    def __init__(self, prefix: str = "Schema") -> None:
+        self.prefix = prefix
+        self.cache: Dict[str, Pointer] = {}
+        self.out: List[str] = []
+
+    def _name(self, entity: IRType) -> str:
+        return mangle(self.prefix, entity.pointer, entity.symbol,
+                      self.cache)
+
+    def emit(self, entity: IRType) -> None:
+        handler = {
+            IRScalar: self._scalar, IREnumeration: self._enumeration,
+            IRObject: self._object, IRImpossible: self._impossible,
+            IRAny: self._any, IRArray: self._array,
+            IRReference: self._reference, IRTuple: self._tuple,
+            IRUnion: self._union, IRIntersection: self._intersection,
+            IRConditional: self._conditional,
+        }[type(entity)]
+        handler(entity)
+
+    def _scalar(self, entity: IRScalar) -> None:
+        ts = {"string": "string", "number": "number",
+              "integer": "number", "boolean": "boolean",
+              "null": "null"}[entity.value]
+        self.out.append(f"export type {self._name(entity)} = {ts};\n")
+
+    def _enumeration(self, entity: IREnumeration) -> None:
+        rendered = " | ".join(prettify_json(v) for v in entity.values)
+        self.out.append(
+            f"export type {self._name(entity)} = {rendered};\n")
+
+    def _object(self, entity: IRObject) -> None:
+        type_name = self._name(entity)
+        has_typed_additional = isinstance(entity.additional, IRType)
+        allows_any_additional = entity.additional is True
+
+        if has_typed_additional and not entity.members \
+                and not entity.pattern:
+            extra = entity.additional
+            self.out.append(
+                f"export type {type_name} = Record<string, "
+                f"{mangle(self.prefix, extra.pointer, extra.symbol, self.cache)}>;\n")
+            return
+        if allows_any_additional and not entity.members \
+                and not entity.pattern:
+            self.out.append(
+                f"export type {type_name} = Record<string, unknown>;\n")
+            return
+
+        buf = [f"export interface {type_name} {{\n"]
+        # property names are always quoted: JSON Schema allows any
+        # string, unquoted TS members must be IdentifierName productions
+        for member_name, member in entity.members:
+            optional = "" if member.required else "?"
+            readonly = "readonly " if member.immutable else ""
+            buf.append(
+                f"  {readonly}\"{_ts_escape(member_name)}\"{optional}: "
+                f"{mangle(self.prefix, member.pointer, member.symbol, self.cache)};\n")
+        for pat in entity.pattern:
+            if pat.prefix is None:
+                continue
+            buf.append(
+                f"  [key: `{pat.prefix}${{string}}`]: "
+                f"{mangle(self.prefix, pat.pointer, pat.symbol, self.cache)}")
+            # when one prefix extends another, TS requires the more
+            # specific index signature be assignable to the wider one
+            for other in entity.pattern:
+                if other is pat or other.prefix is None:
+                    continue
+                if pat.prefix.startswith(other.prefix):
+                    buf.append(
+                        " & " + mangle(self.prefix, other.pointer,
+                                       other.symbol, self.cache))
+            buf.append(";\n")
+
+        has_non_prefix_pattern = any(p.prefix is None
+                                     for p in entity.pattern)
+        if allows_any_additional:
+            buf.append("  [key: string]: unknown | undefined;\n")
+        elif has_typed_additional or has_non_prefix_pattern:
+            buf.append("  [key: string]:\n")
+            buf.append("    // As a notable limitation, TypeScript "
+                       "requires index signatures\n")
+            buf.append("    // to also include the types of all of its "
+                       "properties, so we must\n")
+            buf.append("    // match a superset of what JSON Schema "
+                       "allows\n")
+            for _name, member in entity.members:
+                buf.append(
+                    "    " + mangle(self.prefix, member.pointer,
+                                    member.symbol, self.cache) + " |\n")
+            for pat in entity.pattern:
+                buf.append(
+                    "    " + mangle(self.prefix, pat.pointer,
+                                    pat.symbol, self.cache) + " |\n")
+            if has_typed_additional:
+                extra = entity.additional
+                buf.append(
+                    "    " + mangle(self.prefix, extra.pointer,
+                                    extra.symbol, self.cache) + " |\n")
+            buf.append("    undefined;\n")
+        buf.append("}\n")
+        self.out.append("".join(buf))
+
+    def _impossible(self, entity: IRImpossible) -> None:
+        self.out.append(f"export type {self._name(entity)} = never;\n")
+
+    def _any(self, entity: IRAny) -> None:
+        self.out.append(f"export type {self._name(entity)} = unknown;\n")
+
+    # NOTE: the entity's own name must be mangled BEFORE any member /
+    # target names — the collision cache hands the clean identifier to
+    # whoever asks first (codegen_typescript.cc streams name first)
+
+    def _array(self, entity: IRArray) -> None:
+        name = self._name(entity)
+        if entity.items is not None:
+            items = mangle(self.prefix, entity.items.pointer,
+                           entity.items.symbol, self.cache) + "[]"
+        else:
+            items = "unknown[]"
+        self.out.append(f"export type {name} = {items};\n")
+
+    def _reference(self, entity: IRReference) -> None:
+        name = self._name(entity)
+        target = mangle(self.prefix, entity.target.pointer,
+                        entity.target.symbol, self.cache)
+        self.out.append(f"export type {name} = {target};\n")
+
+    def _tuple(self, entity: IRTuple) -> None:
+        name = self._name(entity)
+        parts = [mangle(self.prefix, item.pointer, item.symbol,
+                        self.cache) for item in entity.items]
+        if entity.additional is not None:
+            parts.append("..." + mangle(self.prefix,
+                                        entity.additional.pointer,
+                                        entity.additional.symbol,
+                                        self.cache) + "[]")
+        self.out.append(
+            f"export type {name} = [{', '.join(parts)}];\n")
+
+    def _union(self, entity: IRUnion) -> None:
+        name = self._name(entity)
+        branches = " |\n".join(
+            "  " + mangle(self.prefix, v.pointer, v.symbol, self.cache)
+            for v in entity.values)
+        self.out.append(f"export type {name} =\n{branches};\n")
+
+    def _intersection(self, entity: IRIntersection) -> None:
+        name = self._name(entity)
+        branches = " &\n".join(
+            "  " + mangle(self.prefix, v.pointer, v.symbol, self.cache)
+            for v in entity.values)
+        self.out.append(f"export type {name} =\n{branches};\n")
+
+    def _conditional(self, entity: IRConditional) -> None:
+        name = self._name(entity)
+        cond = mangle(self.prefix, entity.condition.pointer,
+                      entity.condition.symbol, self.cache)
+        cons = mangle(self.prefix, entity.consequent.pointer,
+                      entity.consequent.symbol, self.cache)
+        alt = mangle(self.prefix, entity.alternative.pointer,
+                     entity.alternative.symbol, self.cache)
+        self.out.append(
+            "// (if & then) | else approximation: the else branch is "
+            "wider than what\n"
+            "// JSON Schema allows, as TypeScript cannot express type "
+            "negation\n"
+            f"export type {name} =\n  ({cond} & {cons}) | {alt};\n")
+
+
+def generate_typescript(result: List[IRType],
+                        prefix: str = "Schema") -> str:
+    """Render a compiled IR as TypeScript type definitions (one blank
+    line between entities, reference generate<TypeScript> layout)."""
+    visitor = _TypeScript(prefix)
+    for entity in result:
+        visitor.emit(entity)
+    return "\n".join(visitor.out)
+
+
+def schema_to_typescript(schema: Any,
+                         resolver: Optional[Callable[[str], Any]] = None,
+                         default_dialect: str = "",
+                         default_id: str = "",
+                         prefix: str = "Schema") -> str:
+    """One-call form: schema document → .d.ts text."""
+    return generate_typescript(
+        compile_ir(schema, resolver=resolver,
+                   default_dialect=default_dialect, default_id=default_id),
+        prefix=prefix)

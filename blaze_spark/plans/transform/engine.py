@@ -87,6 +87,10 @@ class TransformFrame:
         self.references: List[Reference] = []
         self.resources: Dict[str, Pointer] = {}
         self.anchors: Dict[Tuple[str, str], Pointer] = {}
+        # fragment -> pointers of every $dynamicAnchor ($recursiveAnchor
+        # = fragment ""): a dynamic reference reaches ALL of them
+        # (reference frame.cc populate_reference_graph)
+        self.dynamic_anchors: Dict[str, List[Pointer]] = {}
         self._analyse()
 
     # -- analysis --------------------------------------------------------
@@ -192,6 +196,10 @@ class TransformFrame:
             if isinstance(danchor, str) and W.walk_type(
                     "$dynamicAnchor", vocab) == W.OTHER:
                 self.anchors.setdefault((base, danchor), pointer)
+                self.dynamic_anchors.setdefault(danchor, []).append(pointer)
+            if node.get("$recursiveAnchor") is True and W.walk_type(
+                    "$recursiveAnchor", vocab) == W.OTHER:
+                self.dynamic_anchors.setdefault("", []).append(pointer)
         self.locations.append(Location(
             pointer=pointer, parent=parent, dialect=dialect or None,
             vocabularies=vocab, base=base, is_resource=is_resource))

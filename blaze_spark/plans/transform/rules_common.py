@@ -1633,15 +1633,45 @@ class OrphanDefinitions(Rule):
                     continue
                 if origin_schema not in reachable:
                     continue
-                dest = frame.traverse(reference.value, reference.base)
+                for dest in OrphanDefinitions._destinations(frame,
+                                                            reference):
+                    for loc in frame.locations:
+                        if loc.pointer[:len(dest)] == dest and \
+                                loc.pointer not in reachable:
+                            reachable.add(loc.pointer)
+                            changed = True
+            # $schema is a reference too (the reference frame stores it
+            # as one): a dialect URI resolving to an EMBEDDED resource
+            # keeps that resource's definition alive
+            for loc in frame.locations:
+                if loc.pointer not in reachable or not loc.dialect:
+                    continue
+                dest = frame.resources.get(loc.dialect)
                 if dest is None:
                     continue
-                for loc in frame.locations:
-                    if loc.pointer[:len(dest)] == dest and \
-                            loc.pointer not in reachable:
-                        reachable.add(loc.pointer)
+                for other in frame.locations:
+                    if other.pointer[:len(dest)] == dest and \
+                            other.pointer not in reachable:
+                        reachable.add(other.pointer)
                         changed = True
         return reachable
+
+    @staticmethod
+    def _destinations(frame, reference):
+        """A dynamic reference with a plain-name fragment reaches EVERY
+        matching $dynamicAnchor in the document, not just the one in
+        static scope (reference frame.cc populate_reference_graph —
+        this is what keeps a definition holding an alternative dynamic
+        anchor alive)."""
+        if reference.keyword in ("$dynamicRef", "$recursiveRef"):
+            from urllib.parse import unquote
+            frag = unquote(reference.value.partition("#")[2])
+            if not frag.startswith("/"):
+                targets = frame.dynamic_anchors.get(frag)
+                if targets:
+                    return list(targets)
+        dest = frame.traverse(reference.value, reference.base)
+        return [dest] if dest is not None else []
 
     def condition(self, schema, root, vocab, frame, location, is_meta):
         if not isinstance(schema, dict):

@@ -1,0 +1,184 @@
+"""TypeScript codegen parity: the reference's e2e corpus byte-exact,
+plus its mangle/symbol/error unit cases parsed and run in place
+(reference: test/codegen/)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+from blaze_spark.plans.codegen_ts import (
+    CodegenError,
+    compile_ir,
+    mangle,
+    schema_to_typescript,
+    symbol,
+)
+
+REF = "/root/reference/test/codegen"
+E2E = os.path.join(REF, "e2e", "typescript")
+
+
+def _e2e_cases():
+    for dialect in sorted(os.listdir(E2E)):
+        droot = os.path.join(E2E, dialect)
+        if not os.path.isdir(droot):
+            continue
+        for name in sorted(os.listdir(droot)):
+            if os.path.isfile(os.path.join(droot, name, "schema.json")):
+                yield f"{dialect}/{name}"
+
+
+@pytest.mark.parametrize("case", list(_e2e_cases()))
+def test_e2e_typescript_byte_exact(case):
+    root = os.path.join(E2E, case)
+    with open(os.path.join(root, "schema.json")) as fh:
+        schema = json.load(fh)
+    options = {}
+    opt = os.path.join(root, "options.json")
+    if os.path.exists(opt):
+        with open(opt) as fh:
+            options = json.load(fh)
+    with open(os.path.join(root, "expected.d.ts")) as fh:
+        expected = fh.read()
+    actual = schema_to_typescript(
+        schema, prefix=options.get("defaultPrefix", "Schema"))
+    assert actual == expected
+
+
+# -- mangle unit corpus (codegen_mangle_test.cc), parsed in place ---------
+
+_TEST_RE = re.compile(r"TEST\((\w+), (\w+)\) \{(.*?)\n\}", re.S)
+_PTR_RE = re.compile(r"Pointer (\w+)\{([^}]*)\}")
+_EXPECT_MANGLE_RE = re.compile(
+    r'mangle\(\s*"(\w+)",\s*(\w+),[^{]*\{([^}]*)\},\s*cache\),\s*"([^"]*)"',
+    re.S)
+
+
+def _parse_strings(blob: str):
+    return re.findall(r'"([^"]*)"', blob)
+
+
+def _mangle_cases():
+    with open(os.path.join(REF, "codegen_mangle_test.cc")) as fh:
+        source = fh.read()
+    for _suite, name, body in _TEST_RE.findall(source):
+        pointers = {pname: tuple(_parse_strings(pbody))
+                    for pname, pbody in _PTR_RE.findall(body)}
+        steps = [(prefix, pointers.get(pvar, ()), _parse_strings(segs),
+                  expected)
+                 for prefix, pvar, segs, expected
+                 in _EXPECT_MANGLE_RE.findall(body)]
+        assert steps, f"unparsed mangle test {name}"
+        yield name, steps
+
+
+@pytest.mark.parametrize("name,steps",
+                         list(_mangle_cases()),
+                         ids=[n for n, _ in _mangle_cases()])
+def test_mangle_reference_cases(name, steps):
+    cache = {}
+    for prefix, pointer, segments, expected in steps:
+        assert mangle(prefix, pointer, segments, cache) == expected
+
+
+# -- symbol unit corpus (codegen_symbol_test.cc), parsed in place ---------
+
+_JSON_RE = re.compile(r'R"JSON\((.*?)\)JSON"', re.S)
+_TRAVERSE_RE = re.compile(r'frame\.traverse\("([^"]*)"\)')
+_SIZE_RE = re.compile(r"result\.size\(\), (\d+)")
+_AT_RE = re.compile(r'result\.at\((\d+)\), "([^"]*)"')
+
+
+def _symbol_cases():
+    with open(os.path.join(REF, "codegen_symbol_test.cc")) as fh:
+        source = fh.read()
+    for _suite, name, body in _TEST_RE.findall(source):
+        schema = json.loads(_JSON_RE.search(body).group(1))
+        uri = _TRAVERSE_RE.search(body).group(1)
+        expected = [None] * int(_SIZE_RE.search(body).group(1))
+        for index, value in _AT_RE.findall(body):
+            expected[int(index)] = value
+        yield name, schema, uri, expected
+
+
+@pytest.mark.parametrize("name,schema,uri,expected",
+                         list(_symbol_cases()),
+                         ids=[c[0] for c in _symbol_cases()])
+def test_symbol_reference_cases(name, schema, uri, expected):
+    from blaze_spark.plans.schema_frame import SchemaFrame
+
+    frame = SchemaFrame("references").analyse(schema)
+    # the test URIs are document-relative fragments
+    base = schema.get("$id", "")
+    location = frame.traverse(base + uri if uri.startswith("#") else uri)
+    assert location is not None
+    assert symbol(frame, location) == expected
+
+
+# -- error cases (codegen_test.cc) ----------------------------------------
+
+def _error_cases():
+    with open(os.path.join(REF, "codegen_test.cc")) as fh:
+        source = fh.read()
+    for _suite, name, body in _TEST_RE.findall(source):
+        yield name, json.loads(_JSON_RE.search(body).group(1))
+
+
+@pytest.mark.parametrize("name,schema", list(_error_cases()),
+                         ids=[n for n, _ in _error_cases()])
+def test_unsupported_schemas_raise(name, schema):
+    # draft-3 fails on the unsupported-vocabulary check; the others on
+    # the codegen whitelists — any engine error type is acceptable, the
+    # contract is that compilation refuses rather than emitting junk
+    with pytest.raises(Exception):
+        compile_ir(schema)
+
+
+# -- IR entity counts (codegen_2020_12_test.cc), parsed in place ----------
+
+_DIALECT_ARG_RE = re.compile(r'default_compiler,\s*\n?\s*"([^"]+)"')
+
+
+def _ir_count_cases():
+    with open(os.path.join(REF, "codegen_2020_12_test.cc")) as fh:
+        source = fh.read()
+    for _suite, name, body in _TEST_RE.findall(source):
+        schema_match = _JSON_RE.search(body)
+        size_match = _SIZE_RE.search(body)
+        if schema_match is None or size_match is None:
+            continue
+        dialect_match = _DIALECT_ARG_RE.search(body)
+        yield (name, json.loads(schema_match.group(1)),
+               int(size_match.group(1)),
+               dialect_match.group(1) if dialect_match else "")
+
+
+@pytest.mark.parametrize("name,schema,expected_size,dialect",
+                         list(_ir_count_cases()),
+                         ids=[c[0] for c in _ir_count_cases()])
+def test_ir_entity_counts(name, schema, expected_size, dialect):
+    result = compile_ir(schema, default_dialect=dialect)
+    assert len(result) == expected_size
+
+
+# -- our own regression pins ----------------------------------------------
+
+def test_mangle_collision_chain():
+    cache = {}
+    assert mangle("S", ("a",), ["x"], cache) == "SX"
+    assert mangle("S", ("b",), ["x"], cache) == "_SX"
+    assert mangle("S", ("c",), ["x"], cache) == "__SX"
+    assert mangle("S", ("b",), ["x"], cache) == "_SX"  # stable
+
+
+def test_codegen_error_carries_pointer():
+    schema = {"$schema": "https://json-schema.org/draft/2020-12/schema",
+              "type": "object",
+              "properties": {"a": {"not": {"type": "string"}}}}
+    with pytest.raises(CodegenError) as err:
+        compile_ir(schema)
+    assert err.value.keyword == "not"

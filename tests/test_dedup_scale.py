@@ -213,3 +213,38 @@ def test_simhash_uses_all_64_bits(spark):
     # bit 63 is real: about half the fingerprints must be negative
     neg = sum(1 for r in out if r["simhash"] < 0)
     assert 0 < neg < len(out)
+
+
+def test_ngram_contamination_planted(spark):
+    """Planted overlap: a test doc sharing half its 2-grams with train
+    is flagged; a disjoint one is not; a too-short doc reports zero
+    grams without dropping out of the result."""
+    from blaze_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        ["doc_id", "text"])
+    test = spark.createDataFrame(
+        [(10, "alpha beta gamma nine"),   # 3 grams, 2 in train
+         (11, "zz yy xx ww"),             # disjoint
+         (12, "solo")],                   # < n tokens
+        ["doc_id", "text"])
+    out = {r["id"]: r for r in ngram_contamination(
+        train, test, "doc_id", "text", n=2, threshold=0.5).collect()}
+    assert out[10]["n_grams"] == 3 and out[10]["n_overlap"] == 2
+    assert out[10]["contaminated"] is True
+    assert out[11]["n_overlap"] == 0 and out[11]["contaminated"] is False
+    assert out[12]["n_grams"] == 0 and out[12]["ratio"] == 0.0
+
+
+def test_ngram_contamination_no_cartesian(spark):
+    """The train side must collapse to a distinct gram set before the
+    join — the physical plan has no cartesian/nested-loop product."""
+    from blaze_spark.operators.dedup import ngram_contamination
+
+    train = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    test = spark.createDataFrame([(2, "a b c e")], ["doc_id", "text"])
+    plan = ngram_contamination(train, test, "doc_id", "text", n=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Run the reference's TypeScript-codegen e2e corpus byte-for-byte.
+
+Each directory under test/codegen/e2e/typescript/<dialect>/ holds
+schema.json + options.json + expected.d.ts; our generated output must
+equal expected.d.ts exactly (the reference e2e.cc comparison).
+
+Usage: python tools/codegen_check.py [-v] [pattern...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blaze_spark.plans.codegen_ts import schema_to_typescript
+
+E2E_ROOT = "/root/reference/test/codegen/e2e/typescript"
+
+
+def iter_cases():
+    for dialect in sorted(os.listdir(E2E_ROOT)):
+        droot = os.path.join(E2E_ROOT, dialect)
+        if not os.path.isdir(droot):
+            continue
+        for name in sorted(os.listdir(droot)):
+            case = os.path.join(droot, name)
+            if os.path.isfile(os.path.join(case, "schema.json")):
+                yield dialect, name, case
+
+
+def run(verbose: bool = False, patterns=()) -> int:
+    total = passed = failed = errored = 0
+    for dialect, name, case in iter_cases():
+        label = f"{dialect}/{name}"
+        if patterns and not any(p in label for p in patterns):
+            continue
+        total += 1
+        with open(os.path.join(case, "schema.json")) as fh:
+            schema = json.load(fh)
+        options = {}
+        opt_path = os.path.join(case, "options.json")
+        if os.path.exists(opt_path):
+            with open(opt_path) as fh:
+                options = json.load(fh)
+        with open(os.path.join(case, "expected.d.ts")) as fh:
+            expected = fh.read()
+        try:
+            actual = schema_to_typescript(
+                schema, prefix=options.get("defaultPrefix", "Schema"))
+        except Exception as exc:  # noqa: BLE001 — corpus harness
+            errored += 1
+            print(f"ERR   {label}: {type(exc).__name__}: {exc}")
+            continue
+        if actual == expected:
+            passed += 1
+            if verbose:
+                print(f"ok    {label}")
+        else:
+            failed += 1
+            print(f"FAIL  {label}")
+            if verbose:
+                import difflib
+
+                diff = difflib.unified_diff(
+                    expected.splitlines(keepends=True),
+                    actual.splitlines(keepends=True),
+                    fromfile="expected", tofile="actual")
+                sys.stdout.writelines(list(diff)[:80])
+    print(f"TOTAL pass={passed} fail={failed} err={errored} "
+          f"of {total}")
+    return 1 if failed or errored else 0
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:]]
+    verbose = "-v" in args
+    patterns = [a for a in args if a != "-v"]
+    sys.exit(run(verbose, patterns))
