@@ -73,17 +73,34 @@ def run_benchmarks(only=None):
     timings = {}
     counters = {}
 
+    def _steal_jiffies():
+        # /proc/stat cpu line, field 8 = steal (all cpus, USER_HZ=100)
+        try:
+            with open("/proc/stat") as fh:
+                return int(fh.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return 0
+
     def bench(name, fn, repeats=2):
         # best-of-N: first execution pays JIT/codegen compilation; the min
-        # is the steady-state number a long-running cluster job sees
+        # is the steady-state number a long-running cluster job sees.
+        # This VM sees bursty hypervisor steal (r2: whole runs burned by
+        # it) — a repeat whose window lost >5% of available cpu-seconds
+        # to the host is tainted, so up to 2 extra repeats run until one
+        # clean measurement exists.
         if only and name not in only:
             return
-        best = None
-        for _ in range(repeats):
+        best, out, clean = None, None, False
+        for attempt in range(repeats + 2):
+            s0 = _steal_jiffies()
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
+            stolen_sec = (_steal_jiffies() - s0) / 100.0
             best = dt if best is None else min(best, dt)
+            clean = clean or stolen_sec < 0.05 * dt * CPUS
+            if attempt >= repeats - 1 and clean:
+                break
         timings[name] = round(best, 3)
         counters[name] = out
 
