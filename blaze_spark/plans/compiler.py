@@ -72,10 +72,14 @@ _VALIDATION_OPS = {
 
 class _Ctx:
     def __init__(self, frame: Frame, mode: str,
-                 format_assertion: bool = False) -> None:
+                 format_assertion: bool = False,
+                 custom: Optional[Dict[str, Callable]] = None) -> None:
         self.frame = frame
         self.mode = mode
         self.format_assertion = format_assertion
+        # keyword -> user compiler (reference compiler.h:73-80 Compiler:
+        # "You can provide your own to implement your own keywords")
+        self.custom: Dict[str, Callable] = custom or {}
         self.vocab_validation = True
         # id(subschema dict) -> JSON-pointer within the source document;
         # annotation instructions carry it so output can report the
@@ -129,10 +133,23 @@ def compile_schema(
     resolver: Optional[Callable[[str], Any]] = None,
     apply_rewrites: bool = True,
     format_assertion: bool = False,
+    custom_keywords: Optional[Dict[str, Callable]] = None,
 ) -> dict:
     """Compile a schema into a plan dict. ``mode`` is ``fast`` (short-
     circuit, the reference's Mode::FastValidation) or ``exhaustive``
-    (collect every violation; Mode::Exhaustive, compiler.h:84-89)."""
+    (collect every violation; Mode::Exhaustive, compiler.h:84-89).
+
+    ``custom_keywords`` maps a keyword to a user compiler — the analog
+    of the reference's pluggable ``Compiler`` (compiler.h:73-80,
+    "provide your own to implement your own keywords"). Each compiler
+    is called as ``builder(value, context)`` where ``value`` is the
+    keyword's schema value and ``context`` exposes ``keyword``,
+    ``kloc``, ``schema``, ``dialect``, ``mode``, an ``instr`` helper,
+    and ``compile(subschema, *kloc_tokens)`` for applicator recursion.
+    It must return a list of instructions in the PLAN IR (plain JSON
+    data) — custom keywords compile to the same instruction set the
+    engine already executes, so they run on both tiers unchanged and
+    plans stay serializable."""
     if apply_rewrites:
         # dialect resolved BEFORE rewriting: a draft-3 document (declared
         # or via default_dialect) must skip modern hoisting rules even
@@ -174,7 +191,7 @@ def compile_schema(
                     if any("/vocab/format-assertion" in u for u in vocab):
                         format_assertion = True
     frame = Frame(schema, dialect, resolver=resolver)
-    ctx = _Ctx(frame, mode, format_assertion)
+    ctx = _Ctx(frame, mode, format_assertion, custom_keywords)
     ctx.vocab_validation = vocab_validation
     _map_slocs(schema, "", ctx.sloc)
     # reserve target 0 for the entry program
@@ -637,6 +654,20 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
         out.append(_instr("if_then_else", _kloc(kp, "if"),
                           cond=cond, then=then_p, orelse=else_p))
 
+    # --- custom keywords (user compilers, reference Compiler hook) -------
+    if ctx.custom:
+        for key in schema:
+            builder = ctx.custom.get(key)
+            if builder is None:
+                continue
+            context = _CustomContext(schema, base, dialect, kp, key, ctx)
+            for node in builder(schema[key], context):
+                if not isinstance(node, dict) or "op" not in node:
+                    raise TypeError(
+                        f"custom compiler for {key!r} must return plan "
+                        f"instructions, got {node!r}")
+                out.append(node)
+
     # --- unevaluated* (must be last; sees prior annotations) ------------------
     if dialect in ("2019-09", "2020-12"):
         if "unevaluatedItems" in schema:
@@ -658,7 +689,7 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
         # evaluator_dispatch.h:1493; unknown-keyword collection
         # default_compiler.cc:614-636)
         for key, value in schema.items():
-            if key not in _KNOWN_KEYWORDS:
+            if key not in _KNOWN_KEYWORDS and key not in ctx.custom:
                 out.append(_annotation_instr(schema, key, value, kp, ctx))
     if not ctx.vocab_validation:
         out = [i for i in out if i["op"] not in _VALIDATION_OPS]
@@ -669,6 +700,31 @@ def _compile_subschema(schema: Any, base: str, dialect: str, kp: str,
         # inside (suite: "after leaving a dynamic scope, it is not used")
         return [_instr("scope", kp, base, program=out)]
     return out
+
+
+class _CustomContext:
+    """What a user keyword compiler sees (the analog of the
+    reference's Context/SchemaContext/DynamicContext bundle)."""
+
+    def __init__(self, schema: dict, base: str, dialect: str, kp: str,
+                 keyword: str, ctx: _Ctx) -> None:
+        self.schema = schema
+        self.dialect = dialect
+        self.mode = ctx.mode
+        self.keyword = keyword
+        self.kloc = _kloc(kp, keyword)
+        self._base = base
+        self._kp = kp
+        self._ctx = ctx
+
+    def instr(self, op: str, value: Any = None, **extra: Any) -> dict:
+        return _instr(op, self.kloc, value, **extra)
+
+    def compile(self, subschema: Any, *kloc_tokens: Any) -> List[dict]:
+        """Compile a nested schema (for custom applicators)."""
+        kloc = _kloc(self._kp, self.keyword, *kloc_tokens)
+        return _compile_subschema(subschema, self._base, self.dialect,
+                                  kloc, self._ctx)
 
 
 def _annotation_instr(schema: dict, keyword: str, value: Any, kp: str,

@@ -104,3 +104,25 @@ def violation_rate_by_window(validated: DataFrame, ts_col: str,
             (F.col("invalid_rows") / F.col("row_count")).alias("violation_rate"),
         )
     )
+
+
+def dedup_stream(stream_df: DataFrame, key_cols: List[str], ts_col: str,
+                 watermark: str = "10 minutes",
+                 content_col: str = None) -> DataFrame:
+    """Streaming exact deduplication: drop rows whose key was already
+    seen within the watermark horizon — the ingest-time form of
+    ``dedup.exact_duplicates`` (a training-data firehose dedups on
+    content hash BEFORE anything downstream pays for the bytes).
+
+    ``content_col`` adds a content-hash key (sha256 of the column), so
+    identical payloads dedup even when their ids differ. State is
+    bounded by the watermark: ``dropDuplicatesWithinWatermark`` evicts
+    keys older than the horizon, so state size tracks the unique-key
+    arrival rate × horizon, not the stream's lifetime."""
+    out = stream_df.withWatermark(ts_col, watermark)
+    keys = list(key_cols)
+    if content_col is not None:
+        out = out.withColumn("__content_sha__",
+                             F.sha2(F.col(content_col).cast("binary"), 256))
+        keys = keys + ["__content_sha__"]
+    return out.dropDuplicatesWithinWatermark(keys)

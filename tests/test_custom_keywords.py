@@ -1,0 +1,85 @@
+"""Custom keyword compilers — the analog of the reference's pluggable
+``Compiler`` (compiler.h:73-80: "You can provide your own to implement
+your own keywords"). Custom keywords compile to the engine's own plan
+IR, so they execute on both tiers and stay JSON-serializable."""
+
+from __future__ import annotations
+
+import pytest
+
+from blaze_spark.operators.evaluator import evaluate
+from blaze_spark.plans.compiler import (
+    compile_schema,
+    plan_from_json,
+    plan_to_json,
+)
+
+
+def even_number(value, ctx):
+    if value is not True:
+        return []
+    return [ctx.instr("multiple_of", {"divisor": 2})]
+
+
+def items_min_length(value, ctx):
+    # custom applicator: every array element gets a nested program
+    return [ctx.instr("items_all", {"from": 0},
+                      program=ctx.compile({"minLength": value}))]
+
+
+def test_custom_assertion_keyword():
+    plan = compile_schema({"type": "integer", "evenNumber": True},
+                          custom_keywords={"evenNumber": even_number},
+                          mode="exhaustive")
+    assert evaluate(plan, 4)[0] is True
+    ok, violations, _ = evaluate(plan, 3)
+    assert ok is False
+    assert violations[0].keyword_location == "/evenNumber"
+
+
+def test_custom_applicator_recurses():
+    plan = compile_schema({"type": "array", "itemsMinLength": 2},
+                          custom_keywords={
+                              "itemsMinLength": items_min_length},
+                          mode="exhaustive")
+    assert evaluate(plan, ["ab", "cde"])[0] is True
+    ok, violations, _ = evaluate(plan, ["ab", "x"])
+    assert ok is False
+    # nested kloc threads through the custom applicator
+    assert violations[0].keyword_location.startswith("/itemsMinLength")
+
+
+def test_custom_plan_stays_serializable():
+    plan = compile_schema({"evenNumber": True},
+                          custom_keywords={"evenNumber": even_number})
+    rt = plan_from_json(plan_to_json(plan))
+    assert evaluate(rt, 5)[0] is False
+
+
+def test_custom_keyword_not_double_annotated():
+    # a handled custom keyword must not ALSO emit an unknown-keyword
+    # annotation in exhaustive mode
+    plan = compile_schema({"evenNumber": True},
+                          custom_keywords={"evenNumber": even_number},
+                          mode="exhaustive")
+    text = plan_to_json(plan)
+    assert text.count("evenNumber") == 1  # the multiple_of kloc only
+
+
+def test_custom_compiler_output_validated():
+    with pytest.raises(TypeError):
+        compile_schema({"bad": 1},
+                       custom_keywords={"bad": lambda v, c: ["nope"]})
+
+
+def test_custom_keyword_on_spark_rows(spark):
+    from blaze_spark.operators.validate import validate_rows
+    from pyspark.sql import functions as F
+
+    plan = compile_schema(
+        {"type": "object", "properties": {"n": {"evenNumber": True}}},
+        custom_keywords={"evenNumber": even_number}, mode="exhaustive")
+    df = spark.createDataFrame([(1, 4), (2, 7)], ["id", "n"])
+    out = {r["id"]: r["valid"]
+           for r in validate_rows(df, plan).select("id", "valid").collect()}
+    assert out == {1: True, 2: False}

@@ -155,3 +155,31 @@ def test_json_prefilter_plan_is_map_only_jvm(spark):
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 1
     assert "from_json" in plan  # the JVM prefilter made it into the plan
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup end-to-end: duplicate payloads inside the
+    watermark horizon are dropped; state is keyed on the content hash
+    so differing ids with identical content still dedup."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark.streaming.validate_stream import dedup_stream
+
+    src = str(tmp_path / "in4")
+    rows = [(1, "alpha", 0), (2, "beta", 30), (3, "alpha", 60),
+            (4, "gamma", 90), (5, "beta", 120), (6, "delta", 150)]
+    df = (spark.createDataFrame(rows, ["doc_id", "text", "offset_s"])
+          .withColumn("ts", F.timestamp_seconds(
+              F.lit(1_700_000_000) + F.col("offset_s")))
+          .drop("offset_s"))
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    deduped = dedup_stream(stream, [], "ts", watermark="10 minutes",
+                           content_col="text")
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    texts = sorted(r["text"] for r in
+                   spark.sql("select text from dedup_out").collect())
+    assert texts == ["alpha", "beta", "delta", "gamma"]
