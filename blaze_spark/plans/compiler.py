@@ -80,6 +80,9 @@ class _Ctx:
         # keyword -> user compiler (reference compiler.h:73-80 Compiler:
         # "You can provide your own to implement your own keywords")
         self.custom: Dict[str, Callable] = custom or {}
+        # Tweaks.annotations: when set, only these keywords emit
+        # annotations in exhaustive mode
+        self.annotation_keywords: Optional[frozenset] = None
         self.vocab_validation = True
         # id(subschema dict) -> JSON-pointer within the source document;
         # annotation instructions carry it so output can report the
@@ -134,6 +137,7 @@ def compile_schema(
     apply_rewrites: bool = True,
     format_assertion: bool = False,
     custom_keywords: Optional[Dict[str, Callable]] = None,
+    tweaks: Optional[Dict[str, Any]] = None,
 ) -> dict:
     """Compile a schema into a plan dict. ``mode`` is ``fast`` (short-
     circuit, the reference's Mode::FastValidation) or ``exhaustive``
@@ -149,7 +153,16 @@ def compile_schema(
     It must return a list of instructions in the PLAN IR (plain JSON
     data) — custom keywords compile to the same instruction set the
     engine already executes, so they run on both tiers unchanged and
-    plans stay serializable."""
+    plans stay serializable.
+
+    ``tweaks`` mirrors the reference's compiler Tweaks (compiler.h:92):
+    ``target_inline_threshold`` (int — fast-mode $ref inlining cutoff,
+    default 50), ``format_assertion`` (bool — same as the keyword
+    argument), and ``annotations`` (set/list of keywords — when given,
+    ONLY these keywords emit annotations in exhaustive mode)."""
+    tweaks = dict(tweaks or {})
+    if "format_assertion" in tweaks:
+        format_assertion = bool(tweaks["format_assertion"])
     if apply_rewrites:
         # dialect resolved BEFORE rewriting: a draft-3 document (declared
         # or via default_dialect) must skip modern hoisting rules even
@@ -192,6 +205,8 @@ def compile_schema(
                         format_assertion = True
     frame = Frame(schema, dialect, resolver=resolver)
     ctx = _Ctx(frame, mode, format_assertion, custom_keywords)
+    if tweaks.get("annotations") is not None:
+        ctx.annotation_keywords = frozenset(tweaks["annotations"])
     ctx.vocab_validation = vocab_validation
     _map_slocs(schema, "", ctx.sloc)
     # reserve target 0 for the entry program
@@ -206,8 +221,13 @@ def compile_schema(
     for (base, anchor), sub in list(frame.dynamic_anchors.items()):
         idx = _target_for(sub, base, ctx)
         dynamic_labels.setdefault(anchor, {})[base] = idx
-    from blaze_spark.plans.postprocess import optimize
+    from blaze_spark.plans.postprocess import INLINE_THRESHOLD, optimize
 
+    if ctx.annotation_keywords is not None:
+        ctx.targets = [
+            None if t is None
+            else _filter_annotation_keywords(t, ctx.annotation_keywords)
+            for t in ctx.targets]
     return optimize({
         "version": PLAN_VERSION,
         "dialect": dialect,
@@ -217,7 +237,8 @@ def compile_schema(
         "targets": ctx.targets,
         "target_base": ctx.target_base,
         "dynamic_labels": dynamic_labels,
-    })
+    }, inline_threshold=int(tweaks.get("target_inline_threshold",
+                                       INLINE_THRESHOLD)))
 
 
 def _map_slocs(node: Any, pointer: str, out: Dict[int, str]) -> None:
@@ -725,6 +746,33 @@ class _CustomContext:
         kloc = _kloc(self._kp, self.keyword, *kloc_tokens)
         return _compile_subschema(subschema, self._base, self.dialect,
                                   kloc, self._ctx)
+
+
+def _filter_annotation_keywords(program: List[dict],
+                                keep: frozenset) -> List[dict]:
+    """Tweaks.annotations: keep AnnotationEmit instructions only for
+    the selected keywords, recursively (reference compiler.h:104-107:
+    'Select which keywords emit annotations in exhaustive mode')."""
+    out = []
+    for ins in program:
+        if ins.get("op") == "annotation" and \
+                ins.get("value", {}).get("keyword") not in keep:
+            continue
+        ins = dict(ins)
+        if "program" in ins:
+            ins["program"] = _filter_annotation_keywords(ins["program"],
+                                                         keep)
+        if "programs" in ins:
+            ins["programs"] = [_filter_annotation_keywords(p, keep)
+                               for p in ins["programs"]]
+        if "entries" in ins:
+            ins["entries"] = [
+                dict(e, program=_filter_annotation_keywords(e["program"],
+                                                            keep))
+                if "program" in e else e
+                for e in ins["entries"]]
+        out.append(ins)
+    return out
 
 
 def _annotation_instr(schema: dict, keyword: str, value: Any, kp: str,

@@ -152,9 +152,10 @@ def _prune(program: List[dict], track: bool) -> List[dict]:
     return out
 
 
-def optimize(plan: dict) -> dict:
+def optimize(plan: dict, inline_threshold: int = INLINE_THRESHOLD) -> dict:
     """Fast-mode postprocess (exhaustive plans keep their shape so
-    violation/annotation output is untouched, like the reference)."""
+    violation/annotation output is untouched, like the reference).
+    ``inline_threshold`` is Tweaks.target_inline_threshold."""
     if plan.get("mode") != "fast":
         return plan
     # never inline targets reachable via dynamic dispatch
@@ -166,7 +167,7 @@ def optimize(plan: dict) -> dict:
         inlinable = {
             i for i in range(1, len(plan["targets"]))
             if i not in recursive and i not in keep
-            and _count(plan["targets"][i]) <= INLINE_THRESHOLD
+            and _count(plan["targets"][i]) <= inline_threshold
             and not _ref_targets(plan["targets"][i])  # leaf targets only
         }
         if not inlinable:

@@ -83,3 +83,37 @@ def test_custom_keyword_on_spark_rows(spark):
     out = {r["id"]: r["valid"]
            for r in validate_rows(df, plan).select("id", "valid").collect()}
     assert out == {1: True, 2: False}
+
+
+# -- Tweaks (reference compiler.h:92-107) ----------------------------------
+
+def test_tweaks_inline_threshold():
+    schema = {"$defs": {"x": {"type": "integer"}}, "$ref": "#/$defs/x"}
+    default = compile_schema(schema, mode="fast")
+    frozen = compile_schema(schema, mode="fast",
+                            tweaks={"target_inline_threshold": 0})
+    assert [i["op"] for i in default["targets"][0]] == ["type"]  # inlined
+    assert [i["op"] for i in frozen["targets"][0]] == ["ref"]    # kept
+    # identical verdicts either way
+    assert evaluate(frozen, 3)[0] is True
+    assert evaluate(frozen, "s")[0] is False
+
+
+def test_tweaks_annotation_keyword_filter():
+    schema = {"type": "object", "title": "T", "default": {},
+              "properties": {"a": {"type": "string", "deprecated": True,
+                                   "title": "A"}}}
+    plan = compile_schema(schema, mode="exhaustive",
+                          tweaks={"annotations": ["title"]})
+    text = plan_to_json(plan)
+    assert '"deprecated"' not in text and '"default"' not in text
+    ok, _viol, annotations = evaluate(plan, {"a": "x"})
+    assert ok is True
+    assert {a.value for a in annotations} == {"T", "A"}
+
+
+def test_tweaks_format_assertion_alias():
+    plan = compile_schema({"type": "string", "format": "ipv4"},
+                          tweaks={"format_assertion": True})
+    assert evaluate(plan, "1.2.3.4")[0] is True
+    assert evaluate(plan, "not-an-ip")[0] is False
