@@ -502,6 +502,27 @@ def q_contamination(spark, sf_dir):
                       F.round("ratio", 6).alias("ratio"), "contaminated")
 
 
+def q_curation_report(spark, sf_dir):
+    """The flagship composed pipeline: validation + quality + exact
+    dedup canonical pick + decontamination vs the held-out split, one
+    audit row per candidate doc (operators/curate.curate_report — every
+    stage is an already-oracled operator; the oracle re-derives the
+    whole report in SQL)."""
+    from blaze_spark.operators.curate import curate_report
+
+    docs = _docs(spark, sf_dir)
+    candidates = docs.where(F.col("doc_id") % 5 != 0)
+    holdout = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    report = curate_report(candidates, "doc_id", "text", DOCUMENTS_SCHEMA,
+                           min_quality=0.5, holdout=holdout, ngram=3,
+                           contamination_threshold=0.5)
+    return report.select(F.col("id").alias("doc_id"), "valid",
+                         F.round("quality_score", 2).alias("quality_score"),
+                         "quality_ok", "is_canonical", "contaminated",
+                         "kept")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_documents": q_validate_documents,
@@ -542,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_document_schemas": q_frame_document_schemas,
         "codegen_typescript": q_codegen_typescript,
         "contamination": q_contamination,
+        "curation_report": q_curation_report,
     }
 
 
@@ -708,6 +730,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INT) AS n_unresolved,
                    true AS standalone
             FROM documents""",
+        # curation_report: every stage re-derived in SQL from the same
+        # building blocks as its standalone oracle (validity predicate,
+        # quality CTE, md5 canonical pick, n-gram overlap)
+        "curation_report": f"""
+            WITH cand AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+            v AS (SELECT doc_id, ({_DOC_VALID}) AS valid FROM cand),
+            t AS (SELECT doc_id, text, {_TOKENS} AS toks FROM cand),
+            f AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     CASE WHEN len(toks) > 0 THEN
+                       (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','for','on','with')))
+                       / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
+              FROM t),
+            q AS (
+              SELECT doc_id,
+                     (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN mean_token_len >= 2.5 AND mean_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+                       AS quality_score
+              FROM f),
+            fp AS (SELECT doc_id, md5(coalesce(text, '')) AS fingerprint
+                   FROM cand),
+            canon AS (SELECT fingerprint, min(doc_id) AS cid
+                      FROM fp GROUP BY 1),
+            tok2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+              FROM tok2),
+            hold AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0),
+            cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 5 <> 0),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+            ov AS (SELECT cg.doc_id, count(*) AS n_overlap
+                   FROM cg JOIN hold USING (gram) GROUP BY 1)
+            SELECT cand.doc_id,
+                   v.valid,
+                   round(q.quality_score, 2) AS quality_score,
+                   q.quality_score >= 0.5 AS quality_ok,
+                   fp.doc_id = canon.cid AS is_canonical,
+                   (CASE WHEN coalesce(tot.n_grams, 0) > 0
+                         THEN coalesce(ov.n_overlap, 0) / tot.n_grams
+                         ELSE 0.0 END) >= 0.5 AS contaminated,
+                   v.valid AND q.quality_score >= 0.5
+                     AND fp.doc_id = canon.cid
+                     AND NOT ((CASE WHEN coalesce(tot.n_grams, 0) > 0
+                               THEN coalesce(ov.n_overlap, 0) / tot.n_grams
+                               ELSE 0.0 END) >= 0.5) AS kept
+            FROM cand
+            JOIN v USING (doc_id)
+            JOIN q USING (doc_id)
+            JOIN fp USING (doc_id)
+            JOIN canon USING (fingerprint)
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN ov USING (doc_id)""",
         "contamination": """
             WITH tok AS (
               SELECT doc_id,

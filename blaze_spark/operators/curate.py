@@ -1,0 +1,92 @@
+"""Composed training-data curation: the end-to-end screen a corpus
+passes through before training — schema validation, cheap quality
+scoring, exact dedup with a deterministic canonical pick, and
+decontamination against a held-out evaluation set.
+
+Every stage is one of the engine's existing oracled operators; this
+module only composes them, which is the point: curation at 100 TB is
+a HANDFUL of single-shuffle passes, not a bespoke system —
+
+* validation is map-only (tier-1 Column predicates);
+* quality scoring is map-only token math;
+* the canonical pick shuffles (md5(text), id) pairs only — content
+  bytes never move;
+* decontamination collapses the held-out side to a distinct n-gram
+  set before a plain equi-join (no pair blow-up).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.dedup import ngram_contamination
+from blaze_spark.operators.textstats import quality_score
+from blaze_spark.operators.validate import validate_rows
+
+
+def curate_report(docs: DataFrame, id_col: str, text_col: str,
+                  schema: Any, *, min_quality: float = 0.5,
+                  holdout: Optional[DataFrame] = None, ngram: int = 3,
+                  contamination_threshold: float = 0.5) -> DataFrame:
+    """One report row per document with the verdict of every curation
+    stage plus the final ``kept`` flag:
+
+    - ``valid`` — passes ``schema`` (validate_rows);
+    - ``quality_ok`` — quality_score >= ``min_quality``;
+    - ``is_canonical`` — the smallest id among byte-identical texts
+      (everything else is an exact duplicate);
+    - ``contaminated`` — >= ``contamination_threshold`` of its word
+      ``ngram``-grams appear in ``holdout`` (skipped when None);
+    - ``kept`` = valid AND quality_ok AND is_canonical AND NOT
+      contaminated.
+
+    Returning the full report (rather than just the survivors) is
+    deliberate: curation decisions need an audit trail, and the
+    survivors are one ``where(kept)`` away.
+
+    ``id_col`` must be non-NULL: the per-stage flags are joined back on
+    it, and SQL NULL never equi-joins — a row with a NULL id would
+    silently drop from the report instead of appearing as not-kept."""
+    validated = validate_rows(docs, schema).select(
+        F.col(id_col).alias("id"), "valid")
+    quality = quality_score(docs, id_col, text_col).select(
+        F.col(id_col).alias("id"), "quality_score")
+    fingerprints = docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fingerprint"))
+    canonical = (fingerprints
+                 .join(fingerprints.groupBy("fingerprint")
+                       .agg(F.min("id").alias("canonical_id")),
+                       "fingerprint")
+                 .select("id",
+                         (F.col("id") == F.col("canonical_id"))
+                         .alias("is_canonical")))
+    report = (validated.join(quality, "id").join(canonical, "id"))
+    if holdout is not None:
+        contaminated = ngram_contamination(
+            holdout, docs, id_col, text_col, n=ngram,
+            threshold=contamination_threshold).select("id", "contaminated")
+        report = (report.join(contaminated, "id", "left")
+                  .withColumn("contaminated",
+                              F.coalesce("contaminated", F.lit(False))))
+    else:
+        report = report.withColumn("contaminated", F.lit(False))
+    return (report
+            .withColumn("quality_ok",
+                        F.col("quality_score") >= min_quality)
+            .withColumn("kept",
+                        F.col("valid") & F.col("quality_ok")
+                        & F.col("is_canonical") & ~F.col("contaminated"))
+            .select("id", "valid", "quality_score", "quality_ok",
+                    "is_canonical", "contaminated", "kept"))
+
+
+def curate(docs: DataFrame, id_col: str, text_col: str, schema: Any,
+           **kwargs: Any) -> DataFrame:
+    """The survivors: ``docs`` rows whose report says ``kept``."""
+    keep = curate_report(docs, id_col, text_col, schema,
+                         **kwargs).where("kept").select("id")
+    return docs.join(keep.withColumnRenamed("id", id_col), id_col)

@@ -248,3 +248,35 @@ def test_ngram_contamination_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curate_report_planted(spark):
+    """Composed curation: each stage's flag fires on its planted row —
+    an invalid doc, a low-quality doc, an exact duplicate (higher id),
+    and a doc built from held-out text (contaminated)."""
+    from blaze_spark.operators.curate import curate, curate_report
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the hills")
+    rows = [(1, good),                      # kept
+            (2, good),                      # exact dup of 1 -> dropped
+            (3, "zz zz"),                   # low quality
+            (None, good + " extra"),        # invalid: doc_id required
+            (5, "held out secret evaluation sentence data")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    holdout = spark.createDataFrame(
+        [(100, "held out secret evaluation sentence data")],
+        ["doc_id", "text"])
+    schema = {"type": "object", "required": ["doc_id"],
+              "properties": {"doc_id": {"type": "integer"}}}
+    rep = {r["id"]: r for r in curate_report(
+        docs, "doc_id", "text", schema, min_quality=0.5,
+        holdout=holdout, ngram=2).collect()}
+    assert rep[1]["kept"] is True
+    assert rep[2]["is_canonical"] is False and rep[2]["kept"] is False
+    assert rep[3]["quality_ok"] is False and rep[3]["kept"] is False
+    assert rep[5]["contaminated"] is True and rep[5]["kept"] is False
+    survivors = [r["doc_id"] for r in
+                 curate(docs, "doc_id", "text", schema, min_quality=0.5,
+                        holdout=holdout, ngram=2).collect()]
+    assert survivors == [1]
