@@ -230,6 +230,59 @@ def bundle_schemas(df: DataFrame, column: str,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def editor_schemas(df: DataFrame, column: str,
+                   registry: dict = None, default_dialect: str = "",
+                   mode: str = "non-official-metaschemas") -> DataFrame:
+    """Append an ``editor`` column: each schema bundled (when a
+    ``registry`` of URI → schema documents is given) and transformed
+    for code-editor compatibility (plans/editor.for_editor — the
+    reference's editor component, src/editor/editor.cc:76-230):
+    identifiers stripped, anchors and dynamic references statically
+    resolved to plain JSON-Pointer ``$ref`` fragments, ``$schema``
+    pinned to official base dialects.
+
+    Same map-only Arrow-batch shape as the other schema pipelines —
+    preparing every schema in a registry for editor distribution is one
+    linear pass, no shuffle. Failing rows get NULL plus the error in
+    ``editor_error``."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("editor", T.StringType(), True),
+           T.StructField("editor_error", T.StringType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blaze_spark.plans.bundle import bundle
+        from blaze_spark.plans.editor import for_editor
+
+        resolver = None
+        if registry:
+            def resolver(uri, _r=registry):
+                return _r.get(uri) or _r.get(uri.rstrip("#"))
+
+        for batch in batches:
+            out, errs = [], []
+            for text in batch[column]:
+                try:
+                    doc = json.loads(text)
+                    if registry:
+                        doc = bundle(doc, resolver=resolver, mode=mode,
+                                     default_dialect=default_dialect
+                                     or "2020-12")
+                    for_editor(doc, resolver, default_dialect)
+                    out.append(json.dumps(doc))
+                    errs.append(None)
+                except Exception as exc:
+                    out.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            batch = batch.copy()
+            batch["editor"] = out
+            batch["editor_error"] = errs
+            yield batch
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def typescript_schemas(df: DataFrame, column: str,
                        prefix: str = "Schema",
                        default_dialect: str = "") -> DataFrame:

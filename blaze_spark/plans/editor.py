@@ -1,0 +1,207 @@
+"""Editor compatibility transform: ``for_editor()``.
+
+Re-expresses the reference's editor module — a JSON Schema
+compatibility layer for code editors whose JSON Schema language
+support cannot handle ``$id``-based resources, anchors, or dynamic
+references (reference: src/editor/editor.cc:76-230,
+src/editor/include/sourcemeta/blaze/editor.h:57).
+
+Given an already-bundled schema, the transform:
+
+1. rewrites every *static* reference whose destination resolves inside
+   the document to a plain JSON-Pointer fragment URI (``#/...``),
+   renaming ``$dynamicRef``/``$recursiveRef`` to ``$ref``
+   (editor.cc:147-164);
+2. resolves every *dynamic* reference to the top-most resource that
+   declares the dynamic anchor — the location a conforming evaluator
+   with the full dynamic-scope chain would pick at the outermost scope
+   (editor.cc:13-53 top_dynamic_anchor_location) — and rewrites it to a
+   static pointer ``$ref`` (editor.cc:108-129);
+3. rewrites every ``$schema`` value to the official base dialect URI of
+   the resource it governs, so editors never chase custom metaschemas
+   (editor.cc:131-145);
+4. strips all embedded identifiers (``$id``/``id`` via ``anonymize``),
+   adds a root ``$schema`` when missing, and erases ``$vocabulary`` and
+   the now-useless anchor keywords per core vocabulary
+   (editor.cc:168-229).
+
+This is driver-side schema surgery (single-document, pure Python); the
+distributed analog — running it over a DataFrame column of schemas —
+is wired through operators/schema_pipeline.py like lint/canonicalize.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Tuple
+
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.schema_frame import (
+    BASE_DIALECT_URI,
+    DYNAMIC,
+    RESOURCE,
+    SUBSCHEMA,
+    Pointer,
+    SchemaFrame,
+    _get_at,
+    _pointer_fragment,
+    anonymize,
+    canon_uri,
+)
+
+__all__ = ["EditorError", "for_editor"]
+
+
+class EditorError(ValueError):
+    """Raised when the input is not a bundled (standalone) schema —
+    the reference asserts ``frame.standalone()`` (editor.cc:90)."""
+
+
+def _pointer_uri(pointer: Pointer) -> str:
+    """core to_uri(pointer).recompose(): ``#`` + escaped pointer
+    fragment; the empty pointer recomposes to just ``#``."""
+    return "#" + _pointer_fragment(tuple(pointer))
+
+
+def _top_dynamic_anchor(frame: SchemaFrame, current: Pointer,
+                        fragment: str, default_uri: str
+                        ) -> Optional[Pointer]:
+    """editor.cc:13-53: walk to the outermost resource, preferring the
+    highest resource that declares the dynamic anchor; fall back to the
+    innermost match (``default_uri``) when the top does not declare it.
+
+    Dynamic resources behind conditionals are deliberately ignored,
+    matching the reference (editor.cc:9-12)."""
+    uri = frame.uri_of(tuple(current))
+    assert uri is not None
+    location = frame.traverse(uri)
+    assert location is not None
+
+    anchor_uri = canon_uri(location.base + "#" + fragment)
+    anchor = frame.traverse(anchor_uri)
+
+    if location.parent is not None:
+        return _top_dynamic_anchor(
+            frame, location.parent, fragment,
+            anchor_uri if anchor is not None else default_uri)
+    if anchor is not None:
+        return tuple(anchor.pointer)
+    default_location = frame.traverse(default_uri)
+    assert default_location is not None
+    return tuple(default_location.pointer)
+
+
+def _set_at(document: Any, pointer: Pointer, value: Any) -> None:
+    container = _get_at(document, tuple(pointer[:-1]))
+    last = pointer[-1]
+    if isinstance(container, list):
+        container[int(last)] = value
+    else:
+        container[last] = value
+
+
+def _rename_key(container: dict, old: str, new: str) -> None:
+    """core JSON::rename: keep the renamed member at its position."""
+    if old == new or old not in container:
+        return
+    items = [(new, container[old]) if key == old else (key, val)
+             for key, val in container.items() if key != new]
+    container.clear()
+    container.update(items)
+
+
+def for_editor(schema: Any,
+               resolver: Optional[Callable[[str], Any]] = None,
+               default_dialect: str = "") -> None:
+    """Transform ``schema`` in place for code-editor compatibility
+    (editor.cc:76-230). The input must be bundled/standalone."""
+    frame = SchemaFrame("references")
+    frame.analyse(schema, resolver, default_dialect)
+    if not frame.standalone:
+        raise EditorError("for_editor() requires a bundled schema")
+
+    # (1) Collect reference changes (editor.cc:102-166)
+    # (pointer, new_value, keyword, rename_to_ref)
+    reference_changes: List[Tuple[Pointer, str, str, bool]] = []
+    for (reftype, pointer), reference in frame.references.items():
+        keyword = pointer[-1]
+        assert isinstance(keyword, str)
+
+        if reftype == DYNAMIC:
+            if reference.fragment is not None:
+                destination = _top_dynamic_anchor(
+                    frame, pointer, reference.fragment,
+                    reference.destination)
+                if destination is None:
+                    continue
+                reference_changes.append(
+                    (pointer, _pointer_uri(destination), keyword, True))
+            else:
+                # e.g. $recursiveRef: "#" — keep the value, rename only
+                reference_changes.append((pointer, "", keyword, True))
+            continue
+
+        if keyword == "$schema":
+            uri = frame.uri_of(tuple(pointer))
+            assert uri is not None
+            origin = frame.traverse(uri)
+            assert origin is not None
+            reference_changes.append(
+                (pointer, BASE_DIALECT_URI[origin.base_dialect],
+                 keyword, False))
+            continue
+
+        result = frame.traverse(reference.destination)
+        if result is not None:
+            should_rename = keyword in ("$dynamicRef", "$recursiveRef")
+            reference_changes.append(
+                (pointer, _pointer_uri(tuple(result.pointer)),
+                 keyword, should_rename))
+        else:
+            reference_changes.append(
+                (pointer, reference.destination, keyword, False))
+
+    # Collect subschema changes (editor.cc:168-197); dedupe by pointer —
+    # the reference pushes one change per location alias, but applying
+    # the same change twice is a no-op.
+    subschema_changes: List[Tuple[Pointer, str, bool, bool, bool]] = []
+    seen_pointers = set()
+    for (reftype, uri), entry in frame.locations.items():
+        if entry.type not in (RESOURCE, SUBSCHEMA):
+            continue
+        pointer = tuple(entry.pointer)
+        if pointer in seen_pointers:
+            continue
+        subschema = _get_at(schema, pointer)
+        if isinstance(subschema, bool):
+            continue
+        seen_pointers.add(pointer)
+
+        add_schema = not pointer and (
+            not isinstance(subschema, dict) or
+            "$schema" not in subschema)
+        vocabularies = frame.vocabularies_of(entry)
+        subschema_changes.append((
+            pointer, entry.base_dialect, add_schema,
+            V.V20_CORE in vocabularies, V.V19_CORE in vocabularies))
+
+    # (2) Apply reference changes (editor.cc:200-210)
+    for pointer, new_value, keyword, rename_to_ref in reference_changes:
+        if new_value:
+            _set_at(schema, pointer, new_value)
+        if rename_to_ref:
+            container = _get_at(schema, tuple(pointer[:-1]))
+            _rename_key(container, keyword, "$ref")
+
+    # (3) Apply subschema changes (editor.cc:212-229)
+    for pointer, base_dialect, add_schema, erase_2020, erase_2019 in \
+            subschema_changes:
+        subschema = _get_at(schema, pointer)
+        if add_schema:
+            subschema["$schema"] = BASE_DIALECT_URI[base_dialect]
+        anonymize(subschema, base_dialect)
+        if erase_2020:
+            for key in ("$vocabulary", "$anchor", "$dynamicAnchor"):
+                subschema.pop(key, None)
+        elif erase_2019:
+            for key in ("$vocabulary", "$anchor", "$recursiveAnchor"):
+                subschema.pop(key, None)

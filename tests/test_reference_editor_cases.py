@@ -1,0 +1,25 @@
+"""Replay the reference's editor corpus (test/editor/editor_test.cc)
+against for_editor() — bundle + editor-compatibility transform parity,
+parsed in place by tools/editor_check.py. Pure Python (no Spark)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.cc_cases import _split_tests
+from tools.editor_check import REFERENCE, parse_resolvers, run_case
+
+with open(REFERENCE, "r", encoding="utf-8") as _fh:
+    _SOURCE = _fh.read()
+_RESOLVERS = parse_resolvers(_SOURCE)
+_CASES = [pytest.param(body, id=f"{suite}:{name}")
+          for suite, name, body in _split_tests(_SOURCE)]
+
+
+@pytest.mark.parametrize("body", _CASES)
+def test_editor_case(body):
+    run_case(body, _RESOLVERS)
+
+
+def test_corpus_is_substantial():
+    assert len(_CASES) >= 19

@@ -141,3 +141,40 @@ def test_frame_schemas_distributed(spark):
     # row 2: malformed text surfaces as frame_error, not a crash
     assert got[2]["frame_locations"] is None
     assert "JSONDecodeError" in got[2]["frame_error"]
+
+
+def test_editor_schemas_distributed(spark):
+    import json as _json
+    from blaze_spark.operators.schema_pipeline import editor_schemas
+    from blaze_spark.plans.bundle import bundle
+    from blaze_spark.plans.editor import for_editor
+
+    registry = {
+        "https://example.com/int": {
+            "$id": "https://example.com/int",
+            "$schema": D2020, "type": "integer"},
+    }
+    rows = [
+        (0, _json.dumps({"$schema": D2020,
+                         "$id": "https://example.com/top",
+                         "$ref": "https://example.com/int"})),
+        (1, _json.dumps({"$schema": D2020, "$anchor": "foo",
+                         "properties": {"x": {"$dynamicRef": "#foo"}}})),
+        (2, "{broken"),
+    ]
+    df = spark.createDataFrame(rows, ["sid", "schema_json"])
+    result = editor_schemas(df, "schema_json", registry)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle
+    got = {r["sid"]: r for r in result.collect()}
+    # row 0 equals bundle + for_editor through the single-schema path
+    doc = bundle(_json.loads(rows[0][1]),
+                 resolver=lambda u: registry.get(u))
+    for_editor(doc, lambda u: registry.get(u))
+    assert _json.loads(got[0]["editor"]) == doc
+    assert "$id" not in _json.loads(got[0]["editor"])
+    # row 1: dynamic ref to a static anchor becomes a pointer $ref
+    out1 = _json.loads(got[1]["editor"])
+    assert out1["properties"]["x"] == {"$ref": "#"}
+    # row 2: malformed input surfaces as an error, not a crash
+    assert got[2]["editor"] is None and got[2]["editor_error"]

@@ -1,0 +1,129 @@
+"""Replay the reference's editor test corpus against for_editor().
+
+Usage: python tools/editor_check.py [-v] [pattern...]
+
+Parses test/editor/editor_test.cc in place (same read-in-place
+approach as tools/frame_check.py — the corpus is never copied into
+this repo) and runs each TEST's bundle()+for_editor() pipeline against
+blaze_spark.plans.editor.for_editor, comparing the mutated document
+with the expected JSON literal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from typing import Any, Dict, Optional
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blaze_spark.plans.bundle import bundle
+from blaze_spark.plans.editor import for_editor
+from tools.cc_cases import _split_tests  # noqa: E402
+
+REFERENCE = "/root/reference/test/editor/editor_test.cc"
+
+_RESOLVER_FN_RE = re.compile(
+    r"static auto (test_resolver_\w+)\(", re.S)
+_RESOLVER_ENTRY_RE = re.compile(
+    r'identifier ==\s*\n?\s*"([^"]+)"\s*\)\s*\{\s*'
+    r'return sourcemeta::core::parse_json\(R"JSON\((.*?)\)JSON"',
+    re.S,
+)
+_ASSIGN_RE = re.compile(
+    r'(?:auto|const auto)\s+(\w+)\s*=\s*'
+    r'sourcemeta::core::parse_json\(R"JSON\((.*?)\)JSON"',
+    re.S,
+)
+_FOR_EDITOR_RE = re.compile(
+    r"for_editor\(\s*document\s*,\s*sourcemeta::blaze::schema_walker\s*,"
+    r"\s*([A-Za-z0-9_:]+)\s*(?:,\s*\"([^\"]*)\"\s*)?\)",
+    re.S,
+)
+_BUNDLE_RE = re.compile(
+    r"sourcemeta::blaze::bundle\(\s*document\s*,"
+    r"\s*sourcemeta::blaze::schema_walker\s*,\s*([A-Za-z0-9_:]+)",
+    re.S,
+)
+
+
+def parse_resolvers(source: str) -> Dict[str, Dict[str, Any]]:
+    """Each static test_resolver_X() has its own identifier → JSON
+    table; the same identifier carries different dialects across
+    resolvers, so they must stay separate."""
+    tables: Dict[str, Dict[str, Any]] = {}
+    matches = list(_RESOLVER_FN_RE.finditer(source))
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else \
+            source.find("TEST(")
+        block = source[m.start():end]
+        tables[m.group(1)] = {
+            ident: json.loads(text)
+            for ident, text in _RESOLVER_ENTRY_RE.findall(block)
+        }
+    return tables
+
+
+def make_resolver(table: Optional[Dict[str, Any]]):
+    if not table:
+        return None  # official metaschemas are built into the frame
+
+    def resolver(uri: str):
+        hit = table.get(uri)
+        # deep-copy: bundle() grafts resolved documents into the input
+        return json.loads(json.dumps(hit)) if hit is not None else None
+
+    return resolver
+
+
+def run_case(body: str, resolvers: Dict[str, Dict[str, Any]]) -> None:
+    assigns = {name: json.loads(text)
+               for name, text in _ASSIGN_RE.findall(body)}
+    document = assigns["document"]
+    expected = assigns["expected"]
+
+    fe = _FOR_EDITOR_RE.search(body)
+    assert fe, "no for_editor call"
+    resolver = make_resolver(resolvers.get(fe.group(1)))
+    default_dialect = fe.group(2) or ""
+
+    bm = _BUNDLE_RE.search(body)
+    if bm:
+        bundle_resolver = make_resolver(resolvers.get(bm.group(1)))
+        document = bundle(document, resolver=bundle_resolver)
+
+    for_editor(document, resolver, default_dialect)
+    if document != expected:
+        raise AssertionError(
+            "document mismatch:\n got: %s\nwant: %s" % (
+                json.dumps(document, indent=1, sort_keys=True)[:3000],
+                json.dumps(expected, indent=1, sort_keys=True)[:3000]))
+
+
+def main(argv) -> int:
+    verbose = "-v" in argv
+    patterns = [a for a in argv if not a.startswith("-")]
+    with open(REFERENCE, "r", encoding="utf-8") as fh:
+        source = fh.read()
+    resolvers = parse_resolvers(source)
+    n_pass = n_fail = 0
+    for suite, name, body in _split_tests(source):
+        if patterns and not any(p in name for p in patterns):
+            continue
+        try:
+            run_case(body, resolvers)
+            n_pass += 1
+            if verbose:
+                print(f"--- {suite} :: {name} [pass]")
+        except Exception as exc:
+            n_fail += 1
+            print(f"--- {suite} :: {name} [fail]")
+            print(f"  {type(exc).__name__}: {exc}")
+    print(f"TOTAL pass={n_pass} fail={n_fail}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -27,6 +27,9 @@ WATCHED = [
     "/root/reference/test/format",
     "/root/reference/test/evaluator",
     "/root/reference/test/referencing",
+    "/root/reference/test/codegen",
+    "/root/reference/test/editor",
+    "/root/reference/test/output",
     "/root/reference/src/foundation/known_walker.cc",
     "/root/reference/vendor/jsonschema-test-suite/tests",
 ]
