@@ -405,6 +405,13 @@ def bundle(schema: Any, *, default_dialect: str = "2020-12",
         _reidentify(schema, default_id, root_vocab)
     container = _definitions_keyword(root_vocab)
     if container is None:
+        if not root_vocab and "$schema" not in schema and \
+                not default_dialect:
+            # the reference fails framing first in this case
+            # (foundation_error.h:146 SchemaUnknownBaseDialectError)
+            from blaze_spark.plans.schema_frame import \
+                UnknownBaseDialectError
+            raise UnknownBaseDialectError(default_id)
         raise BundleError(
             "Could not determine how to perform bundling in this dialect")
     if not root_vocab.isdisjoint(_REF_OVERRIDES) and "$ref" in schema:

@@ -1,0 +1,718 @@
+"""Configuration manifests for JSON Schema projects.
+
+Re-expresses the reference's configuration component (reference:
+src/configuration/configuration.h, parse.cc, json.cc, lock.cc,
+fetch.cc): a ``jsonschema.json`` project manifest carrying metadata,
+schema directory layout, URI resolution overrides, external schema
+dependencies, a content-hash lock file, and the dependency fetching
+state machine (fetch → bundle → write → verify) with frozen-mode
+enforcement.
+
+This is driver-side project plumbing (pure Python, no Spark): the
+manifest tells a large-scale pipeline *which* schemas govern a corpus
+and pins their exact content hashes, so a 1000-executor validation run
+is reproducible — the distributed operators (operators/validate.py,
+operators/schema_pipeline.py) consume the fetched, bundled documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import posixpath
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+from urllib.parse import quote, urlsplit
+
+from blaze_spark.plans.codegen_ts import prettify_json
+from blaze_spark.plans.schema_frame import canon_uri, is_uri_reference
+
+__all__ = ["Configuration", "ConfigurationParseError", "FetchEvent",
+           "Lock", "LockEntry"]
+
+
+class ConfigurationParseError(ValueError):
+    """ConfigurationParseError (configuration_error.h): a manifest or
+    lock-file parse failure, carrying the offending JSON Pointer."""
+
+    def __init__(self, message: str, location: Tuple = ()) -> None:
+        super().__init__(message)
+        self.message = message
+        self.location = tuple(location)
+
+    def location_str(self) -> str:
+        out = []
+        for token in self.location:
+            text = str(token)
+            out.append("/" + text.replace("~", "~0").replace("/", "~1"))
+        return "".join(out)
+
+
+def weakly_canonical(path: str) -> str:
+    """std::filesystem::weakly_canonical, lexical form: normalize
+    ``.``/``..`` segments (synthetic test paths never hit symlinks)."""
+    return posixpath.normpath(path)
+
+
+def _join(base: str, path: str) -> str:
+    return path if posixpath.isabs(path) else posixpath.join(base, path)
+
+
+def uri_from_path(path: str) -> str:
+    """core URI::from_path: a file:// URI for an absolute path."""
+    return "file://" + quote(path, safe="/:@!$&'()*+,;=-._~")
+
+
+def _relative_display_path(path: str, base: str) -> str:
+    """json.cc:11-20: dependency paths render relative to the manifest
+    directory, with an explicit ``./`` prefix when inside it."""
+    relative = posixpath.relpath(path, base)
+    if relative.startswith(".."):
+        return relative
+    return "./" + relative
+
+
+def _canonicalize_uri(value: str) -> str:
+    """core URI::canonicalize: relative references keep leading ``..``
+    segments but shed a leading ``./``."""
+    if not is_uri_reference(value):
+        raise ValueError(f"invalid URI: {value!r}")
+    canonical = canon_uri(value)
+    if not urlsplit(canonical).scheme:
+        while canonical.startswith("./"):
+            canonical = canonical[2:]
+    return canonical
+
+
+def _sha256(content: str) -> str:
+    return hashlib.sha256(content.encode("utf-8")).hexdigest()
+
+
+_DEFAULT_EXTENSIONS = frozenset({".json", ".yml", ".yaml"})
+
+
+@dataclass
+class LockEntry:
+    """Configuration::Lock::Entry (configuration.h): one fetched
+    dependency pinned to a content hash."""
+    path: str
+    hash: str
+    hash_algorithm: str = "sha256"
+
+
+# Lock::Entry::Status values (configuration.h)
+UNTRACKED = "Untracked"
+FILE_MISSING = "FileMissing"
+MISMATCHED = "Mismatched"
+PATH_MISMATCH = "PathMismatch"
+UP_TO_DATE = "UpToDate"
+
+
+class Lock:
+    """Configuration::Lock (lock.cc): a version-1 lock file mapping
+    dependency URIs to paths + content hashes; iteration is ordered by
+    URI (std::map) for deterministic serialization."""
+
+    def __init__(self) -> None:
+        self._entries: Dict[str, LockEntry] = {}
+
+    def emplace(self, uri: str, path: str, hash_: str,
+                hash_algorithm: str = "sha256") -> None:
+        assert posixpath.isabs(path)
+        self._entries[uri] = LockEntry(path, hash_, hash_algorithm)
+
+    def erase(self, uri: str) -> None:
+        self._entries.pop(uri, None)
+
+    def size(self) -> int:
+        return len(self._entries)
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def at(self, uri: str) -> Optional[LockEntry]:
+        return self._entries.get(uri)
+
+    def __iter__(self) -> Iterator[Tuple[str, LockEntry]]:
+        for uri in sorted(self._entries):
+            yield uri, self._entries[uri]
+
+    def check(self, uri: str, expected_path: str,
+              reader: Callable[[str], str]) -> str:
+        """lock.cc:220-249: classify a dependency against the lock."""
+        entry = self._entries.get(uri)
+        if entry is None:
+            return UNTRACKED
+        if entry.path != expected_path:
+            return PATH_MISMATCH
+        try:
+            content = reader(entry.path)
+        except Exception:
+            return FILE_MISSING
+        if entry.hash_algorithm != "sha256":
+            raise ConfigurationParseError(
+                "Unknown hash algorithm", ("dependencies", uri))
+        if _sha256(content) != entry.hash:
+            return MISMATCHED
+        return UP_TO_DATE
+
+    @staticmethod
+    def from_json(value: Any, lock_base_path: str) -> "Lock":
+        """lock.cc:67-149: parse a version-1 lock document."""
+        assert posixpath.isabs(lock_base_path)
+        result = Lock()
+        if not isinstance(value, dict):
+            raise ConfigurationParseError(
+                "The lock file must be an object", ())
+        if "version" not in value:
+            raise ConfigurationParseError(
+                "The lock file must have a version property", ())
+        version = value["version"]
+        if not isinstance(version, int) or isinstance(version, bool) or \
+                version != 1:
+            raise ConfigurationParseError(
+                "Unsupported lock file version", ("version",))
+        if "dependencies" in value:
+            dependencies = value["dependencies"]
+            if not isinstance(dependencies, dict):
+                raise ConfigurationParseError(
+                    "The lock file dependencies property must be an "
+                    "object", ("dependencies",))
+            for uri, entry_value in dependencies.items():
+                if not isinstance(entry_value, dict):
+                    raise ConfigurationParseError(
+                        "The lock file dependency entry must be an "
+                        "object", ("dependencies", uri))
+                if not isinstance(entry_value.get("path"), str):
+                    raise ConfigurationParseError(
+                        "The lock file dependency entry must have a "
+                        "path", ("dependencies", uri, "path"))
+                if not isinstance(entry_value.get("hash"), str):
+                    raise ConfigurationParseError(
+                        "The lock file dependency entry must have a "
+                        "hash", ("dependencies", uri, "hash"))
+                if not isinstance(entry_value.get("hashAlgorithm"), str):
+                    raise ConfigurationParseError(
+                        "The lock file dependency entry must have a "
+                        "hash algorithm",
+                        ("dependencies", uri, "hashAlgorithm"))
+                if entry_value["hashAlgorithm"] != "sha256":
+                    raise ConfigurationParseError(
+                        "Unknown hash algorithm",
+                        ("dependencies", uri, "hashAlgorithm"))
+                entry_path = entry_value["path"]
+                if not posixpath.isabs(entry_path):
+                    entry_path = weakly_canonical(
+                        _join(lock_base_path, entry_path))
+                result._entries[uri] = LockEntry(
+                    entry_path, entry_value["hash"], "sha256")
+        return result
+
+    def to_json(self, lock_base_path: str) -> Any:
+        """lock.cc:151-179: serialize with paths relative to the lock
+        file's directory."""
+        assert posixpath.isabs(lock_base_path)
+        dependencies: Dict[str, Any] = {}
+        for uri, entry in self:
+            assert posixpath.isabs(entry.path)
+            if entry.hash_algorithm != "sha256":
+                raise ConfigurationParseError(
+                    "Unknown hash algorithm",
+                    ("dependencies", uri, "hashAlgorithm"))
+            relative = posixpath.relpath(entry.path, lock_base_path)
+            if not relative.startswith(".."):
+                relative = "./" + relative
+            dependencies[uri] = {
+                "path": relative,
+                "hash": entry.hash,
+                "hashAlgorithm": entry.hash_algorithm,
+            }
+        return {"version": 1, "dependencies": dependencies}
+
+
+@dataclass
+class FetchEvent:
+    """Configuration::FetchEvent (configuration.h): progress events
+    emitted during dependency fetching; ``type`` is the reference's
+    enumerator name."""
+    type: str
+    uri: str
+    path: str
+    index: int
+    total: int
+    details: str = ""
+    exception: Optional[BaseException] = None
+
+
+# FetchEvent::Type enumerator names
+_EVENT_TYPES = frozenset({
+    "FetchStart", "FetchEnd", "BundleStart", "BundleEnd", "WriteStart",
+    "WriteEnd", "VerifyStart", "VerifyEnd", "UpToDate", "FileMissing",
+    "Orphaned", "Mismatched", "PathMismatch", "Untracked", "Error"})
+
+# FetchMode
+MODE_MISSING = "Missing"
+MODE_ALL = "All"
+
+_ABORTED = "aborted"
+_ERROR = "error"
+_SUCCESS = "success"
+
+
+@dataclass
+class Configuration:
+    """Configuration (configuration.h:50): a JSON Schema project
+    manifest."""
+    title: Optional[str] = None
+    description: Optional[str] = None
+    email: Optional[str] = None
+    github: Optional[str] = None
+    website: Optional[str] = None
+    absolute_path: str = ""
+    absolute_path_explicit: bool = False
+    base_path: str = ""
+    base: str = ""
+    default_dialect: Optional[str] = None
+    extension: set = field(
+        default_factory=lambda: set(_DEFAULT_EXTENSIONS))
+    resolve: Dict[str, str] = field(default_factory=dict)
+    dependencies: Dict[str, str] = field(default_factory=dict)
+    ignore: List[str] = field(default_factory=list)
+    lint_rules: List[str] = field(default_factory=list)
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    # -- parse (parse.cc:11-246) ---------------------------------------
+
+    @staticmethod
+    def from_json(value: Any, base_path: str) -> "Configuration":
+        assert posixpath.isabs(base_path)
+        result = Configuration()
+        result.base_path = base_path
+
+        def ensure(condition: bool, message: str, location: Tuple):
+            if not condition:
+                raise ConfigurationParseError(message, location)
+
+        def is_string(v: Any) -> bool:
+            return isinstance(v, str)
+
+        ensure(isinstance(value, dict),
+               "The configuration must be an object", ())
+        for prop in ("title", "description", "email", "github", "website",
+                     "path", "baseUri", "defaultDialect"):
+            ensure(prop not in value or is_string(value[prop]),
+                   f"The {prop} property must be a string", (prop,))
+        ensure("extension" not in value
+               or isinstance(value["extension"], (list, str)),
+               "The extension property must be a string or an array",
+               ("extension",))
+        ensure("resolve" not in value
+               or isinstance(value["resolve"], dict),
+               "The resolve property must be an object", ("resolve",))
+        ensure("dependencies" not in value
+               or isinstance(value["dependencies"], dict),
+               "The dependencies property must be an object",
+               ("dependencies",))
+
+        result.title = value.get("title")
+        result.description = value.get("description")
+        result.email = value.get("email")
+        result.github = value.get("github")
+        result.website = value.get("website")
+
+        if "path" in value:
+            result.absolute_path = weakly_canonical(
+                _join(base_path, value["path"]))
+            result.absolute_path_explicit = True
+        else:
+            result.absolute_path = weakly_canonical(base_path)
+        assert posixpath.isabs(result.absolute_path)
+
+        if "baseUri" in value:
+            try:
+                base_uri = _canonicalize_uri(value["baseUri"])
+                if not urlsplit(base_uri).scheme:
+                    ensure(False,
+                           "The baseUri property must be an absolute URI",
+                           ("baseUri",))
+                result.base = base_uri
+            except ConfigurationParseError:
+                raise
+            except ValueError:
+                ensure(False,
+                       "The baseUri property must represent a valid URI",
+                       ("baseUri",))
+        else:
+            result.base = uri_from_path(result.absolute_path)
+
+        result.default_dialect = value.get("defaultDialect")
+
+        if "extension" in value:
+            result.extension = set()
+            extension_value = value["extension"]
+            entries = [extension_value] \
+                if isinstance(extension_value, str) else extension_value
+            for index, element in enumerate(entries):
+                ensure(is_string(element),
+                       "The values in the extension array must be strings",
+                       ("extension", index))
+                if element and not element.startswith("."):
+                    element = "." + element
+                result.extension.add(element)
+
+        if "resolve" in value:
+            for key, resolve_value in value["resolve"].items():
+                ensure(is_string(resolve_value),
+                       "The values in the resolve object must be strings",
+                       ("resolve", key))
+                try:
+                    result.resolve[key] = _canonicalize_uri(resolve_value)
+                except ValueError:
+                    ensure(False,
+                           "The values in the resolve object must "
+                           "represent valid URIs", ("resolve", key))
+
+        if "dependencies" in value:
+            for key, dep_value in value["dependencies"].items():
+                ensure(is_string(dep_value),
+                       "The values in the dependencies object must be "
+                       "strings", ("dependencies", key))
+                absolute = weakly_canonical(_join(base_path, dep_value))
+                try:
+                    result.add_dependency(key, absolute)
+                except ConfigurationParseError:
+                    raise
+                except ValueError:
+                    ensure(False, "The dependency URI is not valid",
+                           ("dependencies", key))
+
+        ensure("lint" not in value or isinstance(value["lint"], dict),
+               "The lint property must be an object", ("lint",))
+        if "lint" in value:
+            lint_value = value["lint"]
+            ensure("rules" not in lint_value
+                   or isinstance(lint_value["rules"], list),
+                   "The lint rules property must be an array",
+                   ("lint", "rules"))
+            for index, element in enumerate(lint_value.get("rules", [])):
+                ensure(is_string(element),
+                       "The values in the lint rules array must be "
+                       "strings", ("lint", "rules", index))
+                result.lint_rules.append(
+                    weakly_canonical(_join(base_path, element)))
+
+        ensure("ignore" not in value or isinstance(value["ignore"], list),
+               "The ignore property must be an array", ("ignore",))
+        for index, element in enumerate(value.get("ignore", [])):
+            ensure(is_string(element),
+                   "The values in the ignore array must be strings",
+                   ("ignore", index))
+            result.ignore.append(
+                weakly_canonical(_join(base_path, element)))
+
+        for key, extra_value in value.items():
+            if key.startswith("x-"):
+                result.extra[key] = extra_value
+        return result
+
+    @staticmethod
+    def read_json(path: str,
+                  reader: Callable[[str], str]) -> "Configuration":
+        """parse.cc:248-254."""
+        import json as _json
+        assert posixpath.isabs(path)
+        return Configuration.from_json(_json.loads(reader(path)),
+                                       posixpath.dirname(path))
+
+    # -- serialize (json.cc:22-121) ------------------------------------
+
+    def to_json(self) -> Any:
+        result: Dict[str, Any] = {}
+        for key, attr in (("title", self.title),
+                          ("description", self.description),
+                          ("email", self.email), ("github", self.github),
+                          ("website", self.website)):
+            if attr is not None:
+                result[key] = attr
+        if self.absolute_path_explicit:
+            result["path"] = self.absolute_path
+        if self.base:
+            result["baseUri"] = self.base
+        if self.default_dialect is not None:
+            result["defaultDialect"] = self.default_dialect
+        if self.extension and self.extension != _DEFAULT_EXTENSIONS:
+            result["extension"] = sorted(self.extension)
+        if self.resolve:
+            result["resolve"] = dict(self.resolve)
+        if self.dependencies:
+            result["dependencies"] = {
+                uri: _relative_display_path(path, self.base_path)
+                for uri, path in sorted(self.dependencies.items())}
+        if self.ignore:
+            result["ignore"] = [
+                _relative_display_path(entry, self.base_path)
+                for entry in self.ignore]
+        if self.lint_rules:
+            result["lint"] = {"rules": [
+                _relative_display_path(rule, self.base_path)
+                for rule in self.lint_rules]}
+        result.update(self.extra)
+        return result
+
+    # -- helpers (configuration.cc) ------------------------------------
+
+    def add_dependency(self, uri: str, path: str) -> None:
+        """configuration.cc:12-33."""
+        assert posixpath.isabs(path)
+        canonical = _canonicalize_uri(uri)
+        if canonical in self.dependencies:
+            raise ConfigurationParseError(
+                "The dependency already exists",
+                ("dependencies", canonical))
+        for existing_uri, existing_path in self.dependencies.items():
+            if existing_path == path:
+                raise ConfigurationParseError(
+                    "Multiple dependencies cannot point to the same path",
+                    ("dependencies", existing_uri))
+        self.dependencies[canonical] = path
+
+    @staticmethod
+    def find(path: str) -> Optional[str]:
+        """configuration.cc:35-67: nearest-ancestor jsonschema.json."""
+        try:
+            canonical = os.path.abspath(path)
+        except OSError:
+            return None
+        current = canonical if os.path.isdir(canonical) \
+            else os.path.dirname(canonical)
+        while current:
+            candidate = os.path.join(current, "jsonschema.json")
+            if os.path.isfile(candidate):
+                return candidate
+            parent = os.path.dirname(current)
+            if parent == current:
+                break
+            current = parent
+        return None
+
+    def applies_to(self, path: str) -> bool:
+        """configuration.cc:69-84."""
+        if not self.extension:
+            return True
+        filename = posixpath.basename(path)
+        for suffix in self.extension:
+            if not suffix:
+                root, ext = posixpath.splitext(filename)
+                if not ext or not root:
+                    return True
+            elif filename.endswith(suffix):
+                return True
+        return False
+
+    # -- fetch (fetch.cc) ----------------------------------------------
+
+    def _emit(self, on_event, type_: str, uri: str, path: str, index: int,
+              total: int, details: str = "",
+              exception: Optional[BaseException] = None,
+              emit_error_if_aborted: bool = False) -> bool:
+        assert type_ in _EVENT_TYPES
+        result = on_event(FetchEvent(type_, uri, path, index, total,
+                                     details, exception))
+        if not result and emit_error_if_aborted:
+            self._emit(on_event, "Error", uri, path, index, total,
+                       "Operation aborted by callback")
+        return result
+
+    def _fetch_and_write(self, uri: str, path: str, fetcher, resolver,
+                         writer, on_event, index: int,
+                         total: int) -> Tuple[str, Any]:
+        """fetch.cc:82-156: fetch → bundle → write, with events."""
+        from blaze_spark.plans.bundle import bundle
+
+        if not self._emit(on_event, "FetchStart", uri, path, index, total,
+                          emit_error_if_aborted=True):
+            return _ABORTED, None
+        try:
+            schema = fetcher(uri)
+        except Exception as exc:
+            self._emit(on_event, "Error", uri, path, index, total,
+                       "Failed to fetch schema", exc)
+            return _ERROR, None
+        if not self._emit(on_event, "FetchEnd", uri, path, index, total,
+                          emit_error_if_aborted=True):
+            return _ABORTED, None
+
+        if not self._emit(on_event, "BundleStart", uri, path, index,
+                          total, emit_error_if_aborted=True):
+            return _ABORTED, None
+        try:
+            schema = bundle(schema, resolver=resolver,
+                            mode="non-official-metaschemas",
+                            default_dialect=self.default_dialect or "",
+                            default_id=uri)
+        except Exception as exc:
+            self._emit(on_event, "Error", uri, path, index, total,
+                       "Failed to bundle schema", exc)
+            return _ERROR, None
+        if not self._emit(on_event, "BundleEnd", uri, path, index, total,
+                          emit_error_if_aborted=True):
+            return _ABORTED, None
+
+        if not self._emit(on_event, "WriteStart", uri, path, index, total,
+                          emit_error_if_aborted=True):
+            return _ABORTED, None
+        try:
+            writer(path, schema)
+        except Exception as exc:
+            self._emit(on_event, "Error", uri, path, index, total,
+                       "Failed to write schema", exc)
+            return _ERROR, None
+        if not self._emit(on_event, "WriteEnd", uri, path, index, total,
+                          emit_error_if_aborted=True):
+            return _ABORTED, None
+        return _SUCCESS, schema
+
+    def _verify_written(self, uri: str, path: str, reader, on_event,
+                        index: int, total: int) -> Tuple[str, str]:
+        """fetch.cc:48-80: re-read the written file and hash it."""
+        if not self._emit(on_event, "VerifyStart", uri, path, index,
+                          total, emit_error_if_aborted=True):
+            return _ABORTED, ""
+        try:
+            content = reader(path)
+        except Exception as exc:
+            self._emit(on_event, "Error", uri, path, index, total,
+                       "Failed to verify written schema", exc)
+            return _ERROR, ""
+        written_hash = _sha256(content)
+        if not self._emit(on_event, "VerifyEnd", uri, path, index, total,
+                          emit_error_if_aborted=True):
+            return _ABORTED, ""
+        return _SUCCESS, written_hash
+
+    def fetch(self, lock: Lock, fetcher, resolver, reader, writer,
+              on_event, mode: str = MODE_MISSING) -> None:
+        """fetch.cc:162-244: mutable-lock fetching. ``Missing`` mode
+        fetches only stale/untracked dependencies; ``All`` re-fetches
+        everything. Orphaned lock entries are dropped."""
+        total = len(self.dependencies)
+        for index, (uri, path) in enumerate(
+                sorted(self.dependencies.items())):
+            assert posixpath.isabs(path)
+            status = lock.check(uri, path, reader)
+            should_fetch = status != UP_TO_DATE or mode == MODE_ALL
+
+            if should_fetch:
+                result, _schema = self._fetch_and_write(
+                    uri, path, fetcher, resolver, writer, on_event,
+                    index, total)
+                if result != _SUCCESS:
+                    return
+                result, written_hash = self._verify_written(
+                    uri, path, reader, on_event, index, total)
+                if result != _SUCCESS:
+                    return
+                lock.emplace(uri, path, written_hash)
+            else:
+                if not self._emit(on_event, "UpToDate", uri, path, index,
+                                  total, emit_error_if_aborted=True):
+                    return
+
+        orphaned = [lock_uri for lock_uri, _entry in lock
+                    if lock_uri not in self.dependencies]
+        for lock_uri in orphaned:
+            entry = lock.at(lock_uri)
+            if not self._emit(on_event, "Orphaned", lock_uri, entry.path,
+                              0, 0, emit_error_if_aborted=True):
+                return
+        for lock_uri in orphaned:
+            lock.erase(lock_uri)
+
+    def fetch_frozen(self, lock: Lock, fetcher, resolver, reader, writer,
+                     on_event, dry_run: bool = False) -> None:
+        """fetch.cc:246-365: frozen-lock fetching — the lock is the
+        source of truth; drift is an error, missing files are
+        re-fetched and must hash-match the lock."""
+        total = len(self.dependencies)
+        for index, (uri, path) in enumerate(
+                sorted(self.dependencies.items())):
+            assert posixpath.isabs(path)
+            status = lock.check(uri, path, reader)
+            if status == UNTRACKED:
+                if not self._emit(on_event, "Untracked", uri, path, index,
+                                  total, emit_error_if_aborted=True):
+                    return
+            elif status == FILE_MISSING:
+                if dry_run:
+                    if not self._emit(on_event, "FileMissing", uri, path,
+                                      index, total,
+                                      emit_error_if_aborted=True):
+                        return
+                else:
+                    result, _schema = self._fetch_and_write(
+                        uri, path, fetcher, resolver, writer, on_event,
+                        index, total)
+                    if result != _SUCCESS:
+                        return
+                    result, written_hash = self._verify_written(
+                        uri, path, reader, on_event, index, total)
+                    if result != _SUCCESS:
+                        return
+                    entry = lock.at(uri)
+                    assert entry is not None
+                    if written_hash != entry.hash:
+                        self._emit(on_event, "Error", uri, path, index,
+                                   total,
+                                   "Written file hash does not match "
+                                   "lock file")
+                        return
+            elif status == MISMATCHED:
+                if not self._emit(on_event, "Mismatched", uri, path,
+                                  index, total,
+                                  emit_error_if_aborted=True):
+                    return
+                if not dry_run:
+                    self._emit(on_event, "Error", uri, path, index, total,
+                               "File hash does not match lock file in "
+                               "frozen mode")
+                    return
+            elif status == PATH_MISMATCH:
+                if not self._emit(on_event, "PathMismatch", uri, path,
+                                  index, total,
+                                  emit_error_if_aborted=True):
+                    return
+                if not dry_run:
+                    self._emit(on_event, "Error", uri, path, index, total,
+                               "Configured path does not match lock "
+                               "file in frozen mode")
+                    return
+            else:
+                if not self._emit(on_event, "UpToDate", uri, path, index,
+                                  total, emit_error_if_aborted=True):
+                    return
+
+        for lock_uri, entry in lock:
+            if lock_uri not in self.dependencies:
+                if not self._emit(on_event, "Orphaned", lock_uri,
+                                  entry.path, 0, 0,
+                                  emit_error_if_aborted=True):
+                    return
+
+
+def make_writer(files: Dict[str, str]) -> Callable[[str, Any], None]:
+    """The reference test harness's MAKE_WRITER
+    (configuration_test_utils.h:29-38): prettified JSON + newline into
+    an in-memory file map. Exposed for tools/configuration_check.py and
+    as the default on-disk serialization format."""
+    def writer(path: str, document: Any) -> None:
+        files[path] = prettify_json(document) + "\n"
+    return writer
+
+
+def make_reader(files: Dict[str, str]) -> Callable[[str], str]:
+    """MAKE_READER (configuration_test_utils.h:17-27)."""
+    def reader(path: str) -> str:
+        if path not in files:
+            raise FileNotFoundError(f"File not found: {path}")
+        return files[path]
+    return reader

@@ -1,0 +1,51 @@
+"""Replay the reference's configuration corpus
+(test/configuration/configuration_*_test.cc) against
+blaze_spark.plans.configuration — manifest parsing, serialization,
+lock files, dependency fetching with events, frozen-mode enforcement,
+and ancestor lookup. Parsed and interpreted in place by
+tools/configuration_cases.py. Pure Python (no Spark)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from tools.cc_cases import _split_tests
+from tools.configuration_cases import (
+    DEFAULT_TD,
+    parse_static_resolvers,
+    run_case,
+)
+from tools.configuration_check import REFERENCE, make_find_stubs
+
+_CASES = []
+_RESOLVERS = {}
+for _path in sorted(glob.glob(
+        os.path.join(REFERENCE, "configuration_*_test.cc"))):
+    _name = os.path.basename(_path)
+    with open(_path, "r", encoding="utf-8") as _fh:
+        _source = _fh.read()
+    _RESOLVERS[_name] = parse_static_resolvers(_source)
+    for _suite, _case_name, _body in _split_tests(_source):
+        _CASES.append(pytest.param(
+            _name, _body, id=f"{_name[:-8]}:{_case_name}"))
+
+
+@pytest.fixture(scope="module")
+def find_td():
+    import shutil
+    root = make_find_stubs()
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.mark.parametrize("filename,body", _CASES)
+def test_configuration_case(filename, body, find_td):
+    td = find_td if "find" in filename else DEFAULT_TD
+    run_case(body, _RESOLVERS[filename], td)
+
+
+def test_corpus_is_substantial():
+    assert len(_CASES) >= 177

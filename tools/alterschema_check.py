@@ -182,6 +182,7 @@ def run_case(case):
         return ("pass" if ok else "fail", actual)
     if macro == "DEPENDENCIES":
         from blaze_spark.plans.bundle import BundleError, dependencies
+        from blaze_spark.plans.schema_frame import UnknownBaseDialectError
         from blaze_spark.plans.transform.engine import pointer_str
         traces = []
         default_id = ""
@@ -195,7 +196,7 @@ def run_case(case):
                     (origin, pointer_str(ptr), target)),
                 default_dialect=case.default_dialect or "",
                 default_id=default_id)
-        except BundleError as exc:
+        except (BundleError, UnknownBaseDialectError) as exc:
             return ("pass" if case.result_first is False else "error",
                     repr(exc))
         if case.result_first is False:
@@ -211,6 +212,7 @@ def run_case(case):
         return status, traces
     if macro == "BUNDLE":
         from blaze_spark.plans.bundle import BundleError, bundle
+        from blaze_spark.plans.schema_frame import UnknownBaseDialectError
         mode = "references" if "References" in case.macro_args else             "non-official-metaschemas"
         default_id = ""
         container = None
@@ -226,7 +228,7 @@ def run_case(case):
                             default_dialect=case.default_dialect or "",
                             default_id=default_id,
                             container=container)
-        except BundleError as exc:
+        except (BundleError, UnknownBaseDialectError) as exc:
             return ("pass" if case.result_first is False else "error",
                     repr(exc))
         if case.result_first is False:

@@ -1,0 +1,924 @@
+"""Structural interpreter for the reference's configuration corpus.
+
+The reference ships its configuration expectations as formulaic gtest
+C++ (test/configuration/configuration_*_test.cc): declarations over
+``parse_json`` literals, ``Configuration``/``Lock`` method calls,
+in-memory file maps, fetch-event recordings, and EXPECT_* assertions.
+This module parses those files *in place* (the same read-in-place
+approach as tools/cc_cases.py — the corpus is never copied into this
+repo) and interprets each TEST body against
+blaze_spark.plans.configuration.
+
+Nothing here executes C++; it is a narrow statement interpreter for
+the fixed vocabulary those nine files use, with an explicit
+unhandled-statement check so silently skipped assertions fail loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import re
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from blaze_spark.plans.configuration import (
+    Configuration,
+    ConfigurationParseError,
+    Lock,
+    make_reader,
+    make_writer,
+)
+
+# TEST_DIRECTORY — synthetic absolute base; the find tests override it
+# with a real stubs directory (see tools/configuration_check.py).
+DEFAULT_TD = "/test-configuration"
+
+
+# ---------------------------------------------------------------------------
+# C++ scanning helpers
+
+def balanced(text: str, start: int, open_ch: str, close_ch: str) -> int:
+    """Index just past the matching close bracket for text[start] ==
+    open_ch, skipping string literals."""
+    assert text[start] == open_ch
+    depth, i = 0, start
+    while i < len(text):
+        c = text[i]
+        if c == '"':
+            i += 1
+            while i < len(text) and text[i] != '"':
+                if text[i] == "\\":
+                    i += 1
+                i += 1
+        elif c == open_ch:
+            depth += 1
+        elif c == close_ch:
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced brackets")
+
+
+def split_args(text: str) -> List[str]:
+    """Split a C++ argument list on top-level commas."""
+    out, depth, cur, i = [], 0, "", 0
+    while i < len(text):
+        c = text[i]
+        if c == '"':
+            j = i + 1
+            while j < len(text) and text[j] != '"':
+                if text[j] == "\\":
+                    j += 1
+                j += 1
+            cur += text[i:j + 1]
+            i = j + 1
+            continue
+        if c in "({[":
+            depth += 1
+        elif c in ")}]":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append(cur.strip())
+            cur = ""
+        else:
+            cur += c
+        i += 1
+    if cur.strip():
+        out.append(cur.strip())
+    return out
+
+
+_JSON_RE = re.compile(r'R"JSON\((.*?)\)JSON"', re.S)
+
+
+def extract_json_literals(body: str) -> Tuple[str, Dict[str, Any]]:
+    literals: Dict[str, Any] = {}
+
+    def repl(match):
+        key = f"__J{len(literals)}__"
+        literals[key] = match.group(1)
+        return key
+
+    return _JSON_RE.sub(repl, body), literals
+
+
+# ---------------------------------------------------------------------------
+# Value wrapper: C++ method syntax over Python values
+
+def unwrap(value: Any) -> Any:
+    return value.v if isinstance(value, W) else value
+
+
+def _s(value: Any) -> str:
+    return str(unwrap(value))
+
+
+class W:
+    """A value proxy providing the C++ member functions the corpus
+    calls (has_value/value/size/contains/at/...)."""
+
+    def __init__(self, v: Any) -> None:
+        self.v = v
+
+    # std::optional
+    def has_value(self):
+        return W(self.v is not None)
+
+    def value(self):
+        return W(self.v)
+
+    # containers
+    def size(self):
+        return W(len(self.v))
+
+    def empty(self):
+        return W(len(self.v) == 0)
+
+    def contains(self, key):
+        return W(unwrap(key) in self.v)
+
+    def at(self, key):
+        if isinstance(self.v, Lock):
+            return W(self.v.at(_s(key)))
+        return W(self.v[unwrap(key)])
+
+    def defines(self, key):
+        return W(unwrap(key) in self.v)
+
+    # JSON values
+    def is_string(self):
+        return W(isinstance(self.v, str))
+
+    def to_string(self):
+        return W(self.v)
+
+    def to_integer(self):
+        return W(self.v)
+
+    # paths / URIs
+    def is_absolute(self):
+        return W(str(self.v).startswith("/"))
+
+    def recompose(self):
+        return W(self.v)
+
+    def filename(self):
+        return W(posixpath.basename(str(self.v)))
+
+    def generic_string(self):
+        return W(str(self.v))
+
+    def string(self):
+        return W(str(self.v))
+
+    def __truediv__(self, other):
+        return W(posixpath.join(str(self.v), _s(other)))
+
+    # exceptions / lock entries
+    def what(self):
+        if isinstance(self.v, ConfigurationParseError):
+            return W(self.v.message)
+        # fixed what() strings (reference foundation_error.h)
+        name = type(self.v).__name__
+        if name == "UnknownBaseDialectError":
+            return W("Could not determine the base dialect of the schema")
+        return W(str(self.v))
+
+    def location(self):
+        return W(tuple(self.v.location))
+
+    def get(self):
+        return self
+
+    def __getattr__(self, name):
+        v = object.__getattribute__(self, "v")
+        if isinstance(v, Configuration):
+            if name == "lint":
+                return W({"rules": v.lint_rules})
+            if name == "base_uri":
+                return W(v.base)
+        if isinstance(v, dict) and name in v:
+            return W(v[name])
+        return W(getattr(v, name))
+
+    def __getitem__(self, key):
+        return W(self.v[unwrap(key)])
+
+    def __call__(self, *args):
+        return W(self.v(*[unwrap(a) for a in args]))
+
+    def __eq__(self, other):
+        return unwrap(self) == unwrap(other)
+
+    def __ne__(self, other):
+        return unwrap(self) != unwrap(other)
+
+    def __hash__(self):
+        return hash(unwrap(self))
+
+    def __bool__(self):
+        return bool(unwrap(self))
+
+    def __repr__(self):
+        return f"W({self.v!r})"
+
+
+# ---------------------------------------------------------------------------
+# Expression translation (C++ -> eval-able Python over W proxies)
+
+_EXPR_SUBS = [
+    (re.compile(r"std::filesystem::weakly_canonical\("), "WC("),
+    (re.compile(r"std::filesystem::path\{"), "P{"),
+    (re.compile(r"std::filesystem::exists\("), "EXISTS("),
+    (re.compile(r"sourcemeta::core::URI::from_path\("), "FP("),
+    (re.compile(r"sourcemeta::core::URI\{"), "URI{"),
+    (re.compile(r"sourcemeta::core::to_string\("), "PTR_STR("),
+    (re.compile(r"sourcemeta::core::Pointer\("), "Pointer("),
+    (re.compile(r"sourcemeta::core::parse_json\("), "parse_json("),
+    (re.compile(r"sourcemeta::core::JSON\{"), "JSONV{"),
+    (re.compile(r"sourcemeta::core::JSON::make_object\(\)"),
+     "MAKE_OBJECT()"),
+    (re.compile(
+        r"sourcemeta::blaze::Configuration::Lock::Entry::Status::(\w+)"),
+     r'"\1"'),
+    (re.compile(
+        r"static_cast<\s*sourcemeta::blaze::Configuration::Lock::Entry::"
+        r"HashAlgorithm>\(\s*(\d+)\)"), r'"algo-\1"'),
+    (re.compile(
+        r"sourcemeta::blaze::Configuration::Lock::Entry::"
+        r"HashAlgorithm::SHA256"), '"sha256"'),
+    (re.compile(
+        r"sourcemeta::blaze::Configuration::FetchEvent::Type::(\w+)"),
+     r'"\1"'),
+    (re.compile(
+        r"sourcemeta::blaze::Configuration::FetchMode::(\w+)"), r'"\1"'),
+    (re.compile(r"sourcemeta::blaze::Configuration::Lock::from_json\("),
+     "LOCK_FROM_JSON("),
+    (re.compile(r"sourcemeta::blaze::Configuration::from_json\("),
+     "CONFIG_FROM_JSON("),
+    (re.compile(r"sourcemeta::blaze::Configuration::read_json\("),
+     "CONFIG_READ_JSON("),
+    (re.compile(r"sourcemeta::blaze::Configuration::find\("),
+     "CONFIG_FIND("),
+    (re.compile(r"MAKE_READER\("), "READER("),
+    (re.compile(r"MAKE_WRITER\("), "WRITER("),
+    (re.compile(r"nullptr"), "None"),
+    (re.compile(r"->"), "."),
+    (re.compile(r"\btrue\b"), "True"),
+    (re.compile(r"\bfalse\b"), "False"),
+    (re.compile(r"TEST_DIRECTORY"), "TD"),
+    (re.compile(r"static_cast<void>\("), "("),
+    (re.compile(r"std::move\("), "("),
+]
+
+
+def to_python(expr: str) -> str:
+    for pattern, repl in _EXPR_SUBS:
+        expr = pattern.sub(repl, expr)
+    # constructor-brace syntax: Name{args} -> Name(args); leave string
+    # literal contents untouched
+    out, i = [], 0
+    while i < len(expr):
+        ch = expr[i]
+        if ch == '"':
+            j = i + 1
+            while j < len(expr) and expr[j] != '"':
+                if expr[j] == "\\":
+                    j += 1
+                j += 1
+            out.append(expr[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "{":
+            out.append("(")
+        elif ch == "}":
+            out.append(")")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out).strip()
+
+
+class Env:
+    """One TEST body's interpreter state."""
+
+    def __init__(self, td: str, literals: Dict[str, Any],
+                 resolvers: Dict[str, Dict[str, Any]]) -> None:
+        self.td = td
+        self.literals = literals
+        self.resolvers = resolvers
+        self.expects_total = 0
+        self.expects_handled = 0
+        self.vars: Dict[str, Any] = {}
+        self._install_builtins()
+
+    # -- resolver/fetcher factories ------------------------------------
+
+    def table_resolver(self, table: Dict[str, Any]):
+        def resolver(uri: str):
+            hit = table.get(uri)
+            return json.loads(json.dumps(hit)) if hit is not None else None
+        return resolver
+
+    def table_fetcher(self, table: Dict[str, Any]):
+        def fetcher(uri: str):
+            hit = table.get(uri)
+            if hit is None:
+                raise RuntimeError("Unknown URI: " + uri)
+            return json.loads(json.dumps(hit))
+        return fetcher
+
+    def _install_builtins(self) -> None:
+        env = self.vars
+        env["TD"] = W(self.td)
+        env["W"] = W
+        env["P"] = lambda x: W(_s(x))
+        env["WC"] = lambda x: W(posixpath.normpath(_s(x)))
+        env["FP"] = lambda x: W("file://" + _s(x))
+        env["URI"] = lambda x: W(_s(x))
+        env["JSONV"] = lambda x: W(unwrap(x))
+        env["MAKE_OBJECT"] = lambda: W({})
+        env["EXISTS"] = self._exists
+        env["PTR_STR"] = self._pointer_str
+        env["Pointer"] = lambda x: W(
+            tuple(unwrap(t) for t in (x if isinstance(x, tuple) else (x,))))
+        env["parse_json"] = self._parse_json
+        env["CONFIG_FROM_JSON"] = lambda v, base: W(
+            Configuration.from_json(unwrap(v), _s(base)))
+        env["CONFIG_READ_JSON"] = lambda path, reader: W(
+            Configuration.read_json(_s(path), unwrap(reader)))
+        env["CONFIG_FIND"] = lambda path: W(Configuration.find(_s(path)))
+        env["LOCK_FROM_JSON"] = lambda v, base: W(
+            Lock.from_json(unwrap(v), _s(base)))
+        env["READER"] = lambda files: W(make_reader(unwrap(files)))
+        env["WRITER"] = lambda files: W(make_writer(unwrap(files)))
+        env["make_lock_entry_json"] = self._make_lock_entry_json
+        env["make_lock_json"] = self._make_lock_json
+        # literals stay RAW text: file-map assignments hash the exact
+        # bytes; parse_json()/EXPECT handlers parse on demand
+        for key, text in self.literals.items():
+            env[key] = W(text)
+
+    def _exists(self, path):
+        import os
+        return W(os.path.exists(_s(path)))
+
+    @staticmethod
+    def _pointer_str(pointer) -> "W":
+        out = []
+        for token in unwrap(pointer):
+            text = str(token)
+            out.append("/" + text.replace("~", "~0").replace("/", "~1"))
+        return W("".join(out))
+
+    @staticmethod
+    def _parse_json(text) -> "W":
+        return W(json.loads(unwrap(text)))
+
+    @staticmethod
+    def _make_lock_entry_json(path, hash_, algorithm=None):
+        return W({"path": _s(path), "hash": _s(hash_),
+                  "hashAlgorithm": _s(algorithm)
+                  if algorithm is not None else "sha256"})
+
+    @staticmethod
+    def _make_lock_json(pairs):
+        if isinstance(pairs, tuple) and pairs and \
+                not isinstance(pairs[0], tuple):
+            pairs = (pairs,)
+        dependencies = {}
+        for pair in (pairs or ()):
+            uri, entry = pair
+            dependencies[_s(uri)] = unwrap(entry)
+        return W({"version": 1, "dependencies": dependencies})
+
+    # -- expression evaluation -----------------------------------------
+
+    def eval(self, expr: str) -> Any:
+        text = to_python(expr).replace("\n", " ")
+        try:
+            return eval(text, {"__builtins__": {}}, _EvalNamespace(self))
+        except AssertionError:
+            raise
+        except ValueError:
+            # engine errors (ConfigurationParseError, frame/bundle
+            # errors) propagate for try/catch interpretation
+            raise
+        except Exception as exc:
+            raise RuntimeError(
+                f"cannot evaluate {expr!r} -> {text!r}: "
+                f"{type(exc).__name__}: {exc}") from exc
+
+
+class _EvalNamespace(dict):
+    def __init__(self, env: Env) -> None:
+        super().__init__(env.vars)
+        self.env = env
+
+    def __missing__(self, key):
+        raise NameError(key)
+
+
+# ---------------------------------------------------------------------------
+# Statement interpretation
+
+_DECL_RE = re.compile(
+    r"(?:const\s+)?(?:auto|std::string|std::filesystem::path)\s+"
+    r"(\w+)\s*(=\s*|\{)")
+_DEFAULT_CONFIG_RE = re.compile(
+    r"sourcemeta::blaze::Configuration\s+(\w+);")
+_DEFAULT_LOCK_RE = re.compile(
+    r"sourcemeta::blaze::Configuration::Lock\s+(\w+);")
+_FILES_RE = re.compile(
+    r"std::unordered_map<std::string,\s*std::string>\s+(\w+);")
+_EVENTS_RE = re.compile(
+    r"std::vector<sourcemeta::blaze::Configuration::FetchEvent>\s+(\w+);")
+_FILE_ASSIGN_RE = re.compile(r"(\w+)\[")
+_METHOD_CALL_RE = re.compile(
+    r"(\w+)((?:\.\w+)+|\.add_dependency|\.fetch)\s*\(")
+_FIELD_ASSIGN_RE = re.compile(
+    r"(\w+)\.([a-z_]+(?:\.[a-z_]+)*)\s*=([^=][^;]*);")
+_EXPECT_RE = re.compile(
+    r"(EXPECT_EQ|EXPECT_NE|EXPECT_TRUE|EXPECT_FALSE|EXPECT_STREQ|"
+    r"EXPECT_FETCH_EVENT|EXPECT_LOCK_ENTRY|EXPECT_FILE_JSON_EQ|"
+    r"EXPECT_CONFIGURATION_FROM_JSON_PARSE_ERROR)\s*\(")
+_TRY_RE = re.compile(r"try\s*\{")
+_LAMBDA_RE = re.compile(r"auto\s+(\w+)\s*=\s*\[")
+_FAIL_RE = re.compile(r"FAIL\(\)[^;]*;")
+
+
+class CaseFailure(AssertionError):
+    pass
+
+
+def _check(condition: bool, message: str) -> None:
+    if not condition:
+        raise CaseFailure(message)
+
+
+class Interpreter:
+    def __init__(self, env: Env) -> None:
+        self.env = env
+
+    # ------------------------------------------------------------------
+    def run(self, body: str) -> None:
+        pos = 0
+        while pos < len(body):
+            match, kind = self._next_statement(body, pos)
+            if match is None:
+                break
+            pos = self._execute(body, match, kind)
+        _check(self.env.expects_handled >= self.env.expects_total,
+               f"only {self.env.expects_handled}/"
+               f"{self.env.expects_total} EXPECTs handled")
+
+    def _next_statement(self, body: str, pos: int):
+        candidates = []
+        for kind, regex in (
+                ("expect", _EXPECT_RE), ("try", _TRY_RE),
+                ("lambda", _LAMBDA_RE), ("files", _FILES_RE),
+                ("events", _EVENTS_RE),
+                ("default_config", _DEFAULT_CONFIG_RE),
+                ("default_lock", _DEFAULT_LOCK_RE), ("decl", _DECL_RE),
+                ("field_assign", _FIELD_ASSIGN_RE),
+                ("file_assign", _FILE_ASSIGN_RE),
+                ("method", _METHOD_CALL_RE)):
+            m = regex.search(body, pos)
+            if m:
+                candidates.append((m.start(), kind, m))
+        if not candidates:
+            return None, None
+        candidates.sort(key=lambda c: c[0])
+        _start, kind, m = candidates[0]
+        return m, kind
+
+    # ------------------------------------------------------------------
+    def _execute(self, body: str, m, kind: str) -> int:
+        env = self.env
+        if kind == "expect":
+            return self._run_expect(body, m)
+        if kind == "try":
+            return self._run_try(body, m)
+        if kind == "lambda":
+            return self._run_lambda(body, m)
+        if kind == "files":
+            env.vars[m.group(1)] = W({})
+            return m.end()
+        if kind == "events":
+            env.vars[m.group(1)] = W([])
+            return m.end()
+        if kind == "default_config":
+            env.vars[m.group(1)] = W(Configuration())
+            return m.end()
+        if kind == "default_lock":
+            env.vars[m.group(1)] = W(Lock())
+            return m.end()
+        if kind == "decl":
+            return self._run_decl(body, m)
+        if kind == "field_assign":
+            return self._run_field_assign(body, m)
+        if kind == "file_assign":
+            return self._run_file_assign(body, m)
+        if kind == "method":
+            return self._run_method(body, m)
+        raise AssertionError(f"unknown statement kind {kind}")
+
+    # ------------------------------------------------------------------
+    def _run_decl(self, body: str, m) -> int:
+        name = m.group(1)
+        if m.group(2).startswith("="):
+            end = body.index(";", m.end())
+            rhs = body[m.end():end]
+        else:
+            close = balanced(body, m.end() - 1, "{", "}")
+            rhs = body[m.end():close - 1]
+            end = body.index(";", close - 1)
+        self.env.vars[name] = self.env.eval(rhs)
+        return end + 1
+
+    def _run_field_assign(self, body: str, m) -> int:
+        var, attr, rhs = m.group(1), m.group(2), m.group(3)
+        target = self.env.vars.get(var)
+        if target is None or not isinstance(unwrap(target),
+                                            Configuration):
+            return m.end()
+        config = unwrap(target)
+        if attr == "base_uri":
+            return m.end()  # derived from .base in this port
+        value = self.env.eval(rhs)
+        if attr == "extension":
+            raw = unwrap(value)
+            items = raw if isinstance(raw, tuple) else (raw,)
+            config.extension = {_s(item) for item in items}
+        elif attr in ("absolute_path", "base_path"):
+            setattr(config, attr, _s(value))
+        elif attr == "lint.rules":
+            raw = unwrap(value)
+            items = raw if isinstance(raw, tuple) else (raw,)
+            config.lint_rules = [_s(item) for item in items]
+        else:
+            setattr(config, attr, unwrap(value))
+        return m.end()
+
+    def _run_file_assign(self, body: str, m) -> int:
+        var = m.group(1)
+        if var not in self.env.vars or \
+                not isinstance(unwrap(self.env.vars[var]), dict):
+            # not a files-map assignment; skip this token defensively
+            return m.end()
+        close = balanced(body, m.end() - 1, "[", "]")
+        key = self.env.eval(body[m.end():close - 1])
+        eq = body.index("=", close)
+        end = body.index(";", eq)
+        value = self.env.eval(body[eq + 1:end])
+        unwrap(self.env.vars[var])[_s(key)] = _s(value)
+        return end + 1
+
+    def _run_lambda(self, body: str, m) -> int:
+        name = m.group(1)
+        brace = body.index("{", m.end())
+        close = balanced(body, brace, "{", "}")
+        lam_body = body[brace + 1:close]
+        end = body.index(";", close)
+        if "write_completed" in lam_body:
+            # paired stateful reader/writer from
+            # reader_exception_after_write_emits_error: the writer
+            # flips a flag; subsequent reads throw
+            flags = self.env.vars.setdefault(
+                "__flags__", W({}))
+            if "prettify" in lam_body:
+                def tracking_writer(path, document, _f=flags):
+                    from blaze_spark.plans.codegen_ts import prettify_json
+                    files = unwrap(self.env.vars["files"])
+                    files[_s(path)] = \
+                        prettify_json(unwrap(document)) + "\n"
+                    unwrap(_f)["write_completed"] = True
+                self.env.vars[name] = W(tracking_writer)
+            else:
+                def throwing_reader(path, _f=flags):
+                    if unwrap(_f).get("write_completed"):
+                        raise RuntimeError("Permission denied")
+                    files = unwrap(self.env.vars["files"])
+                    if _s(path) not in files:
+                        raise FileNotFoundError(
+                            "File not found: " + _s(path))
+                    return files[_s(path)]
+                self.env.vars[name] = W(throwing_reader)
+            return end + 1
+        if "throw" in lam_body and "if (" not in lam_body:
+            message = re.search(r'"((?:[^"\\]|\\.)*)"', lam_body)
+
+            def raiser(*_args, _m=message):
+                raise RuntimeError(_m.group(1) if _m else "error")
+            self.env.vars[name] = W(raiser)
+        else:
+            # JSON literals were replaced with placeholders before the
+            # lambda scan; rebuild the identifier table from them
+            table = {}
+            for mm in re.finditer(
+                    r'uri ==\s*\n?\s*"([^"]+)"\s*\)\s*\{\s*'
+                    r'return sourcemeta::core::parse_json\(\s*(__J\d+__)',
+                    lam_body):
+                table[mm.group(1)] = json.loads(
+                    self.env.literals[mm.group(2)])
+            self.env.vars[name] = W(self.env.table_resolver(table))
+        return end + 1
+
+    # ------------------------------------------------------------------
+    def _resolve_callable(self, token: str, file_kind: str):
+        env = self.env
+        token = token.strip()
+        if token in ("stub_fetcher",):
+            return env.table_fetcher(env.resolvers["stub_resolver"])
+        if token in ("stub_resolver",):
+            return env.table_resolver(env.resolvers["stub_resolver"])
+        if token.startswith("MAKE_READER(") or token.startswith("READER("):
+            inner = token[token.index("(") + 1:-1]
+            return make_reader(unwrap(env.vars[inner.strip()]))
+        if token.startswith("MAKE_WRITER(") or token.startswith("WRITER("):
+            inner = token[token.index("(") + 1:-1]
+            return make_writer(unwrap(env.vars[inner.strip()]))
+        if token in env.vars:
+            return unwrap(env.vars[token])
+        if token in env.resolvers:
+            return env.table_resolver(env.resolvers[token])
+        raise AssertionError(f"unknown callable {token!r}")
+
+    def _run_method(self, body: str, m) -> int:
+        env = self.env
+        var, chain = m.group(1), m.group(2)
+        close = balanced(body, m.end() - 1, "(", ")")
+        args_text = body[m.end():close - 1]
+        end = body.index(";", close) if ";" in body[close:close + 6] \
+            else close
+        target = env.vars.get(var)
+        if target is None:
+            return end + 1
+        obj = unwrap(target)
+        parts = chain.strip(".").split(".")
+        args = split_args(args_text)
+
+        if parts == ["fetch"] and isinstance(obj, Configuration):
+            self._run_fetch(obj, args, args_text)
+            return end + 1
+
+        if isinstance(obj, Lock):
+            if parts == ["emplace"]:
+                vals = [env.eval(a) for a in args]
+                algorithm = "sha256"
+                if len(vals) > 3:
+                    algorithm = _s(vals[3])
+                    if algorithm.startswith("algo-"):
+                        algorithm = algorithm[5:]
+                obj.emplace(_s(vals[0]), _s(vals[1]), _s(vals[2]),
+                            algorithm)
+                return end + 1
+            if parts == ["erase"]:
+                obj.erase(_s(env.eval(args[0])))
+                return end + 1
+            if parts == ["to_json"]:
+                obj.to_json(_s(env.eval(args[0])))
+                return end + 1
+
+        if isinstance(obj, Configuration):
+            if parts == ["add_dependency"]:
+                obj.add_dependency(_s(env.eval(args[0])),
+                                   _s(env.eval(args[1])))
+                return end + 1
+            if len(parts) == 2 and parts[1] == "emplace":
+                container = {"resolve": obj.resolve,
+                             "dependencies": obj.dependencies}[parts[0]]
+                key, value = env.eval(args[0]), env.eval(args[1])
+                container[_s(key)] = _s(value)
+                return end + 1
+            if parts == ["extra", "assign"]:
+                obj.extra[_s(env.eval(args[0]))] = unwrap(
+                    env.eval(args[1]))
+                return end + 1
+            if len(parts) >= 2 and parts[-1] in ("push_back",
+                                                 "emplace_back"):
+                if parts[:-1] == ["ignore"]:
+                    obj.ignore.append(_s(env.eval(args[0])))
+                elif parts[:-1] == ["lint", "rules"]:
+                    obj.lint_rules.append(_s(env.eval(args[0])))
+                else:
+                    raise AssertionError(f"push_back on {parts}")
+                return end + 1
+
+        if isinstance(obj, list) and parts == ["clear"]:
+            obj.clear()
+            return end + 1
+
+        if isinstance(obj, dict) and parts == ["erase"]:
+            obj.pop(_s(env.eval(args[0])), None)
+            return end + 1
+
+        if isinstance(obj, dict) and parts == ["assign"]:
+            obj[_s(env.eval(args[0]))] = unwrap(env.eval(args[1]))
+            return end + 1
+
+        # field assignment handled as expression statements elsewhere;
+        # anything else unknown here is a parity bug, not a skip
+        raise AssertionError(f"unhandled method {var}.{'.'.join(parts)}")
+
+    def _run_fetch(self, config: Configuration, args: List[str],
+                   args_text: str) -> None:
+        env = self.env
+        assert len(args) >= 6, args
+        lock = unwrap(env.vars[args[0].strip()])
+        fetcher = self._resolve_callable(args[1], "fetcher")
+        resolver = self._resolve_callable(args[2], "resolver")
+        reader = self._resolve_callable(args[3], "reader")
+        writer = self._resolve_callable(args[4], "writer")
+
+        # the callback lambda: records into an events vector; may
+        # return false to abort
+        callback_text = ",".join(args[5:-1]) if len(args) > 6 else args[5]
+        events_var = re.search(r"\[&(\w+)\]", callback_text)
+        returns = re.findall(r"return (true|false);", callback_text)
+        abort_type_m = re.search(
+            r"return event\.type !=\s*(?:sourcemeta::blaze::Configuration"
+            r"::)?FetchEvent::Type::(\w+);", callback_text)
+        record_list = unwrap(env.vars[events_var.group(1)]) \
+            if events_var else []
+        abort = any(r == "false" for r in returns)
+        abort_type = abort_type_m.group(1) if abort_type_m else None
+
+        def on_event(event):
+            record_list.append(event)
+            if abort_type is not None:
+                return event.type != abort_type
+            return not abort
+
+        last = args[-1].strip()
+        last_py = to_python(last)
+        if "FetchMode" in last or last_py in ('"Missing"', '"All"'):
+            mode = "All" if "All" in last_py else "Missing"
+            config.fetch(lock, fetcher, resolver, reader, writer,
+                         on_event, mode)
+        else:
+            dry_run = last_py == "True"
+            config.fetch_frozen(lock, fetcher, resolver, reader, writer,
+                                on_event, dry_run)
+
+    # ------------------------------------------------------------------
+    def _run_try(self, body: str, m) -> int:
+        env = self.env
+        open_brace = m.end() - 1
+        close = balanced(body, open_brace, "{", "}")
+        try_body = _FAIL_RE.sub("", body[m.end():close - 1])
+        catch_m = re.match(
+            r"\s*catch\s*\(\s*const\s+sourcemeta::blaze::"
+            r"(\w+)\s*&\s*(\w+)\s*\)\s*\{",
+            body[close:])
+        generic_catch = re.match(r"\s*catch\s*\(\.\.\.\)\s*\{",
+                                 body[close:])
+        _check(catch_m is not None or generic_catch is not None,
+               "try without recognized catch")
+        error: Optional[BaseException] = None
+        rethrow_m = re.search(r"std::rethrow_exception\(([^;]+)\);",
+                              try_body)
+        try:
+            if rethrow_m:
+                stored = unwrap(env.eval(rethrow_m.group(1)))
+                _check(stored is not None, "no stored exception")
+                raise stored
+            Interpreter(env).run_fragment(try_body)
+        except CaseFailure:
+            raise
+        except Exception as exc:
+            error = exc
+        _check(error is not None, "expected an exception")
+        if catch_m and catch_m.group(1) == "ConfigurationParseError":
+            _check(isinstance(error, ConfigurationParseError),
+                   f"expected ConfigurationParseError, got "
+                   f"{type(error).__name__}")
+        elif catch_m:
+            expected_name = catch_m.group(1).replace("Schema", "", 1)
+            _check(type(error).__name__ == expected_name,
+                   f"expected {expected_name}, got "
+                   f"{type(error).__name__}")
+        if catch_m:
+            env.vars[catch_m.group(2)] = W(error)
+            catch_open = close + catch_m.end() - 1
+            catch_close = balanced(body, catch_open, "{", "}")
+            Interpreter(env).run_fragment(
+                body[catch_open + 1:catch_close - 1])
+            return catch_close
+        catch_open = close + generic_catch.end() - 1
+        catch_close = balanced(body, catch_open, "{", "}")
+        Interpreter(env).run_fragment(
+            body[catch_open + 1:catch_close - 1])
+        return catch_close
+
+    def run_fragment(self, fragment: str) -> None:
+        pos = 0
+        while pos < len(fragment):
+            m, kind = self._next_statement(fragment, pos)
+            if m is None:
+                break
+            pos = self._execute(fragment, m, kind)
+
+    # ------------------------------------------------------------------
+    def _run_expect(self, body: str, m) -> int:
+        env = self.env
+        macro = m.group(1)
+        close = balanced(body, m.end() - 1, "(", ")")
+        args = split_args(body[m.end():close - 1])
+        env.expects_total += 0  # counted globally before run
+        if macro == "EXPECT_TRUE":
+            _check(bool(env.eval(args[0])), f"EXPECT_TRUE({args[0]})")
+        elif macro == "EXPECT_FALSE":
+            _check(not bool(env.eval(args[0])), f"EXPECT_FALSE({args[0]})")
+        elif macro in ("EXPECT_EQ", "EXPECT_STREQ"):
+            a, b = env.eval(args[0]), env.eval(args[1])
+            _check(unwrap(a) == unwrap(b),
+                   f"EXPECT_EQ({args[0]}, {args[1]}): "
+                   f"{unwrap(a)!r} != {unwrap(b)!r}")
+        elif macro == "EXPECT_NE":
+            a, b = env.eval(args[0]), env.eval(args[1])
+            _check(unwrap(a) != unwrap(b),
+                   f"EXPECT_NE({args[0]}, {args[1]}): both {unwrap(a)!r}")
+        elif macro == "EXPECT_FETCH_EVENT":
+            event = unwrap(env.eval(args[0]))
+            expected_type = args[1].strip()
+            _check(event.type == expected_type,
+                   f"event type {event.type} != {expected_type}")
+            _check(event.uri == unwrap(env.eval(args[2])),
+                   f"event uri {event.uri!r} != {args[2]}")
+            filename = posixpath.basename(event.path)
+            _check(filename == unwrap(env.eval(args[3])),
+                   f"event path filename {filename!r} != {args[3]}")
+            _check(event.index == unwrap(env.eval(args[4])),
+                   f"event index {event.index} != {args[4]}")
+            _check(event.total == unwrap(env.eval(args[5])),
+                   f"event total {event.total} != {args[5]}")
+            _check(event.details == unwrap(env.eval(args[6])),
+                   f"event details {event.details!r} != {args[6]}")
+        elif macro == "EXPECT_LOCK_ENTRY":
+            lock = unwrap(env.eval(args[0]))
+            entry = lock.at(_s(env.eval(args[1])))
+            _check(entry is not None, f"missing lock entry {args[1]}")
+            _check(entry.path == _s(env.eval(args[2])),
+                   f"lock path {entry.path!r} != {args[2]}")
+            _check(entry.hash == unwrap(env.eval(args[3])),
+                   f"lock hash {entry.hash!r} != {args[3]}")
+            _check(entry.hash_algorithm == "sha256", "lock algorithm")
+        elif macro == "EXPECT_FILE_JSON_EQ":
+            files = unwrap(env.eval(args[0]))
+            path = _s(env.eval(args[1]))
+            _check(path in files, f"missing written file {path}")
+            got = json.loads(files[path])
+            want = unwrap(env.eval(args[2]))
+            if isinstance(want, str):
+                want = json.loads(want)
+            _check(got == want,
+                   f"written {path}: {got!r} != {want!r}")
+        elif macro == "EXPECT_CONFIGURATION_FROM_JSON_PARSE_ERROR":
+            value = unwrap(env.eval(args[0]))
+            base = _s(env.eval(args[1]))
+            message = unwrap(env.eval(args[2]))
+            location = unwrap(env.eval(args[3]))
+            try:
+                Configuration.from_json(value, base)
+            except ConfigurationParseError as exc:
+                _check(exc.message == message,
+                       f"error message {exc.message!r} != {message!r}")
+                _check(exc.location_str() == location,
+                       f"error location {exc.location_str()!r} != "
+                       f"{location!r}")
+            else:
+                raise CaseFailure("expected ConfigurationParseError")
+        else:
+            raise AssertionError(f"unknown macro {macro}")
+        env.expects_handled += 1
+        return close
+
+
+def parse_static_resolvers(source: str) -> Dict[str, Dict[str, Any]]:
+    """Per-file ``static auto <name>(...)`` resolver tables."""
+    tables: Dict[str, Dict[str, Any]] = {}
+    for m in re.finditer(r"static auto (\w+)\(", source):
+        end_m = re.search(r"\n\}", source[m.start():])
+        block = source[m.start():m.start() + end_m.end()] if end_m \
+            else source[m.start():]
+        entries = {}
+        for mm in re.finditer(
+                r'uri ==\s*\n?\s*"([^"]+)"\s*\)\s*\{\s*'
+                r'return sourcemeta::core::parse_json\(R"JSON\((.*?)\)JSON"',
+                block, re.S):
+            entries[mm.group(1)] = json.loads(mm.group(2))
+        tables[m.group(1)] = entries
+    # stub_fetcher delegates to stub_resolver
+    if "stub_resolver" not in tables:
+        tables["stub_resolver"] = {}
+    return tables
+
+
+def run_case(body: str, resolvers: Dict[str, Dict[str, Any]],
+             td: str = DEFAULT_TD) -> None:
+    clean, literals = extract_json_literals(body)
+    env = Env(td, literals, resolvers)
+    env.expects_total = len(_EXPECT_RE.findall(clean))
+    Interpreter(env).run(clean)

@@ -1,0 +1,83 @@
+"""Replay the reference's configuration corpus against
+blaze_spark.plans.configuration.
+
+Usage: python tools/configuration_check.py [-v] [pattern...]
+
+Parses test/configuration/configuration_*_test.cc in place
+(tools/configuration_cases.py) and interprets each TEST body —
+manifest parsing, serialization, lock files, dependency fetching with
+events, frozen-mode enforcement, ancestor lookup.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.cc_cases import _split_tests  # noqa: E402
+from tools.configuration_cases import (  # noqa: E402
+    DEFAULT_TD,
+    parse_static_resolvers,
+    run_case,
+)
+
+REFERENCE = "/root/reference/test/configuration"
+
+
+def make_find_stubs() -> str:
+    """The find tests walk a REAL directory tree (TEST_DIRECTORY with
+    stubs/); materialize an isolated copy so no ancestor accidentally
+    carries a jsonschema.json."""
+    root = tempfile.mkdtemp(prefix="blaze-config-find-")
+    shutil.copytree(os.path.join(REFERENCE, "stubs"),
+                    os.path.join(root, "stubs"))
+    return root
+
+
+def main(argv) -> int:
+    verbose = "-v" in argv
+    patterns = [a for a in argv if not a.startswith("-")]
+    total_pass = total_fail = 0
+    find_td = None
+    try:
+        for path in sorted(glob.glob(
+                os.path.join(REFERENCE, "configuration_*_test.cc"))):
+            filename = os.path.basename(path)
+            if patterns and not any(p in filename for p in patterns):
+                continue
+            with open(path, "r", encoding="utf-8") as fh:
+                source = fh.read()
+            resolvers = parse_static_resolvers(source)
+            td = DEFAULT_TD
+            if "find" in filename:
+                if find_td is None:
+                    find_td = make_find_stubs()
+                td = find_td
+            n_pass = n_fail = 0
+            for suite, name, body in _split_tests(source):
+                try:
+                    run_case(body, resolvers, td)
+                    n_pass += 1
+                    if verbose:
+                        print(f"--- {suite} :: {name} [pass]")
+                except Exception as exc:
+                    n_fail += 1
+                    print(f"--- {suite} :: {name} [fail]")
+                    print(f"  {type(exc).__name__}: {exc}")
+            print(f"{filename:<52} pass={n_pass:4d} fail={n_fail:4d}")
+            total_pass += n_pass
+            total_fail += n_fail
+    finally:
+        if find_td is not None:
+            shutil.rmtree(find_td, ignore_errors=True)
+    print(f"TOTAL pass={total_pass} fail={total_fail}")
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -30,6 +30,7 @@ WATCHED = [
     "/root/reference/test/codegen",
     "/root/reference/test/editor",
     "/root/reference/test/output",
+    "/root/reference/test/configuration",
     "/root/reference/src/foundation/known_walker.cc",
     "/root/reference/vendor/jsonschema-test-suite/tests",
 ]
