@@ -283,6 +283,51 @@ def editor_schemas(df: DataFrame, column: str,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def documentation_schemas(df: DataFrame, column: str,
+                          html: bool = False) -> DataFrame:
+    """Append a ``documentation`` column: the table-model JSON for each
+    schema in ``column`` (plans/documentation.to_documentation — the
+    reference's documentation component, src/documentation/), plus the
+    rendered HTML when ``html=True``.
+
+    Same map-only Arrow-batch shape as the other schema pipelines —
+    documenting every schema in a registry is one linear pass, no
+    shuffle. Failing rows get NULL plus the error in
+    ``documentation_error``."""
+    extra = [T.StructField("documentation", T.StringType(), True),
+             T.StructField("documentation_error", T.StringType(), True)]
+    if html:
+        extra.insert(1, T.StructField("documentation_html",
+                                      T.StringType(), True))
+    out_schema = T.StructType(list(df.schema.fields) + extra)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from blaze_spark.plans.documentation import (to_documentation,
+                                                     to_html)
+        for batch in batches:
+            docs, htmls, errs = [], [], []
+            for text in batch[column]:
+                try:
+                    doc = to_documentation(json.loads(text))
+                    docs.append(json.dumps(doc))
+                    if html:
+                        htmls.append(to_html(doc))
+                    errs.append(None)
+                except Exception as exc:
+                    docs.append(None)
+                    if html:
+                        htmls.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}"[:200])
+            batch = batch.copy()
+            batch["documentation"] = docs
+            if html:
+                batch["documentation_html"] = htmls
+            batch["documentation_error"] = errs
+            yield batch
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def typescript_schemas(df: DataFrame, column: str,
                        prefix: str = "Schema",
                        default_dialect: str = "") -> DataFrame:

@@ -1,0 +1,816 @@
+"""Human-readable documentation generation from a JSON Schema.
+
+Re-expresses the reference's documentation component (reference:
+src/documentation/documentation.cc:17-1559): ``to_documentation()``
+canonicalizes the schema (the full alterschema canonicalizer), frames
+it, and walks it into a table model — rows of (path, type expression,
+badges, constraints, modifiers, annotations) with nested child
+sections for branching applicators (anyOf/oneOf/allOf/if-then-else/
+not/contains/propertyNames/contentSchema) and recursion-aware ``$ref``
+handling (recursiveRef back-links by row identifier).
+
+The output validates against the reference's own meta-schema
+(/root/reference/schemas/documentation.json) — asserted by
+tools/documentation_check.py using THIS repo's evaluator.
+
+Driver-side schema surgery (single document, pure Python); the
+distributed form documents a whole schema-registry column via
+operators/schema_pipeline.documentation_schemas.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Dict, List, Optional, Set, Tuple
+
+from blaze_spark.plans.schema_frame import SchemaFrame, _get_at
+from blaze_spark.plans.transform import canonicalize
+
+__all__ = ["to_documentation", "to_html"]
+
+
+# ---------------------------------------------------------------------------
+# helpers (documentation.cc:21-525)
+
+def _resolve_destination(raw_ref: str, frame: SchemaFrame):
+    """documentation.cc:21-36."""
+    result = frame.traverse(raw_ref)
+    if result is not None:
+        return result
+    for (reftype, _pointer), entry in frame.references.items():
+        if reftype == "static" and entry.original == raw_ref:
+            return frame.traverse(entry.destination)
+    return None
+
+
+def _stringify_number(value: Any) -> str:
+    """core stringify for numbers (documentation.cc:256-261)."""
+    from blaze_spark.plans.codegen_ts import _json_scalar
+    return _json_scalar(value)
+
+
+def _is_integer(value: Any) -> bool:
+    return isinstance(value, int) and not isinstance(value, bool)
+
+
+def _is_number(value: Any) -> bool:
+    return isinstance(value, (int, float)) and not isinstance(value, bool)
+
+
+def _type_expression_of(schema: Any, frame: SchemaFrame, root: Any,
+                        visited: Dict[int, Tuple[int, list]],
+                        ref_chain: Optional[Set[int]] = None) -> dict:
+    """documentation.cc:45-202."""
+    if ref_chain is None:
+        ref_chain = set()
+    result: Dict[str, Any] = {}
+
+    if isinstance(schema, bool):
+        result["kind"] = "any" if schema else "never"
+        return result
+    if not isinstance(schema, dict):
+        return result
+
+    if isinstance(schema.get("$ref"), str):
+        destination = schema["$ref"]
+        target = _resolve_destination(destination, frame)
+        if target is None:
+            return {"kind": "externalRef", "url": destination}
+        target_schema = _get_at(root, tuple(target.pointer))
+        entry = visited.get(id(target_schema))
+        if entry is not None:
+            return {"kind": "recursiveRef", "identifier": entry[0],
+                    "path": entry[1]}
+        if id(target_schema) in ref_chain:
+            return {"kind": "any"}
+        ref_chain.add(id(target_schema))
+        ref_result = _type_expression_of(target_schema, frame, root,
+                                         visited, ref_chain)
+        ref_chain.discard(id(target_schema))
+        return ref_result
+
+    if isinstance(schema.get("$dynamicRef"), str):
+        value = schema["$dynamicRef"]
+        fragment_start = value.find("#")
+        anchor = value[fragment_start + 1:] if fragment_start >= 0 \
+            else value
+        return {"kind": "dynamicRef", "anchor": anchor}
+
+    if isinstance(schema.get("enum"), list):
+        result["kind"] = "enum"
+        values = schema["enum"][:10]
+        overflow = schema["enum"][10:]
+        result["values"] = list(values)
+        if overflow:
+            result["overflow"] = list(overflow)
+        return result
+
+    if not isinstance(schema.get("type"), str):
+        return {"kind": "any"}
+
+    type_name = schema["type"]
+    if type_name == "object":
+        result["kind"] = "object"
+    elif type_name == "array":
+        if isinstance(schema.get("prefixItems"), list):
+            result["kind"] = "tuple"
+            result["items"] = [
+                _type_expression_of(item, frame, root, visited, ref_chain)
+                for item in schema["prefixItems"]]
+            if isinstance(schema.get("items"), dict):
+                result["additional"] = _type_expression_of(
+                    schema["items"], frame, root, visited, ref_chain)
+            elif isinstance(schema.get("unevaluatedItems"), dict):
+                result["additional"] = _type_expression_of(
+                    schema["unevaluatedItems"], frame, root, visited,
+                    ref_chain)
+        elif isinstance(schema.get("items"), list):
+            result["kind"] = "tuple"
+            result["items"] = [
+                _type_expression_of(item, frame, root, visited, ref_chain)
+                for item in schema["items"]]
+            if isinstance(schema.get("additionalItems"), dict):
+                result["additional"] = _type_expression_of(
+                    schema["additionalItems"], frame, root, visited,
+                    ref_chain)
+        else:
+            result["kind"] = "array"
+            if isinstance(schema.get("items"), dict):
+                result["items"] = _type_expression_of(
+                    schema["items"], frame, root, visited, ref_chain)
+    elif type_name in ("string", "integer", "number"):
+        result["kind"] = "primitive"
+        result["name"] = type_name
+    return result
+
+
+def _badges_of(schema: Any) -> list:
+    """documentation.cc:204-233."""
+    badges = []
+    if not isinstance(schema, dict):
+        return badges
+    for keyword, kind in (("format", "format"),
+                          ("contentEncoding", "encoding"),
+                          ("contentMediaType", "mime")):
+        if isinstance(schema.get(keyword), str):
+            badges.append({"kind": kind, "value": schema[keyword]})
+    return badges
+
+
+def _modifiers_of(schema: Any) -> list:
+    """documentation.cc:235-254."""
+    modifiers = []
+    if not isinstance(schema, dict):
+        return modifiers
+    for keyword in ("readOnly", "writeOnly", "deprecated"):
+        if schema.get(keyword) is True:
+            modifiers.append(keyword)
+    return modifiers
+
+
+def _constraints_of(schema: Any) -> list:
+    """documentation.cc:263-493."""
+    constraints: List[str] = []
+    if not isinstance(schema, dict):
+        return constraints
+
+    has_min_length = _is_integer(schema.get("minLength"))
+    has_max_length = _is_integer(schema.get("maxLength"))
+    if has_min_length and has_max_length and \
+            schema["minLength"] == schema["maxLength"]:
+        if schema["minLength"] != 0:
+            constraints.append(f"exactly {schema['minLength']} chars")
+    else:
+        if has_min_length and schema["minLength"] > 0:
+            constraints.append(f">= {schema['minLength']} chars")
+        if has_max_length:
+            constraints.append(f"<= {schema['maxLength']} chars")
+
+    if _is_number(schema.get("minimum")):
+        exclusive = schema.get("exclusiveMinimum") is True
+        constraints.append(("> " if exclusive else ">= ")
+                           + _stringify_number(schema["minimum"]))
+    if _is_number(schema.get("maximum")):
+        exclusive = schema.get("exclusiveMaximum") is True
+        constraints.append(("< " if exclusive else "<= ")
+                           + _stringify_number(schema["maximum"]))
+    if _is_number(schema.get("exclusiveMinimum")):
+        constraints.append(
+            "> " + _stringify_number(schema["exclusiveMinimum"]))
+    if _is_number(schema.get("exclusiveMaximum")):
+        constraints.append(
+            "< " + _stringify_number(schema["exclusiveMaximum"]))
+
+    if _is_number(schema.get("multipleOf")):
+        value = schema["multipleOf"]
+        if not _is_integer(value) or value != 1:
+            constraints.append("multiple of " + _stringify_number(value))
+
+    if _is_integer(schema.get("minItems")) and schema["minItems"] > 0:
+        constraints.append(f">= {schema['minItems']} items")
+    if _is_integer(schema.get("maxItems")):
+        constraints.append(f"<= {schema['maxItems']} items")
+
+    if schema.get("uniqueItems") is True:
+        constraints.append("unique")
+
+    if _is_integer(schema.get("minProperties")) and \
+            schema["minProperties"] > 0:
+        value = schema["minProperties"]
+        covered_by_required = False
+        if isinstance(schema.get("required"), list) and \
+                isinstance(schema.get("properties"), dict) and \
+                len(schema["required"]) == value:
+            covered_by_required = all(
+                isinstance(req, str) and req in schema["properties"]
+                for req in schema["required"])
+        if not covered_by_required:
+            constraints.append(f">= {value} properties")
+    if _is_integer(schema.get("maxProperties")):
+        constraints.append(f"<= {schema['maxProperties']} properties")
+
+    if isinstance(schema.get("pattern"), str):
+        constraints.append("pattern: " + schema["pattern"])
+
+    has_trivial_contains = schema.get("contains") is True
+
+    if isinstance(schema.get("contains"), dict):
+        contains_schema = schema["contains"]
+        is_flat = not any(k in contains_schema for k in
+                          ("anyOf", "oneOf", "allOf", "not", "enum"))
+        if is_flat:
+            if isinstance(contains_schema.get("type"), str):
+                constraints.append(
+                    "contains: " + contains_schema["type"])
+            for constraint in _constraints_of(contains_schema):
+                constraints.append("contains " + constraint)
+
+    has_min_contains = not has_trivial_contains and \
+        _is_integer(schema.get("minContains"))
+    has_max_contains = not has_trivial_contains and \
+        _is_integer(schema.get("maxContains"))
+    if has_min_contains and has_max_contains and \
+            schema["minContains"] == schema["maxContains"]:
+        constraints.append(
+            f"exactly {schema['minContains']} matching items")
+    else:
+        if has_min_contains:
+            value = schema["minContains"]
+            constraints.append("0 or more matching items" if value == 0
+                               else f">= {value} matching items")
+        if has_max_contains:
+            constraints.append(
+                f"<= {schema['maxContains']} matching items")
+
+    if isinstance(schema.get("propertyNames"), dict):
+        names_schema = schema["propertyNames"]
+        is_branching = any(k in names_schema for k in
+                           ("anyOf", "oneOf", "allOf", "not"))
+        if not is_branching:
+            inner = _constraints_of(names_schema)
+            if not inner and isinstance(names_schema.get("type"), str):
+                constraints.append("keys: " + names_schema["type"])
+            for constraint in inner:
+                constraints.append("keys " + constraint)
+
+    if isinstance(schema.get("contentSchema"), dict):
+        content_schema = schema["contentSchema"]
+        is_branching = any(k in content_schema for k in
+                           ("anyOf", "oneOf", "allOf", "not"))
+        if not is_branching:
+            inner = _constraints_of(content_schema)
+            if not inner and isinstance(content_schema.get("type"), str):
+                constraints.append("decoded: " + content_schema["type"])
+            for constraint in inner:
+                constraints.append("decoded " + constraint)
+
+    if isinstance(schema.get("not"), dict):
+        not_schema = schema["not"]
+        is_branching = any(k in not_schema for k in
+                           ("anyOf", "oneOf", "allOf", "not"))
+        if not is_branching:
+            for constraint in _constraints_of(not_schema):
+                constraints.append("must NOT match " + constraint)
+
+    return constraints
+
+
+def _is_required_property(schema: Any, name: str) -> bool:
+    """documentation.cc:495-508."""
+    if not isinstance(schema, dict) or \
+            not isinstance(schema.get("required"), list):
+        return False
+    return any(isinstance(item, str) and item == name
+               for item in schema["required"])
+
+
+def _segment(seg_type: str, value: str) -> dict:
+    return {"type": seg_type, "value": value}
+
+
+def _section(label: str, tables: list) -> dict:
+    return {"label": label, "children": tables}
+
+
+def _is_complex(schema: Any) -> bool:
+    """documentation.cc:979-990."""
+    if not isinstance(schema, dict):
+        return False
+    return any(k in schema for k in (
+        "properties", "anyOf", "oneOf", "allOf", "not", "if",
+        "prefixItems", "contains", "patternProperties",
+        "additionalProperties", "propertyNames", "contentSchema"))
+
+
+def _has_recursive_ref_in_rows(rows: list) -> bool:
+    """documentation.cc:1115-1131."""
+    for row in rows:
+        type_expr = row["type"]
+        if type_expr.get("kind") == "recursiveRef":
+            return True
+        if type_expr.get("kind") == "array":
+            items = type_expr.get("items")
+            if isinstance(items, dict) and \
+                    items.get("kind") == "recursiveRef":
+                return True
+    return False
+
+
+class _Walker:
+    """One to_documentation() traversal (documentation.cc:527-1533)."""
+
+    def __init__(self, frame: SchemaFrame, root: Any) -> None:
+        self.frame = frame
+        self.root = root
+        # id(schema-node) -> (row identifier, path)
+        self.visited: Dict[int, Tuple[int, list]] = {}
+        self.next_identifier = 0
+
+    # ------------------------------------------------------------------
+    def type_of(self, schema: Any) -> dict:
+        return _type_expression_of(schema, self.frame, self.root,
+                                   self.visited)
+
+    def resolve_ref(self, schema: Any) -> Any:
+        """documentation.cc:581-600."""
+        if isinstance(schema, dict) and isinstance(schema.get("$ref"),
+                                                   str):
+            target = _resolve_destination(schema["$ref"], self.frame)
+            if target is not None:
+                target_schema = _get_at(self.root, tuple(target.pointer))
+                if id(target_schema) in self.visited:
+                    return schema
+                return target_schema
+        return schema
+
+    # ------------------------------------------------------------------
+    def _annotate(self, row: dict, schema: Any) -> None:
+        if isinstance(schema, dict):
+            if isinstance(schema.get("title"), str):
+                row["title"] = schema["title"]
+            if isinstance(schema.get("description"), str):
+                row["description"] = schema["description"]
+            if "default" in schema:
+                row["default"] = schema["default"]
+            if isinstance(schema.get("examples"), list):
+                row["examples"] = list(schema["examples"])
+
+    def _applicator_children(self, schema: Any, rows: list) -> list:
+        """Shared anyOf/oneOf/allOf/if/not child expansion
+        (documentation.cc:651-677, 749-775)."""
+        children: list = []
+        self.walk_branches("anyOf", "Any of", schema, children)
+        self.walk_branches("oneOf", "One of", schema, children)
+        self.walk_all_of(schema, rows, children)
+        self.walk_if_then_else(schema, children)
+        if isinstance(schema, dict) and "not" in schema:
+            not_schema = schema["not"]
+            has_inline = isinstance(not_schema, dict) and \
+                not any(k in not_schema for k in
+                        ("anyOf", "oneOf", "allOf", "not")) and \
+                bool(_constraints_of(not_schema))
+            if not has_inline:
+                self.walk_branching_subschema(
+                    "Must NOT match", "value", not_schema, children,
+                    include_properties=False)
+        return children
+
+    def emit_row(self, schema: Any, path: list, rows: list,
+                 expand_applicators: bool = True) -> None:
+        """documentation.cc:602-680."""
+        row: Dict[str, Any] = {"identifier": self.next_identifier,
+                               "path": path}
+        self.next_identifier += 1
+        modifiers = _modifiers_of(schema)
+        if modifiers:
+            row["modifiers"] = modifiers
+        row["type"] = self.type_of(schema)
+        badges = _badges_of(schema)
+        if badges:
+            row["badges"] = badges
+        constraints = _constraints_of(schema)
+        if constraints:
+            row["constraints"] = constraints
+        self._annotate(row, schema)
+        if expand_applicators and _is_complex(schema):
+            children = self._applicator_children(schema, rows)
+            if children:
+                row["children"] = children
+        rows.append(row)
+
+    # ------------------------------------------------------------------
+    def _walk_object_members(self, schema: Any, path: list,
+                             rows: list) -> None:
+        """The recurring walk-an-object-shaped-schema block
+        (documentation.cc:785-800 et al.): properties, pattern
+        properties, wildcard keywords, and the open-object marker."""
+        self.walk_properties(schema, path, rows)
+        self.walk_pattern_properties(schema, path, rows)
+        self.walk_wildcard_keyword(schema, "additionalProperties", path,
+                                   rows)
+        self.walk_wildcard_keyword(schema, "unevaluatedProperties", path,
+                                   rows)
+        if "additionalProperties" not in schema and \
+                "unevaluatedProperties" not in schema:
+            self.emit_row(True, path + [_segment("wildcard", "*")], rows)
+
+    def _descend_object(self, schema: Any, row_id: int, path: list,
+                        rows: list) -> None:
+        self.visited[id(schema)] = (row_id, path)
+        self._walk_object_members(schema, path, rows)
+        self.visited.pop(id(schema), None)
+
+    def _descend_items(self, value: dict, path: list, rows: list) -> None:
+        """array-of-objects wildcard descent (documentation.cc:801-838,
+        897-931, 1421-1455)."""
+        items_schema = self.resolve_ref(value["items"])
+        if not isinstance(items_schema, dict):
+            return
+        items_path = path + [_segment("wildcard", "*")]
+        items_row_id = self.next_identifier
+        self.emit_row(items_schema, items_path, rows)
+        if items_schema.get("type") == "object":
+            self._descend_object(items_schema, items_row_id, items_path,
+                                 rows)
+
+    def walk_properties(self, schema: Any, base_path: list,
+                        rows: list) -> None:
+        """documentation.cc:682-841."""
+        if not isinstance(schema, dict) or \
+                not isinstance(schema.get("properties"), dict):
+            return
+        for name, subschema in schema["properties"].items():
+            resolved = self.resolve_ref(subschema)
+            path = base_path + [_segment("literal", name)]
+
+            row: Dict[str, Any] = {"identifier": self.next_identifier,
+                                   "path": path}
+            self.next_identifier += 1
+            modifiers = _modifiers_of(resolved)
+            if modifiers:
+                row["modifiers"] = modifiers
+            row["type"] = self.type_of(resolved)
+            badges = _badges_of(resolved)
+            if badges:
+                row["badges"] = badges
+            row["required"] = _is_required_property(schema, name)
+            constraints = _constraints_of(resolved)
+            if constraints:
+                row["constraints"] = constraints
+            self._annotate(row, resolved)
+            row_identifier = row["identifier"]
+            if _is_complex(resolved):
+                children = self._applicator_children(resolved, rows)
+                if children:
+                    row["children"] = children
+            rows.append(row)
+
+            if isinstance(resolved, dict) and \
+                    isinstance(resolved.get("type"), str):
+                resolved_type = resolved["type"]
+                if resolved_type == "object":
+                    self._descend_object(resolved, row_identifier, path,
+                                         rows)
+                elif resolved_type == "array" and \
+                        isinstance(resolved.get("items"), dict) and \
+                        "prefixItems" not in resolved:
+                    self._descend_items(resolved, path, rows)
+
+    def walk_wildcard_keyword(self, schema: Any, keyword: str,
+                              base_path: list, rows: list) -> None:
+        """documentation.cc:843-932."""
+        if not isinstance(schema, dict) or keyword not in schema:
+            return
+        value = schema[keyword]
+        if keyword == "unevaluatedItems" and "prefixItems" in schema:
+            return
+        if value is True:
+            self.emit_row(value, base_path + [_segment("wildcard", "*")],
+                          rows)
+            return
+        if not isinstance(value, dict):
+            return
+        path = base_path + [_segment("wildcard", "*")]
+        wildcard_row_id = self.next_identifier
+        self.emit_row(value, path, rows)
+        if value.get("type") == "object":
+            self._descend_object(value, wildcard_row_id, path, rows)
+        elif value.get("type") == "array" and \
+                isinstance(value.get("items"), dict) and \
+                "prefixItems" not in value:
+            self._descend_items(value, path, rows)
+
+    def walk_pattern_properties(self, schema: Any, base_path: list,
+                                rows: list) -> None:
+        """documentation.cc:934-977."""
+        if not isinstance(schema, dict) or \
+                not isinstance(schema.get("patternProperties"), dict):
+            return
+        for pattern, subschema in schema["patternProperties"].items():
+            resolved = self.resolve_ref(subschema)
+            path = base_path + [_segment("pattern", pattern)]
+            row_id = self.next_identifier
+            self.emit_row(resolved, path, rows)
+            if isinstance(resolved, dict) and \
+                    resolved.get("type") == "object":
+                self._descend_object(resolved, row_id, path, rows)
+
+    def walk_prefix_items(self, schema: Any, base_path: list, rows: list,
+                          children: list) -> None:
+        """documentation.cc:992-1094."""
+        has_prefix_items = isinstance(schema, dict) and \
+            isinstance(schema.get("prefixItems"), list)
+        has_draft4_tuple = not has_prefix_items and \
+            isinstance(schema, dict) and \
+            isinstance(schema.get("items"), list)
+        if not has_prefix_items and not has_draft4_tuple:
+            return
+        tuple_items = schema["prefixItems"] if has_prefix_items \
+            else schema["items"]
+        min_items = 0
+        if _is_integer(schema.get("minItems")) and schema["minItems"] > 0:
+            min_items = schema["minItems"]
+
+        for index, item in enumerate(tuple_items):
+            if _is_complex(item):
+                children.append(_section(
+                    f"Array item {index}",
+                    [self.walk_schema(item, include_root=True)]))
+            else:
+                path = base_path + [_segment("literal", str(index))]
+                row: Dict[str, Any] = {
+                    "identifier": self.next_identifier, "path": path}
+                self.next_identifier += 1
+                modifiers = _modifiers_of(item)
+                if modifiers:
+                    row["modifiers"] = modifiers
+                row["type"] = self.type_of(item)
+                badges = _badges_of(item)
+                if badges:
+                    row["badges"] = badges
+                row["required"] = index < min_items
+                constraints = _constraints_of(item)
+                if constraints:
+                    row["constraints"] = constraints
+                self._annotate(row, item)
+                rows.append(row)
+
+        if has_prefix_items and isinstance(schema.get("items"), dict):
+            self.emit_row(schema["items"],
+                          base_path + [_segment("wildcard", "*")], rows)
+        elif has_draft4_tuple and \
+                isinstance(schema.get("additionalItems"), dict):
+            self.emit_row(schema["additionalItems"],
+                          base_path + [_segment("wildcard", "*")], rows)
+
+    def walk_branches(self, keyword: str, label: str, schema: Any,
+                      children: list) -> None:
+        """documentation.cc:1096-1113."""
+        if not isinstance(schema, dict) or \
+                not isinstance(schema.get(keyword), list):
+            return
+        children.append(_section(label, [
+            self.walk_schema(branch, include_root=False)
+            for branch in schema[keyword]]))
+
+    def walk_all_of(self, schema: Any, rows: list,
+                    children: list) -> None:
+        """documentation.cc:1133-1234: a single-branch allOf merges
+        into the parent row unless it recurses."""
+        if not isinstance(schema, dict) or \
+                not isinstance(schema.get("allOf"), list):
+            return
+        all_of = schema["allOf"]
+        if len(all_of) == 1:
+            branch = self.walk_schema(all_of[0], include_root=False)
+            branch_rows = branch["rows"]
+            if not _has_recursive_ref_in_rows(branch_rows):
+                if rows and branch_rows:
+                    parent_last_type = rows[-1]["type"]
+                    branch_first = branch_rows[0]
+                    parent_is_any = parent_last_type.get("kind") == "any"
+                    branch_first_path = branch_first["path"]
+                    branch_first_is_synthetic_root = bool(
+                        branch_first_path) and \
+                        branch_first_path[0]["type"] == "synthetic" and \
+                        branch_first_path[0]["value"] == "root"
+                    if parent_is_any and branch_first_is_synthetic_root:
+                        parent_root = rows[-1]
+                        parent_root["type"] = branch_first["type"]
+                        for key in ("constraints", "modifiers", "badges"):
+                            if key in branch_first:
+                                parent_root[key] = branch_first[key]
+                            else:
+                                parent_root.pop(key, None)
+                        for key in ("title", "description", "default"):
+                            if key in branch_first and \
+                                    key not in parent_root:
+                                parent_root[key] = branch_first[key]
+                        rows.extend(branch_rows[1:])
+                    else:
+                        rows.extend(branch_rows)
+                else:
+                    rows.extend(branch_rows)
+                if "children" in branch:
+                    children.extend(branch["children"])
+                return
+            children.append(_section("All of", [branch]))
+            return
+        children.append(_section("All of", [
+            self.walk_schema(branch, include_root=False)
+            for branch in all_of]))
+
+    def walk_if_then_else(self, schema: Any, children: list) -> None:
+        """documentation.cc:1236-1267."""
+        if not isinstance(schema, dict) or "if" not in schema or \
+                "then" not in schema or "else" not in schema:
+            return
+        for keyword, label in (("if", "If"), ("then", "Then"),
+                               ("else", "Else")):
+            children.append(_section(label, [
+                self.walk_schema(schema[keyword], include_root=False)]))
+
+    def walk_branching_subschema(self, label: str, synthetic_name: str,
+                                 inner_schema: Any, doc_children: list,
+                                 include_properties: bool) -> None:
+        """documentation.cc:1269-1304."""
+        table: Dict[str, Any] = {"identifier": self.next_identifier}
+        self.next_identifier += 1
+        table_rows: list = []
+        table_children: list = []
+        synthetic_path = [_segment("synthetic", synthetic_name)]
+        if include_properties:
+            self.walk_properties(inner_schema, synthetic_path, table_rows)
+        self.emit_row(inner_schema, synthetic_path, table_rows,
+                      expand_applicators=False)
+        self.walk_branches("anyOf", "Any of", inner_schema,
+                           table_children)
+        self.walk_branches("oneOf", "One of", inner_schema,
+                           table_children)
+        self.walk_all_of(inner_schema, table_rows, table_children)
+        table["rows"] = table_rows
+        if table_children:
+            table["children"] = table_children
+        doc_children.append(_section(label, [table]))
+
+    # ------------------------------------------------------------------
+    def walk_schema(self, schema: Any, include_root: bool) -> dict:
+        """documentation.cc:1306-1533."""
+        if isinstance(schema, dict) and isinstance(schema.get("$ref"),
+                                                   str):
+            target = _resolve_destination(schema["$ref"], self.frame)
+            if target is not None:
+                target_schema = _get_at(self.root, tuple(target.pointer))
+                entry = self.visited.get(id(target_schema))
+                if entry is not None:
+                    documentation = {"identifier": self.next_identifier}
+                    self.next_identifier += 1
+                    row = {"identifier": self.next_identifier,
+                           "path": [_segment("synthetic", "root")],
+                           "type": {"kind": "recursiveRef",
+                                    "identifier": entry[0],
+                                    "path": entry[1]}}
+                    self.next_identifier += 1
+                    documentation["rows"] = [row]
+                    return documentation
+                self.visited[id(target_schema)] = (
+                    self.next_identifier,
+                    [_segment("synthetic", "root")])
+                result = self.walk_schema(target_schema, include_root)
+                self.visited.pop(id(target_schema), None)
+                return result
+
+        documentation: Dict[str, Any] = {
+            "identifier": self.next_identifier}
+        self.next_identifier += 1
+
+        if isinstance(schema, dict) and \
+                isinstance(schema.get("$dynamicAnchor"), str):
+            documentation["dynamicAnchor"] = schema["$dynamicAnchor"]
+
+        rows: list = []
+        doc_children: list = []
+
+        if include_root:
+            root_path = [_segment("synthetic", "root")]
+            self.emit_row(schema, root_path, rows,
+                          expand_applicators=False)
+            root_row_identifier = rows[-1]["identifier"]
+            self.visited[id(schema)] = (
+                root_row_identifier, [_segment("synthetic", "root")])
+
+        if not isinstance(schema, dict):
+            if not include_root:
+                self.emit_row(schema, [_segment("synthetic", "root")],
+                              rows, expand_applicators=False)
+            documentation["rows"] = rows
+            return documentation
+
+        if not include_root:
+            self.emit_row(schema, [_segment("synthetic", "root")], rows,
+                          expand_applicators=False)
+
+        empty_path: list = []
+        self.walk_properties(schema, empty_path, rows)
+        self.walk_pattern_properties(schema, empty_path, rows)
+        self.walk_wildcard_keyword(schema, "additionalProperties",
+                                   empty_path, rows)
+        if schema.get("type") == "object" and \
+                "additionalProperties" not in schema and \
+                "unevaluatedProperties" not in schema:
+            self.emit_row(True, [_segment("wildcard", "*")], rows)
+        self.walk_prefix_items(schema, empty_path, rows, doc_children)
+
+        if isinstance(schema.get("items"), dict) and \
+                "prefixItems" not in schema:
+            self._descend_items(schema, empty_path, rows)
+
+        self.walk_branches("anyOf", "Any of", schema, doc_children)
+        self.walk_branches("oneOf", "One of", schema, doc_children)
+        self.walk_all_of(schema, rows, doc_children)
+        self.walk_if_then_else(schema, doc_children)
+        self.walk_wildcard_keyword(schema, "unevaluatedProperties",
+                                   empty_path, rows)
+        self.walk_wildcard_keyword(schema, "unevaluatedItems",
+                                   empty_path, rows)
+
+        if isinstance(schema.get("contains"), dict):
+            contains_schema = schema["contains"]
+            if any(k in contains_schema for k in
+                   ("anyOf", "oneOf", "allOf", "not", "enum")):
+                self.walk_branching_subschema(
+                    "Contains", "matching item", contains_schema,
+                    doc_children, include_properties=False)
+
+        if isinstance(schema.get("contentSchema"), dict):
+            content_schema = schema["contentSchema"]
+            if any(k in content_schema for k in
+                   ("anyOf", "oneOf", "allOf", "not")):
+                self.walk_branching_subschema(
+                    "Decoded content", "decoded", content_schema,
+                    doc_children, include_properties=True)
+
+        if isinstance(schema.get("propertyNames"), dict):
+            names_schema = schema["propertyNames"]
+            if any(k in names_schema for k in
+                   ("anyOf", "oneOf", "allOf", "not")):
+                self.walk_branching_subschema(
+                    "Property names", "key", names_schema, doc_children,
+                    include_properties=False)
+
+        if "not" in schema:
+            not_schema = schema["not"]
+            is_branching = isinstance(not_schema, dict) and any(
+                k in not_schema for k in ("anyOf", "oneOf", "allOf",
+                                          "not"))
+            has_inline_constraints = not is_branching and \
+                isinstance(not_schema, dict) and \
+                bool(_constraints_of(not_schema))
+            if not has_inline_constraints:
+                self.walk_branching_subschema(
+                    "Must NOT match", "value", not_schema, doc_children,
+                    include_properties=False)
+
+        assert rows or doc_children
+        documentation["rows"] = rows
+        if doc_children:
+            documentation["children"] = doc_children
+        return documentation
+
+
+def to_documentation(schema: Any,
+                     resolver: Optional[Callable[[str], Any]] = None,
+                     default_dialect: str = "") -> dict:
+    """documentation.cc:1537-1559: canonicalize → frame → walk."""
+    canonical = canonicalize(schema, resolver=resolver,
+                             default_dialect=default_dialect)
+    frame = SchemaFrame("references")
+    frame.analyse(canonical, resolver, default_dialect)
+    walker = _Walker(frame, canonical)
+    return walker.walk_schema(canonical, include_root=True)
+
+
+def to_html(documentation: Any) -> str:
+    """documentation_html.cc: render the table model as HTML."""
+    from blaze_spark.plans.documentation_html import render_html
+    return render_html(documentation)

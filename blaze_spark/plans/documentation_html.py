@@ -1,0 +1,326 @@
+"""HTML rendering of the documentation table model.
+
+Re-expresses the reference's documentation HTML backend (reference:
+src/documentation/documentation_html.cc:11-410) over a minimal
+streaming HTML writer with the vendor writer's exact semantics
+(vendor/core html_writer.h: deferred ``>`` until content, attribute
+appends while the tag is open, five-character escaping per
+html_escape.h).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, List, Set
+
+__all__ = ["render_html"]
+
+
+_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;",
+            "'": "&#39;"}
+
+
+def _escape(text: str) -> str:
+    out = []
+    for ch in text:
+        out.append(_ESCAPES.get(ch, ch))
+    return "".join(out)
+
+
+class _Writer:
+    """vendor/core html_writer.h semantics, streaming to a string."""
+
+    def __init__(self) -> None:
+        self._parts: List[str] = []
+        self._stack: List[str] = []
+        self._tag_open = False
+
+    def _flush(self) -> None:
+        if self._tag_open:
+            self._parts.append(">")
+            self._tag_open = False
+
+    def open(self, tag: str) -> "_Writer":
+        self._flush()
+        self._parts.append("<" + tag)
+        self._stack.append(tag)
+        self._tag_open = True
+        return self
+
+    def attribute(self, name: str, value: str) -> "_Writer":
+        assert self._tag_open
+        self._parts.append(f' {name}="{_escape(value)}"')
+        return self
+
+    def text(self, content: str) -> "_Writer":
+        self._flush()
+        self._parts.append(_escape(content))
+        return self
+
+    def close(self) -> "_Writer":
+        self._flush()
+        self._parts.append("</" + self._stack.pop() + ">")
+        return self
+
+    def leaf(self, tag: str, content: str) -> "_Writer":
+        return self.open(tag).text(content).close()
+
+    def str(self) -> str:
+        self._flush()
+        return "".join(self._parts)
+
+
+def _json_to_string(value: Any) -> str:
+    """core stringify (compact): documentation_html.cc:15-19."""
+    from blaze_spark.plans.codegen_ts import _json_scalar
+    if isinstance(value, (dict, list)):
+        return json.dumps(value, separators=(",", ":"),
+                          ensure_ascii=False)
+    return _json_scalar(value)
+
+
+def _is_empty_row(row: dict) -> bool:
+    """documentation_html.cc:21-30."""
+    return row["type"].get("kind") == "any" and not any(
+        key in row for key in ("constraints", "badges", "modifiers",
+                               "title", "description", "default",
+                               "examples"))
+
+
+def _collect_ref_targets(table: dict, targets: Set[int]) -> None:
+    """documentation_html.cc:32-55."""
+    for row in table["rows"]:
+        type_expr = row.get("type", {})
+        if type_expr.get("kind") == "recursiveRef" and \
+                "identifier" in type_expr:
+            targets.add(type_expr["identifier"])
+        for section in row.get("children", []):
+            for child in section["children"]:
+                _collect_ref_targets(child, targets)
+    for section in table.get("children", []):
+        for child in section["children"]:
+            _collect_ref_targets(child, targets)
+
+
+def _render_path(writer: _Writer, path: list) -> None:
+    """documentation_html.cc:57-84."""
+    writer.open("code")
+    first = True
+    for segment in path:
+        seg_type, value = segment["type"], segment["value"]
+        if not first:
+            writer.text("/")
+        if seg_type in ("literal", "pattern"):
+            writer.text("/" + value if first else value)
+        elif seg_type == "wildcard":
+            writer.text("/*" if first else "*")
+        elif seg_type == "synthetic":
+            writer.leaf("em", "(" + value + ")")
+        first = False
+    writer.close()
+
+
+def _render_enum_values(writer: _Writer, values: list,
+                        leading_separator: bool) -> None:
+    """documentation_html.cc:97-110."""
+    first = True
+    for value in values:
+        if not first or leading_separator:
+            writer.text(" | ")
+        writer.leaf("code", _json_to_string(value))
+        first = False
+
+
+def _render_type_expression(writer: _Writer, type_expr: dict) -> None:
+    """documentation_html.cc:112-182."""
+    kind = type_expr["kind"]
+    if kind == "object":
+        writer.text("Object")
+    elif kind == "primitive":
+        writer.text({"string": "String", "integer": "Integer",
+                     "number": "Number"}.get(type_expr["name"], ""))
+    elif kind in ("array", "tuple"):
+        writer.text("Array")
+    elif kind == "enum":
+        _render_enum_values(writer, type_expr["values"], False)
+        if "overflow" in type_expr:
+            writer.open("details")
+            writer.leaf("summary",
+                        f"+ {len(type_expr['overflow'])} more")
+            _render_enum_values(writer, type_expr["overflow"], True)
+            writer.close()
+    elif kind == "externalRef":
+        url = type_expr["url"]
+        writer.open("a").attribute("href", url)
+        writer.text(url)
+        writer.close()
+    elif kind == "recursiveRef":
+        identifier = str(type_expr["identifier"])
+        writer.open("a").attribute("data-index", identifier)
+        if "path" in type_expr:
+            first = True
+            for segment in type_expr["path"]:
+                seg_type, value = segment["type"], segment["value"]
+                if not first:
+                    writer.text("/")
+                if seg_type == "synthetic":
+                    writer.text("(" + value + ")")
+                elif seg_type in ("literal", "pattern"):
+                    writer.text("/" + value if first else value)
+                elif seg_type == "wildcard":
+                    writer.text("/*" if first else "*")
+                first = False
+            writer.text(" #" + identifier)
+        else:
+            writer.text(identifier)
+        writer.close()
+    elif kind == "dynamicRef":
+        writer.text("dynamic: " + type_expr["anchor"])
+    elif kind == "any":
+        writer.text("Any")
+    elif kind == "never":
+        writer.text("Never")
+
+
+def _render_badges(writer: _Writer, row: dict) -> None:
+    """documentation_html.cc:184-203."""
+    for badge in row.get("badges", []):
+        kind, value = badge["kind"], badge["value"]
+        if kind == "format":
+            writer.leaf("span", value)
+        elif kind == "encoding":
+            writer.leaf("span", "encoding: " + value)
+        elif kind == "mime":
+            writer.leaf("span", "mime: " + value)
+
+
+def _render_notes(writer: _Writer, row: dict) -> None:
+    """documentation_html.cc:205-221."""
+    if "title" in row:
+        writer.leaf("strong", row["title"])
+    if "description" in row:
+        writer.leaf("p", row["description"])
+    if "default" in row:
+        writer.open("span")
+        writer.text("default: ")
+        writer.leaf("code", _json_to_string(row["default"]))
+        writer.close()
+
+
+def _emit_header(writer: _Writer) -> None:
+    """documentation_html.cc:233-243."""
+    writer.open("thead")
+    writer.open("tr")
+    for title in ("Path", "Type", "Required", "Constraints", "Notes"):
+        writer.leaf("th", title)
+    writer.close()
+    writer.close()
+
+
+def _render_row(writer: _Writer, row: dict,
+                ref_targets: Set[int]) -> None:
+    """documentation_html.cc:245-299."""
+    identifier = row["identifier"]
+    writer.open("tr").attribute("data-index", str(identifier))
+
+    writer.open("td")
+    _render_path(writer, row["path"])
+    if identifier in ref_targets:
+        writer.text(" ")
+        writer.leaf("strong", "#" + str(identifier))
+    for modifier in row.get("modifiers", []):
+        writer.leaf("span", modifier)
+    writer.close()
+
+    writer.open("td")
+    _render_type_expression(writer, row["type"])
+    _render_badges(writer, row)
+    writer.close()
+
+    writer.open("td")
+    if "required" in row:
+        writer.text("Yes" if row["required"] else "No")
+    writer.close()
+
+    writer.open("td")
+    for constraint in row.get("constraints", []):
+        writer.leaf("span", constraint)
+    writer.close()
+
+    writer.open("td")
+    _render_notes(writer, row)
+    writer.close()
+
+    writer.close()
+
+    for section in row.get("children", []):
+        _render_section(writer, section, ref_targets)
+
+
+def _render_section(writer: _Writer, section: dict,
+                    ref_targets: Set[int]) -> None:
+    """documentation_html.cc:301-332."""
+    writer.open("tr")
+    writer.open("td").attribute("colspan", "5")
+    writer.open("div")
+
+    writer.open("div")
+    writer.text(section["label"])
+    if "position" in section:
+        writer.text(" ")
+        writer.leaf("code", str(section["position"]))
+    writer.close()
+
+    for child in section["children"]:
+        writer.open("div")
+        if "title" in child:
+            writer.leaf("div", child["title"])
+        _render_table(writer, child, ref_targets)
+        writer.close()
+
+    writer.close()
+    writer.close()
+    writer.close()
+
+
+def _render_table_body(writer: _Writer, table: dict,
+                       ref_targets: Set[int]) -> None:
+    """Shared table-body logic (documentation_html.cc:334-369 and the
+    top-level to_html body, which are line-for-line identical)."""
+    rows = table["rows"]
+    has_children = "children" in table
+    root_is_ref_target = bool(rows) and \
+        rows[0].get("identifier") in ref_targets
+    skip_root = has_children and bool(rows) and \
+        _is_empty_row(rows[0]) and not root_is_ref_target
+
+    if not skip_root or len(rows) > 1:
+        _emit_header(writer)
+
+    writer.open("tbody")
+    for row in rows[1:] if skip_root else rows:
+        _render_row(writer, row, ref_targets)
+    if has_children:
+        for section in table["children"]:
+            _render_section(writer, section, ref_targets)
+    writer.close()
+    writer.close()
+
+
+def _render_table(writer: _Writer, table: dict,
+                  ref_targets: Set[int]) -> None:
+    writer.open("table").attribute("data-index",
+                                   str(table["identifier"]))
+    _render_table_body(writer, table, ref_targets)
+
+
+def render_html(documentation: dict) -> str:
+    """documentation_html.cc:373-410."""
+    assert isinstance(documentation, dict) and "rows" in documentation
+    ref_targets: Set[int] = set()
+    _collect_ref_targets(documentation, ref_targets)
+    writer = _Writer()
+    writer.open("table").attribute("class",
+                                   "sourcemeta-blaze-documentation")
+    _render_table_body(writer, documentation, ref_targets)
+    return writer.str()

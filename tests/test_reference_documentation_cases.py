@@ -1,0 +1,38 @@
+"""Replay the reference's documentation corpus
+(test/documentation/documentation_*_test.cc) against
+to_documentation()/to_html() — exact table-model JSON, identifier
+density, recursiveRef integrity, meta-schema validation (via THIS
+repo's evaluator), and byte-exact HTML. Parsed in place by
+tools/documentation_check.py. Pure Python (no Spark)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tools.cc_cases import _split_tests
+from tools.documentation_check import REFERENCE, run_case, run_html_case
+
+_CASES = []
+for _filename, _is_html in (("documentation_2020_12_test.cc", False),
+                            ("documentation_draft4_test.cc", False),
+                            ("documentation_html_test.cc", True)):
+    with open(os.path.join(REFERENCE, _filename), "r",
+              encoding="utf-8") as _fh:
+        _source = _fh.read()
+    for _suite, _name, _body in _split_tests(_source):
+        _CASES.append(pytest.param(
+            _body, _is_html, id=f"{_filename[:-8]}:{_name}"))
+
+
+@pytest.mark.parametrize("body,is_html", _CASES)
+def test_documentation_case(body, is_html):
+    if is_html:
+        run_html_case(body)
+    else:
+        run_case(body)
+
+
+def test_corpus_is_substantial():
+    assert len(_CASES) >= 145

@@ -178,3 +178,29 @@ def test_editor_schemas_distributed(spark):
     assert out1["properties"]["x"] == {"$ref": "#"}
     # row 2: malformed input surfaces as an error, not a crash
     assert got[2]["editor"] is None and got[2]["editor_error"]
+
+
+def test_documentation_schemas_distributed(spark):
+    import json as _json
+    from blaze_spark.operators.schema_pipeline import documentation_schemas
+    from blaze_spark.plans.documentation import to_documentation, to_html
+
+    rows = [
+        (0, _json.dumps({"$schema": D2020, "type": "string"})),
+        (1, _json.dumps({"$schema": D2020, "type": "object",
+                         "properties": {"x": {"type": "integer"}},
+                         "required": ["x"]})),
+        (2, "{broken"),
+    ]
+    df = spark.createDataFrame(rows, ["sid", "schema_json"])
+    result = documentation_schemas(df, "schema_json", html=True)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle
+    got = {r["sid"]: r for r in result.collect()}
+    for sid in (0, 1):
+        doc = to_documentation(_json.loads(rows[sid][1]))
+        assert _json.loads(got[sid]["documentation"]) == doc
+        assert got[sid]["documentation_html"] == to_html(doc)
+    assert got[1]["documentation_html"].startswith(
+        '<table class="sourcemeta-blaze-documentation">')
+    assert got[2]["documentation"] is None and got[2]["documentation_error"]

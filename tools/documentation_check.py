@@ -1,0 +1,190 @@
+"""Replay the reference's documentation corpus against
+to_documentation()/to_html().
+
+Usage: python tools/documentation_check.py [-v] [pattern...]
+
+Parses test/documentation/documentation_*_test.cc in place and checks,
+per TEST:
+- the generated documentation JSON equals the expected literal;
+- identifiers are dense 0..n-1 and recursiveRef targets exist
+  (documentation_test_utils.h collect_identifiers_and_check);
+- the JSON validates against the reference's own meta-schema
+  (/root/reference/schemas/documentation.json) using THIS repo's
+  compiler + evaluator — the same cross-check the reference's test
+  fixture performs with its evaluator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from typing import Any, List, Set, Tuple
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blaze_spark.plans.documentation import to_documentation, to_html
+from tools.cc_cases import _split_tests  # noqa: E402
+
+REFERENCE = "/root/reference/test/documentation"
+META_SCHEMA_PATH = "/root/reference/schemas/documentation.json"
+
+_ASSIGN_RE = re.compile(
+    r'(?:const auto|auto|const sourcemeta::core::JSON)\s+(\w+)\{\s*'
+    r'sourcemeta::core::parse_json\(R"JSON\((.*?)\)JSON"\s*\)\}',
+    re.S,
+)
+
+_plan = None
+
+
+def _meta_validate(document: Any) -> None:
+    global _plan
+    from blaze_spark.plans.compiler import compile_schema
+    from blaze_spark.operators.evaluator import evaluate
+    if _plan is None:
+        with open(META_SCHEMA_PATH, "r", encoding="utf-8") as fh:
+            meta = json.load(fh)
+        _plan = compile_schema(meta)
+    result = evaluate(_plan, document)
+    if not result.valid:
+        raise AssertionError(
+            "documentation JSON does not validate against the "
+            "reference meta-schema: "
+            + "; ".join(str(v) for v in result.violations[:3]))
+
+
+def _collect_identifiers(table: Any, identifiers: Set[int],
+                         ref_targets: Set[int]) -> None:
+    """documentation_test_utils.h collect_identifiers_and_check."""
+    assert isinstance(table, dict) and "identifier" in table \
+        and "rows" in table
+    assert table["identifier"] not in identifiers
+    identifiers.add(table["identifier"])
+    rows = table["rows"]
+    has_children = bool(table.get("children"))
+    assert rows or has_children
+
+    paths = set()
+    for row in rows:
+        assert row["identifier"] not in identifiers
+        identifiers.add(row["identifier"])
+        if "path" in row:
+            key = "/".join(seg["value"] for seg in row["path"])
+            assert key not in paths, f"duplicate path {key}"
+            paths.add(key)
+        type_expr = row.get("type", {})
+        if type_expr.get("kind") == "recursiveRef" and \
+                "identifier" in type_expr:
+            ref_targets.add(type_expr["identifier"])
+        elif type_expr.get("kind") == "array" and \
+                isinstance(type_expr.get("items"), dict):
+            items = type_expr["items"]
+            if items.get("kind") == "recursiveRef" and \
+                    "identifier" in items:
+                ref_targets.add(items["identifier"])
+        for section in row.get("children", []):
+            for branch in section["children"]:
+                _collect_identifiers(branch, identifiers, ref_targets)
+    for section in table.get("children", []):
+        for branch in section["children"]:
+            _collect_identifiers(branch, identifiers, ref_targets)
+
+
+def run_case(body: str) -> None:
+    assigns = {name: json.loads(text)
+               for name, text in _ASSIGN_RE.findall(body)}
+    schema = assigns["schema"]
+    expected = assigns["expected"]
+    actual = to_documentation(schema)
+
+    identifiers: Set[int] = set()
+    ref_targets: Set[int] = set()
+    _collect_identifiers(actual, identifiers, ref_targets)
+    assert identifiers, "no identifiers"
+    assert min(identifiers) == 0 and \
+        max(identifiers) == len(identifiers) - 1, \
+        f"identifiers not dense: {sorted(identifiers)}"
+    missing = ref_targets - identifiers
+    assert not missing, f"dangling recursiveRef targets: {missing}"
+
+    _meta_validate(actual)
+
+    if actual != expected:
+        raise AssertionError(
+            "documentation mismatch:\n got: %s\nwant: %s" % (
+                json.dumps(actual, indent=1)[:4000],
+                json.dumps(expected, indent=1)[:4000]))
+
+
+_HTML_EXPECT_RE = re.compile(
+    r'EXPECT_EQ\(\s*sourcemeta::blaze::to_html\(\s*(\w+)\s*\)\s*,\s*'
+    r'"((?:[^"\\]|\\.)*)"(?:\s*\n\s*"((?:[^"\\]|\\.)*)")*',
+    re.S,
+)
+
+
+def run_html_case(body: str) -> None:
+    assigns = {name: json.loads(text)
+               for name, text in _ASSIGN_RE.findall(body)}
+    m = re.search(r"to_html\(\s*(\w+)\s*\)", body)
+    assert m, "no to_html call"
+    doc_var = m.group(1)
+    document = assigns.get(doc_var)
+    if document is None:
+        # document built from to_documentation(schema)
+        document = to_documentation(assigns["schema"])
+    # collect the full expected string: adjacent C++ string literals
+    call_pos = body.index("to_html")
+    comma = body.index(",", call_pos)
+    end = body.index(");", comma)
+    expected_text = "".join(
+        mm.group(1).encode("utf-8").decode("unicode_escape")
+        for mm in re.finditer(r'"((?:[^"\\]|\\.)*)"',
+                              body[comma:end]))
+    actual = to_html(document)
+    if actual != expected_text:
+        raise AssertionError(
+            "html mismatch:\n got: %r\nwant: %r" % (
+                actual[:2000], expected_text[:2000]))
+
+
+def main(argv) -> int:
+    verbose = "-v" in argv
+    patterns = [a for a in argv if not a.startswith("-")]
+    total_pass = total_fail = 0
+    files: List[Tuple[str, bool]] = [
+        ("documentation_2020_12_test.cc", False),
+        ("documentation_draft4_test.cc", False),
+        ("documentation_html_test.cc", True),
+    ]
+    for filename, is_html in files:
+        path = os.path.join(REFERENCE, filename)
+        if patterns and not any(p in filename for p in patterns):
+            continue
+        with open(path, "r", encoding="utf-8") as fh:
+            source = fh.read()
+        n_pass = n_fail = 0
+        for suite, name, body in _split_tests(source):
+            try:
+                if is_html:
+                    run_html_case(body)
+                else:
+                    run_case(body)
+                n_pass += 1
+                if verbose:
+                    print(f"--- {suite} :: {name} [pass]")
+            except Exception as exc:
+                n_fail += 1
+                print(f"--- {suite} :: {name} [fail]")
+                print(f"  {type(exc).__name__}: {exc}"[:2500])
+        print(f"{filename:<44} pass={n_pass:4d} fail={n_fail:4d}")
+        total_pass += n_pass
+        total_fail += n_fail
+    print(f"TOTAL pass={total_pass} fail={total_fail}")
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -31,6 +31,8 @@ WATCHED = [
     "/root/reference/test/editor",
     "/root/reference/test/output",
     "/root/reference/test/configuration",
+    "/root/reference/test/documentation",
+    "/root/reference/schemas/documentation.json",
     "/root/reference/src/foundation/known_walker.cc",
     "/root/reference/vendor/jsonschema-test-suite/tests",
 ]
