@@ -1,0 +1,219 @@
+"""Unevaluated-keyword dependency analysis: ``unevaluated()``.
+
+Re-expresses the reference's compiler-side analysis (reference:
+src/compiler/unevaluated.cc:171-244): for every subschema that
+declares ``unevaluatedProperties``/``unevaluatedItems``, compute which
+adjacent in-place keywords (through allOf/anyOf/oneOf/if-then-else/
+dependentSchemas/static $refs) can mark properties/items as evaluated
+— split into *static* dependencies (always apply) and *dynamic*
+dependencies (conditionally apply), with ``unresolved`` set when a
+dynamic reference makes the dependency set uncomputable statically.
+
+This is the planning signal that decides whether an unevaluated
+keyword can be compiled to a cheap closed-form check (resolved, no
+dynamic deps) or needs full annotation tracking at evaluation time —
+the same decision our tier-1/tier-2 split makes per schema.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Set, Tuple
+
+from blaze_spark.plans.schema_frame import (
+    DYNAMIC,
+    RESOURCE,
+    STATIC,
+    SUBSCHEMA,
+    ANCHOR,
+    Location,
+    Pointer,
+    SchemaFrame,
+    _get_at,
+    to_uri,
+)
+from blaze_spark.plans.transform import vocab as V
+from blaze_spark.plans.transform import walker as W
+
+__all__ = ["SchemaUnevaluatedEntry", "unevaluated"]
+
+
+@dataclass
+class SchemaUnevaluatedEntry:
+    """SchemaUnevaluatedEntry (compiler.h): the dependency sets of one
+    unevaluated keyword location."""
+    static_dependencies: Set[Pointer] = field(default_factory=set)
+    dynamic_dependencies: Set[Pointer] = field(default_factory=set)
+    unresolved: bool = False
+
+
+def _frame_uri(frame: SchemaFrame, location: Location,
+               relative: Pointer) -> str:
+    """frame.cc:1360-1369 SchemaFrame::uri(location, relative)."""
+    pointer = frame.relative_instance_location(location) + tuple(relative)
+    return to_uri(pointer, location.base)
+
+
+def _frame_traverse(frame: SchemaFrame, location: Location,
+                    relative: Pointer) -> Optional[Location]:
+    """frame.cc:1371-1385 SchemaFrame::traverse(location, relative)."""
+    uri = _frame_uri(frame, location, relative)
+    hit = frame.locations.get((STATIC, uri))
+    if hit is not None:
+        return hit
+    return frame.locations.get((DYNAMIC, uri))
+
+
+def _find_adjacent_dependencies(
+        current: str, schema: Any, frame: SchemaFrame,
+        resolver, keywords: Set[str], root: Location, entry: Location,
+        is_static: bool, result: SchemaUnevaluatedEntry) -> None:
+    """unevaluated.cc:16-138."""
+    subschema = _get_at(schema, tuple(entry.pointer))
+    if not isinstance(subschema, dict):
+        return
+
+    vocabularies = frame.vocabularies_of(entry)
+
+    for keyword, value in subschema.items():
+        if keyword == current and \
+                tuple(entry.pointer) == tuple(root.pointer):
+            continue
+        if keyword in keywords:
+            # In 2019-09, `additionalItems` takes no effect without
+            # `items` (unevaluated.cc:33-38)
+            if V.V19_APPLICATOR in vocabularies and \
+                    keyword == "additionalItems" and \
+                    "items" not in subschema:
+                continue
+            pointer = tuple(entry.pointer) + (keyword,)
+            if is_static:
+                result.static_dependencies.add(pointer)
+            else:
+                result.dynamic_dependencies.add(pointer)
+            continue
+
+        keyword_type = W.walk_type(keyword, vocabularies)
+        if keyword_type == W.REFERENCE:
+            reftype, destination = frame.dereference(entry, (keyword,))
+            if reftype == STATIC and destination is not None:
+                _find_adjacent_dependencies(
+                    current, schema, frame, resolver, keywords, root,
+                    destination, is_static, result)
+            elif reftype == DYNAMIC:
+                result.unresolved = True
+        elif keyword_type == W.APP_ELEMENTS_INPLACE:
+            for index in range(len(value)):
+                target = _frame_traverse(frame, entry, (keyword, index))
+                _find_adjacent_dependencies(
+                    current, schema, frame, resolver, keywords, root,
+                    target, is_static, result)
+        elif keyword_type == W.APP_ELEMENTS_INPLACE_SOME:
+            if isinstance(value, list):
+                for index in range(len(value)):
+                    target = _frame_traverse(frame, entry,
+                                             (keyword, index))
+                    _find_adjacent_dependencies(
+                        current, schema, frame, resolver, keywords,
+                        root, target, False, result)
+        elif keyword_type in (W.APP_VALUE_ANY_ITEM, W.APP_VALUE_PARENT,
+                              W.APP_VALUE_INPLACE_MAYBE):
+            if isinstance(value, (dict, bool)):
+                target = _frame_traverse(frame, entry, (keyword,))
+                _find_adjacent_dependencies(
+                    current, schema, frame, resolver, keywords, root,
+                    target, False, result)
+        elif keyword_type == W.APP_VALUE_OR_ELEMENTS_INPLACE:
+            if isinstance(value, list):
+                for index in range(len(value)):
+                    target = _frame_traverse(frame, entry,
+                                             (keyword, index))
+                    _find_adjacent_dependencies(
+                        current, schema, frame, resolver, keywords,
+                        root, target, False, result)
+            elif isinstance(value, (dict, bool)):
+                target = _frame_traverse(frame, entry, (keyword,))
+                _find_adjacent_dependencies(
+                    current, schema, frame, resolver, keywords, root,
+                    target, False, result)
+        elif keyword_type == W.APP_MEMBERS_INPLACE_SOME:
+            if isinstance(value, dict):
+                for name in value:
+                    target = _frame_traverse(frame, entry,
+                                             (keyword, name))
+                    _find_adjacent_dependencies(
+                        current, schema, frame, resolver, keywords,
+                        root, target, False, result)
+
+
+def _register_under_all_bases(result: Dict[str, SchemaUnevaluatedEntry],
+                              frame: SchemaFrame, location: Location,
+                              keyword: str,
+                              value: SchemaUnevaluatedEntry) -> None:
+    """unevaluated.cc:140-159."""
+    result.setdefault(_frame_uri(frame, location, (keyword,)), value)
+    for (_reftype, _uri), alternate in frame.locations.items():
+        if tuple(alternate.pointer) != tuple(location.pointer) or \
+                alternate.base == location.base:
+            continue
+        if alternate.type not in (SUBSCHEMA, RESOURCE, ANCHOR):
+            continue
+        result.setdefault(_frame_uri(frame, alternate, (keyword,)),
+                          value)
+
+
+def unevaluated(schema: Any, frame: SchemaFrame,
+                resolver: Optional[Callable[[str], Any]] = None
+                ) -> Dict[str, SchemaUnevaluatedEntry]:
+    """unevaluated.cc:171-244: URI → dependency entry for every
+    unevaluated keyword in the schema."""
+    result: Dict[str, SchemaUnevaluatedEntry] = {}
+
+    for (_reftype, _uri), entry in list(frame.locations.items()):
+        if entry.type not in (SUBSCHEMA, RESOURCE):
+            continue
+        subschema = _get_at(schema, tuple(entry.pointer))
+        if not isinstance(subschema, dict):
+            continue
+
+        has_unevaluated_properties = "unevaluatedProperties" in subschema
+        has_unevaluated_items = "unevaluatedItems" in subschema
+        if not has_unevaluated_properties and not has_unevaluated_items:
+            continue
+
+        vocabularies = frame.vocabularies_of(entry)
+
+        if has_unevaluated_properties and (
+                (V.V20_UNEVALUATED in vocabularies and
+                 V.V20_APPLICATOR in vocabularies) or
+                V.V19_APPLICATOR in vocabularies):
+            value = SchemaUnevaluatedEntry()
+            _find_adjacent_dependencies(
+                "unevaluatedProperties", schema, frame, resolver,
+                {"properties", "patternProperties",
+                 "additionalProperties", "unevaluatedProperties"},
+                entry, entry, True, value)
+            _register_under_all_bases(result, frame, entry,
+                                      "unevaluatedProperties", value)
+
+        if has_unevaluated_items:
+            if V.V20_UNEVALUATED in vocabularies and \
+                    V.V20_APPLICATOR in vocabularies:
+                value = SchemaUnevaluatedEntry()
+                _find_adjacent_dependencies(
+                    "unevaluatedItems", schema, frame, resolver,
+                    {"prefixItems", "items", "contains",
+                     "unevaluatedItems"},
+                    entry, entry, True, value)
+                _register_under_all_bases(result, frame, entry,
+                                          "unevaluatedItems", value)
+            elif V.V19_APPLICATOR in vocabularies:
+                value = SchemaUnevaluatedEntry()
+                _find_adjacent_dependencies(
+                    "unevaluatedItems", schema, frame, resolver,
+                    {"items", "additionalItems", "unevaluatedItems"},
+                    entry, entry, True, value)
+                _register_under_all_bases(result, frame, entry,
+                                          "unevaluatedItems", value)
+
+    return result

@@ -1,0 +1,49 @@
+"""Replay the reference's compiler-unevaluated corpus
+(test/compiler/compiler_unevaluated_*_test.cc) against unevaluated()
+and the test-DSL corpus (test/test/*_test.cc) against the
+TestCase/TestSuite runner. Parsed in place by tools/unevaluated_check
+and tools/testdsl_check. Pure Python (no Spark)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from tools.cc_cases import _split_tests
+from tools.testdsl_check import REFERENCE as TESTDSL_REFERENCE
+from tools.testdsl_check import run_case as run_testdsl_case
+from tools.unevaluated_check import REFERENCE as UNEVAL_REFERENCE
+from tools.unevaluated_check import run_case as run_unevaluated_case
+
+_UNEVAL_CASES = []
+for _path in sorted(glob.glob(os.path.join(
+        UNEVAL_REFERENCE, "compiler_unevaluated_*_test.cc"))):
+    with open(_path, "r", encoding="utf-8") as _fh:
+        for _suite, _name, _body in _split_tests(_fh.read()):
+            _UNEVAL_CASES.append(pytest.param(
+                _body, id=f"{os.path.basename(_path)[:-8]}:{_name}"))
+
+_TESTDSL_CASES = []
+for _path in sorted(glob.glob(os.path.join(TESTDSL_REFERENCE,
+                                           "*_test.cc"))):
+    with open(_path, "r", encoding="utf-8") as _fh:
+        for _suite, _name, _body in _split_tests(_fh.read()):
+            _TESTDSL_CASES.append(pytest.param(
+                _body, id=f"{os.path.basename(_path)[:-8]}:{_name}"))
+
+
+@pytest.mark.parametrize("body", _UNEVAL_CASES)
+def test_unevaluated_case(body):
+    run_unevaluated_case(body)
+
+
+@pytest.mark.parametrize("body", _TESTDSL_CASES)
+def test_testdsl_case(body):
+    run_testdsl_case(body)
+
+
+def test_corpus_is_substantial():
+    assert len(_UNEVAL_CASES) >= 17
+    assert len(_TESTDSL_CASES) >= 58

@@ -32,6 +32,8 @@ WATCHED = [
     "/root/reference/test/output",
     "/root/reference/test/configuration",
     "/root/reference/test/documentation",
+    "/root/reference/test/compiler",
+    "/root/reference/test/test",
     "/root/reference/schemas/documentation.json",
     "/root/reference/src/foundation/known_walker.cc",
     "/root/reference/vendor/jsonschema-test-suite/tests",

@@ -1,0 +1,426 @@
+"""Replay the reference's test-DSL corpus against the test runner.
+
+Usage: python tools/testdsl_check.py [-v] [pattern...]
+
+Parses test/test/*_test.cc in place and interprets each TEST body
+against blaze_spark.testsuite's reference-parity surface
+(RefTestCase / RefTestSuite / run with callback): parse errors,
+positions, dataPath loading (JSON + YAML), file/URI targets, dialect
+defaults, and per-case callback traces.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import sys
+from typing import Any, Dict, List, Optional, Tuple
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blaze_spark.plans.schema_frame import ResolutionError
+from blaze_spark.testsuite import (
+    RefTestCase,
+    RefTestSuite,
+    TestParseError,
+    parse_json_with_positions,
+)
+from tools.cc_cases import _split_tests  # noqa: E402
+
+REFERENCE = "/root/reference/test/test"
+STUBS_PATH = os.path.join(REFERENCE, "stubs")
+STUB_POSITION = (0, 0, 0, 0)
+
+_INPUT_RE = re.compile(
+    r'const auto input\{\s*(?:R"JSON\((.*?)\)JSON"|"((?:[^"\\]|\\.)*)")'
+    r'\s*\}', re.S)
+_RESOLVER_ENTRY_RE = re.compile(
+    r'identifier ==\s*\n?\s*"([^"]+)"\s*\)\s*\{\s*'
+    r'return sourcemeta::core::parse_json\(R"JSON\((.*?)\)JSON"',
+    re.S)
+_DIALECT_ARG_RE = re.compile(
+    r'default_schema_compiler,\s*\n?\s*"([^"]+)"\s*\)')
+_EXPECTED_TARGET_RE = re.compile(
+    r'const auto (\w+)\{sourcemeta::core::URI::from_path\(\s*'
+    r'std::filesystem::path\{STUBS_PATH\}\s*/\s*"([^"]+)"\)\}')
+_GET_RE = re.compile(r"std::get<(\d+)>\(([^)]*)\)")
+_EXPECT_RE = re.compile(
+    r"(EXPECT_EQ|EXPECT_NE|EXPECT_TRUE|EXPECT_FALSE|EXPECT_GE|"
+    r"EXPECT_LE|ASSERT_EQ)\s*\(")
+
+_ERRORS = {
+    "TestParseError": TestParseError,
+    "SchemaResolutionError": ResolutionError,
+}
+
+
+def _uri_from_path(path: str) -> str:
+    from blaze_spark.testsuite import _uri_from_path as impl
+    return impl(path)
+
+
+def _balanced(text: str, start: int) -> int:
+    depth, i = 0, start
+    while i < len(text):
+        c = text[i]
+        if c == '"':
+            i += 1
+            while i < len(text) and text[i] != '"':
+                if text[i] == "\\":
+                    i += 1
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parens")
+
+
+def _official_resolver():
+    """The reference's built-in schema_resolver serves the official
+    metaschemas; reuse the vendored-document resolver the compliance
+    runner uses."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import compliance
+    return compliance.make_resolver("2020-12")
+
+
+_OFFICIAL = _official_resolver()
+
+
+def _make_resolver(body: str):
+    """Inline resolver lambdas: identifier tables chained onto the
+    official metaschema resolver; pure file-reading resolvers need no
+    table (the suite's file-aware path reads file URIs directly)."""
+    table = {mm.group(1): mm.group(2)
+             for mm in _RESOLVER_ENTRY_RE.finditer(body)}
+    import json
+
+    def resolver(uri: str):
+        hit = table.get(uri)
+        if hit is not None:
+            return json.loads(hit)
+        return _OFFICIAL(uri)
+    return resolver
+
+
+class Trace(tuple):
+    pass
+
+
+def run_case(body: str) -> None:
+    m = _INPUT_RE.search(body)
+    assert m, "no input literal"
+    input_text = m.group(1) if m.group(1) is not None else \
+        m.group(2).replace('\\"', '"')
+    document, positions = parse_json_with_positions(input_text)
+
+    env: Dict[str, Any] = {
+        "document": document,
+        "positions": positions,
+    }
+    resolver = _make_resolver(body)
+    dialect_m = _DIALECT_ARG_RE.search(body)
+    default_dialect = dialect_m.group(1) if dialect_m else ""
+
+    for mm in _EXPECTED_TARGET_RE.finditer(body):
+        env[mm.group(1)] = _uri_from_path(
+            os.path.join(STUBS_PATH, mm.group(2)))
+
+    # --- TestCase::parse ------------------------------------------------
+    def case_parse():
+        return RefTestCase.parse(document, positions, STUBS_PATH, (),
+                                 STUB_POSITION)
+
+    def suite_parse():
+        return RefTestSuite.parse(document, positions, STUBS_PATH,
+                                  resolver, default_dialect)
+
+    try_m = re.search(
+        r"try\s*\{\s*(?:const auto \w+\{)?\s*sourcemeta::blaze::"
+        r"(TestCase|TestSuite)::parse\(", body)
+    if try_m:
+        catch_m = re.search(
+            r"catch\s*\(\s*const\s+sourcemeta::blaze::(\w+)\s*&\s*"
+            r"(\w+)\s*\)\s*\{", body)
+        assert catch_m, "try without catch"
+        expected_error = _ERRORS[catch_m.group(1)]
+        fn = case_parse if try_m.group(1) == "TestCase" else suite_parse
+        try:
+            fn()
+        except expected_error as exc:
+            error = exc
+        else:
+            raise AssertionError(f"expected {catch_m.group(1)}")
+        catch_body = body[catch_m.end():]
+        checked = 0
+        msg_m = re.search(
+            r"EXPECT_STREQ\(error\.what\(\),\s*((?:\"(?:[^\"\\]|\\.)*\""
+            r"\s*)+)\)", catch_body)
+        if msg_m:
+            expected_message = "".join(
+                re.findall(r'"((?:[^"\\]|\\.)*)"', msg_m.group(1)))
+            got_message = str(error)
+            if isinstance(error, ResolutionError):
+                # our str() appends ": <uri>"; what() is the message
+                got_message = got_message[:-len(f": {error.uri}")]
+            assert got_message == expected_message, \
+                f"message {got_message!r} != {expected_message!r}"
+            checked += 1
+        id_m = re.search(
+            r"EXPECT_EQ\(error\.identifier\(\),\s*\"([^\"]+)\"\);",
+            catch_body)
+        if id_m:
+            assert getattr(error, "identifier", None) == id_m.group(1), \
+                f"identifier {error.identifier} != {id_m.group(1)}"
+            checked += 1
+        loc_m = re.search(
+            r"EXPECT_EQ\(error\.location\(\),\s*([^;]+)\);", catch_body)
+        if loc_m:
+            loc_text = loc_m.group(1)
+            if "empty_pointer" in loc_text:
+                expected_pointer = ()
+            else:
+                tokens = []
+                for tok in re.findall(
+                        r'"((?:[^"\\]|\\.)*)"|(\d+)', loc_text):
+                    tokens.append(tok[0] if tok[0] else int(tok[1]))
+                expected_pointer = tuple(tokens)
+            assert getattr(error, "pointer", None) == expected_pointer, \
+                f"pointer {error.pointer} != {expected_pointer}"
+            checked += 1
+        for attr in ("line", "column"):
+            am = re.search(
+                rf"EXPECT_EQ\(error\.{attr}\(\),\s*(\d+)\);", catch_body)
+            if am:
+                got = getattr(error, attr)
+                assert got == int(am.group(1)), \
+                    f"{attr} {got} != {am.group(1)}"
+                checked += 1
+        assert checked > 0, "no catch assertions interpreted"
+        return
+
+    throw_m = re.search(
+        r"EXPECT_THROW\(sourcemeta::blaze::(TestCase|TestSuite)::parse\(",
+        body)
+    if throw_m:
+        close = _balanced(body, body.index("(", throw_m.start()))
+        error_name = re.search(r"sourcemeta::blaze::(\w+)\);",
+                               body[close - 2:close + 80])
+        expected_error = _ERRORS[error_name.group(1)] if error_name \
+            else Exception
+        fn = case_parse if throw_m.group(1) == "TestCase" else suite_parse
+        try:
+            fn()
+        except expected_error:
+            return
+        except Exception as exc:
+            raise AssertionError(
+                f"expected {error_name.group(1)}, got "
+                f"{type(exc).__name__}: {exc}")
+        raise AssertionError(f"expected {error_name.group(1)}")
+
+    if "TestCase::parse" in body:
+        env["result"] = case_parse()
+    elif "TestSuite::parse" in body:
+        suite = suite_parse()
+        env["suite"] = suite
+        env["result"] = suite
+
+    # --- suite.run ------------------------------------------------------
+    run_m = re.search(r"const auto result\{suite\.run\(", body)
+    if run_m:
+        lam = body[run_m.end():body.index("})};", run_m.end())]
+        timestamps_only = "TestTimestamp start" in lam
+        traces: List[tuple] = []
+
+        if timestamps_only:
+            def callback(target, _index, _total, _case, _actual, start,
+                         end):
+                traces.append((target, start, end))
+        else:
+            def callback(target, index, total, case, actual, _start,
+                         _end):
+                traces.append((target, index, total, case.description,
+                               case.valid, actual))
+        env["result"] = env["suite"].run(callback)
+        env["traces"] = traces
+
+    # --- assertions -----------------------------------------------------
+    checked = 0
+    for em in _EXPECT_RE.finditer(body):
+        close = _balanced(body, em.end() - 1)
+        args_text = body[em.end():close - 1]
+        macro = em.group(1)
+        if "::parse(" in args_text:  # the EXPECT_THROW path
+            continue
+        values = _eval_args(args_text, env, macro)
+        if values is None:
+            continue
+        if macro in ("EXPECT_EQ", "ASSERT_EQ"):
+            a, b = values
+            assert a == b, f"{args_text.strip()}: {a!r} != {b!r}"
+        elif macro == "EXPECT_NE":
+            a, b = values
+            assert a != b, f"{args_text.strip()}: both {a!r}"
+        elif macro == "EXPECT_TRUE":
+            assert bool(values[0]), f"{args_text.strip()} not true"
+        elif macro == "EXPECT_FALSE":
+            assert not bool(values[0]), f"{args_text.strip()} not false"
+        elif macro == "EXPECT_GE":
+            a, b = values
+            assert a >= b, f"{args_text.strip()}: {a!r} < {b!r}"
+        elif macro == "EXPECT_LE":
+            a, b = values
+            assert a <= b, f"{args_text.strip()}: {a!r} > {b!r}"
+        checked += 1
+
+    # the two monotonic-ordering loops in
+    # multiple_targets_timestamps_ordering
+    if "for (const auto &trace : traces)" in body:
+        result = env["result"]
+        for trace in env["traces"]:
+            assert trace[2] >= trace[1]
+            assert trace[1] >= result.start
+            assert trace[2] <= result.end
+        checked += 1
+    if "for (std::size_t index = 1; index < traces.size()" in body:
+        for prev, cur in zip(env["traces"], env["traces"][1:]):
+            assert cur[1] >= prev[1], "trace starts not monotonic"
+        checked += 1
+
+    assert checked > 0, "no assertions interpreted"
+
+
+def _split_two(text: str) -> List[str]:
+    out, depth, cur, i = [], 0, "", 0
+    while i < len(text):
+        c = text[i]
+        if c == '"':
+            j = i + 1
+            while j < len(text) and text[j] != '"':
+                if text[j] == "\\":
+                    j += 1
+                j += 1
+            cur += text[i:j + 1]
+            i = j + 1
+            continue
+        if c in "(<[{":
+            depth += 1
+        elif c in ")>]}":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append(cur)
+            cur = ""
+        else:
+            cur += c
+        i += 1
+    out.append(cur)
+    return out
+
+
+def _eval_args(args_text: str, env: Dict[str, Any],
+               macro: str) -> Optional[list]:
+    parts = _split_two(args_text)
+    values = []
+    for part in parts:
+        value = _eval_expr(part.strip(), env)
+        if value is NotImplemented:
+            return None
+        values.append(value)
+    return values
+
+
+def _eval_expr(expr: str, env: Dict[str, Any]) -> Any:
+    expr = expr.strip().rstrip(";").strip()
+    # string literal(s), possibly adjacent-concatenated
+    if expr.startswith('"'):
+        return "".join(re.findall(r'"((?:[^"\\]|\\.)*)"', expr))
+    if expr in ("true", "True"):
+        return True
+    if expr in ("false", "False"):
+        return False
+    if re.fullmatch(r"\d+", expr):
+        return int(expr)
+    gm = _GET_RE.fullmatch(expr)
+    if gm:
+        inner = _eval_expr(gm.group(2), env)
+        if inner is NotImplemented:
+            return NotImplemented
+        return inner[int(gm.group(1))]
+    m = re.fullmatch(r"(\w+)\.recompose\(\)", expr)
+    if m:
+        return env[m.group(1)]
+    if expr == "traces.size()":
+        return len(env["traces"])
+    if expr == "traces.empty()":
+        return not env["traces"]
+    m = re.fullmatch(r"traces(?:\.at\((\d+)\)|\[(\d+)\])", expr)
+    if m:
+        return env["traces"][int(m.group(1) or m.group(2))]
+    m = re.fullmatch(r"(result|suite)\.(total|passed|start|end)", expr)
+    if m:
+        return getattr(env[m.group(1)], m.group(2))
+    m = re.fullmatch(r"(result|suite)\.(tests|targets|schemas_fast|"
+                     r"schemas_exhaustive)\.size\(\)", expr)
+    if m:
+        return len(getattr(env[m.group(1)], m.group(2)))
+    m = re.fullmatch(r"(result|suite)\.tests\.empty\(\)", expr)
+    if m:
+        return not env[m.group(1)].tests
+    m = re.fullmatch(r"(result|suite)\.targets\.front\(\)", expr)
+    if m:
+        return env[m.group(1)].targets[0]
+    m = re.fullmatch(
+        r"(result|suite)\.tests\[(\d+)\]\.(\w+)(\.empty\(\))?", expr)
+    if m:
+        attr = getattr(env[m.group(1)].tests[int(m.group(2))],
+                       m.group(3))
+        return attr == "" if m.group(4) else attr
+    m = re.fullmatch(r"result\.(\w+)", expr)
+    if m and hasattr(env.get("result"), m.group(1)):
+        return getattr(env["result"], m.group(1))
+    m = re.fullmatch(
+        r"sourcemeta::core::parse_json\(R\"JSON\((.*)\)JSON\"\)", expr,
+        re.S)
+    if m:
+        import json
+        return json.loads(m.group(1))
+    # unknown expression: skip this assertion (counted by caller)
+    return NotImplemented
+
+
+def main(argv) -> int:
+    verbose = "-v" in argv
+    patterns = [a for a in argv if not a.startswith("-")]
+    total_pass = total_fail = 0
+    for path in sorted(glob.glob(os.path.join(REFERENCE, "*_test.cc"))):
+        filename = os.path.basename(path)
+        if patterns and not any(p in filename for p in patterns):
+            continue
+        with open(path, "r", encoding="utf-8") as fh:
+            source = fh.read()
+        n_pass = n_fail = 0
+        for suite, name, body in _split_tests(source):
+            try:
+                run_case(body)
+                n_pass += 1
+                if verbose:
+                    print(f"--- {suite} :: {name} [pass]")
+            except Exception as exc:
+                n_fail += 1
+                print(f"--- {suite} :: {name} [fail]")
+                print(f"  {type(exc).__name__}: {exc}"[:1500])
+        print(f"{filename:<28} pass={n_pass:4d} fail={n_fail:4d}")
+        total_pass += n_pass
+        total_fail += n_fail
+    print(f"TOTAL pass={total_pass} fail={total_fail}")
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

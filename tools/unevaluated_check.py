@@ -1,0 +1,119 @@
+"""Replay the reference's compiler-unevaluated corpus against
+unevaluated().
+
+Usage: python tools/unevaluated_check.py [-v] [pattern...]
+
+Parses test/compiler/compiler_unevaluated_*_test.cc in place and
+checks every static/dynamic dependency-set assertion against
+blaze_spark.plans.unevaluated.unevaluated().
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from blaze_spark.plans.schema_frame import SchemaFrame, pointer_str
+from blaze_spark.plans.unevaluated import unevaluated
+from tools.cc_cases import _split_tests  # noqa: E402
+
+REFERENCE = "/root/reference/test/compiler"
+
+_SCHEMA_RE = re.compile(
+    r'const auto schema = sourcemeta::core::parse_json\('
+    r'R"JSON\((.*?)\)JSON"\)', re.S)
+_MACRO_RE = re.compile(
+    r"(EXPECT_UNEVALUATED_\w+|EXPECT_EQ)\s*\(\s*"
+    r"result(?:\.size\(\))?\s*(?:,\s*([^;]+?))?\);", re.S)
+
+
+def _strings(text: str):
+    return ["".join(part) for part in
+            re.findall(r'"((?:[^"\\]|\\.)*)"', text)]
+
+
+def run_case(body: str) -> None:
+    m = _SCHEMA_RE.search(body)
+    assert m, "no schema literal"
+    schema = json.loads(m.group(1))
+    frame = SchemaFrame("references")
+    frame.analyse(schema)
+    result = unevaluated(schema, frame)
+
+    checked = 0
+    for macro, args_text in _MACRO_RE.findall(body):
+        strs = _strings(args_text or "")
+        if macro == "EXPECT_EQ":
+            expected = int(args_text.strip())
+            assert len(result) == expected, \
+                (f"size {len(result)} != {expected}: "
+                 f"{sorted(result)}")
+        elif macro in ("EXPECT_UNEVALUATED_STATIC",
+                       "EXPECT_UNEVALUATED_DYNAMIC"):
+            key = "".join(strs)
+            count = int(args_text.rsplit(",", 1)[1].strip())
+            assert key in result, f"missing {key}: {sorted(result)}"
+            deps = result[key].static_dependencies if "STATIC" in macro \
+                else result[key].dynamic_dependencies
+            assert len(deps) == count, \
+                (f"{macro} {key}: {len(deps)} != {count}: "
+                 f"{sorted(pointer_str(d) for d in deps)}")
+        elif macro in ("EXPECT_UNEVALUATED_STATIC_DEPENDENCY",
+                       "EXPECT_UNEVALUATED_DYNAMIC_DEPENDENCY"):
+            key, destination = strs[0], strs[-1]
+            assert key in result, f"missing {key}"
+            deps = result[key].static_dependencies if "STATIC" in macro \
+                else result[key].dynamic_dependencies
+            rendered = {pointer_str(d) for d in deps}
+            assert destination in rendered, \
+                f"{macro} {key}: {destination} not in {sorted(rendered)}"
+        elif macro == "EXPECT_UNEVALUATED_RESOLVED":
+            key = strs[0]
+            assert key in result and not result[key].unresolved, \
+                f"{key} unexpectedly unresolved"
+        elif macro == "EXPECT_UNEVALUATED_UNRESOLVED":
+            key = strs[0]
+            assert key in result and result[key].unresolved, \
+                f"{key} unexpectedly resolved"
+        else:
+            raise AssertionError(f"unknown macro {macro}")
+        checked += 1
+    assert checked > 0, "no assertions found"
+
+
+def main(argv) -> int:
+    verbose = "-v" in argv
+    patterns = [a for a in argv if not a.startswith("-")]
+    total_pass = total_fail = 0
+    for path in sorted(glob.glob(os.path.join(
+            REFERENCE, "compiler_unevaluated_*_test.cc"))):
+        filename = os.path.basename(path)
+        if patterns and not any(p in filename for p in patterns):
+            continue
+        with open(path, "r", encoding="utf-8") as fh:
+            source = fh.read()
+        n_pass = n_fail = 0
+        for suite, name, body in _split_tests(source):
+            try:
+                run_case(body)
+                n_pass += 1
+                if verbose:
+                    print(f"--- {suite} :: {name} [pass]")
+            except Exception as exc:
+                n_fail += 1
+                print(f"--- {suite} :: {name} [fail]")
+                print(f"  {type(exc).__name__}: {exc}"[:1200])
+        print(f"{filename:<44} pass={n_pass:4d} fail={n_fail:4d}")
+        total_pass += n_pass
+        total_fail += n_fail
+    print(f"TOTAL pass={total_pass} fail={total_fail}")
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
