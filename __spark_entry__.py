@@ -485,6 +485,32 @@ def q_codegen_typescript(spark, sf_dir):
     return generated.select("doc_id", "typescript")
 
 
+def q_documentation(spark, sf_dir):
+    """Distributed documentation generation at scale: synthesize one
+    JSON Schema per document row and emit its table-model JSON and
+    HTML (operators/schema_pipeline.documentation_schemas — the
+    reference's src/documentation component, mapInPandas, map-only
+    plan). Both outputs are pure functions of the lang column, so
+    DuckDB reproduces the EXACT bytes with a template replace — a
+    byte-level oracle over the canonicalize→frame→walk→render
+    pipeline."""
+    docs = _docs(spark, sf_dir)
+    lang = F.coalesce(F.col("lang"), F.lit("xx"))
+    schema_json = F.concat(
+        F.lit('{"$schema":"https://json-schema.org/draft/2020-12/schema",'
+              '"type":"object","required":["id"],"properties":'
+              '{"id":{"type":"integer"},"a_'),
+        lang,
+        F.lit('":{"type":"string"}}}'))
+    from blaze_spark.operators.schema_pipeline import \
+        documentation_schemas
+    generated = documentation_schemas(
+        docs.withColumn("schema_json", schema_json), "schema_json",
+        html=True)
+    return generated.select("doc_id", "documentation",
+                            "documentation_html")
+
+
 def q_contamination(spark, sf_dir):
     """Train/test decontamination screen: documents split 80/20 by
     doc_id; for each held-out (test) doc, the fraction of its distinct
@@ -562,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lint_document_schemas": q_lint_document_schemas,
         "frame_document_schemas": q_frame_document_schemas,
         "codegen_typescript": q_codegen_typescript,
+        "documentation": q_documentation,
         "contamination": q_contamination,
         "curation_report": q_curation_report,
     }
@@ -846,6 +873,14 @@ export interface Schema {
   [key: string]: unknown | undefined;
 }
 ', '@L', coalesce(lang, 'xx')) AS typescript
+            FROM documents""",
+        # documentation: the table-model JSON and HTML are pure
+        # functions of the lang column — templates derived from
+        # to_documentation/to_html of the synthesized schema
+        "documentation": """
+            SELECT doc_id,
+                   replace('{"identifier": 0, "rows": [{"identifier": 1, "path": [{"type": "synthetic", "value": "root"}], "type": {"kind": "object"}}, {"identifier": 2, "path": [{"type": "literal", "value": "id"}], "type": {"kind": "primitive", "name": "integer"}, "required": true}, {"identifier": 3, "path": [{"type": "literal", "value": "a_@L"}], "type": {"kind": "primitive", "name": "string"}, "required": false}, {"identifier": 4, "path": [{"type": "wildcard", "value": "*"}], "type": {"kind": "any"}}]}', '@L', coalesce(lang, 'xx')) AS documentation,
+                   replace('<table class="sourcemeta-blaze-documentation"><thead><tr><th>Path</th><th>Type</th><th>Required</th><th>Constraints</th><th>Notes</th></tr></thead><tbody><tr data-index="1"><td><code><em>(root)</em></code></td><td>Object</td><td></td><td></td><td></td></tr><tr data-index="2"><td><code>/id</code></td><td>Integer</td><td>Yes</td><td></td><td></td></tr><tr data-index="3"><td><code>/a_@L</code></td><td>String</td><td>No</td><td></td><td></td></tr><tr data-index="4"><td><code>/*</code></td><td>Any</td><td></td><td></td><td></td></tr></tbody></table>', '@L', coalesce(lang, 'xx')) AS documentation_html
             FROM documents""",
         "column_stats": """
             SELECT source,

@@ -115,6 +115,12 @@ def _identify(schema: Any, vocab: V.Vocabularies) -> str:
 def _reidentify(schema: dict, identifier: str,
                 vocab: V.Vocabularies) -> None:
     schema[_id_keyword(vocab)] = identifier
+    if "$ref" in schema and not vocab.isdisjoint(_REF_OVERRIDES):
+        # a draft<=7 sibling $ref keeps overriding the identifier
+        # (foundation reidentify(): SchemaReferenceObjectResourceError)
+        from blaze_spark.plans.schema_frame import \
+            ReferenceObjectResourceError
+        raise ReferenceObjectResourceError(identifier)
 
 
 def _unresolved_references(frame: TransformFrame, schema: Any, mode: str
@@ -154,6 +160,29 @@ def _unresolved_references(frame: TransformFrame, schema: Any, mode: str
             continue
         out.append((origin, bare, value.partition("#")[2], value))
     return out
+
+
+def _wrapper_unresolved(document: Any, resolver, default_dialect: str,
+                        default_id: str, paths) -> Tuple[list, Any]:
+    """Wrapper-paths discovery (bundle.cc:316-398, depth-0 framing):
+    frame ONLY the given pointer paths of a non-schema document and
+    return its unresolved references as (origin pointer, base,
+    fragment, raw) plus an in-frame predicate."""
+    from blaze_spark.plans.schema_frame import SchemaFrame
+    frame = SchemaFrame("references")
+    frame.analyse(document, resolver, default_dialect, default_id,
+                  paths=[tuple(path) for path in paths])
+    out = []
+    for pointer, ref in frame.unresolved_references():
+        base = ref.base or ref.destination.partition("#")[0]
+        fragment = ref.fragment if ref.fragment is not None else \
+            ref.destination.partition("#")[2]
+        out.append((tuple(pointer), base, fragment or "", ref.original))
+
+    def in_frame(base: str) -> bool:
+        return frame.traverse(base) is not None
+
+    return out, in_frame
 
 
 def _embed_schema(root: dict, container: tuple, identifier: str,
@@ -239,19 +268,30 @@ def _elevate_embedded_resources(remote: Any, root: dict, container: tuple,
 def _bundle_schema(root: dict, container: tuple, subschema: Any,
                    mode: str, resolver, default_dialect: str,
                    default_id: str, bundled: Dict[str, str],
-                   depth: int = 0) -> None:
-    frame = TransformFrame(subschema, resolver, default_dialect, default_id)
+                   depth: int = 0, paths=None) -> None:
+    if depth == 0 and paths:
+        # wrapper mode: the document is not a schema; only the given
+        # paths are (bundle.cc:333-337)
+        unresolved, in_frame = _wrapper_unresolved(
+            subschema, resolver, default_dialect, default_id, paths)
+    else:
+        frame = TransformFrame(subschema, resolver, default_dialect,
+                               default_id)
+        unresolved = _unresolved_references(frame, subschema, mode)
+
+        def in_frame(base: str, _frame=frame) -> bool:
+            return _frame.traverse(base, "") is not None or \
+                base in _frame.resources
     deferred = []
     rewrites: List[Tuple[tuple, str]] = []
-    for origin, base, fragment, raw in _unresolved_references(
-            frame, subschema, mode):
+    for origin, base, fragment, raw in unresolved:
         if origin[-1] == "$schema" and (
                 mode == MODE_REFERENCES or is_official_schema(base)):
             continue
         if not base:
             raise BundleError(
                 f"Could not resolve schema reference {raw!r}")
-        if frame.traverse(base, "") is not None or base in frame.resources:
+        if in_frame(base):
             raise BundleError(
                 f"Could not resolve schema reference {raw!r}")
         if base in bundled:
@@ -314,29 +354,43 @@ def _bundle_schema(root: dict, container: tuple, subschema: Any,
 
 def dependencies(schema: Any, resolver, callback, *,
                  default_dialect: str = "2020-12",
-                 default_id: str = "") -> None:
+                 default_id: str = "", paths=None) -> None:
     """Report every external schema a document depends on,
     transitively (bundle.cc dependencies()): callback(origin, pointer,
-    target_uri, remote_document) in reference order."""
+    target_uri, remote_document) in reference order. ``paths``
+    switches the top level to wrapper mode (only the given pointer
+    paths are schemas)."""
     default_dialect = _DIALECT_SHORTHAND.get(default_dialect,
                                              default_dialect)
     resolver = _chain_resolver(schema, resolver)
     visited = set()
 
-    def internal(doc: Any, doc_default_id: str) -> None:
-        frame = TransformFrame(doc, resolver, default_dialect,
-                               doc_default_id)
-        root_vocab = frame.locations[0].vocabularies if frame.locations \
-            else frozenset()
-        if not root_vocab:
-            raise BundleError(
-                "Cannot determine the base dialect of the schema")
-        origin = _identify(doc, root_vocab) or doc_default_id
+    def internal(doc: Any, doc_default_id: str,
+                 doc_paths=None) -> None:
+        if doc_paths:
+            origin = doc_default_id
+            refs, in_frame = _wrapper_unresolved(
+                doc, resolver, default_dialect, doc_default_id,
+                doc_paths)
+            refs = sorted(refs, key=lambda r: pointer_str(r[0]))
+        else:
+            frame = TransformFrame(doc, resolver, default_dialect,
+                                   doc_default_id)
+            root_vocab = frame.locations[0].vocabularies \
+                if frame.locations else frozenset()
+            if not root_vocab:
+                raise BundleError(
+                    "Cannot determine the base dialect of the schema")
+            origin = _identify(doc, root_vocab) or doc_default_id
+            refs = sorted(
+                _unresolved_references(frame, doc,
+                                       MODE_NON_OFFICIAL_METASCHEMAS),
+                key=lambda r: pointer_str(r[0]))
+
+            def in_frame(base: str, _frame=frame) -> bool:
+                return _frame.traverse(base, "") is not None or \
+                    base in _frame.resources
         found = []
-        refs = sorted(
-            _unresolved_references(frame, doc,
-                                   MODE_NON_OFFICIAL_METASCHEMAS),
-            key=lambda r: pointer_str(r[0]))
         for origin_ptr, base, fragment, raw in refs:
             if origin_ptr[-1] == "$schema" and is_official_schema(base):
                 continue
@@ -345,8 +399,7 @@ def dependencies(schema: Any, resolver, callback, *,
                     f"Could not resolve schema reference {raw!r}")
             if base in visited:
                 continue
-            if frame.traverse(base, "") is not None or \
-                    base in frame.resources:
+            if in_frame(base):
                 raise BundleError(
                     f"Could not resolve schema reference {raw!r}")
             remote = resolver(base) if resolver is not None else None
@@ -374,24 +427,41 @@ def dependencies(schema: Any, resolver, callback, *,
         for remote, base in found:
             internal(remote, base)
 
-    internal(schema, default_id)
+    internal(schema, default_id, paths)
 
 
 def bundle(schema: Any, *, default_dialect: str = "2020-12",
            resolver: Optional[Callable[[str], Any]] = None,
            mode: str = MODE_NON_OFFICIAL_METASCHEMAS,
-           default_id: str = "", container: Optional[tuple] = None) -> Any:
+           default_id: str = "", container: Optional[tuple] = None,
+           paths=None) -> Any:
     """Return a self-contained copy of ``schema`` with every external
     resource embedded (bundle.cc:420-492). Boolean schemas pass
-    through; without external references the output equals the input."""
+    through; without external references the output equals the input.
+    ``paths`` switches to wrapper mode (bundle.cc SchemaFrame::Paths):
+    the document is not itself a schema — only the given pointer paths
+    are — and ``container`` names where externals are embedded."""
     if not isinstance(schema, dict):
         return schema
     default_dialect = _DIALECT_SHORTHAND.get(default_dialect,
                                              default_dialect)
     schema = copy.deepcopy(schema)
     resolver = _chain_resolver(schema, resolver)
-    frame = TransformFrame(schema, resolver, default_dialect, default_id)
     bundled: Dict[str, str] = {}
+    if paths:
+        assert container is not None, "wrapper mode needs a container"
+        from blaze_spark.plans.schema_frame import SchemaFrame
+        initial = SchemaFrame("locations")
+        initial.analyse(schema, resolver, default_dialect, default_id,
+                        paths=[tuple(path) for path in paths])
+        for uri in initial.resource_uris():
+            if uri:
+                bundled[uri] = uri
+        _bundle_schema(schema, tuple(container), schema, mode, resolver,
+                       default_dialect, default_id, bundled,
+                       paths=paths)
+        return schema
+    frame = TransformFrame(schema, resolver, default_dialect, default_id)
     for uri in frame.resources:
         if uri:
             bundled[uri] = uri

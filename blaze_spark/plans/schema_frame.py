@@ -1572,6 +1572,14 @@ class SchemaFrame:
             _get_at(self._document, location.pointer), location.dialect,
             location.base_dialect, self._resolver)
 
+    def vocabularies_detailed_of(self, location: Location
+                                 ) -> Dict[str, bool]:
+        """frame.vocabularies(location, resolver) with required flags
+        (frame.h): key → required?"""
+        return _vocab_detail(
+            _get_at(self._document, location.pointer), location.dialect,
+            location.base_dialect, self._resolver)
+
     # -- reachability (frame.cc:1625-1975) ----------------------------------
 
     def _pointer_to_location(self) -> Dict[Pointer, List[Location]]:
@@ -1703,9 +1711,19 @@ class SchemaFrame:
 
     # -- export -------------------------------------------------------------
 
-    def to_json(self) -> dict:
-        """frame.cc to_json() analog (position tracking unsupported:
-        "position" is always null, as when no tracker is passed)."""
+    def to_json(self, positions: Optional[Dict[Tuple, Tuple]] = None
+                ) -> dict:
+        """frame.cc to_json() analog; ``positions`` is the optional
+        pointer -> (start line, start col, end line, end col) table of
+        a position tracker (testsuite.parse_json_with_positions) — the
+        PointerPositionTracker overload."""
+
+        def position_of(pointer):
+            if positions is None:
+                return None
+            hit = positions.get(tuple(pointer))
+            return list(hit) if hit is not None else None
+
         out: dict = {"locations": {"static": {}, "dynamic": {}},
                      "references": []}
         for (reftype, uri) in sorted(self.locations):
@@ -1717,7 +1735,7 @@ class SchemaFrame:
                 "root": self.root or None,
                 "base": location.base,
                 "pointer": pointer_str(location.pointer),
-                "position": None,
+                "position": position_of(location.pointer),
                 "relativePointer": pointer_str(
                     self.relative_instance_location(location)),
                 "dialect": location.dialect,
@@ -1735,7 +1753,7 @@ class SchemaFrame:
             out["references"].append({
                 "type": reftype,
                 "origin": pointer_str(origin),
-                "position": None,
+                "position": position_of(origin),
                 "destination": ref.destination,
                 "base": ref.base or None,
                 "fragment": ref.fragment,

@@ -169,3 +169,106 @@ def has_unknown(vocab: Vocabularies) -> bool:
     """True when the metaschema declared a vocabulary this engine does
     not recognize (Vocabularies::has_unknown analog)."""
     return any(v.startswith("?") for v in vocab)
+
+
+# ---------------------------------------------------------------------------
+# VocabularySet: the full Vocabularies container API
+# (reference: src/foundation/vocabularies.cc) — known markers carry a
+# required flag, unknown URIs are kept verbatim under a "?" prefix.
+
+# marker -> canonical URI (foundation_vocabularies.h X-macro)
+URI_OF = {marker: uri for uri, marker in _VOCAB_URI.items()}
+for _n, _marker, _hyper in ((0, D0, D0H), (1, D1, D1H), (2, D2, D2H),
+                            (3, D3, D3H), (4, D4, D4H), (6, D6, D6H),
+                            (7, D7, D7H)):
+    URI_OF[_marker] = f"http://json-schema.org/draft-0{_n}/schema#"
+    URI_OF[_hyper] = f"http://json-schema.org/draft-0{_n}/hyper-schema#"
+
+
+class VocabularyError(ValueError):
+    """SchemaVocabularyError analog (foundation_error.h): an
+    unsupported or unknown-required vocabulary, carrying its URI."""
+
+    def __init__(self, uri: str, message: str) -> None:
+        super().__init__(message)
+        self.uri = uri
+        self.message = message
+
+
+def to_uri(key: str) -> str:
+    """Vocabularies to_string/operator<< (vocabularies.cc:227-270):
+    known markers render their canonical URI; unknown entries keep the
+    verbatim URI."""
+    if key.startswith("?"):
+        return key[1:]
+    return URI_OF[key]
+
+
+class VocabularySet:
+    """Vocabularies (vocabularies.cc): known markers + unknown URIs,
+    each with a required flag. The frozenset ``Vocabularies`` type used
+    for walker dispatch is the flat view (`.markers()`)."""
+
+    def __init__(self, entries=()) -> None:
+        self._entries = {}
+        for key, required in entries:
+            self.insert(key, required)
+
+    @staticmethod
+    def _normalize(key: str) -> str:
+        if key in URI_OF or key.startswith("?"):
+            return key
+        marker = _VOCAB_URI.get(key)
+        if marker is not None:
+            return marker
+        # pre-vocabulary dialect URIs double as Known constants
+        for marker, uri in URI_OF.items():
+            if uri == key:
+                return marker
+        return "?" + key
+
+    def insert(self, key: str, required: bool) -> None:
+        """vocabularies.cc:147-174: required and optional are
+        mutually exclusive; the last insert wins."""
+        self._entries[self._normalize(key)] = bool(required)
+
+    def contains(self, key: str) -> bool:
+        return self._normalize(key) in self._entries
+
+    def contains_any(self, keys) -> bool:
+        return any(self.contains(key) for key in keys)
+
+    def get(self, key: str):
+        return self._entries.get(self._normalize(key))
+
+    def size(self) -> int:
+        return len(self._entries)
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def empty(self) -> bool:
+        return not self._entries
+
+    def has_unknown(self) -> bool:
+        return any(key.startswith("?") for key in self._entries)
+
+    def markers(self) -> Vocabularies:
+        return frozenset(self._entries)
+
+    def items(self):
+        return self._entries.items()
+
+    def throw_if_any_unsupported(self, supported, message: str) -> None:
+        """vocabularies.cc:278-319: every REQUIRED vocabulary must be
+        in ``supported`` (markers or URIs)."""
+        supported_markers = {self._normalize(key) for key in supported}
+        for key, required in self._entries.items():
+            if required and key not in supported_markers:
+                raise VocabularyError(to_uri(key), message)
+
+    def throw_if_any_unknown_required(self, message: str) -> None:
+        """vocabularies.cc:321-330."""
+        for key, required in self._entries.items():
+            if required and key.startswith("?"):
+                raise VocabularyError(to_uri(key), message)

@@ -186,16 +186,19 @@ def run_case(case):
         from blaze_spark.plans.transform.engine import pointer_str
         traces = []
         default_id = ""
+        paths = None
         for arg in case.macro_args:
             if isinstance(arg, tuple) and arg[0] == "id":
                 default_id = arg[1]
+            elif isinstance(arg, tuple) and arg[0] == "paths":
+                paths = arg[1]
         try:
             dependencies(
                 case.document, _bundle_resolver_for(case.file),
                 lambda origin, ptr, target, _doc: traces.append(
                     (origin, pointer_str(ptr), target)),
                 default_dialect=case.default_dialect or "",
-                default_id=default_id)
+                default_id=default_id, paths=paths)
         except (BundleError, UnknownBaseDialectError) as exc:
             return ("pass" if case.result_first is False else "error",
                     repr(exc))
@@ -216,25 +219,72 @@ def run_case(case):
         mode = "references" if "References" in case.macro_args else             "non-official-metaschemas"
         default_id = ""
         container = None
+        paths = None
         for arg in case.macro_args:
             if isinstance(arg, tuple) and arg[0] == "id":
                 default_id = arg[1]
             elif isinstance(arg, tuple) and arg[0] == "container":
                 container = arg[1]
+            elif isinstance(arg, tuple) and arg[0] == "paths":
+                paths = arg[1]
+        catch_error = None
+        for arg in case.macro_args:
+            if isinstance(arg, tuple) and arg[0] == "catch_error":
+                catch_error = arg[1:]
         try:
             actual = bundle(case.document,
                             resolver=_bundle_resolver_for(case.file),
                             mode=mode,
                             default_dialect=case.default_dialect or "",
                             default_id=default_id,
-                            container=container)
+                            container=container, paths=paths)
         except (BundleError, UnknownBaseDialectError) as exc:
+            if catch_error is not None:
+                return "fail", repr(exc)
             return ("pass" if case.result_first is False else "error",
                     repr(exc))
+        except ValueError as exc:
+            if catch_error is not None:
+                error_name, identifier = catch_error
+                expected_type = error_name.replace("Schema", "", 1)
+                ok = type(exc).__name__ == expected_type and \
+                    getattr(exc, "identifier", None) == identifier
+                return ("pass" if ok else "fail", repr(exc))
+            raise
         if case.result_first is False:
             return "fail", actual
         if case.expected is None:
-            return "skip", actual
+            checks = None
+            for arg in case.macro_args:
+                if isinstance(arg, tuple) and arg[0] == "checks":
+                    checks = arg[1]
+            if checks is None:
+                return "skip", actual
+            resolver = _bundle_resolver_for(case.file)
+            for check in checks:
+                kind = check[0]
+                ok = True
+                if kind == "is_object":
+                    ok = isinstance(actual, dict)
+                elif kind == "defines":
+                    ok = check[1] in actual
+                elif kind == "key_is_object":
+                    ok = isinstance(actual.get(check[1]), dict)
+                elif kind == "key_size":
+                    ok = len(actual.get(check[1], {})) == check[2]
+                elif kind == "nested_defines":
+                    ok = check[2] in actual.get(check[1], {})
+                elif kind == "key_str_eq":
+                    ok = actual.get(check[1]) == check[2]
+                elif kind == "resolver_eq":
+                    ok = json_equal(
+                        actual.get(check[1], {}).get(check[2]),
+                        resolver(check[3]))
+                if not ok:
+                    return "fail", (check, actual if not
+                                    isinstance(actual, dict)
+                                    else sorted(actual))
+            return "pass", actual
         return ("pass" if json_equal(actual, case.expected) else "fail",
                 actual)
     if macro == "WRAP":

@@ -200,6 +200,25 @@ def parse_file(path: str) -> List[Case]:
         def _resolve(var: str) -> Any:
             return assigns.get(var)
 
+        def _pointer_vars() -> Dict[str, tuple]:
+            table = {}
+            for pm in re.finditer(
+                    r'const sourcemeta::core::Pointer (\w+)\{([^}]*)\}',
+                    body):
+                tokens = []
+                for tok in re.findall(r'"((?:[^"\\]|\\.)*)"|(\d+)',
+                                      pm.group(2)):
+                    tokens.append(tok[0] if tok[0] else int(tok[1]))
+                table[pm.group(1)] = tuple(tokens)
+            return table
+
+        def _paths_arg(raw_args: str):
+            names = re.findall(r'to_weak_pointer\((\w+)\)', raw_args)
+            if not names:
+                return None
+            table = _pointer_vars()
+            return [table[name] for name in names if name in table]
+
         if "sourcemeta::blaze::format(" in body:
             case.macro = "FORMAT"
             case.document = _resolve("document")
@@ -221,10 +240,6 @@ def parse_file(path: str) -> List[Case]:
                 case.result_first = False
         elif "sourcemeta::blaze::dependencies(" in body:
             case.macro = "DEPENDENCIES"
-            if "to_weak_pointer(" in body:
-                case.macro = None  # wrapper-paths mode: out of scope
-                cases.append(case)
-                continue
             raw = _find_macro_call(body, "sourcemeta::blaze::dependencies")
             if raw is not None:
                 strs = re.findall(r'"((?:[^"\\]|\\.)*)"', raw)
@@ -232,6 +247,9 @@ def parse_file(path: str) -> List[Case]:
                     case.default_dialect = strs[0]
                 if len(strs) > 1:
                     case.macro_args.append(("id", strs[1]))
+                paths = _paths_arg(raw)
+                if paths is not None:
+                    case.macro_args.append(("paths", paths))
             case.document = _resolve("document")
             case.expected_traces = []
             for m in re.finditer(r"EXPECT_DEPENDENCY\s*\(", body):
@@ -251,10 +269,6 @@ def parse_file(path: str) -> List[Case]:
                 case.result_first = False
         elif "sourcemeta::blaze::bundle(" in body:
             case.macro = "BUNDLE"
-            if "to_weak_pointer(" in body:
-                case.macro = None  # wrapper-paths mode: out of scope
-                cases.append(case)
-                continue
             case.document = _resolve("document")
             case.expected = _resolve("expected")
             case.macro_args = []
@@ -275,6 +289,57 @@ def parse_file(path: str) -> List[Case]:
                             r'"((?:[^"\\]|\\.)*)"|(\d+)', pm.group(1)):
                         tokens.append(tok[0] if tok[0] else int(tok[1]))
                     case.macro_args.append(("container", tuple(tokens)))
+                paths = _paths_arg(raw)
+                if paths is not None:
+                    case.macro_args.append(("paths", paths))
+            if case.expected is None:
+                # structural-assertion cases (hyperschema/openapi
+                # smoke tests): collect the checkable shapes
+                checks: List[tuple] = []
+                for m in re.finditer(
+                        r'EXPECT_TRUE\(document\.is_object\(\)\)', body):
+                    checks.append(("is_object",))
+                for m in re.finditer(
+                        r'EXPECT_TRUE\(document\.defines\('
+                        r'\s*"([^"]+)"\s*\)\)', body, re.S):
+                    checks.append(("defines", m.group(1)))
+                for m in re.finditer(
+                        r'EXPECT_TRUE\(document\.at\("([^"]+)"\)'
+                        r'\.is_object\(\)\)', body):
+                    checks.append(("key_is_object", m.group(1)))
+                for m in re.finditer(
+                        r'EXPECT_EQ\(document\.at\("([^"]+)"\)'
+                        r'\.size\(\),\s*(\d+)\)', body):
+                    checks.append(("key_size", m.group(1),
+                                   int(m.group(2))))
+                for m in re.finditer(
+                        r'EXPECT_TRUE\(\s*document\.at\("([^"]+)"\)'
+                        r'\s*\.defines\(\s*"([^"]+)"\s*\)\s*\)',
+                        body, re.S):
+                    checks.append(("nested_defines", m.group(1),
+                                   m.group(2)))
+                for m in re.finditer(
+                        r'EXPECT_EQ\(document\.at\("([^"]+)"\)'
+                        r'\.to_string\(\),\s*\n?\s*"([^"]+)"\)', body):
+                    checks.append(("key_str_eq", m.group(1),
+                                   m.group(2)))
+                for m in re.finditer(
+                        r'EXPECT_EQ\(\s*document\.at\("([^"]+)"\)'
+                        r'\.at\("([^"]+)"\),\s*sourcemeta::blaze::'
+                        r'schema_resolver\(\s*"([^"]+)"\)\s*'
+                        r'\.value\(\)\)', body, re.S):
+                    checks.append(("resolver_eq", m.group(1),
+                                   m.group(2), m.group(3)))
+                if checks:
+                    case.macro_args.append(("checks", checks))
+            catch_m = re.search(
+                r'catch\s*\(\s*const\s+sourcemeta::blaze::(\w+)\s*&'
+                r'\s*\w+\s*\)\s*\{\s*EXPECT_EQ\(\w+\.identifier\(\),'
+                r'\s*\n?\s*"([^"]+)"\);', body, re.S)
+            if catch_m and "FAIL()" in body:
+                case.macro_args.append(
+                    ("catch_error", catch_m.group(1), catch_m.group(2)))
+                case.result_first = False
             if "EXPECT_THROW" in body:
                 case.result_first = False
         elif "wrap_schema(" in body:

@@ -235,6 +235,8 @@ def _run_mutation(func: str, args, resolver, env, docs):
 
 
 def run_case(body: str, resolver) -> None:
+    if _is_vocab_container_case(body):
+        return run_vocab_container_case(body)
     docs = {}
     env = {}
     local_docs = {uri: name
@@ -459,6 +461,231 @@ def main(argv) -> int:
     print(f"TOTAL pass={total_pass} fail={total_fail} err={total_err} "
           f"skip={total_skip}")
     return 1 if total_fail or total_err else 0
+
+
+
+
+# ---------------------------------------------------------------------------
+# Vocabularies container tests (foundation_vocabulary_test.cc:
+# construction, insert, contains/contains_any/get, size, has_unknown,
+# to_string, throw_if_any_unsupported / throw_if_any_unknown_required)
+
+_VOCAB_CTOR_RE = re.compile(
+    r'(?:const\s+)?sourcemeta::blaze::Vocabularies\s+(\w+)'
+    r'(?:\{(.*?)\})?\s*;', re.S)
+_URI_VARIANT_RE = re.compile(
+    r'const\s+(?:sourcemeta::blaze::Vocabularies::)?URI\s+(\w+)\{\s*'
+    r'(Known::\w+|(?:sourcemeta::core::JSON::String\{)?\s*'
+    r'"(?:[^"\\]|\\.)*"\}?)\s*\}', re.S)
+_SUPPORTED_RE = re.compile(
+    r'const\s+std::unordered_set<[^>]*>\s+(\w+)\{(.*?)\};', re.S)
+_INSERT_RE = re.compile(
+    r'(\w+)\.insert\(\s*(Known::\w+|"(?:[^"\\]|\\.)*")\s*,\s*'
+    r'(true|false)\s*\)', re.S)
+_PAIR_RE = re.compile(
+    r'\{\s*(Known::\w+|"(?:[^"\\]|\\.)*")\s*,\s*(true|false)\s*\}', re.S)
+_STREAM_RE = re.compile(r'stream\s*<<\s*(Known::\w+|\w+)\s*;')
+_VOCAB_EXPECT_RE = re.compile(
+    r'\b(EXPECT_VOCABULARY_URI|EXPECT_NO_THROW|EXPECT_EQ|EXPECT_TRUE'
+    r'|EXPECT_FALSE|EXPECT_STREQ)\s*\(')
+
+
+def _vocab_token(token: str):
+    token = token.strip()
+    if token.startswith("Known::"):
+        return _KNOWN_TO_V[token[len("Known::"):]]
+    return "".join(re.findall(r'"((?:[^"\\]|\\.)*)"', token))
+
+
+def _is_vocab_container_case(body: str) -> bool:
+    if "sourcemeta::blaze::vocabularies(" in body or \
+            "sourcemeta::blaze::parse_vocabularies(" in body:
+        return False  # engine calls: the generic interpreter's domain
+    return "sourcemeta::blaze::Vocabularies vocabularies{" in body or \
+        re.search(r'sourcemeta::blaze::Vocabularies vocabularies;',
+                  body) is not None or \
+        "Vocabularies::URI" in body or \
+        "EXPECT_VOCABULARY_URI(" in body or \
+        "sourcemeta::blaze::to_string(Known::" in body
+
+
+def run_vocab_container_case(body: str) -> None:
+    env = {}
+    checked = 0
+
+    def expr_value(text: str):
+        # collapse whitespace: multi-line argument lists fold into the
+        # single-line shapes the patterns expect (no string literal in
+        # these tests contains meaningful whitespace)
+        text = re.sub(r"\s+", "", text.strip())
+        m = re.fullmatch(r'(\w+)\.size\(\)', text)
+        if m:
+            return env[m.group(1)].size()
+        m = re.fullmatch(r'(\w+)\.has_unknown\(\)', text)
+        if m:
+            return env[m.group(1)].has_unknown()
+        m = re.fullmatch(r'(\w+)\.empty\(\)', text)
+        if m:
+            return env[m.group(1)].empty()
+        m = re.fullmatch(r'(\w+)\.contains\((Known::\w+|"(?:[^"\\]|\\.)*")\)',
+                         text, re.S)
+        if m:
+            return env[m.group(1)].contains(_vocab_token(m.group(2)))
+        m = re.fullmatch(r'(\w+)\.contains_any\(\{(.*?)\}\)', text, re.S)
+        if m:
+            tokens = [t for t in (s.strip() for s in m.group(2).split(","))
+                      if t]
+            return env[m.group(1)].contains_any(
+                _vocab_token(t) for t in tokens)
+        m = re.fullmatch(r'(\w+)\.get\((Known::\w+|"(?:[^"\\]|\\.)*")\)'
+                         r'\.value\(\)', text, re.S)
+        if m:
+            return env[m.group(1)].get(_vocab_token(m.group(2)))
+        m = re.fullmatch(r'(\w+)\.get\((Known::\w+|"(?:[^"\\]|\\.)*")\)'
+                         r'\.has_value\(\)', text, re.S)
+        if m:
+            return env[m.group(1)].get(_vocab_token(m.group(2))) is not None
+        m = re.fullmatch(
+            r'sourcemeta::blaze::to_string\((Known::\w+|\w+)\)', text)
+        if m:
+            return _to_string_of(m.group(1))
+        if text == "stream.str()":
+            sm = None
+            for sm in _STREAM_RE.finditer(body):
+                pass  # last stream << before use; single per test
+            _check(sm is not None, "no stream <<")
+            return _to_string_of(sm.group(1))
+        if re.fullmatch(r'(?:"(?:[^"\\]|\\.)*"\s*)+', text, re.S):
+            return "".join(re.findall(r'"((?:[^"\\]|\\.)*)"', text))
+        if re.fullmatch(r'\d+', text):
+            return int(text)
+        raise Skip(f"unsupported vocab expr {text[:60]!r}")
+
+    def _to_string_of(token: str):
+        if token.startswith("Known::"):
+            return V.to_uri(_vocab_token(token))
+        value = env.get(token)
+        if isinstance(value, tuple) and value[0] == "uri-variant":
+            kind, payload = value[1], value[2]
+            return V.to_uri(payload) if kind == "known" else payload
+        raise Skip(f"unsupported to_string arg {token!r}")
+
+    events = []
+    for m in _VOCAB_CTOR_RE.finditer(body):
+        events.append((m.start(), "ctor", m))
+    for m in _URI_VARIANT_RE.finditer(body):
+        events.append((m.start(), "uri_variant", m))
+    for m in _SUPPORTED_RE.finditer(body):
+        events.append((m.start(), "supported", m))
+    for m in _INSERT_RE.finditer(body):
+        events.append((m.start(), "insert", m))
+    for m in _VOCAB_EXPECT_RE.finditer(body):
+        events.append((m.start(), "expect", m))
+    for m in _TRY_RE.finditer(body):
+        events.append((m.start(), "try", m))
+    events.sort(key=lambda e: e[0])
+    consumed_until = 0
+    for position, kind, m in events:
+        if position < consumed_until:
+            continue
+        if kind == "ctor":
+            pairs = _PAIR_RE.findall(m.group(2) or "")
+            env[m.group(1)] = V.VocabularySet(
+                (_vocab_token(k), flag == "true") for k, flag in pairs)
+            consumed_until = m.end()
+        elif kind == "uri_variant":
+            token = m.group(2)
+            if token.startswith("Known::"):
+                env[m.group(1)] = ("uri-variant", "known",
+                                   _vocab_token(token))
+            else:
+                env[m.group(1)] = ("uri-variant", "str",
+                                   _vocab_token(token))
+            consumed_until = m.end()
+        elif kind == "supported":
+            tokens = [t.strip() for t in m.group(2).split(",")
+                      if t.strip()]
+            env[m.group(1)] = [_vocab_token(t) for t in tokens]
+            consumed_until = m.end()
+        elif kind == "insert":
+            env[m.group(1)].insert(_vocab_token(m.group(2)),
+                                   m.group(3) == "true")
+            consumed_until = m.end()
+        elif kind == "try":
+            from tools.frame_cases import _match_brace
+            brace_end = _match_brace(body, body.index("{", position))
+            try_body = body[position:brace_end]
+            catch = _CATCH_RE.search(body, brace_end)
+            _check(catch is not None, "try without catch")
+            catch_end = _match_brace(body, body.index("{", catch.end() - 1))
+            consumed_until = catch_end
+            error = None
+            try:
+                _run_throw_call(try_body, env)
+            except V.VocabularyError as exc:
+                error = exc
+            _check(error is not None, "expected SchemaVocabularyError")
+            uri_m = re.search(
+                r'EXPECT_EQ\(error\.uri\(\),\s*((?:"(?:[^"\\]|\\.)*"'
+                r'\s*)+)\)', body[catch.start():catch_end], re.S)
+            if uri_m:
+                expected = "".join(re.findall(
+                    r'"((?:[^"\\]|\\.)*)"', uri_m.group(1)))
+                _check(error.uri == expected,
+                       f"error.uri {error.uri!r} != {expected!r}")
+                checked += 1
+            what_m = re.search(
+                r'EXPECT_STREQ\(error\.what\(\),\s*"((?:[^"\\]|\\.)*)"\)',
+                body[catch.start():catch_end])
+            if what_m:
+                _check(error.message == what_m.group(1),
+                       f"error.what {error.message!r}")
+                checked += 1
+        elif kind == "expect":
+            macro = m.group(1)
+            inner, end = _balanced(body, body.index("(", m.end() - 1))
+            consumed_until = end
+            args = _split_args(inner)
+            if macro == "EXPECT_VOCABULARY_URI":
+                if args[0].strip() == "vocabulary":
+                    continue  # the #define itself
+                _check(_to_string_of(args[0].strip())
+                       == _vocab_token(args[1]),
+                       f"URI of {args[0]} != {args[1]}")
+                checked += 1
+            elif macro == "EXPECT_NO_THROW":
+                _run_throw_call(args[0], env)
+                checked += 1
+            elif macro in ("EXPECT_EQ", "EXPECT_STREQ"):
+                left, right = args[0].strip(), args[1].strip()
+                if (left, right) == ("stream.str()", "expected_uri"):
+                    continue  # the #define itself
+                got, want = expr_value(left), expr_value(right)
+                _check(got == want, f"{left} {got!r} != {want!r}")
+                checked += 1
+            elif macro in ("EXPECT_TRUE", "EXPECT_FALSE"):
+                got = expr_value(args[0])
+                _check(bool(got) == (macro == "EXPECT_TRUE"),
+                       f"{args[0].strip()} {got!r}")
+                checked += 1
+    _check(checked > 0, "no vocabulary assertions interpreted")
+
+
+def _run_throw_call(text: str, env) -> None:
+    m = re.search(
+        r'(\w+)\.throw_if_any_unsupported\(\s*(\w+|\{\s*\})\s*,\s*'
+        r'"((?:[^"\\]|\\.)*)"\s*\)', text, re.S)
+    if m:
+        supported = env.get(m.group(2), []) if m.group(2) != "{}" else []
+        env[m.group(1)].throw_if_any_unsupported(supported, m.group(3))
+        return
+    m = re.search(
+        r'(\w+)\.throw_if_any_unknown_required\(\s*'
+        r'"((?:[^"\\]|\\.)*)"\s*\)', text, re.S)
+    if m:
+        env[m.group(1)].throw_if_any_unknown_required(m.group(2))
+        return
+    raise Skip(f"unsupported throw call {text[:60]!r}")
 
 
 if __name__ == "__main__":

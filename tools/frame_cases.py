@@ -28,12 +28,21 @@ _FRAME_RE = re.compile(
     r'sourcemeta::blaze::SchemaFrame::Mode::(\w+)\s*\}')
 _ANALYSE_RE = re.compile(r'(\w+)\.analyse\(')
 _THROW_RE = re.compile(r'EXPECT_THROW\(')
+_TRACKED_PARSE_RE = re.compile(
+    r'parse_json\(R"JSON\((.*?)\)JSON",\s*\n?\s*document,\s*'
+    r'std::ref\(tracker\)\)', re.S)
+_TRAVERSE_DECL_RE = re.compile(
+    r'const auto (\w+)\{\s*(\w+)\.traverse\("((?:[^"\\]|\\.)*)"\)\}')
+_VOCABS_DECL_RE = re.compile(
+    r'const auto (\w+)\{\s*(\w+)\.vocabularies\(\s*'
+    r'(\w+)->get\(\),[^)]*\)\}', re.S)
 _MACRO_RE = re.compile(
     r'\b(EXPECT_FRAME_STATIC_[A-Z0-9_]+|EXPECT_FRAME_DYNAMIC_[A-Z0-9_]+'
     r'|EXPECT_ANONYMOUS_FRAME_STATIC_[A-Z]+'
     r'|EXPECT_ANONYMOUS_FRAME_DYNAMIC_ANCHOR'
     r'|EXPECT_STATIC_REFERENCE|EXPECT_DYNAMIC_REFERENCE'
     r'|EXPECT_FRAME_LOCATION_REACHABLE|EXPECT_FRAME_LOCATION_NON_REACHABLE'
+    r'|EXPECT_VOCABULARY_REQUIRED|EXPECT_VOCABULARY_OPTIONAL'
     r'|EXPECT_EQ|EXPECT_TRUE|EXPECT_FALSE)\s*\(')
 
 # dialect/base-dialect pairs baked into the per-file macro wrappers
@@ -218,6 +227,12 @@ def parse_file(path: str) -> List[FrameCase]:
             events.append((match.start(), "analyse", match))
         for match in _THROW_RE.finditer(body):
             events.append((match.start(), "throw", match))
+        for match in _TRACKED_PARSE_RE.finditer(body):
+            events.append((match.start(), "tracked_doc", match))
+        for match in _TRAVERSE_DECL_RE.finditer(body):
+            events.append((match.start(), "traverse_decl", match))
+        for match in _VOCABS_DECL_RE.finditer(body):
+            events.append((match.start(), "vocab_decl", match))
         for match in _MACRO_RE.finditer(body):
             events.append((match.start(), "macro", match))
         events.sort(key=lambda e: e[0])
@@ -262,6 +277,18 @@ def parse_file(path: str) -> List[FrameCase]:
                     consumed_until = catch_end
                 elif kind == "frame":
                     frames[match.group(1)] = match.group(2).lower()
+                elif kind == "tracked_doc":
+                    consumed_until = match.end()
+                    docs["document"] = json.loads(match.group(1))
+                    case.ops.append(("tracked_text", match.group(1)))
+                elif kind == "traverse_decl":
+                    consumed_until = match.end()
+                    case.ops.append(("traverse_decl", match.group(1),
+                                     match.group(3)))
+                elif kind == "vocab_decl":
+                    consumed_until = match.end()
+                    case.ops.append(("vocab_decl", match.group(1),
+                                     match.group(3)))
                 elif kind == "throw":
                     inner, end = _balanced(body, body.index("(", position))
                     consumed_until = end
@@ -394,10 +421,30 @@ def _macro_op(macro: str, args: List[str], docs=None,
         if ".mode()" in left and "Mode::" in right:
             return ("assert_mode",
                     "locations" if "Locations" in right else "references")
+        size_m = re.fullmatch(r'(\w+)\.size\(\)', left.strip())
+        if size_m:
+            return ("assert_var_size", size_m.group(1), _value(right))
         if left.strip() == "result" and (docs or {}).get(right.strip()) \
                 is not None:
             return ("assert_to_json", docs[right.strip()])
         return None
+    if macro in ("EXPECT_VOCABULARY_REQUIRED",
+                 "EXPECT_VOCABULARY_OPTIONAL"):
+        return ("assert_vocab_flag", args[0].strip(), args[1].strip(),
+                macro.endswith("REQUIRED"))
+    if macro in ("EXPECT_TRUE", "EXPECT_FALSE") and re.fullmatch(
+            r'(\w+)\.contains\("((?:[^"\\]|\\.)*)"\)', args[0].strip()):
+        m = re.fullmatch(r'(\w+)\.contains\("((?:[^"\\]|\\.)*)"\)',
+                         args[0].strip())
+        return ("assert_var_contains", m.group(1),
+                json.loads('"' + m.group(2) + '"'),
+                macro == "EXPECT_TRUE")
+    if macro in ("EXPECT_TRUE", "EXPECT_FALSE") and re.fullmatch(
+            r'(\w+)\.has_value\(\)', args[0].strip()):
+        return ("assert_var_has_value",
+                re.fullmatch(r'(\w+)\.has_value\(\)',
+                             args[0].strip()).group(1),
+                macro == "EXPECT_TRUE")
     if macro in ("EXPECT_TRUE", "EXPECT_FALSE"):
         expr = args[0]
         if ".standalone()" in expr:

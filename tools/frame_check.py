@@ -36,8 +36,20 @@ def _check(condition, message):
         raise AssertionError(message)
 
 
+_KNOWN_TO_V = None
+
+
+def _known_to_v():
+    global _KNOWN_TO_V
+    if _KNOWN_TO_V is None:
+        from tools.foundation_check import _KNOWN_TO_V as table
+        _KNOWN_TO_V = table
+    return _KNOWN_TO_V
+
+
 def run_case(case) -> None:
     frame = SF.SchemaFrame("references")
+    env = {}
 
     def loc(reftype, reference):
         key = (reftype, reference)
@@ -80,6 +92,48 @@ def run_case(case) -> None:
                 raise AssertionError(
                     f"expected {error}, got {type(exc).__name__}: {exc}")
             raise AssertionError(f"expected {error}, nothing raised")
+        elif kind == "tracked_text":
+            from blaze_spark.testsuite import parse_json_with_positions
+            env["__positions__"] = parse_json_with_positions(op[1])[1]
+        elif kind == "traverse_decl":
+            var, uri = op[1:]
+            env[var] = frame.traverse(uri)
+        elif kind == "vocab_decl":
+            var, locvar = op[1:]
+            _check(env.get(locvar) is not None,
+                   f"vocab_decl over empty location {locvar}")
+            env[var] = frame.vocabularies_detailed_of(env[locvar])
+        elif kind == "assert_var_has_value":
+            var, expected = op[1:]
+            _check(var in env, f"unknown variable {var}")
+            _check((env[var] is not None) == expected,
+                   f"{var}.has_value() != {expected}")
+        elif kind == "assert_var_size":
+            var, expected = op[1:]
+            if var == "uris" and var not in env:
+                # uri_iterators: a local std::set filled from
+                # frame.locations() keys
+                env[var] = {uri for (_t, uri) in frame.locations}
+            _check(var in env, f"unknown variable {var}")
+            _check(len(env[var]) == expected,
+                   f"{var}.size() {len(env[var])} != {expected}")
+        elif kind == "assert_var_contains":
+            var, needle, expected = op[1:]
+            if var == "uris" and var not in env:
+                env[var] = {uri for (_t, uri) in frame.locations}
+            _check(var in env, f"unknown variable {var}")
+            _check((needle in env[var]) == expected,
+                   f"{var}.contains({needle!r}) != {expected}: "
+                   f"{sorted(env[var])}")
+        elif kind == "assert_vocab_flag":
+            var, known, required = op[1:]
+            _check(var in env, f"unknown vocabulary variable {var}")
+            key = _known_to_v().get(known)
+            _check(key is not None, f"unknown Known {known!r}")
+            _check(key in env[var],
+                   f"{var} missing {known}: {sorted(env[var])}")
+            _check(env[var][key] == required,
+                   f"{var}[{known}] {env[var][key]} != {required}")
         elif kind == "assert_has_references_to":
             pointer, expected = op[1:]
             got = frame.has_references_to(pointer)
@@ -99,7 +153,7 @@ def run_case(case) -> None:
                    f"contains(({reftype}, {uri!r})) {got} != {expected}")
         elif kind == "assert_to_json":
             expected = op[1]
-            got = frame.to_json()
+            got = frame.to_json(env.get("__positions__"))
             if got != expected:
                 import json as _json
                 raise AssertionError(
