@@ -804,8 +804,14 @@ def to_documentation(schema: Any,
     """documentation.cc:1537-1559: canonicalize → frame → walk."""
     canonical = canonicalize(schema, resolver=resolver,
                              default_dialect=default_dialect)
+    # canonicalization may collapse the root to a boolean schema; keep
+    # the input's dialect in force for the frame in that case
+    effective_dialect = default_dialect
+    if not effective_dialect and isinstance(schema, dict) and \
+            isinstance(schema.get("$schema"), str):
+        effective_dialect = schema["$schema"]
     frame = SchemaFrame("references")
-    frame.analyse(canonical, resolver, default_dialect)
+    frame.analyse(canonical, resolver, effective_dialect)
     walker = _Walker(frame, canonical)
     return walker.walk_schema(canonical, include_root=True)
 

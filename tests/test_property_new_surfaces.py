@@ -1,0 +1,168 @@
+"""Property-based invariants (hypothesis) for the round-3 surfaces:
+
+* ``for_editor`` strips all identifiers/anchors and PRESERVES
+  validation semantics — the editor-transformed schema accepts exactly
+  the instances the original accepts;
+* ``to_documentation`` always yields dense identifiers 0..n-1 and
+  validates against the reference's documentation meta-schema;
+* ``parse_json_with_positions`` agrees with ``json.loads`` and anchors
+  every recorded position on the actual value/key start character;
+* ``Configuration`` manifests round-trip through to_json/from_json.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from blaze_spark import compile_schema, evaluate
+from blaze_spark.plans.documentation import to_documentation
+from blaze_spark.plans.editor import for_editor
+from blaze_spark.testsuite import parse_json_with_positions
+from tests.test_property_based import json_values, random_schemas
+
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+
+
+# --- for_editor preserves semantics -----------------------------------
+
+_ANCHORED_POOL = [
+    {"$schema": D2020, "$id": "https://example.com/s1",
+     "$anchor": "root", "type": "object",
+     "properties": {"x": {"$ref": "#root"}}},
+    {"$schema": D2020, "$id": "https://example.com/s2",
+     "$dynamicAnchor": "meta",
+     "properties": {"foo": {"$dynamicRef": "#meta"}},
+     "$defs": {"leaf": {"$dynamicAnchor": "unused",
+                        "type": "integer"}}},
+    {"$schema": D2020, "$id": "https://example.com/s3",
+     "properties": {"a": {"$ref": "#/$defs/node"}},
+     "$defs": {"node": {"type": "object",
+                        "properties": {"next": {"$ref": "#/$defs/node"},
+                                       "value": {"type": "integer"}}}}},
+    {"$schema": D2020, "$id": "https://example.com/s4",
+     "allOf": [{"$ref": "#/$defs/a"}, {"$ref": "#/$defs/b"}],
+     "$defs": {"a": {"required": ["k"]},
+               "b": {"properties": {"k": {"type": "string"}}}}},
+]
+
+
+@settings(max_examples=120, deadline=None)
+@given(idx=st.integers(0, len(_ANCHORED_POOL) - 1),
+       instance=json_values)
+def test_for_editor_preserves_semantics(idx, instance):
+    original = _ANCHORED_POOL[idx]
+    transformed = json.loads(json.dumps(original))
+    for_editor(transformed)
+    for keyword in ("$id", "$anchor", "$dynamicAnchor", "$vocabulary"):
+        assert keyword not in json.dumps(transformed), keyword
+    before = evaluate(compile_schema(original), instance).valid
+    after = evaluate(compile_schema(transformed), instance).valid
+    assert before == after
+
+
+@settings(max_examples=80, deadline=None)
+@given(schema=random_schemas, instance=json_values)
+def test_for_editor_random_schemas(schema, instance):
+    document = {"$schema": D2020,
+                "$id": "https://example.com/random", **schema}
+    transformed = json.loads(json.dumps(document))
+    try:
+        for_editor(transformed)
+    except ValueError:
+        return  # non-bundled inputs may be rejected; never corrupted
+    assert "$id" not in transformed
+    before = evaluate(compile_schema(document), instance).valid
+    after = evaluate(compile_schema(transformed), instance).valid
+    assert before == after
+
+
+# --- documentation structural invariants ------------------------------
+
+def _collect_ids(table, out):
+    out.append(table["identifier"])
+    for row in table["rows"]:
+        out.append(row["identifier"])
+        for section in row.get("children", []):
+            for child in section["children"]:
+                _collect_ids(child, out)
+    for section in table.get("children", []):
+        for child in section["children"]:
+            _collect_ids(child, out)
+
+
+@settings(max_examples=80, deadline=None)
+@given(schema=random_schemas)
+def test_documentation_identifiers_dense(schema):
+    document = {"$schema": D2020, **schema}
+    doc = to_documentation(document)
+    ids = []
+    _collect_ids(doc, ids)
+    assert len(ids) == len(set(ids))
+    assert sorted(ids) == list(range(len(ids)))
+    from tools.documentation_check import _meta_validate
+    _meta_validate(doc)
+
+
+# --- position-tracking JSON parser ------------------------------------
+
+def _line_col_char(text, line, col):
+    return text.split("\n")[line - 1][col - 1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(value=json_values)
+def test_position_parser_agrees_with_json(value):
+    text = json.dumps(value, indent=2, ensure_ascii=False)
+    parsed, positions = parse_json_with_positions(text)
+    assert parsed == value
+    assert () in positions
+    for pointer, (l0, c0, l1, c1) in positions.items():
+        start = _line_col_char(text, l0, c0)
+        end = _line_col_char(text, l1, c1)
+        assert (l0, c0) <= (l1, c1)
+        # starts: value first char, or the key quote for object members
+        assert start in '{["-0123456789tfn"' or start == '"'
+        # ends: a closing token of the value
+        assert end in '}]"0123456789el"' or end.isdigit() or \
+            end in "abcdefghijklmnopqrstuvwxyz"
+
+
+# --- configuration round-trip -----------------------------------------
+
+from blaze_spark.plans.configuration import Configuration  # noqa: E402
+
+_manifests = st.fixed_dictionaries({}, optional={
+    "title": st.text(max_size=10),
+    "description": st.text(max_size=10),
+    "baseUri": st.sampled_from(["https://example.com",
+                                "https://schemas.example.org/x"]),
+    "path": st.sampled_from(["/abs/schemas", "/data/s2"]),
+    "defaultDialect": st.just(D2020),
+    "resolve": st.dictionaries(
+        st.sampled_from(["https://a.com/x", "https://b.com/y"]),
+        st.sampled_from(["../one.json", "https://c.com/z"]), max_size=2),
+    "dependencies": st.dictionaries(
+        st.sampled_from(["https://d.com/p", "https://e.com/q"]),
+        st.sampled_from(["./vendor/p.json", "./vendor/q.json"]),
+        max_size=2),
+})
+
+
+@settings(max_examples=100, deadline=None)
+@given(manifest=_manifests)
+def test_configuration_roundtrip(manifest):
+    # duplicate dependency paths are rejected, not round-tripped
+    deps = manifest.get("dependencies", {})
+    if len(set(deps.values())) != len(deps):
+        return
+    if "baseUri" not in manifest or "path" not in manifest:
+        return  # implicit fields do not round-trip by design
+    # empty containers are omitted on output (json.cc emits non-empty)
+    manifest = {key: value for key, value in manifest.items()
+                if value != {}}
+    config = Configuration.from_json(manifest, "/base")
+    output = config.to_json()
+    assert output == manifest
