@@ -1,0 +1,381 @@
+"""blaze_spark command-line interface.
+
+A thin CLI over the library surface, mirroring how the reference's
+components compose into a schema toolchain: validate / lint /
+canonicalize / upgrade / bundle / frame / format / metaschema /
+documentation / editor / typescript / test / fetch.
+
+Everything here is driver-side (single documents); the distributed
+forms live in ``blaze_spark.operators`` and run under spark-submit
+(see README "Cluster usage").
+
+Usage examples::
+
+    python -m blaze_spark validate schema.json instance.json
+    python -m blaze_spark lint --fix schema.json
+    python -m blaze_spark bundle schema.json --registry ./schemas
+    python -m blaze_spark documentation schema.json --html
+    python -m blaze_spark test suite.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Any, Dict, Optional
+
+
+def _read_json(path: str) -> Any:
+    if path == "-":
+        return json.load(sys.stdin)
+    with open(path, "r", encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _emit(value: Any) -> None:
+    from blaze_spark.plans.codegen_ts import prettify_json
+    sys.stdout.write(prettify_json(value) + "\n")
+
+
+def _registry_resolver(registry: Optional[str]):
+    """Resolve ``$ref`` URIs against a directory of schema documents
+    (matched by their ``$id``) — the CLI stand-in for a remote
+    registry."""
+    if registry is None:
+        return None
+    table: Dict[str, Any] = {}
+    for root, _dirs, files in os.walk(registry):
+        for name in sorted(files):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(root, name), "r",
+                          encoding="utf-8") as fh:
+                    document = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+            identifier = document.get("$id") or document.get("id") \
+                if isinstance(document, dict) else None
+            if isinstance(identifier, str):
+                table[identifier.rstrip("#")] = document
+
+    def resolver(uri: str):
+        return table.get(uri.rstrip("#"))
+
+    return resolver
+
+
+def cmd_validate(args) -> int:
+    from blaze_spark import compile_schema, evaluate
+    from blaze_spark.functions.output import standard
+    schema = _read_json(args.schema)
+    plan = compile_schema(
+        schema, mode="exhaustive" if args.exhaustive else "fast",
+        resolver=_registry_resolver(args.registry),
+        default_dialect=args.default_dialect or "2020-12")
+    exit_code = 0
+    for path in args.instances:
+        instance = _read_json(path)
+        if args.standard:
+            result = evaluate(plan, instance, standard=True)
+            _emit(standard(result,
+                           "basic" if args.exhaustive else "flag"))
+        else:
+            result = evaluate(plan, instance)
+            verdict = "valid" if result.valid else "invalid"
+            print(f"{path}: {verdict}")
+            for violation in result.violations:
+                print(f"  {violation.keyword_location} at instance "
+                      f"{violation.instance_location or '/'}: "
+                      f"{violation.message}")
+        if not result.valid:
+            exit_code = 1
+    return exit_code
+
+
+def cmd_lint(args) -> int:
+    from blaze_spark.plans.transform import lint_check, lint_fix
+    exit_code = 0
+    for path in args.schemas:
+        schema = _read_json(path)
+        if args.fix:
+            ok, traces, fixed = lint_fix(schema)
+            _emit(fixed)
+        else:
+            ok, traces = lint_check(schema)
+        for trace in traces:
+            print(f"{path}:{trace.pointer or '/'}: {trace.name}: "
+                  f"{trace.message}", file=sys.stderr)
+        if not ok:
+            exit_code = 1
+    return exit_code
+
+
+def cmd_canonicalize(args) -> int:
+    from blaze_spark.plans.transform import canonicalize
+    _emit(canonicalize(_read_json(args.schema),
+                       resolver=_registry_resolver(args.registry)))
+    return 0
+
+
+def cmd_upgrade(args) -> int:
+    from blaze_spark.plans.transform import upgrade_schema
+    _emit(upgrade_schema(_read_json(args.schema), args.to,
+                         resolver=_registry_resolver(args.registry)))
+    return 0
+
+
+def cmd_bundle(args) -> int:
+    from blaze_spark.plans.bundle import bundle
+    _emit(bundle(_read_json(args.schema),
+                 resolver=_registry_resolver(args.registry),
+                 default_dialect=args.default_dialect or "2020-12"))
+    return 0
+
+
+def cmd_frame(args) -> int:
+    from blaze_spark.plans.schema_frame import frame_schema
+    frame = frame_schema(_read_json(args.schema),
+                         resolver=_registry_resolver(args.registry),
+                         default_dialect=args.default_dialect or "")
+    _emit(frame.to_json())
+    return 0
+
+
+def cmd_format(args) -> int:
+    from blaze_spark.plans.format import format_schema
+    _emit(format_schema(_read_json(args.schema)))
+    return 0
+
+
+def cmd_metaschema(args) -> int:
+    from blaze_spark.metaschema import check_schema
+    resolver = _official(_registry_resolver(args.registry)
+                         or (lambda uri: None))
+    exit_code = 0
+    for path in args.schemas:
+        result = check_schema(_read_json(path), resolver=resolver)
+        verdict = "valid" if result.valid else "invalid"
+        print(f"{path}: {verdict}")
+        for violation in result.violations:
+            print(f"  {violation.keyword_location}: "
+                  f"{violation.message}")
+        if not result.valid:
+            exit_code = 1
+    return exit_code
+
+
+def _official(resolver):
+    """Chain a resolver onto the vendored official metaschemas."""
+    def chained(uri: str):
+        hit = resolver(uri)
+        if hit is not None:
+            return hit
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), "tools"))
+            import compliance
+            return compliance.make_resolver("2020-12")(uri)
+        except Exception:
+            return None
+    return chained
+
+
+def cmd_documentation(args) -> int:
+    from blaze_spark.plans.documentation import to_documentation, to_html
+    documentation = to_documentation(_read_json(args.schema))
+    if args.html:
+        sys.stdout.write(to_html(documentation) + "\n")
+    else:
+        _emit(documentation)
+    return 0
+
+
+def cmd_editor(args) -> int:
+    from blaze_spark.plans.bundle import bundle
+    from blaze_spark.plans.editor import for_editor
+    resolver = _registry_resolver(args.registry)
+    document = bundle(_read_json(args.schema), resolver=resolver)
+    for_editor(document, resolver)
+    _emit(document)
+    return 0
+
+
+def cmd_typescript(args) -> int:
+    from blaze_spark.plans.codegen_ts import schema_to_typescript
+    sys.stdout.write(schema_to_typescript(
+        _read_json(args.schema),
+        resolver=_registry_resolver(args.registry),
+        prefix=args.prefix))
+    return 0
+
+
+def cmd_test(args) -> int:
+    from blaze_spark.testsuite import (RefTestSuite,
+                                       parse_json_with_positions)
+    exit_code = 0
+    for path in args.suites:
+        with open(path, "r", encoding="utf-8") as fh:
+            text = fh.read()
+        document, positions = parse_json_with_positions(text)
+        suite = RefTestSuite.parse(
+            document, positions, os.path.dirname(os.path.abspath(path)),
+            _official(_registry_resolver(args.registry)
+                      or (lambda uri: None)),
+            args.default_dialect or "")
+
+        def report(target, index, total, case, actual, _start, _end):
+            status = "PASS" if actual == case.valid else "FAIL"
+            label = case.description or f"case {index}"
+            print(f"{status} {index}/{total} [{target}] {label}")
+
+        result = suite.run(report)
+        print(f"{path}: {result.passed}/{result.total} passed")
+        if result.passed != result.total:
+            exit_code = 1
+    return exit_code
+
+
+def cmd_fetch(args) -> int:
+    from blaze_spark.plans.configuration import Configuration, Lock
+    config_path = os.path.abspath(args.configuration)
+    with open(config_path, "r", encoding="utf-8") as fh:
+        config = Configuration.from_json(json.load(fh),
+                                         os.path.dirname(config_path))
+    lock_path = os.path.join(os.path.dirname(config_path),
+                             "jsonschema.lock.json")
+    if os.path.exists(lock_path):
+        with open(lock_path, "r", encoding="utf-8") as fh:
+            lock = Lock.from_json(json.load(fh),
+                                  os.path.dirname(config_path))
+    else:
+        lock = Lock()
+
+    resolver = _official(_registry_resolver(args.registry)
+                         or (lambda uri: None))
+
+    def fetcher(uri: str):
+        document = resolver(uri)
+        if document is None:
+            raise LookupError(f"cannot fetch {uri}")
+        return document
+
+    def reader(path: str) -> str:
+        with open(path, "r", encoding="utf-8") as fh:
+            return fh.read()
+
+    def writer(path: str, document: Any) -> None:
+        from blaze_spark.plans.codegen_ts import prettify_json
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(prettify_json(document) + "\n")
+
+    errors = []
+
+    def on_event(event):
+        print(f"{event.type}: {event.uri}"
+              + (f" ({event.details})" if event.details else ""))
+        if event.type == "Error":
+            errors.append(event)
+        return True
+
+    config.fetch(lock, fetcher, resolver, reader, writer, on_event,
+                 "All" if args.all else "Missing")
+    with open(lock_path, "w", encoding="utf-8") as fh:
+        from blaze_spark.plans.codegen_ts import prettify_json
+        fh.write(prettify_json(
+            lock.to_json(os.path.dirname(config_path))) + "\n")
+    return 1 if errors else 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="blaze_spark", description=__doc__.split("\n")[0])
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--registry", help="directory of schemas "
+                       "resolvable by $id")
+        p.add_argument("--default-dialect", default="")
+        return p
+
+    p = common(sub.add_parser("validate",
+                              help="validate instances against a schema"))
+    p.add_argument("schema")
+    p.add_argument("instances", nargs="+")
+    p.add_argument("--exhaustive", action="store_true")
+    p.add_argument("--standard", action="store_true",
+                   help="2020-12 standard output JSON")
+    p.set_defaults(func=cmd_validate)
+
+    p = sub.add_parser("lint", help="lint schemas")
+    p.add_argument("schemas", nargs="+")
+    p.add_argument("--fix", action="store_true")
+    p.set_defaults(func=cmd_lint)
+
+    p = common(sub.add_parser("canonicalize"))
+    p.add_argument("schema")
+    p.set_defaults(func=cmd_canonicalize)
+
+    p = common(sub.add_parser("upgrade"))
+    p.add_argument("schema")
+    p.add_argument("--to", default="2020-12")
+    p.set_defaults(func=cmd_upgrade)
+
+    p = common(sub.add_parser("bundle"))
+    p.add_argument("schema")
+    p.set_defaults(func=cmd_bundle)
+
+    p = common(sub.add_parser("frame"))
+    p.add_argument("schema")
+    p.set_defaults(func=cmd_frame)
+
+    p = sub.add_parser("format", help="canonical keyword ordering")
+    p.add_argument("schema")
+    p.set_defaults(func=cmd_format)
+
+    p = common(sub.add_parser("metaschema",
+                              help="validate schemas against their "
+                              "dialects"))
+    p.add_argument("schemas", nargs="+")
+    p.set_defaults(func=cmd_metaschema)
+
+    p = sub.add_parser("documentation")
+    p.add_argument("schema")
+    p.add_argument("--html", action="store_true")
+    p.set_defaults(func=cmd_documentation)
+
+    p = common(sub.add_parser("editor",
+                              help="editor-compatibility transform"))
+    p.add_argument("schema")
+    p.set_defaults(func=cmd_editor)
+
+    p = common(sub.add_parser("typescript"))
+    p.add_argument("schema")
+    p.add_argument("--prefix", default="Schema")
+    p.set_defaults(func=cmd_typescript)
+
+    p = common(sub.add_parser("test", help="run test-suite documents"))
+    p.add_argument("suites", nargs="+")
+    p.set_defaults(func=cmd_test)
+
+    p = common(sub.add_parser("fetch",
+                              help="fetch configuration dependencies"))
+    p.add_argument("configuration")
+    p.add_argument("--all", action="store_true",
+                   help="re-fetch everything")
+    p.set_defaults(func=cmd_fetch)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

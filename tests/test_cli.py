@@ -1,0 +1,138 @@
+"""The ``python -m blaze_spark`` CLI: every subcommand drives the
+corresponding library surface end-to-end (in-process main() calls,
+no Spark)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from contextlib import redirect_stderr, redirect_stdout
+
+import pytest
+
+from blaze_spark.__main__ import main
+
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+
+
+@pytest.fixture()
+def workspace(tmp_path):
+    schema = {"$schema": D2020, "type": "object", "required": ["name"],
+              "properties": {"name": {"type": "string"},
+                             "age": {"type": "integer", "minimum": 0}}}
+    (tmp_path / "schema.json").write_text(json.dumps(schema))
+    (tmp_path / "good.json").write_text('{"name": "Ada", "age": 36}')
+    (tmp_path / "bad.json").write_text('{"age": -1}')
+    registry = tmp_path / "registry"
+    registry.mkdir()
+    (registry / "base.json").write_text(json.dumps(
+        {"$id": "https://example.com/base", "$schema": D2020,
+         "type": "integer"}))
+    (tmp_path / "ref.json").write_text(json.dumps(
+        {"$schema": D2020, "$ref": "https://example.com/base"}))
+    return tmp_path
+
+
+def _run(argv):
+    out, err = io.StringIO(), io.StringIO()
+    with redirect_stdout(out), redirect_stderr(err):
+        code = main(argv)
+    return code, out.getvalue(), err.getvalue()
+
+
+def test_validate(workspace):
+    code, out, _ = _run(["validate", str(workspace / "schema.json"),
+                         str(workspace / "good.json")])
+    assert code == 0 and "valid" in out
+    code, out, _ = _run(["validate", str(workspace / "schema.json"),
+                         str(workspace / "bad.json")])
+    assert code == 1 and "invalid" in out and "/required" in out
+
+
+def test_validate_standard_output(workspace):
+    code, out, _ = _run(["validate", "--standard", "--exhaustive",
+                         str(workspace / "schema.json"),
+                         str(workspace / "bad.json")])
+    assert code == 1
+    payload = json.loads(out)
+    assert payload["valid"] is False and payload["errors"]
+
+
+def test_lint_and_fix(workspace):
+    code, _out, err = _run(["lint", str(workspace / "schema.json")])
+    assert code == 1 and "top_level_title" in err
+    code, out, _ = _run(["lint", "--fix",
+                         str(workspace / "schema.json")])
+    assert json.loads(out)["type"] == "object"
+
+
+def test_canonicalize_upgrade_format(workspace):
+    for command in ("canonicalize", "upgrade", "format"):
+        code, out, _ = _run([command, str(workspace / "schema.json")])
+        assert code == 0
+        assert json.loads(out)["$schema"] == D2020, command
+
+
+def test_bundle_and_editor(workspace):
+    code, out, _ = _run(["bundle", str(workspace / "ref.json"),
+                         "--registry", str(workspace / "registry")])
+    assert code == 0
+    bundled = json.loads(out)
+    assert "https://example.com/base" in bundled["$defs"]
+    code, out, _ = _run(["editor", str(workspace / "ref.json"),
+                         "--registry", str(workspace / "registry")])
+    assert code == 0
+    transformed = json.loads(out)
+    assert transformed["$ref"].startswith("#/$defs/")
+    assert "$id" not in json.dumps(transformed)
+
+
+def test_frame_metaschema_documentation_typescript(workspace):
+    code, out, _ = _run(["frame", str(workspace / "schema.json")])
+    assert code == 0 and "locations" in json.loads(out)
+    code, out, _ = _run(["metaschema", str(workspace / "schema.json")])
+    assert code == 0 and "valid" in out
+    code, out, _ = _run(["documentation",
+                         str(workspace / "schema.json")])
+    assert code == 0 and json.loads(out)["identifier"] == 0
+    code, out, _ = _run(["documentation", "--html",
+                         str(workspace / "schema.json")])
+    assert out.startswith('<table class="sourcemeta-blaze-')
+    code, out, _ = _run(["typescript", str(workspace / "schema.json")])
+    assert code == 0 and "export interface Schema" in out
+
+
+def test_testsuite_runner(workspace):
+    suite = {"target": D2020,
+             "tests": [{"data": {"type": "string"}, "valid": True},
+                       {"data": "nope", "valid": False}]}
+    (workspace / "suite.json").write_text(json.dumps(suite, indent=2))
+    code, out, _ = _run(["test", str(workspace / "suite.json")])
+    assert code == 0 and "2/2 passed" in out
+    failing = {"target": D2020,
+               "tests": [{"data": "nope", "valid": True}]}
+    (workspace / "failing.json").write_text(json.dumps(failing,
+                                                       indent=2))
+    code, out, _ = _run(["test", str(workspace / "failing.json")])
+    assert code == 1 and "0/1 passed" in out
+
+
+def test_fetch_with_lock(workspace):
+    manifest = {"baseUri": "https://example.com",
+                "dependencies": {
+                    "https://example.com/base": "./vendor/base.json"}}
+    (workspace / "jsonschema.json").write_text(json.dumps(manifest))
+    code, out, _ = _run(["fetch", str(workspace / "jsonschema.json"),
+                         "--registry", str(workspace / "registry")])
+    assert code == 0 and "VerifyEnd" in out
+    lock = json.loads((workspace / "jsonschema.lock.json").read_text())
+    assert lock["version"] == 1
+    entry = lock["dependencies"]["https://example.com/base"]
+    assert entry["path"] == "./vendor/base.json"
+    assert len(entry["hash"]) == 64
+    assert os.path.exists(workspace / "vendor" / "base.json")
+    # second run: everything up to date
+    code, out, _ = _run(["fetch", str(workspace / "jsonschema.json"),
+                         "--registry", str(workspace / "registry")])
+    assert code == 0 and "UpToDate" in out
