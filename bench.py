@@ -81,13 +81,15 @@ def run_benchmarks(only=None):
         except (OSError, IndexError, ValueError):
             return 0
 
-    def bench(name, fn, repeats=2):
+    def bench(name, fn, repeats=3):
         # best-of-N: first execution pays JIT/codegen compilation; the min
         # is the steady-state number a long-running cluster job sees.
         # This VM sees bursty hypervisor steal (r2: whole runs burned by
         # it) — a repeat whose window lost >5% of available cpu-seconds
         # to the host is tainted, so up to 2 extra repeats run until one
-        # clean measurement exists.
+        # clean measurement exists. r3 also saw slow windows the steal
+        # counter does NOT see (uniform ~1.3x); best-of-3 is the only
+        # defense there.
         if only and name not in only:
             return
         best, out, clean = None, None, False

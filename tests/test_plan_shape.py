@@ -183,3 +183,38 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     texts = sorted(r["text"] for r in
                    spark.sql("select text from dedup_out").collect())
     assert texts == ["alpha", "beta", "delta", "gamma"]
+
+
+# Queries whose plans legitimately contain a bounded cross join: the
+# PSI full-grid (bucket x partition, both tiny) and the all-pairs
+# cosine kernels documented as within-bucket/small-side only.
+_CROSS_JOIN_ALLOWED = {
+    "drift_psi_lang", "dedup_embedding_cosine", "ngram_jaccard",
+    "ann_cosine_topk", "dedup_embedding_bucketed", "ann_ivf_topk",
+    "curation_report", "contamination",
+    # KS: broadcast theta self-join of the two PRE-AGGREGATED
+    # per-bucket CDF tables (rows = histogram buckets, not data rows)
+    "drift_ks_n_chars",
+}
+
+
+def test_every_driver_query_avoids_scale_killers(spark):
+    """Fleet-wide scale guard over the FULL driver-contract surface:
+    no query's physical plan may contain a global (unpartitioned)
+    window — the one-reducer pattern that serializes at 100 TB — and
+    cross joins may appear only in the documented bounded kernels.
+    Row-at-a-time Python (BatchEvalPython) is banned everywhere."""
+    failures = []
+    for name, fn in E.queries().items():
+        df = fn(spark, SF)
+        plan = _plan(df)
+        if "WindowExec: No Partition Defined" in plan or \
+                "Window [" in plan and "PartitionBy: []" in plan:
+            failures.append((name, "global window"))
+        if ("CartesianProduct" in plan or
+                "BroadcastNestedLoopJoin" in plan) and \
+                name not in _CROSS_JOIN_ALLOWED:
+            failures.append((name, "cross join"))
+        if "BatchEvalPython" in plan:
+            failures.append((name, "row-at-a-time Python"))
+    assert not failures, failures
