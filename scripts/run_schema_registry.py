@@ -1,0 +1,115 @@
+"""spark-submit entry point for a schema-registry curation run: lint,
+canonicalize, bundle, editor-transform, document, and codegen every
+schema in a registry table — the distributed composition of the
+driver-side toolchain (`python -m blaze_spark`) over
+operators/schema_pipeline.py (all map-only Arrow plans).
+
+Cluster usage:
+
+    cd /root/repo && zip -r /tmp/blaze_spark.zip blaze_spark
+    spark-submit --py-files /tmp/blaze_spark.zip \
+        scripts/run_schema_registry.py \
+        --input /data/schema_registry --schema-col schema_json \
+        --output /data/schema_registry_curated \
+        --stages lint,canonicalize,documentation,typescript
+
+Local smoke (this sandbox):
+
+    python scripts/run_schema_registry.py --demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+STAGES = ("lint", "canonicalize", "upgrade", "bundle", "editor",
+          "frame", "documentation", "typescript")
+
+
+def build_pipeline(df, column: str, stages, registry=None):
+    from blaze_spark.operators import schema_pipeline as P
+    for stage in stages:
+        if stage == "lint":
+            df = P.lint_schemas(df, column)
+        elif stage == "canonicalize":
+            df = P.canonicalize_schemas(df, column)
+        elif stage == "upgrade":
+            df = P.upgrade_schemas(df, column)
+        elif stage == "bundle":
+            df = P.bundle_schemas(df, column, registry or {})
+        elif stage == "editor":
+            df = P.editor_schemas(df, column, registry)
+        elif stage == "frame":
+            df = P.frame_schemas(df, column)
+        elif stage == "documentation":
+            df = P.documentation_schemas(df, column, html=True)
+        elif stage == "typescript":
+            df = P.typescript_schemas(df, column)
+        else:
+            raise SystemExit(f"unknown stage {stage!r} "
+                             f"(choose from {', '.join(STAGES)})")
+    return df
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet path of the registry table")
+    ap.add_argument("--schema-col", default="schema_json")
+    ap.add_argument("--output", help="parquet output path")
+    ap.add_argument("--stages",
+                    default="lint,canonicalize,documentation,typescript")
+    ap.add_argument("--registry-file",
+                    help="JSON file mapping $id URIs to schema "
+                    "documents, broadcast for bundle/editor stages")
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="local[.] parallelism (default: cluster master)")
+    ap.add_argument("--demo", action="store_true")
+    args = ap.parse_args()
+
+    from blaze_spark.session import get_session
+    spark = get_session(app_name="blaze-spark-schema-registry",
+                        cpus=args.cpus or 4)
+
+    registry = None
+    if args.registry_file:
+        with open(args.registry_file, "r", encoding="utf-8") as fh:
+            registry = json.load(fh)
+
+    if args.demo:
+        d2020 = "https://json-schema.org/draft/2020-12/schema"
+        rows = [
+            (0, json.dumps({"$schema": d2020, "type": "string"})),
+            (1, json.dumps({"$schema": d2020, "type": "object",
+                            "required": ["id"],
+                            "properties": {"id": {"type": "integer"}}})),
+            (2, "{broken"),
+        ]
+        df = spark.createDataFrame(rows, ["sid", args.schema_col])
+    else:
+        if not args.input:
+            raise SystemExit("--input or --demo required")
+        df = spark.read.parquet(args.input)
+
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    result = build_pipeline(df, args.schema_col, stages, registry)
+
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        for row in result.limit(5).collect():
+            print(json.dumps({key: (value if isinstance(
+                value, (str, int, bool, type(None))) else str(value))
+                for key, value in row.asDict().items()})[:400])
+    counts = result.count()
+    print(f"processed {counts} schemas through: {', '.join(stages)}")
+
+
+if __name__ == "__main__":
+    main()
