@@ -282,12 +282,16 @@ def cmd_fetch(args) -> int:
             errors.append(event)
         return True
 
-    config.fetch(lock, fetcher, resolver, reader, writer, on_event,
-                 "All" if args.all else "Missing")
-    with open(lock_path, "w", encoding="utf-8") as fh:
-        from blaze_spark.plans.codegen_ts import prettify_json
-        fh.write(prettify_json(
-            lock.to_json(os.path.dirname(config_path))) + "\n")
+    if args.frozen:
+        config.fetch_frozen(lock, fetcher, resolver, reader, writer,
+                            on_event, dry_run=args.dry_run)
+    else:
+        config.fetch(lock, fetcher, resolver, reader, writer, on_event,
+                     "All" if args.all else "Missing")
+        with open(lock_path, "w", encoding="utf-8") as fh:
+            from blaze_spark.plans.codegen_ts import prettify_json
+            fh.write(prettify_json(
+                lock.to_json(os.path.dirname(config_path))) + "\n")
     return 1 if errors else 0
 
 
@@ -367,6 +371,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("configuration")
     p.add_argument("--all", action="store_true",
                    help="re-fetch everything")
+    p.add_argument("--frozen", action="store_true",
+                   help="lock file is the source of truth; drift is "
+                   "an error")
+    p.add_argument("--dry-run", action="store_true",
+                   help="with --frozen: report drift without fetching")
     p.set_defaults(func=cmd_fetch)
 
     return parser

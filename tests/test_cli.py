@@ -136,3 +136,28 @@ def test_fetch_with_lock(workspace):
     code, out, _ = _run(["fetch", str(workspace / "jsonschema.json"),
                          "--registry", str(workspace / "registry")])
     assert code == 0 and "UpToDate" in out
+
+
+def test_fetch_frozen_detects_drift(workspace):
+    manifest = {"baseUri": "https://example.com",
+                "dependencies": {
+                    "https://example.com/base": "./vendor/base.json"}}
+    (workspace / "jsonschema.json").write_text(json.dumps(manifest))
+    _run(["fetch", str(workspace / "jsonschema.json"),
+          "--registry", str(workspace / "registry")])
+    # frozen + clean: up to date
+    code, out, _ = _run(["fetch", "--frozen",
+                         str(workspace / "jsonschema.json"),
+                         "--registry", str(workspace / "registry")])
+    assert code == 0 and "UpToDate" in out
+    # tamper with the fetched file: frozen mode must fail
+    (workspace / "vendor" / "base.json").write_text("{}")
+    code, out, _ = _run(["fetch", "--frozen",
+                         str(workspace / "jsonschema.json"),
+                         "--registry", str(workspace / "registry")])
+    assert code == 1 and "Mismatched" in out
+    # dry-run only reports
+    code, out, _ = _run(["fetch", "--frozen", "--dry-run",
+                         str(workspace / "jsonschema.json"),
+                         "--registry", str(workspace / "registry")])
+    assert code == 0 and "Mismatched" in out
