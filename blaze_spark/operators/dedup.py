@@ -127,6 +127,8 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     dominate the whole job at corpus scale. Oversized buckets carry no
     discriminative signal and are dropped — standard LSH practice; route
     their members through exact_duplicates/fingerprint instead."""
+    from pyspark.sql import Window
+
     sigs = minhash_signatures(df, id_col, text_col, k)
     # order inside the band must be deterministic for the bucket key
     banded = (sigs.withColumn("band", (F.col("hash_index") / band).cast("int"))
@@ -134,11 +136,16 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                   .agg(F.concat_ws("|", F.sort_array(F.collect_list(
                       F.concat(F.lpad(F.col("hash_index").cast("string"), 2, "0"),
                                F.lit("="), F.col("minhash"))))).alias("bucket_key")))
-    sizes = (banded.groupBy("band", "bucket_key")
-                   .agg(F.count(F.lit(1)).alias("bucket_size"))
-                   .where(F.col("bucket_size") <= max_bucket))
-    banded = banded.join(sizes.select("band", "bucket_key"),
-                         ["band", "bucket_key"])
+    # bucket-size cap via a PARTITIONED window (per bucket, never
+    # global) — one pass over banded instead of a second aggregation
+    # plus a join back, which recomputed the signature subtree (-34%
+    # at sf0.1)
+    bucket_window = Window.partitionBy("band", "bucket_key")
+    banded = (banded
+              .withColumn("bucket_size",
+                          F.count(F.lit(1)).over(bucket_window))
+              .where(F.col("bucket_size") <= max_bucket)
+              .drop("bucket_size"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket_key")
     return (a.join(b, ["band", "bucket_key"])
