@@ -242,6 +242,19 @@ def q_quality_score(spark, sf_dir):
     return s.select("doc_id", F.round("quality_score", 2).alias("quality_score"))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (duplicate line / token / word
+    bigram fractions) — map-only JVM array expressions
+    (operators/textstats.repetition_features); the DuckDB twin
+    recomputes every ratio from the same tokenizer."""
+    r = TS.repetition_features(_docs(spark, sf_dir), "doc_id", "text")
+    return r.select(
+        "doc_id", "n_lines",
+        F.round("dup_line_ratio", 6).alias("dup_line_ratio"),
+        F.round("dup_token_ratio", 6).alias("dup_token_ratio"),
+        F.round("dup_bigram_ratio", 6).alias("dup_bigram_ratio"))
+
+
 def q_language_id(spark, sf_dir):
     return TS.language_id(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -574,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "quality_features": q_quality_features,
         "quality_score": q_quality_score,
+        "repetition": q_repetition,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "events_windowed_violations": q_events_windowed_violations,
@@ -1026,6 +1040,36 @@ export interface Schema {
                        (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
                        / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio
             FROM t""",
+        "repetition": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines,
+                     {_TOKENS} AS toks
+              FROM documents),
+            b AS (
+              SELECT doc_id, lines, toks,
+                     CASE WHEN len(toks) >= 2 THEN
+                       list_transform(generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END AS bigrams
+              FROM t)
+            SELECT doc_id,
+                   CAST(len(lines) AS INT) AS n_lines,
+                   round(CASE WHEN len(lines) > 0 THEN
+                       1.0 - len(list_distinct(lines))
+                             / CAST(len(lines) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_line_ratio,
+                   round(CASE WHEN len(toks) > 0 THEN
+                       1.0 - len(list_distinct(toks))
+                             / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_token_ratio,
+                   round(CASE WHEN len(bigrams) > 0 THEN
+                       1.0 - len(list_distinct(bigrams))
+                             / CAST(len(bigrams) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_bigram_ratio
+            FROM b""",
         "quality_score": f"""
             WITH t AS (
               SELECT doc_id, text, {_TOKENS} AS toks FROM documents),

@@ -109,3 +109,47 @@ def sha256_invariant(df: DataFrame, content_col: str) -> DataFrame:
     """Attach the per-row invariant column sha256(content)
     (BASELINE.json:15) — carried through every transform."""
     return df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+
+
+def repetition_features(df: DataFrame, id_col: str,
+                        text_col: str) -> DataFrame:
+    """Per-document repetition signals — the standard Gopher-style
+    cheap filters against boilerplate and degenerate generations:
+
+    * ``dup_line_ratio``: 1 - distinct non-empty (trimmed) lines /
+      lines;
+    * ``dup_token_ratio``: 1 - distinct tokens / tokens;
+    * ``dup_bigram_ratio``: 1 - distinct word bigrams / bigrams.
+
+    All JVM array expressions (split / transform / array_distinct) —
+    map-only, no shuffle, no Python."""
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda line: F.trim(line)),
+        lambda line: line != "")
+    n_lines = F.size(lines)
+    toks = F.filter(F.split(F.lower(text), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    n_toks = F.size(toks)
+    bigram_idx = F.when(
+        n_toks >= 2, F.sequence(F.lit(1), n_toks - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        bigram_idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    n_bigrams = F.size(bigrams)
+
+    def ratio(total, distinct):
+        return F.when(total > 0,
+                      1.0 - distinct / total.cast("double")) \
+            .otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        ratio(n_lines, F.size(F.array_distinct(lines)))
+        .alias("dup_line_ratio"),
+        ratio(n_toks, F.size(F.array_distinct(toks)))
+        .alias("dup_token_ratio"),
+        ratio(n_bigrams, F.size(F.array_distinct(bigrams)))
+        .alias("dup_bigram_ratio"),
+    )
