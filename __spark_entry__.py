@@ -555,11 +555,12 @@ def q_curation_report(spark, sf_dir):
         "doc_id", F.coalesce("text", F.lit("")).alias("text"))
     report = curate_report(candidates, "doc_id", "text", DOCUMENTS_SCHEMA,
                            min_quality=0.5, holdout=holdout, ngram=3,
-                           contamination_threshold=0.5)
+                           contamination_threshold=0.5,
+                           max_dup_ngram_ratio=0.05)
     return report.select(F.col("id").alias("doc_id"), "valid",
                          F.round("quality_score", 2).alias("quality_score"),
                          "quality_ok", "is_canonical", "contaminated",
-                         "kept")
+                         "repetition_ok", "kept")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -818,7 +819,25 @@ def oracle_sql() -> dict[str, str]:
             cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 5 <> 0),
             tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
             ov AS (SELECT cg.doc_id, count(*) AS n_overlap
-                   FROM cg JOIN hold USING (gram) GROUP BY 1)
+                   FROM cg JOIN hold USING (gram) GROUP BY 1),
+            bg AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2 THEN
+                       list_transform(generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END AS bigrams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(
+                               lower(coalesce(text, '')), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+                    FROM cand)),
+            rep AS (
+              SELECT doc_id,
+                     (CASE WHEN len(bigrams) > 0 THEN
+                         1.0 - len(list_distinct(bigrams))
+                               / CAST(len(bigrams) AS DOUBLE)
+                       ELSE 0.0 END) <= 0.05 AS repetition_ok
+              FROM bg)
             SELECT cand.doc_id,
                    v.valid,
                    round(q.quality_score, 2) AS quality_score,
@@ -827,8 +846,10 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN coalesce(tot.n_grams, 0) > 0
                          THEN coalesce(ov.n_overlap, 0) / tot.n_grams
                          ELSE 0.0 END) >= 0.5 AS contaminated,
+                   rep.repetition_ok,
                    v.valid AND q.quality_score >= 0.5
                      AND fp.doc_id = canon.cid
+                     AND rep.repetition_ok
                      AND NOT ((CASE WHEN coalesce(tot.n_grams, 0) > 0
                                THEN coalesce(ov.n_overlap, 0) / tot.n_grams
                                ELSE 0.0 END) >= 0.5) AS kept
@@ -837,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN q USING (doc_id)
             JOIN fp USING (doc_id)
             JOIN canon USING (fingerprint)
+            JOIN rep USING (doc_id)
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN ov USING (doc_id)""",
         "contamination": """
@@ -1044,9 +1066,12 @@ export interface Schema {
             WITH t AS (
               SELECT doc_id,
                      list_filter(list_transform(
-                         string_split(text, chr(10)), x -> trim(x)),
+                         string_split(coalesce(text, ''), chr(10)),
+                         x -> trim(x)),
                          x -> x <> '') AS lines,
-                     {_TOKENS} AS toks
+                     list_filter(string_split_regex(
+                         lower(coalesce(text, '')), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
               FROM documents),
             b AS (
               SELECT doc_id, lines, toks,

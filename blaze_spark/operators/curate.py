@@ -23,14 +23,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from blaze_spark.operators.dedup import ngram_contamination
-from blaze_spark.operators.textstats import quality_score
+from blaze_spark.operators.textstats import (quality_score,
+                                             repetition_features)
 from blaze_spark.operators.validate import validate_rows
 
 
 def curate_report(docs: DataFrame, id_col: str, text_col: str,
                   schema: Any, *, min_quality: float = 0.5,
                   holdout: Optional[DataFrame] = None, ngram: int = 3,
-                  contamination_threshold: float = 0.5) -> DataFrame:
+                  contamination_threshold: float = 0.5,
+                  max_dup_ngram_ratio: Optional[float] = None
+                  ) -> DataFrame:
     """One report row per document with the verdict of every curation
     stage plus the final ``kept`` flag:
 
@@ -40,8 +43,11 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
       (everything else is an exact duplicate);
     - ``contaminated`` — >= ``contamination_threshold`` of its word
       ``ngram``-grams appear in ``holdout`` (skipped when None);
-    - ``kept`` = valid AND quality_ok AND is_canonical AND NOT
-      contaminated.
+    - ``repetition_ok`` — duplicate word-bigram fraction <=
+      ``max_dup_ngram_ratio`` (always True when None: gate disabled) —
+      the Gopher-style repetition screen;
+    - ``kept`` = valid AND quality_ok AND is_canonical AND
+      repetition_ok AND NOT contaminated.
 
     Returning the full report (rather than just the survivors) is
     deliberate: curation decisions need an audit trail, and the
@@ -74,14 +80,24 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
                               F.coalesce("contaminated", F.lit(False))))
     else:
         report = report.withColumn("contaminated", F.lit(False))
+    if max_dup_ngram_ratio is not None:
+        repetition = repetition_features(docs, id_col, text_col).select(
+            F.col(id_col).alias("id"),
+            (F.col("dup_bigram_ratio") <= max_dup_ngram_ratio)
+            .alias("repetition_ok"))
+        report = report.join(repetition, "id")
+    else:
+        report = report.withColumn("repetition_ok", F.lit(True))
     return (report
             .withColumn("quality_ok",
                         F.col("quality_score") >= min_quality)
             .withColumn("kept",
                         F.col("valid") & F.col("quality_ok")
-                        & F.col("is_canonical") & ~F.col("contaminated"))
+                        & F.col("is_canonical") & F.col("repetition_ok")
+                        & ~F.col("contaminated"))
             .select("id", "valid", "quality_score", "quality_ok",
-                    "is_canonical", "contaminated", "kept"))
+                    "is_canonical", "contaminated", "repetition_ok",
+                    "kept"))
 
 
 def curate(docs: DataFrame, id_col: str, text_col: str, schema: Any,

@@ -122,8 +122,8 @@ def repetition_features(df: DataFrame, id_col: str,
     * ``dup_bigram_ratio``: 1 - distinct word bigrams / bigrams.
 
     All JVM array expressions (split / transform / array_distinct) —
-    map-only, no shuffle, no Python."""
-    text = F.col(text_col)
+    map-only, no shuffle, no Python. NULL text counts as empty."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
         F.transform(F.split(text, "\n"), lambda line: F.trim(line)),
         lambda line: line != "")
