@@ -166,3 +166,31 @@ def test_configuration_roundtrip(manifest):
     config = Configuration.from_json(manifest, "/base")
     output = config.to_json()
     assert output == manifest
+
+
+# --- unevaluated analysis robustness ----------------------------------
+
+@settings(max_examples=80, deadline=None)
+@given(schema=random_schemas,
+       uneval=st.sampled_from(["unevaluatedProperties",
+                               "unevaluatedItems"]))
+def test_unevaluated_analysis_structural(schema, uneval):
+    """unevaluated() never crashes on arbitrary schemas; every reported
+    dependency pointer resolves inside the document and names one of
+    the contributing keywords."""
+    from blaze_spark.plans.schema_frame import SchemaFrame, _get_at
+    from blaze_spark.plans.unevaluated import unevaluated
+    document = {"$schema": D2020, uneval: False, **schema}
+    frame = SchemaFrame("references")
+    frame.analyse(document)
+    result = unevaluated(document, frame)
+    assert any(key.endswith(uneval) for key in result)
+    contributing = {"properties", "patternProperties",
+                    "additionalProperties", "unevaluatedProperties",
+                    "prefixItems", "items", "contains",
+                    "additionalItems", "unevaluatedItems"}
+    for entry in result.values():
+        for pointer in (entry.static_dependencies
+                        | entry.dynamic_dependencies):
+            _get_at(document, tuple(pointer))  # must resolve
+            assert pointer[-1] in contributing, pointer

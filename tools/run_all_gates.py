@@ -1,0 +1,52 @@
+"""Run every pure-Python parity gate in one command.
+
+Usage: python tools/run_all_gates.py
+
+Runs compliance + all reference corpus checkers (everything except
+pytest and bench, which need their own processes) and prints a
+one-line verdict per gate plus an overall PASS/FAIL. Exit code 0 only
+when every gate is green.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+GATES = [
+    ("compliance", ["compliance.py", "--optional"], "100.00%"),
+    ("alterschema", ["alterschema_check.py"], "fail=0 err=0 skip=0"),
+    ("frame", ["frame_check.py"], "fail=0 err=0 skip=0"),
+    ("foundation", ["foundation_check.py"], "fail=0 err=0 skip=0"),
+    ("codegen-ts", ["codegen_check.py"], "fail=0 err=0"),
+    ("editor", ["editor_check.py"], "fail=0"),
+    ("configuration", ["configuration_check.py"], "fail=0"),
+    ("documentation", ["documentation_check.py"], "fail=0"),
+    ("unevaluated", ["unevaluated_check.py"], "fail=0"),
+    ("test-dsl", ["testdsl_check.py"], "fail=0"),
+]
+
+
+def main() -> int:
+    overall = True
+    for name, argv, needle in GATES:
+        start = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(HERE, argv[0])] + argv[1:],
+            capture_output=True, text=True)
+        last = (proc.stdout.strip().splitlines() or [""])[-1]
+        ok = proc.returncode == 0 and needle in last
+        overall = overall and ok
+        wall = time.perf_counter() - start
+        print(f"{'PASS' if ok else 'FAIL'} {name:<14} "
+              f"{wall:6.1f}s  {last}")
+    print("OVERALL:", "PASS" if overall else "FAIL")
+    return 0 if overall else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
