@@ -1018,7 +1018,7 @@ export interface Schema {
               FROM documents),
             df AS (SELECT tok, count(*) AS df_count FROM tok GROUP BY 1),
             kept AS (SELECT t.id, t.tok FROM tok t JOIN df USING (tok)
-                     WHERE df.df_count <= (SELECT greatest(CAST(count(*) * 0.5 AS BIGINT), 2)
+                     WHERE df.df_count <= (SELECT greatest(least(CAST(floor(count(*) * 0.5) AS BIGINT), 500), 2)
                                            FROM documents)),
             sizes AS (SELECT id, count(*) AS set_size FROM kept GROUP BY 1),
             inter AS (

@@ -248,18 +248,30 @@ def embedding_near_duplicates_bucketed(df: DataFrame, id_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.8,
-                        max_token_docs: float = 0.01) -> DataFrame:
+                        max_token_docs: float = 0.01,
+                        max_token_docs_abs: int = 500) -> DataFrame:
     """Token-set Jaccard similarity pairs above ``threshold`` via a
     shared-token equi-join.
 
-    ``max_token_docs`` is the document-frequency guard: tokens appearing
-    in more than this fraction of documents (floor of 2 docs, so tiny
-    corpora keep their pairs) are dropped BEFORE the self-join — a token
-    in 10% of 10^12 docs would alone produce ~10^21 join pairs. The
-    threshold is derived inside the plan (a broadcast one-row count
-    joined against the token document frequencies), not via a
-    driver-side ``count()``, so the query stays a single lazy plan and
-    the input is scanned once."""
+    The document-frequency guard drops hot tokens BEFORE the self-join.
+    It is the *minimum* of two caps (mirroring ``max_bucket`` in
+    minhash_candidates):
+
+    * ``max_token_docs`` — a fraction of corpus size. Relative alone it
+      does NOT scale: admitted token DF grows as 0.01·N, so worst-case
+      per-token join fan-out grows as (0.01·N)² — one token in 0.9% of
+      10^12 docs would still pass and alone generate ~10^19 pairs.
+    * ``max_token_docs_abs`` — an ABSOLUTE ceiling (default 500). A
+      token shared by more than this many documents carries no
+      near-duplicate signal (it is corpus boilerplate); dropping it
+      bounds any single token's fan-out to abs² pairs regardless of
+      corpus size. This is what makes the operator safe at 100 TB.
+
+    Effective cap = ``greatest(least(floor(frac·n_docs), abs), 2)`` —
+    the floor of 2 keeps tiny corpora from losing all their pairs. The
+    corpus count is derived inside the plan (a broadcast one-row
+    aggregate), not via a driver-side ``count()``, so the query stays a
+    single lazy plan and the input is scanned once."""
     from pyspark.sql import Window
 
     toks = (_ensure_parallelism(df)
@@ -276,7 +288,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                             F.count(F.lit(1)).over(token_window))
                 .crossJoin(F.broadcast(n_docs))
                 .where(F.col("df_count") <= F.greatest(
-                    F.floor(F.col("n_docs") * max_token_docs).cast("long"),
+                    F.least(
+                        F.floor(F.col("n_docs") * max_token_docs).cast("long"),
+                        F.lit(int(max_token_docs_abs)).cast("long")),
                     F.lit(2)))
                 .select("id", "tok"))
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))

@@ -179,6 +179,47 @@ def test_ngram_jaccard_builds_without_driver_action(spark, monkeypatch):
     assert pairs.columns == ["id_a", "id_b", "jaccard"]
 
 
+def test_ngram_jaccard_absolute_cap_bounds_hot_token(spark):
+    """Planted hot token: the ABSOLUTE DF cap must bound candidate-pair
+    count independently of corpus size (the relative 1% guard alone
+    admits token groups that grow linearly with the corpus — quadratic
+    pair fan-out at 10^12 docs).
+
+    Corpus: N docs all sharing the token 'hot' plus a unique token each.
+    With the relative cap alone (frac=1.0 → admits DF ≤ N) the hot
+    token survives and generates N·(N-1)/2 pairs — growing quadratically
+    as N doubles. With the absolute cap (abs=10 < N) the hot token is
+    dropped at EVERY corpus size and pair count stays 0."""
+    def _pairs(n_docs, abs_cap):
+        df = spark.createDataFrame(
+            [(i, f"hot unique{i}") for i in range(n_docs)],
+            ["doc_id", "text"])
+        return DD.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.1,
+            max_token_docs=1.0, max_token_docs_abs=abs_cap).count()
+
+    # relative-only behavior (abs effectively off): quadratic growth
+    assert _pairs(20, 10**9) == 20 * 19 // 2
+    assert _pairs(40, 10**9) == 40 * 39 // 2
+    # absolute cap: bounded (here 0) at both sizes — doubling the corpus
+    # does not change the candidate count
+    assert _pairs(20, 10) == 0
+    assert _pairs(40, 10) == 0
+
+
+def test_ngram_jaccard_absolute_cap_keeps_rare_pairs(spark):
+    """The abs cap prunes only hot tokens: rare-token twins still pair."""
+    df = spark.createDataFrame(
+        [(i, f"hot filler{i}") for i in range(30)]
+        + [(100, "rare twin text"), (101, "rare twin text")],
+        ["doc_id", "text"])
+    out = DD.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.99,
+                                 max_token_docs=1.0,
+                                 max_token_docs_abs=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+    assert out[0]["jaccard"] == pytest.approx(1.0)
+
+
 def test_ngram_jaccard_guard_prunes_frequent_tokens(spark):
     df = spark.createDataFrame(
         [(i, "common alpha" + str(i)) for i in range(10)]
