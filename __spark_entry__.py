@@ -82,11 +82,16 @@ DOCUMENTS_POLICY_SCHEMA = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _t(spark, sf_dir, "documents")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # every driver query reads through the source dispatcher: a real
+    # Iceberg catalog (env/conf-configured) serves the same tables via
+    # format("iceberg"); this sandbox falls back to the parquet layout
+    from blaze_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -391,9 +396,38 @@ def q_media_roundtrip(spark, sf_dir):
 
 
 def q_column_stats_hll(spark, sf_dir):
-    # sketch-based distinct counts (the 100 TB path) — rows-only check:
-    # HLL estimates are engine-specific by design
-    return C.column_stats(_docs(spark, sf_dir), ["lang", "n_chars"], ["source"])
+    """Bounded-error oracle for the HLL sketch path (r3 VERDICT "Next
+    round" #3): the raw HLL estimate is engine-specific, but the claim
+    "estimate within the documented relative-error bound of the exact
+    distinct count" IS checkable. Spark emits, per group, the exact
+    distinct counts plus a boolean `within bound` derived from its own
+    approx_count_distinct (default rsd 0.05; bound = max(3·rsd·exact,
+    1) — HLL++ is exact in sparse mode, the ±1 floor only guards
+    degenerate tiny groups); DuckDB emits the same exact counts with
+    TRUE literals. A sketch drifting outside 3σ flips the boolean and
+    fails the hash match.
+
+    Each count_distinct runs in its OWN aggregation pass (a distinct
+    aggregate beside plain aggregates triggers Catalyst Expand — 2×
+    data through the shuffle); the three passes join on the tiny group
+    keys."""
+    docs = _docs(spark, sf_dir)
+    rsd = 0.05  # approx_count_distinct default relative standard deviation
+    hll = C.column_stats(docs, ["lang", "n_chars"], ["source"]).select(
+        "source", "lang__distinct_hll", "n_chars__distinct_hll")
+    exact_lang = docs.groupBy("source").agg(
+        F.count_distinct("lang").alias("lang_distinct"))
+    exact_chars = docs.groupBy("source").agg(
+        F.count_distinct("n_chars").alias("n_chars_distinct"))
+    bound = lambda est, exact: (  # noqa: E731
+        F.abs(F.col(est).cast("double") - F.col(exact))
+        <= F.greatest(F.lit(3 * rsd) * F.col(exact), F.lit(1.0)))
+    return (hll.join(exact_lang, "source").join(exact_chars, "source")
+               .select("source", "lang_distinct", "n_chars_distinct",
+                       bound("lang__distinct_hll",
+                             "lang_distinct").alias("lang_hll_ok"),
+                       bound("n_chars__distinct_hll",
+                             "n_chars_distinct").alias("n_chars_hll_ok")))
 
 
 def q_token_count(spark, sf_dir):
@@ -1173,7 +1207,17 @@ export interface Schema {
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.35""",
-        # column_stats_hll: sketch-based — rows-only check by design.
+        # column_stats_hll: the raw HLL estimate is engine-specific, so
+        # the contract checked is "estimate within 3·rsd of exact"; the
+        # oracle recomputes the exact counts and asserts the bound holds
+        # (TRUE literals) — a drifting sketch flips the Spark boolean.
+        "column_stats_hll": """
+            SELECT source,
+                   count(DISTINCT lang) AS lang_distinct,
+                   count(DISTINCT n_chars) AS n_chars_distinct,
+                   TRUE AS lang_hll_ok,
+                   TRUE AS n_chars_hll_ok
+            FROM documents GROUP BY source""",
         # media_features: the numpy feature vector is dropped; the row set
         # (payload length + sha256-of-hex-of-payload) is byte-checkable.
         "media_features": r"""
