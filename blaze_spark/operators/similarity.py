@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,31 +71,60 @@ def _py_norm(vec: List[float]) -> float:
 
 
 def assign_centroid(df: DataFrame, centroids: List[List[float]],
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    vectorized: Optional[bool] = None) -> DataFrame:
     """Add ``centroid_id`` = argmax cosine over the broadcast centroid
-    list — a pure expression tree (no UDF). The row norm is computed
-    once (not per centroid) and centroid norms are driver-side literals
-    (centroids are model constants), leaving one interpreted
-    higher-order dot product per centroid.
+    list. Two map-only implementations, picked by centroid count:
 
-    Each per-centroid score is materialized as its OWN column in one
-    projection (Catalyst's CollapseProject keeps non-cheap expressions
-    un-inlined), so every interpreted dot product runs exactly once;
-    the argmax when-chain then compares plain attributes, which is
-    cheap. Ties keep the earliest centroid (strictly-greater)."""
+    * **expression path** (k < 16, and what every deterministic
+      driver-oracle query uses): ``array_max`` over an array of
+      (score, -i) structs — each interpreted higher-order dot product
+      appears EXACTLY ONCE in the tree. (The earlier when-chain argmax
+      grew to O(k²) score references once CollapseProject inlined the
+      score columns — ~30× slower at k=16.) Struct comparison is
+      lexicographic, so equal scores pick the larger ``-i`` = the
+      EARLIEST centroid; per-score float math mirrors the DuckDB
+      oracle term for term.
+    * **vectorized path** (k ≥ 16, or ``vectorized=True``): an
+      Arrow-batched pandas UDF computing argmax(X @ Ĉᵀ) with
+      unit-normalized centroid rows — one BLAS matmul per batch
+      instead of n·k interpreted dots. At IVF scale (k ≈ √n grows
+      with the corpus) the interpreted path's n·k·dim cost dominates
+      the whole job; the matmul is ~100× cheaper. Row norms cancel in
+      an argmax, so only centroids are normalized. BLAS accumulation
+      order differs from the left-fold expression math — bucket choice
+      can flip on exact float ties — which is why oracle queries pin
+      the expression path via small k.
+
+    Both paths broadcast the centroids (driver constants in the plan /
+    closure) and add no shuffle."""
+    if vectorized is None:
+        vectorized = len(centroids) >= 16
+    if vectorized:
+        cmat = np.asarray(centroids, dtype=np.float64)
+        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+        @F.pandas_udf("int")
+        def _argmax_centroid(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            # np.argmax takes the FIRST maximum: earliest-centroid
+            # tie-break, same as the expression path
+            return pd.Series(np.argmax(x @ cmat.T, axis=1).astype("int32"))
+
+        return df.withColumn("centroid_id", _argmax_centroid(F.col(vec_col)))
     vnorm = "__vnorm__"
     out = df.withColumn(vnorm, _norm(F.col(vec_col)))
-    names = [f"__cscore{i}__" for i in range(len(centroids))]
-    out = out.select("*", *[
-        (_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-         / (F.col(vnorm) * F.lit(_py_norm(c)))).alias(name)
-        for name, c in zip(names, centroids)])
-    best_id, best_score = F.lit(0), F.col(names[0])
-    for i, name in enumerate(names[1:], start=1):
-        cond = F.col(name) > best_score
-        best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-        best_score = F.when(cond, F.col(name)).otherwise(best_score)
-    return out.withColumn("centroid_id", best_id).drop(vnorm, *names)
+    scored = F.array(*[
+        F.struct(
+            (_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+             / (F.col(vnorm) * F.lit(_py_norm(c)))).alias("s"),
+            F.lit(-i).alias("ni"))
+        for i, c in enumerate(centroids)])
+    return (out.withColumn("centroid_id",
+                           (-F.array_max(scored)["ni"]).cast("int"))
+               .drop(vnorm))
 
 
 def ivf_topk(items: DataFrame, queries: DataFrame,
@@ -117,6 +148,68 @@ def ivf_topk(items: DataFrame, queries: DataFrame,
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(item_id))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
+
+
+def fit_centroids(df: DataFrame, vec_col: str = "embedding", k: int = 16,
+                  sample_size: int = 10_000, iters: int = 10,
+                  seed: int = 42,
+                  sample_fraction: Optional[float] = None) -> List[List[float]]:
+    """Spherical k-means(++) centroid fitter for the IVF paths (r3
+    VERDICT "Next round" #6 — learned centroids instead of "first 4
+    vectors").
+
+    Scale contract: the ONLY data movement is one bounded Arrow collect
+    of ≤ ``sample_size`` vectors (optionally pre-thinned by
+    ``sample_fraction`` so the sample isn't the first files' rows at
+    corpus scale); fitting runs driver-side in numpy (k·sample·dim
+    flops, milliseconds) and the k centroids return as plain Python
+    lists that broadcast into ``assign_centroid``/``ivf_topk`` literal
+    expression trees. At 10^12 rows nothing about this changes — the
+    sample cap, not the corpus, sizes the driver work.
+
+    Deterministic for a given (input partitioning, seed): k-means++
+    D²-seeded, Lloyd-refined on unit-normalized vectors (cosine
+    geometry, matching the cosine argmax in ``assign_centroid``);
+    empty clusters are re-seeded to the point farthest from its
+    assigned centroid. k is clamped to the sample size."""
+    import numpy as np
+
+    sample = df.select(vec_col)
+    if sample_fraction is not None:
+        sample = sample.sample(False, sample_fraction, seed)
+    pdf = sample.limit(int(sample_size)).toPandas()
+    x = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    n = x.shape[0]
+    if n == 0:
+        raise ValueError("fit_centroids: no non-zero vectors in sample")
+    k = max(1, min(k, n))
+    rng = np.random.default_rng(seed)
+
+    # k-means++ init: D² sampling under cosine distance (1 - dot)
+    cent = np.empty((k, x.shape[1]))
+    cent[0] = x[rng.integers(n)]
+    d2 = np.maximum(1.0 - x @ cent[0], 0.0) ** 2
+    for i in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cent[i] = x[rng.choice(n, p=p)]
+        d2 = np.minimum(d2, np.maximum(1.0 - x @ cent[i], 0.0) ** 2)
+
+    for _ in range(iters):
+        sims = x @ cent.T                        # (n, k)
+        assign = sims.argmax(axis=1)
+        for i in range(k):
+            members = x[assign == i]
+            if len(members) == 0:
+                worst = (sims.max(axis=1)).argmin()
+                cent[i] = x[worst]
+                continue
+            m = members.sum(axis=0)
+            nm = np.linalg.norm(m)
+            cent[i] = m / nm if nm > 0 else cent[i]
+    return [[float(v) for v in c] for c in cent]
 
 
 def assign_probes(queries: DataFrame, centroids: List[List[float]],

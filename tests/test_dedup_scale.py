@@ -321,3 +321,55 @@ def test_curate_report_planted(spark):
                  curate(docs, "doc_id", "text", schema, min_quality=0.5,
                         holdout=holdout, ngram=2).collect()]
     assert survivors == [1]
+
+
+# ---------------------------------------------------------------------------
+# learned IVF centroids (r3 VERDICT next-round #6)
+
+def test_fit_centroids_deterministic_balanced_recall(spark):
+    """The k-means(++) fitter is deterministic for a (partitioning,
+    seed), produces balanced buckets (the property that makes IVF cost
+    Σ bucket² ≈ n²/k instead of n²), and its recall@10 curve is
+    monotone in nprobe with a sane floor. The driver-side work is one
+    bounded sample collect — the corpus never moves.
+
+    Floors sit well under the measured curve (0.36/0.53/0.76/1.0 at
+    nprobe 1/2/4/8 on this data) so partitioning-order jitter can't
+    flake the test; the recorded curve lives in BENCH/RECALL.md."""
+    emb = _items(spark)
+    c1 = SIM.fit_centroids(emb, k=8, sample_size=1_000, seed=7)
+    c2 = SIM.fit_centroids(emb, k=8, sample_size=1_000, seed=7)
+    assert c1 == c2 and len(c1) == 8
+
+    sizes = [r["n"] for r in
+             SIM.assign_centroid(emb, c1).groupBy("centroid_id")
+                .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert len(sizes) == 8
+    assert max(sizes) <= 2 * min(sizes), sorted(sizes)
+
+    queries = (emb.where(F.col("vec_id") % 50 == 0).limit(10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    truth = {(r["query_id"], r["vec_id"]) for r in
+             SIM.brute_force_topk(emb, queries, 10).collect()}
+    recall = {}
+    for nprobe in (1, 2, 4, 8):
+        got = {(r["query_id"], r["vec_id"]) for r in
+               SIM.ivf_topk(emb, queries, c1, 10, nprobe=nprobe).collect()}
+        recall[nprobe] = len(got & truth) / len(truth)
+    assert recall[1] <= recall[2] <= recall[4] <= recall[8]
+    assert recall[2] >= 0.35 and recall[4] >= 0.55
+    assert recall[8] == 1.0  # nprobe = k probes every bucket: exact
+
+
+def test_assign_centroid_vectorized_matches_expression(spark):
+    """The Arrow/BLAS assignment path (k ≥ 16 auto) must agree with the
+    expression path on every row away from float ties — same argmax,
+    same earliest-centroid tie-break."""
+    emb = _items(spark)
+    cents = SIM.fit_centroids(emb, k=16, sample_size=1_000, seed=7)
+    expr = SIM.assign_centroid(emb, cents, vectorized=False) \
+        .select("vec_id", F.col("centroid_id").alias("a"))
+    vec = SIM.assign_centroid(emb, cents, vectorized=True) \
+        .select("vec_id", F.col("centroid_id").alias("b"))
+    diff = expr.join(vec, "vec_id").where(F.col("a") != F.col("b")).count()
+    assert diff == 0
