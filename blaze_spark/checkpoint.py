@@ -107,7 +107,8 @@ class CheckpointedValidation:
     def run(self, spark: SparkSession, df: DataFrame, schema: Any,
             partition_col: str, id_cols: List[str],
             input_fingerprint: str = "",
-            batch_size: Optional[int] = None) -> dict:
+            batch_size: Optional[int] = None,
+            iceberg_violations_table: Optional[str] = None) -> dict:
         """Validate ``df``, committing a snapshot per batch of pending
         partitions; returns the final manifest. Safe to re-invoke after
         a crash: committed partitions are skipped (lineage-checked).
@@ -152,7 +153,8 @@ class CheckpointedValidation:
             batch = pending[i:i + step]
             t0 = time.perf_counter()
             metrics_rows = self._validate_batch(
-                df, plan, partition_col, id_cols, batch, vio_root)
+                df, plan, partition_col, id_cols, batch, vio_root,
+                iceberg_violations_table)
             wall = round(time.perf_counter() - t0, 3)
 
             mdir = os.path.join(self.dir, "metrics")
@@ -170,8 +172,11 @@ class CheckpointedValidation:
                     # batch wall clock, not a fake per-partition figure
                     "wall_sec": wall,
                     "batch_partitions": len(batch),
-                    "violations_path": os.path.join(
-                        vio_root, _hive_part_dir(row[partition_col])),
+                    "violations_path": (
+                        f"iceberg:{iceberg_violations_table}"
+                        if iceberg_violations_table is not None
+                        else os.path.join(
+                            vio_root, _hive_part_dir(row[partition_col]))),
                     # lineage: which input files fed this partition
                     "input_files": sorted(row["input_files"] or []),
                 }
@@ -209,11 +214,20 @@ class CheckpointedValidation:
 
     def _validate_batch(self, df: DataFrame, plan: dict,
                         partition_col: str, id_cols: List[str],
-                        batch: List[Any], vio_root: str) -> List[Any]:
+                        batch: List[Any], vio_root: str,
+                        iceberg_table: Optional[str] = None) -> List[Any]:
         """One validator pass over every partition in ``batch``: a
         dynamic-overwrite ``partitionBy`` violations write plus one
         grouped metrics/lineage aggregation. Returns the per-partition
-        aggregation rows."""
+        aggregation rows.
+
+        With ``iceberg_table`` set the violations go through the real
+        Iceberg snapshot API instead of raw parquet —
+        ``overwritePartitions`` (dynamic overwrite), NOT ``append``:
+        a batch re-run after a mid-flight crash must replace its
+        partitions idempotently, and each call commits ONE snapshot
+        (the ``table.newAppend()``-chain analog this module's JSON
+        manifests mirror, see module docstring)."""
         non_null = [p for p in batch if p is not None]
         cond = F.col(partition_col).isin(non_null) if non_null \
             else F.lit(False)
@@ -234,9 +248,18 @@ class CheckpointedValidation:
             vio = violations_table(
                 validated.withColumn("part", F.col(partition_col)),
                 ["part"] + [c for c in id_cols if c != "part"])
-            (vio.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("part").parquet(vio_root))
+            if iceberg_table is not None:
+                try:
+                    vio.writeTo(iceberg_table).overwritePartitions()
+                except Exception as exc:
+                    raise RuntimeError(
+                        f"Iceberg violations sink '{iceberg_table}' failed "
+                        "(is iceberg-spark-runtime on the classpath and the "
+                        "table created partitioned by 'part'?)") from exc
+            else:
+                (vio.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("part").parquet(vio_root))
             return (
                 validated.groupBy(partition_col)
                 .agg(

@@ -2,14 +2,28 @@
 
 The reference's only sources are JSON files / JSONL streams
 (reference: benchmark/e2e/runner.cc:43-47); the Spark-native analog reads
-parquet (Iceberg-style layout), JSON, and JSONL, with filters/pruning
-pushed into the scan by Catalyst.
+parquet (Iceberg-style layout), real Iceberg tables when a catalog is
+configured, JSON, and JSONL, with filters/pruning pushed into the scan
+by Catalyst.
+
+Iceberg wiring (BASELINE.json north_rule "over Iceberg tables", r3
+VERDICT "Next round" #4): ``load_table`` dispatches through
+``iceberg_catalog`` — when a catalog is configured (env var or a
+``spark.sql.catalog.<name>`` conf pointing at Iceberg's SparkCatalog)
+every table read goes through ``format("iceberg")`` and inherits
+snapshot isolation, time travel (``option("snapshot-id", ...)``) and
+partition pruning from the catalog; otherwise it falls back to the
+sandbox parquet layout. The runtime jar is NOT in this container, so
+the configured-but-unloadable path fails loudly with guidance rather
+than silently reading parquet (a misconfigured cluster job must not
+validate the wrong data) — the dispatch itself is unit-tested without
+the jar (tests/test_sources_iceberg.py).
 """
 
 from __future__ import annotations
 
 import os
-from typing import Dict
+from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -18,8 +32,47 @@ TESTDATA_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+#: submit with e.g.
+#:   --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+#:   --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+#:   --conf spark.sql.catalog.lake.type=rest ...
+ICEBERG_ENV = "BLAZE_SPARK_ICEBERG_CATALOG"
+ICEBERG_NS_ENV = "BLAZE_SPARK_ICEBERG_NAMESPACE"
+
+
+def iceberg_catalog(spark: SparkSession) -> Optional[str]:
+    """The configured Iceberg catalog name, or None.
+
+    Sources, in order: the ``BLAZE_SPARK_ICEBERG_CATALOG`` env var
+    (explicit opt-in), else any ``spark.sql.catalog.<name>`` session
+    conf whose implementation class mentions Iceberg. Metadata-only —
+    never touches data or requires the runtime jar."""
+    name = os.environ.get(ICEBERG_ENV)
+    if name:
+        return name
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:  # pragma: no cover - session without a context
+        return None
+    for key, value in confs:
+        parts = key.split(".")
+        if key.startswith("spark.sql.catalog.") and len(parts) == 4 \
+                and "iceberg" in str(value).lower():
+            return parts[3]
+    return None
+
+
+def iceberg_identifier(catalog: str, name: str) -> str:
+    ns = os.environ.get(ICEBERG_NS_ENV, "blaze")
+    return f"{catalog}.{ns}.{name}"
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one input table: Iceberg when a catalog is configured,
+    parquet (the sandbox layout) otherwise."""
+    catalog = iceberg_catalog(spark)
+    if catalog:
+        return load_iceberg(spark, iceberg_identifier(catalog, name))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -27,19 +80,39 @@ def load_all(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
-def load_iceberg(spark: SparkSession, table: str) -> DataFrame:
-    """Iceberg table scan (the BASELINE.json production source). The
-    Iceberg runtime jar isn't in this container, so this degrades to a
-    clear error locally; on a cluster add
-    ``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>``
-    and a catalog conf, and snapshot reads/time travel work via
-    ``spark.read.option("snapshot-id", ...)``."""
+def load_iceberg(spark: SparkSession, table: str,
+                 snapshot_id: Optional[int] = None) -> DataFrame:
+    """Iceberg table scan (the BASELINE.json production source), with
+    optional time travel. Fails loudly when the runtime jar is absent —
+    a configured catalog means the caller expects catalog semantics
+    (snapshot isolation, schema evolution), and silently reading
+    something else would validate the wrong data."""
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
     try:
-        return spark.read.format("iceberg").load(table)
-    except Exception as exc:  # pragma: no cover - environment-dependent
+        return reader.load(table)
+    except Exception as exc:
         raise RuntimeError(
-            "Iceberg runtime not available in this session; submit with "
-            "the iceberg-spark-runtime package and a catalog configured"
+            f"Iceberg catalog is configured but reading '{table}' failed "
+            "(is iceberg-spark-runtime on the classpath?); submit with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:"
+            "<ver> and a spark.sql.catalog.<name> conf"
+        ) from exc
+
+
+def append_snapshot(spark: SparkSession, df: DataFrame, table: str) -> None:
+    """Commit ``df`` as ONE Iceberg snapshot — the ``table.newAppend()``
+    analog checkpoint.py's manifest chain maps onto (checkpoint.py:1-33).
+    ``writeTo(...).append()`` is atomic at the snapshot level: readers
+    see all of the batch or none of it, exactly the per-batch commit
+    contract of ``CheckpointedValidation``."""
+    try:
+        df.writeTo(table).append()
+    except Exception as exc:
+        raise RuntimeError(
+            f"Iceberg append to '{table}' failed (is iceberg-spark-runtime "
+            "on the classpath and the table created?)"
         ) from exc
 
 

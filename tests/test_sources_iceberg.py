@@ -1,0 +1,87 @@
+"""Iceberg source dispatch (r3 VERDICT "Next round" #4): when a catalog
+is configured every table read goes through ``format("iceberg")``;
+otherwise the sandbox parquet layout. The runtime jar is NOT in this
+container, so the configured path is exercised up to its loud,
+actionable failure — no silent parquet fallback for a misconfigured
+cluster job, and no skipped tests: the jar-absent behavior IS the
+behavior under test here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark.sources import tables as TBL
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_no_catalog_reads_parquet(spark, monkeypatch):
+    monkeypatch.delenv(TBL.ICEBERG_ENV, raising=False)
+    assert TBL.iceberg_catalog(spark) is None
+    df = TBL.load_table(spark, SF, "documents")
+    assert df.count() == 500 and "doc_id" in df.columns
+
+
+def test_env_configures_catalog(spark, monkeypatch):
+    monkeypatch.setenv(TBL.ICEBERG_ENV, "lake")
+    assert TBL.iceberg_catalog(spark) == "lake"
+    monkeypatch.setenv(TBL.ICEBERG_NS_ENV, "prod")
+    assert TBL.iceberg_identifier("lake", "documents") == \
+        "lake.prod.documents"
+    monkeypatch.delenv(TBL.ICEBERG_NS_ENV)
+    assert TBL.iceberg_identifier("lake", "documents") == \
+        "lake.blaze.documents"
+
+
+def test_conf_configures_catalog(spark, monkeypatch):
+    """A spark.sql.catalog.<name> conf naming Iceberg's SparkCatalog
+    counts as configuration — no env var needed on a real cluster."""
+    monkeypatch.delenv(TBL.ICEBERG_ENV, raising=False)
+
+    class FakeConf:
+        def getAll(self):
+            return [("spark.master", "local[4]"),
+                    ("spark.sql.catalog.lake",
+                     "org.apache.iceberg.spark.SparkCatalog"),
+                    ("spark.sql.catalog.lake.type", "rest")]
+
+    class FakeCtx:
+        def getConf(self):
+            return FakeConf()
+
+    class FakeSession:
+        sparkContext = FakeCtx()
+
+    assert TBL.iceberg_catalog(FakeSession()) == "lake"
+
+
+def test_configured_catalog_fails_loudly_without_jar(spark, monkeypatch):
+    """Configured catalog + missing runtime jar must raise with
+    actionable guidance, never silently read parquet (validating the
+    wrong data is worse than failing)."""
+    monkeypatch.setenv(TBL.ICEBERG_ENV, "lake")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        TBL.load_table(spark, SF, "documents")
+
+
+def test_append_snapshot_fails_loudly_without_jar(spark):
+    df = spark.range(3).select(F.col("id"))
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        TBL.append_snapshot(spark, df, "lake.blaze.violations")
+
+
+def test_checkpoint_iceberg_sink_fails_loudly_without_jar(
+        spark, tmp_path, monkeypatch):
+    """The checkpoint's Iceberg violations sink goes through
+    overwritePartitions (idempotent per batch re-run) and surfaces a
+    guided error when the jar is absent."""
+    from blaze_spark.checkpoint import CheckpointedValidation
+    from blaze_spark.sources.fixtures import code_files_path
+
+    corpus = spark.read.parquet(code_files_path(5_000))
+    schema = {"type": "object", "required": ["repo"]}
+    with pytest.raises(RuntimeError, match="violations sink"):
+        CheckpointedValidation(str(tmp_path)).run(
+            spark, corpus, schema, "part_id", ["repo"], "fp1",
+            iceberg_violations_table="lake.blaze.violations")
