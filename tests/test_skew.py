@@ -1,0 +1,118 @@
+"""Skew-handling evidence (r3 VERDICT "Next round" #7 / SURVEY §7.4
+item 6): prove — not just provide — the two skew defenses.
+
+A key owning 30% of the rows defeats naive hash partitioning: every one
+of its rows lands on ONE reducer, so that task runs ~P·0.3× longer than
+the median and the stage is as slow as the straggler. The defenses:
+
+* **salting** (``salted_group_count``): stage 1 aggregates on
+  (key, salt), spreading the hot key over ``salt_buckets`` reducers;
+* **AQE skew-join**: at join time Spark splits an oversized shuffle
+  partition into advisory-sized slices at runtime.
+
+These tests measure the actual post-shuffle row distribution (the
+thing that determines task wall time) and the actual executed plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark.operators import checks as C
+
+HOT_FRACTION = 0.30
+N_ROWS = 40_000
+N_PART = 32
+
+
+@pytest.fixture()
+def skewed(spark):
+    """40k rows; key 'hot' owns 30%, the rest spread over 1000 keys
+    (enough cold keys that per-reducer cold load is smooth and the
+    hot-key straggler is the only imbalance — the signal under test)."""
+    return spark.range(N_ROWS).select(
+        F.when(F.col("id") < int(N_ROWS * HOT_FRACTION), F.lit("hot"))
+         .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")))
+         .alias("key"),
+        F.col("id").alias("val"))
+
+
+def _partition_rows(df, *cols):
+    """Row count per post-shuffle partition when hash-distributing on
+    ``cols`` — the faithful stand-in for the reducer-side task sizes of
+    a groupBy/join exchange on the same keys."""
+    return [r["n"] for r in
+            (df.repartition(N_PART, *[F.col(c) for c in cols])
+               .select(F.spark_partition_id().alias("pid"))
+               .groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+               .collect())]
+
+
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def test_salting_splits_the_hot_key(spark, skewed):
+    """Naive key-hash partitioning concentrates ≥30% of all rows in one
+    task; the salted (key, salt) distribution used by
+    ``salted_group_count`` stage 1 must keep every task ≤2× the median."""
+    naive = _partition_rows(skewed, "key")
+    assert max(naive) >= HOT_FRACTION * N_ROWS  # the straggler is real
+
+    salted = skewed.withColumn(
+        "__salt__", (F.rand(seed=42) * 64).cast("int"))  # as checks.py does
+    spread = _partition_rows(salted, "key", "__salt__")
+    assert max(spread) <= 2 * _median(spread), (max(spread), sorted(spread))
+
+    # and the salted aggregate is still exact: equals the plain groupBy
+    got = {r["key"]: r["group_count"] for r in
+           C.salted_group_count(skewed, ["key"], salt_buckets=64).collect()}
+    want = {r["key"]: r["n"] for r in
+            skewed.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
+def test_aqe_skew_join_fires_on_hot_key(spark, skewed):
+    """With sort-merge forced and thresholds at test scale, AQE must
+    recognize the hot partition and split it: the executed plan carries
+    the skew markers (``skew=true`` on the join, ``skewed`` on the
+    shuffle read)."""
+    dim = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+        F.lit(1).alias("flag")).union(
+        spark.range(1).select(F.lit("hot").alias("key"),
+                              F.lit(1).alias("flag")))
+    # pad rows so the hot partition crosses the (lowered) byte threshold
+    fact = skewed.withColumn("pad", F.repeat(F.lit("x"), 200))
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "64KB")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                       "2.0")
+        joined = fact.join(dim, "key")
+        # collect() (not count()) — count() builds a SEPARATE
+        # QueryExecution around an aggregate; only collect() finalizes
+        # THIS dataset's adaptive plan so the skew markers are visible
+        assert len(joined.collect()) == N_ROWS  # every key matches once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
