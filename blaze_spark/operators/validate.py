@@ -68,6 +68,96 @@ def validate_rows(df: DataFrame, schema_or_plan: Any, *,
 _SIMPLE_NAME = None  # compiled lazily (re import kept out of module top)
 
 
+class _PrefilterBail(Exception):
+    """Schema is outside the static gate — fall back to pure tier 2."""
+
+
+_SCALAR_TPS = ("integer", "number", "string", "boolean")
+_SCALAR_KEYWORDS = {"type", "minimum", "maximum", "exclusiveMinimum",
+                    "exclusiveMaximum", "minLength", "maxLength", "pattern",
+                    "enum", "const", "multipleOf"}
+_KIND_DTYPE = {"long": T.LongType(), "double": T.DoubleType(),
+               "str": T.StringType(), "bool": T.BooleanType()}
+_TP_KIND = {"integer": "long", "number": "double", "boolean": "bool",
+            "string": "str"}
+
+
+def _scalar_keyword_preds(ps: dict, tp: str) -> list:
+    """Predicate builders (value Column → Column) for the scalar
+    keywords of ``ps``. Keyword operands must be the right Python type
+    or the built expression crashes at plan time (a draft-4 boolean
+    exclusiveMinimum builds ``v > true`` → DATATYPE_MISMATCH — ADVICE
+    r2 finding 3) — malformed operands raise ``_PrefilterBail``.
+    Numeric/string keywords are vacuous for other proven instance
+    types (minLength over an integer field would not even typecheck),
+    so they are skipped rather than compared."""
+    from blaze_spark.functions.regexes import ecma_to_java
+
+    preds = []
+    numeric = tp in ("integer", "number")
+    for key, value in ps.items():
+        if key == "type":
+            continue
+        if key in ("minimum", "maximum", "exclusiveMinimum",
+                   "exclusiveMaximum"):
+            if isinstance(value, bool) or not isinstance(value, (int, float)):
+                raise _PrefilterBail
+            if not numeric:
+                continue
+            if key == "minimum":
+                preds.append(lambda v, b=value: v >= b)
+            elif key == "maximum":
+                preds.append(lambda v, b=value: v <= b)
+            elif key == "exclusiveMinimum":
+                preds.append(lambda v, b=value: v > b)
+            else:
+                preds.append(lambda v, b=value: v < b)
+        elif key in ("minLength", "maxLength"):
+            if isinstance(value, bool) or not isinstance(value, int):
+                raise _PrefilterBail
+            if tp != "string":
+                continue
+            if key == "minLength":
+                preds.append(lambda v, b=value: F.char_length(v) >= b)
+            else:
+                preds.append(lambda v, b=value: F.char_length(v) <= b)
+        elif key == "pattern":
+            if not isinstance(value, str):
+                raise _PrefilterBail
+            if tp != "string":
+                continue
+            rx = ecma_to_java(value)
+            preds.append(lambda v, rx=rx: v.rlike(rx))
+        elif key == "multipleOf":
+            if not isinstance(value, int) or isinstance(value, bool) \
+                    or tp != "integer":
+                raise _PrefilterBail
+            preds.append(lambda v, b=value: F.pmod(v, F.lit(b)) == 0)
+        elif key in ("enum", "const"):
+            options = value if key == "enum" else [value]
+            if not isinstance(options, list) \
+                    or not all(isinstance(o, (int, float, str, bool))
+                               for o in options):
+                raise _PrefilterBail
+            # Options must match the field's view type: a mixed enum
+            # (e.g. ["a", 3] against an integer view) would force a
+            # cast inside In() — same plan-time crash class as the
+            # boolean-bound bug.
+            if numeric:
+                match = [o for o in options if isinstance(o, (int, float))
+                         and not isinstance(o, bool)]
+            elif tp == "boolean":
+                match = [o for o in options if isinstance(o, bool)]
+            else:
+                match = [o for o in options if isinstance(o, str)]
+            if not match:
+                raise _PrefilterBail  # enum excludes tp: never provable
+            preds.append(lambda v, m=match: v.isin(m))
+        else:  # unreachable behind the key gates, but stay sound
+            raise _PrefilterBail
+    return preds
+
+
 def _static_object_prefilter(schema: Any, column: str):
     """JVM definitely-valid prefilter for static-shape object schemas
     (the r1 plan-audit suggestion: `F.from_json` JVM pre-parse so only
@@ -76,61 +166,141 @@ def _static_object_prefilter(schema: Any, column: str):
     Soundness invariant: prefilter TRUE ⇒ tier-2 valid. Spark's
     from_json is strict for long/double/boolean targets (a quoted "5"
     or a 5.0 parses to NULL under LongType — probed on pyspark 4.1);
-    strings coerce, so a string field is classified by parsing the same
-    text under all four scalar views and requiring the string view
-    alone to hit. Rows the prefilter cannot prove valid (JSON nulls,
-    integral reals for integer fields, any dynamic feature) simply take
-    the exact Python path — never a wrong verdict, only a slower one.
+    STRING targets coerce — numbers/booleans AND objects/arrays all
+    render as text (``{"s": {}}`` parses to ``'{}'``!) — so a string
+    field is proven by the string view hitting while all three strict
+    views miss AND the value's raw JSON text not opening with ``{`` or
+    ``[`` (the object/array coercion would otherwise prove an object
+    valid against ``{"type": "string"}`` — r4 soundness fix). Rows the
+    prefilter cannot prove valid (JSON nulls, integral reals for
+    integer fields, any dynamic feature) simply take the exact Python
+    path — never a wrong verdict, only a slower one.
 
-    Returns a Column or None when the schema is outside the static
-    gate (combinators, nested shapes, additional/pattern properties,
-    non-scalar enums, exotic property names...)."""
+    The static gate (r3 VERDICT "Next round" #9 widened it) admits:
+
+    * scalar properties with the value-keyword subset,
+    * ``array`` properties of strict-scalar items (integer/number/
+      boolean — string items coerce per-element, and a mixed
+      ``[5, "x"]`` nulls the WHOLE array under every typed view, so
+      element-wise string proofs are impossible; they bail),
+      with minItems/maxItems and per-element value keywords,
+    * one level of nested ``object`` properties with scalar members
+      (typed sub-views parse strictly per FIELD, probed; sub-presence
+      comes from a MapType re-parse of the member's JSON text).
+
+    Returns a Column or None when the schema is outside the gate
+    (combinators, additional/pattern properties, deeper nesting,
+    exotic property names...)."""
+    try:
+        return _build_object_prefilter(schema, column)
+    except _PrefilterBail:
+        return None
+
+
+def _classify_prefilter_props(properties: Any, required: Any, name_rx,
+                              nested: bool) -> dict:
+    """Gate + classify a properties map. Returns {name: (cls, info)}
+    where cls ∈ any|scalar|array|object. Raises _PrefilterBail."""
+    if not isinstance(properties, dict) or not isinstance(required, list):
+        raise _PrefilterBail
+    if not all(isinstance(n, str) and name_rx.match(n)
+               for n in list(properties) + list(required)):
+        raise _PrefilterBail
+    classes = {}
+    for name, ps in properties.items():
+        if not isinstance(ps, dict):
+            raise _PrefilterBail
+        tp = ps.get("type")
+        if not ps:
+            classes[name] = ("any", None)
+        elif tp in _SCALAR_TPS and set(ps) <= _SCALAR_KEYWORDS:
+            _scalar_keyword_preds(ps, tp)  # operand validation up front
+            classes[name] = ("scalar", tp)
+        elif nested:
+            raise _PrefilterBail  # one nesting level only
+        elif tp == "array" and set(ps) <= {"type", "items",
+                                           "minItems", "maxItems"}:
+            items = ps.get("items")
+            if not isinstance(items, dict) \
+                    or items.get("type") not in ("integer", "number",
+                                                 "boolean") \
+                    or not set(items) <= _SCALAR_KEYWORDS:
+                raise _PrefilterBail
+            for key in ("minItems", "maxItems"):
+                if key in ps and (isinstance(ps[key], bool)
+                                  or not isinstance(ps[key], int)):
+                    raise _PrefilterBail
+            _scalar_keyword_preds(items, items["type"])
+            classes[name] = ("array", items)
+        elif tp == "object" and set(ps) <= {"type", "properties",
+                                            "required"}:
+            sub = _classify_prefilter_props(ps.get("properties", {}),
+                                            ps.get("required", []),
+                                            name_rx, nested=True)
+            classes[name] = ("object", (sub, ps.get("required", [])))
+        else:
+            raise _PrefilterBail
+    return classes
+
+
+def _build_object_prefilter(schema: Any, column: str):
     import re as _re
 
     if not isinstance(schema, dict):
-        return None
+        raise _PrefilterBail
     if not set(schema) <= {"$schema", "type", "properties", "required",
                            "title", "description"}:
-        return None
+        raise _PrefilterBail
     if schema.get("type", "object") != "object":
-        return None
+        raise _PrefilterBail
     properties = schema.get("properties", {})
     required = schema.get("required", [])
-    if not isinstance(properties, dict) or not isinstance(required, list):
-        return None
     name_rx = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
-    if not all(isinstance(n, str) and name_rx.match(n)
-               for n in list(properties) + list(required)):
-        return None
-    allowed = {"type", "minimum", "maximum", "exclusiveMinimum",
-               "exclusiveMaximum", "minLength", "maxLength", "pattern",
-               "enum", "const", "multipleOf"}
-    scalar_struct_type = {"integer": T.LongType(), "number": T.DoubleType(),
-                          "string": T.StringType(),
-                          "boolean": T.BooleanType()}
-    for ps in properties.values():
-        if not isinstance(ps, dict) or not set(ps) <= allowed:
-            return None
-        if ps and ps.get("type") not in scalar_struct_type:
-            return None
+    classes = _classify_prefilter_props(properties, required, name_rx,
+                                        nested=False)
 
     col = F.col(column)
     fields = list(properties)
-    views = {}
+    views: dict = {}
 
-    def view(kind, dtype):
+    def _field_type(name, dtype):
+        cls, info = classes[name]
+        if cls == "array":
+            return T.ArrayType(dtype)
+        if cls == "object":
+            return T.StructType([T.StructField(s, dtype)
+                                 for s in info[0]])
+        return dtype
+
+    def view(kind):
         if kind not in views:
+            dtype = _KIND_DTYPE[kind]
             views[kind] = F.from_json(col, T.StructType(
-                [T.StructField(n, dtype) for n in fields]))
+                [T.StructField(n, _field_type(n, dtype)) for n in fields]))
         return views[kind]
+
+    def scalar_ok(tp, ps, getter, raw_text):
+        """Proof for one scalar value. ``getter(kind)`` → the typed
+        view of the value; ``raw_text`` → its JSON text (for the
+        string-vs-object/array guard)."""
+        if tp == "string":
+            v = getter("str")
+            ok = (v.isNotNull()
+                  & getter("long").isNull() & getter("double").isNull()
+                  & getter("bool").isNull()
+                  & ~F.substring(raw_text, 1, 1).isin("{", "["))
+        else:
+            v = getter(_TP_KIND[tp])
+            ok = v.isNotNull()
+        for pred in _scalar_keyword_preds(ps, tp):
+            ok = ok & pred(v)
+        return ok
 
     # top-level object shape (MapType parse: non-null iff JSON object)
     obj_map = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
     pred = col.isNotNull() & obj_map.isNotNull()
 
-    from blaze_spark.functions.regexes import ecma_to_java
-
-    for name, ps in properties.items():
+    for name, (cls, info) in classes.items():
         # Presence must distinguish a JSON null value from an absent key
         # (get_json_object returns NULL for both, which proved
         # {"a": null} valid against properties.a = {"type": "string"} —
@@ -139,89 +309,54 @@ def _static_object_prefilter(schema: Any, column: str):
         # then fails the typed ok-predicate and the row takes the exact
         # Python path.
         present = F.map_contains_key(obj_map, name)
-        if not ps:  # empty subschema: any present value is fine
+        if cls == "any":  # empty subschema: any present value is fine
             ok = F.lit(True)
-        else:
-            tp = ps["type"] if "type" in ps else None
-            if tp == "integer":
-                v = view("long", T.LongType())[name]
-                ok = v.isNotNull()
-            elif tp == "number":
-                v = view("double", T.DoubleType())[name]
-                ok = v.isNotNull()
-            elif tp == "boolean":
-                v = view("bool", T.BooleanType())[name]
-                ok = v.isNotNull()
-            else:  # string: the string view alone must hit
-                v = view("str", T.StringType())[name]
-                ok = (v.isNotNull()
-                      & view("long", T.LongType())[name].isNull()
-                      & view("double", T.DoubleType())[name].isNull()
-                      & view("bool", T.BooleanType())[name].isNull())
-            numeric = tp in ("integer", "number")
-            for key, value in ps.items():
-                # Keyword operands must be the right Python type or the
-                # built expression crashes at plan time (a draft-4
-                # boolean exclusiveMinimum builds `v > true` →
-                # DATATYPE_MISMATCH — ADVICE r2 finding 3); and numeric/
-                # string keywords are vacuous for other instance types
-                # (minLength over an integer field would not even
-                # typecheck), so they gate on tp instead of comparing.
-                if key in ("minimum", "maximum", "exclusiveMinimum",
-                           "exclusiveMaximum"):
-                    if isinstance(value, bool) or \
-                            not isinstance(value, (int, float)):
-                        return None
-                    if not numeric:
-                        continue  # vacuous: v is proven non-numeric
-                    if key == "minimum":
-                        ok = ok & (v >= value)
-                    elif key == "maximum":
-                        ok = ok & (v <= value)
-                    elif key == "exclusiveMinimum":
-                        ok = ok & (v > value)
-                    else:
-                        ok = ok & (v < value)
-                elif key in ("minLength", "maxLength"):
-                    if isinstance(value, bool) or \
-                            not isinstance(value, int):
-                        return None
-                    if tp != "string":
-                        continue  # vacuous: v is proven non-string
-                    if key == "minLength":
-                        ok = ok & (F.char_length(v) >= value)
-                    else:
-                        ok = ok & (F.char_length(v) <= value)
-                elif key == "pattern":
-                    if not isinstance(value, str):
-                        return None
-                    if tp != "string":
-                        continue
-                    ok = ok & v.rlike(ecma_to_java(value))
-                elif key == "multipleOf":
-                    if not isinstance(value, int) or tp != "integer":
-                        return None
-                    ok = ok & (F.pmod(v, F.lit(value)) == 0)
-                elif key in ("enum", "const"):
-                    options = value if key == "enum" else [value]
-                    # Options must match the field's view type: a mixed
-                    # enum (e.g. ["a", 3] against an integer view)
-                    # would force a cast inside In() — same plan-time
-                    # crash class as the boolean-bound bug.
-                    if numeric:
-                        match = [o for o in options
-                                 if isinstance(o, (int, float))
-                                 and not isinstance(o, bool)]
-                    elif tp == "boolean":
-                        match = [o for o in options if isinstance(o, bool)]
-                    else:
-                        match = [o for o in options if isinstance(o, str)]
-                    if not all(isinstance(o, (int, float, str, bool))
-                               for o in options):
-                        return None
-                    if not match:
-                        return None  # enum excludes tp: never provable
-                    ok = ok & v.isin(match)
+        elif cls == "scalar":
+            ok = scalar_ok(info, properties[name],
+                           lambda k, n=name: view(k)[n], obj_map[name])
+        elif cls == "array":
+            items = info
+            v = view(_TP_KIND[items["type"]])[name]
+            # strict element parse: a mistyped element nulls the WHOLE
+            # array (probed), a JSON null element nulls that element —
+            # both leave the proof false and the row goes to tier 2
+            ok = v.isNotNull() & ~F.exists(v, lambda e: e.isNull())
+            ps = properties[name]
+            if "minItems" in ps:
+                ok = ok & (F.size(v) >= ps["minItems"])
+            if "maxItems" in ps:
+                ok = ok & (F.size(v) <= ps["maxItems"])
+            epreds = _scalar_keyword_preds(items, items["type"])
+            if epreds:
+                # the lambda must stay UNARY: pyspark infers arity from
+                # the signature, and a defaulted second parameter reads
+                # as the (element, index) form
+                def _element_pred(e, _ps=epreds):
+                    return _and_all(p(e) for p in _ps)
+
+                ok = ok & F.forall(v, lambda e: _element_pred(e))
+        else:  # object: one nested level of scalar members
+            sub_classes, sub_req = info
+            sub_map = F.from_json(obj_map[name],
+                                  T.MapType(T.StringType(), T.StringType()))
+            ok = sub_map.isNotNull()  # the member value IS an object
+            sub_props = properties[name].get("properties", {})
+            for sname, (scls, sinfo) in sub_classes.items():
+                spresent = F.map_contains_key(sub_map, sname)
+                if scls == "any":
+                    sok = F.lit(True)
+                else:
+                    sok = scalar_ok(
+                        sinfo, sub_props[sname],
+                        lambda k, n=name, s=sname: view(k)[n][s],
+                        sub_map[sname])
+                if sname in sub_req:
+                    ok = ok & spresent & sok
+                else:
+                    ok = ok & (~spresent | sok)
+            for sname in sub_req:
+                if sname not in sub_classes:
+                    ok = ok & F.map_contains_key(sub_map, sname)
         if name in required:
             pred = pred & present & ok
         else:
@@ -230,6 +365,13 @@ def _static_object_prefilter(schema: Any, column: str):
         if name not in properties:
             pred = pred & F.map_contains_key(obj_map, name)
     return pred
+
+
+def _and_all(preds) -> "F.Column":
+    out = None
+    for p in preds:
+        out = p if out is None else out & p
+    return out
 
 
 def validate_json_column(df: DataFrame, column: str, schema_or_plan: Any, *,

@@ -308,3 +308,101 @@ def test_prefilter_survives_malformed_keyword_operands(spark):
     got = {r.doc: r.valid
            for r in validate_json_column(df, "doc", mixed).collect()}
     assert got == {'{"n": 4}': False, '{"n": 3}': True}
+
+
+def test_prefilter_string_rejects_object_and_array_values(spark):
+    """r4 soundness fix: from_json STRING targets coerce objects and
+    arrays to their JSON text ({"s": {}} parses to '{}'), and the three
+    strict views are all NULL for them — so the string proof needed the
+    raw-text {/[ guard or it proved an OBJECT valid against
+    {"type": "string"}."""
+    from blaze_spark.operators.validate import validate_json_column
+
+    schema = {"type": "object", "required": ["s"],
+              "properties": {"s": {"type": "string"}}}
+    payloads = ['{"s": {}}', '{"s": {"x": 1}}', '{"s": [1,2]}',
+                '{"s": []}', '{"s": "ok"}', '{"s": "{sneaky"}',
+                '{"s": "[not an array"}']
+    df = spark.createDataFrame([(p,) for p in payloads], ["j"])
+    for pf in (True, False):
+        got = {r["j"]: r["valid"] for r in
+               validate_json_column(df, "j", schema,
+                                    jvm_prefilter=pf).collect()}
+        assert got == {'{"s": {}}': False, '{"s": {"x": 1}}': False,
+                       '{"s": [1,2]}': False, '{"s": []}': False,
+                       '{"s": "ok"}': True, '{"s": "{sneaky"}': True,
+                       '{"s": "[not an array"}': True}, (pf, got)
+
+
+def test_prefilter_widened_gate_arrays_and_nested(spark):
+    """r3 VERDICT next-round #9: the static gate admits arrays of
+    strict scalars (with element keywords + minItems/maxItems) and ONE
+    level of nested object with scalar members. Hybrid must equal pure
+    tier-2 on verdicts AND violations over the adversarial matrix."""
+    from blaze_spark.operators.validate import (
+        _static_object_prefilter, validate_json_column)
+
+    schema = {"type": "object", "required": ["tags", "meta"],
+              "properties": {
+                  "tags": {"type": "array",
+                           "items": {"type": "integer", "minimum": 0},
+                           "minItems": 1, "maxItems": 4},
+                  "ratio": {"type": "array",
+                            "items": {"type": "number"}},
+                  "meta": {"type": "object",
+                           "required": ["id"],
+                           "properties": {
+                               "id": {"type": "integer", "minimum": 1},
+                               "label": {"type": "string",
+                                         "minLength": 2}}}}}
+    assert _static_object_prefilter(schema, "j") is not None
+    payloads = [
+        '{"tags": [1,2], "meta": {"id": 3}}',                    # valid
+        '{"tags": [], "meta": {"id": 3}}',                       # minItems
+        '{"tags": [1,2,3,4,5], "meta": {"id": 3}}',              # maxItems
+        '{"tags": [1,-2], "meta": {"id": 3}}',                   # items min
+        '{"tags": [1,"x"], "meta": {"id": 3}}',                  # bad elem
+        '{"tags": [1,null], "meta": {"id": 3}}',                 # null elem
+        '{"tags": [1.5], "meta": {"id": 3}}',                    # real elem
+        '{"tags": 5, "meta": {"id": 3}}',                        # not array
+        '{"tags": [1], "meta": {}}',                             # id absent
+        '{"tags": [1], "meta": {"id": 0}}',                      # id minimum
+        '{"tags": [1], "meta": {"id": "3"}}',                    # id coerced
+        '{"tags": [1], "meta": {"id": null}}',                   # id null
+        '{"tags": [1], "meta": 5}',                              # not object
+        '{"tags": [1], "meta": {"id": 2, "label": "ok"}}',       # valid
+        '{"tags": [1], "meta": {"id": 2, "label": "x"}}',        # minLength
+        '{"tags": [1], "meta": {"id": 2, "label": 7}}',          # not string
+        '{"tags": [1], "meta": {"id": 2, "label": {}}}',         # obj label
+        '{"tags": [1], "meta": {"id": 2, "label": [1]}}',        # arr label
+        '{"ratio": [1.5, 2], "tags": [1], "meta": {"id": 9}}',   # valid
+        '{"ratio": [true], "tags": [1], "meta": {"id": 9}}',     # bad elem
+        '{"meta": {"id": 3}}',                                   # tags absent
+        '{}', 'not json', None, '[1]',
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
+                               ["rid", "j"])
+    hybrid = {r["rid"]: (r["valid"], [tuple(v) for v in r["violations"]])
+              for r in validate_json_column(df, "j", schema).collect()}
+    pure = {r["rid"]: (r["valid"], [tuple(v) for v in r["violations"]])
+            for r in validate_json_column(df, "j", schema,
+                                          jvm_prefilter=False).collect()}
+    assert hybrid == pure
+    # and the JVM prefilter actually PROVES the valid rows (no Python):
+    pf = _static_object_prefilter(schema, "j")
+    proved = {r["rid"]: r["p"] for r in
+              df.select("rid", pf.alias("p")).collect()}
+    for rid in (0, 13, 18):
+        assert proved[rid] is True, (rid, proved[rid])
+
+    # outside the gate: string arrays (per-element coercion makes an
+    # element-wise string proof impossible), 2-deep nesting
+    assert _static_object_prefilter(
+        {"type": "object", "properties": {
+            "a": {"type": "array", "items": {"type": "string"}}}},
+        "j") is None
+    assert _static_object_prefilter(
+        {"type": "object", "properties": {
+            "a": {"type": "object", "properties": {
+                "b": {"type": "object", "properties": {}}}}}},
+        "j") is None
