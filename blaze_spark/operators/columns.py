@@ -40,6 +40,52 @@ class TierUnsupported(Exception):
     """Raised when a plan needs the tier-2 interpreter."""
 
 
+# Compile-once / evaluate-many: building a validation Column costs
+# ~2,300 py4j round-trips (~0.6 s measured) that are identical for
+# every call with the same (plan, row schema) — the Spark analog of
+# the reference's reusable compiled template (evaluator.h:109-127,
+# "compile once and evaluate many times"). Unresolved Columns
+# (F.col-based) are DataFrame-agnostic, so they are cached per JVM
+# context and reattached to any input with the same schema. Cache
+# keys carry NON-sorted JSON: property ORDER is evaluation order
+# (violation order), so two schemas with the same pairs in different
+# order must not collide. Entries hold a strong ref to the anchor
+# (SparkContext), so an id() is never reused while its entry lives.
+_EXPR_CACHE: "dict" = {}
+_EXPR_CACHE_MAX = 128
+
+
+def cached_expr(key_parts: tuple, builder):
+    """Memoize ``builder()`` per (active SparkContext, key_parts).
+    Exceptions of type TierUnsupported are cached and re-raised (the
+    bail decision is as expensive as a successful compile)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:  # pragma: no cover - builder will raise its own error
+        return builder()
+    key = (id(sc),) + key_parts
+    hit = _EXPR_CACHE.get(key)
+    if hit is not None:
+        value = hit[1]
+        if isinstance(value, TierUnsupported):
+            raise TierUnsupported(*value.args)
+        return value
+    try:
+        value = builder()
+    except TierUnsupported as exc:
+        _expr_cache_put(key, (sc, exc))
+        raise
+    _expr_cache_put(key, (sc, value))
+    return value
+
+
+def _expr_cache_put(key, entry):
+    if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:
+        _EXPR_CACHE.pop(next(iter(_EXPR_CACHE)))
+    _EXPR_CACHE[key] = entry
+
+
 class ColumnCheck(NamedTuple):
     keyword_location: str
     instance_location: str
@@ -636,24 +682,36 @@ def compile_column_checks(plan: dict, schema: T.StructType,
 def attach_validation(df: DataFrame, plan: dict) -> DataFrame:
     """Add ``valid`` (boolean) and ``violations``
     (array<struct<keyword_location,instance_location,message>>) columns,
-    all as Catalyst expressions (violation order = evaluation order)."""
-    checks = compile_column_checks(plan, df.schema, df)
-    # concat of conditional singleton arrays, NOT filter(array(...)):
-    # higher-order functions are CodegenFallback, which would knock the
-    # whole projection out of whole-stage codegen
-    empty = F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
-    pieces = [
-        F.when(
-            ~c.predicate,
-            F.array(F.struct(
-                F.lit(c.keyword_location).alias("keyword_location"),
-                F.lit(c.instance_location).alias("instance_location"),
-                c.message.alias("message"),
-            )),
-        ).otherwise(empty)
-        for c in checks
-    ]
-    violations = F.concat(*pieces) if pieces else empty
+    all as Catalyst expressions (violation order = evaluation order).
+    The violations Column is compiled once per (plan, row schema) and
+    reused (see cached_expr)."""
+    def build() -> Column:
+        checks = compile_column_checks(plan, df.schema, df)
+        # concat of conditional singleton arrays, NOT filter(array(...)):
+        # higher-order functions are CodegenFallback, which would knock
+        # the whole projection out of whole-stage codegen
+        empty = F.array().cast(T.ArrayType(VIOLATION_SCHEMA))
+        pieces = [
+            F.when(
+                ~c.predicate,
+                F.array(F.struct(
+                    F.lit(c.keyword_location).alias("keyword_location"),
+                    F.lit(c.instance_location).alias("instance_location"),
+                    c.message.alias("message"),
+                )),
+            ).otherwise(empty)
+            for c in checks
+        ]
+        return F.concat(*pieces) if pieces else empty
+
+    try:
+        key = ("attach_validation",
+               json.dumps(plan, ensure_ascii=False, default=str),
+               df.schema.json())
+    except (TypeError, ValueError):  # pragma: no cover - exotic plan value
+        violations = build()
+    else:
+        violations = cached_expr(key, build)
     return (
         df.withColumn("violations", violations)
         .withColumn("valid", F.size(F.col("violations")) == 0)

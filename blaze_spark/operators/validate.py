@@ -38,11 +38,29 @@ from blaze_spark.plans.compiler import compile_schema
 _VIOLATIONS_T = T.ArrayType(VIOLATION_SCHEMA)
 
 
+# schema → compiled plan, pure-Python memo (compile once, evaluate
+# many — the reference's explicit Evaluator reuse contract). Keys are
+# NON-sorted JSON: property order is evaluation order. Callers treat
+# plans as immutable (compile_column_checks rebuilds via {**plan}).
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 256
+
+
 def _ensure_plan(schema_or_plan: Any, mode: str) -> dict:
     if isinstance(schema_or_plan, dict) and "targets" in schema_or_plan \
             and "version" in schema_or_plan:
         return schema_or_plan
-    return compile_schema(schema_or_plan, mode=mode)
+    try:
+        key = (json.dumps(schema_or_plan, ensure_ascii=False), mode)
+    except (TypeError, ValueError):
+        return compile_schema(schema_or_plan, mode=mode)
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        plan = compile_schema(schema_or_plan, mode=mode)
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[key] = plan
+    return plan
 
 
 def validate_rows(df: DataFrame, schema_or_plan: Any, *,
@@ -190,11 +208,22 @@ def _static_object_prefilter(schema: Any, column: str):
 
     Returns a Column or None when the schema is outside the gate
     (combinators, additional/pattern properties, deeper nesting,
-    exotic property names...)."""
+    exotic property names...). The built Column is cached per
+    (schema, column) — it is F.col-based and DataFrame-agnostic."""
+    from blaze_spark.operators.columns import cached_expr
+
+    def build():
+        try:
+            return _build_object_prefilter(schema, column)
+        except _PrefilterBail:
+            return None
+
     try:
-        return _build_object_prefilter(schema, column)
-    except _PrefilterBail:
-        return None
+        key = ("object_prefilter",
+               json.dumps(schema, ensure_ascii=False), column)
+    except (TypeError, ValueError):
+        return build()
+    return cached_expr(key, build)
 
 
 def _classify_prefilter_props(properties: Any, required: Any, name_rx,
