@@ -451,6 +451,29 @@ def q_events_windowed_violations(spark, sf_dir):
                   F.sum((~F.col("valid")).cast("long")).alias("invalid_rows")))
 
 
+#: fixed reference distribution for the streaming drift monitor query —
+#: events also carries "signup" (absent here), so every window exercises
+#: the observed-but-unknown-bucket eps floor; the reverse (baseline
+#: bucket unseen in a window) is pinned by the unit test
+#: (test_drift_stream_psi_math_exact's unseen "go" bucket)
+_DRIFT_BASELINE = {"click": 0.35, "view": 0.35, "error": 0.2,
+                   "purchase": 0.1}
+
+
+def q_drift_stream_windowed(spark, sf_dir):
+    """Batch form of streaming/validate_stream.drift_stream — the SAME
+    operator (window() + chained agg + JVM-expression PSI run identically
+    in batch mode; watermark is a batch no-op), so the streaming monitor's
+    math is oracle-verified per window against DuckDB."""
+    from blaze_spark.streaming.validate_stream import drift_stream
+
+    out = drift_stream(_t(spark, sf_dir, "events"), "event_type", "ts",
+                       _DRIFT_BASELINE, window="1 day",
+                       watermark="1 day")
+    return out.select("window_start", "row_count",
+                      F.round("psi", 6).alias("psi"))
+
+
 def q_lint_document_schemas(spark, sf_dir):
     """Distributed alterschema lint at scale: synthesize one JSON
     Schema per document row and run the FULL 103-rule linter
@@ -626,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "events_windowed_violations": q_events_windowed_violations,
+        "drift_stream_windowed": q_drift_stream_windowed,
         "token_count": q_token_count,
         "salted_group_count": q_salted_group_count,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1179,6 +1203,44 @@ export interface Schema {
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                        AS fingerprint
             FROM documents""",
+        # re-derives drift_stream's windowed PSI relationally: per-window
+        # bucket counts, observed terms with the baseline (eps-floored on
+        # the unknown side), plus the eps term for baseline buckets unseen
+        # in a window. Spark's window(ts, '1 day') aligns to the epoch, so
+        # window_start == date_trunc('day', ts) in UTC.
+        "drift_stream_windowed": """
+            WITH base(bucket, q) AS (VALUES
+                   ('click', 0.35), ('view', 0.35),
+                   ('error', 0.2), ('purchase', 0.1)),
+            c AS (
+              SELECT date_trunc('day', ts) AS window_start,
+                     event_type AS bucket, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            t AS (SELECT window_start, CAST(sum(n) AS BIGINT) AS row_count
+                  FROM c GROUP BY 1),
+            obs AS (
+              SELECT c.window_start,
+                     sum((c.n / t.row_count - coalesce(b.q, 1e-6))
+                         * ln((c.n / t.row_count)
+                              / coalesce(b.q, 1e-6))) AS psi_obs
+              FROM c JOIN t USING (window_start)
+              LEFT JOIN base b USING (bucket)
+              WHERE c.bucket IS NOT NULL
+              GROUP BY 1),
+            miss AS (
+              SELECT t.window_start,
+                     sum((1e-6 - b.q) * ln(1e-6 / b.q)) AS psi_miss
+              FROM t CROSS JOIN base b
+              LEFT JOIN c ON c.window_start = t.window_start
+                         AND c.bucket = b.bucket
+              WHERE c.bucket IS NULL
+              GROUP BY 1)
+            SELECT t.window_start, t.row_count,
+                   round(coalesce(o.psi_obs, 0)
+                         + coalesce(m.psi_miss, 0), 6) AS psi
+            FROM t
+            LEFT JOIN obs o USING (window_start)
+            LEFT JOIN miss m USING (window_start)""",
         "events_windowed_violations": """
             SELECT date_trunc('day', ts) AS day,
                    count(*) AS row_count,

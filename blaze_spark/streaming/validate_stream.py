@@ -106,6 +106,77 @@ def violation_rate_by_window(validated: DataFrame, ts_col: str,
     )
 
 
+def categorical_baseline(df: DataFrame, value_col: str) -> dict:
+    """Batch helper: the reference distribution ``{bucket: probability}``
+    of a categorical column (NULLs excluded, matching ``checks.psi``'s
+    treatment of NULL buckets). The result is a SMALL driver-side dict
+    (categorical cardinality) that ``drift_stream`` embeds as literals —
+    the streaming analog of a broadcast dimension."""
+    rows = (df.where(F.col(value_col).isNotNull())
+              .groupBy(F.col(value_col).cast("string").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")).collect())
+    total = sum(r["n"] for r in rows) or 1
+    return {r["bucket"]: r["n"] / total for r in rows}
+
+
+def drift_stream(stream_df: DataFrame, value_col: str, ts_col: str,
+                 baseline: dict, window: str = "1 minute",
+                 watermark: str = "5 minutes",
+                 eps: float = 1e-6) -> DataFrame:
+    """Streaming drift monitor: PSI of each event-time window's
+    categorical distribution against a fixed ``baseline``
+    (from ``categorical_baseline`` over a reference batch).
+
+    Shape (scale-first): stage 1 aggregates to (window × bucket) counts
+    — the only state, bounded by (windows in the watermark horizon ×
+    categorical cardinality); stage 2 is a chained windowed aggregation
+    (Spark ≥3.5 multiple-stateful-operator support) collecting the
+    per-window histogram — a few KB — and finishing the PSI entirely in
+    JVM expressions over the baseline literals. No Python in the path,
+    no unbounded state, append-mode output on window close.
+
+    PSI math mirrors ``checks.psi``: Σ (p−q)·ln(p/q) over the union of
+    observed and baseline buckets, missing side floored at ``eps``;
+    NULL values count toward the window total but contribute no term.
+    Emits (window_start, window_end, row_count, psi).
+    """
+    qkeys = sorted(baseline)
+    qmap = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in qkeys]),
+        F.array(*[F.lit(float(baseline[k])) for k in qkeys]))
+    counts = (stream_df
+              .withWatermark(ts_col, watermark)
+              .groupBy(F.window(F.col(ts_col), window).alias("window"),
+                       F.col(value_col).cast("string").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    hist = (counts
+            .groupBy("window")
+            .agg(F.sum("n").alias("row_count"),
+                 F.collect_list(F.when(F.col("bucket").isNotNull(),
+                                       F.struct("bucket", "n")))
+                  .alias("obs")))
+    # row_count includes NULL-bucket rows; probabilities use the
+    # NULL-inclusive total, exactly like the batch finisher's
+    # ``totals`` (groupby sum over all buckets incl. NaN).
+    term = lambda p, q: (p - q) * F.log(p / q)  # noqa: E731
+    obs_keys = F.transform("obs", lambda x: x["bucket"])
+    psi_obs = F.aggregate(
+        "obs", F.lit(0.0),
+        lambda acc, x: acc + term(
+            x["n"] / F.col("row_count").cast("double"),
+            F.coalesce(F.element_at(qmap, x["bucket"]), F.lit(eps))))
+    missing = F.filter(F.array(*[F.lit(k) for k in qkeys]),
+                       lambda k: ~F.array_contains(obs_keys, k))
+    psi_missing = F.aggregate(
+        missing, F.lit(0.0),
+        lambda acc, k: acc + term(F.lit(eps), F.element_at(qmap, k)))
+    return (hist.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "row_count",
+        (psi_obs + psi_missing).alias("psi")))
+
+
 def dedup_stream(stream_df: DataFrame, key_cols: List[str], ts_col: str,
                  watermark: str = "10 minutes",
                  content_col: str = None) -> DataFrame:

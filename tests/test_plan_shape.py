@@ -141,6 +141,79 @@ def test_streaming_windowed_violation_rate(spark, tmp_path):
         assert r["window_end"] > r["window_start"]
 
 
+def test_drift_stream_psi_math_exact(spark):
+    """drift_stream's JVM-expression PSI equals the hand-computed value
+    (union of observed+baseline buckets, eps floors, NULL rows in the
+    total but no term — the checks.psi contract)."""
+    import datetime
+    import math
+
+    from blaze_spark.streaming.validate_stream import (
+        categorical_baseline,
+        drift_stream,
+    )
+
+    base = spark.createDataFrame(
+        [("python",)] * 50 + [("rust",)] * 30 + [("go",)] * 20,
+        "lang string")
+    bl = categorical_baseline(base, "lang")
+    assert bl == {"python": 0.5, "rust": 0.3, "go": 0.2}
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 30)
+    rows = ([(t0, "python")] * 10 + [(t0, "rust")] * 60
+            + [(t0, "cpp")] * 25 + [(t0, None)] * 5)
+    cur = spark.createDataFrame(rows, "ts timestamp, lang string")
+    # window() + chained agg runs identically in batch mode, so the
+    # math is checkable without a streaming query
+    got = drift_stream(cur, "lang", "ts", bl, window="1 minute").collect()
+    assert len(got) == 1 and got[0]["row_count"] == 100
+
+    eps = 1e-6
+    expected = 0.0
+    for bucket, p in [("python", 0.10), ("rust", 0.60), ("cpp", 0.25)]:
+        q = bl.get(bucket, eps)
+        expected += (p - q) * math.log(p / q)
+    expected += (eps - bl["go"]) * math.log(eps / bl["go"])  # unseen bucket
+    assert got[0]["psi"] == pytest.approx(expected, abs=1e-12)
+
+
+def test_drift_stream_end_to_end(spark, tmp_path):
+    """Streaming PSI monitor: two micro-batches (maxFilesPerTrigger=1),
+    the second carrying a far-future row that advances the watermark so
+    append mode closes and emits the first two windows."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark.streaming.validate_stream import drift_stream
+
+    src = str(tmp_path / "drift_in")
+    base_ts = 1_700_000_000
+    w1 = [(base_ts + 10, "python")] * 8 + [(base_ts + 20, "rust")] * 2
+    w2 = [(base_ts + 70, "rust")] * 9 + [(base_ts + 80, "go")] * 1
+    future = [(base_ts + 7200, "python")]  # pushes the watermark
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "sec long, lang string").select(
+        F.timestamp_seconds("sec").alias("ts"), "lang")
+    mk(w1).coalesce(1).write.parquet(src)
+    mk(w2 + future).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    baseline = {"python": 0.5, "rust": 0.3, "go": 0.2}
+    out = drift_stream(stream, "lang", "ts", baseline,
+                       window="1 minute", watermark="10 seconds")
+    q = (out.writeStream.format("memory").queryName("drift_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = sorted(spark.sql("select * from drift_out").collect(),
+                  key=lambda r: r["window_start"])
+    # both closed windows emitted, the future window still open
+    assert len(rows) == 2
+    assert all(r["row_count"] == 10 for r in rows)
+    # w1 is close to baseline; w2 (90% rust) drifts much harder
+    assert rows[1]["psi"] > rows[0]["psi"] > 0.0
+
+
 def test_json_prefilter_plan_is_map_only_jvm(spark):
     """The hybrid tier-2 prefilter adds a pure-JVM Project (from_json
     typed views) ahead of MapInPandas — no shuffle, no extra Python."""
