@@ -474,6 +474,30 @@ def q_drift_stream_windowed(spark, sf_dir):
                       F.round("psi", 6).alias("psi"))
 
 
+#: width-20 bucket baseline for the numeric (length-histogram-style)
+#: streaming drift monitor over events.value (range ~0..490,
+#: exponential-ish). The tail buckets (10+) are absent here, so every
+#: window exercises the observed-but-unknown eps floor; the sparse "9"
+#: bucket (~2.5 rows/day) goes missing in some windows, exercising the
+#: baseline-bucket-unseen term too.
+_DRIFT_VALUE_BASELINE = {"0": 0.3, "1": 0.25, "2": 0.15, "3": 0.1,
+                         "4": 0.07, "5": 0.05, "6": 0.03, "7": 0.02,
+                         "8": 0.02, "9": 0.01}
+
+
+def q_drift_stream_numeric_windowed(spark, sf_dir):
+    """Batch form of streaming/validate_stream.drift_stream_numeric —
+    the north star's content-length-histogram PSI drift, as the
+    streaming monitor would compute it per event-time window."""
+    from blaze_spark.streaming.validate_stream import drift_stream_numeric
+
+    out = drift_stream_numeric(_t(spark, sf_dir, "events"), "value", "ts",
+                               _DRIFT_VALUE_BASELINE, bucket_width=20.0,
+                               window="1 day", watermark="1 day")
+    return out.select("window_start", "row_count",
+                      F.round("psi", 6).alias("psi"))
+
+
 def q_lint_document_schemas(spark, sf_dir):
     """Distributed alterschema lint at scale: synthesize one JSON
     Schema per document row and run the FULL 103-rule linter
@@ -650,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "events_windowed_violations": q_events_windowed_violations,
         "drift_stream_windowed": q_drift_stream_windowed,
+        "drift_stream_numeric_windowed": q_drift_stream_numeric_windowed,
         "token_count": q_token_count,
         "salted_group_count": q_salted_group_count,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1215,6 +1240,45 @@ export interface Schema {
             c AS (
               SELECT date_trunc('day', ts) AS window_start,
                      event_type AS bucket, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            t AS (SELECT window_start, CAST(sum(n) AS BIGINT) AS row_count
+                  FROM c GROUP BY 1),
+            obs AS (
+              SELECT c.window_start,
+                     sum((c.n / t.row_count - coalesce(b.q, 1e-6))
+                         * ln((c.n / t.row_count)
+                              / coalesce(b.q, 1e-6))) AS psi_obs
+              FROM c JOIN t USING (window_start)
+              LEFT JOIN base b USING (bucket)
+              WHERE c.bucket IS NOT NULL
+              GROUP BY 1),
+            miss AS (
+              SELECT t.window_start,
+                     sum((1e-6 - b.q) * ln(1e-6 / b.q)) AS psi_miss
+              FROM t CROSS JOIN base b
+              LEFT JOIN c ON c.window_start = t.window_start
+                         AND c.bucket = b.bucket
+              WHERE c.bucket IS NULL
+              GROUP BY 1)
+            SELECT t.window_start, t.row_count,
+                   round(coalesce(o.psi_obs, 0)
+                         + coalesce(m.psi_miss, 0), 6) AS psi
+            FROM t
+            LEFT JOIN obs o USING (window_start)
+            LEFT JOIN miss m USING (window_start)""",
+        # numeric twin of drift_stream_windowed: width-20 floor buckets
+        # of events.value (the checks.psi numeric rule), stringified to
+        # match the Spark side's long->string cast
+        "drift_stream_numeric_windowed": """
+            WITH base(bucket, q) AS (VALUES
+                   ('0', 0.3), ('1', 0.25), ('2', 0.15), ('3', 0.1),
+                   ('4', 0.07), ('5', 0.05), ('6', 0.03), ('7', 0.02),
+                   ('8', 0.02), ('9', 0.01)),
+            c AS (
+              SELECT date_trunc('day', ts) AS window_start,
+                     CAST(CAST(floor(value / 20.0) AS BIGINT) AS VARCHAR)
+                         AS bucket,
+                     count(*) AS n
               FROM events GROUP BY 1, 2),
             t AS (SELECT window_start, CAST(sum(n) AS BIGINT) AS row_count
                   FROM c GROUP BY 1),

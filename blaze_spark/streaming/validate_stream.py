@@ -177,6 +177,55 @@ def drift_stream(stream_df: DataFrame, value_col: str, ts_col: str,
         (psi_obs + psi_missing).alias("psi")))
 
 
+def numeric_baseline(df: DataFrame, value_col: str,
+                     bucket_width: float) -> dict:
+    """Batch helper: the reference distribution of a numeric column
+    width-bucketed exactly like ``checks.psi`` (``floor(value/width)``),
+    keyed by the bucket ordinal as a string so it plugs straight into
+    ``drift_stream``'s categorical machinery."""
+    bucketed = df.where(F.col(value_col).isNotNull()).select(
+        F.floor(F.col(value_col) / bucket_width).cast("long")
+         .cast("string").alias("b"))
+    return categorical_baseline(bucketed, "b")
+
+
+def drift_stream_numeric(stream_df: DataFrame, value_col: str, ts_col: str,
+                         baseline: dict, bucket_width: float,
+                         window: str = "1 minute",
+                         watermark: str = "5 minutes",
+                         eps: float = 1e-6) -> DataFrame:
+    """Streaming PSI over a NUMERIC column — the content-length-histogram
+    drift monitor from the north star, at ingest time. Width-buckets the
+    value with the same ``floor(value/width)`` rule as the batch
+    ``checks.psi`` and delegates to ``drift_stream``; ``baseline`` comes
+    from ``numeric_baseline`` over a reference batch. NULL values fall to
+    a NULL bucket: counted in the window total, no PSI term — identical
+    to the categorical contract."""
+    bucketed = stream_df.select(
+        F.col(ts_col),
+        F.floor(F.col(value_col) / bucket_width).cast("long")
+         .cast("string").alias("__bucket__"))
+    return drift_stream(bucketed, "__bucket__", ts_col, baseline,
+                        window=window, watermark=watermark, eps=eps)
+
+
+def referential_stream(stream_df: DataFrame, fact_keys: List[str],
+                       dim: DataFrame, dim_keys: List[str]) -> DataFrame:
+    """Streaming referential integrity: rows of the stream whose key has
+    no match in a STATIC dimension table — the ingest-time form of
+    ``checks.referential_orphans`` (same broadcast LEFT ANTI kernel; the
+    north star's 'referential integrity with broadcast/left-anti joins').
+
+    Stream–static left-anti joins are stateless in Structured Streaming
+    (each micro-batch probes the broadcast dim; no watermark, no state
+    store), so the output supports plain append mode and the per-row
+    semantics — including NULL keys being orphans via the null-safe
+    equality — are bit-identical to the batch operator."""
+    from blaze_spark.operators.checks import referential_orphans
+
+    return referential_orphans(stream_df, fact_keys, dim, dim_keys)
+
+
 def dedup_stream(stream_df: DataFrame, key_cols: List[str], ts_col: str,
                  watermark: str = "10 minutes",
                  content_col: str = None) -> DataFrame:

@@ -214,6 +214,68 @@ def test_drift_stream_end_to_end(spark, tmp_path):
     assert rows[1]["psi"] > rows[0]["psi"] > 0.0
 
 
+def test_drift_stream_numeric_math(spark):
+    """The numeric variant width-buckets exactly like checks.psi
+    (floor(value/width)) and reuses the categorical PSI: hand-computed
+    expected value over a two-bucket baseline, NULL in the total only."""
+    import datetime
+    import math
+
+    from blaze_spark.streaming.validate_stream import (
+        drift_stream_numeric,
+        numeric_baseline,
+    )
+
+    base = spark.createDataFrame(
+        [(5.0,)] * 60 + [(25.0,)] * 40, "v double")
+    bl = numeric_baseline(base, "v", bucket_width=20.0)
+    assert bl == {"0": 0.6, "1": 0.4}
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 30)
+    rows = ([(t0, 3.0)] * 20 + [(t0, 39.0)] * 50 + [(t0, 45.0)] * 25
+            + [(t0, None)] * 5)
+    cur = spark.createDataFrame(rows, "ts timestamp, v double")
+    got = drift_stream_numeric(cur, "v", "ts", bl, bucket_width=20.0,
+                               window="1 minute").collect()
+    assert len(got) == 1 and got[0]["row_count"] == 100
+
+    eps = 1e-6
+    expected = 0.0
+    for p, q in [(0.20, 0.6), (0.50, 0.4), (0.25, eps)]:  # buckets 0,1,2
+        expected += (p - q) * math.log(p / q)
+    assert got[0]["psi"] == pytest.approx(expected, abs=1e-12)
+
+
+def test_referential_stream_end_to_end(spark, tmp_path):
+    """Stream-static broadcast left-anti: orphan rows (unknown lang and
+    NULL lang) flow to an append-mode sink; matched rows don't. The join
+    is stateless, so no watermark is required."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark.streaming.validate_stream import referential_stream
+
+    src = str(tmp_path / "ref_in")
+    b1 = [(1, "python"), (2, "cobol"), (3, "rust")]
+    b2 = [(4, None), (5, "go"), (6, "fortran")]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, lang string")
+    mk(b1).coalesce(1).write.parquet(src)
+    mk(b2).coalesce(1).write.mode("append").parquet(src)
+
+    dim = spark.createDataFrame(
+        [("python",), ("rust",), ("go",)], "lang string")
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = referential_stream(stream, ["lang"], dim, ["lang"])
+    q = (out.writeStream.format("memory").queryName("ref_orphans")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["id"], r["lang"]) for r in
+                 spark.sql("select * from ref_orphans").collect())
+    assert got == [(2, "cobol"), (4, None), (6, "fortran")]
+
+
 def test_json_prefilter_plan_is_map_only_jvm(spark):
     """The hybrid tier-2 prefilter adds a pure-JVM Project (from_json
     typed views) ahead of MapInPandas — no shuffle, no extra Python."""
