@@ -214,6 +214,54 @@ def test_drift_stream_end_to_end(spark, tmp_path):
     assert rows[1]["psi"] > rows[0]["psi"] > 0.0
 
 
+def test_drift_stream_restart_exactly_once(spark, tmp_path):
+    """Streaming drift survives a stop/restart on the same checkpoint:
+    run 1 ingests window-1 rows (watermark too low to close anything),
+    stops; run 2 ingests window-2 + a far-future row. Window 1's
+    histogram can only be complete if the state store restored run 1's
+    counts — and each window must appear exactly once in the file sink
+    across both runs (no re-emission on restart)."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark.streaming.validate_stream import drift_stream
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    base_ts = 1_700_000_000
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "sec long, lang string").select(
+        F.timestamp_seconds("sec").alias("ts"), "lang")
+    baseline = {"python": 0.5, "rust": 0.3, "go": 0.2}
+
+    def run_once():
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = drift_stream(stream, "lang", "ts", baseline,
+                           window="1 minute", watermark="10 seconds")
+        q = (out.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    mk([(base_ts + 10, "python")] * 8
+       + [(base_ts + 20, "rust")] * 2).coalesce(1).write.parquet(src)
+    run_once()  # watermark = +10s → window [0,60) not yet closed
+    emitted_run1 = spark.read.parquet(sink).count()
+    assert emitted_run1 == 0
+
+    mk([(base_ts + 70, "rust")] * 9 + [(base_ts + 80, "go")]
+       + [(base_ts + 7200, "python")]).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint; only the new file is read
+    rows = sorted(spark.read.parquet(sink).collect(),
+                  key=lambda r: r["window_start"])
+    assert len(rows) == 2  # exactly once: w1 + w2, no duplicates
+    # w1's 10 rows arrived ONLY in run 1 → proves state restoration
+    assert all(r["row_count"] == 10 for r in rows)
+    assert rows[1]["psi"] > rows[0]["psi"] > 0.0
+
+
 def test_drift_stream_numeric_math(spark):
     """The numeric variant width-buckets exactly like checks.psi
     (floor(value/width)) and reuses the categorical PSI: hand-computed
