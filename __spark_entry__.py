@@ -498,6 +498,29 @@ def q_drift_stream_numeric_windowed(spark, sf_dir):
                       F.round("psi", 6).alias("psi"))
 
 
+def q_sample_documents(spark, sf_dir):
+    """Deterministic hash-threshold sampling (operators/sampling.py):
+    membership is a pure function of (doc_id, salt) — identical across
+    runs/partitionings/engines, which is exactly what DuckDB verifies."""
+    from blaze_spark.operators.sampling import deterministic_sample
+
+    return (deterministic_sample(_docs(spark, sf_dir), "doc_id", 0.25,
+                                 salt="bench")
+            .select("doc_id"))
+
+
+def q_sample_stratified_lang(spark, sf_dir):
+    """Per-stratum deterministic sampling (the training-mix primitive):
+    10% of the 'en' head, ALL of 'fr' (keep-all sentinel path), 25%
+    default for the rest."""
+    from blaze_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(_docs(spark, sf_dir), "lang",
+                            {"en": 0.1, "fr": 1.0}, key_col="doc_id",
+                            default_fraction=0.25, salt="mix")
+    return out.select("doc_id", "lang")
+
+
 def q_lint_document_schemas(spark, sf_dir):
     """Distributed alterschema lint at scale: synthesize one JSON
     Schema per document row and run the FULL 103-rule linter
@@ -689,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documentation": q_documentation,
         "contamination": q_contamination,
         "curation_report": q_curation_report,
+        "sample_documents": q_sample_documents,
+        "sample_stratified_lang": q_sample_stratified_lang,
     }
 
 
@@ -732,6 +757,9 @@ _SHINGLES = (
     f"list_transform(generate_series(1, len({_TOKENS}) - 2), "
     f"i -> array_to_string(({_TOKENS})[i:i+2], ' ')) "
     f"ELSE [array_to_string({_TOKENS}, ' ')] END")
+
+
+from blaze_spark.operators.sampling import _threshold_hex as _thr  # noqa: E402
 
 
 def _COS(a: str, b: str) -> str:
@@ -944,6 +972,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN rep USING (doc_id)
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN ov USING (doc_id)""",
+        # thresholds below are _threshold_hex literals: floor(f·16^8) in
+        # 8-char hex; 'g' is the keep-all sentinel (sorts above all hex)
+        "sample_documents": f"""
+            SELECT doc_id FROM documents
+            WHERE substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_thr(0.25)}'""",
+        "sample_stratified_lang": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < (CASE WHEN lang = 'en' THEN '{_thr(0.1)}'
+                          WHEN lang = 'fr' THEN '{_thr(1.0)}'
+                          ELSE '{_thr(0.25)}' END)""",
         "contamination": """
             WITH tok AS (
               SELECT doc_id,

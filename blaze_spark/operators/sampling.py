@@ -1,0 +1,95 @@
+"""Deterministic sampling for training-data pipelines.
+
+A 100 TB curation run cannot use ``rand()``: retries, speculative task
+re-execution, and resumed checkpoints would each see different rows.
+These operators decide membership from a HASH of a stable row key, so a
+row's fate is a pure function of (key, salt) — identical across runs,
+partitionings, engines, and cluster sizes — and every operator is a
+map-only filter (no shuffle, no state, survives any scale-up).
+
+Mechanism: ``md5(salt ':' key)`` is uniform over hex strings; taking
+the first 8 hex chars and comparing them LEXICOGRAPHICALLY against the
+8-char hex literal for ``floor(fraction · 16^8)`` keeps an exact-rate,
+engine-portable sample (string compare of same-length lowercase hex ==
+numeric compare, with no integer-width or signedness traps between
+engines). NULL keys hash to NULL and are never sampled — callers
+sampling on a nullable key should coalesce first.
+
+The reference has no sampling surface (it is a validation engine);
+these belong to the Spark-native pipeline tier alongside dedup/curate
+(SURVEY §2.9 "beyond the reference" operators).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 8
+_SPACE = 16 ** _HEX_WIDTH
+
+
+def _threshold_hex(fraction: float) -> str:
+    """The 8-char lowercase hex literal h such that
+    P[md5_prefix < h] == floor(fraction·16^8)/16^8 (exact at the
+    resolution of the 32-bit prefix; error < 2.4e-10). fraction == 1.0
+    returns "g", which sorts lexicographically ABOVE every hex string —
+    the keep-all threshold without a 9-char literal that would break
+    same-length string comparison."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction!r}")
+    n = int(fraction * _SPACE)
+    if n >= _SPACE:
+        return "g"
+    return format(n, f"0{_HEX_WIDTH}x")
+
+
+def _hash_prefix(key: Column, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string"))),
+        1, _HEX_WIDTH)
+
+
+def sample_column(key: Column, fraction: float, salt: str = "s") -> Column:
+    """Boolean membership Column: True iff the row is in the
+    deterministic ``fraction`` sample of ``key``. NULL key → NULL
+    (filtered out by ``where``)."""
+    return _hash_prefix(key, salt) < F.lit(_threshold_hex(fraction))
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float,
+                         salt: str = "s") -> DataFrame:
+    """The deterministic ``fraction`` sample of ``df`` by ``key_col``.
+    Map-only (the filter pushes into the scan); re-running, adding
+    executors, or resuming a checkpoint yields the SAME rows."""
+    return df.where(sample_column(F.col(key_col), fraction, salt))
+
+
+def deterministic_split(df: DataFrame, key_col: str, holdout: float,
+                        salt: str = "split") -> Tuple[DataFrame, DataFrame]:
+    """(train, holdout) split: an exact partition of the non-NULL-key
+    rows — the same hash decides both sides, so the two DataFrames are
+    provably disjoint and covering at any scale (no rand(), no seed
+    drift between the two scans)."""
+    member = sample_column(F.col(key_col), holdout, salt)
+    return df.where(~member), df.where(member)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: Dict[str, float], key_col: str,
+                      default_fraction: float = 0.0,
+                      salt: str = "s") -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix primitive
+    ("keep 100% of rare languages, 5% of the head"). ``fractions`` maps
+    stratum value (as string) → fraction; strata not listed use
+    ``default_fraction``. Still map-only: the per-stratum threshold is
+    a broadcast map literal, membership stays a pure row function."""
+    thr_map = F.create_map(
+        *[x for k, v in sorted(fractions.items())
+          for x in (F.lit(k), F.lit(_threshold_hex(v)))])
+    thr = F.coalesce(
+        F.element_at(thr_map, F.col(strata_col).cast("string")),
+        F.lit(_threshold_hex(default_fraction)))
+    return df.where(_hash_prefix(F.col(key_col), salt) < thr)

@@ -1,0 +1,85 @@
+"""Deterministic sampling operators: exactness, invariance, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.sampling import (
+    _threshold_hex,
+    deterministic_sample,
+    deterministic_split,
+    stratified_sample,
+)
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp")).cache()
+
+
+def test_threshold_hex_exact():
+    assert _threshold_hex(0.0) == "00000000"
+    assert _threshold_hex(0.25) == "40000000"
+    assert _threshold_hex(0.5) == "80000000"
+    assert _threshold_hex(1.0) == "g"  # sorts above every hex string
+    with pytest.raises(ValueError):
+        _threshold_hex(1.5)
+
+
+def test_sample_rate_and_determinism(keyed):
+    s1 = deterministic_sample(keyed, "k", 0.3, salt="t")
+    n = s1.count()
+    # md5 uniformity: binomial(20000, 0.3) → ±4 sigma ≈ ±260
+    assert abs(n - 6000) < 300
+    # same rows regardless of partitioning or re-execution
+    ids1 = {r["k"] for r in s1.collect()}
+    ids2 = {r["k"] for r in
+            deterministic_sample(keyed.repartition(13), "k", 0.3,
+                                 salt="t").collect()}
+    assert ids1 == ids2
+    # a different salt draws a genuinely different sample
+    ids3 = {r["k"] for r in
+            deterministic_sample(keyed, "k", 0.3, salt="u").collect()}
+    assert ids1 != ids3
+    # nested property: a smaller fraction at the same salt is a SUBSET
+    ids_small = {r["k"] for r in
+                 deterministic_sample(keyed, "k", 0.1, salt="t").collect()}
+    assert ids_small < ids1
+
+
+def test_split_is_exact_partition(keyed):
+    train, hold = deterministic_split(keyed, "k", 0.2, salt="v")
+    t = {r["k"] for r in train.collect()}
+    h = {r["k"] for r in hold.collect()}
+    assert t.isdisjoint(h)
+    assert len(t) + len(h) == 20000
+    assert abs(len(h) - 4000) < 250
+
+
+def test_null_keys_never_sampled(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,)], "k long")
+    kept = deterministic_sample(df, "k", 1.0).collect()
+    assert sorted(r["k"] for r in kept) == [1, 3]
+    train, hold = deterministic_split(df, "k", 0.5)
+    # NULL keys land on NEITHER side (documented; coalesce first if needed)
+    assert all(r["k"] is not None for r in train.collect())
+    assert all(r["k"] is not None for r in hold.collect())
+
+
+def test_stratified_rates(keyed):
+    out = stratified_sample(keyed, "grp", {"0": 1.0, "1": 0.5, "2": 0.0},
+                            key_col="k", default_fraction=0.1, salt="w")
+    by = {r["grp"]: r["n"] for r in
+          out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert by["0"] == 5000          # keep-all stratum is exact
+    assert abs(by["1"] - 2500) < 250
+    assert "2" not in by            # fraction 0 keeps nothing
+    assert abs(by.get("3", 0) - 500) < 150  # default applies to "3"
+
+
+def test_sampling_plan_is_map_only(keyed):
+    for df in (deterministic_sample(keyed, "k", 0.3),
+               stratified_sample(keyed, "grp", {"0": 0.5}, key_col="k")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
