@@ -521,6 +521,32 @@ def q_sample_stratified_lang(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_weighted_mix(spark, sf_dir):
+    """Deterministic domain reweighting: en-docs x 1.5 (one full epoch +
+    an independent half-epoch draw), fr-docs x 0.5 — every row tagged
+    (mix_source, mix_epoch) so DuckDB can replay the exact union."""
+    from blaze_spark.operators.sampling import weighted_mix
+
+    docs = _docs(spark, sf_dir)
+    out = weighted_mix(
+        {"en": (docs.where(F.col("lang") == "en"), 1.5),
+         "fr": (docs.where(F.col("lang") == "fr"), 0.5)},
+        key_col="doc_id")
+    return out.select("doc_id", "mix_source", "mix_epoch")
+
+
+def q_pack_documents(spark, sf_dir):
+    """Deterministic sequence packing: hash-sharded (16 shards), packed
+    greedily to a 2000-char budget by windowed cumulative sum — the
+    (shard, pack_id) assignment is a pure function of the corpus, so
+    DuckDB replays it row for row."""
+    from blaze_spark.operators.sampling import pack_sequences
+
+    out = pack_sequences(_docs(spark, sf_dir), "doc_id", "n_chars",
+                         budget=2000, shard_hex_chars=1)
+    return out.select("doc_id", "shard", "pack_id")
+
+
 def q_lint_document_schemas(spark, sf_dir):
     """Distributed alterschema lint at scale: synthesize one JSON
     Schema per document row and run the FULL 103-rule linter
@@ -714,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": q_curation_report,
         "sample_documents": q_sample_documents,
         "sample_stratified_lang": q_sample_stratified_lang,
+        "weighted_mix": q_weighted_mix,
+        "pack_documents": q_pack_documents,
     }
 
 
@@ -984,6 +1012,29 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE WHEN lang = 'en' THEN '{_thr(0.1)}'
                           WHEN lang = 'fr' THEN '{_thr(1.0)}'
                           ELSE '{_thr(0.25)}' END)""",
+        "weighted_mix": f"""
+            SELECT doc_id, 'en' AS mix_source, 0 AS mix_epoch
+            FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, 'en', 1 FROM documents WHERE lang = 'en'
+              AND substr(md5('mix/en#1:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_thr(0.5)}'
+            UNION ALL
+            SELECT doc_id, 'fr', 0 FROM documents WHERE lang = 'fr'
+              AND substr(md5('mix/fr#0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_thr(0.5)}'""",
+        "pack_documents": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     md5('pack:' || CAST(doc_id AS VARCHAR)) AS hh
+              FROM documents)
+            SELECT doc_id, substr(hh, 1, 1) AS shard,
+                   CAST(floor((sum(n_chars) OVER (
+                         PARTITION BY substr(hh, 1, 1)
+                         ORDER BY substr(hh, 2, 8), doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_chars)
+                        / 2000) AS BIGINT) AS pack_id
+            FROM h""",
         "contamination": """
             WITH tok AS (
               SELECT doc_id,

@@ -77,6 +77,75 @@ def deterministic_split(df: DataFrame, key_col: str, holdout: float,
     return df.where(~member), df.where(member)
 
 
+def weighted_mix(sources: Dict[str, Tuple[DataFrame, float]],
+                 key_col: str, salt: str = "mix") -> DataFrame:
+    """Deterministic domain reweighting — the pretraining-mix primitive
+    ("code × 2.3, web × 0.5"). Each source with weight w contributes
+    ``floor(w)`` full epochs plus a ``frac(w)`` deterministic sample as
+    the final epoch; every copy is tagged (mix_source, mix_epoch) so
+    downstream shuffling can interleave. Epoch e of a source samples
+    with salt ``{salt}/{name}#{e}``, so fractional epochs of the same
+    source select DIFFERENT (independent) subsets, as repetition-aware
+    training wants.
+
+    Map-only: per-source it is a union of filters — no shuffle, no
+    rand(), resumable. Schemas must match across sources."""
+    parts = []
+    for name, (df, weight) in sorted(sources.items()):
+        if weight < 0:
+            raise ValueError(f"weight must be >= 0, got {weight!r} "
+                             f"for {name!r}")
+        full, frac = int(weight), weight - int(weight)
+        for epoch in range(full):
+            parts.append(df.select(
+                "*", F.lit(name).alias("mix_source"),
+                F.lit(epoch).alias("mix_epoch")))
+        if frac > 0:
+            parts.append(
+                deterministic_sample(df, key_col, frac,
+                                     salt=f"{salt}/{name}#{full}")
+                .select("*", F.lit(name).alias("mix_source"),
+                        F.lit(full).alias("mix_epoch")))
+    if not parts:
+        raise ValueError("weighted_mix needs at least one source")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pack_sequences(df: DataFrame, key_col: str, token_col: str,
+                   budget: int, shard_hex_chars: int = 2,
+                   salt: str = "pack") -> DataFrame:
+    """Assign each document a (shard, pack_id) so that consecutive
+    documents within a pack sum to ~``budget`` tokens — the streaming
+    form of training-sequence packing. Documents are hash-sharded
+    (16^shard_hex_chars shards), deterministically ordered within the
+    shard by their hash, and packed greedily by cumulative token count:
+    ``pack_id = floor((cumsum - tokens) / budget)``, the standard
+    next-fit approximation (a pack may overrun by < max single doc).
+
+    Scale shape: ONE shuffle on the shard key, then a PARTITIONED
+    window (never global — shard count bounds partition size at
+    corpus/16^k rows, and k is the dial). Fully deterministic and
+    SQL-expressible, so DuckDB can replay the exact assignment."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"),
+                       F.col(key_col).cast("string")))
+    shard = F.substring(h, 1, shard_hex_chars).alias("shard")
+    order = F.substring(h, shard_hex_chars + 1,
+                        _HEX_WIDTH).alias("__ord__")
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("shard")
+               .orderBy("__ord__", key_col)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum(F.col(token_col)).over(w)
+    return (df.select("*", shard, order)
+              .select("*",
+                      F.floor((cum - F.col(token_col)) / F.lit(budget))
+                       .cast("long").alias("pack_id"))
+              .drop("__ord__"))
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: Dict[str, float], key_col: str,
                       default_fraction: float = 0.0,

@@ -77,6 +77,64 @@ def test_stratified_rates(keyed):
     assert abs(by.get("3", 0) - 500) < 150  # default applies to "3"
 
 
+def test_weighted_mix_epochs_and_fractions(keyed):
+    from blaze_spark.operators.sampling import weighted_mix
+
+    a = keyed.where(F.col("grp") == "0")   # 5000 rows
+    b = keyed.where(F.col("grp") == "1")   # 5000 rows
+    out = weighted_mix({"a": (a, 2.4), "b": (b, 0.5)}, key_col="k").cache()
+    by = {(r["mix_source"], r["mix_epoch"]): r["n"] for r in
+          out.groupBy("mix_source", "mix_epoch")
+             .agg(F.count("*").alias("n")).collect()}
+    assert by[("a", 0)] == 5000 and by[("a", 1)] == 5000  # full epochs
+    assert abs(by[("a", 2)] - 2000) < 250                 # 0.4 fraction
+    assert abs(by[("b", 0)] - 2500) < 250
+    # fractional epochs are independent draws, not reruns of epoch 0's
+    # subset: compare a's epoch-2 ids against a fresh 0.4 sample at the
+    # epoch-0 salt
+    e2 = {r["k"] for r in out.where("mix_source='a' and mix_epoch=2")
+                             .collect()}
+    e0_style = {r["k"] for r in deterministic_sample(
+        a, "k", 0.4, salt="mix/a#0").collect()}
+    assert e2 != e0_style
+    # deterministic end to end
+    n1 = out.count()
+    n2 = weighted_mix({"a": (a, 2.4), "b": (b, 0.5)}, key_col="k").count()
+    assert n1 == n2
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    import collections
+
+    from blaze_spark.operators.sampling import pack_sequences
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97 + 8).cast("long").alias("toks"))
+    out = pack_sequences(df, "k", "toks", budget=500,
+                         shard_hex_chars=1).collect()
+    assert len(out) == 5000                      # every doc assigned
+    packs = collections.defaultdict(list)
+    for r in out:
+        packs[(r["shard"], r["pack_id"])].append(r["toks"])
+    max_tok = 104
+    for (shard, pid), toks in packs.items():
+        assert pid >= 0
+        # next-fit bound: a pack holds < budget + one max doc
+        assert sum(toks) < 500 + max_tok
+    # non-final packs are ~full: at least budget - max_tok tokens
+    last = {s: max(p for (s2, p) in packs if s2 == s)
+            for s in {s for (s, _) in packs}}
+    for (shard, pid), toks in packs.items():
+        if pid != last[shard]:
+            assert sum(toks) >= 500 - max_tok
+    # deterministic across repartitionings
+    again = pack_sequences(df.repartition(17), "k", "toks", budget=500,
+                           shard_hex_chars=1).collect()
+    assert {(r["k"], r["shard"], r["pack_id"]) for r in out} \
+        == {(r["k"], r["shard"], r["pack_id"]) for r in again}
+
+
 def test_sampling_plan_is_map_only(keyed):
     for df in (deterministic_sample(keyed, "k", 0.3),
                stratified_sample(keyed, "grp", {"0": 0.5}, key_col="k")):
