@@ -430,6 +430,34 @@ def q_column_stats_hll(spark, sf_dir):
                              "n_chars_distinct").alias("n_chars_hll_ok")))
 
 
+def q_column_quantiles(spark, sf_dir):
+    """Bounded-rank-error oracle for the quantile-sketch path (the
+    HLL treatment, applied to percentile_approx): visible columns are
+    EXACT interpolated quantiles (identical in both engines, rounded);
+    the booleans assert the sketch estimate lies inside the exact
+    quantile bracket at ±0.08 rank — valid because the estimate's rank
+    error ≤ 1/(n−1) + 1/accuracy < 0.08 for every group with n ≥ 14
+    values (sf0.01 source groups hold ~25). DuckDB emits the same
+    exact quantiles with TRUE literals; a sketch outside the bracket
+    flips a boolean and fails the hash."""
+    docs = _docs(spark, sf_dir)
+    est = C.column_quantiles(docs, "n_chars", ["source"])
+    qt = lambda p: F.percentile("n_chars", p)  # noqa: E731
+    exact = docs.groupBy("source").agg(
+        *[F.round(qt(p), 6).alias(n)
+          for p, n in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"))],
+        *[qt(p).alias(n)
+          for p, n in ((0.17, "lo25"), (0.33, "hi25"), (0.42, "lo50"),
+                       (0.58, "hi50"), (0.67, "lo75"), (0.83, "hi75"))])
+    ok = lambda i, lo, hi: (  # noqa: E731
+        F.element_at("q_approx", i).between(F.col(lo), F.col(hi)))
+    return (est.join(exact, "source")
+               .select("source", "n_values", "q25", "q50", "q75",
+                       ok(1, "lo25", "hi25").alias("q25_ok"),
+                       ok(2, "lo50", "hi50").alias("q50_ok"),
+                       ok(3, "lo75", "hi75").alias("q75_ok")))
+
+
 def q_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TS.token_count(F.col("text")).alias("n_tokens"))
@@ -732,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_roundtrip": q_media_roundtrip,
         "column_stats_hll": q_column_stats_hll,
+        "column_quantiles": q_column_quantiles,
         "lint_document_schemas": q_lint_document_schemas,
         "frame_document_schemas": q_frame_document_schemas,
         "codegen_typescript": q_codegen_typescript,
@@ -1434,6 +1463,17 @@ export interface Schema {
                    count(DISTINCT n_chars) AS n_chars_distinct,
                    TRUE AS lang_hll_ok,
                    TRUE AS n_chars_hll_ok
+            FROM documents GROUP BY source""",
+        # column_quantiles: quantile_cont matches Spark's percentile()
+        # interpolation (rank p·(n−1), linear); the _ok booleans carry
+        # the sketch's bounded-rank-error contract on the Spark side
+        "column_quantiles": """
+            SELECT source,
+                   count(n_chars) AS n_values,
+                   round(quantile_cont(n_chars, 0.25), 6) AS q25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS q50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS q75,
+                   TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
             FROM documents GROUP BY source""",
         # media_features: the numpy feature vector is dropped; the row set
         # (payload length + sha256-of-hex-of-payload) is byte-checkable.

@@ -46,6 +46,21 @@ def column_stats(df: DataFrame, columns: Sequence[str],
     return df.groupBy(*partition_cols).agg(*aggs)
 
 
+def column_quantiles(df: DataFrame, value_col: str,
+                     partition_cols: Sequence[str],
+                     probs: Sequence[float] = (0.25, 0.5, 0.75),
+                     accuracy: int = 10000) -> DataFrame:
+    """Per-partition approximate quantiles via ``percentile_approx``
+    (Greenwald-Khanna summaries: partial-aggregable, so the sketch
+    merges map-side like the HLL in ``column_stats`` — the 100 TB path;
+    rank error ≤ 1/accuracy). One row per group with an array of
+    estimates aligned to ``probs``."""
+    return df.groupBy(*partition_cols).agg(
+        F.count(value_col).alias("n_values"),
+        F.percentile_approx(value_col, list(probs), accuracy)
+         .alias("q_approx"))
+
+
 def column_stats_exact(df: DataFrame, column: str,
                        partition_cols: Sequence[str]) -> DataFrame:
     """Oracle-friendly exact variant (count_distinct instead of HLL) so

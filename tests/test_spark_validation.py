@@ -406,3 +406,28 @@ def test_prefilter_widened_gate_arrays_and_nested(spark):
             "a": {"type": "object", "properties": {
                 "b": {"type": "object", "properties": {}}}}}},
         "j") is None
+
+
+def test_column_quantiles_sketch_vs_exact(spark):
+    """column_quantiles (GK sketch, partial-aggregable) matches the
+    exact interpolated percentile within its rank-error bound; with
+    accuracy >> n the returned value is an actual group element at the
+    target rank."""
+    from pyspark.sql import functions as F
+
+    rows = [("a", float(v)) for v in range(1, 101)] \
+        + [("b", float(v)) for v in (10, 20, 30, 40)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["grp"]: r for r in
+           C.column_quantiles(df, "v", ["grp"],
+                              probs=(0.25, 0.5, 0.75)).collect()}
+    assert out["a"]["n_values"] == 100
+    # elements 1..100: exact discrete quantiles are 25/50/75 ± 1 element
+    for got, want in zip(out["a"]["q_approx"], (25.0, 50.0, 75.0)):
+        assert abs(got - want) <= 1.0
+    assert out["b"]["q_approx"][1] in (20.0, 30.0)  # median of 4 elements
+    # the plan stays a single partial-aggregable pass (no extra shuffle
+    # beyond the group-by exchange)
+    plan = (C.column_quantiles(df, "v", ["grp"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
