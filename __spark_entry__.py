@@ -458,6 +458,24 @@ def q_column_quantiles(spark, sf_dir):
                        ok(3, "lo75", "hi75").alias("q75_ok")))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub stage: plant a deterministic email + IPv4 per document
+    (so masking is exercised on every row, alongside whatever the raw
+    text happens to contain), redact, and emit counts + the md5 of the
+    scrubbed text — DuckDB replays the identical regex pipeline."""
+    from blaze_spark.operators.textstats import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0.0."),
+                 (F.col("doc_id") % 256).cast("string")).alias("text"))
+    out = redact_pii(docs, "doc_id", "text")
+    return out.select("doc_id", "n_email", "n_ipv4", "n_card",
+                      F.md5("redacted").alias("redacted_md5"))
+
+
 def q_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TS.token_count(F.col("text")).alias("n_tokens"))
@@ -761,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_roundtrip": q_media_roundtrip,
         "column_stats_hll": q_column_stats_hll,
         "column_quantiles": q_column_quantiles,
+        "redact_pii": q_redact_pii,
         "lint_document_schemas": q_lint_document_schemas,
         "frame_document_schemas": q_frame_document_schemas,
         "codegen_typescript": q_codegen_typescript,
@@ -1041,6 +1060,34 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE WHEN lang = 'en' THEN '{_thr(0.1)}'
                           WHEN lang = 'fr' THEN '{_thr(1.0)}'
                           ELSE '{_thr(0.25)}' END)""",
+        # redact_pii: RE2 and Java agree on these restricted patterns
+        # (classes, bounded reps, \b); replacement order email→ipv4→card
+        # mirrors PII_PATTERNS iteration
+        "redact_pii": """
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) AS text2
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text2,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text2,
+                        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+                        AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text2,
+                        '\\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\\b'))
+                        AS INT) AS n_card,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text2,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                        '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                        '<IPV4>', 'g'),
+                        '\\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\\b',
+                        '<CARD>', 'g')) AS redacted_md5
+            FROM t""",
         "weighted_mix": f"""
             SELECT doc_id, 'en' AS mix_source, 0 AS mix_epoch
             FROM documents WHERE lang = 'en'

@@ -153,3 +153,38 @@ def repetition_features(df: DataFrame, id_col: str,
         ratio(n_bigrams, F.size(F.array_distinct(bigrams)))
         .alias("dup_bigram_ratio"),
     )
+
+
+# PII patterns deliberately restricted to syntax that Java regex (Spark)
+# and RE2 (DuckDB) interpret IDENTICALLY — character classes, bounded
+# repetition, \b word boundaries; no lookarounds, no backrefs — so the
+# redaction has an exact SQL twin.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "card": r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b",
+}
+
+
+def pii_stats(col: Column) -> dict:
+    """Per-kind match-count Columns (``{kind: Column}``) — the audit
+    side of redaction. Built on regexp_count, map-only."""
+    return {kind: F.regexp_count(col, F.lit(pat))
+            for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Mask emails / IPv4s / 4x4 card numbers with ``<KIND>`` tokens and
+    count what was masked — the scrub stage of a training-data pipeline.
+    Chained regexp_replace (each replaces ALL occurrences), so the plan
+    stays one map-only whole-stage-codegen projection; counts are taken
+    BEFORE masking so overlapping kinds report what the raw text held.
+    """
+    stats = pii_stats(F.col(text_col))
+    out = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{k}") for k, c in stats.items()],
+        out.alias("redacted"))

@@ -431,3 +431,29 @@ def test_column_quantiles_sketch_vs_exact(spark):
     plan = (C.column_quantiles(df, "v", ["grp"])
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from blaze_spark.operators.textstats import redact_pii
+
+    rows = [
+        (0, "mail a.b+c@x-mail.co.uk and 192.168.0.1 ok"),
+        (1, "card 4111 1111-1111 1111 then 1234-5678-9012-3456"),
+        (2, "clean text, no pii; version 1.2 only"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           redact_pii(df, "doc_id", "text").collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_ipv4"] == 1
+    assert got[0]["redacted"] == "mail <EMAIL> and <IPV4> ok"
+    # mixed separators still match; both cards masked
+    assert got[1]["n_card"] == 2
+    assert got[1]["redacted"] == "card <CARD> then <CARD>"
+    assert got[2]["n_email"] == got[2]["n_ipv4"] == got[2]["n_card"] == 0
+    assert got[2]["redacted"] == rows[2][1]
+    assert got[3]["redacted"] is None
+    # map-only plan: no exchange, no Python
+    plan = (redact_pii(df, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
