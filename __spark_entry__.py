@@ -476,6 +476,16 @@ def q_redact_pii(spark, sf_dir):
                       F.md5("redacted").alias("redacted_md5"))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 120-char windows, 20-char overlap
+    (stride 100) — map-side sequence+posexplode fan-out, replayed in
+    DuckDB with generate_series."""
+    from blaze_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), "doc_id", "text",
+                           size=120, overlap=20)
+
+
 def q_token_count(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TS.token_count(F.col("text")).alias("n_tokens"))
@@ -780,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats_hll": q_column_stats_hll,
         "column_quantiles": q_column_quantiles,
         "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
         "lint_document_schemas": q_lint_document_schemas,
         "frame_document_schemas": q_frame_document_schemas,
         "codegen_typescript": q_codegen_typescript,
@@ -1060,6 +1071,19 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE WHEN lang = 'en' THEN '{_thr(0.1)}'
                           WHEN lang = 'fr' THEN '{_thr(1.0)}'
                           ELSE '{_thr(0.25)}' END)""",
+        # chunk_documents: size 120, overlap 20 → stride 100; start
+        # positions 1, 101, 201, ... up to greatest(len-20, 1)
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     greatest(len(text) - 20, 1) AS hi
+              FROM documents
+              WHERE text IS NOT NULL AND len(text) > 0)
+            SELECT doc_id,
+                   CAST((s - 1) // 100 AS INT) AS chunk_idx,
+                   CAST(s AS INT) AS chunk_start,
+                   substring(text, CAST(s AS INT), 120) AS chunk
+            FROM t, unnest(generate_series(1, hi, 100)) AS u(s)""",
         # redact_pii: RE2 and Java agree on these restricted patterns
         # (classes, bounded reps, \b); replacement order email→ipv4→card
         # mirrors PII_PATTERNS iteration

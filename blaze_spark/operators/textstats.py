@@ -188,3 +188,31 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         *[c.alias(f"n_{k}") for k, c in stats.items()],
         out.alias("redacted"))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    size: int, overlap: int = 0) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    ``overlap`` carried between consecutive chunks — the context-window
+    chunking stage of a training/retrieval pipeline. Emits
+    (id, chunk_idx, chunk_start, chunk) with 0-based chunk_idx and
+    1-based chunk_start (SQL substring convention).
+
+    Map-only: ``sequence`` + ``posexplode`` fan out rows executor-side
+    (no shuffle, no Python); a document yields
+    ceil(max(len - overlap, 1) / stride) chunks, the last one short.
+    NULL or empty text yields no rows (nothing to chunk)."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    n = F.char_length(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)),
+                        F.lit(stride))
+    return (df.where(F.col(text_col).isNotNull() & (n > 0))
+              .select(F.col(id_col), F.col(text_col),
+                      F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+              .select(F.col(id_col),
+                      F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                      F.col("chunk_start").cast("int").alias("chunk_start"),
+                      F.substring(F.col(text_col), F.col("chunk_start"),
+                                  F.lit(size)).alias("chunk")))

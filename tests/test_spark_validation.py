@@ -457,3 +457,26 @@ def test_redact_pii_masks_and_counts(spark):
     plan = (redact_pii(df, "doc_id", "text")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_windows(spark):
+    from blaze_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "xy"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    got = chunk_documents(df, "doc_id", "text", size=4, overlap=1).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk"]))
+    # stride 3 over 10 chars: full coverage, 1-char overlap between chunks
+    assert sorted(by[0]) == [(0, 1, "abcd"), (1, 4, "defg"), (2, 7, "ghij")]
+    # text shorter than overlap: one whole-text chunk
+    assert sorted(by[1]) == [(0, 1, "xy")]
+    assert 2 not in by and 3 not in by  # empty/NULL yield nothing
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", size=4, overlap=4)
+    plan = (chunk_documents(df, "doc_id", "text", 4, 1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
