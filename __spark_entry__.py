@@ -476,6 +476,38 @@ def q_redact_pii(spark, sf_dir):
                       F.md5("redacted").alias("redacted_md5"))
 
 
+def q_json_profile(spark, sf_dir):
+    """Distributed JSON profiling (schema inference's scan pass): one
+    synthesized JSON object per document — integer id, a key absent
+    every 7th doc, a number, an array, a boolean, a nested object, and
+    a MIXED-type key (string every 3rd doc, integer otherwise) — run
+    through the general mapInPandas profiler. The histogram is
+    deterministic by construction, so DuckDB mirrors the counts."""
+    from blaze_spark.operators.profile import (
+        json_key_profile,
+        profile_report,
+    )
+
+    docs = _docs(spark, sf_dir)
+
+    def payload(v_col):
+        return F.to_json(F.struct(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("doc_id") % 7 != 0, F.col("lang")).alias("lang"),
+            F.col("n_chars").alias("n"),
+            (F.col("n_chars") / F.lit(100.0)).alias("ratio"),
+            F.array("source", "lang").alias("tags"),
+            (F.col("doc_id") % 2 == 0).alias("flag"),
+            F.struct(F.col("source").alias("src")).alias("nested"),
+            v_col.alias("v")))
+
+    j = F.when(F.col("doc_id") % 3 == 0,
+               payload(F.concat(F.lit("s"), F.col("source")))) \
+         .otherwise(payload(F.col("doc_id")))
+    prof = json_key_profile(docs.select(j.alias("payload")), "payload")
+    return profile_report(prof)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking: 120-char windows, 20-char overlap
     (stride 100) — map-side sequence+posexplode fan-out, replayed in
@@ -791,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_quantiles": q_column_quantiles,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
+        "json_profile": q_json_profile,
         "lint_document_schemas": q_lint_document_schemas,
         "frame_document_schemas": q_frame_document_schemas,
         "codegen_typescript": q_codegen_typescript,
@@ -1071,6 +1104,27 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE WHEN lang = 'en' THEN '{_thr(0.1)}'
                           WHEN lang = 'fr' THEN '{_thr(1.0)}'
                           ELSE '{_thr(0.25)}' END)""",
+        # json_profile: the synthesized payload's type histogram is
+        # deterministic — lang is omitted every 7th doc, v is a string
+        # every 3rd doc and an integer otherwise, everything else is
+        # present in all 500 rows with a fixed type
+        "json_profile": """
+            WITH d AS (SELECT doc_id, lang FROM documents)
+            SELECT key, jtype, n FROM (
+              SELECT 'id' AS key, 'integer' AS jtype,
+                     count(*) AS n FROM d
+              UNION ALL SELECT 'lang', 'string', count(*) FROM d
+                WHERE doc_id % 7 <> 0 AND lang IS NOT NULL
+              UNION ALL SELECT 'n', 'integer', count(*) FROM d
+              UNION ALL SELECT 'ratio', 'number', count(*) FROM d
+              UNION ALL SELECT 'tags', 'array', count(*) FROM d
+              UNION ALL SELECT 'flag', 'boolean', count(*) FROM d
+              UNION ALL SELECT 'nested', 'object', count(*) FROM d
+              UNION ALL SELECT 'v', 'string', count(*) FROM d
+                WHERE doc_id % 3 = 0
+              UNION ALL SELECT 'v', 'integer', count(*) FROM d
+                WHERE doc_id % 3 <> 0
+            ) WHERE n > 0""",
         # chunk_documents: size 120, overlap 20 → stride 100; start
         # positions 1, 101, 201, ... up to greatest(len-20, 1)
         "chunk_documents": """

@@ -1,0 +1,177 @@
+"""JSON profiling and schema inference — validation's reverse gear.
+
+Before a 100 TB corpus can be validated it needs a schema; these
+operators derive one FROM the data: a distributed per-key type/bounds
+profile (the only shuffled rows are (key, jtype) partials — bounded by
+schema width × type count × batches, never by corpus size), then a
+driver-side composition of the tiny aggregate into a JSON Schema that
+``compile_schema`` accepts unchanged.
+
+The profile pass is the tier-2 Arrow pattern (mapInPandas over JSON
+text); the JSON type taxonomy matches the evaluator's: object, array,
+string, integer, number, boolean, null. A JSON number is ``integer``
+iff it parses to an int (5 → integer, 5.0 → number) — the draft-2020
+``type: integer`` rule of is_integral is applied at inference time
+instead, so 5.0-valued keys infer ``number``.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, Dict, Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PROFILE_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType(), False),
+    T.StructField("jtype", T.StringType(), False),
+    T.StructField("n", T.LongType(), False),
+    T.StructField("min_num", T.DoubleType(), True),
+    T.StructField("max_num", T.DoubleType(), True),
+    T.StructField("max_len", T.LongType(), True),
+])
+
+#: synthetic keys carrying document-level tallies through the same
+#: (key, jtype) aggregation: total docs seen / docs that failed to parse
+#: as a JSON object. Real keys can't collide ("\x00" is not valid in
+#: JSON object keys produced by json.dumps round-trips of sane data; a
+#: corpus that does use it would still only shift tallies, not crash).
+DOC_KEY = "\x00doc"
+BAD_KEY = "\x00bad"
+
+
+def _jtype(v: Any) -> str:
+    if v is None:
+        return "null"
+    if v is True or v is False:
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    return "object"
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Per-top-level-key type histogram with numeric/string bounds:
+    one row per (key, jtype) with occurrence count, numeric min/max and
+    max string length. Rows whose text is NULL, unparsable, or not a
+    JSON object are tallied under the sentinel ``BAD_KEY``; every doc
+    increments ``DOC_KEY`` (so ``infer_schema`` can compute required-
+    ness without a second scan)."""
+
+    def profile(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        stats: Dict[tuple, list] = {}
+
+        def bump(key: str, jt: str, mn=None, mx=None, ln=None):
+            s = stats.setdefault((key, jt), [0, None, None, None])
+            s[0] += 1
+            if mn is not None:
+                s[1] = mn if s[1] is None else min(s[1], mn)
+                s[2] = mx if s[2] is None else max(s[2], mx)
+            if ln is not None:
+                s[3] = ln if s[3] is None else max(s[3], ln)
+
+        for pdf in batches:
+            for text in pdf[json_col]:
+                bump(DOC_KEY, "object")
+                if text is None or (isinstance(text, float)
+                                    and math.isnan(text)):
+                    bump(BAD_KEY, "null")
+                    continue
+                try:
+                    doc = json.loads(text)
+                except (ValueError, TypeError):
+                    bump(BAD_KEY, "null")
+                    continue
+                if not isinstance(doc, dict):
+                    bump(BAD_KEY, "null")
+                    continue
+                for k, v in doc.items():
+                    jt = _jtype(v)
+                    if jt in ("integer", "number"):
+                        bump(k, jt, float(v), float(v))
+                    elif jt == "string":
+                        bump(k, jt, ln=len(v))
+                    else:
+                        bump(k, jt)
+        if stats:
+            yield pd.DataFrame(
+                [(k, jt, n, mn, mx, ln)
+                 for (k, jt), (n, mn, mx, ln) in stats.items()],
+                columns=["key", "jtype", "n", "min_num", "max_num",
+                         "max_len"])
+
+    partials = df.select(json_col).mapInPandas(profile, _PROFILE_SCHEMA)
+    return (partials.groupBy("key", "jtype")
+                    .agg(F.sum("n").alias("n"),
+                         F.min("min_num").alias("min_num"),
+                         F.max("max_num").alias("max_num"),
+                         F.max("max_len").alias("max_len")))
+
+
+def infer_schema(profile: DataFrame,
+                 required_threshold: float = 1.0,
+                 with_bounds: bool = True) -> dict:
+    """Compose the (tiny) profile aggregate into a draft-2020-12 JSON
+    Schema: per-key type union (``integer`` widens to ``number`` when
+    both occur), numeric minimum/maximum and string maxLength from the
+    observed bounds, ``required`` for keys present in at least
+    ``required_threshold`` of parsed docs. The result feeds
+    ``compile_schema`` directly; by construction every profiled
+    document validates against it."""
+    rows = profile.collect()
+    n_docs = sum(r["n"] for r in rows if r["key"] == DOC_KEY)
+    n_bad = sum(r["n"] for r in rows if r["key"] == BAD_KEY)
+    n_parsed = n_docs - n_bad
+    props: Dict[str, dict] = {}
+    counts: Dict[str, int] = {}
+    by_key: Dict[str, list] = {}
+    for r in rows:
+        if r["key"] in (DOC_KEY, BAD_KEY):
+            continue
+        by_key.setdefault(r["key"], []).append(r)
+    for key, krows in sorted(by_key.items()):
+        types = sorted({r["jtype"] for r in krows})
+        if "number" in types and "integer" in types:
+            types.remove("integer")
+        sub: Dict[str, Any] = {
+            "type": types[0] if len(types) == 1 else types}
+        if with_bounds:
+            nums = [r for r in krows if r["jtype"] in ("integer", "number")]
+            if nums and all(t in ("integer", "number") for t in types):
+                mn = min(r["min_num"] for r in nums)
+                mx = max(r["max_num"] for r in nums)
+                sub["minimum"] = int(mn) if mn == int(mn) else mn
+                sub["maximum"] = int(mx) if mx == int(mx) else mx
+            strs = [r for r in krows if r["jtype"] == "string"]
+            if strs and types == ["string"]:
+                sub["maxLength"] = max(r["max_len"] for r in strs)
+        props[key] = sub
+        counts[key] = sum(r["n"] for r in krows)
+    required = [k for k in sorted(props)
+                if n_parsed and counts[k] >= required_threshold * n_parsed]
+    schema: Dict[str, Any] = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "type": "object",
+        "properties": props,
+    }
+    if required:
+        schema["required"] = required
+    return schema
+
+
+def profile_report(profile: DataFrame) -> DataFrame:
+    """The profile as a stable, oracle-friendly relation: sentinel
+    tallies dropped, one row per (key, jtype, n)."""
+    return (profile.where(~F.col("key").isin(DOC_KEY, BAD_KEY))
+                   .select("key", "jtype", "n"))

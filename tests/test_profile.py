@@ -1,0 +1,84 @@
+"""JSON profiling + schema inference: histogram exactness and the
+round-trip property (every profiled doc validates against the
+inferred schema)."""
+
+import pytest
+
+from blaze_spark import compile_schema, evaluate
+from blaze_spark.operators.profile import (
+    infer_schema,
+    json_key_profile,
+    profile_report,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        '{"id": 1, "name": "ada", "score": 9, "tags": ["x"], "ok": true}',
+        '{"id": 2, "name": "bob", "score": 4.5, "meta": {"a": 1}}',
+        '{"id": 3, "name": "eve", "score": -2, "note": null}',
+        '{"id": "four", "name": "dan"}',      # mixed-type id
+        "not json",
+        None,
+        "[1, 2]",                             # valid JSON, not an object
+    ]
+    return spark.createDataFrame([(r,) for r in rows], "j string")
+
+
+def test_profile_histogram_and_bounds(docs):
+    prof = {(r["key"], r["jtype"]): r for r in
+            json_key_profile(docs, "j").collect()}
+    assert prof[("id", "integer")]["n"] == 3
+    assert prof[("id", "string")]["n"] == 1
+    assert prof[("score", "integer")]["min_num"] == -2.0
+    assert prof[("score", "number")]["max_num"] == 4.5
+    assert prof[("name", "string")]["max_len"] == 3
+    assert prof[("tags", "array")]["n"] == 1
+    assert prof[("meta", "object")]["n"] == 1
+    assert prof[("note", "null")]["n"] == 1
+    assert prof[("ok", "boolean")]["n"] == 1
+    # sentinels: 7 docs total, 3 not parseable as objects
+    assert prof[("\x00doc", "object")]["n"] == 7
+    assert prof[("\x00bad", "null")]["n"] == 3
+
+
+def test_infer_schema_roundtrip(docs):
+    import json as j
+
+    schema = infer_schema(json_key_profile(docs, "j"))
+    p = schema["properties"]
+    assert p["id"]["type"] == ["integer", "string"]
+    assert "minimum" not in p["id"]           # mixed types → no bounds
+    assert p["score"]["type"] == "number"     # integer widened away
+    assert p["score"]["minimum"] == -2 and p["score"]["maximum"] == 9
+    assert p["name"] == {"type": "string", "maxLength": 3}
+    # id+name occur in all 4 parsed docs; score in 3
+    assert schema["required"] == ["id", "name"]
+    # the round-trip property: every parsed doc validates
+    plan = compile_schema(schema)
+    for r in docs.collect():
+        if r["j"] is None:
+            continue
+        try:
+            doc = j.loads(r["j"])
+        except ValueError:
+            continue
+        if isinstance(doc, dict):
+            assert evaluate(plan, doc).valid, doc
+
+
+def test_profile_report_drops_sentinels(docs):
+    rows = profile_report(json_key_profile(docs, "j")).collect()
+    assert all(not r["key"].startswith("\x00") for r in rows)
+    assert {r["key"] for r in rows} == {
+        "id", "name", "score", "tags", "ok", "meta", "note"}
+
+
+def test_profile_plan_shape(docs):
+    # one MapInPandas pass, one aggregation exchange — nothing scales
+    # with corpus size except the map side
+    plan = (json_key_profile(docs, "j")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange") == 1
