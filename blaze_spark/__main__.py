@@ -239,6 +239,28 @@ def cmd_test(args) -> int:
     return exit_code
 
 
+def cmd_infer(args) -> int:
+    """Infer a JSON Schema from a JSONL file (one JSON document per
+    line) or a JSON array file — the driver-side form of
+    operators/profile.py's distributed profiler."""
+    from blaze_spark.operators.profile import infer_schema_local
+
+    if args.documents == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.documents, "r", encoding="utf-8") as fh:
+            text = fh.read()
+    stripped = text.lstrip()
+    if stripped.startswith("["):
+        texts = [json.dumps(doc) for doc in json.loads(text)]
+    else:
+        texts = [line for line in text.splitlines() if line.strip()]
+    _emit(infer_schema_local(
+        texts, required_threshold=args.required_threshold,
+        with_bounds=not args.no_bounds))
+    return 0
+
+
 def cmd_fetch(args) -> int:
     from blaze_spark.plans.configuration import Configuration, Lock
     config_path = os.path.abspath(args.configuration)
@@ -365,6 +387,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = common(sub.add_parser("test", help="run test-suite documents"))
     p.add_argument("suites", nargs="+")
     p.set_defaults(func=cmd_test)
+
+    p = sub.add_parser("infer",
+                       help="infer a schema from JSONL or a JSON array")
+    p.add_argument("documents", help="JSONL / JSON-array file, or -")
+    p.add_argument("--required-threshold", type=float, default=1.0,
+                   help="presence fraction for required (default 1.0)")
+    p.add_argument("--no-bounds", action="store_true",
+                   help="omit minimum/maximum/maxLength")
+    p.set_defaults(func=cmd_infer)
 
     p = common(sub.add_parser("fetch",
                               help="fetch configuration dependencies"))

@@ -59,6 +59,43 @@ def _jtype(v: Any) -> str:
     return "object"
 
 
+def _profile_texts(texts, stats: Dict[tuple, list]) -> None:
+    """Accumulate the (key, jtype) → [n, min, max, maxlen] histogram
+    over an iterable of JSON texts — the shared inner loop of the
+    distributed pass and the driver-side CLI."""
+
+    def bump(key: str, jt: str, mn=None, mx=None, ln=None):
+        s = stats.setdefault((key, jt), [0, None, None, None])
+        s[0] += 1
+        if mn is not None:
+            s[1] = mn if s[1] is None else min(s[1], mn)
+            s[2] = mx if s[2] is None else max(s[2], mx)
+        if ln is not None:
+            s[3] = ln if s[3] is None else max(s[3], ln)
+
+    for text in texts:
+        bump(DOC_KEY, "object")
+        if text is None or (isinstance(text, float) and math.isnan(text)):
+            bump(BAD_KEY, "null")
+            continue
+        try:
+            doc = json.loads(text)
+        except (ValueError, TypeError):
+            bump(BAD_KEY, "null")
+            continue
+        if not isinstance(doc, dict):
+            bump(BAD_KEY, "null")
+            continue
+        for k, v in doc.items():
+            jt = _jtype(v)
+            if jt in ("integer", "number"):
+                bump(k, jt, float(v), float(v))
+            elif jt == "string":
+                bump(k, jt, ln=len(v))
+            else:
+                bump(k, jt)
+
+
 def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
     """Per-top-level-key type histogram with numeric/string bounds:
     one row per (key, jtype) with occurrence count, numeric min/max and
@@ -71,39 +108,8 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
         import pandas as pd
 
         stats: Dict[tuple, list] = {}
-
-        def bump(key: str, jt: str, mn=None, mx=None, ln=None):
-            s = stats.setdefault((key, jt), [0, None, None, None])
-            s[0] += 1
-            if mn is not None:
-                s[1] = mn if s[1] is None else min(s[1], mn)
-                s[2] = mx if s[2] is None else max(s[2], mx)
-            if ln is not None:
-                s[3] = ln if s[3] is None else max(s[3], ln)
-
         for pdf in batches:
-            for text in pdf[json_col]:
-                bump(DOC_KEY, "object")
-                if text is None or (isinstance(text, float)
-                                    and math.isnan(text)):
-                    bump(BAD_KEY, "null")
-                    continue
-                try:
-                    doc = json.loads(text)
-                except (ValueError, TypeError):
-                    bump(BAD_KEY, "null")
-                    continue
-                if not isinstance(doc, dict):
-                    bump(BAD_KEY, "null")
-                    continue
-                for k, v in doc.items():
-                    jt = _jtype(v)
-                    if jt in ("integer", "number"):
-                        bump(k, jt, float(v), float(v))
-                    elif jt == "string":
-                        bump(k, jt, ln=len(v))
-                    else:
-                        bump(k, jt)
+            _profile_texts(pdf[json_col], stats)
         if stats:
             yield pd.DataFrame(
                 [(k, jt, n, mn, mx, ln)
@@ -129,7 +135,23 @@ def infer_schema(profile: DataFrame,
     ``required_threshold`` of parsed docs. The result feeds
     ``compile_schema`` directly; by construction every profiled
     document validates against it."""
-    rows = profile.collect()
+    return _compose(profile.collect(), required_threshold, with_bounds)
+
+
+def infer_schema_local(texts, required_threshold: float = 1.0,
+                       with_bounds: bool = True) -> dict:
+    """Driver-side inference over an iterable of JSON texts — the CLI
+    form; same histogram loop and composition as the distributed
+    path."""
+    stats: Dict[tuple, list] = {}
+    _profile_texts(texts, stats)
+    rows = [{"key": k, "jtype": jt, "n": n, "min_num": mn,
+             "max_num": mx, "max_len": ln}
+            for (k, jt), (n, mn, mx, ln) in stats.items()]
+    return _compose(rows, required_threshold, with_bounds)
+
+
+def _compose(rows, required_threshold: float, with_bounds: bool) -> dict:
     n_docs = sum(r["n"] for r in rows if r["key"] == DOC_KEY)
     n_bad = sum(r["n"] for r in rows if r["key"] == BAD_KEY)
     n_parsed = n_docs - n_bad

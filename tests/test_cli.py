@@ -161,3 +161,24 @@ def test_fetch_frozen_detects_drift(workspace):
                          str(workspace / "jsonschema.json"),
                          "--registry", str(workspace / "registry")])
     assert code == 0 and "Mismatched" in out
+
+
+def test_infer_schema_from_jsonl(tmp_path):
+    docs = tmp_path / "docs.jsonl"
+    docs.write_text('{"a": 1, "b": "x"}\n{"a": 2.5}\n{"a": 3, "b": "yy"}\n')
+    code, out, _ = _run(["infer", str(docs)])
+    assert code == 0
+    schema = json.loads(out)
+    assert schema["properties"]["a"] == {
+        "type": "number", "minimum": 1, "maximum": 3}
+    assert schema["properties"]["b"]["maxLength"] == 2
+    assert schema["required"] == ["a"]
+    # JSON-array input + threshold loosening marks b required too
+    arr = tmp_path / "docs.json"
+    arr.write_text('[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}, {"a": 3}]')
+    code, out, _ = _run(["infer", str(arr), "--required-threshold", "0.6",
+                         "--no-bounds"])
+    assert code == 0
+    schema = json.loads(out)
+    assert schema["required"] == ["a", "b"]
+    assert "minimum" not in schema["properties"]["a"]
