@@ -508,6 +508,33 @@ def q_json_profile(spark, sf_dir):
     return profile_report(prof)
 
 
+def q_json_profile_drift(spark, sf_dir):
+    """Schema-level drift between two corpus generations: v2 renames a
+    key, adds one, and makes id mixed-type — the per-key status
+    classification is deterministic by construction, so the oracle is
+    the literal expected relation."""
+    from blaze_spark.operators.profile import (
+        json_key_profile,
+        profile_drift,
+    )
+
+    docs = _docs(spark, sf_dir)
+    v1 = F.to_json(F.struct(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("n"),
+        F.col("source").alias("tag")))
+    v2_int = F.to_json(F.struct(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("n"),
+        (F.col("doc_id") % 2 == 0).alias("extra")))
+    v2_str = F.to_json(F.struct(
+        F.concat(F.lit("s"), F.col("source")).alias("id"),
+        F.col("n_chars").alias("n"),
+        (F.col("doc_id") % 2 == 0).alias("extra")))
+    v2 = F.when(F.col("doc_id") % 3 == 0, v2_str).otherwise(v2_int)
+    return profile_drift(
+        json_key_profile(docs.select(v1.alias("j")), "j"),
+        json_key_profile(docs.select(v2.alias("j")), "j"))
+
+
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking: 120-char windows, 20-char overlap
     (stride 100) — map-side sequence+posexplode fan-out, replayed in
@@ -824,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
         "json_profile": q_json_profile,
+        "json_profile_drift": q_json_profile_drift,
         "lint_document_schemas": q_lint_document_schemas,
         "frame_document_schemas": q_frame_document_schemas,
         "codegen_typescript": q_codegen_typescript,
@@ -1125,6 +1153,15 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'v', 'integer', count(*) FROM d
                 WHERE doc_id % 3 <> 0
             ) WHERE n > 0""",
+        # json_profile_drift: fully determined by the synthesized
+        # generations (id mixed every 3rd doc in v2, tag→extra swap)
+        "json_profile_drift": """
+            SELECT * FROM (VALUES
+              ('extra', 'added', '', 'boolean'),
+              ('id', 'type_changed', 'integer', 'integer,string'),
+              ('n', 'unchanged', 'integer', 'integer'),
+              ('tag', 'removed', 'string', '')
+            ) AS t(key, status, types_base, types_current)""",
         # chunk_documents: size 120, overlap 20 → stride 100; start
         # positions 1, 101, 201, ... up to greatest(len-20, 1)
         "chunk_documents": """

@@ -192,6 +192,32 @@ def _compose(rows, required_threshold: float, with_bounds: bool) -> dict:
     return schema
 
 
+def profile_drift(base: DataFrame, current: DataFrame) -> DataFrame:
+    """Schema-level drift between two corpus profiles: per key, whether
+    it was added, removed, type_changed (observed JSON-type set
+    differs), or unchanged. The inputs are ``json_key_profile``
+    outputs — already tiny (schema width × types) — so the full-outer
+    join costs nothing; type sets are compared as sorted
+    comma-joined strings for engine-portable equality."""
+    def types_of(p: DataFrame, name: str) -> DataFrame:
+        return (profile_report(p).groupBy("key")
+                .agg(F.array_join(F.sort_array(F.collect_set("jtype")),
+                                  ",").alias(name)))
+
+    a = types_of(base, "types_base")
+    b = types_of(current, "types_current")
+    j = a.join(b, "key", "full_outer")
+    status = (F.when(F.col("types_base").isNull(), "added")
+               .when(F.col("types_current").isNull(), "removed")
+               .when(F.col("types_base") != F.col("types_current"),
+                     "type_changed")
+               .otherwise("unchanged"))
+    return j.select("key", status.alias("status"),
+                    F.coalesce("types_base", F.lit("")).alias("types_base"),
+                    F.coalesce("types_current", F.lit(""))
+                     .alias("types_current"))
+
+
 def profile_report(profile: DataFrame) -> DataFrame:
     """The profile as a stable, oracle-friendly relation: sentinel
     tallies dropped, one row per (key, jtype, n)."""

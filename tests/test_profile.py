@@ -82,3 +82,21 @@ def test_profile_plan_shape(docs):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_profile_drift_statuses(spark):
+    from blaze_spark.operators.profile import profile_drift
+
+    v1 = spark.createDataFrame(
+        [('{"id": 1, "n": 5, "tag": "a"}',),
+         ('{"id": 2, "n": 6, "tag": "b"}',)], "j string")
+    v2 = spark.createDataFrame(
+        [('{"id": 1, "n": 7, "extra": true}',),
+         ('{"id": "x", "n": 8, "extra": false}',)], "j string")
+    got = {r["key"]: (r["status"], r["types_base"], r["types_current"])
+           for r in profile_drift(json_key_profile(v1, "j"),
+                                  json_key_profile(v2, "j")).collect()}
+    assert got["id"] == ("type_changed", "integer", "integer,string")
+    assert got["n"] == ("unchanged", "integer", "integer")
+    assert got["tag"] == ("removed", "string", "")
+    assert got["extra"] == ("added", "", "boolean")
