@@ -135,6 +135,31 @@ def test_pack_sequences_budget_and_determinism(spark):
         == {(r["k"], r["shard"], r["pack_id"]) for r in again}
 
 
+def test_deterministic_sample_on_stream(spark, tmp_path):
+    """Ingest-time downsampling: the sampling operators are stateless
+    row filters, so they run unchanged on a readStream source — and
+    pick EXACTLY the rows the batch form picks (determinism survives
+    the micro-batch boundary)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "s_in")
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    df.coalesce(2).write.parquet(src)
+    batch_ids = {r["k"] for r in
+                 deterministic_sample(spark.read.parquet(src), "k", 0.3,
+                                      salt="st").collect()}
+    stream = (spark.readStream.schema("k long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = deterministic_sample(stream, "k", 0.3, salt="st")
+    q = (out.writeStream.format("memory").queryName("sample_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_ids = {r["k"] for r in
+                  spark.sql("select * from sample_out").collect()}
+    assert stream_ids == batch_ids
+    assert 450 < len(stream_ids) < 750
+
+
 def test_sampling_plan_is_map_only(keyed):
     for df in (deterministic_sample(keyed, "k", 0.3),
                stratified_sample(keyed, "grp", {"0": 0.5}, key_col="k")):
