@@ -211,6 +211,13 @@ def q_dedup_minhash_candidates(spark, sf_dir):
                                  k=4, band=2)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # LSH candidate pairs -> connected components (large-star/small-star)
+    # -> duplicate groups labeled by their min doc_id
+    return DD.near_dup_clusters(_docs(spark, sf_dir), "doc_id", "text",
+                                k=4, band=2)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # max_token_docs=0.5 keeps the oracle's document-frequency cut; the
     # library default is 0.01 (the 100 TB guard)
@@ -828,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1377,6 +1385,39 @@ export interface Schema {
             FROM kept a JOIN kept b
               ON a.band = b.band AND a.bucket_key = b.bucket_key
             WHERE a.doc_id < b.doc_id""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS tok
+              FROM documents),
+            fan AS (SELECT doc_id, tok, k
+                    FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)),
+            sig AS (SELECT doc_id, k, min(md5(k::VARCHAR || ':' || tok)) AS mh
+                    FROM fan GROUP BY 1, 2),
+            banded AS (
+              SELECT doc_id, CAST(floor(k / 2) AS INT) AS band,
+                     string_agg(lpad(k::VARCHAR, 2, '0') || '=' || mh, '|'
+                                ORDER BY lpad(k::VARCHAR, 2, '0') || '=' || mh)
+                         AS bucket_key
+              FROM sig GROUP BY 1, 2),
+            kept AS (
+              SELECT * FROM banded
+              QUALIFY count(*) OVER (PARTITION BY band, bucket_key) <= 100),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.bucket_key = b.bucket_key
+              WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                      UNION SELECT id_b AS u, id_a AS v FROM cand),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, x) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.x),
+            comp AS (SELECT id, min(x) AS component FROM reach GROUP BY 1)
+            SELECT id AS doc_id, component,
+                   count(*) OVER (PARTITION BY component) AS cluster_size
+            FROM comp""",
         "ngram_jaccard": f"""
             WITH tok AS (
               SELECT doc_id AS id, unnest(list_distinct({_TOKENS})) AS tok

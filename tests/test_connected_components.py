@@ -1,0 +1,105 @@
+"""Connected components (large-star/small-star) + near-dup clusters.
+
+The operator is the cluster step of the dedup pipeline: LSH candidate
+PAIRS become duplicate GROUPS. Correctness is checked against a
+driver-side union-find (test-only oracle); the long-chain case pins the
+O(log n)-round property that motivates the algorithm over naive label
+propagation (whose round count is the diameter)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.dedup import (connected_components,
+                                         near_dup_clusters)
+
+
+def _cc(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    out = connected_components(df, **kw)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then label by min member per root
+    roots = {x: find(x) for x in parent}
+    best = {}
+    for x, r in roots.items():
+        best[r] = min(best.get(r, x), x)
+    return {x: best[r] for x, r in roots.items()}
+
+
+def test_cc_two_components_and_cycle(spark):
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "a"),  # triangle
+                      ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_chain_converges_logarithmically(spark):
+    # a 64-node path is the worst case for diameter-bound propagation;
+    # large-star/small-star must finish well inside max_iter
+    n = 64
+    ids = [f"n{i:03d}" for i in range(n)]
+    pairs = list(zip(ids, ids[1:]))
+    random.Random(7).shuffle(pairs)
+    got = _cc(spark, pairs, max_iter=12)
+    assert got == {i: "n000" for i in ids}
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    rng = random.Random(42)
+    ids = [f"d{i:02d}" for i in range(40)]
+    pairs = [(rng.choice(ids), rng.choice(ids)) for _ in range(45)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = _cc(spark, pairs)
+    assert got == _union_find(pairs)
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a string, id_b string")
+    out = connected_components(df)
+    assert out.columns == ["id", "component"]
+    assert out.count() == 0
+
+
+def test_cc_unconverged_raises(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "d")],
+                               "id_a string, id_b string")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_near_dup_clusters_end_to_end(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows = [
+        ("doc1", base),
+        ("doc2", base + " extra"),           # near-dup of doc1
+        ("doc3", base + " extra words"),     # near-dup of doc2 (chains)
+        ("doc4", "completely different text about spark dataframe "
+                 "shuffle partitioning and adaptive query execution "
+                 "with broadcast joins everywhere in the plan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = near_dup_clusters(df, "doc_id", "text", k=8, band=2)
+    got = {r["doc_id"]: (r["component"], r["cluster_size"])
+           for r in out.collect()}
+    # doc1/2/3 chain into one cluster labeled by the min id; doc4 has
+    # no candidate pair so it is absent from the cluster report
+    assert set(got) == {"doc1", "doc2", "doc3"}
+    assert {c for c, _ in got.values()} == {"doc1"}
+    assert {s for _, s in got.values()} == {3}
