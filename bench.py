@@ -173,6 +173,9 @@ def run_benchmarks(only=None):
     # 9. pipeline ops at documents scale
     bench("dedup_minhash", lambda: E.q_dedup_minhash_candidates(
         spark, SF_DIR).count())
+    # candidate pairs -> duplicate groups (large-star/small-star CC)
+    bench("dedup_clusters", lambda: E.q_dedup_clusters(
+        spark, SF_DIR).count())
     bench("ann_cosine_topk", lambda: E.q_ann_cosine_topk(spark, SF_DIR).count())
     # the 100-TB scale paths: IVF-probed ANN + bucket-local embedding dedup
     bench("ann_ivf_topk", lambda: E.q_ann_ivf_topk(spark, SF_DIR).count())
