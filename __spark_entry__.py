@@ -218,6 +218,15 @@ def q_dedup_clusters(spark, sf_dir):
                                 k=4, band=2)
 
 
+def q_duplicate_spans(spark, sf_dir):
+    # passage-level dedup: per-doc profile of maximal duplicated token
+    # spans (8-token windows occurring >= 2 times anywhere)
+    prof = DD.duplicate_span_profile(_docs(spark, sf_dir), "doc_id", "text",
+                                     window=8, min_count=2)
+    return prof.select(F.col("id").alias("doc_id"), "n_spans",
+                       "dup_tokens", "n_tokens", "dup_fraction")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # max_token_docs=0.5 keeps the oracle's document-frequency cut; the
     # library default is 0.01 (the 100 TB guard)
@@ -836,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_clusters": q_dedup_clusters,
+        "duplicate_spans": q_duplicate_spans,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1418,6 +1428,39 @@ export interface Schema {
             SELECT id AS doc_id, component,
                    count(*) OVER (PARTITION BY component) AS cluster_size
             FROM comp""",
+        "duplicate_spans": f"""
+            WITH t AS (
+              SELECT doc_id AS id, {_TOKENS} AS toks FROM documents),
+            tt AS (SELECT id, toks, len(toks) AS n FROM t
+                   WHERE len(toks) >= 8),
+            w AS (
+              SELECT id, n, CAST(s AS INT) AS pos,
+                     md5(array_to_string(
+                         toks[CAST(s AS INT):CAST(s AS INT) + 7], ' ')) AS h
+              FROM tt, unnest(generate_series(1, n - 7)) AS u(s)),
+            d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+            f AS (SELECT w.id, w.n, w.pos FROM w JOIN d USING (h)),
+            m AS (SELECT id, n, pos,
+                    max(pos + 7) OVER (PARTITION BY id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+                  FROM f),
+            s AS (SELECT id, n, pos,
+                    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                        THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY id ORDER BY pos) AS span_id
+                  FROM m),
+            sp AS (SELECT id, n, span_id, min(pos) AS span_start,
+                          max(pos) + 7 AS span_end
+                   FROM s GROUP BY 1, 2, 3)
+            SELECT id AS doc_id,
+                   count(*) AS n_spans,
+                   CAST(sum(span_end - span_start + 1) AS BIGINT)
+                       AS dup_tokens,
+                   CAST(any_value(n) AS INT) AS n_tokens,
+                   round(CAST(sum(span_end - span_start + 1) AS BIGINT)
+                         / any_value(n), 6) AS dup_fraction
+            FROM sp GROUP BY 1""",
         "ngram_jaccard": f"""
             WITH tok AS (
               SELECT doc_id AS id, unnest(list_distinct({_TOKENS})) AS tok

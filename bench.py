@@ -176,6 +176,9 @@ def run_benchmarks(only=None):
     # candidate pairs -> duplicate groups (large-star/small-star CC)
     bench("dedup_clusters", lambda: E.q_dedup_clusters(
         spark, SF_DIR).count())
+    # passage-level dedup: repeated 8-token windows -> merged spans
+    bench("duplicate_spans", lambda: E.q_duplicate_spans(
+        spark, SF_DIR).count())
     bench("ann_cosine_topk", lambda: E.q_ann_cosine_topk(spark, SF_DIR).count())
     # the 100-TB scale paths: IVF-probed ANN + bucket-local embedding dedup
     bench("ann_ivf_topk", lambda: E.q_ann_ivf_topk(spark, SF_DIR).count())

@@ -366,6 +366,100 @@ def ngram_contamination(train: DataFrame, test: DataFrame,
                 .withColumn("contaminated", F.col("ratio") >= threshold))
 
 
+def _span_windows(df: DataFrame, id_col: str, text_col: str,
+                  window: int) -> DataFrame:
+    """(id, n_tokens, pos, h): every stride-1 window of ``window``
+    consecutive tokens, hashed portably (md5 of the space-joined
+    window). ``pos`` is the 1-based token position of the window start.
+    Documents with fewer than ``window`` tokens emit no rows (whole-doc
+    dedup covers them). Fan-out is map-side only: |rows| == |tokens|,
+    the same order as the MinHash shingle stage."""
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
+    idx = F.when(F.size("toks") >= window,
+                 F.sequence(F.lit(1), F.size("toks") - (window - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    hs = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, window),
+                                          " ")))
+    return (toks.select("id", F.size("toks").alias("n_tokens"),
+                        F.posexplode(hs).alias("pos0", "h"))
+                .select("id", "n_tokens",
+                        (F.col("pos0") + 1).alias("pos"), "h"))
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    window: int = 8, min_count: int = 2) -> DataFrame:
+    """Passage-level (sub-document) duplicate detection: maximal token
+    spans covered by ``window``-token windows that occur at least
+    ``min_count`` times anywhere in the corpus (across documents OR
+    repeated within one document). This is the distributed
+    approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL
+    2022): a duplicated passage of L >= window tokens is covered by
+    L - window + 1 duplicated windows, which merge back into one span.
+
+    Scale shape (the 100 TB path): window rows are |tokens| small
+    tuples. The repeated-window set is a map-side-combined groupBy
+    (a boilerplate window in a billion docs partially aggregates to
+    one row per partition before the shuffle), and flagging positions
+    is an equi-join AGAINST THAT AGGREGATED SET — fan-out exactly 1
+    per window row, so hot windows cannot blow up the join (AQE splits
+    the skewed probe side). A count-over-window rewrite (the r3
+    pattern) is deliberately NOT used here: window-hash frequencies
+    are unbounded, and a partition-by-hash window would buffer a
+    billion-row hot partition in one task. The final span merge is a
+    classic gaps-and-islands over (id, pos) — bounded by tokens per
+    document. The windows subtree is computed twice (count + flag);
+    both passes are map-only regeneration, the right trade at scale
+    versus materializing an O(corpus-tokens) intermediate.
+
+    Returns (id, span_start, span_end, n_windows) — token positions,
+    1-based inclusive; overlapping/adjacent duplicated windows merge.
+    """
+    from pyspark.sql import Window
+
+    w = _span_windows(df, id_col, text_col, window)
+    dup_hashes = (w.groupBy("h")
+                   .agg(F.count(F.lit(1)).alias("c"))
+                   .where(F.col("c") >= min_count)
+                   .select("h"))
+    flagged = w.join(dup_hashes, "h").select("id", "n_tokens", "pos")
+    order = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (window - 1)).over(
+        order.rowsBetween(Window.unboundedPreceding, -1))
+    marked = flagged.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1),
+               F.lit(1)).otherwise(F.lit(0)))
+    spans = marked.withColumn("span_id", F.sum("new_span").over(order))
+    return (spans.groupBy("id", "span_id")
+                 .agg(F.min("pos").alias("span_start"),
+                      (F.max("pos") + (window - 1)).alias("span_end"),
+                      F.count(F.lit(1)).alias("n_windows"),
+                      F.first("n_tokens").alias("n_tokens")))
+
+
+def duplicate_span_profile(df: DataFrame, id_col: str, text_col: str,
+                           window: int = 8,
+                           min_count: int = 2) -> DataFrame:
+    """Per-document summary of :func:`duplicate_spans` — the curation
+    signal form: (id, n_spans, dup_tokens, n_tokens, dup_fraction) for
+    every document containing at least one duplicated passage.
+    ``dup_fraction`` is the fraction of the document's tokens covered
+    by duplicated spans (the "remove or down-weight" knob)."""
+    spans = duplicate_spans(df, id_col, text_col, window=window,
+                            min_count=min_count)
+    return (spans.groupBy("id")
+                 .agg(F.count(F.lit(1)).alias("n_spans"),
+                      F.sum(F.col("span_end") - F.col("span_start") + 1)
+                       .alias("dup_tokens"),
+                      F.first("n_tokens").alias("n_tokens"))
+                 .withColumn("dup_fraction",
+                             F.round(F.col("dup_tokens") /
+                                     F.col("n_tokens"), 6)))
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: every node connects its strictly-larger
     neighbors to the minimum of its closed neighborhood. Implemented as

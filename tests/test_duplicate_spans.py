@@ -1,0 +1,118 @@
+"""Passage-level duplicate-span detection (dedup.duplicate_spans /
+duplicate_span_profile) — the distributed stand-in for suffix-array
+substring dedup. Value parity against DuckDB lives in the driver oracle
+(`duplicate_spans`); these tests pin the span semantics on planted
+passages plus the scale-relevant plan shape.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from blaze_spark.operators import dedup as DD
+
+# an 8-token passage shared verbatim by docs 1 and 2
+_SHARED = "the quick brown fox jumps over the lazy"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_doc_shared_passage_detected(spark):
+    rows = [
+        (1, f"alpha beta {_SHARED} gamma delta"),
+        (2, f"one two three {_SHARED} four"),
+        (3, "completely different words with nothing repeated here at all"),
+    ]
+    spans = DD.duplicate_spans(_df(spark, rows), "doc_id", "text",
+                               window=8).collect()
+    by_id = {r["id"]: r for r in spans}
+    assert set(by_id) == {1, 2}
+    # doc 1: passage tokens occupy positions 3..10 (1-based)
+    assert (by_id[1]["span_start"], by_id[1]["span_end"]) == (3, 10)
+    assert by_id[1]["n_windows"] == 1
+    # doc 2: passage at positions 4..11
+    assert (by_id[2]["span_start"], by_id[2]["span_end"]) == (4, 11)
+
+
+def test_longer_passage_merges_into_one_span(spark):
+    # a 12-token shared passage = 5 overlapping 8-windows -> ONE span
+    passage = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    rows = [
+        (1, f"x y {passage} z"),
+        (2, f"{passage} tail tokens here"),
+    ]
+    spans = DD.duplicate_spans(_df(spark, rows), "doc_id", "text",
+                               window=8).collect()
+    by_id = {r["id"]: r for r in spans}
+    assert by_id[1]["n_windows"] == 5
+    assert (by_id[1]["span_start"], by_id[1]["span_end"]) == (3, 14)
+    assert (by_id[2]["span_start"], by_id[2]["span_end"]) == (1, 12)
+
+
+def test_two_separated_passages_stay_two_spans(spark):
+    p1 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    p2 = "c1 c2 c3 c4 c5 c6 c7 c8"
+    rows = [
+        (1, f"{p1} u1 u2 u3 u4 u5 u6 u7 u8 u9 {p2}"),
+        (2, f"{p1} other stuff entirely"),
+        (3, f"unrelated prefix words {p2}"),
+    ]
+    spans = DD.duplicate_spans(_df(spark, rows), "doc_id", "text",
+                               window=8)
+    doc1 = spans.where(F.col("id") == 1).orderBy("span_start").collect()
+    assert len(doc1) == 2
+    assert (doc1[0]["span_start"], doc1[0]["span_end"]) == (1, 8)
+    assert (doc1[1]["span_start"], doc1[1]["span_end"]) == (18, 25)
+
+
+def test_within_doc_repetition_counts(spark):
+    # the same 8-gram twice in ONE document is a duplicated passage
+    p = "d1 d2 d3 d4 d5 d6 d7 d8"
+    rows = [(1, f"{p} mid1 mid2 mid3 {p}"),
+            (2, "nothing shared with anything else at all here ok")]
+    spans = DD.duplicate_spans(_df(spark, rows), "doc_id", "text",
+                               window=8)
+    got = spans.orderBy("span_start").collect()
+    assert [r["id"] for r in got] == [1, 1]
+    assert (got[0]["span_start"], got[0]["span_end"]) == (1, 8)
+    assert (got[1]["span_start"], got[1]["span_end"]) == (12, 19)
+
+
+def test_short_docs_emit_nothing(spark):
+    rows = [(1, "only seven tokens in this tiny doc"),
+            (2, "only seven tokens in this tiny doc")]
+    assert DD.duplicate_spans(_df(spark, rows), "doc_id", "text",
+                              window=8).count() == 0
+
+
+def test_profile_fraction(spark):
+    rows = [
+        (1, f"{_SHARED} t1 t2 t3 t4 t5 t6 t7 t8"),  # 8 of 16 tokens dup
+        (2, f"{_SHARED} u1 u2"),
+    ]
+    prof = DD.duplicate_span_profile(_df(spark, rows), "doc_id", "text",
+                                     window=8).collect()
+    by_id = {r["id"]: r for r in prof}
+    assert by_id[1]["n_spans"] == 1
+    assert by_id[1]["dup_tokens"] == 8
+    assert by_id[1]["n_tokens"] == 16
+    assert abs(by_id[1]["dup_fraction"] - 0.5) < 1e-9
+    assert by_id[2]["dup_fraction"] == 0.8
+
+
+def test_flag_join_is_against_aggregated_set(spark):
+    """Scale shape: the hot-window flag must be an equi-join against the
+    AGGREGATED repeated-hash set (fan-out 1 per window row) — never a
+    count-over-window partitioned by the unbounded-frequency hash."""
+    rows = [(i, f"w{i} x{i} {_SHARED} y{i}") for i in range(6)]
+    spans = DD.duplicate_spans(_df(spark, rows), "doc_id", "text", window=8)
+    txt = spans._jdf.queryExecution().optimizedPlan().toString()
+    # the only window functions are the per-document gaps-and-islands,
+    # partitioned by id — none partitioned by the window hash
+    for spec in re.findall(r"windowspecdefinition\(([^,)]*)", txt):
+        assert "h#" not in spec, txt
+    assert txt.lower().count("aggregate") >= 2  # hash count + span agg
