@@ -528,11 +528,29 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     """
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
               .where(F.col("u") != F.col("v")))
-    nodes = (e.select(F.explode(F.array("u", "v")).alias("id"))
-              .distinct())
     e = e.select(F.greatest("u", "v").alias("u"),
                  F.least("u", "v").alias("v")).distinct()
     e = e.localCheckpoint(eager=True)
+    # node set from the CHECKPOINTED edges — deriving it from the input
+    # plan would recompute the whole upstream subtree (e.g. the MinHash
+    # pipeline) at the final join below
+    nodes = (e.select(F.explode(F.array("u", "v")).alias("id"))
+              .distinct())
+    # Size the per-round parallelism to the EDGE VOLUME, not the session
+    # default: near-dup edge sets are typically orders of magnitude
+    # smaller than the corpus (sf0.1: 600 edges from 600k docs), and
+    # every CC round pays per-task scheduling on every edge partition.
+    # ~100k edges/partition keeps tiny edge sets on a handful of tasks
+    # (sf0.1: 10 rounds of 32-task stages -> 1-task stages) while a
+    # billion-edge boilerplate graph still fans out to full cluster
+    # width. Probing getNumPartitions() is safe here: the Dataset is
+    # checkpoint-backed (a materialized RDD), so the AQE eager-
+    # materialization gotcha does not apply.
+    n_edges = e.count()
+    sc = edges.sparkSession.sparkContext
+    target = max(1, min(sc.defaultParallelism, 1 + n_edges // 100_000))
+    if e.rdd.getNumPartitions() > target:
+        e = e.repartition(target).localCheckpoint(eager=True)
     prev, prev_sig = e, None
     for _ in range(max_iter):
         e = _small_star(_large_star(prev)).localCheckpoint(eager=True)
