@@ -239,6 +239,13 @@ def q_simhash(spark, sf_dir):
     return DD.simhash64(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_simhash_pairs(spark, sf_dir):
+    # banded Hamming-space near-dup pairs (4x16-bit pigeonhole banding,
+    # exact XOR-popcount verification)
+    return DD.simhash_candidates(_docs(spark, sf_dir), "doc_id", "text",
+                                 max_hamming=3)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     items = emb.select("vec_id",
@@ -848,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "quality_features": q_quality_features,
         "quality_score": q_quality_score,
@@ -1763,6 +1771,53 @@ export interface Schema {
                                    THEN -9223372036854775807 - 1
                                  ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY 1""",
+        "simhash_pairs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), x -> x <> '')) AS tok
+              FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+                         ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+                  FROM tok),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(((CASE WHEN i >= 32 THEN hi >> (i - 32)
+                                ELSE lo >> i END) % 2) * 2 - 1) AS s
+              FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+              GROUP BY 1, 2),
+            bands AS (
+              SELECT doc_id, CAST(i // 16 AS INT) AS band_idx,
+                     CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << (i % 16))
+                              ELSE 0 END) AS INT) AS band_val
+              FROM bits GROUP BY 1, 2),
+            sig AS (
+              SELECT doc_id,
+                     max(CASE WHEN band_idx = 0 THEN band_val END) AS v0,
+                     max(CASE WHEN band_idx = 1 THEN band_val END) AS v1,
+                     max(CASE WHEN band_idx = 2 THEN band_val END) AS v2,
+                     max(CASE WHEN band_idx = 3 THEN band_val END) AS v3
+              FROM bands GROUP BY 1),
+            rows_ AS (
+              SELECT s.doc_id, s.v0, s.v1, s.v2, s.v3,
+                     b.band_idx, b.band_val
+              FROM sig s JOIN bands b USING (doc_id)),
+            kept AS (
+              SELECT * FROM rows_
+              QUALIFY count(*) OVER (PARTITION BY band_idx, band_val)
+                  <= 100),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.v0, b.v0))
+                        + bit_count(xor(a.v1, b.v1))
+                        + bit_count(xor(a.v2, b.v2))
+                        + bit_count(xor(a.v3, b.v3)) AS INT) AS hamming
+              FROM kept a
+              JOIN kept b ON a.band_idx = b.band_idx
+                         AND a.band_val = b.band_val
+              WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""",
         "ann_ivf_topk": f"""
             {_EMB_BUCKETS_CTE},
             q AS (SELECT vec_id AS query_id, v AS qv

@@ -154,6 +154,25 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
              .distinct())
 
 
+def _simhash_sums(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, s0..s63): per-bit ±1 sums over the document's tokens — the
+    shared basis for the assembled fingerprint (:func:`simhash64`) and
+    the banded candidate join (:func:`simhash_candidates`). One explode
+    + one map-side-combined groupBy; no Python on the hot path."""
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    md5 = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")   # bits 32..63
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")   # bits 0..31
+    def _pm1(i):  # ±1 for bit i of the 64-bit pattern
+        half, off = (hi, 32) if i >= 32 else (lo, 0)
+        return (F.shiftright(half, i - off) % 2) * 2 - 1
+    bits = toks.select(
+        id_col, *[_pm1(i).alias(f"b{i}") for i in range(64)])
+    return bits.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)])
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash: per token take md5's first 16 hex chars as a
     64-bit pattern; for each bit position sum ±1 over tokens; the sign
@@ -165,18 +184,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signed long, so ANSI mode is safe), and the fingerprint is assembled
     in two's complement (bit 63 contributes −2^63) so it fits a BIGINT
     bit-exactly on both Spark and the SQL oracle."""
-    toks = _ensure_parallelism(df).select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
-    md5 = F.md5(F.col("tok"))
-    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")   # bits 32..63
-    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")   # bits 0..31
-    def _pm1(i):  # ±1 for bit i of the 64-bit pattern
-        half, off = (hi, 32) if i >= 32 else (lo, 0)
-        return (F.shiftright(half, i - off) % 2) * 2 - 1
-    bits = toks.select(
-        id_col, *[_pm1(i).alias(f"b{i}") for i in range(64)])
-    agg = bits.groupBy(id_col).agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)])
+    agg = _simhash_sums(df, id_col, text_col)
     fp = None
     for i in range(63):
         bit = (F.col(f"s{i}") > 0).cast("long") * F.lit(1 << i)
@@ -185,6 +193,65 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # intermediate sum inside signed-64 range
     fp = fp + (F.col("s63") > 0).cast("long") * F.lit(-(1 << 63))
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3,
+                       max_bucket: int = 100) -> DataFrame:
+    """Hamming-space near-duplicate pairs over the 64-bit SimHash:
+    (id_a, id_b, hamming) with id_a < id_b and hamming <= max_hamming.
+
+    Banding by pigeonhole: the fingerprint splits into 4 disjoint
+    16-bit bands; two fingerprints within Hamming distance d < 4 must
+    agree EXACTLY on at least one band, so the equi-join on
+    (band_idx, band_val) has perfect recall for max_hamming <= 3
+    (larger radii would need more/smaller bands — rejected loudly).
+    Verification is exact: popcount of the per-band XOR, summed.
+
+    Scale shape: signatures are one map-side-combined groupBy (the
+    ±1-sum aggregation); the join is band-bucket-local with the same
+    absolute ``max_bucket`` cap as MinHash-LSH (a degenerate 16-bit
+    band value shared by B docs yields B²/2 pairs — oversized buckets
+    carry no signal and are dropped, partitioned-window one-pass). The
+    four band columns ride along the exploded rows, so Hamming
+    verification needs no join-back against the signature subtree."""
+    from pyspark.sql import Window
+
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4x16-bit banding only "
+            f"guarantees recall for Hamming distance <= 3")
+    agg = _simhash_sums(df, id_col, text_col)
+    band_cols = []
+    for b in range(4):
+        v = None
+        for j in range(16):
+            bit = (F.col(f"s{16 * b + j}") > 0).cast("int") * F.lit(1 << j)
+            v = bit if v is None else v + bit
+        band_cols.append(v.alias(f"band{b}"))
+    sig = agg.select(F.col(id_col), *band_cols)
+    rows = sig.select(
+        id_col, "band0", "band1", "band2", "band3",
+        F.posexplode(F.array("band0", "band1", "band2", "band3"))
+         .alias("band_idx", "band_val"))
+    bucket_window = Window.partitionBy("band_idx", "band_val")
+    rows = (rows.withColumn("bucket_size",
+                            F.count(F.lit(1)).over(bucket_window))
+                .where(F.col("bucket_size") <= max_bucket)
+                .drop("bucket_size"))
+    a = rows.select(F.col(id_col).alias("id_a"), "band_idx", "band_val",
+                    *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)])
+    b = rows.select(F.col(id_col).alias("id_b"), "band_idx", "band_val",
+                    *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)])
+    ham = None
+    for i in range(4):
+        t = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        ham = t if ham is None else ham + t
+    return (a.join(b, ["band_idx", "band_val"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+             .where(F.col("hamming") <= max_hamming)
+             .distinct())
 
 
 def embedding_near_duplicates(df: DataFrame, id_col: str,

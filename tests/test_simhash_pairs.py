@@ -1,0 +1,64 @@
+"""simhash_candidates — banded Hamming-space pairing. Value parity vs
+DuckDB lives in the driver oracle (`simhash_pairs`); these tests pin the
+pigeonhole recall guarantee against a brute-force computation and the
+parameter contract.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark.operators import dedup as DD
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_perfect_recall_vs_brute_force(spark):
+    """4x16-bit banding catches EVERY pair with Hamming distance <= 3
+    (d < n_bands pigeonhole) — compare against brute-force popcount
+    over the assembled fingerprints. The corpus is small enough that no
+    band bucket hits the cap, so the sets must be identical."""
+    docs = _docs(spark)
+    fps = {r["doc_id"]: r["simhash"] & 0xFFFFFFFFFFFFFFFF
+           for r in DD.simhash64(docs, "doc_id", "text").collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        d = bin(fps[a] ^ fps[b]).count("1")
+        if d <= 3:
+            want[(a, b)] = d
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in DD.simhash_candidates(docs, "doc_id", "text",
+                                          max_hamming=3).collect()}
+    assert got == want
+    assert want, "fixture corpus should contain at least one near-dup"
+
+
+def test_identical_docs_pair_at_zero(spark):
+    rows = [(1, "some shared content tokens here"),
+            (2, "some shared content tokens here"),
+            (3, "entirely different words in this one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = DD.simhash_candidates(df, "doc_id", "text").collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+
+def test_max_hamming_beyond_band_guarantee_rejected(spark):
+    with pytest.raises(ValueError, match="recall"):
+        DD.simhash_candidates(_docs(spark), "doc_id", "text", max_hamming=4)
+
+
+def test_hot_band_bucket_cap_drops_degenerate_buckets(spark):
+    # many identical docs share every band value; cap 3 drops those
+    # buckets entirely, so no pairs survive
+    rows = [(i, "the same boilerplate text repeated everywhere")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert DD.simhash_candidates(df, "doc_id", "text",
+                                 max_bucket=3).count() == 0
