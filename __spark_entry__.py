@@ -218,6 +218,23 @@ def q_dedup_clusters(spark, sf_dir):
                                 k=4, band=2)
 
 
+def q_incremental_exact(spark, sf_dir):
+    # continuous-crawl shape: dedup the odd-id batch against the even-id
+    # corpus snapshot
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return DD.incremental_exact(new, corpus, "doc_id", "text")
+
+
+def q_incremental_minhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return DD.incremental_near_duplicates(new, corpus, "doc_id", "text",
+                                          k=4, band=2)
+
+
 def q_duplicate_spans(spark, sf_dir):
     # passage-level dedup: per-doc profile of maximal duplicated token
     # spans (8-token windows occurring >= 2 times anywhere)
@@ -853,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
+        "incremental_exact": q_incremental_exact,
+        "incremental_minhash": q_incremental_minhash,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1436,6 +1455,61 @@ export interface Schema {
             SELECT id AS doc_id, component,
                    count(*) OVER (PARTITION BY component) AS cluster_size
             FROM comp""",
+        "incremental_exact": """
+            WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+            newb AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+            cfp AS (SELECT md5(text) AS fingerprint,
+                           min(doc_id) AS corpus_canonical
+                    FROM corpus GROUP BY 1),
+            nfp AS (SELECT doc_id AS id, md5(text) AS fingerprint,
+                           min(doc_id) OVER (PARTITION BY md5(text))
+                               AS batch_canonical
+                    FROM newb)
+            SELECT id, fingerprint,
+                   CASE WHEN c.corpus_canonical IS NOT NULL
+                          THEN 'corpus_dup'
+                        WHEN batch_canonical <> id THEN 'batch_dup'
+                        ELSE 'unique' END AS status,
+                   coalesce(c.corpus_canonical, batch_canonical)
+                       AS canonical_id
+            FROM nfp LEFT JOIN cfp c USING (fingerprint)""",
+        "incremental_minhash": f"""
+            WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+            newb AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+            ctok AS (SELECT doc_id, unnest(list_distinct({_SHINGLES}))
+                         AS tok
+                     FROM corpus),
+            cfan AS (SELECT doc_id, tok, k FROM ctok
+                     CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)),
+            csig AS (SELECT doc_id, k,
+                            min(md5(k::VARCHAR || ':' || tok)) AS mh
+                     FROM cfan GROUP BY 1, 2),
+            cban AS (
+              SELECT doc_id, CAST(floor(k / 2) AS INT) AS band,
+                     string_agg(lpad(k::VARCHAR, 2, '0') || '=' || mh, '|'
+                                ORDER BY lpad(k::VARCHAR, 2, '0') || '=' || mh)
+                         AS bucket_key
+              FROM csig GROUP BY 1, 2),
+            ckept AS (
+              SELECT * FROM cban
+              QUALIFY count(*) OVER (PARTITION BY band, bucket_key) <= 100),
+            ntok AS (SELECT doc_id, unnest(list_distinct({_SHINGLES}))
+                         AS tok
+                     FROM newb),
+            nfan AS (SELECT doc_id, tok, k FROM ntok
+                     CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)),
+            nsig AS (SELECT doc_id, k,
+                            min(md5(k::VARCHAR || ':' || tok)) AS mh
+                     FROM nfan GROUP BY 1, 2),
+            nban AS (
+              SELECT doc_id, CAST(floor(k / 2) AS INT) AS band,
+                     string_agg(lpad(k::VARCHAR, 2, '0') || '=' || mh, '|'
+                                ORDER BY lpad(k::VARCHAR, 2, '0') || '=' || mh)
+                         AS bucket_key
+              FROM nsig GROUP BY 1, 2)
+            SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+            FROM nban n JOIN ckept c
+              ON n.band = c.band AND n.bucket_key = c.bucket_key""",
         "duplicate_spans": f"""
             WITH t AS (
               SELECT doc_id AS id, {_TOKENS} AS toks FROM documents),

@@ -116,6 +116,20 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         .alias("hash_index", "minhash"))
 
 
+def _minhash_buckets(df: DataFrame, id_col: str, text_col: str,
+                     k: int, band: int) -> DataFrame:
+    """(id, band, bucket_key): LSH band buckets over the MinHash
+    signature — the shared basis for within-corpus candidate pairs and
+    the incremental new-batch-vs-corpus join."""
+    sigs = minhash_signatures(df, id_col, text_col, k)
+    # order inside the band must be deterministic for the bucket key
+    return (sigs.withColumn("band", (F.col("hash_index") / band).cast("int"))
+                .groupBy(id_col, "band")
+                .agg(F.concat_ws("|", F.sort_array(F.collect_list(
+                    F.concat(F.lpad(F.col("hash_index").cast("string"), 2, "0"),
+                             F.lit("="), F.col("minhash"))))).alias("bucket_key")))
+
+
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                        k: int = MINHASH_K, band: int = MINHASH_BAND,
                        max_bucket: int = 100) -> DataFrame:
@@ -129,13 +143,7 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     their members through exact_duplicates/fingerprint instead."""
     from pyspark.sql import Window
 
-    sigs = minhash_signatures(df, id_col, text_col, k)
-    # order inside the band must be deterministic for the bucket key
-    banded = (sigs.withColumn("band", (F.col("hash_index") / band).cast("int"))
-                  .groupBy(id_col, "band")
-                  .agg(F.concat_ws("|", F.sort_array(F.collect_list(
-                      F.concat(F.lpad(F.col("hash_index").cast("string"), 2, "0"),
-                               F.lit("="), F.col("minhash"))))).alias("bucket_key")))
+    banded = _minhash_buckets(df, id_col, text_col, k, band)
     # bucket-size cap via a PARTITIONED window (per bucket, never
     # global) — one pass over banded instead of a second aggregation
     # plus a join back, which recomputed the signature subtree (-34%
@@ -660,3 +668,70 @@ def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
                             F.count(F.lit(1)).over(w))
                 .select(F.col("id").alias(id_col), "component",
                         "cluster_size"))
+
+
+def incremental_exact(new: DataFrame, corpus: DataFrame,
+                      id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup of a NEW batch against an existing corpus snapshot —
+    the continuous-crawl shape: the corpus is never re-deduplicated,
+    only collapsed to (fingerprint, min id) — one map-side-combined
+    groupBy regardless of snapshot size — and the batch left-joins it
+    with fan-out exactly 1.
+
+    Per new document: ``status`` is ``corpus_dup`` (content already in
+    the snapshot), ``batch_dup`` (first seen earlier in THIS batch,
+    ordered by id), or ``unique``; ``canonical_id`` is the id to keep
+    (the corpus representative, the batch representative, or itself).
+    The batch-internal pick is a window partitioned by fingerprint —
+    bounded by batch duplicate groups, never corpus-sized."""
+    from pyspark.sql import Window
+
+    corpus_fp = (corpus.select(F.md5(F.col(text_col)).alias("fingerprint"),
+                               F.col(id_col))
+                       .groupBy("fingerprint")
+                       .agg(F.min(id_col).alias("corpus_canonical")))
+    new_fp = new.select(F.col(id_col).alias("id"),
+                        F.md5(F.col(text_col)).alias("fingerprint"))
+    batch_min = F.min("id").over(Window.partitionBy("fingerprint"))
+    annotated = (new_fp.withColumn("batch_canonical", batch_min)
+                       .join(corpus_fp, "fingerprint", "left"))
+    status = (F.when(F.col("corpus_canonical").isNotNull(),
+                     F.lit("corpus_dup"))
+               .when(F.col("batch_canonical") != F.col("id"),
+                     F.lit("batch_dup"))
+               .otherwise(F.lit("unique")))
+    canonical = F.coalesce("corpus_canonical",
+                           F.col("batch_canonical"))
+    return annotated.select("id", "fingerprint", status.alias("status"),
+                            canonical.alias("canonical_id"))
+
+
+def incremental_near_duplicates(new: DataFrame, corpus: DataFrame,
+                                id_col: str, text_col: str,
+                                k: int = MINHASH_K,
+                                band: int = MINHASH_BAND,
+                                max_bucket: int = 100) -> DataFrame:
+    """MinHash-LSH near-dup candidates of a NEW batch against an
+    existing corpus snapshot: (new_id, corpus_id) for every new doc
+    sharing an LSH band bucket with a corpus doc. At crawl scale the
+    corpus side dwarfs the batch, so the hot-bucket cap is enforced on
+    the CORPUS side (a boilerplate bucket of B docs would fan every
+    colliding new doc out B ways; oversized buckets carry no signal and
+    drop, exactly as in :func:`minhash_candidates`) — join fan-out per
+    new band row is then <= max_bucket by construction. In production
+    the corpus bucket table is computed once per snapshot and reused
+    across batches (it is a plain DataFrame — persist it as a table
+    partitioned by band)."""
+    from pyspark.sql import Window
+
+    nb = _minhash_buckets(new, id_col, text_col, k, band) \
+        .select(F.col(id_col).alias("new_id"), "band", "bucket_key")
+    cb = _minhash_buckets(corpus, id_col, text_col, k, band) \
+        .select(F.col(id_col).alias("corpus_id"), "band", "bucket_key")
+    bucket_window = Window.partitionBy("band", "bucket_key")
+    cb = (cb.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_window))
+            .where(F.col("bucket_size") <= max_bucket)
+            .drop("bucket_size"))
+    return (nb.join(cb, ["band", "bucket_key"])
+              .select("new_id", "corpus_id")
+              .distinct())

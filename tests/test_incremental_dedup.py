@@ -1,0 +1,53 @@
+"""Incremental (new-batch-vs-corpus-snapshot) dedup. Value parity vs
+DuckDB lives in the driver oracle (`incremental_exact`,
+`incremental_minhash`); these tests pin the status/canonical semantics
+and the corpus-side hot-bucket cap on planted scenarios.
+"""
+
+from __future__ import annotations
+
+from blaze_spark.operators import dedup as DD
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_statuses_and_canonicals(spark):
+    corpus = _df(spark, [(2, "known content alpha"),
+                         (4, "known content alpha"),   # corpus-internal dup
+                         (6, "known content beta")])
+    new = _df(spark, [(11, "known content alpha"),     # corpus_dup -> 2
+                      (13, "fresh content gamma"),     # unique
+                      (15, "fresh content gamma"),     # batch_dup -> 13
+                      (17, "fresh content delta")])    # unique
+    got = {r["id"]: (r["status"], r["canonical_id"])
+           for r in DD.incremental_exact(new, corpus,
+                                         "doc_id", "text").collect()}
+    assert got == {11: ("corpus_dup", 2),
+                   13: ("unique", 13),
+                   15: ("batch_dup", 13),
+                   17: ("unique", 17)}
+
+
+def test_near_dup_pairs_are_cross_side_only(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = _df(spark, [(2, shared), (4, shared),
+                         (6, "totally unrelated corpus content here")])
+    new = _df(spark, [(11, shared),
+                      (13, "nothing like anything in the corpus at all")])
+    pairs = {(r["new_id"], r["corpus_id"])
+             for r in DD.incremental_near_duplicates(
+                 new, corpus, "doc_id", "text", k=4, band=2).collect()}
+    # new doc 11 collides with both corpus copies; the corpus-internal
+    # (2,4) pair and batch-internal pairs are NOT this operator's job
+    assert pairs == {(11, 2), (11, 4)}
+
+
+def test_corpus_hot_bucket_dropped(spark):
+    boiler = "the same boilerplate text repeated everywhere in the crawl"
+    corpus = _df(spark, [(i, boiler) for i in range(0, 20, 2)])
+    new = _df(spark, [(11, boiler)])
+    got = DD.incremental_near_duplicates(new, corpus, "doc_id", "text",
+                                         k=4, band=2, max_bucket=3)
+    assert got.count() == 0
