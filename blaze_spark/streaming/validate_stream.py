@@ -246,3 +246,29 @@ def dedup_stream(stream_df: DataFrame, key_cols: List[str], ts_col: str,
                              F.sha2(F.col(content_col).cast("binary"), 256))
         keys = keys + ["__content_sha__"]
     return out.dropDuplicatesWithinWatermark(keys)
+
+
+def incremental_dedup_stream(stream_df: DataFrame, corpus: DataFrame,
+                             text_col: str, ts_col: str = None,
+                             watermark: str = "10 minutes") -> DataFrame:
+    """Ingest-time form of ``dedup.incremental_exact``: drop stream rows
+    whose content fingerprint already exists in a STATIC corpus
+    snapshot, via a stream–static LEFT ANTI join on the md5 fingerprint.
+
+    The corpus side collapses to its distinct fingerprint set once per
+    micro-batch plan (Catalyst broadcasts it when small; at snapshot
+    scale it shuffles as a plain anti join — still stateless for the
+    stream: no watermark or state store is needed for the corpus
+    screen, so the output stays append-mode). Passing ``ts_col`` ALSO
+    dedups within the stream itself on the same fingerprint, bounded by
+    the watermark horizon — together the two give the continuous-crawl
+    invariant: content survives only on its first arrival, against both
+    the snapshot and the live firehose."""
+    corpus_fp = (corpus.select(F.md5(F.col(text_col)).alias("__fp__"))
+                       .distinct())
+    out = stream_df.withColumn("__fp__", F.md5(F.col(text_col)))
+    out = out.join(corpus_fp, "__fp__", "left_anti")
+    if ts_col is not None:
+        out = (out.withWatermark(ts_col, watermark)
+                  .dropDuplicatesWithinWatermark(["__fp__"]))
+    return out.drop("__fp__")

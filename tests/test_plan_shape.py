@@ -368,6 +368,40 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert texts == ["alpha", "beta", "delta", "gamma"]
 
 
+def test_streaming_incremental_dedup_vs_snapshot(spark, tmp_path):
+    """Stream–static incremental dedup end-to-end: content already in
+    the static corpus snapshot never reaches the sink; content repeated
+    WITHIN the stream survives only once (watermark-bounded state); and
+    fresh content passes through."""
+    from pyspark.sql import functions as F
+
+    from blaze_spark.streaming.validate_stream import incremental_dedup_stream
+
+    corpus = spark.createDataFrame(
+        [(100, "known alpha"), (101, "known beta")], ["doc_id", "text"])
+    src = str(tmp_path / "in5")
+    rows = [(1, "known alpha", 0),     # in snapshot -> dropped
+            (2, "fresh gamma", 30),    # new -> kept
+            (3, "fresh gamma", 60),    # stream-internal dup -> dropped
+            (4, "known beta", 90),     # in snapshot -> dropped
+            (5, "fresh delta", 120)]   # new -> kept
+    df = (spark.createDataFrame(rows, ["doc_id", "text", "offset_s"])
+          .withColumn("ts", F.timestamp_seconds(
+              F.lit(1_700_000_000) + F.col("offset_s")))
+          .drop("offset_s"))
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = incremental_dedup_stream(stream, corpus, "text", ts_col="ts",
+                                   watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("incdedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    texts = sorted(r["text"] for r in
+                   spark.sql("select text from incdedup_out").collect())
+    assert texts == ["fresh delta", "fresh gamma"]
+
+
 # Queries whose plans legitimately contain a bounded cross join: the
 # PSI full-grid (bucket x partition, both tiny) and the all-pairs
 # cosine kernels documented as within-bucket/small-side only.
