@@ -218,6 +218,20 @@ def q_dedup_clusters(spark, sf_dir):
                                 k=4, band=2)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    # centroid-free sign-random-projection LSH near-dup (exact-cosine
+    # verified candidates; recall is the LSH trade, precision 1)
+    emb = _t(spark, sf_dir, "embeddings")
+    items = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+    pairs = DD.embedding_near_duplicates_lsh(items, "vec_id", dim=64,
+                                             threshold=0.35)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 4).alias("cosine"))
+
+
 def q_incremental_exact(spark, sf_dir):
     # continuous-crawl shape: dedup the odd-id batch against the even-id
     # corpus snapshot
@@ -870,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "incremental_exact": q_incremental_exact,
         "incremental_minhash": q_incremental_minhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -959,6 +974,49 @@ def _COS(a: str, b: str) -> str:
     return (f"(list_dot_product({a}, {b}) / "
             f"(sqrt(list_dot_product({a}, {a})) * "
             f"sqrt(list_dot_product({b}, {b}))))")
+
+
+def _lsh_sql(n_bits: int = 32, band_bits: int = 8, dim: int = 64,
+             threshold: float = 0.35, max_bucket: int = 100) -> str:
+    # the exact hyperplane matrix the Spark operator uses (same md5
+    # parity), embedded as literal coefficient arrays
+    from blaze_spark.operators.dedup import hyperplane_coeffs
+
+    cs = hyperplane_coeffs(n_bits, dim)
+
+    def bit(i):
+        arr = ",".join(str(c) for c in cs[i])
+        return (f"(CASE WHEN list_dot_product(v, [{arr}]) > 0 "
+                f"THEN 1 ELSE 0 END)")
+
+    n_bands = n_bits // band_bits
+    band_exprs = []
+    for b in range(n_bands):
+        terms = " + ".join(f"{bit(b * band_bits + j)} * {1 << j}"
+                           for j in range(band_bits))
+        band_exprs.append(f"({terms}) AS band{b}")
+    unions = "\n              UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band_idx, band{b} AS band_val FROM sig"
+        for b in range(n_bands))
+    return f"""
+            WITH items AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            sig AS (SELECT vec_id, v, {', '.join(band_exprs)} FROM items),
+            rows_ AS (
+              {unions}),
+            kept AS (
+              SELECT * FROM rows_
+              QUALIFY count(*) OVER (PARTITION BY band_idx, band_val)
+                  <= {max_bucket}),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                     {_COS('a.v', 'b.v')} AS cosine
+              FROM kept a JOIN kept b
+                ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cosine, 4) AS cosine
+            FROM pairs WHERE cosine >= {threshold}"""
 
 
 # shared IVF preamble: items, the 4 deterministic centroids (embeddings
@@ -1455,6 +1513,7 @@ export interface Schema {
             SELECT id AS doc_id, component,
                    count(*) OVER (PARTITION BY component) AS cluster_size
             FROM comp""",
+        "dedup_embedding_lsh": _lsh_sql(),
         "incremental_exact": """
             WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
             newb AS (SELECT * FROM documents WHERE doc_id % 2 = 1),

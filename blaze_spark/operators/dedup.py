@@ -321,6 +321,93 @@ def embedding_near_duplicates_bucketed(df: DataFrame, id_col: str,
              .where(F.col("cosine") >= threshold))
 
 
+def hyperplane_coeffs(n_bits: int, dim: int) -> List[List[float]]:
+    """Deterministic ±1.0 random-hyperplane matrix: coefficient (i, j)
+    is the parity of the first hex nibble of md5(f"{i}:{j}") — the same
+    portable-hash discipline as the MinHash family, so any engine (or
+    the SQL oracle) reproduces the identical matrix. Rademacher ±1
+    entries are a valid sign-random-projection family (Charikar, STOC
+    2002 / Achlioptas 2003)."""
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(f"{i}:{j}".encode())
+                        .hexdigest()[0], 16) % 2 == 0 else -1.0
+             for j in range(dim)]
+            for i in range(n_bits)]
+
+
+def embedding_near_duplicates_lsh(df: DataFrame, id_col: str,
+                                  dim: int,
+                                  vec_col: str = "embedding",
+                                  threshold: float = 0.95,
+                                  n_bits: int = 32, band_bits: int = 8,
+                                  max_bucket: int = 100) -> DataFrame:
+    """Embedding near-dup pairs via sign-random-projection LSH — the
+    centroid-free alternative to :func:`embedding_near_duplicates_bucketed`
+    (no k-means fit, no broadcast argmax; useful when the corpus has no
+    usable cluster structure or a fit pass is not affordable).
+
+    Each vector gets an ``n_bits``-bit signature (bit i = sign of the
+    dot product with deterministic ±1 hyperplane i); signatures split
+    into bands of ``band_bits`` bits and candidate pairs are ids
+    sharing any exact band value — P[band collision] falls
+    exponentially in band_bits for unrelated vectors while near-dup
+    pairs (angle → 0) collide with high probability. Candidates are
+    verified with the EXACT left-fold cosine, so precision is 1; recall
+    is the standard LSH trade (tune n_bits/band_bits).
+
+    Scale shape: signatures are map-only expressions (32 left-fold dot
+    products per row, JVM-side); the join is band-bucket-local under
+    the same absolute ``max_bucket`` cap as the MinHash/SimHash
+    operators. Vectors and hoisted norms ride the banded rows
+    (n_bands× duplication through one shuffle) so cosine verification
+    needs no join-back against the base table."""
+    from pyspark.sql import Window
+
+    from blaze_spark.operators.similarity import _dot, _norm
+
+    if n_bits % band_bits != 0:
+        raise ValueError(f"n_bits={n_bits} not divisible by "
+                         f"band_bits={band_bits}")
+    coeffs = hyperplane_coeffs(n_bits, dim)
+    bits = [(_dot(F.col(vec_col),
+                  F.array(*[F.lit(c) for c in row])) > 0).cast("int")
+            for row in coeffs]
+    n_bands = n_bits // band_bits
+    band_cols = []
+    for b in range(n_bands):
+        v = None
+        for j in range(band_bits):
+            t = bits[b * band_bits + j] * F.lit(1 << j)
+            v = t if v is None else v + t
+        band_cols.append(v.alias(f"band{b}"))
+    sig = df.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("vec"),
+                    _norm(F.col(vec_col)).alias("nrm"),
+                    *band_cols)
+    rows = sig.select(
+        "id", "vec", "nrm",
+        F.posexplode(F.array(*[f"band{b}" for b in range(n_bands)]))
+         .alias("band_idx", "band_val"))
+    bucket_window = Window.partitionBy("band_idx", "band_val")
+    rows = (rows.withColumn("bucket_size",
+                            F.count(F.lit(1)).over(bucket_window))
+                .where(F.col("bucket_size") <= max_bucket)
+                .drop("bucket_size"))
+    a = rows.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                    F.col("nrm").alias("norm_a"), "band_idx", "band_val")
+    b = rows.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                    F.col("nrm").alias("norm_b"), "band_idx", "band_val")
+    return (a.join(b, ["band_idx", "band_val"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     (_dot(F.col("vec_a"), F.col("vec_b"))
+                      / (F.col("norm_a") * F.col("norm_b")))
+                     .alias("cosine"))
+             .where(F.col("cosine") >= threshold)
+             .distinct())
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.8,
                         max_token_docs: float = 0.01,

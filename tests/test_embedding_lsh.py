@@ -1,0 +1,65 @@
+"""Sign-random-projection LSH embedding near-dup
+(dedup.embedding_near_duplicates_lsh). Value parity vs DuckDB lives in
+the driver oracle (`dedup_embedding_lsh`); these tests pin precision,
+the degenerate-duplicate guarantee, and the parameter contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark.operators import dedup as DD
+
+SF = "/root/testdata/sf0.001"
+
+
+def _items(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+         .alias("embedding"))
+
+
+def test_lsh_pairs_subset_of_exact(spark):
+    """Every LSH pair must also be an exact-cosine pair at the same
+    threshold (precision 1 — candidates are verified exactly)."""
+    items = _items(spark)
+    exact = {(r["id_a"], r["id_b"])
+             for r in DD.embedding_near_duplicates(
+                 items, "vec_id", "embedding", threshold=0.3).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in DD.embedding_near_duplicates_lsh(
+               items, "vec_id", dim=64, threshold=0.3).collect()}
+    assert lsh <= exact
+    assert lsh, "fixture should yield at least one LSH collision"
+
+
+def test_identical_vectors_always_pair(spark):
+    """Identical vectors share every band (Hamming 0), so the pair is
+    found with cosine exactly 1."""
+    vec = [float((i * 7) % 5 - 2) for i in range(64)]
+    other = [float((i * 3) % 7 - 3) for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, vec), (2, vec), (3, other)],
+        "vec_id long, embedding array<double>")
+    got = DD.embedding_near_duplicates_lsh(df, "vec_id", dim=64,
+                                           threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_band_divisibility_enforced(spark):
+    with pytest.raises(ValueError, match="divisible"):
+        DD.embedding_near_duplicates_lsh(_items(spark), "vec_id", dim=64,
+                                         n_bits=32, band_bits=5)
+
+
+def test_hot_bucket_cap(spark):
+    vec = [1.0] * 64
+    df = spark.createDataFrame([(i, vec) for i in range(10)],
+                               "vec_id long, embedding array<double>")
+    got = DD.embedding_near_duplicates_lsh(df, "vec_id", dim=64,
+                                           threshold=0.9, max_bucket=3)
+    assert got.count() == 0
