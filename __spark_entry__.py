@@ -218,6 +218,15 @@ def q_dedup_clusters(spark, sf_dir):
                                 k=4, band=2)
 
 
+def q_unigram_lm(spark, sf_dir):
+    # corpus-unigram LM quality scores (KenLM-perplexity stand-in)
+    from blaze_spark.operators.textstats import unigram_lm_scores
+    prof = unigram_lm_scores(_docs(spark, sf_dir), "doc_id", "text",
+                             rare_max_count=2)
+    return prof.select(F.col("id").alias("doc_id"), "n_tokens",
+                       "avg_neg_logprob", "rare_frac")
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     # centroid-free sign-random-projection LSH near-dup (exact-cosine
     # verified candidates; recall is the LSH trade, precision 1)
@@ -885,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "unigram_lm": q_unigram_lm,
         "incremental_exact": q_incremental_exact,
         "incremental_minhash": q_incremental_minhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1514,6 +1524,27 @@ export interface Schema {
                    count(*) OVER (PARTITION BY component) AS cluster_size
             FROM comp""",
         "dedup_embedding_lsh": _lsh_sql(),
+        "unigram_lm": f"""
+            WITH tok AS (
+              SELECT doc_id AS id, unnest({_TOKENS}) AS tok
+              FROM documents),
+            counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+            stats AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                             count(*) AS vocab
+                      FROM counts),
+            scored AS (
+              SELECT t.id,
+                     CAST(round(ln((c.c + 1)
+                         / CAST(s.n_total + s.vocab AS DOUBLE)) * 1000000.0)
+                         AS BIGINT) AS lp,
+                     CASE WHEN c.c <= 2 THEN 1 ELSE 0 END AS rare
+              FROM tok t JOIN counts c USING (tok) CROSS JOIN stats s)
+            SELECT id AS doc_id, count(*) AS n_tokens,
+                   round((-(CAST(sum(lp) AS BIGINT) / 1000000.0))
+                         / count(*), 6) AS avg_neg_logprob,
+                   round(CAST(sum(rare) AS BIGINT) / count(*), 6)
+                       AS rare_frac
+            FROM scored GROUP BY 1""",
         "incremental_exact": """
             WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
             newb AS (SELECT * FROM documents WHERE doc_id % 2 = 1),

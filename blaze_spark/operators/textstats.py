@@ -105,6 +105,60 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.md5(normalized).alias("fingerprint"))
 
 
+def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str,
+                      rare_max_count: int = 2) -> DataFrame:
+    """Corpus-unigram language-model quality signals per document — the
+    Spark-first stand-in for KenLM-perplexity filtering (real pipelines
+    score documents under an n-gram LM; the unigram corpus-self model
+    already separates gibberish/rare-token documents from fluent ones):
+
+    * ``avg_neg_logprob`` — average add-one-smoothed negative
+      log-likelihood of the document's tokens under the corpus's OWN
+      unigram distribution: -mean(ln((c_t + 1) / (N + V))). High =
+      unusual vocabulary.
+    * ``rare_frac`` — fraction of the document's tokens whose corpus
+      count is <= ``rare_max_count`` (an integer-exact rarity signal).
+
+    Cross-engine exactness: per-token log-probs are rounded to integer
+    MICROUNITS (round(lp·1e6) as long) before the per-doc sum — float
+    sums in shuffle order are not reproducible across engines or runs,
+    integer sums are order-independent; only the final two divisions
+    happen in doubles, in a fixed expression order.
+
+    Scale shape: one token explode (map-only), one map-side-combined
+    groupBy(token) for the count table, a fan-out-1 equi-join of the
+    token stream against that AGGREGATED table (hot tokens are one row
+    on the build side; AQE splits the skewed probe), corpus scalars
+    (N, V) ride a broadcast single-row cross join, and one
+    groupBy(id) finisher. Documents with zero tokens emit no row
+    (nothing to score)."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(F.filter(
+                         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                         lambda t: t != "")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(F.sum("c").alias("n_total"),
+                       F.count(F.lit(1)).alias("vocab"))
+    lp = F.log((F.col("c") + 1) /
+               (F.col("n_total") + F.col("vocab")).cast("double"))
+    scored = (toks.join(counts, "tok")
+                  .crossJoin(F.broadcast(stats))
+                  .select("id",
+                          F.round(lp * F.lit(1e6)).cast("long").alias("lp"),
+                          (F.col("c") <= rare_max_count).cast("int")
+                          .alias("rare")))
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp").alias("lp_sum"),
+        F.sum("rare").alias("rare_sum"))
+    return agg.select(
+        "id", "n_tokens",
+        F.round((-(F.col("lp_sum") / F.lit(1e6))) / F.col("n_tokens"), 6)
+         .alias("avg_neg_logprob"),
+        F.round(F.col("rare_sum") / F.col("n_tokens"), 6)
+         .alias("rare_frac"))
+
+
 def sha256_invariant(df: DataFrame, content_col: str) -> DataFrame:
     """Attach the per-row invariant column sha256(content)
     (BASELINE.json:15) — carried through every transform."""

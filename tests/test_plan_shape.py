@@ -409,6 +409,8 @@ _CROSS_JOIN_ALLOWED = {
     "drift_psi_lang", "dedup_embedding_cosine", "ngram_jaccard",
     "ann_cosine_topk", "dedup_embedding_bucketed", "ann_ivf_topk",
     "curation_report", "contamination",
+    # unigram LM: broadcast single-row (N, V) corpus-stats factor
+    "unigram_lm",
     # KS: broadcast theta self-join of the two PRE-AGGREGATED
     # per-bucket CDF tables (rows = histogram buckets, not data rows)
     "drift_ks_n_chars",

@@ -1,0 +1,48 @@
+"""Corpus-unigram LM scoring (textstats.unigram_lm_scores). Value
+parity vs DuckDB lives in the driver oracle (`unigram_lm`); these tests
+pin the smoothing math on a hand-computed corpus and the rarity signal.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from blaze_spark.operators.textstats import unigram_lm_scores
+
+
+def test_hand_computed_smoothed_logprob(spark):
+    # corpus: doc1 = "a a b", doc2 = "a c"
+    # counts: a=3, b=1, c=1; N=5, V=3 -> denominator 8
+    df = spark.createDataFrame([(1, "a a b"), (2, "a c")],
+                               "doc_id long, text string")
+    got = {r["id"]: r for r in
+           unigram_lm_scores(df, "doc_id", "text").collect()}
+    p_a, p_b, p_c = 4 / 8, 2 / 8, 2 / 8
+    micro = lambda p: round(math.log(p) * 1e6)  # noqa: E731
+    want1 = -((micro(p_a) * 2 + micro(p_b)) / 1e6) / 3
+    want2 = -((micro(p_a) + micro(p_c)) / 1e6) / 2
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["avg_neg_logprob"] == pytest.approx(round(want1, 6))
+    assert got[2]["avg_neg_logprob"] == pytest.approx(round(want2, 6))
+    # rare_max_count=2: b and c are rare (count 1), a is not (count 3)
+    assert got[1]["rare_frac"] == pytest.approx(round(1 / 3, 6))
+    assert got[2]["rare_frac"] == 0.5
+
+
+def test_rare_docs_score_higher(spark):
+    common = " ".join(["the common phrase appears everywhere"] * 3)
+    rows = [(i, common) for i in range(5)] + [(99, "zxqv wkjh qqpl mmnb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["avg_neg_logprob"]
+           for r in unigram_lm_scores(df, "doc_id", "text").collect()}
+    assert got[99] > got[0]
+
+
+def test_empty_and_null_docs_emit_no_row(spark):
+    df = spark.createDataFrame([(1, "some words"), (2, ""), (3, None)],
+                               "doc_id long, text string")
+    ids = [r["id"] for r in
+           unigram_lm_scores(df, "doc_id", "text").collect()]
+    assert ids == [1]
