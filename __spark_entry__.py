@@ -275,6 +275,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_containment(spark, sf_dir):
+    # asymmetric near-substring detection; max_gram_docs=0.5 keeps the
+    # oracle's DF cut at tiny scale (library default is the 0.01 guard)
+    pairs = DD.ngram_containment_pairs(_docs(spark, sf_dir), "doc_id",
+                                       "text", n=5, threshold=0.8,
+                                       max_gram_docs=0.5)
+    return pairs.select("id_inner", "id_outer",
+                        F.round("containment", 6).alias("containment"))
+
+
 def q_simhash(spark, sf_dir):
     return DD.simhash64(_docs(spark, sf_dir), "doc_id", "text")
 
@@ -898,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_exact": q_incremental_exact,
         "incremental_minhash": q_incremental_minhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1633,6 +1644,37 @@ export interface Schema {
                    round(CAST(sum(span_end - span_start + 1) AS BIGINT)
                          / any_value(n), 6) AS dup_fraction
             FROM sp GROUP BY 1""",
+        "ngram_containment": f"""
+            WITH t AS (SELECT doc_id AS id, {_TOKENS} AS toks
+                       FROM documents),
+            g AS (SELECT id, unnest(list_distinct(
+                    CASE WHEN len(toks) >= 5 THEN
+                      list_transform(generate_series(1, len(toks) - 4),
+                                     i -> array_to_string(toks[i:i+4], ' '))
+                    ELSE [array_to_string(toks, ' ')] END)) AS gram
+                  FROM t),
+            dfc AS (SELECT gram, count(*) AS df_count FROM g GROUP BY 1),
+            cap AS (SELECT greatest(least(
+                        CAST(floor(count(*) * 0.5) AS BIGINT), 500), 2)
+                        AS c
+                    FROM documents),
+            kept AS (SELECT g.id, g.gram
+                     FROM g JOIN dfc USING (gram) CROSS JOIN cap
+                     WHERE dfc.df_count <= cap.c),
+            sizes AS (SELECT id, count(*) AS set_size FROM kept
+                      GROUP BY 1),
+            inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                      FROM kept a JOIN kept b
+                        ON a.gram = b.gram AND a.id < b.id
+                      GROUP BY 1, 2),
+            directed AS (
+              SELECT id_a AS id_inner, id_b AS id_outer, i FROM inter
+              UNION ALL
+              SELECT id_b AS id_inner, id_a AS id_outer, i FROM inter)
+            SELECT d.id_inner, d.id_outer,
+                   round(d.i / s.set_size, 6) AS containment
+            FROM directed d JOIN sizes s ON s.id = d.id_inner
+            WHERE d.i / s.set_size >= 0.8""",
         "ngram_jaccard": f"""
             WITH tok AS (
               SELECT doc_id AS id, unnest(list_distinct({_TOKENS})) AS tok

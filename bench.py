@@ -489,8 +489,24 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                 docs, "doc_id", "text", threshold=0.8,
                 max_token_docs=1.0, max_token_docs_abs=50).count(),
             "simhash": lambda: DD.simhash64(docs, "doc_id", "text").count(),
+            "simhash_pairs": lambda: DD.simhash_candidates(
+                docs, "doc_id", "text", max_hamming=3).count(),
+            # absolute-only DF cap, same rationale as ngram_jaccard
+            "ngram_containment": lambda: DD.ngram_containment_pairs(
+                docs, "doc_id", "text", n=5, threshold=0.8,
+                max_gram_docs=1.0, max_gram_docs_abs=50).count(),
+            "duplicate_spans": lambda: DD.duplicate_span_profile(
+                docs, "doc_id", "text", window=8).count(),
+            "dedup_clusters": lambda: DD.near_dup_clusters(
+                docs, "doc_id", "text").count(),
+            "incremental_minhash": lambda: DD.incremental_near_duplicates(
+                docs.where(F.col("doc_id") % 2 == 1),
+                docs.where(F.col("doc_id") % 2 == 0),
+                "doc_id", "text").count(),
             "embedding_bucketed": lambda: DD.embedding_near_duplicates_bucketed(
                 emb, "vec_id", centroids, threshold=0.95).count(),
+            "embedding_lsh": lambda: DD.embedding_near_duplicates_lsh(
+                emb, "vec_id", dim=64, threshold=0.95).count(),
             "ann_ivf_topk": lambda: SIM.ivf_topk(
                 emb, queries, centroids, k=10, nprobe=2).count(),
         }

@@ -485,6 +485,69 @@ def _word_ngrams(text_col: str, n: int):
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
 
 
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 5, threshold: float = 0.8,
+                            max_gram_docs: float = 0.01,
+                            max_gram_docs_abs: int = 500) -> DataFrame:
+    """Asymmetric near-substring detection: containment(inner → outer)
+    = |G(inner) ∩ G(outer)| / |G(inner)| over distinct word ``n``-grams.
+    Catches a document EMBEDDED in another (quoted posts, concatenated
+    shards, boilerplate wrappers) that symmetric Jaccard misses — the
+    union denominator drowns the short side (a 50-gram doc inside a
+    5000-gram doc has Jaccard ≤ 0.01 but containment 1.0).
+
+    Returns (id_inner, id_outer, containment) for ORDERED pairs with
+    containment >= threshold; both directions are derived from one
+    undirected intersection table (no second join). Documents with
+    fewer than ``n`` tokens have one whole-text gram (matching
+    :func:`_word_ngrams`).
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — hot grams
+    are dropped before the self-join under
+    ``greatest(least(floor(frac·n_docs), abs), 2)`` (the absolute cap
+    is what bounds any single gram's fan-out at corpus scale), the DF
+    guard is a partitioned window (one pass), and the corpus count is
+    a broadcast one-row aggregate inside the plan."""
+    from pyspark.sql import Window
+
+    grams = (_ensure_parallelism(df)
+             .select(F.col(id_col).alias("id"),
+                     F.explode(_word_ngrams(text_col, n)).alias("gram")))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    gram_window = Window.partitionBy("gram")
+    grams = (grams.withColumn("df_count",
+                              F.count(F.lit(1)).over(gram_window))
+                  .crossJoin(F.broadcast(n_docs))
+                  .where(F.col("df_count") <= F.greatest(
+                      F.least(
+                          F.floor(F.col("n_docs") * max_gram_docs)
+                           .cast("long"),
+                          F.lit(int(max_gram_docs_abs)).cast("long")),
+                      F.lit(2)))
+                  .select("id", "gram"))
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = grams.select(F.col("id").alias("id_a"), "gram")
+    b = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (a.join(b, "gram")
+              .where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("intersection")))
+    directed = (inter.select(F.col("id_a").alias("id_inner"),
+                             F.col("id_b").alias("id_outer"),
+                             "intersection")
+                     .union(inter.select(F.col("id_b").alias("id_inner"),
+                                         F.col("id_a").alias("id_outer"),
+                                         "intersection")))
+    s = sizes.select(F.col("id").alias("id_inner"),
+                     F.col("set_size").alias("size_inner"))
+    return (directed.join(s, "id_inner")
+                    .withColumn("containment",
+                                F.col("intersection")
+                                / F.col("size_inner"))
+                    .where(F.col("containment") >= threshold)
+                    .select("id_inner", "id_outer", "containment"))
+
+
 def ngram_contamination(train: DataFrame, test: DataFrame,
                         id_col: str, text_col: str, n: int = 8,
                         threshold: float = 0.5) -> DataFrame:

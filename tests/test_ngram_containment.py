@@ -1,0 +1,61 @@
+"""Asymmetric n-gram containment (dedup.ngram_containment_pairs).
+Value parity vs DuckDB lives in the driver oracle (`ngram_containment`);
+these tests pin the embedded-document semantics symmetric Jaccard
+misses.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from blaze_spark.operators import dedup as DD
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_short_doc_embedded_in_long_doc(spark):
+    inner = " ".join(f"tok{i}" for i in range(12))          # 12 tokens
+    filler = " ".join(f"pad{i}" for i in range(60))
+    rows = [(1, inner),
+            (2, f"{filler} {inner} trailing words here"),   # contains doc 1
+            (3, "completely unrelated content with different words")]
+    got = {(r["id_inner"], r["id_outer"]): r["containment"]
+           for r in DD.ngram_containment_pairs(
+               _df(spark, rows), "doc_id", "text", n=5, threshold=0.8,
+               max_gram_docs=1.0).collect()}
+    # all 8 of doc 1's 5-grams appear in doc 2 -> containment 1.0;
+    # the reverse direction is far below threshold (doc 2 has 69 grams)
+    assert got == {(1, 2): pytest.approx(1.0)}
+
+
+def test_jaccard_misses_what_containment_catches(spark):
+    inner = " ".join(f"tok{i}" for i in range(12))
+    filler = " ".join(f"pad{i}" for i in range(60))
+    rows = [(1, inner), (2, f"{filler} {inner}")]
+    df = _df(spark, rows)
+    jac = DD.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8,
+                                 max_token_docs=1.0).count()
+    con = DD.ngram_containment_pairs(df, "doc_id", "text", n=5,
+                                     threshold=0.8,
+                                     max_gram_docs=1.0).count()
+    assert jac == 0 and con == 1
+
+
+def test_identical_docs_contain_both_ways(spark):
+    text = " ".join(f"w{i}" for i in range(20))
+    got = {(r["id_inner"], r["id_outer"])
+           for r in DD.ngram_containment_pairs(
+               _df(spark, [(1, text), (2, text)]), "doc_id", "text",
+               n=5, max_gram_docs=1.0).collect()}
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_hot_gram_guard_absolute_cap(spark):
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [(i, boiler) for i in range(8)]
+    got = DD.ngram_containment_pairs(_df(spark, rows), "doc_id", "text",
+                                     n=5, max_gram_docs=1.0,
+                                     max_gram_docs_abs=3)
+    assert got.count() == 0
