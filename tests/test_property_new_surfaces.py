@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, given, settings, strategies as st
 
 from blaze_spark import compile_schema, evaluate
 from blaze_spark.plans.documentation import to_documentation
@@ -93,9 +93,44 @@ def _collect_ids(table, out):
             _collect_ids(child, out)
 
 
+def _canon(v):
+    # JSON-Schema equality: numbers compare by value across int/real
+    # (1 == 1.0), booleans are NOT numbers
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, (int, float)):
+        return ("n", float(v))
+    if isinstance(v, list):
+        return ("a", tuple(_canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("o", tuple(sorted((k, _canon(x)) for k, x in v.items())))
+    return (type(v).__name__, v)
+
+
+def _enum_with_canonical_dups(schema):
+    if isinstance(schema, dict):
+        e = schema.get("enum")
+        if (isinstance(e, list)
+                and len({_canon(x) for x in e}) < len(e)):
+            return True
+        return any(_enum_with_canonical_dups(v) for v in schema.values())
+    if isinstance(schema, list):
+        return any(_enum_with_canonical_dups(v) for v in schema)
+    return False
+
+
 @settings(max_examples=80, deadline=None)
 @given(schema=random_schemas)
 def test_documentation_identifiers_dense(schema):
+    # Latent inconsistency in the REFERENCE, preserved here for byte
+    # parity: documentation.cc:110-127 copies enum values into the
+    # type expression VERBATIM, but schemas/documentation.json requires
+    # `values` to satisfy uniqueItems — under which 3 and 3.0 are
+    # duplicates. A source schema with such an enum makes the
+    # reference's own output meta-invalid, so the meta-validation
+    # property excludes those inputs (parity is pinned separately in
+    # test_documentation_enum_values_verbatim).
+    assume(not _enum_with_canonical_dups(schema))
     document = {"$schema": D2020, **schema}
     doc = to_documentation(document)
     ids = []
@@ -104,6 +139,32 @@ def test_documentation_identifiers_dense(schema):
     assert sorted(ids) == list(range(len(ids)))
     from tools.documentation_check import _meta_validate
     _meta_validate(doc)
+
+
+def test_documentation_enum_values_verbatim():
+    """Reference parity (documentation.cc:110-127): enum values are
+    copied into the type expression verbatim — no dedup, no
+    normalization — even when cross-type numeric duplicates (3.0 vs 3)
+    make the result violate the reference's own meta-schema
+    uniqueItems. The heterogeneous enum type-splits into per-type
+    groups (as the reference does); the numeric group must keep BOTH
+    of 3.0 and 3."""
+    doc = to_documentation({"$schema": D2020, "enum": [True, 3.0, 3]})
+
+    def enum_values(node):
+        if isinstance(node, dict):
+            if node.get("kind") == "enum":
+                yield node["values"]
+            for v in node.values():
+                yield from enum_values(v)
+        elif isinstance(node, list):
+            for v in node:
+                yield from enum_values(v)
+
+    groups = list(enum_values(doc))
+    assert [True] in groups
+    numeric = [g for g in groups if g == [3.0, 3]]
+    assert numeric and len(numeric[0]) == 2  # verbatim, no 3.0/3 dedup
 
 
 # --- position-tracking JSON parser ------------------------------------
