@@ -179,6 +179,13 @@ def run_benchmarks(only=None):
     # passage-level dedup: repeated 8-token windows -> merged spans
     bench("duplicate_spans", lambda: E.q_duplicate_spans(
         spark, SF_DIR).count())
+    # banded Hamming pairing over the 64-bit SimHash
+    bench("simhash_pairs", lambda: E.q_simhash_pairs(spark, SF_DIR).count())
+    # new-batch-vs-corpus-snapshot LSH dedup
+    bench("incremental_minhash", lambda: E.q_incremental_minhash(
+        spark, SF_DIR).count())
+    # corpus-unigram LM quality scoring
+    bench("unigram_lm", lambda: E.q_unigram_lm(spark, SF_DIR).count())
     bench("ann_cosine_topk", lambda: E.q_ann_cosine_topk(spark, SF_DIR).count())
     # the 100-TB scale paths: IVF-probed ANN + bucket-local embedding dedup
     bench("ann_ivf_topk", lambda: E.q_ann_ivf_topk(spark, SF_DIR).count())

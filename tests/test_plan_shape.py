@@ -411,6 +411,8 @@ _CROSS_JOIN_ALLOWED = {
     "curation_report", "contamination",
     # unigram LM: broadcast single-row (N, V) corpus-stats factor
     "unigram_lm",
+    # containment: same broadcast one-row n_docs factor as ngram_jaccard
+    "ngram_containment",
     # KS: broadcast theta self-join of the two PRE-AGGREGATED
     # per-bucket CDF tables (rows = histogram buckets, not data rows)
     "drift_ks_n_chars",
