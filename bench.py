@@ -506,9 +506,12 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                 docs, "doc_id", "text", window=8).count(),
             "dedup_clusters": lambda: DD.near_dup_clusters(
                 docs, "doc_id", "text").count(),
-            "incremental_minhash": lambda: DD.incremental_near_duplicates(
-                docs.where(F.col("doc_id") % 2 == 1),
-                docs.where(F.col("doc_id") % 2 == 0),
+            # split on the ORIGINAL doc id (replica ids are
+            # orig*mult+rep, so raw parity would split whole replicas
+            # apart — disjoint token sets, zero cross-side collisions)
+            "incremental_minhash": lambda m=m: DD.incremental_near_duplicates(
+                docs.where(F.floor(F.col("doc_id") / m) % 2 == 1),
+                docs.where(F.floor(F.col("doc_id") / m) % 2 == 0),
                 "doc_id", "text").count(),
             "embedding_bucketed": lambda: DD.embedding_near_duplicates_bucketed(
                 emb, "vec_id", centroids, threshold=0.95).count(),
