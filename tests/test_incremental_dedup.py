@@ -44,6 +44,31 @@ def test_near_dup_pairs_are_cross_side_only(spark):
     assert pairs == {(11, 2), (11, 4)}
 
 
+def test_crawl_round_trip_two_batches(spark):
+    """The continuous-crawl loop end-to-end: dedup batch 1 against the
+    snapshot, append its unique survivors, then batch 2 must dedup
+    against the GROWN snapshot — content that first appeared in batch 1
+    is a corpus_dup by batch 2."""
+    corpus = _df(spark, [(1, "seed content one")])
+    b1 = _df(spark, [(10, "seed content one"),     # dup of snapshot
+                     (11, "novel content alpha"),  # survives
+                     (12, "novel content beta")])  # survives
+    r1 = DD.incremental_exact(b1, corpus, "doc_id", "text")
+    keep1 = [r["id"] for r in r1.where(r1.status == "unique").collect()]
+    assert sorted(keep1) == [11, 12]
+    grown = corpus.union(
+        b1.where(b1.doc_id.isin(keep1)).select("doc_id", "text"))
+    b2 = _df(spark, [(20, "novel content alpha"),   # batch-1 survivor
+                     (21, "seed content one"),      # original seed
+                     (22, "novel content gamma")])  # genuinely new
+    got = {r["id"]: (r["status"], r["canonical_id"])
+           for r in DD.incremental_exact(b2, grown,
+                                         "doc_id", "text").collect()}
+    assert got == {20: ("corpus_dup", 11),
+                   21: ("corpus_dup", 1),
+                   22: ("unique", 22)}
+
+
 def test_corpus_hot_bucket_dropped(spark):
     boiler = "the same boilerplate text repeated everywhere in the crawl"
     corpus = _df(spark, [(i, boiler) for i in range(0, 20, 2)])
