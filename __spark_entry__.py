@@ -241,6 +241,15 @@ def q_dedup_embedding_lsh(spark, sf_dir):
                         F.round("cosine", 4).alias("cosine"))
 
 
+def q_scrub_spans(spark, sf_dir):
+    # remove duplicated passages, rebuild token-space text
+    out = DD.scrub_duplicate_spans(_docs(spark, sf_dir), "doc_id", "text",
+                                   window=8, min_count=2)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.md5("text_scrubbed").alias("scrubbed_md5"),
+                      "n_tokens_kept", "n_tokens_removed")
+
+
 def q_incremental_exact(spark, sf_dir):
     # continuous-crawl shape: dedup the odd-id batch against the even-id
     # corpus snapshot
@@ -903,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
+        "scrub_spans": q_scrub_spans,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "unigram_lm": q_unigram_lm,
         "incremental_exact": q_incremental_exact,
@@ -1644,6 +1654,50 @@ export interface Schema {
                    round(CAST(sum(span_end - span_start + 1) AS BIGINT)
                          / any_value(n), 6) AS dup_fraction
             FROM sp GROUP BY 1""",
+        "scrub_spans": f"""
+            WITH t AS (
+              SELECT doc_id AS id, {_TOKENS} AS toks FROM documents),
+            tt AS (SELECT id, toks, len(toks) AS n FROM t
+                   WHERE len(toks) >= 8),
+            w AS (
+              SELECT id, n, CAST(s AS INT) AS pos,
+                     md5(array_to_string(
+                         toks[CAST(s AS INT):CAST(s AS INT) + 7], ' ')) AS h
+              FROM tt, unnest(generate_series(1, n - 7)) AS u(s)),
+            d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+            f AS (SELECT w.id, w.pos FROM w JOIN d USING (h)),
+            m AS (SELECT id, pos,
+                    max(pos + 7) OVER (PARTITION BY id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+                  FROM f),
+            s AS (SELECT id, pos,
+                    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                        THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY id ORDER BY pos) AS span_id
+                  FROM m),
+            sp AS (SELECT id, span_id, min(pos) AS span_start,
+                          max(pos) + 7 AS span_end
+                   FROM s GROUP BY 1, 2),
+            cov AS (SELECT id, CAST(u.p AS INT) AS pos
+                    FROM sp, unnest(generate_series(span_start, span_end))
+                        AS u(p)),
+            tok AS (SELECT id, CAST(u.i AS INT) AS pos,
+                           toks[CAST(u.i AS INT)] AS tok
+                    FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+            totals AS (SELECT id, count(*) AS n_total FROM tok GROUP BY 1),
+            kept AS (SELECT tok.id, tok.pos, tok.tok
+                     FROM tok ANTI JOIN cov USING (id, pos)),
+            rebuilt AS (
+              SELECT id,
+                     string_agg(tok, ' ' ORDER BY pos) AS text_scrubbed,
+                     count(*) AS n_tokens_kept
+              FROM kept GROUP BY 1)
+            SELECT r.id AS doc_id, md5(r.text_scrubbed) AS scrubbed_md5,
+                   r.n_tokens_kept,
+                   CAST(t2.n_total - r.n_tokens_kept AS BIGINT)
+                       AS n_tokens_removed
+            FROM rebuilt r JOIN totals t2 ON t2.id = r.id""",
         "ngram_containment": f"""
             WITH t AS (SELECT doc_id AS id, {_TOKENS} AS toks
                        FROM documents),

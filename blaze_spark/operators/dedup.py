@@ -685,6 +685,50 @@ def duplicate_span_profile(df: DataFrame, id_col: str, text_col: str,
                                      F.col("n_tokens"), 6)))
 
 
+def scrub_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                          window: int = 8,
+                          min_count: int = 2) -> DataFrame:
+    """Detect AND REMOVE duplicated passages: every token covered by a
+    :func:`duplicate_spans` span is dropped from every document, and
+    the remainder is reconstructed in token space — the "strip
+    boilerplate/repeated passages before training" transform (policy:
+    remove ALL occurrences; whole-document duplicates are the job of
+    doc-level dedup run first, so what this removes is cross-document
+    boilerplate and internal repetition).
+
+    Output is (id, text_scrubbed, n_tokens_kept, n_tokens_removed)
+    where ``text_scrubbed`` is the kept tokens space-joined in original
+    order — TOKENIZED text (lowercased, punctuation stripped), the
+    working representation of an LLM corpus pipeline. Documents whose
+    every token is covered (fully duplicated) emit no row; documents
+    with no duplicated span pass through with ``n_tokens_removed`` 0.
+
+    Scale shape: covered positions come from the MERGED spans (disjoint
+    intervals, so the explode is bounded by document length, not by
+    span overlap); token rows left-anti join covered positions on
+    (id, pos); the per-document rebuild is one groupBy with a sorted
+    struct collect — all shuffles keyed by document id."""
+    spans = duplicate_spans(df, id_col, text_col, window=window,
+                            min_count=min_count)
+    covered = spans.select(
+        "id", F.explode(F.sequence("span_start", "span_end")).alias("pos"))
+    toks = (_ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(_tokens(text_col)).alias("pos0", "tok"))
+            .select("id", (F.col("pos0") + 1).alias("pos"), "tok"))
+    totals = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"])).alias("text_scrubbed"),
+        F.count(F.lit(1)).alias("n_tokens_kept"))
+    return (rebuilt.join(totals, "id")
+                   .select("id", "text_scrubbed", "n_tokens_kept",
+                           (F.col("n_total") - F.col("n_tokens_kept"))
+                           .alias("n_tokens_removed")))
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: every node connects its strictly-larger
     neighbors to the minimum of its closed neighborhood. Implemented as

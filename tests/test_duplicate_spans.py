@@ -104,6 +104,30 @@ def test_profile_fraction(spark):
     assert by_id[2]["dup_fraction"] == 0.8
 
 
+def test_scrub_removes_shared_passage_everywhere(spark):
+    rows = [
+        (1, f"alpha beta {_SHARED} gamma delta"),
+        (2, f"one two three {_SHARED} four"),
+        (3, "completely different words with nothing repeated here at all"),
+    ]
+    got = {r["id"]: r for r in DD.scrub_duplicate_spans(
+        _df(spark, rows), "doc_id", "text", window=8).collect()}
+    assert got[1]["text_scrubbed"] == "alpha beta gamma delta"
+    assert got[1]["n_tokens_removed"] == 8
+    assert got[2]["text_scrubbed"] == "one two three four"
+    # untouched doc passes through with zero removed
+    assert got[3]["n_tokens_removed"] == 0
+    assert got[3]["text_scrubbed"].startswith("completely different")
+
+
+def test_scrub_fully_duplicated_doc_emits_no_row(spark):
+    p = " ".join(f"z{i}" for i in range(8))
+    rows = [(1, p), (2, p), (3, "unique words that survive the scrub fine ok")]
+    got = {r["id"] for r in DD.scrub_duplicate_spans(
+        _df(spark, rows), "doc_id", "text", window=8).collect()}
+    assert got == {3}
+
+
 def test_flag_join_is_against_aggregated_set(spark):
     """Scale shape: the hot-window flag must be an equi-join against the
     AGGREGATED repeated-hash set (fan-out 1 per window row) — never a
