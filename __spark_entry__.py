@@ -241,6 +241,13 @@ def q_dedup_embedding_lsh(spark, sf_dir):
                         F.round("cosine", 4).alias("cosine"))
 
 
+def q_sessionize(spark, sf_dir):
+    # gap-based sessionization of the events table (30-minute gap)
+    from blaze_spark.operators.sessions import sessionize
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
+
+
 def q_scrub_spans(spark, sf_dir):
     # remove duplicated passages, rebuild token-space text
     out = DD.scrub_duplicate_spans(_docs(spark, sf_dir), "doc_id", "text",
@@ -913,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
         "scrub_spans": q_scrub_spans,
+        "sessionize": q_sessionize,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "unigram_lm": q_unigram_lm,
         "incremental_exact": q_incremental_exact,
@@ -1654,6 +1662,32 @@ export interface Schema {
                    round(CAST(sum(span_end - span_start + 1) AS BIGINT)
                          / any_value(n), 6) AS dup_fraction
             FROM sp GROUP BY 1""",
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us
+              FROM events),
+            marked AS (
+              SELECT user_id, event_id, ts_us,
+                     CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM e
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts_us, event_id)),
+            assigned AS (
+              SELECT user_id, ts_us,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id
+                                            ROWS BETWEEN UNBOUNDED
+                                            PRECEDING AND CURRENT ROW)
+                         AS session_idx
+              FROM marked)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us) AS session_end_us,
+                   count(*) AS n_events,
+                   max(ts_us) - min(ts_us) AS duration_us
+            FROM assigned GROUP BY 1, 2""",
         "scrub_spans": f"""
             WITH t AS (
               SELECT doc_id AS id, {_TOKENS} AS toks FROM documents),

@@ -1,0 +1,56 @@
+"""Gap-based sessionization over event streams — the classic
+partitioned-window operator for behavioral/telemetry tables: events of
+one key, sorted by time, split into sessions wherever the inter-event
+gap exceeds a threshold.
+
+Scale shape: everything is ONE window partitioned by the session key
+(never global — bounded by events-per-key, the same discipline as the
+rest of the fleet; see tests/test_plan_shape.py) plus one groupBy for
+the summaries. Time math stays in integer MICROSECONDS
+(``unix_micros`` / DuckDB ``epoch_us``) so gap comparisons and
+durations are exact and engine-portable — no float epoch drift, no
+timezone rendering on the contract surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_sessions(df: DataFrame, key_col: str, ts_col: str,
+                    order_col: str,
+                    gap_seconds: int = 1800) -> DataFrame:
+    """Per-event session assignment: adds ``ts_us`` (event time in
+    microseconds) and ``session_idx`` (1-based per key, in time order).
+    ``order_col`` breaks ties between equal timestamps so the
+    assignment is deterministic across engines and runs."""
+    w = Window.partitionBy(key_col).orderBy("ts_us", order_col)
+    # TIMESTAMP_NTZ needs a cast for unix_micros; the session timezone
+    # is pinned UTC (session.py), so the cast preserves the raw micros
+    # and matches DuckDB's epoch_us over the naive timestamp
+    out = df.withColumn("ts_us",
+                        F.unix_micros(F.col(ts_col).cast("timestamp")))
+    prev = F.lag("ts_us").over(w)
+    new_session = (prev.isNull() |
+                   ((F.col("ts_us") - prev) > gap_seconds * 1_000_000)) \
+        .cast("int")
+    return (out.withColumn("__new__", new_session)
+               .withColumn("session_idx", F.sum("__new__").over(w))
+               .drop("__new__"))
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str, order_col: str,
+               gap_seconds: int = 1800) -> DataFrame:
+    """Per-session summaries: (key, session_idx, session_start_us,
+    session_end_us, n_events, duration_us). One partitioned window
+    (the assignment) + one groupBy keyed by (key, session_idx)."""
+    assigned = assign_sessions(df, key_col, ts_col, order_col,
+                               gap_seconds=gap_seconds)
+    return (assigned.groupBy(key_col, "session_idx")
+                    .agg(F.min("ts_us").alias("session_start_us"),
+                         F.max("ts_us").alias("session_end_us"),
+                         F.count(F.lit(1)).alias("n_events"))
+                    .withColumn("duration_us",
+                                F.col("session_end_us")
+                                - F.col("session_start_us")))

@@ -1,0 +1,59 @@
+"""Gap-based sessionization (operators/sessions.py). Value parity vs
+DuckDB lives in the driver oracle (`sessionize`); these tests pin the
+gap/tiebreak semantics and the partitioned plan shape.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.sessions import assign_sessions, sessionize
+
+
+def _events(spark, rows):
+    # (user_id, event_id, offset_seconds)
+    return (spark.createDataFrame(rows, "user_id long, event_id long, "
+                                        "offset_s long")
+            .withColumn("ts", F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("offset_s")))
+            .drop("offset_s"))
+
+
+def test_gap_splits_sessions(spark):
+    rows = [(1, 1, 0), (1, 2, 60), (1, 3, 120),       # session 1
+            (1, 4, 120 + 1801), (1, 5, 120 + 1900),   # session 2 (>30 min)
+            (2, 6, 50)]                               # other user
+    got = {(r["user_id"], r["session_idx"]): r
+           for r in sessionize(_events(spark, rows), "user_id", "ts",
+                               "event_id", gap_seconds=1800).collect()}
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    assert got[(1, 1)]["n_events"] == 3
+    assert got[(1, 1)]["duration_us"] == 120 * 1_000_000
+    assert got[(1, 2)]["n_events"] == 2
+    assert got[(2, 1)]["n_events"] == 1
+
+
+def test_exact_gap_boundary_stays_one_session(spark):
+    # a gap of EXACTLY gap_seconds does not split (strict >)
+    rows = [(1, 1, 0), (1, 2, 1800)]
+    got = sessionize(_events(spark, rows), "user_id", "ts", "event_id",
+                     gap_seconds=1800).collect()
+    assert len(got) == 1 and got[0]["n_events"] == 2
+
+
+def test_equal_timestamps_tiebreak_deterministic(spark):
+    rows = [(1, 5, 0), (1, 3, 0), (1, 4, 0)]
+    a = assign_sessions(_events(spark, rows), "user_id", "ts", "event_id")
+    got = [(r["event_id"], r["session_idx"]) for r in
+           a.orderBy("event_id").collect()]
+    assert got == [(3, 1), (4, 1), (5, 1)]
+
+
+def test_window_is_partitioned_by_key(spark):
+    rows = [(1, 1, 0), (2, 2, 10)]
+    plan = sessionize(_events(spark, rows), "user_id", "ts", "event_id") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    bad = re.findall(r"windowspecdefinition\([^,)]*\s(?:ASC|DESC)", plan)
+    assert "windowspecdefinition" in plan and not bad
