@@ -110,3 +110,68 @@ def test_resize_keeps_meta_for_undecodable(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = resize_images(df, 8, 8).collect()[0]
     assert out["meta"]["width"] == 640 and out["meta"]["height"] == 480
+
+
+# --- SVID video: real frame sampling ----------------------------------
+
+def test_svid_roundtrip_random_access():
+    from blaze_spark.operators.multimodal import (svid_decode_frame,
+                                                  svid_encode, svid_meta)
+
+    frames = [np.full((6, 8), 30 * k, dtype=np.uint8) for k in range(5)]
+    payload = svid_encode(frames, fps=10)
+    assert svid_meta(payload) == (5, 10)
+    for k in (0, 2, 4):
+        assert (svid_decode_frame(payload, k) == frames[k]).all()
+
+
+def test_svid_out_of_range_and_corrupt_are_gated():
+    from blaze_spark.operators.multimodal import (DecodeUnavailable,
+                                                  svid_decode_frame,
+                                                  svid_encode)
+
+    payload = svid_encode([np.zeros((2, 2), dtype=np.uint8)])
+    with pytest.raises(DecodeUnavailable):
+        svid_decode_frame(payload, 5)
+    with pytest.raises(DecodeUnavailable):
+        svid_decode_frame(b"\x00\x00\x00\x18ftyp-not-svid", 0)
+
+
+def test_sample_frames_end_to_end(spark):
+    from blaze_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                  sample_frames,
+                                                  svid_encode)
+
+    # 5 constant frames at 10 fps -> 500 ms; sample every 200 ms ->
+    # timestamps 0/200/400 -> frame indices 0/2/4
+    frames = [np.full((6, 8), 30 * k, dtype=np.uint8) for k in range(5)]
+    rows = [(1, "video", "video/x-svid", svid_encode(frames, fps=10),
+             (8, 6, 500)),
+            (2, "video", "video/mp4", b"\x00\x00\x00\x18ftyp",
+             (None, None, 1000)),          # corrupt -> no frames
+            (3, "image", "image/x-simg", None, (None, None, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sample_frames(df, every_ms=200, dim=4).orderBy(
+        "media_id", "timestamp_ms").collect()
+    assert [(r["media_id"], r["frame_index"], r["timestamp_ms"])
+            for r in got] == [(1, 0, 0), (1, 2, 200), (1, 4, 400)]
+    for r in got:
+        want = 30 * r["frame_index"] / 255.0
+        assert all(abs(x - want) < 1e-6 for x in r["feature"])
+
+
+def test_sample_frames_video_table_counts(spark):
+    from blaze_spark.operators.multimodal import sample_frames, video_table
+
+    vids = video_table(spark, 20)
+    got = sample_frames(vids, every_ms=100, dim=4)
+    per_vid = {r["media_id"]: r["n"] for r in
+               got.groupBy("media_id").count()
+                  .withColumnRenamed("count", "n").collect()}
+    # every decodable video (i % 10 != 9) samples exactly n_frames
+    # frames at 100 ms spacing (fps 10); impostors emit nothing
+    for i in range(20):
+        if i % 10 == 9:
+            assert i not in per_vid
+        else:
+            assert per_vid[i] == i % 7 + 2
