@@ -175,3 +175,61 @@ def test_sample_frames_video_table_counts(spark):
             assert i not in per_vid
         else:
             assert per_vid[i] == i % 7 + 2
+
+
+# --- SAUD audio: real DSP features ------------------------------------
+
+def test_saud_roundtrip():
+    from blaze_spark.operators.multimodal import saud_decode, saud_encode
+
+    x = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    rate, got = saud_decode(saud_encode(x, 8000))
+    assert rate == 8000 and (got == x).all()
+
+
+def test_saud_corrupt_gated():
+    from blaze_spark.operators.multimodal import (DecodeUnavailable,
+                                                  saud_decode, saud_encode)
+
+    with pytest.raises(DecodeUnavailable):
+        saud_decode(b"ID3\x04-not-saud")
+    good = saud_encode(np.zeros(100, dtype=np.int16))
+    with pytest.raises(DecodeUnavailable):
+        saud_decode(good[:20])  # truncated
+
+
+def test_audio_features_sine_math(spark):
+    from blaze_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                  extract_audio_features,
+                                                  saud_encode)
+
+    rate, freq, amp, dur = 8000, 400.0, 0.5, 1.0
+    t = np.arange(int(rate * dur)) / rate
+    x = np.rint(32767 * amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+    rows = [(1, "audio", "audio/x-saud", saud_encode(x, rate),
+             (None, None, 1000)),
+            (2, "audio", "audio/mpeg", b"ID3\x04-fake", (None, None, None)),
+            (3, "image", "image/x-simg", None, (None, None, None))]
+    got = {r["media_id"]: r for r in extract_audio_features(
+        spark.createDataFrame(rows, MEDIA_SCHEMA), dim=4).collect()}
+    assert set(got) == {1, 2}            # images filtered, impostor kept
+    r = got[1]
+    assert r["duration_ms"] == 1000
+    # sine RMS = amp/sqrt(2); ZCR = 2*freq/rate crossings per sample
+    assert abs(r["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(r["zero_crossing_rate"] - 2 * freq / rate) < 0.005
+    assert abs(r["peak"] - amp) < 0.01
+    assert len(r["energy_envelope"]) == 4
+    assert all(abs(e - r["rms"]) < 0.02 for e in r["energy_envelope"])
+    assert got[2]["rms"] is None         # undecodable -> nulls, no crash
+
+
+def test_audio_table_population(spark):
+    from blaze_spark.operators.multimodal import (audio_table,
+                                                  extract_audio_features)
+
+    got = extract_audio_features(audio_table(spark, 20), dim=4).collect()
+    assert len(got) == 20
+    ok = [r for r in got if r["rms"] is not None]
+    assert len(ok) == 18                 # 2 impostors per 20
+    assert all(r["duration_ms"] >= 200 for r in ok)
