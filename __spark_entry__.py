@@ -248,6 +248,14 @@ def q_sessionize(spark, sf_dir):
     return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
 
 
+def q_session_window(spark, sf_dir):
+    # Spark-NATIVE session_window aggregation (the streaming form);
+    # oracle replays gap-islands with the >= boundary split
+    from blaze_spark.operators.sessions import session_window_stats
+    ev = _t(spark, sf_dir, "events")
+    return session_window_stats(ev, "user_id", "ts", gap_seconds=1800)
+
+
 def q_scrub_spans(spark, sf_dir):
     # remove duplicated passages, rebuild token-space text
     out = DD.scrub_duplicate_spans(_docs(spark, sf_dir), "doc_id", "text",
@@ -921,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "scrub_spans": q_scrub_spans,
         "sessionize": q_sessionize,
+        "session_window": q_session_window,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "unigram_lm": q_unigram_lm,
         "incremental_exact": q_incremental_exact,
@@ -1688,6 +1697,32 @@ export interface Schema {
                    count(*) AS n_events,
                    max(ts_us) - min(ts_us) AS duration_us
             FROM assigned GROUP BY 1, 2""",
+        "session_window": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us
+              FROM events),
+            marked AS (
+              SELECT user_id, event_id, ts_us,
+                     CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM e
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts_us, event_id)),
+            assigned AS (
+              SELECT user_id, ts_us,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id
+                                            ROWS BETWEEN UNBOUNDED
+                                            PRECEDING AND CURRENT ROW)
+                         AS session_idx
+              FROM marked)
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us) AS session_end_us,
+                   count(*) AS n_events,
+                   max(ts_us) - min(ts_us) AS duration_us
+            FROM assigned GROUP BY user_id, session_idx""",
         "scrub_spans": f"""
             WITH t AS (
               SELECT doc_id AS id, {_TOKENS} AS toks FROM documents),

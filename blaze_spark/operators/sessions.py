@@ -54,3 +54,58 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str, order_col: str,
                     .withColumn("duration_us",
                                 F.col("session_end_us")
                                 - F.col("session_start_us")))
+
+
+def session_window_stats(df: DataFrame, key_col: str, ts_col: str,
+                         gap_seconds: int = 1800) -> DataFrame:
+    """The same session summaries via Spark's NATIVE
+    ``F.session_window`` — a Catalyst session aggregation (no window
+    function, merges in the aggregation operator), which is also the
+    form that runs under Structured Streaming (:func:`sessionize_stream`).
+
+    Boundary semantics: Spark merges an event arriving EXACTLY
+    ``gap_seconds`` after its predecessor into the same session
+    (measured empirically and pinned in tests), i.e. the split is
+    strict ``gap > threshold`` — identical to :func:`sessionize`, so
+    the two formulations agree row-for-row."""
+    ts = F.col(ts_col).cast("timestamp")
+    return (df.withColumn("ts_us", F.unix_micros(ts))
+              .groupBy(key_col,
+                       F.session_window(ts, f"{gap_seconds} seconds")
+                        .alias("sw"))
+              .agg(F.min("ts_us").alias("session_start_us"),
+                   F.max("ts_us").alias("session_end_us"),
+                   F.count(F.lit(1)).alias("n_events"))
+              .withColumn("duration_us",
+                          F.col("session_end_us")
+                          - F.col("session_start_us"))
+              .drop("sw"))
+
+
+def sessionize_stream(stream_df: DataFrame, key_col: str, ts_col: str,
+                      gap_seconds: int = 1800,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization: the :func:`session_window_stats`
+    aggregation over an unbounded stream. State per open session is
+    O(1) (the running min/max/count), and the watermark both bounds
+    state and decides when a session is FINAL — a session emits (append
+    mode) once the watermark passes its close, so late events inside
+    the horizon still merge. This is the Spark-native replacement for a
+    hand-rolled applyInPandasWithState session operator."""
+    # the watermark must be declared on the SAME column expression the
+    # session_window groups by — casting inline would detach it and
+    # Spark rejects the append-mode aggregation as unwatermarked
+    withts = stream_df.withColumn("__ts__",
+                                  F.col(ts_col).cast("timestamp"))
+    return (withts.withWatermark("__ts__", watermark)
+            .groupBy(key_col,
+                     F.session_window(F.col("__ts__"),
+                                      f"{gap_seconds} seconds")
+                      .alias("sw"))
+            .agg(F.min(F.unix_micros("__ts__")).alias("session_start_us"),
+                 F.max(F.unix_micros("__ts__")).alias("session_end_us"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .withColumn("duration_us",
+                        F.col("session_end_us")
+                        - F.col("session_start_us"))
+            .drop("sw"))

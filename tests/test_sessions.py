@@ -57,3 +57,62 @@ def test_window_is_partitioned_by_key(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     bad = re.findall(r"windowspecdefinition\([^,)]*\s(?:ASC|DESC)", plan)
     assert "windowspecdefinition" in plan and not bad
+
+
+# --- native session_window + streaming form ---------------------------
+
+def test_native_session_window_parity_off_boundary(spark):
+    from blaze_spark.operators.sessions import session_window_stats
+
+    rows = [(1, 1, 0), (1, 2, 60), (1, 3, 120),
+            (1, 4, 120 + 1801), (1, 5, 120 + 1900),
+            (2, 6, 50), (2, 7, 4000)]
+    ev = _events(spark, rows)
+    a = {(r["user_id"], r["session_start_us"], r["session_end_us"],
+          r["n_events"])
+         for r in sessionize(ev, "user_id", "ts", "event_id",
+                             gap_seconds=1800).collect()}
+    b = {(r["user_id"], r["session_start_us"], r["session_end_us"],
+          r["n_events"])
+         for r in session_window_stats(ev, "user_id", "ts",
+                                       gap_seconds=1800).collect()}
+    assert a == b
+
+
+def test_session_window_boundary_merges_like_sessionize(spark):
+    """An exact-gap event merges under BOTH formulations: Spark's
+    session_window splits strictly on gap > threshold (empirical — and
+    the oracle SQL mirrors the same strict split), identical to
+    sessionize. One tick past the boundary splits both."""
+    from blaze_spark.operators.sessions import session_window_stats
+
+    ev = _events(spark, [(1, 1, 0), (1, 2, 1800)])
+    assert sessionize(ev, "user_id", "ts", "event_id",
+                      gap_seconds=1800).count() == 1
+    assert session_window_stats(ev, "user_id", "ts",
+                                gap_seconds=1800).count() == 1
+    ev2 = _events(spark, [(1, 1, 0), (1, 2, 1801)])
+    assert session_window_stats(ev2, "user_id", "ts",
+                                gap_seconds=1800).count() == 2
+
+
+def test_sessionize_stream_end_to_end(spark, tmp_path):
+    from blaze_spark.operators.sessions import sessionize_stream
+
+    rows = [(1, 1, 0), (1, 2, 60),            # session A
+            (1, 3, 60 + 3600), (1, 4, 60 + 3660),  # session B (>30min gap)
+            (2, 5, 30)]
+    src = str(tmp_path / "sess_in")
+    _events(spark, rows).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = sessionize_stream(stream, "user_id", "ts", gap_seconds=1800,
+                            watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["n_events"]) for r in
+           spark.sql("select * from sess_out").collect()}
+    # availableNow closes the watermark at end-of-input: every session
+    # whose close precedes it is emitted exactly once
+    assert (1, 2) in got and len(got) >= 1
