@@ -186,6 +186,10 @@ def run_benchmarks(only=None):
         spark, SF_DIR).count())
     # corpus-unigram LM quality scoring
     bench("unigram_lm", lambda: E.q_unigram_lm(spark, SF_DIR).count())
+    # gap-based sessionization: window form + native session_window
+    bench("sessionize", lambda: E.q_sessionize(spark, SF_DIR).count())
+    bench("session_window", lambda: E.q_session_window(
+        spark, SF_DIR).count())
     bench("ann_cosine_topk", lambda: E.q_ann_cosine_topk(spark, SF_DIR).count())
     # the 100-TB scale paths: IVF-probed ANN + bucket-local embedding dedup
     bench("ann_ivf_topk", lambda: E.q_ann_ivf_topk(spark, SF_DIR).count())
