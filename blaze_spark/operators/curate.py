@@ -32,7 +32,9 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
                   schema: Any, *, min_quality: float = 0.5,
                   holdout: Optional[DataFrame] = None, ngram: int = 3,
                   contamination_threshold: float = 0.5,
-                  max_dup_ngram_ratio: Optional[float] = None
+                  max_dup_ngram_ratio: Optional[float] = None,
+                  max_dup_span_fraction: Optional[float] = None,
+                  max_avg_neg_logprob: Optional[float] = None
                   ) -> DataFrame:
     """One report row per document with the verdict of every curation
     stage plus the final ``kept`` flag:
@@ -46,8 +48,14 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
     - ``repetition_ok`` — duplicate word-bigram fraction <=
       ``max_dup_ngram_ratio`` (always True when None: gate disabled) —
       the Gopher-style repetition screen;
+    - ``span_ok`` — fraction of tokens covered by corpus-duplicated
+      passages (duplicate_span_profile over the candidate set) <=
+      ``max_dup_span_fraction`` (True when None/absent);
+    - ``lm_ok`` — corpus-unigram avg negative log-likelihood
+      (unigram_lm_scores) <= ``max_avg_neg_logprob`` (True when
+      None/absent) — the perplexity-style fluency screen;
     - ``kept`` = valid AND quality_ok AND is_canonical AND
-      repetition_ok AND NOT contaminated.
+      repetition_ok AND span_ok AND lm_ok AND NOT contaminated.
 
     Returning the full report (rather than just the survivors) is
     deliberate: curation decisions need an audit trail, and the
@@ -92,16 +100,36 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
         report = report.join(repetition, "id")
     else:
         report = report.withColumn("repetition_ok", F.lit(True))
+    if max_dup_span_fraction is not None:
+        from blaze_spark.operators.dedup import duplicate_span_profile
+        spans = duplicate_span_profile(docs, id_col, text_col).select(
+            "id", (F.col("dup_fraction") <= max_dup_span_fraction)
+            .alias("span_ok"))
+        report = (report.join(spans, "id", "left")
+                  .withColumn("span_ok",
+                              F.coalesce("span_ok", F.lit(True))))
+    else:
+        report = report.withColumn("span_ok", F.lit(True))
+    if max_avg_neg_logprob is not None:
+        from blaze_spark.operators.textstats import unigram_lm_scores
+        lm = unigram_lm_scores(docs, id_col, text_col).select(
+            "id", (F.col("avg_neg_logprob") <= max_avg_neg_logprob)
+            .alias("lm_ok"))
+        report = (report.join(lm, "id", "left")
+                  .withColumn("lm_ok", F.coalesce("lm_ok", F.lit(True))))
+    else:
+        report = report.withColumn("lm_ok", F.lit(True))
     return (report
             .withColumn("quality_ok",
                         F.col("quality_score") >= min_quality)
             .withColumn("kept",
                         F.col("valid") & F.col("quality_ok")
                         & F.col("is_canonical") & F.col("repetition_ok")
+                        & F.col("span_ok") & F.col("lm_ok")
                         & ~F.col("contaminated"))
             .select("id", "valid", "quality_score", "quality_ok",
                     "is_canonical", "contaminated", "repetition_ok",
-                    "kept"))
+                    "span_ok", "lm_ok", "kept"))
 
 
 def curate(docs: DataFrame, id_col: str, text_col: str, schema: Any,

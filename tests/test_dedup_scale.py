@@ -373,3 +373,33 @@ def test_assign_centroid_vectorized_matches_expression(spark):
         .select("vec_id", F.col("centroid_id").alias("b"))
     diff = expr.join(vec, "vec_id").where(F.col("a") != F.col("b")).count()
     assert diff == 0
+
+
+def test_curate_report_span_and_lm_gates(spark):
+    """The round-4 gates compose into the report: a doc that is mostly
+    a corpus-duplicated passage fails span_ok; a rare-vocabulary doc
+    fails lm_ok; both default-True when the gates are disabled."""
+    from blaze_spark.operators.curate import curate_report
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    # shared VOCABULARY (common tokens for the LM) but no shared
+    # 8-token window (different orders -> no duplicated spans)
+    rows = [(1, "the quick brown fox jumps over the lazy dog here"),
+            (2, "dog the over quick lazy fox brown jumps the there"),
+            (3, "jumps dog quick the fox lazy over brown the where"),
+            (10, f"{passage} x1"), (11, f"{passage} y1"),  # span-dominated
+            (20, "zq wv kx jm qq pp nn mm")]               # rare vocab
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    schema = {"type": "object"}
+    rep = {r["id"]: r for r in curate_report(
+        docs, "doc_id", "text", schema, min_quality=0.0,
+        max_dup_span_fraction=0.8, max_avg_neg_logprob=3.3).collect()}
+    assert not rep[10]["span_ok"] and not rep[11]["span_ok"]
+    assert rep[1]["span_ok"] and rep[20]["span_ok"]
+    assert not rep[20]["lm_ok"]          # rare tokens -> high neg logprob
+    assert rep[1]["lm_ok"]
+    assert not rep[10]["kept"] and not rep[20]["kept"]
+    # disabled gates are always True
+    rep0 = {r["id"]: r for r in curate_report(
+        docs, "doc_id", "text", schema, min_quality=0.0).collect()}
+    assert all(r["span_ok"] and r["lm_ok"] for r in rep0.values())

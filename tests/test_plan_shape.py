@@ -409,6 +409,8 @@ _CROSS_JOIN_ALLOWED = {
     "drift_psi_lang", "dedup_embedding_cosine", "ngram_jaccard",
     "ann_cosine_topk", "dedup_embedding_bucketed", "ann_ivf_topk",
     "curation_report", "contamination",
+    # v2 adds the unigram-LM broadcast single-row (N, V) stats factor
+    "curation_report_v2",
     # unigram LM: broadcast single-row (N, V) corpus-stats factor
     "unigram_lm",
     # containment: same broadcast one-row n_docs factor as ngram_jaccard
