@@ -1,0 +1,139 @@
+"""Property-based cross-checks for the round-4 pipeline operators:
+each Spark operator is compared against an independent brute-force
+Python reference on small random corpora (small vocabularies force
+collisions). Hypothesis example counts are kept low — every example is
+a Spark job — but the references are exhaustive, not sampled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from blaze_spark.operators import dedup as DD
+from blaze_spark.operators.sessions import sessionize
+
+_vocab = st.sampled_from(["a", "b", "c", "d", "e"])
+_doc = st.lists(_vocab, min_size=0, max_size=14)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+WINDOW = 4
+
+
+def _spans_reference(docs):
+    """Brute-force duplicate_span_profile: stride-1 WINDOW-token window
+    hashes, count >= 2 anywhere, merged per doc, fraction covered."""
+    windows = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - WINDOW + 1):
+            h = " ".join(toks[p:p + WINDOW])
+            windows.setdefault(h, []).append((i, p + 1))
+    dup = {h for h, occ in windows.items() if len(occ) >= 2}
+    out = {}
+    for i, toks in enumerate(docs):
+        covered = set()
+        for p in range(len(toks) - WINDOW + 1):
+            if " ".join(toks[p:p + WINDOW]) in dup:
+                covered.update(range(p + 1, p + WINDOW + 1))
+        if covered:
+            out[i] = (len(covered), len(toks))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus=_corpus)
+def test_duplicate_span_profile_matches_brute_force(spark, corpus):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["dup_tokens"], r["n_tokens"])
+           for r in DD.duplicate_span_profile(
+               df, "doc_id", "text", window=WINDOW).collect()}
+    assert got == _spans_reference(corpus)
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus=_corpus)
+def test_incremental_exact_matches_set_logic(spark, corpus):
+    texts = [" ".join(t) for t in corpus]
+    corpus_rows = [(i, t) for i, t in enumerate(texts) if i % 2 == 0]
+    new_rows = [(100 + i, t) for i, t in enumerate(texts) if i % 2 == 1]
+    if not new_rows:
+        return
+    cdf = spark.createDataFrame(corpus_rows or [(999, "sentinel-corpus")],
+                                "doc_id long, text string")
+    ndf = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = {r["id"]: (r["status"], r["canonical_id"])
+           for r in DD.incremental_exact(ndf, cdf,
+                                         "doc_id", "text").collect()}
+    corpus_min = {}
+    for i, t in corpus_rows or [(999, "sentinel-corpus")]:
+        corpus_min.setdefault(t, i)
+    batch_min = {}
+    for i, t in new_rows:
+        batch_min.setdefault(t, i)
+    for i, t in new_rows:
+        if t in corpus_min:
+            assert got[i] == ("corpus_dup", corpus_min[t])
+        elif batch_min[t] != i:
+            assert got[i] == ("batch_dup", batch_min[t])
+        else:
+            assert got[i] == ("unique", i)
+
+
+@settings(max_examples=10, deadline=None)
+@given(events=st.lists(
+    st.tuples(st.integers(1, 3),          # user
+              st.integers(0, 40)),        # time (seconds, gap = 7)
+    min_size=1, max_size=15))
+def test_sessionize_matches_brute_force(spark, events):
+    rows = [(u, i, t) for i, (u, t) in enumerate(events)]
+    df = (spark.createDataFrame(rows, "user_id long, event_id long, "
+                                      "offset_s long")
+          .withColumn("ts", F.timestamp_seconds(
+              F.lit(1_700_000_000) + F.col("offset_s")))
+          .drop("offset_s"))
+    got = {(r["user_id"], r["session_idx"]):
+           (r["session_start_us"], r["session_end_us"], r["n_events"])
+           for r in sessionize(df, "user_id", "ts", "event_id",
+                               gap_seconds=7).collect()}
+    want = {}
+    base = 1_700_000_000 * 1_000_000
+    for u in {u for u, _ in events}:
+        times = sorted(t for uu, t in events if uu == u)
+        sid, start, prev, n = 0, None, None, 0
+        sessions = []
+        for t in times:
+            if prev is None or t - prev > 7:
+                if prev is not None:
+                    sessions.append((start, prev, n))
+                sid, start, n = sid + 1, t, 0
+            n += 1
+            prev = t
+        sessions.append((start, prev, n))
+        for k, (s, e, cnt) in enumerate(sessions, start=1):
+            want[(u, k)] = (base + s * 1_000_000,
+                            base + e * 1_000_000, cnt)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=_corpus)
+def test_scrub_matches_span_profile(spark, corpus):
+    """Internal consistency: scrub's removed-token count per doc equals
+    the span profile's covered-token count, and kept + removed = total."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = _spans_reference(corpus)
+    got = {r["id"]: r for r in DD.scrub_duplicate_spans(
+        df, "doc_id", "text", window=WINDOW).collect()}
+    for i, toks in enumerate(corpus):
+        n = len(toks)
+        dup, total = prof.get(i, (0, n))
+        if n == 0 or dup == n:
+            assert i not in got        # empty or fully duplicated
+        else:
+            assert got[i]["n_tokens_removed"] == dup
+            assert got[i]["n_tokens_kept"] == n - dup
+            assert len(got[i]["text_scrubbed"].split(" ")) == n - dup
