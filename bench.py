@@ -511,6 +511,8 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                 max_gram_docs=1.0, max_gram_docs_abs=50).count(),
             "duplicate_spans": lambda: DD.duplicate_span_profile(
                 docs, "doc_id", "text", window=8).count(),
+            "scrub_spans": lambda: DD.scrub_duplicate_spans(
+                docs, "doc_id", "text", window=8).count(),
             "dedup_clusters": lambda: DD.near_dup_clusters(
                 docs, "doc_id", "text").count(),
             # split on the ORIGINAL doc id (replica ids are
