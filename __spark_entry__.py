@@ -227,6 +227,14 @@ def q_unigram_lm(spark, sf_dir):
                        "avg_neg_logprob", "rare_frac")
 
 
+def q_seed_vocab(spark, sf_dir):
+    # subword seed-vocabulary induction: top-K substrings by corpus
+    # frequency (the SentencePiece unigram-LM seed step)
+    from blaze_spark.operators.textstats import seed_vocab
+    return seed_vocab(_docs(spark, sf_dir), "text",
+                      min_len=1, max_len=6, top_k=500)
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     # centroid-free sign-random-projection LSH near-dup (exact-cosine
     # verified candidates; recall is the LSH trade, precision 1)
@@ -955,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "unigram_lm": q_unigram_lm,
+        "seed_vocab": q_seed_vocab,
         "incremental_exact": q_incremental_exact,
         "incremental_minhash": q_incremental_minhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1739,6 +1748,19 @@ export interface Schema {
                    round(CAST(sum(rare) AS BIGINT) / count(*), 6)
                        AS rare_frac
             FROM scored GROUP BY 1""",
+        "seed_vocab": f"""
+            WITH tok AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+            words AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+            pieces AS (
+              SELECT substring(w.tok, s.i, l.len) AS piece, w.c
+              FROM words w,
+                   LATERAL (SELECT unnest(generate_series(
+                              1, least(6, length(w.tok)))) AS len) l,
+                   LATERAL (SELECT unnest(generate_series(
+                              1, length(w.tok) - l.len + 1)) AS i) s)
+            SELECT piece, CAST(sum(c) AS BIGINT) AS freq
+            FROM pieces GROUP BY 1
+            ORDER BY freq DESC, piece LIMIT 500""",
         "incremental_exact": """
             WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
             newb AS (SELECT * FROM documents WHERE doc_id % 2 = 1),

@@ -159,6 +159,53 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str,
          .alias("rare_frac"))
 
 
+def seed_vocab(df: DataFrame, text_col: str, min_len: int = 1,
+               max_len: int = 6, top_k: int = 1000) -> DataFrame:
+    """Subword seed-vocabulary induction: the ``top_k`` most frequent
+    character substrings (length ``min_len``..``max_len``) of corpus
+    tokens, weighted by occurrence — the seed-vocabulary step of
+    unigram-LM subword tokenizer training (Kudo, "Subword
+    Regularization", ACL 2018: the initial candidate set is the most
+    frequent substrings before EM pruning). The output (piece, freq) is
+    what a tokenizer-training job consumes.
+
+    Scale shape (the 100 TB path): the corpus token stream collapses to
+    a DISTINCT-word count table first (one map-side-combined shuffle; by
+    Heaps' law the word table is millions of rows regardless of corpus
+    size), substring generation fans out over THAT table only (bounded
+    by word_len × (max_len - min_len + 1) per distinct word, never per
+    corpus token), the piece aggregation is a second map-side-combined
+    groupBy over a table bounded by |vocab| × word_len × max_len, and
+    the final top-k orders that aggregated piece table — the corpus
+    itself is scanned exactly once.
+
+    Deterministic: ties break lexicographically on the piece, so the
+    top-k SET is engine-portable. Returns (piece, freq) with freq
+    descending."""
+    toks = df.select(F.explode(F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "")).alias("tok"))
+    words = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # per-length position sweeps, concatenated; a word shorter than L
+    # contributes no length-L pieces. NB: a factory closure, not a
+    # default-arg lambda — pyspark treats a 2-param transform lambda
+    # as (element, index)
+    def sweep(length: int) -> Column:
+        return (F.when(F.length("tok") >= length,
+                       F.transform(
+                           F.sequence(F.lit(1),
+                                      F.length("tok") - (length - 1)),
+                           lambda i: F.col("tok").substr(i, F.lit(length))))
+                .otherwise(F.array().cast("array<string>")))
+
+    parts = [sweep(length) for length in range(min_len, max_len + 1)]
+    all_pieces = F.concat(*parts) if len(parts) > 1 else parts[0]
+    piece_counts = (words.select("c", F.explode(all_pieces).alias("piece"))
+                         .groupBy("piece")
+                         .agg(F.sum("c").alias("freq")))
+    return piece_counts.orderBy(F.desc("freq"), F.asc("piece")).limit(top_k)
+
+
 def sha256_invariant(df: DataFrame, content_col: str) -> DataFrame:
     """Attach the per-row invariant column sha256(content)
     (BASELINE.json:15) — carried through every transform."""

@@ -1,0 +1,71 @@
+"""Subword seed-vocabulary induction (textstats.seed_vocab). Value
+parity vs DuckDB lives in the driver oracle (`seed_vocab`); these tests
+pin the substring sweep, frequency weighting, tie-break and top-k on
+hand-computed corpora plus a brute-force reference.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from blaze_spark.operators.textstats import seed_vocab
+
+
+def _brute(texts, min_len, max_len):
+    counts: Counter = Counter()
+    for text in texts:
+        for tok in re.split(r"[^a-z0-9]+", (text or "").lower()):
+            if not tok:
+                continue
+            for L in range(min_len, max_len + 1):
+                for i in range(len(tok) - L + 1):
+                    counts[tok[i:i + L]] += 1
+    return counts
+
+
+def test_hand_computed_pieces(spark):
+    # corpus: "aba ab", pieces(min 1, max 2):
+    # aba -> a,b,a, ab,ba ; ab -> a,b, ab
+    df = spark.createDataFrame([(1, "aba ab")], "doc_id long, text string")
+    got = {r["piece"]: r["freq"]
+           for r in seed_vocab(df, "text", min_len=1, max_len=2,
+                               top_k=100).collect()}
+    assert got == {"a": 3, "b": 2, "ab": 2, "ba": 1}
+
+
+def test_occurrences_within_a_word_all_count(spark):
+    # "aaa": length-2 window occurs twice at positions 1 and 2
+    df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    got = {r["piece"]: r["freq"]
+           for r in seed_vocab(df, "text", min_len=2, max_len=3,
+                               top_k=10).collect()}
+    assert got == {"aa": 2, "aaa": 1}
+
+
+def test_top_k_orders_by_freq_then_piece(spark):
+    df = spark.createDataFrame([(1, "cc cc bb bb aa")],
+                               "doc_id long, text string")
+    rows = seed_vocab(df, "text", min_len=2, max_len=2, top_k=2).collect()
+    # bb and cc tie at 2; lexicographic tie-break admits bb first
+    assert [(r["piece"], r["freq"]) for r in rows] == [("bb", 2), ("cc", 2)]
+
+
+def test_matches_brute_force(spark):
+    texts = ["the quick brown fox", "the lazy dog dozed",
+             "pack my box with five dozen jugs", "", None,
+             "the the the quick"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    want = _brute(texts, 1, 4)
+    got = {r["piece"]: r["freq"]
+           for r in seed_vocab(df, "text", min_len=1, max_len=4,
+                               top_k=10_000).collect()}
+    assert got == dict(want)
+
+
+def test_words_shorter_than_min_len_contribute_nothing(spark):
+    df = spark.createDataFrame([(1, "a bb ccc")], "doc_id long, text string")
+    got = {r["piece"] for r in
+           seed_vocab(df, "text", min_len=3, max_len=6, top_k=10).collect()}
+    assert got == {"ccc"}
