@@ -290,6 +290,17 @@ def q_incremental_minhash(spark, sf_dir):
                                           k=4, band=2)
 
 
+def q_contamination_fuzzy(spark, sf_dir):
+    """Fuzzy decontamination: MinHash-LSH recall against the training
+    split, exact shingle-Jaccard precision on the recalled candidates,
+    one verdict row per test doc (dedup.decontaminate_fuzzy)."""
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    return DD.decontaminate_fuzzy(test, train, "doc_id", "text",
+                                  k=4, band=2, threshold=0.8)
+
+
 def q_duplicate_spans(spark, sf_dir):
     # passage-level dedup: per-doc profile of maximal duplicated token
     # spans (8-token windows occurring >= 2 times anywhere)
@@ -966,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_vocab": q_seed_vocab,
         "incremental_exact": q_incremental_exact,
         "incremental_minhash": q_incremental_minhash,
+        "contamination_fuzzy": q_contamination_fuzzy,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
         "simhash": q_simhash,
@@ -1816,6 +1828,75 @@ export interface Schema {
             SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
             FROM nban n JOIN ckept c
               ON n.band = c.band AND n.bucket_key = c.bucket_key""",
+        "contamination_fuzzy": f"""
+            WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+            newb AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+            ctok AS (SELECT doc_id, unnest(list_distinct({_SHINGLES}))
+                         AS tok
+                     FROM corpus),
+            cfan AS (SELECT doc_id, tok, k FROM ctok
+                     CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)),
+            csig AS (SELECT doc_id, k,
+                            min(md5(k::VARCHAR || ':' || tok)) AS mh
+                     FROM cfan GROUP BY 1, 2),
+            cban AS (
+              SELECT doc_id, CAST(floor(k / 2) AS INT) AS band,
+                     string_agg(lpad(k::VARCHAR, 2, '0') || '=' || mh, '|'
+                                ORDER BY lpad(k::VARCHAR, 2, '0') || '=' || mh)
+                         AS bucket_key
+              FROM csig GROUP BY 1, 2),
+            ckept AS (
+              SELECT * FROM cban
+              QUALIFY count(*) OVER (PARTITION BY band, bucket_key) <= 100),
+            ntok AS (SELECT doc_id, unnest(list_distinct({_SHINGLES}))
+                         AS tok
+                     FROM newb),
+            nfan AS (SELECT doc_id, tok, k FROM ntok
+                     CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)),
+            nsig AS (SELECT doc_id, k,
+                            min(md5(k::VARCHAR || ':' || tok)) AS mh
+                     FROM nfan GROUP BY 1, 2),
+            nban AS (
+              SELECT doc_id, CAST(floor(k / 2) AS INT) AS band,
+                     string_agg(lpad(k::VARCHAR, 2, '0') || '=' || mh, '|'
+                                ORDER BY lpad(k::VARCHAR, 2, '0') || '=' || mh)
+                         AS bucket_key
+              FROM nsig GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+              FROM nban n JOIN ckept c
+                ON n.band = c.band AND n.bucket_key = c.bucket_key),
+            tsz AS (SELECT doc_id AS new_id, count(*) AS size_t
+                    FROM ntok GROUP BY 1),
+            csz AS (SELECT doc_id AS corpus_id, count(*) AS size_c
+                    FROM ctok GROUP BY 1),
+            inter AS (
+              SELECT p.new_id, p.corpus_id, count(*) AS i
+              FROM cand p
+              JOIN ntok t ON t.doc_id = p.new_id
+              JOIN ctok c ON c.doc_id = p.corpus_id AND c.tok = t.tok
+              GROUP BY 1, 2),
+            jac AS (
+              SELECT i.new_id, i.corpus_id,
+                     i.i / CAST(t.size_t + c.size_c - i.i AS DOUBLE) AS jac
+              FROM inter i JOIN tsz t USING (new_id)
+                           JOIN csz c USING (corpus_id)),
+            ranked AS (
+              SELECT new_id, corpus_id, jac,
+                     row_number() OVER (PARTITION BY new_id
+                                        ORDER BY jac DESC, corpus_id) AS rn,
+                     count(*) OVER (PARTITION BY new_id) AS n_candidates
+              FROM jac),
+            best AS (SELECT new_id, n_candidates,
+                            corpus_id AS best_train_id, jac
+                     FROM ranked WHERE rn = 1)
+            SELECT nb.doc_id AS id,
+                   CAST(coalesce(b.n_candidates, 0) AS BIGINT)
+                       AS n_candidates,
+                   b.best_train_id,
+                   round(coalesce(b.jac, 0.0), 6) AS jaccard,
+                   coalesce(b.jac, 0.0) >= 0.8 AS contaminated
+            FROM newb nb LEFT JOIN best b ON b.new_id = nb.doc_id""",
         "duplicate_spans": f"""
             WITH t AS (
               SELECT doc_id AS id, {_TOKENS} AS toks FROM documents),

@@ -929,3 +929,72 @@ def incremental_near_duplicates(new: DataFrame, corpus: DataFrame,
     return (nb.join(cb, ["band", "bucket_key"])
               .select("new_id", "corpus_id")
               .distinct())
+
+
+def decontaminate_fuzzy(test: DataFrame, train: DataFrame,
+                        id_col: str, text_col: str,
+                        k: int = MINHASH_K, band: int = MINHASH_BAND,
+                        max_bucket: int = 100,
+                        threshold: float = 0.8) -> DataFrame:
+    """Fuzzy train→test decontamination: where :func:`ngram_contamination`
+    measures EXACT n-gram overlap, this catches NEAR-duplicate leakage
+    (an eval document lightly paraphrased or truncated into the training
+    set). Two stages, both bounded:
+
+    1. recall — MinHash-LSH band collisions of the test batch against
+       the training snapshot (:func:`incremental_near_duplicates`; the
+       hot-bucket cap is on the TRAIN side, so fan-out per test band row
+       is <= max_bucket regardless of train-corpus size);
+    2. precision — EXACT distinct-shingle Jaccard computed only for the
+       candidate pairs: the shingle streams equi-join against the
+       candidate list on (doc id [, shingle]), so verification cost is
+       O(candidate shingles), never all-pairs.
+
+    Per test document: (id, n_candidates, best_train_id, jaccard,
+    contaminated) where best_train_id is the argmax-Jaccard training doc
+    (ties break to the smallest id via a struct-max — no window over an
+    unbounded key), jaccard is 0 with a null best when LSH recalled no
+    candidate, and contaminated = jaccard >= threshold. Every test doc
+    emits exactly one row — the decontamination report is a total
+    verdict, not a hit list."""
+    cands = incremental_near_duplicates(test, train, id_col, text_col,
+                                        k=k, band=band,
+                                        max_bucket=max_bucket)
+    tsh = (_ensure_parallelism(test)
+           .select(F.col(id_col).alias("new_id"),
+                   F.explode(F.array_distinct(_shingles(text_col)))
+                    .alias("tok")))
+    csh = (_ensure_parallelism(train)
+           .select(F.col(id_col).alias("corpus_id"),
+                   F.explode(F.array_distinct(_shingles(text_col)))
+                    .alias("tok")))
+    tsz = tsh.groupBy("new_id").agg(F.count(F.lit(1)).alias("size_t"))
+    csz = csh.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("size_c"))
+    inter = (cands.join(tsh, "new_id")
+                  .join(csh, ["corpus_id", "tok"])
+                  .groupBy("new_id", "corpus_id")
+                  .agg(F.count(F.lit(1)).alias("intersection")))
+    jac = (inter.join(tsz, "new_id").join(csz, "corpus_id")
+                .select("new_id", "corpus_id",
+                        (F.col("intersection")
+                         / (F.col("size_t") + F.col("size_c")
+                            - F.col("intersection"))).alias("jac")))
+    best = (jac.groupBy("new_id")
+               .agg(F.count(F.lit(1)).alias("n_candidates"),
+                    F.max(F.struct(F.col("jac").alias("jac"),
+                                   (-F.col("corpus_id")).alias("neg_id"),
+                                   F.col("corpus_id").alias("corpus_id")))
+                     .alias("b"))
+               .select(F.col("new_id").alias("id"), "n_candidates",
+                       F.col("b.corpus_id").alias("best_train_id"),
+                       F.col("b.jac").alias("jac")))
+    base = test.select(F.col(id_col).alias("id"))
+    return (base.join(best, "id", "left")
+                .select("id",
+                        F.coalesce("n_candidates", F.lit(0))
+                         .alias("n_candidates"),
+                        "best_train_id",
+                        F.round(F.coalesce("jac", F.lit(0.0)), 6)
+                         .alias("jaccard"),
+                        (F.coalesce("jac", F.lit(0.0)) >= threshold)
+                        .alias("contaminated")))

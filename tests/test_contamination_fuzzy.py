@@ -1,0 +1,80 @@
+"""Fuzzy decontamination (dedup.decontaminate_fuzzy). Value parity vs
+DuckDB lives in the driver oracle (`contamination_fuzzy`); these tests
+pin the verdict semantics on planted leaks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from blaze_spark.operators.dedup import decontaminate_fuzzy
+
+BASE = ("the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green field near the old stone wall")
+
+
+def _dfs(spark, train_rows, test_rows):
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    test = spark.createDataFrame(test_rows, "doc_id long, text string")
+    return test, train
+
+
+def test_exact_leak_scores_jaccard_one(spark):
+    test, train = _dfs(spark, [(0, BASE), (2, "completely different words "
+                                              "about spark shuffles and "
+                                              "partition planning here")],
+                       [(1, BASE)])
+    rows = {r["id"]: r for r in
+            decontaminate_fuzzy(test, train, "doc_id", "text",
+                                k=4, band=2).collect()}
+    assert rows[1]["jaccard"] == 1.0
+    assert rows[1]["best_train_id"] == 0
+    assert rows[1]["contaminated"] is True
+
+
+def test_near_leak_detected_clean_doc_passes(spark):
+    # paraphrase: swap two words near the end — most 3-gram shingles
+    # survive, so LSH recalls it and Jaccard stays high
+    leaked = BASE.replace("old stone wall", "old brick wall")
+    clean = ("numbers tables joins aggregates windows buckets sorting "
+             "hashing sampling profiles metrics columns rows schemas")
+    test, train = _dfs(spark, [(0, BASE)], [(1, leaked), (3, clean)])
+    rows = {r["id"]: r for r in
+            decontaminate_fuzzy(test, train, "doc_id", "text",
+                                k=4, band=2, threshold=0.5).collect()}
+    assert rows[1]["contaminated"] is True
+    assert rows[1]["best_train_id"] == 0
+    assert 0.5 <= rows[1]["jaccard"] < 1.0
+    assert rows[3]["contaminated"] is False
+    assert rows[3]["jaccard"] == 0.0
+    assert rows[3]["best_train_id"] is None
+    assert rows[3]["n_candidates"] == 0
+
+
+def test_tie_breaks_to_smallest_train_id(spark):
+    test, train = _dfs(spark, [(10, BASE), (4, BASE)], [(1, BASE)])
+    rows = decontaminate_fuzzy(test, train, "doc_id", "text",
+                               k=4, band=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["best_train_id"] == 4
+    assert rows[0]["n_candidates"] == 2
+
+
+def test_every_test_doc_emits_exactly_one_row(spark):
+    test, train = _dfs(spark, [(0, BASE)],
+                       [(1, BASE), (3, "alpha beta gamma delta"),
+                        (5, "one two")])
+    got = sorted(r["id"] for r in
+                 decontaminate_fuzzy(test, train, "doc_id", "text",
+                                     k=4, band=2).collect())
+    assert got == [1, 3, 5]
+
+
+def test_jaccard_value_is_exact(spark):
+    # train "a b c d e" shingles {abc bcd cde}; test "a b c d x"
+    # shingles {abc bcd cdx}: intersection 2, union 4 -> 0.5
+    test, train = _dfs(spark, [(0, "a b c d e")], [(1, "a b c d x")])
+    rows = decontaminate_fuzzy(test, train, "doc_id", "text",
+                               k=4, band=2, threshold=0.5).collect()
+    assert rows[0]["jaccard"] == pytest.approx(0.5)
+    assert rows[0]["contaminated"] is True
