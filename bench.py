@@ -186,6 +186,11 @@ def run_benchmarks(only=None):
         spark, SF_DIR).count())
     # corpus-unigram LM quality scoring
     bench("unigram_lm", lambda: E.q_unigram_lm(spark, SF_DIR).count())
+    # fuzzy decontamination: LSH recall + exact-Jaccard precision
+    bench("contamination_fuzzy", lambda: E.q_contamination_fuzzy(
+        spark, SF_DIR).count())
+    # subword seed-vocab induction (top-k substrings by frequency)
+    bench("seed_vocab", lambda: E.q_seed_vocab(spark, SF_DIR).count())
     # gap-based sessionization: window form + native session_window
     bench("sessionize", lambda: E.q_sessionize(spark, SF_DIR).count())
     bench("session_window", lambda: E.q_session_window(
@@ -468,6 +473,7 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
     quadratic operator overshoots the bound by ~mult×, far outside the
     slack). Writes BENCH/SCALECHECK.md, prints one JSON line."""
     from blaze_spark.operators import dedup as DD
+    from blaze_spark.operators import textstats as TS
     from blaze_spark.operators import similarity as SIM
     from blaze_spark.session import get_session
     from pyspark.sql import functions as F
@@ -522,6 +528,13 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                 docs.where(F.floor(F.col("doc_id") / m) % 2 == 1),
                 docs.where(F.floor(F.col("doc_id") / m) % 2 == 0),
                 "doc_id", "text").count(),
+            # same original-id split; verdict rows = |test side|
+            "contamination_fuzzy": lambda m=m: DD.decontaminate_fuzzy(
+                docs.where(F.floor(F.col("doc_id") / m) % 2 == 1),
+                docs.where(F.floor(F.col("doc_id") / m) % 2 == 0),
+                "doc_id", "text").count(),
+            "seed_vocab": lambda: TS.seed_vocab(
+                docs, "text", min_len=1, max_len=6, top_k=500).count(),
             "embedding_bucketed": lambda: DD.embedding_near_duplicates_bucketed(
                 emb, "vec_id", centroids, threshold=0.95).count(),
             "embedding_lsh": lambda: DD.embedding_near_duplicates_lsh(

@@ -140,7 +140,17 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
     B²/2 pairs, so one degenerate bucket (boilerplate, empty docs) can
     dominate the whole job at corpus scale. Oversized buckets carry no
     discriminative signal and are dropped — standard LSH practice; route
-    their members through exact_duplicates/fingerprint instead."""
+    their members through exact_duplicates/fingerprint instead.
+
+    Pair generation is collect-and-expand, not a self-join: a bucket
+    self-join recomputes the whole signature subtree on both branches
+    (ReusedExchange does not fire for self-join branches under AQE —
+    the r3 lesson). Instead, capped buckets collect their ≤max_bucket
+    ids into a sorted array (the groupBy rides the window's existing
+    (band, bucket_key) partitioning — no extra exchange) and the i<j
+    pairs expand as a flatten/transform expression. The window cap runs
+    FIRST because window counting spills on a degenerate hot bucket
+    while collect_list would buffer it whole in one task."""
     from pyspark.sql import Window
 
     banded = _minhash_buckets(df, id_col, text_col, k, band)
@@ -154,12 +164,18 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
                           F.count(F.lit(1)).over(bucket_window))
               .where(F.col("bucket_size") <= max_bucket)
               .drop("bucket_size"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket_key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket_key")
-    return (a.join(b, ["band", "bucket_key"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b")
-             .distinct())
+    grouped = (banded.groupBy("band", "bucket_key")
+                     .agg(F.sort_array(F.collect_list(id_col)).alias("ids")))
+    n = F.size("ids")
+    pairs = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, n),
+            lambda j: F.struct(F.get("ids", i - 1).alias("id_a"),
+                               F.get("ids", j - 1).alias("id_b"))))))
+    return (grouped.select(F.explode(pairs).alias("p"))
+                   .select("p.id_a", "p.id_b")
+                   .distinct())
 
 
 def _simhash_sums(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -217,12 +233,18 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
     Verification is exact: popcount of the per-band XOR, summed.
 
     Scale shape: signatures are one map-side-combined groupBy (the
-    ±1-sum aggregation); the join is band-bucket-local with the same
+    ±1-sum aggregation); pairing is band-bucket-local with the same
     absolute ``max_bucket`` cap as MinHash-LSH (a degenerate 16-bit
     band value shared by B docs yields B²/2 pairs — oversized buckets
-    carry no signal and are dropped, partitioned-window one-pass). The
-    four band columns ride along the exploded rows, so Hamming
-    verification needs no join-back against the signature subtree."""
+    carry no signal and are dropped, partitioned-window one-pass).
+    Pair generation is collect-and-expand rather than a bucket
+    self-join (which recomputes the signature subtree on both
+    branches): each CAPPED bucket collects its ≤max_bucket
+    (id, band0..band3) structs into a sorted array — the groupBy rides
+    the window's existing partitioning, no extra exchange — and i<j
+    pairs plus the exact Hamming popcount expand as expressions. The
+    window cap runs FIRST: window counting spills on a degenerate hot
+    bucket, collect_list would buffer it whole in one task."""
     from pyspark.sql import Window
 
     if not 0 <= max_hamming <= 3:
@@ -247,19 +269,28 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
                             F.count(F.lit(1)).over(bucket_window))
                 .where(F.col("bucket_size") <= max_bucket)
                 .drop("bucket_size"))
-    a = rows.select(F.col(id_col).alias("id_a"), "band_idx", "band_val",
-                    *[F.col(f"band{i}").alias(f"a{i}") for i in range(4)])
-    b = rows.select(F.col(id_col).alias("id_b"), "band_idx", "band_val",
-                    *[F.col(f"band{i}").alias(f"b{i}") for i in range(4)])
+    grouped = (rows.groupBy("band_idx", "band_val")
+                   .agg(F.sort_array(F.collect_list(F.struct(
+                        F.col(id_col).alias("id"), "band0", "band1",
+                        "band2", "band3"))).alias("xs")))
+    n = F.size("xs")
+    pairs = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, n),
+            lambda j: F.struct(F.get("xs", i - 1).alias("a"),
+                               F.get("xs", j - 1).alias("b"))))))
     ham = None
     for i in range(4):
-        t = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        t = F.bit_count(F.col(f"p.a.band{i}")
+                        .bitwiseXOR(F.col(f"p.b.band{i}")))
         ham = t if ham is None else ham + t
-    return (a.join(b, ["band_idx", "band_val"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-             .where(F.col("hamming") <= max_hamming)
-             .distinct())
+    return (grouped.select(F.explode(pairs).alias("p"))
+                   .select(F.col("p.a.id").alias("id_a"),
+                           F.col("p.b.id").alias("id_b"),
+                           ham.cast("int").alias("hamming"))
+                   .where(F.col("hamming") <= max_hamming)
+                   .distinct())
 
 
 def embedding_near_duplicates(df: DataFrame, id_col: str,
@@ -357,11 +388,16 @@ def embedding_near_duplicates_lsh(df: DataFrame, id_col: str,
     is the standard LSH trade (tune n_bits/band_bits).
 
     Scale shape: signatures are map-only expressions (32 left-fold dot
-    products per row, JVM-side); the join is band-bucket-local under
+    products per row, JVM-side); pairing is band-bucket-local under
     the same absolute ``max_bucket`` cap as the MinHash/SimHash
-    operators. Vectors and hoisted norms ride the banded rows
-    (n_bands× duplication through one shuffle) so cosine verification
-    needs no join-back against the base table."""
+    operators, via collect-and-expand rather than a bucket self-join
+    (which recomputes the signature projection on both branches):
+    capped buckets collect their ≤max_bucket (id, vec, nrm) structs —
+    the groupBy rides the window's partitioning, no extra exchange —
+    and i<j pairs with the EXACT left-fold cosine expand as
+    expressions, so precision stays 1. The window cap runs FIRST
+    (window counting spills on a degenerate hot bucket; collect_list
+    would buffer it whole in one task)."""
     from pyspark.sql import Window
 
     from blaze_spark.operators.similarity import _dot, _norm
@@ -394,18 +430,24 @@ def embedding_near_duplicates_lsh(df: DataFrame, id_col: str,
                             F.count(F.lit(1)).over(bucket_window))
                 .where(F.col("bucket_size") <= max_bucket)
                 .drop("bucket_size"))
-    a = rows.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
-                    F.col("nrm").alias("norm_a"), "band_idx", "band_val")
-    b = rows.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
-                    F.col("nrm").alias("norm_b"), "band_idx", "band_val")
-    return (a.join(b, ["band_idx", "band_val"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b",
-                     (_dot(F.col("vec_a"), F.col("vec_b"))
-                      / (F.col("norm_a") * F.col("norm_b")))
-                     .alias("cosine"))
-             .where(F.col("cosine") >= threshold)
-             .distinct())
+    grouped = (rows.groupBy("band_idx", "band_val")
+                   .agg(F.sort_array(F.collect_list(
+                        F.struct("id", "vec", "nrm"))).alias("xs")))
+    n = F.size("xs")
+    pairs = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, n),
+            lambda j: F.struct(F.get("xs", i - 1).alias("a"),
+                               F.get("xs", j - 1).alias("b"))))))
+    return (grouped.select(F.explode(pairs).alias("p"))
+                   .select(F.col("p.a.id").alias("id_a"),
+                           F.col("p.b.id").alias("id_b"),
+                           (_dot(F.col("p.a.vec"), F.col("p.b.vec"))
+                            / (F.col("p.a.nrm") * F.col("p.b.nrm")))
+                           .alias("cosine"))
+                   .where(F.col("cosine") >= threshold)
+                   .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
