@@ -272,3 +272,75 @@ def incremental_dedup_stream(stream_df: DataFrame, corpus: DataFrame,
         out = (out.withWatermark(ts_col, watermark)
                   .dropDuplicatesWithinWatermark(["__fp__"]))
     return out.drop("__fp__")
+
+
+def decontaminate_stream(stream_df: DataFrame, train: DataFrame,
+                         text_col: str, k: int = None, band: int = None,
+                         max_bucket: int = 100,
+                         train_id_col: str = None) -> DataFrame:
+    """Ingest-time fuzzy decontamination screen: drop stream rows whose
+    MinHash-LSH signature collides with the TRAINING corpus in any band
+    — the streaming recall stage of :func:`~blaze_spark.operators.dedup.
+    decontaminate_fuzzy` (run the batch form's exact-Jaccard precision
+    pass offline on whatever this screen quarantines; a gate at ingest
+    wants recall, not precision).
+
+    Stateless and append-safe: the stream side computes its MinHash
+    per ROW as pure expressions — ``array_min`` over the shingle array
+    replaces the batch explode+groupBy, so no aggregation state — and
+    contamination is one stream–static LEFT ANTI equi-join per band
+    (n_bands is a small constant) against the train corpus's kept
+    band-bucket table. The corpus side reuses the batch bucket builder
+    including the ``max_bucket`` hot-bucket cap (an oversized bucket
+    carries no near-dup signal, exactly as in the batch operator). In
+    production materialize ``_minhash_buckets(train)`` once per
+    snapshot and pass the stored table as ``train`` via a thin adapter
+    — recomputing it in every micro-batch plan is correct but wasteful.
+    """
+    from pyspark.sql import Window
+
+    from blaze_spark.operators.dedup import (MINHASH_BAND, MINHASH_K,
+                                             _minhash_buckets, _shingles)
+
+    k = MINHASH_K if k is None else k
+    band = MINHASH_BAND if band is None else band
+    n_bands = k // band
+
+    sh = F.array_distinct(_shingles(text_col))
+
+    # factory closure, NOT a default-arg lambda: pyspark calls a
+    # 2-param transform lambda as (element, index)
+    def _min_hash(i: int):
+        return F.array_min(F.transform(
+            sh, lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))))
+
+    mins = [_min_hash(i) for i in range(k)]
+    out = stream_df
+    for b in range(n_bands):
+        entries = [F.concat(F.lit(f"{i:02d}="), mins[i])
+                   for i in range(b * band, (b + 1) * band)]
+        out = out.withColumn(
+            f"__bk{b}__",
+            F.concat_ws("|", F.sort_array(F.array(*entries))))
+
+    # corpus bucket table: same builder + hot-bucket cap as the batch
+    # incremental operator. With no ``train_id_col`` the md5 content
+    # fingerprint stands in (monotonically_increasing_id is rejected by
+    # the streaming checker even on the static side); exact-duplicate
+    # train rows then count ONCE toward the bucket cap — harmless for a
+    # screen, where the cap only guards against signal-free buckets.
+    if train_id_col is None:
+        train = train.select(F.md5(F.col(text_col)).alias("__cid__"),
+                             text_col)
+        train_id_col = "__cid__"
+    cb = _minhash_buckets(train.select(train_id_col, text_col),
+                          train_id_col, text_col, k, band)
+    w = Window.partitionBy("band", "bucket_key")
+    kept = (cb.withColumn("__bs__", F.count(F.lit(1)).over(w))
+              .where(F.col("__bs__") <= max_bucket)
+              .select("band", "bucket_key").distinct())
+    for b in range(n_bands):
+        cb_b = (kept.where(F.col("band") == b)
+                    .select(F.col("bucket_key").alias(f"__bk{b}__")))
+        out = out.join(cb_b, f"__bk{b}__", "left_anti")
+    return out.drop(*[f"__bk{b}__" for b in range(n_bands)])

@@ -1,0 +1,74 @@
+"""Streaming fuzzy-decontamination screen
+(streaming.validate_stream.decontaminate_stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+BASE = ("the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green field near the old stone wall")
+
+
+def test_per_row_minhash_matches_batch_buckets(spark):
+    """The stream side's expression MinHash (array_min over the shingle
+    array) must reproduce the batch explode+groupBy signature exactly —
+    bucket keys are compared string-for-string."""
+    from blaze_spark.operators.dedup import _minhash_buckets
+    from blaze_spark.streaming.validate_stream import decontaminate_stream
+
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two")], "doc_id long, text string")
+    batch = {(r["doc_id"], r["band"]): r["bucket_key"]
+             for r in _minhash_buckets(docs, "doc_id", "text",
+                                       k=4, band=2).collect()}
+    # run the stream operator on a batch DF against an empty corpus:
+    # nothing is dropped and the helper columns are expression-computed
+    # the same way the streaming plan computes them
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    kept = decontaminate_stream(docs, empty, "text", k=4, band=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+    # recompute the stream-side keys directly for comparison
+    from blaze_spark.operators.dedup import _shingles
+    sh = F.array_distinct(_shingles("text"))
+
+    def mh(i):
+        return F.array_min(F.transform(
+            sh, lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))))
+
+    for b in range(2):
+        entries = [F.concat(F.lit(f"{i:02d}="), mh(i))
+                   for i in range(b * 2, (b + 1) * 2)]
+        key = F.concat_ws("|", F.sort_array(F.array(*entries)))
+        got = {r["doc_id"]: r["k"]
+               for r in docs.select("doc_id", key.alias("k")).collect()}
+        for doc_id, k in got.items():
+            assert k == batch[(doc_id, b)], (doc_id, b)
+
+
+def test_stream_screen_drops_near_dups_keeps_clean(spark, tmp_path):
+    from blaze_spark.streaming.validate_stream import decontaminate_stream
+
+    train = spark.createDataFrame(
+        [(100, BASE)], "doc_id long, text string")
+    rows = [(1, BASE),                                   # exact leak
+            (2, BASE.replace("old stone wall",
+                             "old brick wall")),         # near leak
+            (3, "numbers tables joins aggregates windows buckets "
+                "sorting hashing sampling profiles metrics columns")]
+    src = str(tmp_path / "in_decon")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = decontaminate_stream(stream, train, "text", k=4, band=2)
+    q = (out.writeStream.format("memory").queryName("decon_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in
+                  spark.sql("select doc_id from decon_out").collect())
+    assert kept == [3]
+    # helper band-key columns must not leak into the output schema
+    cols = spark.sql("select * from decon_out").columns
+    assert cols == ["doc_id", "text"]
