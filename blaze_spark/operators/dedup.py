@@ -450,6 +450,33 @@ def embedding_near_duplicates_lsh(df: DataFrame, id_col: str,
                    .distinct())
 
 
+def _copair_counts(rows: DataFrame, key: str, id_name: str) -> DataFrame:
+    """(id_a, id_b, intersection): how many distinct ``key`` values each
+    i<j id pair shares, over an (id, key) stream whose key groups are
+    ALREADY capped (DF guard / bucket cap upstream). Collect-and-expand
+    instead of a key self-join: the self-join recomputes the guarded
+    stream on both branches (ReusedExchange does not fire for self-join
+    branches under AQE), while the groupBy here rides the guard
+    window's existing per-key partitioning — one subtree compute, no
+    extra exchange. Ids are distinct within a group, so the sorted
+    array expands directly to id_a < id_b pairs; the per-row pair array
+    is bounded by the upstream cap (500² / 2 structs ≈ 2 MB worst
+    case)."""
+    grouped = rows.groupBy(key).agg(
+        F.sort_array(F.collect_list(id_name)).alias("ids"))
+    n = F.size("ids")
+    pairs = F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, n),
+            lambda j: F.struct(F.get("ids", i - 1).alias("id_a"),
+                               F.get("ids", j - 1).alias("id_b"))))))
+    return (grouped.select(F.explode(pairs).alias("p"))
+                   .select("p.id_a", "p.id_b")
+                   .groupBy("id_a", "id_b")
+                   .agg(F.count(F.lit(1)).alias("intersection")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         threshold: float = 0.8,
                         max_token_docs: float = 0.01,
@@ -457,9 +484,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """Token-set Jaccard similarity pairs above ``threshold`` via a
     shared-token equi-join.
 
-    The document-frequency guard drops hot tokens BEFORE the self-join.
-    It is the *minimum* of two caps (mirroring ``max_bucket`` in
-    minhash_candidates):
+    The document-frequency guard drops hot tokens BEFORE pair
+    generation (collect-and-expand per token group — see
+    :func:`_copair_counts`; no token self-join). It is the *minimum*
+    of two caps (mirroring ``max_bucket`` in minhash_candidates):
 
     * ``max_token_docs`` — a fraction of corpus size. Relative alone it
       does NOT scale: admitted token DF grows as 0.01·N, so worst-case
@@ -498,12 +526,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.lit(2)))
                 .select("id", "tok"))
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = toks.select(F.col("id").alias("id_a"), "tok")
-    b = toks.select(F.col("id").alias("id_b"), "tok")
-    inter = (a.join(b, "tok")
-              .where(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("intersection")))
+    inter = _copair_counts(toks, "tok", "id")
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
@@ -545,7 +568,7 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
     :func:`_word_ngrams`).
 
     Scale shape: identical to :func:`ngram_jaccard_pairs` — hot grams
-    are dropped before the self-join under
+    are dropped before collect-and-expand pair generation under
     ``greatest(least(floor(frac·n_docs), abs), 2)`` (the absolute cap
     is what bounds any single gram's fan-out at corpus scale), the DF
     guard is a partitioned window (one pass), and the corpus count is
@@ -568,12 +591,7 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       F.lit(2)))
                   .select("id", "gram"))
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = grams.select(F.col("id").alias("id_a"), "gram")
-    b = grams.select(F.col("id").alias("id_b"), "gram")
-    inter = (a.join(b, "gram")
-              .where(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("intersection")))
+    inter = _copair_counts(grams, "gram", "id")
     directed = (inter.select(F.col("id_a").alias("id_inner"),
                              F.col("id_b").alias("id_outer"),
                              "intersection")
