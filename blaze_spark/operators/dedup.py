@@ -166,15 +166,9 @@ def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
               .drop("bucket_size"))
     grouped = (banded.groupBy("band", "bucket_key")
                      .agg(F.sort_array(F.collect_list(id_col)).alias("ids")))
-    n = F.size("ids")
-    pairs = F.when(n >= 2, F.flatten(F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.transform(
-            F.sequence(i + 1, n),
-            lambda j: F.struct(F.get("ids", i - 1).alias("id_a"),
-                               F.get("ids", j - 1).alias("id_b"))))))
-    return (grouped.select(F.explode(pairs).alias("p"))
-                   .select("p.id_a", "p.id_b")
+    return (grouped.select(F.explode(_pair_array("ids")).alias("p"))
+                   .select(F.col("p.a").alias("id_a"),
+                           F.col("p.b").alias("id_b"))
                    .distinct())
 
 
@@ -273,19 +267,12 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str,
                    .agg(F.sort_array(F.collect_list(F.struct(
                         F.col(id_col).alias("id"), "band0", "band1",
                         "band2", "band3"))).alias("xs")))
-    n = F.size("xs")
-    pairs = F.when(n >= 2, F.flatten(F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.transform(
-            F.sequence(i + 1, n),
-            lambda j: F.struct(F.get("xs", i - 1).alias("a"),
-                               F.get("xs", j - 1).alias("b"))))))
     ham = None
     for i in range(4):
         t = F.bit_count(F.col(f"p.a.band{i}")
                         .bitwiseXOR(F.col(f"p.b.band{i}")))
         ham = t if ham is None else ham + t
-    return (grouped.select(F.explode(pairs).alias("p"))
+    return (grouped.select(F.explode(_pair_array("xs")).alias("p"))
                    .select(F.col("p.a.id").alias("id_a"),
                            F.col("p.b.id").alias("id_b"),
                            ham.cast("int").alias("hamming"))
@@ -433,14 +420,7 @@ def embedding_near_duplicates_lsh(df: DataFrame, id_col: str,
     grouped = (rows.groupBy("band_idx", "band_val")
                    .agg(F.sort_array(F.collect_list(
                         F.struct("id", "vec", "nrm"))).alias("xs")))
-    n = F.size("xs")
-    pairs = F.when(n >= 2, F.flatten(F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.transform(
-            F.sequence(i + 1, n),
-            lambda j: F.struct(F.get("xs", i - 1).alias("a"),
-                               F.get("xs", j - 1).alias("b"))))))
-    return (grouped.select(F.explode(pairs).alias("p"))
+    return (grouped.select(F.explode(_pair_array("xs")).alias("p"))
                    .select(F.col("p.a.id").alias("id_a"),
                            F.col("p.b.id").alias("id_b"),
                            (_dot(F.col("p.a.vec"), F.col("p.b.vec"))
@@ -448,6 +428,20 @@ def embedding_near_duplicates_lsh(df: DataFrame, id_col: str,
                            .alias("cosine"))
                    .where(F.col("cosine") >= threshold)
                    .distinct())
+
+
+def _pair_array(xs: str):
+    """Expression: all i<j element pairs of array column ``xs`` as
+    ``struct(a, b)`` (null when the array has <2 elements — explode
+    drops it). The guard matters: F.sequence(1, 0) would generate a
+    DESCENDING sequence, not an empty one."""
+    n = F.size(xs)
+    return F.when(n >= 2, F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, n),
+            lambda j: F.struct(F.get(xs, i - 1).alias("a"),
+                               F.get(xs, j - 1).alias("b"))))))
 
 
 def _copair_counts(rows: DataFrame, key: str, id_name: str) -> DataFrame:
@@ -464,15 +458,9 @@ def _copair_counts(rows: DataFrame, key: str, id_name: str) -> DataFrame:
     case)."""
     grouped = rows.groupBy(key).agg(
         F.sort_array(F.collect_list(id_name)).alias("ids"))
-    n = F.size("ids")
-    pairs = F.when(n >= 2, F.flatten(F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.transform(
-            F.sequence(i + 1, n),
-            lambda j: F.struct(F.get("ids", i - 1).alias("id_a"),
-                               F.get("ids", j - 1).alias("id_b"))))))
-    return (grouped.select(F.explode(pairs).alias("p"))
-                   .select("p.id_a", "p.id_b")
+    return (grouped.select(F.explode(_pair_array("ids")).alias("p"))
+                   .select(F.col("p.a").alias("id_a"),
+                           F.col("p.b").alias("id_b"))
                    .groupBy("id_a", "id_b")
                    .agg(F.count(F.lit(1)).alias("intersection")))
 
