@@ -546,6 +546,47 @@ def q_column_stats_hll(spark, sf_dir):
                              "n_chars_distinct").alias("n_chars_hll_ok")))
 
 
+def q_column_profile_merge(spark, sf_dir):
+    """Mergeable-profile contract (checks.column_profile /
+    merge_column_profiles): documents split into two ingest batches,
+    each profiled ONCE, the profile rows unioned and folded — the
+    continuous-crawl shape where the corpus is never rescanned. Exact
+    mergeable fields (row counts, null fractions, min/max) must equal a
+    one-shot DuckDB profile of the full corpus; the DataSketches HLL
+    union gets the bounded-error treatment (lgK=12 RSE ~1.63%; bound
+    max(3·rse·exact, 1); TRUE literals on the oracle side — a sketch
+    drifting outside 3σ flips the boolean and fails the hash)."""
+    docs = _docs(spark, sf_dir)
+    cols = ["lang", "n_chars"]
+    b0 = C.column_profile(docs.where(F.col("doc_id") % 2 == 0),
+                          cols, ["source"])
+    b1 = C.column_profile(docs.where(F.col("doc_id") % 2 == 1),
+                          cols, ["source"])
+    merged = C.merge_column_profiles(b0.unionByName(b1), cols, ["source"])
+    est = C.profile_estimates(merged, cols, ["source"])
+    exact_lang = docs.groupBy("source").agg(
+        F.count_distinct("lang").alias("lang_exact"))
+    exact_chars = docs.groupBy("source").agg(
+        F.count_distinct("n_chars").alias("n_chars_exact"))
+    rse = 0.0163  # DataSketches HLL lgK=12: 1.04/sqrt(4096)
+    bound = lambda e, x: (  # noqa: E731
+        F.abs(F.col(e).cast("double") - F.col(x))
+        <= F.greatest(F.lit(3 * rse) * F.col(x), F.lit(1.0)))
+    return (est.join(exact_lang, "source").join(exact_chars, "source")
+               .select("source", "lang_rows",
+                       F.round("lang_null_fraction", 6)
+                        .alias("lang_null_fraction"),
+                       "lang_min", "lang_max",
+                       bound("lang_distinct", "lang_exact")
+                       .alias("lang_hll_ok"),
+                       "n_chars_rows",
+                       F.round("n_chars_null_fraction", 6)
+                        .alias("n_chars_null_fraction"),
+                       "n_chars_min", "n_chars_max",
+                       bound("n_chars_distinct", "n_chars_exact")
+                       .alias("n_chars_hll_ok")))
+
+
 def q_column_quantiles(spark, sf_dir):
     """Bounded-rank-error oracle for the quantile-sketch path (the
     HLL treatment, applied to percentile_approx): visible columns are
@@ -999,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_roundtrip": q_media_roundtrip,
         "column_stats_hll": q_column_stats_hll,
+        "column_profile_merge": q_column_profile_merge,
         "column_quantiles": q_column_quantiles,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
@@ -2295,6 +2337,25 @@ export interface Schema {
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.35""",
+        # column_profile_merge: exact mergeable fields replayed over the
+        # full corpus (merging two batch profiles must equal one-shot);
+        # sketch estimates get the bounded-error TRUE-literal treatment
+        "column_profile_merge": """
+            SELECT source,
+                   count(*) AS lang_rows,
+                   round(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6)
+                       AS lang_null_fraction,
+                   min(lang) AS lang_min, max(lang) AS lang_max,
+                   TRUE AS lang_hll_ok,
+                   count(*) AS n_chars_rows,
+                   round(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6)
+                       AS n_chars_null_fraction,
+                   min(n_chars) AS n_chars_min,
+                   max(n_chars) AS n_chars_max,
+                   TRUE AS n_chars_hll_ok
+            FROM documents GROUP BY 1""",
         # column_stats_hll: the raw HLL estimate is engine-specific, so
         # the contract checked is "estimate within 3·rsd of exact"; the
         # oracle recomputes the exact counts and asserts the bound holds

@@ -269,3 +269,67 @@ def ks_statistic(df: DataFrame, value_col: str, group_col: str,
     return (cdf.select(F.abs(F.col("ca") / F.col("ta")
                              - F.col("cb") / F.col("tb")).alias("d"))
                .agg(F.max("d").alias("ks_statistic")))
+
+
+def column_profile(df: DataFrame, columns: Sequence[str],
+                   partition_cols: Sequence[str]) -> DataFrame:
+    """MERGEABLE per-partition column profile — the continuous-crawl
+    sibling of :func:`column_stats`. Where ``approx_count_distinct``
+    emits only a final estimate, this carries the DataSketches HLL
+    sketch itself (``hll_sketch_agg``, binary column) alongside the
+    other mergeable components (row/null counts, min, max), so
+    successive batch/snapshot profiles can be UNIONED and folded with
+    :func:`merge_column_profiles` WITHOUT rescanning the data: profile
+    each ingest batch once, merge into the running corpus profile.
+    One aggregation pass for all columns; profile rows are
+    O(partitions), not O(rows)."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.hll_sketch_agg(c).alias(f"{c}__hll"),
+        ]
+    return df.groupBy(*partition_cols).agg(*aggs)
+
+
+def merge_column_profiles(profiles: DataFrame, columns: Sequence[str],
+                          partition_cols: Sequence[str]) -> DataFrame:
+    """Fold a union of :func:`column_profile` rows (any number of
+    batches/snapshots) into one profile per partition: counts sum,
+    min/max fold, HLL sketches union (``hll_union_agg`` — the
+    DataSketches merge, lossless vs. sketching the concatenated data).
+    Input and output schemas match, so merging is associative and can
+    run incrementally (fold batch N into the running profile from
+    batches 1..N-1)."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.sum(f"{c}__rows").alias(f"{c}__rows"),
+            F.sum(f"{c}__nulls").alias(f"{c}__nulls"),
+            F.min(f"{c}__min").alias(f"{c}__min"),
+            F.max(f"{c}__max").alias(f"{c}__max"),
+            F.hll_union_agg(f"{c}__hll").alias(f"{c}__hll"),
+        ]
+    return profiles.groupBy(*partition_cols).agg(*aggs)
+
+
+def profile_estimates(profile: DataFrame, columns: Sequence[str],
+                      partition_cols: Sequence[str]) -> DataFrame:
+    """Finish a (possibly merged) profile for reporting: replace each
+    binary sketch with its distinct-count estimate
+    (``hll_sketch_estimate``; exact while the sketch is in sparse mode,
+    i.e. small distinct counts) and derive null fractions."""
+    cols = list(partition_cols)
+    for c in columns:
+        cols += [
+            F.col(f"{c}__rows").alias(f"{c}_rows"),
+            (F.col(f"{c}__nulls") / F.col(f"{c}__rows"))
+            .alias(f"{c}_null_fraction"),
+            F.col(f"{c}__min").alias(f"{c}_min"),
+            F.col(f"{c}__max").alias(f"{c}_max"),
+            F.hll_sketch_estimate(f"{c}__hll").alias(f"{c}_distinct"),
+        ]
+    return profile.select(*cols)

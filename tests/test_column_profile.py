@@ -1,0 +1,88 @@
+"""Mergeable column profiles (checks.column_profile /
+merge_column_profiles / profile_estimates). The driver oracle
+(`column_profile_merge`) pins exact-field parity vs a one-shot DuckDB
+profile; these tests pin merge semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.checks import (column_profile,
+                                          merge_column_profiles,
+                                          profile_estimates)
+
+COLS = ["lang", "n_chars"]
+
+
+def _rows(spark):
+    data = [(i, ["en", "fr", "de"][i % 3] if i % 7 else None, 10 + i % 50,
+             ["web", "book"][i % 2]) for i in range(200)]
+    return spark.createDataFrame(
+        data, "doc_id long, lang string, n_chars long, source string")
+
+
+def test_merged_batches_equal_one_shot_profile(spark):
+    docs = _rows(spark)
+    one_shot = profile_estimates(
+        column_profile(docs, COLS, ["source"]), COLS, ["source"])
+    batches = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    profiles = column_profile(batches[0], COLS, ["source"])
+    for b in batches[1:]:
+        profiles = profiles.unionByName(column_profile(b, COLS, ["source"]))
+    merged = profile_estimates(
+        merge_column_profiles(profiles, COLS, ["source"]), COLS, ["source"])
+    key = lambda r: r["source"]  # noqa: E731
+    got = sorted(merged.collect(), key=key)
+    want = sorted(one_shot.collect(), key=key)
+    # sparse-mode HLL is exact at this size, so EVERY field matches
+    # including the distinct estimates
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_incremental_fold_is_associative(spark):
+    docs = _rows(spark)
+    b0 = column_profile(docs.where(F.col("doc_id") < 100),
+                        COLS, ["source"])
+    b1 = column_profile(docs.where(F.col("doc_id") >= 100),
+                        COLS, ["source"])
+    # fold(b0, b1) == fold(b1, b0): merged profile rows are a set union
+    m01 = profile_estimates(merge_column_profiles(
+        b0.unionByName(b1), COLS, ["source"]), COLS, ["source"])
+    m10 = profile_estimates(merge_column_profiles(
+        b1.unionByName(b0), COLS, ["source"]), COLS, ["source"])
+    key = lambda r: r["source"]  # noqa: E731
+    assert sorted(m01.collect(), key=key) == sorted(m10.collect(), key=key)
+    # merging a merged profile with a fresh batch also typechecks
+    # (schema in == schema out) and counts add up
+    again = merge_column_profiles(
+        merge_column_profiles(b0.unionByName(b1), COLS, ["source"])
+        .unionByName(column_profile(docs, COLS, ["source"])),
+        COLS, ["source"])
+    est = profile_estimates(again, COLS, ["source"])
+    total = {r["source"]: r["lang_rows"] for r in est.collect()}
+    want = {r["source"]: 2 * r["cnt"] for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()}
+    assert total == want
+
+
+def test_null_fraction_and_minmax(spark):
+    docs = _rows(spark)
+    est = profile_estimates(
+        merge_column_profiles(
+            column_profile(docs.where(F.col("doc_id") % 2 == 0),
+                           COLS, ["source"])
+            .unionByName(column_profile(
+                docs.where(F.col("doc_id") % 2 == 1), COLS, ["source"])),
+            COLS, ["source"]), COLS, ["source"])
+    row = {r["source"]: r for r in est.collect()}
+    base = docs.where(F.col("source") == "web")
+    n = base.count()
+    n_null = base.where(F.col("lang").isNull()).count()
+    assert row["web"]["lang_rows"] == n
+    assert abs(row["web"]["lang_null_fraction"] - n_null / n) < 1e-12
+    assert row["web"]["n_chars_min"] == \
+        base.agg(F.min("n_chars")).collect()[0][0]
+    assert row["web"]["n_chars_max"] == \
+        base.agg(F.max("n_chars")).collect()[0][0]
