@@ -137,3 +137,73 @@ def test_scrub_matches_span_profile(spark, corpus):
             assert got[i]["n_tokens_removed"] == dup
             assert got[i]["n_tokens_kept"] == n - dup
             assert len(got[i]["text_scrubbed"].split(" ")) == n - dup
+
+
+def _fuzzy_minhash_bands(text, k=4, band=2):
+    """Reference MinHash banding, mirroring dedup._shingles (word
+    3-grams, whole-text fallback) and _minhash_buckets' key format."""
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+    if len(toks) >= 3:
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    else:
+        sh = {" ".join(toks)}
+    mins = [min(hashlib.md5(f"{i}:{t}".encode()).hexdigest() for t in sh)
+            for i in range(k)]
+    bands = {}
+    for b in range(k // band):
+        entries = sorted(f"{i:02d}={mins[i]}"
+                         for i in range(b * band, (b + 1) * band))
+        bands[b] = "|".join(entries)
+    return bands, sh
+
+
+def _fuzzy_reference(test_rows, train_rows, threshold):
+    buckets, shingles = {}, {}
+    for tid, text in train_rows:
+        bands, sh = _fuzzy_minhash_bands(text)
+        shingles[tid] = sh
+        for b, key in bands.items():
+            buckets.setdefault((b, key), set()).add(tid)
+    out = {}
+    for nid, text in test_rows:
+        bands, nsh = _fuzzy_minhash_bands(text)
+        cands = set()
+        for b, key in bands.items():
+            cands |= buckets.get((b, key), set())
+        jacs = {}
+        for cid in cands:
+            csh = shingles[cid]
+            inter = len(nsh & csh)
+            if inter:
+                jacs[cid] = inter / (len(nsh) + len(csh) - inter)
+        if jacs:
+            jac, cid = max((j, -c) for c, j in jacs.items())
+            out[nid] = (len(jacs), -cid, jac, jac >= threshold)
+        else:
+            out[nid] = (0, None, 0.0, False)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=_corpus)
+def test_decontaminate_fuzzy_matches_brute_force(spark, corpus):
+    texts = [" ".join(t) for t in corpus]
+    train_rows = [(i, t) for i, t in enumerate(texts) if i % 2 == 0]
+    test_rows = [(i, t) for i, t in enumerate(texts) if i % 2 == 1]
+    train = spark.createDataFrame(train_rows or [],
+                                  "doc_id long, text string")
+    test = spark.createDataFrame(test_rows or [],
+                                 "doc_id long, text string")
+    got = {r["id"]: (r["n_candidates"], r["best_train_id"],
+                     r["jaccard"], r["contaminated"])
+           for r in DD.decontaminate_fuzzy(
+               test, train, "doc_id", "text",
+               k=4, band=2, threshold=0.5).collect()}
+    want = _fuzzy_reference(test_rows, train_rows, 0.5)
+    assert set(got) == set(want)
+    for nid, (n_c, best, jac, flag) in want.items():
+        g = got[nid]
+        assert g[0] == n_c and g[1] == best and g[3] == flag, (nid, g)
+        assert abs(g[2] - round(jac, 6)) < 1e-9, (nid, g[2], jac)
