@@ -227,6 +227,15 @@ def q_unigram_lm(spark, sf_dir):
                        "avg_neg_logprob", "rare_frac")
 
 
+def q_bigram_lm(spark, sf_dir):
+    # corpus-bigram LM quality scores: add-one-smoothed conditional
+    # transition likelihood (one order closer to KenLM than unigram_lm)
+    from blaze_spark.operators.textstats import bigram_lm_scores
+    prof = bigram_lm_scores(_docs(spark, sf_dir), "doc_id", "text")
+    return prof.select(F.col("id").alias("doc_id"), "n_bigrams",
+                       "avg_neg_logprob")
+
+
 def q_seed_vocab(spark, sf_dir):
     # subword seed-vocabulary induction: top-K substrings by corpus
     # frequency (the SentencePiece unigram-LM seed step)
@@ -1015,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "unigram_lm": q_unigram_lm,
+        "bigram_lm": q_bigram_lm,
         "seed_vocab": q_seed_vocab,
         "incremental_exact": q_incremental_exact,
         "incremental_minhash": q_incremental_minhash,
@@ -1801,6 +1811,31 @@ export interface Schema {
                          / count(*), 6) AS avg_neg_logprob,
                    round(CAST(sum(rare) AS BIGINT) / count(*), 6)
                        AS rare_frac
+            FROM scored GROUP BY 1""",
+        "bigram_lm": f"""
+            WITH t AS (SELECT doc_id AS id, {_TOKENS} AS toks
+                       FROM documents),
+            bg AS (
+              SELECT id,
+                     toks[CAST(s AS INT)] || ' ' ||
+                     toks[CAST(s AS INT) + 1] AS bg,
+                     toks[CAST(s AS INT)] AS w1
+              FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(s)
+              WHERE len(toks) >= 2),
+            bc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+            hc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS vocab
+                  FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)),
+            scored AS (
+              SELECT b.id,
+                     CAST(round(ln((c.c12 + 1)
+                         / CAST(h.c1 + v.vocab AS DOUBLE)) * 1000000.0)
+                         AS BIGINT) AS lp
+              FROM bg b JOIN bc c USING (bg) JOIN hc h USING (w1)
+              CROSS JOIN v)
+            SELECT id AS doc_id, count(*) AS n_bigrams,
+                   round((-(CAST(sum(lp) AS BIGINT) / 1000000.0))
+                         / count(*), 6) AS avg_neg_logprob
             FROM scored GROUP BY 1""",
         "seed_vocab": f"""
             WITH tok AS (SELECT unnest({_TOKENS}) AS tok FROM documents),

@@ -159,6 +159,61 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str,
          .alias("rare_frac"))
 
 
+def bigram_lm_scores(df: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Corpus-bigram language-model quality signals per document — one
+    order up from :func:`unigram_lm_scores`, markedly closer to the
+    KenLM-perplexity filters real pipelines run: each document is
+    scored by the add-one-smoothed conditional likelihood of its token
+    BIGRAMS under the corpus's own bigram distribution,
+    -mean(ln((c(w1 w2) + 1) / (c(w1·) + V))), where c(w1·) counts w1 as
+    a bigram history and V is the corpus vocabulary size. Word-salad
+    documents whose every word is common but whose TRANSITIONS are
+    unseen — invisible to the unigram model — score high here.
+
+    Cross-engine exactness: the same integer-microunit discipline as
+    the unigram scorer (per-bigram log-probs rounded to round(lp·1e6)
+    before the per-doc sum; only the final division is floating, in a
+    fixed expression order).
+
+    Scale shape: bigrams are built from the per-row token ARRAY
+    (map-only — no window over a token stream), the two count tables
+    are map-side-combined groupBys, scoring joins have fan-out exactly
+    1 against those AGGREGATED tables (hot histories are one build-side
+    row; AQE splits the skewed probe), and the vocabulary scalar rides
+    a broadcast one-row cross join. Documents with fewer than 2 tokens
+    emit no row (no transitions to score)."""
+    toks_arr = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                        lambda t: t != "")
+    bigrams_arr = F.when(
+        F.size(toks_arr) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks_arr) - 1),
+                    lambda i: F.concat_ws(" ", F.get(toks_arr, i - 1),
+                                          F.get(toks_arr, i)))) \
+        .otherwise(F.array().cast("array<string>"))
+    bg = df.select(F.col(id_col).alias("id"),
+                   F.explode(bigrams_arr).alias("bg"))
+    bg = bg.withColumn("w1", F.split(F.col("bg"), " ")[0])
+    bigram_counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    hist_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (df.select(F.explode(toks_arr).alias("tok"))
+               .agg(F.count_distinct("tok").alias("vocab")))
+    lp = F.log((F.col("c12") + 1)
+               / (F.col("c1") + F.col("vocab")).cast("double"))
+    scored = (bg.join(bigram_counts, "bg")
+                .join(hist_counts, "w1")
+                .crossJoin(F.broadcast(vocab))
+                .select("id",
+                        F.round(lp * F.lit(1e6)).cast("long").alias("lp")))
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp").alias("lp_sum"))
+    return agg.select(
+        "id", "n_bigrams",
+        F.round((-(F.col("lp_sum") / F.lit(1e6))) / F.col("n_bigrams"), 6)
+         .alias("avg_neg_logprob"))
+
+
 def seed_vocab(df: DataFrame, text_col: str, min_len: int = 1,
                max_len: int = 6, top_k: int = 1000) -> DataFrame:
     """Subword seed-vocabulary induction: the ``top_k`` most frequent

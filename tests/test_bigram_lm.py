@@ -1,0 +1,54 @@
+"""Corpus-bigram LM scoring (textstats.bigram_lm_scores). Value parity
+vs DuckDB lives in the driver oracle (`bigram_lm`); these tests pin the
+conditional-smoothing math and the word-salad separation the unigram
+model cannot see.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from blaze_spark.operators.textstats import bigram_lm_scores
+
+
+def test_hand_computed_conditional_logprob(spark):
+    # corpus: doc1 = "a b a", doc2 = "a b"
+    # bigrams: d1: (a b), (b a); d2: (a b)
+    # c12: "a b"=2, "b a"=1; c1 (history): a=2, b=1; V = 2 (tokens a, b)
+    df = spark.createDataFrame([(1, "a b a"), (2, "a b")],
+                               "doc_id long, text string")
+    got = {r["id"]: r for r in
+           bigram_lm_scores(df, "doc_id", "text").collect()}
+    p_ab = (2 + 1) / (2 + 2)   # c12+1 / c1+V
+    p_ba = (1 + 1) / (1 + 2)
+    micro = lambda p: round(math.log(p) * 1e6)  # noqa: E731
+    want1 = -((micro(p_ab) + micro(p_ba)) / 1e6) / 2
+    want2 = -(micro(p_ab) / 1e6) / 1
+    assert got[1]["n_bigrams"] == 2
+    assert got[2]["n_bigrams"] == 1
+    # abs=1e-6: Spark/DuckDB round HALF_UP, Python rounds half-even —
+    # want1 lands exactly on a .x5 boundary (0.3465735)
+    assert got[1]["avg_neg_logprob"] == pytest.approx(want1, abs=1e-6)
+    assert got[2]["avg_neg_logprob"] == pytest.approx(want2, abs=1e-6)
+
+
+def test_word_salad_scores_higher_than_fluent(spark):
+    # every word common, but the salad's TRANSITIONS are unseen —
+    # invisible to the unigram model, caught by the bigram model
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(6)] + [(99, "mat the on sat cat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["avg_neg_logprob"]
+           for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    assert got[99] > got[0]
+
+
+def test_short_and_empty_docs_emit_no_row(spark):
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "one"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    ids = [r["id"] for r in
+           bigram_lm_scores(df, "doc_id", "text").collect()]
+    assert ids == [1]

@@ -413,6 +413,8 @@ _CROSS_JOIN_ALLOWED = {
     "curation_report_v2",
     # unigram LM: broadcast single-row (N, V) corpus-stats factor
     "unigram_lm",
+    # bigram LM: broadcast single-row vocabulary-size factor
+    "bigram_lm",
     # containment: same broadcast one-row n_docs factor as ngram_jaccard
     "ngram_containment",
     # KS: broadcast theta self-join of the two PRE-AGGREGATED
