@@ -186,6 +186,8 @@ def run_benchmarks(only=None):
         spark, SF_DIR).count())
     # corpus-unigram LM quality scoring
     bench("unigram_lm", lambda: E.q_unigram_lm(spark, SF_DIR).count())
+    # corpus-bigram LM quality scoring (transition likelihood)
+    bench("bigram_lm", lambda: E.q_bigram_lm(spark, SF_DIR).count())
     # fuzzy decontamination: LSH recall + exact-Jaccard precision
     bench("contamination_fuzzy", lambda: E.q_contamination_fuzzy(
         spark, SF_DIR).count())

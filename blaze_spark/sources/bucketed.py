@@ -1,0 +1,50 @@
+"""Bucketed tables: co-located joins without a shuffle.
+
+At 100 TB the dominant cost of a repeated fact-to-fact join (documents
+to their chunk/embedding/violation siblings, batch to snapshot) is
+re-shuffling both sides on the join key every query. Spark's bucketed
+tables move that shuffle to WRITE time, once: both tables are
+hash-bucketed (and sort-ordered) on the key at rest, so a join on the
+bucket key compiles to scan → SortMergeJoin with NO Exchange on either
+side (proven in tests/test_bucketed_join.py against the executed plan).
+
+Catalog note: bucketing metadata lives in the session catalog
+(``saveAsTable``). Without an external metastore (Hive/Iceberg in this
+sandbox) the table REGISTRATION is session-scoped while the parquet
+data persists at ``path``; production deployments point the same call
+at a real metastore and the bucket spec persists with it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, key_cols: Sequence[str],
+                   n_buckets: int = 32,
+                   sort_cols: Optional[Sequence[str]] = None,
+                   path: Optional[str] = None,
+                   mode: str = "overwrite") -> str:
+    """Write ``df`` as a bucketed (+ sorted, defaulting to the bucket
+    key) catalog table. Pick ``n_buckets`` once per table family: joins
+    co-locate only between tables with the SAME bucket count on the
+    SAME key. Returns the table name for ``spark.table``."""
+    writer = (df.write.mode(mode)
+                .bucketBy(int(n_buckets), *key_cols)
+                .sortBy(*(sort_cols or key_cols)))
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return table
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: Sequence[str], how: str = "inner") -> DataFrame:
+    """Join two bucketed tables on their bucket key. This is a plain
+    DataFrame join — the point is what Catalyst does with it: matching
+    bucket specs satisfy the join's required distribution, so the plan
+    has no Exchange (and with sorted buckets, often no Sort either)."""
+    return spark.table(left_table).join(spark.table(right_table),
+                                        list(on), how)
