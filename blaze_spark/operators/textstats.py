@@ -185,14 +185,22 @@ def bigram_lm_scores(df: DataFrame, id_col: str,
     emit no row (no transitions to score)."""
     toks_arr = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
                         lambda t: t != "")
+    # the token array is materialized as a NAMED column before the
+    # bigram build: referencing the raw split expression inside the
+    # per-element lambda lets CollapseProject inline the whole split
+    # into every element access (measured 15 s vs 0.9 s at sf0.1 —
+    # the interpreted-projection blowup from the working notes); and
+    # bigrams come from zip_with of two slices, so the array is
+    # indexed zero times per element
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    n = F.size("toks")
     bigrams_arr = F.when(
-        F.size(toks_arr) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(toks_arr) - 1),
-                    lambda i: F.concat_ws(" ", F.get(toks_arr, i - 1),
-                                          F.get(toks_arr, i)))) \
+        n >= 2,
+        F.zip_with(F.slice("toks", 1, n - 1),
+                   F.slice(F.col("toks"), 2, n - 1),
+                   lambda x, y: F.concat_ws(" ", x, y))) \
         .otherwise(F.array().cast("array<string>"))
-    bg = df.select(F.col(id_col).alias("id"),
-                   F.explode(bigrams_arr).alias("bg"))
+    bg = base.select("id", F.explode(bigrams_arr).alias("bg"))
     bg = bg.withColumn("w1", F.split(F.col("bg"), " ")[0])
     bigram_counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     hist_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
