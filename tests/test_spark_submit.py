@@ -1,0 +1,79 @@
+"""End-to-end `spark-submit --py-files` launch (the north rule's
+deployment shape): the library ships as a zip, the driver script runs
+from OUTSIDE the repo with no PYTHONPATH, so every blaze_spark import
+must resolve from the --py-files artifact — exactly how a cluster
+executor sees it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+import pyspark
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _zip_package(dest: Path) -> Path:
+    zpath = dest / "blaze_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in sorted((REPO / "blaze_spark").rglob("*.py")):
+            zf.write(p, p.relative_to(REPO))
+    return zpath
+
+
+def test_spark_submit_py_files_checkpointed_run(spark, tmp_path):
+    # input parquet + schema file, authored here (not --demo, which
+    # imports repo-root modules the zip deliberately does not carry)
+    df = spark.createDataFrame(
+        [(f"repo{i % 3}", f"src/f{i}.py", f"c{i}",
+          ["py", "js", "zz"][i % 3], f"print({i})", i % 2)
+         for i in range(60)],
+        "repo string, path string, commit string, lang string, "
+        "content string, part_id int")
+    inp = str(tmp_path / "in_parquet")
+    df.coalesce(2).write.parquet(inp)
+    schema = {"type": "object",
+              "required": ["repo", "path", "commit"],
+              "properties": {"lang": {"enum": ["py", "js"]}}}
+    schema_file = tmp_path / "schema.json"
+    schema_file.write_text(json.dumps(schema))
+    zpath = _zip_package(tmp_path)
+
+    spark_submit = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH",)}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    # keep the submitted JVM small; the test session holds the big heap
+    env["SPARK_GRAFT_CPUS"] = "2"
+    env.pop("SPARK_GRAFT_HEAP", None)
+    proc = subprocess.run(
+        [str(spark_submit), "--master", "local[2]",
+         "--conf", "spark.driver.memory=2g",
+         "--py-files", str(zpath),
+         str(REPO / "scripts" / "run_validation.py"),
+         "--input", inp, "--schema-file", str(schema_file),
+         "--checkpoint-dir", str(tmp_path / "chk"),
+         "--partition-col", "part_id",
+         "--id-cols", "repo,path,commit"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    manifest = json.loads(proc.stdout[proc.stdout.index("{"):])
+    # both part_id partitions committed; the lang 'zz' rows violate the
+    # enum, so neither partition passes clean
+    parts = manifest["partitions"]
+    assert sorted(parts) == ["0", "1"]
+    assert sum(p["row_count"] for p in parts.values()) == 60
+    assert not any(p["passed"] for p in parts.values())
+    # per-partition metrics carry the violation counts (20 'zz' rows)
+    metrics = [json.loads((tmp_path / "chk" / "metrics" /
+                           f"part={k}.json").read_text()) for k in parts]
+    assert sum(m["invalid_rows"] for m in metrics) == 20
+    assert (tmp_path / "chk" / "violations").exists()
