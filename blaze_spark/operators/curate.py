@@ -34,7 +34,8 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
                   contamination_threshold: float = 0.5,
                   max_dup_ngram_ratio: Optional[float] = None,
                   max_dup_span_fraction: Optional[float] = None,
-                  max_avg_neg_logprob: Optional[float] = None
+                  max_avg_neg_logprob: Optional[float] = None,
+                  max_bigram_neg_logprob: Optional[float] = None
                   ) -> DataFrame:
     """One report row per document with the verdict of every curation
     stage plus the final ``kept`` flag:
@@ -54,8 +55,13 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
     - ``lm_ok`` — corpus-unigram avg negative log-likelihood
       (unigram_lm_scores) <= ``max_avg_neg_logprob`` (True when
       None/absent) — the perplexity-style fluency screen;
+    - ``bigram_ok`` — corpus-bigram conditional avg negative
+      log-likelihood (bigram_lm_scores) <= ``max_bigram_neg_logprob``
+      (True when None/absent) — the transition-fluency screen that
+      catches common-words word salad the unigram gate passes;
     - ``kept`` = valid AND quality_ok AND is_canonical AND
-      repetition_ok AND span_ok AND lm_ok AND NOT contaminated.
+      repetition_ok AND span_ok AND lm_ok AND bigram_ok AND NOT
+      contaminated.
 
     Returning the full report (rather than just the survivors) is
     deliberate: curation decisions need an audit trail, and the
@@ -119,6 +125,17 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
                   .withColumn("lm_ok", F.coalesce("lm_ok", F.lit(True))))
     else:
         report = report.withColumn("lm_ok", F.lit(True))
+    if max_bigram_neg_logprob is not None:
+        from blaze_spark.operators.textstats import bigram_lm_scores
+        blm = bigram_lm_scores(docs, id_col, text_col).select(
+            "id", (F.col("avg_neg_logprob") <= max_bigram_neg_logprob)
+            .alias("bigram_ok"))
+        # left join: docs with < 2 tokens have no transitions to score
+        report = (report.join(blm, "id", "left")
+                  .withColumn("bigram_ok",
+                              F.coalesce("bigram_ok", F.lit(True))))
+    else:
+        report = report.withColumn("bigram_ok", F.lit(True))
     return (report
             .withColumn("quality_ok",
                         F.col("quality_score") >= min_quality)
@@ -126,10 +143,11 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
                         F.col("valid") & F.col("quality_ok")
                         & F.col("is_canonical") & F.col("repetition_ok")
                         & F.col("span_ok") & F.col("lm_ok")
+                        & F.col("bigram_ok")
                         & ~F.col("contaminated"))
             .select("id", "valid", "quality_score", "quality_ok",
                     "is_canonical", "contaminated", "repetition_ok",
-                    "span_ok", "lm_ok", "kept"))
+                    "span_ok", "lm_ok", "bigram_ok", "kept"))
 
 
 def curate(docs: DataFrame, id_col: str, text_col: str, schema: Any,

@@ -52,3 +52,35 @@ def test_short_and_empty_docs_emit_no_row(spark):
     ids = [r["id"] for r in
            bigram_lm_scores(df, "doc_id", "text").collect()]
     assert ids == [1]
+
+
+def test_curation_bigram_gate_drops_word_salad(spark):
+    """The v3 gate's reason to exist: a shuffled-but-common-words doc
+    passes every v2 gate (incl. the unigram LM screen) and is dropped
+    only by the bigram transition screen."""
+    from blaze_spark.operators.curate import curate_report
+
+    fluent = "the cat sat on the mat and the dog lay by the door"
+    salad = "door the by lay dog mat the and the on sat cat the"
+    rows = [(i, " ".join([fluent] * 1)) for i in range(8)] + [(99, salad)]
+    # unique-ify fluent docs so the canonical gate keeps them all
+    rows = [(i, t + f" extra{i}") for i, t in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    schema = {"type": "object", "required": ["doc_id", "text"]}
+    base = dict(min_quality=0.0, max_avg_neg_logprob=100.0)
+    v2 = {r["id"]: r for r in curate_report(
+        df, "doc_id", "text", schema, **base).collect()}
+    assert v2[99]["kept"] is True  # unigram gate cannot see the salad
+    # threshold strictly between the fluent docs' worst score and the
+    # salad's (the separation itself is the property under test)
+    scores = {r["id"]: r["avg_neg_logprob"] for r in
+              bigram_lm_scores(df, "doc_id", "text").collect()}
+    fluent_worst = max(v for k, v in scores.items() if k != 99)
+    assert scores[99] > fluent_worst
+    thr = (fluent_worst + scores[99]) / 2
+    v3 = {r["id"]: r for r in curate_report(
+        df, "doc_id", "text", schema, **base,
+        max_bigram_neg_logprob=thr).collect()}
+    assert v3[99]["bigram_ok"] is False
+    assert v3[99]["kept"] is False
+    assert v3[0]["bigram_ok"] is True and v3[0]["kept"] is True
