@@ -200,6 +200,9 @@ def run_benchmarks(only=None):
     # the full composed curation pipeline with all seven gates
     bench("curation_report_v2", lambda: E.q_curation_report_v2(
         spark, SF_DIR).count())
+    # v3: all eight gates incl. the bigram transition-fluency screen
+    bench("curation_report_v3", lambda: E.q_curation_report_v3(
+        spark, SF_DIR).count())
     bench("ann_cosine_topk", lambda: E.q_ann_cosine_topk(spark, SF_DIR).count())
     # the 100-TB scale paths: IVF-probed ANN + bucket-local embedding dedup
     bench("ann_ivf_topk", lambda: E.q_ann_ivf_topk(spark, SF_DIR).count())

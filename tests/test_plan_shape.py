@@ -411,6 +411,8 @@ _CROSS_JOIN_ALLOWED = {
     "curation_report", "contamination",
     # v2 adds the unigram-LM broadcast single-row (N, V) stats factor
     "curation_report_v2",
+    # v3 adds the bigram-LM broadcast single-row vocabulary factor
+    "curation_report_v3",
     # unigram LM: broadcast single-row (N, V) corpus-stats factor
     "unigram_lm",
     # bigram LM: broadcast single-row vocabulary-size factor
