@@ -540,6 +540,8 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                 "doc_id", "text").count(),
             "seed_vocab": lambda: TS.seed_vocab(
                 docs, "text", min_len=1, max_len=6, top_k=500).count(),
+            "bigram_lm": lambda: TS.bigram_lm_scores(
+                docs, "doc_id", "text").count(),
             "embedding_bucketed": lambda: DD.embedding_near_duplicates_bucketed(
                 emb, "vec_id", centroids, threshold=0.95).count(),
             "embedding_lsh": lambda: DD.embedding_near_duplicates_lsh(
