@@ -997,6 +997,19 @@ def q_curation_report_v2(spark, sf_dir):
                          "repetition_ok", "span_ok", "lm_ok", "kept")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup resolution (curate.dedup_keep_best): per
+    cluster keep the argmax by (quality_score desc, id asc) instead of
+    the arbitrary min-id canonical."""
+    from blaze_spark.operators.curate import dedup_keep_best
+
+    out = dedup_keep_best(_docs(spark, sf_dir), "doc_id", "text",
+                          k=4, band=2)
+    return out.select("doc_id", "component", "cluster_size",
+                      F.round("quality_score", 2).alias("quality_score"),
+                      "keep")
+
+
 def q_curation_report_v3(spark, sf_dir):
     """v2 plus the bigram transition-fluency gate (bigram_lm_scores,
     threshold at ~p90 of the candidate distribution) — the WHOLE
@@ -1089,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": q_curation_report,
         "curation_report_v2": q_curation_report_v2,
         "curation_report_v3": q_curation_report_v3,
+        "dedup_keep_best": q_dedup_keep_best,
         "sample_documents": q_sample_documents,
         "sample_stratified_lang": q_sample_stratified_lang,
         "weighted_mix": q_weighted_mix,
@@ -1973,6 +1987,73 @@ export interface Schema {
             SELECT id AS doc_id, component,
                    count(*) OVER (PARTITION BY component) AS cluster_size
             FROM comp""",
+        # dedup_keep_best: the clusters closure + quality argmax pick
+        "dedup_keep_best": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, unnest(list_distinct({_SHINGLES})) AS tok
+              FROM documents),
+            fan AS (SELECT doc_id, tok, k
+                    FROM tok CROSS JOIN (SELECT unnest([0,1,2,3]) AS k)),
+            sig AS (SELECT doc_id, k, min(md5(k::VARCHAR || ':' || tok)) AS mh
+                    FROM fan GROUP BY 1, 2),
+            banded AS (
+              SELECT doc_id, CAST(floor(k / 2) AS INT) AS band,
+                     string_agg(lpad(k::VARCHAR, 2, '0') || '=' || mh, '|'
+                                ORDER BY lpad(k::VARCHAR, 2, '0') || '=' || mh)
+                         AS bucket_key
+              FROM sig GROUP BY 1, 2),
+            kept AS (
+              SELECT * FROM banded
+              QUALIFY count(*) OVER (PARTITION BY band, bucket_key) <= 100),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.bucket_key = b.bucket_key
+              WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                      UNION SELECT id_b AS u, id_a AS v FROM cand),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, x) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.x),
+            comp AS (SELECT id, min(x) AS component FROM reach GROUP BY 1),
+            cl AS (SELECT id AS doc_id, component,
+                          count(*) OVER (PARTITION BY component)
+                              AS cluster_size
+                   FROM comp),
+            t AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
+            f AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     CASE WHEN len(toks) > 0 THEN
+                       (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','for','on','with')))
+                       / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
+              FROM t),
+            q AS (
+              SELECT doc_id,
+                     (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN mean_token_len >= 2.5 AND mean_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+                       AS quality_score
+              FROM f),
+            j AS (SELECT cl.doc_id, cl.component, cl.cluster_size,
+                         q.quality_score
+                  FROM cl JOIN q USING (doc_id)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY component
+                        ORDER BY quality_score DESC, doc_id) AS rn
+                  FROM j)
+            SELECT doc_id, component, cluster_size,
+                   round(quality_score, 2) AS quality_score,
+                   rn = 1 AS keep
+            FROM r""",
         "dedup_embedding_lsh": _lsh_sql(),
         "unigram_lm": f"""
             WITH tok AS (

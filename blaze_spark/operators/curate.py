@@ -156,3 +156,45 @@ def curate(docs: DataFrame, id_col: str, text_col: str, schema: Any,
     keep = curate_report(docs, id_col, text_col, schema,
                          **kwargs).where("kept").select("id")
     return docs.join(keep.withColumnRenamed("id", id_col), id_col)
+
+
+def dedup_keep_best(docs: DataFrame, id_col: str, text_col: str,
+                    k: int = None, band: int = None,
+                    max_bucket: int = 100) -> DataFrame:
+    """The curation ACTION after near-dup clustering: within each
+    near-duplicate cluster keep the HIGHEST-QUALITY document rather
+    than the arbitrary min-id canonical — near-dup groups usually mix
+    a clean original with mangled/boilerplate-wrapped variants, and
+    min-id keeps whichever crawled first. One row per clustered doc:
+    (id, component, cluster_size, quality_score, keep), where keep
+    marks the cluster's argmax by (quality_score desc, id asc) —
+    deterministic and engine-replayable. Unclustered docs (no
+    near-duplicate anywhere) emit no row: they are all keepers, and
+    at corpus scale the clustered subset is orders of magnitude
+    smaller than the corpus.
+
+    Scale shape: clustering is :func:`~blaze_spark.operators.dedup.
+    near_dup_clusters` (LSH pairs → large-star/small-star CC); quality
+    is map-only token math joined on id (fan-out 1); the winner pick
+    is a struct-max over a window PARTITIONED by component — bounded
+    by cluster size, never global, and the same one-pass shape as the
+    canonical pick in :func:`curate_report` (the r3 window-rewrite
+    pattern; a groupBy+join-back would recompute the CC subtree)."""
+    from pyspark.sql import Window
+
+    from blaze_spark.operators.dedup import (MINHASH_BAND, MINHASH_K,
+                                             near_dup_clusters)
+
+    k = MINHASH_K if k is None else k
+    band = MINHASH_BAND if band is None else band
+    clusters = near_dup_clusters(docs, id_col, text_col, k=k, band=band,
+                                 max_bucket=max_bucket)
+    quality = quality_score(docs, id_col, text_col)
+    joined = clusters.join(quality, id_col)
+    w = Window.partitionBy("component")
+    best = F.max(F.struct(F.col("quality_score").alias("q"),
+                          (-F.col(id_col)).alias("neg_id"),
+                          F.col(id_col).alias("bid"))).over(w)
+    return (joined.withColumn("keep", F.col(id_col) == best["bid"])
+                  .select(id_col, "component", "cluster_size",
+                          "quality_score", "keep"))

@@ -84,3 +84,27 @@ def test_curation_bigram_gate_drops_word_salad(spark):
     assert v3[99]["bigram_ok"] is False
     assert v3[99]["kept"] is False
     assert v3[0]["bigram_ok"] is True and v3[0]["kept"] is True
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """dedup_keep_best keeps the higher-quality member even when the
+    min-id canonical is the degraded variant; exactly one keeper per
+    cluster."""
+    from blaze_spark.operators.curate import dedup_keep_best
+
+    good = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet green field near the old wall")
+    # same content, mangled: punctuation-flooded so punct_ratio fails
+    bad = good.replace(" ", "!! ")
+    other = ("numbers tables joins aggregates windows buckets sorting "
+             "hashing sampling profiles metrics columns rows schemas")
+    df = spark.createDataFrame(
+        [(1, bad), (2, good), (7, other)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dedup_keep_best(
+        df, "doc_id", "text", k=4, band=2).collect()}
+    # docs 1 and 2 cluster (same token shingles); 7 is unclustered
+    assert set(rows) == {1, 2}
+    assert rows[2]["keep"] is True      # higher quality wins...
+    assert rows[1]["keep"] is False     # ...over the smaller id
+    assert rows[1]["component"] == rows[2]["component"]
+    assert rows[1]["cluster_size"] == 2
