@@ -997,6 +997,21 @@ def q_curation_report_v2(spark, sf_dir):
                          "repetition_ok", "span_ok", "lm_ok", "kept")
 
 
+def q_top_quality(spark, sf_dir):
+    """Percentile-thresholded quality gate (curate.top_quality_fraction):
+    cutoff = ONE exact percentile aggregate broadcast back, gate =
+    map-only comparison — no global sort/rank window. Spark
+    percentile() and DuckDB quantile_cont interpolate identically
+    (the column_quantiles parity)."""
+    from blaze_spark.operators.curate import top_quality_fraction
+
+    out = top_quality_fraction(_docs(spark, sf_dir), "doc_id", "text",
+                               fraction=0.6)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.round("quality_score", 2).alias("quality_score"),
+                      "cutoff", "kept")
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware near-dup resolution (curate.dedup_keep_best): per
     cluster keep the argmax by (quality_score desc, id asc) instead of
@@ -1103,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report_v2": q_curation_report_v2,
         "curation_report_v3": q_curation_report_v3,
         "dedup_keep_best": q_dedup_keep_best,
+        "top_quality": q_top_quality,
         "sample_documents": q_sample_documents,
         "sample_stratified_lang": q_sample_stratified_lang,
         "weighted_mix": q_weighted_mix,
@@ -1987,6 +2003,38 @@ export interface Schema {
             SELECT id AS doc_id, component,
                    count(*) OVER (PARTITION BY component) AS cluster_size
             FROM comp""",
+        # top_quality: exact interpolated quantile cutoff + map-only gate
+        "top_quality": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKENS} AS toks
+                       FROM documents),
+            f AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     CASE WHEN len(toks) > 0 THEN
+                       (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','for','on','with')))
+                       / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
+              FROM t),
+            q AS (
+              SELECT doc_id,
+                     (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN mean_token_len >= 2.5 AND mean_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+                       AS quality_score
+              FROM f),
+            c AS (SELECT quantile_cont(quality_score, 0.4) AS cutoff
+                  FROM q)
+            SELECT q.doc_id,
+                   round(q.quality_score, 2) AS quality_score,
+                   round(c.cutoff, 6) AS cutoff,
+                   q.quality_score >= c.cutoff AS kept
+            FROM q CROSS JOIN c""",
         # dedup_keep_best: the clusters closure + quality argmax pick
         "dedup_keep_best": f"""
             WITH RECURSIVE tok AS (

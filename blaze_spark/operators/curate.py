@@ -198,3 +198,32 @@ def dedup_keep_best(docs: DataFrame, id_col: str, text_col: str,
     return (joined.withColumn("keep", F.col(id_col) == best["bid"])
                   .select(id_col, "component", "cluster_size",
                           "quality_score", "keep"))
+
+
+def top_quality_fraction(docs: DataFrame, id_col: str, text_col: str,
+                         fraction: float) -> DataFrame:
+    """Percentile-thresholded quality gate: keep (approximately) the
+    top ``fraction`` of documents by :func:`quality_score` — the
+    "train on the best X% of the crawl" knob. Returns one row per doc:
+    (id, quality_score, cutoff, kept) with kept = score >= the exact
+    interpolated (1 - fraction) quantile of the corpus score
+    distribution. Ties AT the cutoff are all kept (deterministic; with
+    coarse scores the kept set can exceed ``fraction`` — the audit
+    columns make that visible).
+
+    Scale shape: NO global sort/rank window — the cutoff is ONE exact
+    ``percentile`` aggregate broadcast back as a scalar, and the gate
+    is a map-only comparison. Exact percentile is the right call here
+    because quality scores have tiny cardinality (quarter steps), so
+    the aggregate buffer is bounded; for high-cardinality scores swap
+    in ``percentile_approx`` (checks.column_quantiles' sketch) and the
+    bounded-rank-error contract."""
+    scored = quality_score(docs, id_col, text_col).select(
+        F.col(id_col).alias("id"), "quality_score")
+    cut = scored.agg(F.percentile("quality_score",
+                                  1.0 - fraction).alias("cutoff"))
+    return (scored.crossJoin(F.broadcast(cut))
+                  .select("id", "quality_score",
+                          F.round("cutoff", 6).alias("cutoff"),
+                          (F.col("quality_score") >= F.col("cutoff"))
+                          .alias("kept")))

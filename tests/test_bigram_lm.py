@@ -108,3 +108,23 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     assert rows[1]["keep"] is False     # ...over the smaller id
     assert rows[1]["component"] == rows[2]["component"]
     assert rows[1]["cluster_size"] == 2
+
+
+def test_top_quality_fraction_gate(spark):
+    """Cutoff = exact interpolated quantile; ties at the cutoff all
+    kept; no global sort/rank in the plan (plan-shape gate covers the
+    driver query)."""
+    from blaze_spark.operators.curate import top_quality_fraction
+
+    good = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet green field near the old wall")
+    bad = "x!!" * 40
+    rows = [(i, good) for i in range(8)] + [(90, bad), (91, bad)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in top_quality_fraction(
+        df, "doc_id", "text", fraction=0.5).collect()}
+    assert len(out) == 10
+    # the 8 good docs tie above the cutoff and are ALL kept
+    assert all(out[i]["kept"] for i in range(8))
+    assert not out[90]["kept"] and not out[91]["kept"]
+    assert out[0]["cutoff"] <= out[0]["quality_score"]

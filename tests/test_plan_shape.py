@@ -413,6 +413,8 @@ _CROSS_JOIN_ALLOWED = {
     "curation_report_v2",
     # v3 adds the bigram-LM broadcast single-row vocabulary factor
     "curation_report_v3",
+    # broadcast single-row percentile-cutoff factor
+    "top_quality",
     # unigram LM: broadcast single-row (N, V) corpus-stats factor
     "unigram_lm",
     # bigram LM: broadcast single-row vocabulary-size factor
