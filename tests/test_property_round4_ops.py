@@ -207,3 +207,51 @@ def test_decontaminate_fuzzy_matches_brute_force(spark, corpus):
         g = got[nid]
         assert g[0] == n_c and g[1] == best and g[3] == flag, (nid, g)
         assert abs(g[2] - round(jac, 6)) < 1e-9, (nid, g[2], jac)
+
+
+def _bigram_reference(docs):
+    """Brute-force bigram_lm_scores incl. the integer-microunit
+    discipline (round half-even like Spark's bround? no — F.round on
+    the microunit step is HALF_UP; replicate via floor(x+0.5) on the
+    magnitude-signed value as Java does)."""
+    import math
+
+    def _round_half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    bigrams, hist = {}, {}
+    vocab = set()
+    per_doc = {}
+    for i, toks in enumerate(docs):
+        vocab.update(toks)
+        bgs = [f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)]
+        if bgs:
+            per_doc[i] = bgs
+        for b in bgs:
+            bigrams[b] = bigrams.get(b, 0) + 1
+            w1 = b.split(" ")[0]
+            hist[w1] = hist.get(w1, 0) + 1
+    out = {}
+    for i, bgs in per_doc.items():
+        total = 0
+        for b in bgs:
+            p = (bigrams[b] + 1) / (hist[b.split(" ")[0]] + len(vocab))
+            total += _round_half_up(math.log(p) * 1e6)
+        out[i] = (len(bgs), -(total / 1e6) / len(bgs))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=_corpus)
+def test_bigram_lm_matches_brute_force(spark, corpus):
+    from blaze_spark.operators.textstats import bigram_lm_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["n_bigrams"], r["avg_neg_logprob"])
+           for r in bigram_lm_scores(df, "doc_id", "text").collect()}
+    want = _bigram_reference(corpus)
+    assert set(got) == set(want)
+    for i, (n, anl) in want.items():
+        assert got[i][0] == n
+        assert abs(got[i][1] - anl) < 1e-6, (i, got[i][1], anl)
