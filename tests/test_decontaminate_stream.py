@@ -72,3 +72,34 @@ def test_stream_screen_drops_near_dups_keeps_clean(spark, tmp_path):
     # helper band-key columns must not leak into the output schema
     cols = spark.sql("select * from decon_out").columns
     assert cols == ["doc_id", "text"]
+
+
+def test_map_only_text_ops_compose_on_streams(spark, tmp_path):
+    """quality_score and redact_pii are pure projections, so they run
+    unchanged on a streaming DataFrame in append mode — pinned here so
+    a future rewrite that sneaks in an aggregation breaks loudly."""
+    from blaze_spark.operators.textstats import quality_score, redact_pii
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog with "
+                "some fine words to say about everything here"),
+            (2, "contact me at alice@example.com right away")]
+    src = str(tmp_path / "in_textops")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    scored = quality_score(stream, "doc_id", "text")
+    scrubbed = redact_pii(stream, "doc_id", "text")
+    q1 = (scored.writeStream.format("memory").queryName("q_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2 = (scrubbed.writeStream.format("memory").queryName("p_stream")
+          .outputMode("append").trigger(availableNow=True).start())
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    quality = {r["doc_id"]: r["quality_score"] for r in
+               spark.sql("select * from q_stream").collect()}
+    assert quality[1] == 1.0
+    pii = {r["doc_id"]: r for r in
+           spark.sql("select * from p_stream").collect()}
+    assert "alice@example.com" not in pii[2]["redacted"]
+    assert pii[2]["n_email"] == 1
