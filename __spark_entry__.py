@@ -1051,57 +1051,18 @@ def q_curation_report_v3(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-query registry.
+
+    ORDER MATTERS: the driver's correctness harness verifies only the
+    FIRST 50 entries (observed in CORRECTNESS_r04.json).  Queries that
+    have never had a green driver CORRECTNESS row — plus anything new
+    this round — MUST sit in the first 50 positions; long-stable queries
+    whose green rows are already committed rotate to the tail (r4
+    verdict, "Next round" #1).  Rotate per round so everything
+    re-witnesses over time.
+    """
     return {
-        "validate_documents": q_validate_documents,
-        "validate_documents_policy": q_validate_documents_policy,
-        "validate_documents_violations": q_validate_documents_violations,
-        "validate_messages_pattern": q_validate_messages_pattern,
-        "partition_report": q_partition_report,
-        "validate_lineitem": q_validate_lineitem,
-        "validate_events_props": q_validate_events_props,
-        "column_stats": q_column_stats,
-        "length_histogram": q_length_histogram,
-        "uniqueness_lineitem": q_uniqueness_lineitem,
-        "uniqueness_orders_by_customer_day": q_uniqueness_orders_by_customer_day,
-        "referential_lang": q_referential_lang,
-        "referential_lineitem_part": q_referential_lineitem_part,
-        "drift_psi_lang": q_drift_psi_lang,
-        "drift_ks_n_chars": q_drift_ks_n_chars,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_signatures": q_dedup_minhash_signatures,
-        "dedup_minhash_candidates": q_dedup_minhash_candidates,
-        "dedup_clusters": q_dedup_clusters,
-        "duplicate_spans": q_duplicate_spans,
-        "scrub_spans": q_scrub_spans,
-        "sessionize": q_sessionize,
-        "session_window": q_session_window,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "unigram_lm": q_unigram_lm,
-        "bigram_lm": q_bigram_lm,
-        "seed_vocab": q_seed_vocab,
-        "incremental_exact": q_incremental_exact,
-        "incremental_minhash": q_incremental_minhash,
-        "contamination_fuzzy": q_contamination_fuzzy,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_containment": q_ngram_containment,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "quality_features": q_quality_features,
-        "quality_score": q_quality_score,
-        "repetition": q_repetition,
-        "language_id": q_language_id,
-        "fingerprint": q_fingerprint,
-        "events_windowed_violations": q_events_windowed_violations,
-        "drift_stream_windowed": q_drift_stream_windowed,
-        "drift_stream_numeric_windowed": q_drift_stream_numeric_windowed,
-        "token_count": q_token_count,
-        "salted_group_count": q_salted_group_count,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
-        "media_features": q_media_features,
-        "media_roundtrip": q_media_roundtrip,
+        # --- never driver-witnessed before r5 (were positions 51-71) ---
         "column_stats_hll": q_column_stats_hll,
         "column_profile_merge": q_column_profile_merge,
         "column_quantiles": q_column_quantiles,
@@ -1123,6 +1084,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_lang": q_sample_stratified_lang,
         "weighted_mix": q_weighted_mix,
         "pack_documents": q_pack_documents,
+        # --- new in round 5 (uncommented as each lands) ---
+        # "quality_classifier": q_quality_classifier,
+        # "curation_report_v4": q_curation_report_v4,
+        # "vocab_prune": q_vocab_prune,
+        # "session_violations_stream": q_session_violations_stream,
+        # "duplicate_spans_max": q_duplicate_spans_max,
+        # --- rotated-in previously-green flagships (re-witness) ---
+        "validate_documents": q_validate_documents,
+        "validate_documents_violations": q_validate_documents_violations,
+        "validate_lineitem": q_validate_lineitem,
+        "validate_events_props": q_validate_events_props,
+        "dedup_minhash_candidates": q_dedup_minhash_candidates,
+        "dedup_clusters": q_dedup_clusters,
+        "duplicate_spans": q_duplicate_spans,
+        "scrub_spans": q_scrub_spans,
+        "contamination_fuzzy": q_contamination_fuzzy,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "unigram_lm": q_unigram_lm,
+        "bigram_lm": q_bigram_lm,
+        "seed_vocab": q_seed_vocab,
+        "incremental_exact": q_incremental_exact,
+        "incremental_minhash": q_incremental_minhash,
+        "sessionize": q_sessionize,
+        "session_window": q_session_window,
+        "events_windowed_violations": q_events_windowed_violations,
+        "drift_psi_lang": q_drift_psi_lang,
+        # --- tail: long-stable, driver-green in r1-r4 (rotate back in r6) ---
+        "media_roundtrip": q_media_roundtrip,
+        "validate_documents_policy": q_validate_documents_policy,
+        "validate_messages_pattern": q_validate_messages_pattern,
+        "partition_report": q_partition_report,
+        "column_stats": q_column_stats,
+        "length_histogram": q_length_histogram,
+        "uniqueness_lineitem": q_uniqueness_lineitem,
+        "uniqueness_orders_by_customer_day": q_uniqueness_orders_by_customer_day,
+        "referential_lang": q_referential_lang,
+        "referential_lineitem_part": q_referential_lineitem_part,
+        "drift_ks_n_chars": q_drift_ks_n_chars,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "ngram_containment": q_ngram_containment,
+        "simhash": q_simhash,
+        "quality_features": q_quality_features,
+        "quality_score": q_quality_score,
+        "repetition": q_repetition,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "drift_stream_windowed": q_drift_stream_windowed,
+        "drift_stream_numeric_windowed": q_drift_stream_numeric_windowed,
+        "token_count": q_token_count,
+        "salted_group_count": q_salted_group_count,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "media_features": q_media_features,
     }
 
 
