@@ -192,8 +192,11 @@ def dedup_keep_best(docs: DataFrame, id_col: str, text_col: str,
     quality = quality_score(docs, id_col, text_col)
     joined = clusters.join(quality, id_col)
     w = Window.partitionBy("component")
-    best = F.max(F.struct(F.col("quality_score").alias("q"),
-                          (-F.col(id_col)).alias("neg_id"),
+    # argmax by (quality desc, id asc) via MIN over (-score, id): the
+    # score is always double (safe to negate) while ids may be strings —
+    # (-id) threw CAST_INVALID_INPUT under ANSI mode for the string ids
+    # that near_dup_clusters itself supports.
+    best = F.min(F.struct((-F.col("quality_score")).alias("neg_q"),
                           F.col(id_col).alias("bid"))).over(w)
     return (joined.withColumn("keep", F.col(id_col) == best["bid"])
                   .select(id_col, "component", "cluster_size",

@@ -116,17 +116,32 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         .alias("hash_index", "minhash"))
 
 
+def _index_pad_width(k: int) -> int:
+    """Zero-pad width for hash-index tokens inside LSH bucket keys:
+    wide enough for the largest index (k-1), floor 2 so the default
+    k=12 keys (and every oracle replaying them) are byte-identical to
+    the historical format. Shared by the batch bucket builder and the
+    streaming decontaminator so their keys agree for ANY k."""
+    return max(2, len(str(k - 1)))
+
+
 def _minhash_buckets(df: DataFrame, id_col: str, text_col: str,
                      k: int, band: int) -> DataFrame:
     """(id, band, bucket_key): LSH band buckets over the MinHash
     signature — the shared basis for within-corpus candidate pairs and
     the incremental new-batch-vs-corpus join."""
     sigs = minhash_signatures(df, id_col, text_col, k)
-    # order inside the band must be deterministic for the bucket key
+    # order inside the band must be deterministic for the bucket key.
+    # Pad width derives from k (min 2 keeps keys stable for the default
+    # k=12 and every k <= 100): a fixed lpad(2) TRUNCATED three-digit
+    # indices (100 -> '10', colliding with 10) and diverged from the
+    # streaming sibling's formatting for k > 99.
+    pad = _index_pad_width(k)
     return (sigs.withColumn("band", (F.col("hash_index") / band).cast("int"))
                 .groupBy(id_col, "band")
                 .agg(F.concat_ws("|", F.sort_array(F.collect_list(
-                    F.concat(F.lpad(F.col("hash_index").cast("string"), 2, "0"),
+                    F.concat(F.lpad(F.col("hash_index").cast("string"),
+                                    pad, "0"),
                              F.lit("="), F.col("minhash"))))).alias("bucket_key")))
 
 
@@ -1027,11 +1042,17 @@ def decontaminate_fuzzy(test: DataFrame, train: DataFrame,
                         (F.col("intersection")
                          / (F.col("size_t") + F.col("size_c")
                             - F.col("intersection"))).alias("jac")))
+    # argmax-by-jac, ties to the SMALLEST corpus_id: min over
+    # (-jac, corpus_id, jac). Negating jac (always double) instead of
+    # the id keeps string ids native — (-id) threw CAST_INVALID_INPUT
+    # under ANSI mode for string ids and would tie-break numeric-looking
+    # strings numerically. jac rides along un-negated ((new_id,
+    # corpus_id) is unique here, so it never influences the ordering).
     best = (jac.groupBy("new_id")
                .agg(F.count(F.lit(1)).alias("n_candidates"),
-                    F.max(F.struct(F.col("jac").alias("jac"),
-                                   (-F.col("corpus_id")).alias("neg_id"),
-                                   F.col("corpus_id").alias("corpus_id")))
+                    F.min(F.struct((-F.col("jac")).alias("neg_jac"),
+                                   F.col("corpus_id").alias("corpus_id"),
+                                   F.col("jac").alias("jac")))
                      .alias("b"))
                .select(F.col("new_id").alias("id"), "n_candidates",
                        F.col("b.corpus_id").alias("best_train_id"),

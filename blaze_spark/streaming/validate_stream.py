@@ -300,11 +300,13 @@ def decontaminate_stream(stream_df: DataFrame, train: DataFrame,
     from pyspark.sql import Window
 
     from blaze_spark.operators.dedup import (MINHASH_BAND, MINHASH_K,
+                                             _index_pad_width,
                                              _minhash_buckets, _shingles)
 
     k = MINHASH_K if k is None else k
     band = MINHASH_BAND if band is None else band
     n_bands = k // band
+    pad = _index_pad_width(k)  # must match the batch bucket keys for ANY k
 
     sh = F.array_distinct(_shingles(text_col))
 
@@ -317,7 +319,7 @@ def decontaminate_stream(stream_df: DataFrame, train: DataFrame,
     mins = [_min_hash(i) for i in range(k)]
     out = stream_df
     for b in range(n_bands):
-        entries = [F.concat(F.lit(f"{i:02d}="), mins[i])
+        entries = [F.concat(F.lit(f"{i:0{pad}d}="), mins[i])
                    for i in range(b * band, (b + 1) * band)]
         out = out.withColumn(
             f"__bk{b}__",

@@ -1,0 +1,99 @@
+"""Round-5 ADVICE fixes.
+
+1. decontaminate_fuzzy's best-candidate tie-break must work for STRING
+   document ids (the old ``-F.col('corpus_id')`` threw
+   CAST_INVALID_INPUT under ANSI mode) and break ties
+   LEXICOGRAPHICALLY, never numerically, for numeric-looking strings.
+2. dedup_keep_best: same tie-break bug, same fix.
+3. _minhash_buckets' hash-index pad width must scale with k: a fixed
+   lpad(2) truncated index 100 -> '10' (colliding with 10) and diverged
+   from the streaming decontaminator's f'{i:02d}' keys for k > 99.
+"""
+
+from __future__ import annotations
+
+from blaze_spark.operators.dedup import (_index_pad_width,
+                                         _minhash_buckets,
+                                         decontaminate_fuzzy)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green field near the old stone wall")
+
+
+def test_decontaminate_fuzzy_string_ids_lexicographic_tiebreak(spark):
+    # both train docs tie at jaccard 1.0; 'tr10' < 'tr2' lexicographically
+    # (a numeric tie-break would pick tr2 — and ANSI would crash first)
+    train = spark.createDataFrame([("tr2", BASE), ("tr10", BASE)],
+                                  "doc_id string, text string")
+    test = spark.createDataFrame([("t1", BASE)],
+                                 "doc_id string, text string")
+    rows = decontaminate_fuzzy(test, train, "doc_id", "text",
+                               k=4, band=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["best_train_id"] == "tr10"
+    assert rows[0]["n_candidates"] == 2
+    assert rows[0]["jaccard"] == 1.0
+    assert rows[0]["contaminated"] is True
+
+
+def test_decontaminate_fuzzy_long_ids_unchanged(spark):
+    # the fix must not disturb the long-id semantics the driver oracle
+    # pins: ties still break to the SMALLEST id
+    train = spark.createDataFrame([(10, BASE), (4, BASE)],
+                                  "doc_id long, text string")
+    test = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    rows = decontaminate_fuzzy(test, train, "doc_id", "text",
+                               k=4, band=2).collect()
+    assert rows[0]["best_train_id"] == 4
+
+
+def test_dedup_keep_best_string_ids(spark):
+    from blaze_spark.operators.curate import dedup_keep_best
+
+    good = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet green field near the old wall")
+    bad = good.replace(" ", "!! ")  # punctuation-flooded variant
+    df = spark.createDataFrame([("d1", bad), ("d2", good)],
+                               "doc_id string, text string")
+    rows = {r["doc_id"]: r for r in dedup_keep_best(
+        df, "doc_id", "text", k=4, band=2).collect()}
+    assert set(rows) == {"d1", "d2"}
+    assert rows["d2"]["keep"] is True
+    assert rows["d1"]["keep"] is False
+
+
+def test_dedup_keep_best_string_id_tiebreak_is_lexicographic(spark):
+    from blaze_spark.operators.curate import dedup_keep_best
+
+    # identical text -> identical quality -> keeper must be the
+    # lexicographic min id ('d10' < 'd9'), not the numeric min
+    df = spark.createDataFrame([("d9", BASE), ("d10", BASE)],
+                               "doc_id string, text string")
+    rows = {r["doc_id"]: r for r in dedup_keep_best(
+        df, "doc_id", "text", k=4, band=2).collect()}
+    assert rows["d10"]["keep"] is True
+    assert rows["d9"]["keep"] is False
+
+
+def test_index_pad_width():
+    assert _index_pad_width(12) == 2      # historical default, unchanged
+    assert _index_pad_width(100) == 2     # max index 99 still fits
+    assert _index_pad_width(101) == 3
+    assert _index_pad_width(1000) == 3
+    assert _index_pad_width(1001) == 4
+
+
+def test_minhash_bucket_keys_no_truncation_for_k_gt_99(spark):
+    # with k=102 every hash index must appear exactly once per doc
+    # across the band bucket keys, 3 chars wide (the old lpad(2) mapped
+    # 100 -> '10', colliding with index 10 and losing entries)
+    df = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    keys = [r["bucket_key"] for r in
+            _minhash_buckets(df, "doc_id", "text", k=102, band=2).collect()]
+    assert len(keys) == 51  # 102 / band=2
+    idx = [tok.split("=")[0] for key in keys for tok in key.split("|")]
+    assert all(len(t) == 3 for t in idx)
+    assert sorted(int(t) for t in idx) == list(range(102))
+    # and the format agrees with the streaming side's f'{i:0{pad}d}'
+    pad = _index_pad_width(102)
+    assert [f"{i:0{pad}d}" for i in (5, 100)] == ["005", "100"]
