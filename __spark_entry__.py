@@ -1050,6 +1050,45 @@ def q_curation_report_v3(spark, sf_dir):
                          "kept")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style learned quality filter
+    (classifier.apply_quality_classifier): logit = pinned-coefficient
+    dot product over the quality_features columns in a FIXED expression
+    order the SQL oracle mirrors term-for-term — map-only, no shuffle,
+    value-exact (the raw logit is emitted, not the sigmoid, because
+    exp() is the one libm call that can differ in the last ulp across
+    engines; thresholding is monotonic either way)."""
+    from blaze_spark.operators.classifier import apply_quality_classifier
+
+    return apply_quality_classifier(_docs(spark, sf_dir),
+                                    "doc_id", "text")
+
+
+def q_curation_report_v4(spark, sf_dir):
+    """v3 plus the learned-model gate (classifier_ok: pinned-coefficient
+    logit >= 0) — the full 9-gate report re-derived in SQL including the
+    classifier's fixed-order dot product."""
+    from blaze_spark.operators.curate import curate_report
+
+    docs = _docs(spark, sf_dir)
+    candidates = docs.where(F.col("doc_id") % 5 != 0)
+    holdout = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    report = curate_report(candidates, "doc_id", "text", DOCUMENTS_SCHEMA,
+                           min_quality=0.5, holdout=holdout, ngram=3,
+                           contamination_threshold=0.5,
+                           max_dup_ngram_ratio=0.05,
+                           max_dup_span_fraction=0.5,
+                           max_avg_neg_logprob=3.41,
+                           max_bigram_neg_logprob=3.43,
+                           min_classifier_logit=0.0)
+    return report.select(F.col("id").alias("doc_id"), "valid",
+                         F.round("quality_score", 2).alias("quality_score"),
+                         "quality_ok", "is_canonical", "contaminated",
+                         "repetition_ok", "span_ok", "lm_ok", "bigram_ok",
+                         "classifier_ok", "kept")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-query registry.
 
@@ -1085,8 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix": q_weighted_mix,
         "pack_documents": q_pack_documents,
         # --- new in round 5 (uncommented as each lands) ---
-        # "quality_classifier": q_quality_classifier,
-        # "curation_report_v4": q_curation_report_v4,
+        "quality_classifier": q_quality_classifier,
+        "curation_report_v4": q_curation_report_v4,
         # "vocab_prune": q_vocab_prune,
         # "session_violations_stream": q_session_violations_stream,
         # "duplicate_spans_max": q_duplicate_spans_max,
@@ -1255,6 +1294,199 @@ _EMB_BUCKETS_CTE = f"""
               FROM items i CROSS JOIN cents c),
             bucketed AS (
               SELECT vec_id, v, cid AS centroid_id FROM asg WHERE rn = 1)"""
+
+
+def _quality_features_sql(src: str = "documents") -> str:
+    """The quality_features CTE chain (t, f) over ``src`` — token and
+    ratio expressions byte-shared by every oracle that consumes the
+    feature columns, incl. the classifier's fixed-order logit."""
+    return f"""
+            t AS (SELECT doc_id, text, {_TOKENS} AS toks FROM {src}),
+            f AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     CASE WHEN len(toks) > 0 THEN
+                       (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','for','on','with')))
+                       / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS upper_ratio
+              FROM t)"""
+
+
+def _classifier_logit_literal() -> str:
+    from blaze_spark.operators.classifier import (DEFAULT_QUALITY_COEF,
+                                                  classifier_logit_sql)
+    return classifier_logit_sql(DEFAULT_QUALITY_COEF)
+
+
+def _curation_sql(with_classifier: bool = False) -> str:
+    """The composed curation-report oracle (v3 = 8 gates; v4 adds the
+    learned classifier gate). One builder so v3/v4 share every gate's
+    SQL byte-for-byte — the only v4 deltas are the clf CTE, the
+    classifier_ok column, and its conjunct in kept."""
+    z = _classifier_logit_literal()
+    clf_cte = (f""",
+            clf AS (
+              SELECT doc_id,
+                     floor(({z}) * 1000000.0 + 0.5) / 1000000.0 >= 0.0
+                       AS classifier_ok
+              FROM f)""" if with_classifier else "")
+    clf_col = ("\n                   clf.classifier_ok,"
+               if with_classifier else "")
+    clf_kept = ("\n                     AND clf.classifier_ok"
+                if with_classifier else "")
+    clf_join = ("\n            JOIN clf USING (doc_id)"
+                if with_classifier else "")
+    return f"""
+            WITH cand AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+            v AS (SELECT doc_id, ({_DOC_VALID}) AS valid FROM cand),
+            {_quality_features_sql('cand')},
+            q AS (
+              SELECT doc_id,
+                     (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN mean_token_len >= 2.5 AND mean_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
+                   + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+                       AS quality_score
+              FROM f){clf_cte},
+            fp AS (SELECT doc_id, md5(coalesce(text, '')) AS fingerprint
+                   FROM cand),
+            canon AS (SELECT fingerprint, min(doc_id) AS cid
+                      FROM fp GROUP BY 1),
+            tok2 AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+              FROM tok2),
+            hold AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0),
+            cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 5 <> 0),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
+            ov AS (SELECT cg.doc_id, count(*) AS n_overlap
+                   FROM cg JOIN hold USING (gram) GROUP BY 1),
+            bg AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2 THEN
+                       list_transform(generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END AS bigrams
+              FROM t),
+            rep AS (
+              SELECT doc_id,
+                     (CASE WHEN len(bigrams) > 0 THEN
+                         1.0 - len(list_distinct(bigrams))
+                               / CAST(len(bigrams) AS DOUBLE)
+                       ELSE 0.0 END) <= 0.05 AS repetition_ok
+              FROM bg),
+            stt AS (SELECT doc_id, toks, len(toks) AS n FROM t
+                    WHERE len(toks) >= 8),
+            sw_ AS (
+              SELECT doc_id, n, CAST(s AS INT) AS pos,
+                     md5(array_to_string(
+                         toks[CAST(s AS INT):CAST(s AS INT) + 7], ' ')) AS h
+              FROM stt, unnest(generate_series(1, n - 7)) AS u(s)),
+            sd AS (SELECT h FROM sw_ GROUP BY h HAVING count(*) >= 2),
+            sf_ AS (SELECT sw_.doc_id, sw_.n, sw_.pos
+                    FROM sw_ JOIN sd USING (h)),
+            sm AS (SELECT doc_id, n, pos,
+                     max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_end
+                   FROM sf_),
+            ss AS (SELECT doc_id, n, pos,
+                     sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                         THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS span_id
+                   FROM sm),
+            ssp AS (SELECT doc_id, n, span_id, min(pos) AS span_start,
+                           max(pos) + 7 AS span_end
+                    FROM ss GROUP BY 1, 2, 3),
+            spanp AS (
+              SELECT doc_id,
+                     round(CAST(sum(span_end - span_start + 1) AS BIGINT)
+                           / any_value(n), 6) AS dup_fraction
+              FROM ssp GROUP BY 1),
+            ltok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            lcnt AS (SELECT tok, count(*) AS c FROM ltok GROUP BY 1),
+            lstats AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                              count(*) AS vocab
+                       FROM lcnt),
+            lsc AS (
+              SELECT lt.doc_id,
+                     CAST(round(ln((c.c + 1)
+                         / CAST(s.n_total + s.vocab AS DOUBLE)) * 1000000.0)
+                         AS BIGINT) AS lp
+              FROM ltok lt JOIN lcnt c USING (tok) CROSS JOIN lstats s),
+            lmv AS (SELECT doc_id,
+                           round((-(CAST(sum(lp) AS BIGINT) / 1000000.0))
+                                 / count(*), 6) AS anl
+                    FROM lsc GROUP BY 1),
+            cbg AS (
+              SELECT doc_id,
+                     toks[CAST(s AS INT)] || ' ' ||
+                     toks[CAST(s AS INT) + 1] AS bgr,
+                     toks[CAST(s AS INT)] AS w1
+              FROM t, unnest(generate_series(1, len(toks) - 1)) AS u2(s)
+              WHERE len(toks) >= 2),
+            cbc AS (SELECT bgr, count(*) AS c12 FROM cbg GROUP BY 1),
+            chc AS (SELECT w1, count(*) AS c1 FROM cbg GROUP BY 1),
+            cv AS (SELECT count(DISTINCT tok) AS vocab FROM ltok),
+            csc AS (
+              SELECT b.doc_id,
+                     CAST(round(ln((c.c12 + 1)
+                         / CAST(h.c1 + cv.vocab AS DOUBLE)) * 1000000.0)
+                         AS BIGINT) AS lp
+              FROM cbg b JOIN cbc c USING (bgr) JOIN chc h USING (w1)
+              CROSS JOIN cv),
+            cbl AS (SELECT doc_id,
+                           round((-(CAST(sum(lp) AS BIGINT) / 1000000.0))
+                                 / count(*), 6) AS banl
+                    FROM csc GROUP BY 1)
+            SELECT cand.doc_id,
+                   v.valid,
+                   round(q.quality_score, 2) AS quality_score,
+                   q.quality_score >= 0.5 AS quality_ok,
+                   fp.doc_id = canon.cid AS is_canonical,
+                   (CASE WHEN coalesce(tot.n_grams, 0) > 0
+                         THEN coalesce(ov.n_overlap, 0) / tot.n_grams
+                         ELSE 0.0 END) >= 0.5 AS contaminated,
+                   rep.repetition_ok,
+                   coalesce(spanp.dup_fraction <= 0.5, TRUE) AS span_ok,
+                   coalesce(lmv.anl <= 3.41, TRUE) AS lm_ok,
+                   coalesce(cbl.banl <= 3.43, TRUE) AS bigram_ok,{clf_col}
+                   v.valid AND q.quality_score >= 0.5
+                     AND fp.doc_id = canon.cid
+                     AND rep.repetition_ok
+                     AND coalesce(spanp.dup_fraction <= 0.5, TRUE)
+                     AND coalesce(lmv.anl <= 3.41, TRUE)
+                     AND coalesce(cbl.banl <= 3.43, TRUE){clf_kept}
+                     AND NOT ((CASE WHEN coalesce(tot.n_grams, 0) > 0
+                               THEN coalesce(ov.n_overlap, 0) / tot.n_grams
+                               ELSE 0.0 END) >= 0.5) AS kept
+            FROM cand
+            JOIN v USING (doc_id)
+            JOIN q USING (doc_id)
+            JOIN fp USING (doc_id)
+            JOIN canon USING (fingerprint)
+            JOIN rep USING (doc_id){clf_join}
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN ov USING (doc_id)
+            LEFT JOIN spanp USING (doc_id)
+            LEFT JOIN lmv USING (doc_id)
+            LEFT JOIN cbl USING (doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1576,162 +1808,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN spanp USING (doc_id)
             LEFT JOIN lmv USING (doc_id)""",
         # curation v3 = v2 + the bigram transition-fluency chain
-        "curation_report_v3": f"""
-            WITH cand AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-            v AS (SELECT doc_id, ({_DOC_VALID}) AS valid FROM cand),
-            t AS (SELECT doc_id, text, {_TOKENS} AS toks FROM cand),
-            f AS (
-              SELECT doc_id,
-                     len(toks) AS n_tokens,
-                     CASE WHEN len(toks) > 0 THEN
-                       (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
-                     ELSE 0.0 END AS mean_token_len,
-                     CASE WHEN len(toks) > 0 THEN
-                       len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','for','on','with')))
-                       / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
-                     CASE WHEN length(text) > 0 THEN
-                       (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
-                       / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio
-              FROM t),
-            q AS (
-              SELECT doc_id,
-                     (CASE WHEN n_tokens >= 10 THEN 0.25 ELSE 0.0 END)
-                   + (CASE WHEN mean_token_len >= 2.5 AND mean_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
-                   + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
-                   + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
-                       AS quality_score
-              FROM f),
-            fp AS (SELECT doc_id, md5(coalesce(text, '')) AS fingerprint
-                   FROM cand),
-            canon AS (SELECT fingerprint, min(doc_id) AS cid
-                      FROM fp GROUP BY 1),
-            tok2 AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(coalesce(text, '')),
-                                                    '[^a-z0-9]+'),
-                                 x -> x <> '') AS toks
-              FROM documents),
-            g AS (
-              SELECT doc_id, unnest(list_distinct(list_transform(
-                       generate_series(1, greatest(len(toks) - 2, 0)),
-                       i -> array_to_string(toks[i:i+2], ' ')))) AS gram
-              FROM tok2),
-            hold AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0),
-            cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 5 <> 0),
-            tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1),
-            ov AS (SELECT cg.doc_id, count(*) AS n_overlap
-                   FROM cg JOIN hold USING (gram) GROUP BY 1),
-            bg AS (
-              SELECT doc_id,
-                     CASE WHEN len(toks) >= 2 THEN
-                       list_transform(generate_series(1, len(toks) - 1),
-                         i -> toks[i] || ' ' || toks[i + 1])
-                     ELSE [] END AS bigrams
-              FROM t),
-            rep AS (
-              SELECT doc_id,
-                     (CASE WHEN len(bigrams) > 0 THEN
-                         1.0 - len(list_distinct(bigrams))
-                               / CAST(len(bigrams) AS DOUBLE)
-                       ELSE 0.0 END) <= 0.05 AS repetition_ok
-              FROM bg),
-            stt AS (SELECT doc_id, toks, len(toks) AS n FROM t
-                    WHERE len(toks) >= 8),
-            sw_ AS (
-              SELECT doc_id, n, CAST(s AS INT) AS pos,
-                     md5(array_to_string(
-                         toks[CAST(s AS INT):CAST(s AS INT) + 7], ' ')) AS h
-              FROM stt, unnest(generate_series(1, n - 7)) AS u(s)),
-            sd AS (SELECT h FROM sw_ GROUP BY h HAVING count(*) >= 2),
-            sf_ AS (SELECT sw_.doc_id, sw_.n, sw_.pos
-                    FROM sw_ JOIN sd USING (h)),
-            sm AS (SELECT doc_id, n, pos,
-                     max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                         AS prev_end
-                   FROM sf_),
-            ss AS (SELECT doc_id, n, pos,
-                     sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
-                         THEN 1 ELSE 0 END)
-                         OVER (PARTITION BY doc_id ORDER BY pos)
-                         AS span_id
-                   FROM sm),
-            ssp AS (SELECT doc_id, n, span_id, min(pos) AS span_start,
-                           max(pos) + 7 AS span_end
-                    FROM ss GROUP BY 1, 2, 3),
-            spanp AS (
-              SELECT doc_id,
-                     round(CAST(sum(span_end - span_start + 1) AS BIGINT)
-                           / any_value(n), 6) AS dup_fraction
-              FROM ssp GROUP BY 1),
-            ltok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-            lcnt AS (SELECT tok, count(*) AS c FROM ltok GROUP BY 1),
-            lstats AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
-                              count(*) AS vocab
-                       FROM lcnt),
-            lsc AS (
-              SELECT lt.doc_id,
-                     CAST(round(ln((c.c + 1)
-                         / CAST(s.n_total + s.vocab AS DOUBLE)) * 1000000.0)
-                         AS BIGINT) AS lp
-              FROM ltok lt JOIN lcnt c USING (tok) CROSS JOIN lstats s),
-            lmv AS (SELECT doc_id,
-                           round((-(CAST(sum(lp) AS BIGINT) / 1000000.0))
-                                 / count(*), 6) AS anl
-                    FROM lsc GROUP BY 1),
-            cbg AS (
-              SELECT doc_id,
-                     toks[CAST(s AS INT)] || ' ' ||
-                     toks[CAST(s AS INT) + 1] AS bgr,
-                     toks[CAST(s AS INT)] AS w1
-              FROM t, unnest(generate_series(1, len(toks) - 1)) AS u2(s)
-              WHERE len(toks) >= 2),
-            cbc AS (SELECT bgr, count(*) AS c12 FROM cbg GROUP BY 1),
-            chc AS (SELECT w1, count(*) AS c1 FROM cbg GROUP BY 1),
-            cv AS (SELECT count(DISTINCT tok) AS vocab FROM ltok),
-            csc AS (
-              SELECT b.doc_id,
-                     CAST(round(ln((c.c12 + 1)
-                         / CAST(h.c1 + cv.vocab AS DOUBLE)) * 1000000.0)
-                         AS BIGINT) AS lp
-              FROM cbg b JOIN cbc c USING (bgr) JOIN chc h USING (w1)
-              CROSS JOIN cv),
-            cbl AS (SELECT doc_id,
-                           round((-(CAST(sum(lp) AS BIGINT) / 1000000.0))
-                                 / count(*), 6) AS banl
-                    FROM csc GROUP BY 1)
-            SELECT cand.doc_id,
-                   v.valid,
-                   round(q.quality_score, 2) AS quality_score,
-                   q.quality_score >= 0.5 AS quality_ok,
-                   fp.doc_id = canon.cid AS is_canonical,
-                   (CASE WHEN coalesce(tot.n_grams, 0) > 0
-                         THEN coalesce(ov.n_overlap, 0) / tot.n_grams
-                         ELSE 0.0 END) >= 0.5 AS contaminated,
-                   rep.repetition_ok,
-                   coalesce(spanp.dup_fraction <= 0.5, TRUE) AS span_ok,
-                   coalesce(lmv.anl <= 3.41, TRUE) AS lm_ok,
-                   coalesce(cbl.banl <= 3.43, TRUE) AS bigram_ok,
-                   v.valid AND q.quality_score >= 0.5
-                     AND fp.doc_id = canon.cid
-                     AND rep.repetition_ok
-                     AND coalesce(spanp.dup_fraction <= 0.5, TRUE)
-                     AND coalesce(lmv.anl <= 3.41, TRUE)
-                     AND coalesce(cbl.banl <= 3.43, TRUE)
-                     AND NOT ((CASE WHEN coalesce(tot.n_grams, 0) > 0
-                               THEN coalesce(ov.n_overlap, 0) / tot.n_grams
-                               ELSE 0.0 END) >= 0.5) AS kept
-            FROM cand
-            JOIN v USING (doc_id)
-            JOIN q USING (doc_id)
-            JOIN fp USING (doc_id)
-            JOIN canon USING (fingerprint)
-            JOIN rep USING (doc_id)
-            LEFT JOIN tot USING (doc_id)
-            LEFT JOIN ov USING (doc_id)
-            LEFT JOIN spanp USING (doc_id)
-            LEFT JOIN lmv USING (doc_id)
-            LEFT JOIN cbl USING (doc_id)""",
+        "curation_report_v3": _curation_sql(),
+        "curation_report_v4": _curation_sql(with_classifier=True),
         # thresholds below are _threshold_hex literals: floor(f·16^8) in
         # 8-char hex; 'g' is the keep-all sentinel (sorts above all hex)
         "sample_documents": f"""
@@ -2570,6 +2648,13 @@ export interface Schema {
                  + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END)
                  + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END), 2)
                        AS quality_score
+            FROM f""",
+        "quality_classifier": f"""
+            WITH {_quality_features_sql()}
+            SELECT doc_id,
+                   floor(({_classifier_logit_literal()}) * 1000000.0 + 0.5)
+                     / 1000000.0 AS logit,
+                   ({_classifier_logit_literal()}) >= 0.0 AS predicted_keep
             FROM f""",
         "language_id": """
             WITH t AS (

@@ -1,0 +1,165 @@
+"""Model-based quality classification — the fastText-style learned
+filter real LLM-data pipelines run after the cheap heuristic gates
+(reference scope: Blaze validates per-row constraints; a learned
+quality screen is the pipeline-tier extension the graft adds, like
+textstats.quality_score before it).
+
+Design, built for the 100 TB shape:
+
+* **Fit is driver-side and sample-bounded** (the similarity.fit_centroids
+  contract, similarity.py:153): ONE bounded Arrow collect of
+  ``sample_size`` labeled feature rows, a few hundred numpy
+  gradient-descent iterations (milliseconds), and the coefficients come
+  back as plain Python floats. Corpus size never changes the driver
+  work.
+* **Apply is a pure expression column**: the logit is a fixed-order
+  dot product of literal coefficients with the existing
+  :func:`~blaze_spark.operators.textstats.quality_features` columns —
+  map-only, whole-stage-codegen, no Python in the hot path, and
+  engine-replayable: the same fixed expression order in ANSI SQL
+  reproduces the doubles bit-exactly (the unigram_lm lesson: fixed
+  expression order is what survives cross-engine hashing).
+* The scored column is the raw **logit**, not the sigmoid: thresholding
+  is monotonic either way, and exp() is the one piece of libm that may
+  differ in the last ulp across engines. ``predict`` = logit >= 0
+  (p >= 0.5); shift the threshold for precision/recall trade-offs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.textstats import quality_features
+
+# feature order is part of the contract: the logit sums in EXACTLY this
+# order (both in the Column expression and in the SQL oracle), so the
+# double arithmetic is bit-identical across engines
+FEATURES = ("n_tokens", "mean_token_len", "stopword_ratio",
+            "punct_ratio", "upper_ratio")
+
+# Pinned production coefficients: fit once by fit_quality_classifier on
+# the sf0.01 documents corpus — positives = docs passing every heuristic
+# quality gate (quality_score == 1.0), negatives = deterministic
+# corruptions of the same docs (punctuation-flooded '!!! ' and
+# uppercase-shouted variants), the standard synthetic-negatives
+# protocol when no human labels exist. Frozen so the driver query and
+# its SQL oracle share the same literals;
+# tests/test_quality_classifier.py::test_default_coefficients_are_the_fit
+# re-runs the exact fit and asserts these values.
+DEFAULT_QUALITY_COEF: Dict[str, float] = {
+    "intercept": 5.400788,
+    "n_tokens": 0.039989,
+    "mean_token_len": -1.427032,
+    "stopword_ratio": 32.159901,
+    "punct_ratio": -13.421359,
+    "upper_ratio": -10.420696,
+}
+
+
+def classifier_logit(coef: Dict[str, float]) -> Column:
+    """The fixed-order logit expression over quality_features columns.
+
+    intercept + w1*n_tokens + w2*mean_token_len + w3*stopword_ratio
+    + w4*punct_ratio + w5*upper_ratio — mirrored term-for-term by
+    :func:`classifier_logit_sql`."""
+    z = F.lit(float(coef["intercept"]))
+    for name in FEATURES:
+        z = z + F.lit(float(coef[name])) * F.col(name)
+    return z
+
+
+def classifier_logit_sql(coef: Dict[str, float]) -> str:
+    """ANSI-SQL twin of :func:`classifier_logit` (same literals, same
+    term order) for DuckDB oracle replay."""
+    terms = [repr(float(coef["intercept"]))]
+    terms += [f"{float(coef[name])!r} * {name}" for name in FEATURES]
+    return " + ".join(terms)
+
+
+def stable_round6(col: Column) -> Column:
+    """Engine-stable 6-decimal rounding: floor(x·1e6 + 0.5)/1e6 — every
+    step is a plain double op both engines execute identically.
+    F.round/duckdb round() DISAGREE on doubles sitting exactly on a
+    .5 decimal boundary (Spark half-ups the shortest decimal repr,
+    DuckDB rounds the scaled binary value: 4.1269765 -> 4.126977 vs
+    4.126976, found by the driver oracle on the pinned-coefficient
+    logit). SQL twin: ``floor((x) * 1000000.0 + 0.5) / 1000000.0``."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def apply_quality_classifier(df: DataFrame, id_col: str, text_col: str,
+                             coef: Optional[Dict[str, float]] = None,
+                             threshold: float = 0.0) -> DataFrame:
+    """Score every document with the logistic quality model: one row
+    per doc, (id, logit, predicted_keep) with predicted_keep = logit >=
+    ``threshold`` (on the unrounded logit). Map-only — quality_features
+    plus one projection; logit is stable_round6-ed so the SQL oracle
+    reproduces it bit-exactly."""
+    coef = DEFAULT_QUALITY_COEF if coef is None else coef
+    feats = quality_features(df, id_col, text_col)
+    return feats.select(
+        F.col(id_col),
+        stable_round6(classifier_logit(coef)).alias("logit"),
+        (classifier_logit(coef) >= F.lit(float(threshold)))
+        .alias("predicted_keep"))
+
+
+def fit_quality_classifier(df: DataFrame, id_col: str, text_col: str,
+                           label_col: str, sample_size: int = 10_000,
+                           iters: int = 400, lr: float = 0.5,
+                           l2: float = 1e-3) -> Dict[str, float]:
+    """Fit the logistic quality model driver-side on a bounded sample.
+
+    ``df`` carries a boolean/0-1 ``label_col`` (1 = good document —
+    e.g. membership in a trusted reference corpus, or a human-labeled
+    slice). The sample is the first ``sample_size`` rows IN ID ORDER —
+    deterministic across partitionings and re-runs, unlike a bare
+    limit(). Features are standardized on the sample for conditioning,
+    then the standardization is folded back into raw-feature
+    coefficients so apply never needs the (mean, std) pair. Full-batch
+    gradient descent with L2: deterministic float64, no RNG.
+
+    Returns {"intercept", *FEATURES} rounded to 6 decimals — stable to
+    embed as expression/SQL literals."""
+    import numpy as np
+
+    feats = quality_features(df, id_col, text_col)
+    labels = df.select(F.col(id_col),
+                       F.col(label_col).cast("double").alias("__y__"))
+    pdf = (feats.join(labels, id_col)
+                .orderBy(id_col)
+                .limit(int(sample_size))
+                .toPandas())
+    if len(pdf) == 0:
+        raise ValueError("fit_quality_classifier: empty sample")
+    x = pdf[list(FEATURES)].to_numpy(dtype=np.float64)
+    y = pdf["__y__"].to_numpy(dtype=np.float64)
+    if not (0.0 < y.mean() < 1.0):
+        raise ValueError("fit_quality_classifier: sample needs both "
+                         "positive and negative labels")
+    mu = x.mean(axis=0)
+    sd = x.std(axis=0)
+    sd[sd == 0.0] = 1.0
+    xs = (x - mu) / sd
+
+    w = np.zeros(len(FEATURES))
+    b = 0.0
+    n = len(y)
+    for _ in range(int(iters)):
+        z = xs @ w + b
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -35.0, 35.0)))
+        g = p - y
+        w -= lr * (xs.T @ g / n + l2 * w)
+        b -= lr * float(g.mean())
+
+    # fold standardization into raw-feature coefficients:
+    # z = b + Σ w_i (x_i - mu_i)/sd_i  =  (b - Σ w_i mu_i/sd_i) + Σ (w_i/sd_i) x_i
+    raw_w = w / sd
+    raw_b = b - float((w * mu / sd).sum())
+    out = {"intercept": round(raw_b, 6)}
+    out.update({name: round(float(raw_w[i]), 6)
+                for i, name in enumerate(FEATURES)})
+    return out

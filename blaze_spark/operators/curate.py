@@ -35,7 +35,8 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
                   max_dup_ngram_ratio: Optional[float] = None,
                   max_dup_span_fraction: Optional[float] = None,
                   max_avg_neg_logprob: Optional[float] = None,
-                  max_bigram_neg_logprob: Optional[float] = None
+                  max_bigram_neg_logprob: Optional[float] = None,
+                  min_classifier_logit: Optional[float] = None
                   ) -> DataFrame:
     """One report row per document with the verdict of every curation
     stage plus the final ``kept`` flag:
@@ -59,9 +60,13 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
       log-likelihood (bigram_lm_scores) <= ``max_bigram_neg_logprob``
       (True when None/absent) — the transition-fluency screen that
       catches common-words word salad the unigram gate passes;
+    - ``classifier_ok`` — learned-model logit
+      (classifier.apply_quality_classifier, pinned coefficients) >=
+      ``min_classifier_logit`` (True when None/absent) — the
+      fastText-style model gate behind the heuristics;
     - ``kept`` = valid AND quality_ok AND is_canonical AND
-      repetition_ok AND span_ok AND lm_ok AND bigram_ok AND NOT
-      contaminated.
+      repetition_ok AND span_ok AND lm_ok AND bigram_ok AND
+      classifier_ok AND NOT contaminated.
 
     Returning the full report (rather than just the survivors) is
     deliberate: curation decisions need an audit trail, and the
@@ -136,6 +141,16 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
                               F.coalesce("bigram_ok", F.lit(True))))
     else:
         report = report.withColumn("bigram_ok", F.lit(True))
+    if min_classifier_logit is not None:
+        from blaze_spark.operators.classifier import \
+            apply_quality_classifier
+        clf = apply_quality_classifier(docs, id_col, text_col).select(
+            F.col(id_col).alias("id"),
+            (F.col("logit") >= min_classifier_logit)
+            .alias("classifier_ok"))
+        report = report.join(clf, "id")
+    else:
+        report = report.withColumn("classifier_ok", F.lit(True))
     return (report
             .withColumn("quality_ok",
                         F.col("quality_score") >= min_quality)
@@ -143,11 +158,12 @@ def curate_report(docs: DataFrame, id_col: str, text_col: str,
                         F.col("valid") & F.col("quality_ok")
                         & F.col("is_canonical") & F.col("repetition_ok")
                         & F.col("span_ok") & F.col("lm_ok")
-                        & F.col("bigram_ok")
+                        & F.col("bigram_ok") & F.col("classifier_ok")
                         & ~F.col("contaminated"))
             .select("id", "valid", "quality_score", "quality_ok",
                     "is_canonical", "contaminated", "repetition_ok",
-                    "span_ok", "lm_ok", "bigram_ok", "kept"))
+                    "span_ok", "lm_ok", "bigram_ok", "classifier_ok",
+                    "kept"))
 
 
 def curate(docs: DataFrame, id_col: str, text_col: str, schema: Any,

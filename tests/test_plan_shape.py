@@ -413,6 +413,9 @@ _CROSS_JOIN_ALLOWED = {
     "curation_report_v2",
     # v3 adds the bigram-LM broadcast single-row vocabulary factor
     "curation_report_v3",
+    # v4 = v3 gates (same broadcast one-row LM factors) + the
+    # classifier gate, which is map-only and adds no join at all
+    "curation_report_v4",
     # broadcast single-row percentile-cutoff factor
     "top_quality",
     # unigram LM: broadcast single-row (N, V) corpus-stats factor

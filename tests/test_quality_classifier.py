@@ -1,0 +1,136 @@
+"""Learned quality classifier (operators/classifier.py): driver-side
+sample-bounded logistic fit + pure-expression apply. Value parity vs
+DuckDB lives in the driver oracle (`quality_classifier`,
+`curation_report_v4`); these tests pin the fit protocol, determinism,
+and the gate semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.classifier import (DEFAULT_QUALITY_COEF,
+                                              FEATURES,
+                                              apply_quality_classifier,
+                                              fit_quality_classifier)
+from tests.conftest import sf_dir
+
+GOOD = ("the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green field near the old stone wall")
+
+
+def _synthetic_labeled(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, GOOD + f" extra words number {i}", True))
+        rows.append((1000 + i, (GOOD + f" tail {i}").replace(" ", "!!! "),
+                     False))
+    return spark.createDataFrame(rows,
+                                 "doc_id long, text string, good boolean")
+
+
+def test_fit_is_deterministic(spark):
+    df = _synthetic_labeled(spark)
+    c1 = fit_quality_classifier(df, "doc_id", "text", "good")
+    c2 = fit_quality_classifier(df, "doc_id", "text", "good")
+    assert c1 == c2
+
+
+def test_fit_separates_synthetic_labels(spark):
+    df = _synthetic_labeled(spark)
+    coef = fit_quality_classifier(df, "doc_id", "text", "good")
+    pred = apply_quality_classifier(df, "doc_id", "text", coef)
+    agree = (pred.join(df.select("doc_id", "good"), "doc_id")
+                 .agg(F.avg((F.col("predicted_keep") == F.col("good"))
+                            .cast("double"))).collect()[0][0])
+    assert agree >= 0.95
+    # punctuation must push the logit DOWN on this training design
+    assert coef["punct_ratio"] < 0
+
+
+def test_fit_requires_both_classes(spark):
+    df = spark.createDataFrame([(1, GOOD, True), (2, GOOD, True)],
+                               "doc_id long, text string, good boolean")
+    with pytest.raises(ValueError, match="positive and negative"):
+        fit_quality_classifier(df, "doc_id", "text", "good")
+
+
+def test_apply_matches_numpy_reference(spark):
+    """The expression logit equals the straight float dot product of the
+    coefficients with the feature columns (tolerance only for summation
+    order)."""
+    import numpy as np
+
+    from blaze_spark.operators.textstats import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir('0.001')}/documents.parquet")
+    feats = quality_features(docs, "doc_id", "text").toPandas()
+    got = {r["doc_id"]: r["logit"] for r in
+           apply_quality_classifier(docs, "doc_id", "text").collect()}
+    w = np.array([DEFAULT_QUALITY_COEF[f] for f in FEATURES])
+    for _, row in feats.iterrows():
+        x = np.array([row[f] for f in FEATURES], dtype=float)
+        if any(math.isnan(v) for v in x):
+            continue
+        z = DEFAULT_QUALITY_COEF["intercept"] + float(w @ x)
+        assert got[row["doc_id"]] == pytest.approx(z, abs=1e-6)
+
+
+def test_default_coefficients_are_the_fit():
+    """Regenerate the pinned model with the EXACT documented protocol
+    (sf0.01 documents; positives = quality_score == 1.0 docs, negatives
+    = deterministic punct-flood / uppercase corruptions) and assert the
+    frozen literals. If this fails after a deliberate protocol change,
+    re-pin DEFAULT_QUALITY_COEF and the oracle follows automatically."""
+    from blaze_spark.operators.textstats import quality_score
+    from blaze_spark.session import get_session
+
+    spark = get_session(app_name="blaze-spark-tests", cpus=4,
+                        shuffle_partitions=8)
+    docs = (spark.read.parquet(f"{sf_dir('0.01')}/documents.parquet")
+            .select("doc_id", "text"))
+    qs = quality_score(docs, "doc_id", "text")
+    pos = docs.join(qs, "doc_id").select(
+        "doc_id", "text", (F.col("quality_score") >= 1.0).alias("good"))
+    neg_punct = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace("text", " ", "!!! ").alias("text"),
+        F.lit(False).alias("good"))
+    neg_upper = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.upper("text").alias("text"),
+        F.lit(False).alias("good"))
+    labeled = pos.unionByName(neg_punct).unionByName(neg_upper)
+    coef = fit_quality_classifier(labeled, "doc_id", "text", "good")
+    assert coef == DEFAULT_QUALITY_COEF
+
+
+def test_curation_v4_classifier_gate(spark):
+    """The classifier gate flips kept for a model-rejected doc that the
+    heuristic gates pass; disabled gate leaves classifier_ok True."""
+    from blaze_spark.operators.curate import curate_report
+
+    # schema that everything passes (no constraints)
+    schema = {"type": "object"}
+    # a doc the heuristics like but the model rejects: enough tokens,
+    # a stopword, sane token lengths, no punctuation — but almost all
+    # uppercase with few stopwords, which only the classifier
+    # penalizes (upper_ratio has no heuristic gate, and the +32
+    # stopword term stays near zero)
+    shouty_words = ("ZEBRA MOUNTAIN VELVET CRYSTAL THUNDER MARBLE "
+                    "FALCON GARNET " * 5) + "the"
+    rows = [(1, GOOD), (2, shouty_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r["id"]: r for r in curate_report(
+        df, "doc_id", "text", schema,
+        min_classifier_logit=0.0).collect()}
+    assert rep[1]["classifier_ok"] is True
+    assert rep[2]["quality_ok"] is True        # heuristics pass it...
+    assert rep[2]["classifier_ok"] is False    # ...the model does not
+    assert rep[2]["kept"] is False
+    rep0 = {r["id"]: r for r in curate_report(
+        df, "doc_id", "text", schema).collect()}
+    assert rep0[2]["classifier_ok"] is True    # gate disabled
+    assert rep0[2]["kept"] is True
