@@ -244,6 +244,19 @@ def q_seed_vocab(spark, sf_dir):
                       min_len=1, max_len=6, top_k=500)
 
 
+def q_vocab_prune(spark, sf_dir):
+    """Unigram-LM vocab pruning (textstats.vocab_prune): 2 EM rounds of
+    Viterbi segmentation + bottom-20% multi-char prune over the seed
+    vocab. Value-exact: integer-microunit piece costs, (cost, seg)
+    struct tie-break; the oracle replays the Viterbi by recursive-CTE
+    path enumeration (prefix-min == global min, see
+    _viterbi_piece_usage)."""
+    from blaze_spark.operators.textstats import vocab_prune
+
+    return vocab_prune(_docs(spark, sf_dir), "text", max_len=6,
+                       seed_top_k=500, rounds=2, prune_frac=0.2)
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     # centroid-free sign-random-projection LSH near-dup (exact-cosine
     # verified candidates; recall is the LSH trade, precision 1)
@@ -1126,7 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 (uncommented as each lands) ---
         "quality_classifier": q_quality_classifier,
         "curation_report_v4": q_curation_report_v4,
-        # "vocab_prune": q_vocab_prune,
+        "vocab_prune": q_vocab_prune,
         # "session_violations_stream": q_session_violations_stream,
         # "duplicate_spans_max": q_duplicate_spans_max,
         # --- rotated-in previously-green flagships (re-witness) ---
@@ -1487,6 +1500,105 @@ def _curation_sql(with_classifier: bool = False) -> str:
             LEFT JOIN spanp USING (doc_id)
             LEFT JOIN lmv USING (doc_id)
             LEFT JOIN cbl USING (doc_id)"""
+
+
+def _vocab_prune_round_sql(k: int, vocab_cte: str,
+                           prune_frac: float = 0.2) -> str:
+    """One EM round of the vocab_prune oracle: integer-microunit costs
+    from ``vocab_cte``, Viterbi by recursive path enumeration (min over
+    (cost, seg) — equals the operator's DP prefix-min), usage counting
+    restricted to vocab pieces, bottom-``prune_frac`` multi-char prune.
+    Emits CTEs suffixed ``k`` and the next vocab as ``v{k+1}``."""
+    return f"""
+            st{k} AS (SELECT CAST(sum(freq) AS BIGINT) + count(*) AS denom
+                      FROM {vocab_cte}),
+            cost{k} AS (
+              SELECT piece,
+                     CAST(-round(ln((freq + 1) / CAST(denom AS DOUBLE))
+                                 * 1000000.0) AS BIGINT) AS pcost
+              FROM {vocab_cte} CROSS JOIN st{k}),
+            unk{k} AS (SELECT CAST(-round(ln(1.0 / CAST(denom AS DOUBLE))
+                                          * 1000000.0) AS BIGINT) AS ucost
+                       FROM st{k}),
+            steps{k} AS (SELECT p.tok, p.i, p.L, p.piece, c.pcost
+                         FROM vp_pos p JOIN cost{k} c USING (piece)),
+            allsteps{k} AS (
+              SELECT * FROM steps{k}
+              UNION ALL
+              SELECT pu.tok, pu.i, 1,
+                     substring(pu.tok, pu.i, 1) AS piece, u.ucost
+              FROM vp_posu pu CROSS JOIN unk{k} u
+              WHERE NOT EXISTS (SELECT 1 FROM steps{k} s
+                                WHERE s.tok = pu.tok AND s.i = pu.i)),
+            paths{k} AS (
+              SELECT tok, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS seg
+              FROM vp_words
+              UNION ALL
+              SELECT s.tok, s.i, p.cost + s.pcost,
+                     p.seg || ' ' || s.piece
+              FROM paths{k} p JOIN allsteps{k} s
+                ON s.tok = p.tok AND s.i - s.L = p.pos),
+            best{k} AS (
+              SELECT tok, seg FROM (
+                SELECT tok, seg,
+                       row_number() OVER (PARTITION BY tok
+                                          ORDER BY cost, seg) AS rn
+                FROM paths{k} WHERE pos = length(tok))
+              WHERE rn = 1),
+            usage{k} AS (
+              SELECT t.piece, CAST(sum(w.c) AS BIGINT) AS usage
+              FROM best{k} b
+              JOIN vp_words w USING (tok),
+                   LATERAL (SELECT unnest(list_filter(
+                       string_split(b.seg, ' '), x -> x <> '')) AS piece) t
+              GROUP BY 1),
+            scored{k} AS (
+              SELECT v.piece, coalesce(u.usage, 0) AS usage
+              FROM {vocab_cte} v LEFT JOIN usage{k} u USING (piece)),
+            multi{k} AS (
+              SELECT piece, usage,
+                     row_number() OVER (ORDER BY usage DESC, piece) AS rn,
+                     count(*) OVER () AS nm
+              FROM scored{k} WHERE length(piece) > 1),
+            v{k + 1} AS (
+              SELECT piece, usage AS freq FROM scored{k}
+              WHERE length(piece) = 1
+              UNION ALL
+              SELECT piece, usage AS freq FROM multi{k}
+              WHERE rn <= nm - CAST(floor(nm * {prune_frac}) AS BIGINT))"""
+
+
+def _vocab_prune_sql() -> str:
+    """The full 2-round vocab_prune oracle: seed vocab (the seed_vocab
+    oracle verbatim), shared candidate-position tables, two
+    _vocab_prune_round_sql rounds."""
+    return f"""
+            WITH RECURSIVE
+            vp_tok AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
+            vp_words AS (SELECT tok, count(*) AS c FROM vp_tok GROUP BY 1),
+            vp_seedp AS (
+              SELECT substring(w.tok, s.i, l.len) AS piece, w.c
+              FROM vp_words w,
+                   LATERAL (SELECT unnest(generate_series(
+                              1, least(6, length(w.tok)))) AS len) l,
+                   LATERAL (SELECT unnest(generate_series(
+                              1, length(w.tok) - l.len + 1)) AS i) s),
+            v1 AS (
+              SELECT piece, CAST(sum(c) AS BIGINT) AS freq
+              FROM vp_seedp GROUP BY 1
+              ORDER BY freq DESC, piece LIMIT 500),
+            vp_pos AS (
+              SELECT w.tok, w.c, s.i, l.L,
+                     substring(w.tok, s.i - l.L + 1, l.L) AS piece
+              FROM vp_words w,
+                   LATERAL (SELECT unnest(generate_series(
+                              1, least(6, length(w.tok)))) AS L) l,
+                   LATERAL (SELECT unnest(generate_series(
+                              l.L, length(w.tok))) AS i) s),
+            vp_posu AS (SELECT DISTINCT tok, i FROM vp_pos),
+            {_vocab_prune_round_sql(1, 'v1')},
+            {_vocab_prune_round_sql(2, 'v2')}
+            SELECT piece, freq FROM v3"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2246,6 +2358,7 @@ export interface Schema {
                    round((-(CAST(sum(lp) AS BIGINT) / 1000000.0))
                          / count(*), 6) AS avg_neg_logprob
             FROM scored GROUP BY 1""",
+        "vocab_prune": _vocab_prune_sql(),
         "seed_vocab": f"""
             WITH tok AS (SELECT unnest({_TOKENS}) AS tok FROM documents),
             words AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),

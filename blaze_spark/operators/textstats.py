@@ -269,6 +269,157 @@ def seed_vocab(df: DataFrame, text_col: str, min_len: int = 1,
     return piece_counts.orderBy(F.desc("freq"), F.asc("piece")).limit(top_k)
 
 
+def _piece_costs(vocab: list) -> tuple:
+    """Integer-microunit add-one-smoothed costs for a (piece, freq)
+    vocab: cost(p) = -round(ln((freq+1)/(total+|V|))·1e6) as int, plus
+    the unknown-character cost (freq = 0 case). Computed driver-side in
+    Python floats — the exact same ln/round lands in the SQL oracle (the
+    divisions take exact integer operands, so the doubles agree
+    bit-for-bit and the integer rounding absorbs last-ulp libm drift,
+    the unigram_lm_scores pattern)."""
+    import math
+
+    total = sum(f for _, f in vocab)
+    denom = float(total + len(vocab))
+    costs = {p: -int(round(math.log((f + 1) / denom) * 1e6))
+             for p, f in vocab}
+    unk = -int(round(math.log(1.0 / denom) * 1e6))
+    return costs, unk
+
+
+def _viterbi_piece_usage(words: DataFrame, costs: dict, unk_cost: int,
+                         max_len: int) -> DataFrame:
+    """Viterbi-segment every distinct corpus word under integer piece
+    costs and return per-piece expected usage (Σ word frequency over
+    the argmin segmentations). The EM E-step of unigram-LM tokenizer
+    training, as three bounded passes:
+
+    1. candidate (end-position, length, piece) triples fan out over the
+       DISTINCT-word table only (≤ len·max_len per word — Heaps-law
+       bounded, never per corpus token);
+    2. an equi-join against the tiny broadcast vocab table prices them
+       (pieces not in the vocab drop out here);
+    3. the DP runs as ONE JVM expression per word over the
+       collect_list'ed steps array — no per-row Python, no iteration
+       shuffle: dp[i] = min over steps ending at i of (dp[i-L] + cost),
+       falling back to an unknown-character step when no piece ends at
+       i. Ties break on the (cost, segmentation-string) struct order,
+       which the SQL oracle's path-enumeration min reproduces exactly
+       (segmentations of the same prefix can never be string-prefixes
+       of each other, so prefix-wise min == global min).
+    """
+    spark = words.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(p, c) for p, c in sorted(costs.items())], "piece string, pcost long")
+    n = F.length("tok")
+    # candidate steps: for each end position i (1..n) and length L
+    # (1..min(max_len, i)), the substring tok[i-L+1 .. i]
+    cands = [
+        F.when(n >= length, F.transform(
+            F.sequence(F.lit(length), n),
+            _end_pos_step(length)))
+        .otherwise(F.array().cast(
+            "array<struct<i:int,l:int,piece:string>>"))
+        for length in range(1, max_len + 1)]
+    fan = (words.select("tok", "c",
+                        F.explode(F.concat(*cands)).alias("s"))
+                .select("tok", "c", "s.i", "s.l",
+                        F.col("s.piece").alias("piece")))
+    steps = (fan.join(F.broadcast(vocab_df), "piece")
+                .groupBy("tok", "c")
+                .agg(F.collect_list(
+                    F.struct("i", "l", "pcost", "piece")).alias("steps")))
+    # words whose every candidate missed the vocab fall out of the
+    # inner join — restore them with an empty steps array (they will
+    # segment entirely through unknown-character steps)
+    steps = (words.join(steps.select("tok", "steps"), "tok", "left")
+                  .withColumn("steps", F.coalesce(
+                      "steps", F.array().cast(
+                          "array<struct<i:int,l:int,pcost:long,"
+                          "piece:string>>"))))
+
+    def _merge(acc, i):
+        prev_for = lambda off: F.element_at(acc, off)  # noqa: E731
+        cands_i = F.transform(
+            F.filter(F.col("steps"), lambda s: s["i"] == i),
+            lambda s: F.struct(
+                (prev_for(i - s["l"] + 1)["cost"] + s["pcost"])
+                .alias("cost"),
+                F.concat(prev_for(i - s["l"] + 1)["seg"], F.lit(" "),
+                         s["piece"]).alias("seg")))
+        unk = F.struct(
+            (prev_for(i)["cost"] + F.lit(unk_cost)).alias("cost"),
+            F.concat(prev_for(i)["seg"], F.lit(" "),
+                     F.col("tok").substr(i, F.lit(1))).alias("seg"))
+        best = F.when(F.size(cands_i) > 0,
+                      F.array_min(cands_i)).otherwise(unk)
+        return F.concat(acc, F.array(best))
+
+    init = F.array(F.struct(F.lit(0).cast("long").alias("cost"),
+                            F.lit("").alias("seg")))
+    dp = F.aggregate(F.sequence(F.lit(1), F.length("tok")), init, _merge)
+    seg = F.element_at(dp, F.length("tok") + 1)["seg"]
+    used = (steps.select("c", F.explode(
+                F.filter(F.split(seg, " "), lambda p: p != ""))
+                .alias("piece"))
+                 .groupBy("piece")
+                 .agg(F.sum("c").alias("usage")))
+    # unknown-character steps are by construction never vocab pieces;
+    # the inner join drops them from the usage table
+    return used.join(F.broadcast(vocab_df.select("piece")), "piece")
+
+
+def _end_pos_step(length: int):
+    # factory closure (a 2-param lambda would receive the array INDEX
+    # as its second argument — the seed_vocab r4 lesson)
+    return lambda i: F.struct(
+        i.cast("int").alias("i"), F.lit(length).cast("int").alias("l"),
+        F.col("tok").substr(i - F.lit(length - 1),
+                            F.lit(length)).alias("piece"))
+
+
+def vocab_prune(df: DataFrame, text_col: str, *, min_len: int = 1,
+                max_len: int = 6, seed_top_k: int = 1000,
+                rounds: int = 2, prune_frac: float = 0.2) -> DataFrame:
+    """Unigram-LM vocabulary pruning — step 2 of SentencePiece-style
+    tokenizer training (Kudo, ACL 2018) on top of :func:`seed_vocab`:
+    for ``rounds`` bounded EM rounds, Viterbi-segment the corpus under
+    the current piece costs, measure per-piece usage, and drop the
+    ``prune_frac`` least-used multi-character pieces (single characters
+    are never pruned — the coverage guarantee). Returns the surviving
+    (piece, freq) where freq is the final round's Viterbi usage.
+
+    Scale shape: the corpus is scanned ONCE (the distinct-word table is
+    reused across rounds); each round is the three bounded passes of
+    :func:`_viterbi_piece_usage` plus one model-sized collect — the
+    vocab is a MODEL artifact (≤ seed_top_k rows) and, like
+    similarity.fit_centroids' sample, legitimately lives driver-side
+    between rounds; corpus size never changes the driver work."""
+    toks = df.select(F.explode(F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "")).alias("tok"))
+    words = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    words = words.localCheckpoint()  # reused every round: cut lineage
+
+    vocab = [(r["piece"], r["freq"]) for r in
+             seed_vocab(df, text_col, min_len=min_len, max_len=max_len,
+                        top_k=seed_top_k).collect()]
+    for _ in range(rounds):
+        costs, unk = _piece_costs(vocab)
+        usage_rows = _viterbi_piece_usage(words, costs, unk,
+                                          max_len).collect()
+        usage = {r["piece"]: r["usage"] for r in usage_rows}
+        scored = [(p, usage.get(p, 0)) for p, _ in vocab]
+        multi = sorted((e for e in scored if len(e[0]) > 1),
+                       key=lambda e: (-e[1], e[0]))
+        keep_n = len(multi) - int(len(multi) * prune_frac)
+        vocab = sorted([e for e in scored if len(e[0]) == 1]
+                       + multi[:keep_n])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(p, int(f)) for p, f in vocab], "piece string, freq long")
+
+
 def sha256_invariant(df: DataFrame, content_col: str) -> DataFrame:
     """Attach the per-row invariant column sha256(content)
     (BASELINE.json:15) — carried through every transform."""

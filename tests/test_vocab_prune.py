@@ -1,0 +1,127 @@
+"""Unigram-LM vocab pruning (textstats.vocab_prune): the Viterbi
+E-step is cross-checked against an exhaustive Python path enumeration
+(identical integer costs and (cost, seg) tie-break), and the prune
+semantics are pinned on handcrafted corpora. Value parity vs DuckDB's
+recursive-CTE replay lives in the driver oracle (`vocab_prune`)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from blaze_spark.operators.textstats import (_piece_costs,
+                                             _viterbi_piece_usage,
+                                             vocab_prune)
+
+MAX_LEN = 3
+
+_word = st.text(alphabet="ab", min_size=1, max_size=8)
+_corpus = st.dictionaries(_word, st.integers(min_value=1, max_value=3),
+                          min_size=1, max_size=6)
+
+
+def _brute_usage(words: dict, costs: dict, unk: int) -> dict:
+    """Exhaustive reference: enumerate every segmentation path (vocab
+    steps per end position, unk single char when none), take the
+    global min by (cost, seg), sum word counts per vocab piece."""
+    usage = {}
+    for tok, c in words.items():
+        steps = {}  # end pos -> [(L, piece, cost)]
+        for i in range(1, len(tok) + 1):
+            cands = []
+            for L in range(1, min(MAX_LEN, i) + 1):
+                piece = tok[i - L:i]
+                if piece in costs:
+                    cands.append((L, piece, costs[piece]))
+            steps[i] = cands or [(1, tok[i - 1:i], unk)]
+
+        paths = [(0, 0, "")]  # (pos, cost, seg)
+        done = []
+        while paths:
+            pos, cost, seg = paths.pop()
+            if pos == len(tok):
+                done.append((cost, seg))
+                continue
+            # extend by any step whose predecessor is pos
+            for i in range(pos + 1, min(pos + MAX_LEN, len(tok)) + 1):
+                for L, piece, pc in steps[i]:
+                    if i - L == pos:
+                        paths.append((i, cost + pc, seg + " " + piece))
+        best = min(done)
+        for piece in best[1].split(" "):
+            if piece in costs:
+                usage[piece] = usage.get(piece, 0) + c
+    return usage
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpus=_corpus)
+def test_viterbi_usage_matches_brute_force(spark, corpus):
+    # vocab = every substring of length <= MAX_LEN, weighted by counts
+    # (a seed_vocab in miniature), so ties and unks both occur
+    freqs = {}
+    for tok, c in corpus.items():
+        for L in range(1, MAX_LEN + 1):
+            for p in range(len(tok) - L + 1):
+                piece = tok[p:p + L]
+                freqs[piece] = freqs.get(piece, 0) + c
+    vocab = sorted(freqs.items())
+    costs, unk = _piece_costs(vocab)
+    words = spark.createDataFrame(list(corpus.items()),
+                                  "tok string, c long")
+    got = {r["piece"]: r["usage"] for r in
+           _viterbi_piece_usage(words, costs, unk, MAX_LEN).collect()}
+    assert got == _brute_usage(corpus, costs, unk)
+
+
+def test_viterbi_unk_fallback(spark):
+    # vocab covers nothing of 'xyz': every char segments through the
+    # unk step and contributes NO usage
+    costs = {"ab": 100}
+    words = spark.createDataFrame([("xyz", 5)], "tok string, c long")
+    got = _viterbi_piece_usage(words, costs, 999, MAX_LEN).collect()
+    assert got == []
+
+
+def test_viterbi_prefers_cheaper_longer_piece(spark):
+    # 'abab': piece 'ab' at cost 10 beats 4 singles at cost 9 each
+    costs = {"ab": 10, "a": 9, "b": 9}
+    words = spark.createDataFrame([("abab", 2)], "tok string, c long")
+    got = {r["piece"]: r["usage"] for r in
+           _viterbi_piece_usage(words, costs, 999, MAX_LEN).collect()}
+    assert got == {"ab": 4}
+
+
+def test_viterbi_tie_breaks_on_segmentation_string(spark):
+    # equal total cost: ' a b' < ' ab' lexicographically, so the
+    # two-singles path wins the tie
+    costs = {"ab": 20, "a": 10, "b": 10}
+    words = spark.createDataFrame([("ab", 1)], "tok string, c long")
+    got = {r["piece"]: r["usage"] for r in
+           _viterbi_piece_usage(words, costs, 999, MAX_LEN).collect()}
+    assert got == {"a": 1, "b": 1}
+
+
+def test_vocab_prune_keeps_singles_and_drops_idle_multis(spark):
+    df = spark.createDataFrame([(1, "abab abc"), (2, "abab abab")],
+                               "doc_id long, text string")
+    out = {r["piece"]: r["freq"] for r in
+           vocab_prune(df, "text", max_len=3, seed_top_k=10,
+                       rounds=2, prune_frac=0.3).collect()}
+    # 'ab' dominates every 'abab' segmentation; singles survive at 0
+    assert out["ab"] == 6
+    assert out["a"] == 0 and out["b"] == 0 and out["c"] == 0
+    # the idle multis shrink round over round but singles never drop
+    assert all(len(p) == 1 or p in {"ab", "abc", "aba", "ba"}
+               for p in out)
+
+
+def test_vocab_prune_deterministic(spark):
+    df = spark.createDataFrame([(1, "the quick brown fox the lazy dog"),
+                                (2, "the quick dog jumps the fox")],
+                               "doc_id long, text string")
+    r1 = sorted(map(tuple, vocab_prune(df, "text", seed_top_k=50,
+                                       rounds=2).collect()))
+    r2 = sorted(map(tuple, vocab_prune(df, "text", seed_top_k=50,
+                                       rounds=2).collect()))
+    assert r1 == r2 and len(r1) > 0
