@@ -792,6 +792,21 @@ def q_drift_stream_numeric_windowed(spark, sf_dir):
                       F.round("psi", 6).alias("psi"))
 
 
+def q_session_violations_stream(spark, sf_dir):
+    """Batch form of streaming/validate_stream.session_violations — the
+    SAME operator (native session_window aggregation + JVM-expression
+    counts; the watermark is a batch no-op), so the streaming tier's
+    per-session violation monitor is oracle-verified against a DuckDB
+    gaps-and-islands replay. Validation is the tier-2 interpreter over
+    the events.props JSON column (EVENT_PROPS_SCHEMA), same as
+    events_windowed_violations."""
+    from blaze_spark.streaming.validate_stream import session_violations
+
+    v = validate_json_column(_t(spark, sf_dir, "events"), "props",
+                             EVENT_PROPS_SCHEMA)
+    return session_violations(v, "user_id", "ts", gap_seconds=1800)
+
+
 def q_sample_documents(spark, sf_dir):
     """Deterministic hash-threshold sampling (operators/sampling.py):
     membership is a pure function of (doc_id, salt) — identical across
@@ -1140,7 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "curation_report_v4": q_curation_report_v4,
         "vocab_prune": q_vocab_prune,
-        # "session_violations_stream": q_session_violations_stream,
+        "session_violations_stream": q_session_violations_stream,
         # "duplicate_spans_max": q_duplicate_spans_max,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
@@ -2580,6 +2595,42 @@ export interface Schema {
                    max(ts_us) AS session_end_us,
                    count(*) AS n_events,
                    max(ts_us) - min(ts_us) AS duration_us
+            FROM assigned GROUP BY user_id, session_idx""",
+        # per-session violation rates: the session_window oracle's
+        # gaps-and-islands CTE carrying the events_windowed_violations
+        # invalid predicate through to the per-session aggregate
+        "session_violations_stream": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CASE WHEN NOT (props IS NOT NULL
+                          AND json_extract(props, '$.k') IS NOT NULL
+                          AND CAST(props->>'$.k' AS BIGINT) >= 0
+                          AND CAST(props->>'$.k' AS BIGINT) <= 80)
+                         THEN 1 ELSE 0 END AS invalid
+              FROM events),
+            marked AS (
+              SELECT user_id, event_id, ts_us, invalid,
+                     CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM e
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts_us, event_id)),
+            assigned AS (
+              SELECT user_id, ts_us, invalid,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id
+                                            ROWS BETWEEN UNBOUNDED
+                                            PRECEDING AND CURRENT ROW)
+                         AS session_idx
+              FROM marked)
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us) AS session_end_us,
+                   count(*) AS n_events,
+                   CAST(sum(invalid) AS BIGINT) AS invalid_rows,
+                   round(sum(invalid) / CAST(count(*) AS DOUBLE), 6)
+                       AS violation_rate
             FROM assigned GROUP BY user_id, session_idx""",
         "scrub_spans": f"""
             WITH t AS (

@@ -106,6 +106,52 @@ def violation_rate_by_window(validated: DataFrame, ts_col: str,
     )
 
 
+def session_violations(validated: DataFrame, key_col: str, ts_col: str,
+                       gap_seconds: int = 1800,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Per-SESSION violation rates: the windowed violation monitor
+    (:func:`violation_rate_by_window`) re-keyed on behavioral sessions
+    instead of fixed clock windows — "did this user's last burst of
+    activity contain invalid events, and how many?".
+
+    Built on the native ``F.session_window`` aggregation so the SAME
+    code runs in batch (watermark is a no-op) and append-mode streaming
+    (state per open session is O(1): running min/max/count/sum, closed
+    and emitted once the watermark passes the session's gap horizon).
+    Input is an already-validated frame (``valid`` boolean attached by
+    :func:`validate_stream` / ``validate_json_column`` — both
+    streaming-safe, stateless projections).
+
+    Scale shape: one session aggregation keyed by (key, session) —
+    bounded by events-per-key like ``sessions.sessionize``; no window
+    function, no shuffle beyond the single keyed exchange. Time stays
+    in integer microseconds (``unix_micros`` on the UTC-pinned cast,
+    DuckDB ``epoch_us``) so the contract surface is engine-exact.
+
+    Session semantics match ``sessions.session_window_stats``: split is
+    strict ``gap > gap_seconds`` (an exact-gap event MERGES), pinned in
+    tests/test_sessions.py.
+    """
+    # watermark must attach to the same column expression session_window
+    # groups by (an inline cast would detach it — CLAUDE.md gotcha)
+    withts = validated.withColumn("__ts__",
+                                  F.col(ts_col).cast("timestamp"))
+    return (withts.withWatermark("__ts__", watermark)
+            .groupBy(key_col,
+                     F.session_window(F.col("__ts__"),
+                                      f"{gap_seconds} seconds")
+                      .alias("sw"))
+            .agg(F.min(F.unix_micros("__ts__")).alias("session_start_us"),
+                 F.max(F.unix_micros("__ts__")).alias("session_end_us"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.sum((~F.col("valid")).cast("long"))
+                  .alias("invalid_rows"))
+            .withColumn("violation_rate",
+                        F.round(F.col("invalid_rows")
+                                / F.col("n_events"), 6))
+            .drop("sw"))
+
+
 def categorical_baseline(df: DataFrame, value_col: str) -> dict:
     """Batch helper: the reference distribution ``{bucket: probability}``
     of a categorical column (NULLs excluded, matching ``checks.psi``'s

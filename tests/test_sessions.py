@@ -116,3 +116,50 @@ def test_sessionize_stream_end_to_end(spark, tmp_path):
     # availableNow closes the watermark at end-of-input: every session
     # whose close precedes it is emitted exactly once
     assert (1, 2) in got and len(got) >= 1
+
+def test_session_violations_batch_math(spark):
+    from blaze_spark.streaming.validate_stream import session_violations
+
+    rows = [(1, 1, 0), (1, 2, 60),                 # session A: 1 invalid
+            (1, 3, 60 + 3600), (1, 4, 60 + 3660),  # session B: clean
+            (2, 5, 30)]                            # session C: 1 invalid
+    ev = _events(spark, rows).withColumn(
+        "valid", ~F.col("event_id").isin(2, 5))
+    base_us = 1_700_000_000 * 1_000_000
+    got = {(r["user_id"], r["session_start_us"]): r for r in
+           session_violations(ev, "user_id", "ts",
+                              gap_seconds=1800).collect()}
+    a = got[(1, base_us)]                       # session A: 1 of 2 invalid
+    assert a["n_events"] == 2 and a["invalid_rows"] == 1
+    assert a["violation_rate"] == 0.5
+    b = got[(1, base_us + (60 + 3600) * 1_000_000)]   # session B: clean
+    assert b["n_events"] == 2 and b["invalid_rows"] == 0
+    assert b["violation_rate"] == 0.0
+    c = got[(2, base_us + 30 * 1_000_000)]      # session C: all invalid
+    assert c["n_events"] == 1 and c["invalid_rows"] == 1
+    assert c["violation_rate"] == 1.0
+
+
+def test_session_violations_stream_end_to_end(spark, tmp_path):
+    from blaze_spark.streaming.validate_stream import session_violations
+
+    rows = [(1, 1, 0), (1, 2, 60),
+            (1, 3, 60 + 3600), (1, 4, 60 + 3660),
+            (2, 5, 30)]
+    src = str(tmp_path / "sv_in")
+    (_events(spark, rows)
+     .withColumn("valid", ~F.col("event_id").isin(2, 5))
+     .coalesce(1).write.parquet(src))
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = session_violations(stream, "user_id", "ts", gap_seconds=1800,
+                             watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("sv_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["n_events"]): r for r in
+           spark.sql("select * from sv_out").collect()}
+    # availableNow closes the watermark: session A (user 1, 2 events,
+    # 1 invalid) closed before end-of-input and must be emitted
+    assert got[(1, 2)]["invalid_rows"] == 1
+    assert got[(1, 2)]["violation_rate"] == 0.5
