@@ -205,6 +205,23 @@ class CheckpointedValidation:
                 "input_fingerprint": input_fingerprint,
                 "partition_col": partition_col,
                 "partitions": done,
+                # the Iceberg-API call this batch commit maps onto —
+                # auditable 1:1 with the catalog's own snapshot log when
+                # the violations sink is an Iceberg table (the Spark
+                # writeTo(...).overwritePartitions() the sink issues is
+                # the ReplacePartitions commit; file-sink runs map onto
+                # an AppendFiles of the hive-partition dirs instead)
+                "iceberg_commit": (
+                    {"table": iceberg_violations_table,
+                     "operation": "replace-partitions",
+                     "api": "table.newReplacePartitions()"
+                            ".validateFromSnapshot(parent).commit()",
+                     "partitions": sorted(by_key)}
+                    if iceberg_violations_table is not None else
+                    {"table": None,
+                     "operation": "append",
+                     "api": "table.newAppend().commit()",
+                     "partitions": sorted(by_key)}),
             }
             self._commit(manifest)
             parent = manifest

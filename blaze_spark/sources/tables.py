@@ -62,9 +62,21 @@ def iceberg_catalog(spark: SparkSession) -> Optional[str]:
     return None
 
 
-def iceberg_identifier(catalog: str, name: str) -> str:
-    ns = os.environ.get(ICEBERG_NS_ENV, "blaze")
-    return f"{catalog}.{ns}.{name}"
+def iceberg_identifier(catalog: str, name: str,
+                       spark: Optional[SparkSession] = None) -> str:
+    """``catalog.namespace.table`` for a table name. Namespace
+    resolution order mirrors how a cluster job is configured:
+    the ``BLAZE_SPARK_ICEBERG_NAMESPACE`` env var (explicit override),
+    else the catalog's own ``spark.sql.catalog.<name>.default-namespace``
+    session conf (Iceberg's standard knob), else ``blaze``."""
+    ns = os.environ.get(ICEBERG_NS_ENV)
+    if not ns and spark is not None:
+        try:
+            confs = dict(spark.sparkContext.getConf().getAll())
+        except Exception:  # pragma: no cover - session without a context
+            confs = {}
+        ns = confs.get(f"spark.sql.catalog.{catalog}.default-namespace")
+    return f"{catalog}.{ns or 'blaze'}.{name}"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -72,7 +84,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet (the sandbox layout) otherwise."""
     catalog = iceberg_catalog(spark)
     if catalog:
-        return load_iceberg(spark, iceberg_identifier(catalog, name))
+        return load_iceberg(spark, iceberg_identifier(catalog, name, spark))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

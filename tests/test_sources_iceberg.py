@@ -85,3 +85,98 @@ def test_checkpoint_iceberg_sink_fails_loudly_without_jar(
         CheckpointedValidation(str(tmp_path)).run(
             spark, corpus, schema, "part_id", ["repo"], "fp1",
             iceberg_violations_table="lake.blaze.violations")
+
+
+def test_snapshot_id_option_plumbing():
+    """load_iceberg must route time travel through option("snapshot-id")
+    on the iceberg reader — asserted with a recording fake, no jar."""
+    calls = {}
+
+    class FakeReader:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            calls.setdefault("options", {})[k] = v
+            return self
+
+        def load(self, table):
+            calls["load"] = table
+            return "df-sentinel"
+
+    class FakeSession:
+        read = FakeReader()
+
+    out = TBL.load_iceberg(FakeSession(), "lake.blaze.documents",
+                           snapshot_id=12345)
+    assert out == "df-sentinel"
+    assert calls["format"] == "iceberg"
+    assert calls["options"] == {"snapshot-id": "12345"}
+    assert calls["load"] == "lake.blaze.documents"
+    # no snapshot: no option call
+    calls.clear()
+    TBL.load_iceberg(FakeSession(), "lake.blaze.events")
+    assert "options" not in calls and calls["load"] == "lake.blaze.events"
+
+
+def test_namespace_resolution_from_catalog_conf(monkeypatch):
+    """Without the env override the namespace comes from the catalog's
+    own default-namespace conf (Iceberg's standard knob)."""
+    monkeypatch.delenv(TBL.ICEBERG_NS_ENV, raising=False)
+
+    class FakeConf:
+        def getAll(self):
+            return [("spark.sql.catalog.lake",
+                     "org.apache.iceberg.spark.SparkCatalog"),
+                    ("spark.sql.catalog.lake.default-namespace", "prod")]
+
+    class FakeCtx:
+        def getConf(self):
+            return FakeConf()
+
+    class FakeSession:
+        sparkContext = FakeCtx()
+
+    assert TBL.iceberg_identifier("lake", "documents", FakeSession()) == \
+        "lake.prod.documents"
+    # env var wins over the conf
+    monkeypatch.setenv(TBL.ICEBERG_NS_ENV, "staging")
+    assert TBL.iceberg_identifier("lake", "documents", FakeSession()) == \
+        "lake.staging.documents"
+    # neither: the blaze default
+    monkeypatch.delenv(TBL.ICEBERG_NS_ENV)
+    class EmptyConf:
+        def getAll(self):
+            return []
+    class EmptyCtx:
+        def getConf(self):
+            return EmptyConf()
+    class EmptySession:
+        sparkContext = EmptyCtx()
+    assert TBL.iceberg_identifier("lake", "documents", EmptySession()) == \
+        "lake.blaze.documents"
+
+
+def test_checkpoint_manifest_records_iceberg_commit(spark, tmp_path):
+    """Every snapshot manifest records the Iceberg-API call it maps
+    onto (audit trail for the catalog's own snapshot log)."""
+    import json as _json
+    import os as _os
+
+    from blaze_spark.checkpoint import CheckpointedValidation
+    from blaze_spark.sources.fixtures import code_files_path
+
+    corpus = spark.read.parquet(code_files_path(5_000))
+    schema = {"type": "object", "required": ["repo"]}
+    final = CheckpointedValidation(str(tmp_path)).run(
+        spark, corpus, schema, "part_id", ["repo"], "fpA")
+    snap = _os.path.join(str(tmp_path),
+                         f"snapshot-{final['snapshot_id']}.json")
+    with open(snap) as fh:
+        manifest = _json.load(fh)
+    ic = manifest["iceberg_commit"]
+    assert ic["operation"] == "append"
+    assert ic["api"] == "table.newAppend().commit()"
+    assert ic["partitions"] and \
+        set(ic["partitions"]) <= set(manifest["partitions"])
