@@ -295,6 +295,18 @@ def q_scrub_spans(spark, sf_dir):
                       "n_tokens_kept", "n_tokens_removed")
 
 
+def q_duplicate_spans_multi(spark, sf_dir):
+    """Multi-granularity maximal duplicated spans
+    (dedup.duplicate_spans_multi): 16/32/64-token window hits coalesced
+    into maximal spans by one variable-interval gaps-and-islands pass;
+    max_span reports the largest single window size inside each span
+    (long-verbatim-copy vs short-boilerplate signal)."""
+    out = DD.duplicate_spans_multi(_docs(spark, sf_dir), "doc_id", "text",
+                                   windows=(16, 32, 64), min_count=2)
+    return out.select(F.col("id").alias("doc_id"), "span_start",
+                      "span_end", "n_windows", "max_span")
+
+
 def q_incremental_exact(spark, sf_dir):
     # continuous-crawl shape: dedup the odd-id batch against the even-id
     # corpus snapshot
@@ -1156,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report_v4": q_curation_report_v4,
         "vocab_prune": q_vocab_prune,
         "session_violations_stream": q_session_violations_stream,
+        "duplicate_spans_multi": q_duplicate_spans_multi,
         # "duplicate_spans_max": q_duplicate_spans_max,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
@@ -1322,6 +1335,54 @@ _EMB_BUCKETS_CTE = f"""
               FROM items i CROSS JOIN cents c),
             bucketed AS (
               SELECT vec_id, v, cid AS centroid_id FROM asg WHERE rn = 1)"""
+
+
+def _spans_multi_sql(windows=(16, 32, 64), min_count: int = 2) -> str:
+    """duplicate_spans_multi oracle: per-window flagged intervals
+    (window CTE + >=min_count dup set, the duplicate_spans pattern),
+    unioned across sizes, merged by ONE variable-interval
+    gaps-and-islands pass (running max of interval end), max_span =
+    max window size inside the merged span."""
+    per_w = []
+    for w in windows:
+        per_w.append(f"""
+            w{w} AS (
+              SELECT id, n, CAST(s AS INT) AS pos,
+                     md5(array_to_string(
+                         toks[CAST(s AS INT):CAST(s AS INT) + {w - 1}],
+                         ' ')) AS h
+              FROM (SELECT id, toks, len(toks) AS n FROM t
+                    WHERE len(toks) >= {w}) tt{w},
+                   unnest(generate_series(1, n - {w - 1})) AS u(s)),
+            d{w} AS (SELECT h FROM w{w} GROUP BY h
+                     HAVING count(*) >= {min_count}),
+            f{w} AS (SELECT id, pos, pos + {w - 1} AS e, {w} AS w
+                     FROM w{w} JOIN d{w} USING (h))""")
+    union = "\n              UNION ALL ".join(
+        f"SELECT * FROM f{w}" for w in windows)
+    return f"""
+            WITH t AS (
+              SELECT doc_id AS id, {_TOKENS} AS toks FROM documents),
+            {','.join(per_w)},
+            fl AS (
+              {union}),
+            m AS (SELECT id, pos, e, w,
+                    max(e) OVER (PARTITION BY id ORDER BY pos, e, w
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+                  FROM fl),
+            s AS (SELECT id, pos, e, w,
+                    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                        THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY id ORDER BY pos, e, w)
+                        AS span_id
+                  FROM m)
+            SELECT id AS doc_id,
+                   min(pos) AS span_start,
+                   max(e) AS span_end,
+                   count(*) AS n_windows,
+                   CAST(max(w) AS INT) AS max_span
+            FROM s GROUP BY id, span_id"""
 
 
 def _quality_features_sql(src: str = "documents") -> str:
@@ -2511,6 +2572,7 @@ export interface Schema {
                    round(coalesce(b.jac, 0.0), 6) AS jaccard,
                    coalesce(b.jac, 0.0) >= 0.8 AS contaminated
             FROM newb nb LEFT JOIN best b ON b.new_id = nb.doc_id""",
+        "duplicate_spans_multi": _spans_multi_sql(),
         "duplicate_spans": f"""
             WITH t AS (
               SELECT doc_id AS id, {_TOKENS} AS toks FROM documents),

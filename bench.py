@@ -548,6 +548,8 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                 docs, "doc_id", "text", window=8).count(),
             "scrub_spans": lambda: DD.scrub_duplicate_spans(
                 docs, "doc_id", "text", window=8).count(),
+            "duplicate_spans_multi": lambda: DD.duplicate_spans_multi(
+                docs, "doc_id", "text", windows=(16, 32, 64)).count(),
             "dedup_clusters": lambda: DD.near_dup_clusters(
                 docs, "doc_id", "text").count(),
             # split on the ORIGINAL doc id (replica ids are

@@ -728,6 +728,59 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
                       F.first("n_tokens").alias("n_tokens")))
 
 
+def duplicate_spans_multi(df: DataFrame, id_col: str, text_col: str,
+                          windows: tuple = (16, 32, 64),
+                          min_count: int = 2) -> DataFrame:
+    """Maximal duplicated spans across SEVERAL window granularities —
+    one step closer to true suffix-array dedup (Lee et al. 2022 remove
+    maximal repeats >= 50 tokens; fixed-size windows approximate that
+    per granularity, and coalescing 16/32/64-token hits recovers the
+    maximal extent of long repeats while the small windows keep recall
+    on short ones).
+
+    Per size: the same aggregated-set join as :func:`duplicate_spans`
+    (fan-out 1, hot windows cannot blow up). The union of flagged
+    intervals (pos, end = pos + w - 1) then merges in ONE
+    variable-length gaps-and-islands pass: running max(end) over the
+    (pos, end) order per document, split where a gap opens. All window
+    sizes ride the same per-document partition — bounded by tokens per
+    document, never global.
+
+    Returns (id, span_start, span_end, n_windows, max_span, n_tokens):
+    ``max_span`` is the LARGEST single window size that hit inside the
+    merged span — a span built only from 16-token hits reports 16; one
+    containing a verbatim 64-token repeat reports 64 (the "is this a
+    long verbatim copy or short boilerplate" signal)."""
+    from pyspark.sql import Window
+
+    flagged = None
+    for w_sz in sorted(windows):
+        w = _span_windows(df, id_col, text_col, w_sz)
+        dup_hashes = (w.groupBy("h")
+                       .agg(F.count(F.lit(1)).alias("c"))
+                       .where(F.col("c") >= min_count)
+                       .select("h"))
+        f = (w.join(dup_hashes, "h")
+              .select("id", "n_tokens", "pos",
+                      (F.col("pos") + (w_sz - 1)).alias("end"),
+                      F.lit(w_sz).alias("w")))
+        flagged = f if flagged is None else flagged.unionByName(f)
+    order = Window.partitionBy("id").orderBy("pos", "end", "w")
+    prev_end = F.max("end").over(
+        order.rowsBetween(Window.unboundedPreceding, -1))
+    marked = flagged.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1),
+               F.lit(1)).otherwise(F.lit(0)))
+    spans = marked.withColumn("span_id", F.sum("new_span").over(order))
+    return (spans.groupBy("id", "span_id")
+                 .agg(F.min("pos").alias("span_start"),
+                      F.max("end").alias("span_end"),
+                      F.count(F.lit(1)).alias("n_windows"),
+                      F.max("w").alias("max_span"),
+                      F.first("n_tokens").alias("n_tokens")))
+
+
 def duplicate_span_profile(df: DataFrame, id_col: str, text_col: str,
                            window: int = 8,
                            min_count: int = 2) -> DataFrame:
@@ -773,6 +826,27 @@ def scrub_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     struct collect — all shuffles keyed by document id."""
     spans = duplicate_spans(df, id_col, text_col, window=window,
                             min_count=min_count)
+    return _scrub_with_spans(df, id_col, text_col, spans)
+
+
+def scrub_duplicate_spans_multi(df: DataFrame, id_col: str, text_col: str,
+                                windows: tuple = (16, 32, 64),
+                                min_count: int = 2) -> DataFrame:
+    """:func:`scrub_duplicate_spans` over the multi-granularity maximal
+    spans (:func:`duplicate_spans_multi`) — removes the full extent of
+    long verbatim repeats that a single small window would only trim
+    piecewise. Same output contract and scale shape as the
+    single-window scrub (the spans input is already merged/disjoint)."""
+    spans = duplicate_spans_multi(df, id_col, text_col, windows=windows,
+                                  min_count=min_count)
+    return _scrub_with_spans(df, id_col, text_col, spans)
+
+
+def _scrub_with_spans(df: DataFrame, id_col: str, text_col: str,
+                      spans: DataFrame) -> DataFrame:
+    """Shared scrub body: drop every token covered by a merged span and
+    rebuild the remainder in token space (see scrub_duplicate_spans
+    docstring for the contract)."""
     covered = spans.select(
         "id", F.explode(F.sequence("span_start", "span_end")).alias("pos"))
     toks = (_ensure_parallelism(df)

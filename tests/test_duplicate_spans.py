@@ -140,3 +140,47 @@ def test_flag_join_is_against_aggregated_set(spark):
     for spec in re.findall(r"windowspecdefinition\(([^,)]*)", txt):
         assert "h#" not in spec, txt
     assert txt.lower().count("aggregate") >= 2  # hash count + span agg
+
+def test_multi_granularity_max_span(spark):
+    # a verbatim 64-token repeat: 16/32/64-windows all hit inside it,
+    # everything merges to ONE span whose max_span reports 64
+    passage = " ".join(f"t{i}" for i in range(64))
+    rows = [(1, f"pre1 pre2 {passage} post1"),
+            (2, f"{passage} tail1 tail2"),
+            (3, "unique words only nothing repeated anywhere")]
+    spans = DD.duplicate_spans_multi(_df(spark, rows), "doc_id", "text",
+                                     windows=(16, 32, 64)).collect()
+    by_id = {r["id"]: r for r in spans}
+    assert set(by_id) == {1, 2}
+    assert by_id[1]["max_span"] == 64
+    assert (by_id[1]["span_start"], by_id[1]["span_end"]) == (3, 66)
+    assert by_id[2]["max_span"] == 64
+    assert (by_id[2]["span_start"], by_id[2]["span_end"]) == (1, 64)
+
+
+def test_multi_short_repeat_reports_smallest_granularity(spark):
+    # a 20-token repeat: only 16-windows can hit (no 32/64), the five
+    # overlapping hits merge to the FULL 20-token extent, max_span=16
+    passage = " ".join(f"s{i}" for i in range(20))
+    rows = [(1, f"x1 {passage} y1"),
+            (2, f"{passage} z1 z2")]
+    spans = DD.duplicate_spans_multi(_df(spark, rows), "doc_id", "text",
+                                     windows=(16, 32, 64)).collect()
+    by_id = {r["id"]: r for r in spans}
+    assert by_id[1]["max_span"] == 16
+    assert (by_id[1]["span_start"], by_id[1]["span_end"]) == (2, 21)
+    assert by_id[1]["n_windows"] == 5
+
+
+def test_scrub_multi_removes_full_extent(spark):
+    passage = " ".join(f"p{i}" for i in range(32))
+    rows = [(1, f"keep1 keep2 {passage} keep3"),
+            (2, f"{passage} other1 other2")]
+    out = {r["id"]: r for r in
+           DD.scrub_duplicate_spans_multi(_df(spark, rows), "doc_id",
+                                          "text", windows=(16, 32, 64))
+             .collect()}
+    assert out[1]["n_tokens_removed"] == 32
+    assert out[1]["text_scrubbed"] == "keep1 keep2 keep3"
+    assert out[2]["n_tokens_removed"] == 32
+    assert out[2]["text_scrubbed"] == "other1 other2"
