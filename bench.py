@@ -209,6 +209,15 @@ def run_benchmarks(only=None):
     bench("dedup_embedding_bucketed", lambda: E.q_dedup_embedding_bucketed(
         spark, SF_DIR).count())
 
+    # round-5 additions
+    bench("quality_classifier", lambda: E.q_quality_classifier(
+        spark, SF_DIR).count())
+    bench("vocab_prune", lambda: E.q_vocab_prune(spark, SF_DIR).count())
+    bench("session_violations", lambda: E.q_session_violations_stream(
+        spark, SF_DIR).count())
+    bench("duplicate_spans_multi", lambda: E.q_duplicate_spans_multi(
+        spark, SF_DIR).count())
+
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite
     # MEDIAN stays clean — r4 saw validate_code_files at 3x its true

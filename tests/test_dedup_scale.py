@@ -403,3 +403,54 @@ def test_curate_report_span_and_lm_gates(spark):
     rep0 = {r["id"]: r for r in curate_report(
         docs, "doc_id", "text", schema, min_quality=0.0).collect()}
     assert all(r["span_ok"] and r["lm_ok"] for r in rep0.values())
+
+def test_ivf_spill_no_duplicate_hits_and_exact_at_full_probe(spark):
+    """spill=2 multi-assignment (assign_centroids_topn): candidate
+    pairs reachable through BOTH of an item's buckets must dedup before
+    ranking (no item seated twice in a top-k), and probing every bucket
+    still equals the exact brute force — spill only widens buckets,
+    never changes the metric."""
+    items = _items(spark)
+    cents = _centroids(items)
+    queries = (items.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    rows = SIM.ivf_topk(items, queries, cents, k=5, nprobe=2,
+                        spill=2).collect()
+    pairs = [(r["query_id"], r["vec_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate item in a top-k"
+    # ranks are 1..k contiguous per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_q.values())
+    exact = {(r["query_id"], r["vec_id"], r["rank"])
+             for r in SIM.brute_force_topk(items, queries, k=5).collect()}
+    full = {(r["query_id"], r["vec_id"], r["rank"])
+            for r in SIM.ivf_topk(items, queries, cents, k=5,
+                                  nprobe=len(cents), spill=2).collect()}
+    assert full == exact
+    # spill recall >= single-assignment recall at the same nprobe
+    truth = {(q, v) for q, v, _ in exact}
+    single = {(r["query_id"], r["vec_id"]) for r in
+              SIM.ivf_topk(items, queries, cents, k=5, nprobe=2).collect()}
+    spilled = {(r["query_id"], r["vec_id"]) for r in
+               SIM.ivf_topk(items, queries, cents, k=5, nprobe=2,
+                            spill=2).collect()}
+    assert len(spilled & truth) >= len(single & truth)
+
+
+def test_assign_centroids_topn_order_and_tiebreak(spark):
+    """The spill assignment lists centroids nearest-first, and its
+    first element equals assign_centroid's vectorized argmax."""
+    items = _items(spark).limit(64)
+    cents = _centroids(items, n=4)
+    both = (SIM.assign_centroids_topn(items, cents, n_assign=2)
+            .join(SIM.assign_centroid(items, cents, vectorized=True)
+                     .select("vec_id", "centroid_id"), "vec_id")
+            .collect())
+    assert both
+    for r in both:
+        assert len(r["centroid_ids"]) == 2
+        assert r["centroid_ids"][0] == r["centroid_id"]
+        assert r["centroid_ids"][0] != r["centroid_ids"][1]
