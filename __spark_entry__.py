@@ -992,6 +992,26 @@ def q_contamination(spark, sf_dir):
                       F.round("ratio", 6).alias("ratio"), "contaminated")
 
 
+def q_contamination_bloom(spark, sf_dir):
+    """Zero-join Bloom-filter decontamination (dedup.decontaminate_bloom):
+    the train split's distinct 3-grams fold into a 1M-bit broadcast
+    bitmap (md5-derived positions — portable, so DuckDB replays every
+    membership decision INCLUDING false positives); the test side is
+    screened entirely map-side, one per-doc groupBy total. The screen
+    never undercounts overlap vs the exact join (`contamination`) —
+    the safe direction for a decontamination gate."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    bloom = DD.build_gram_bloom(train, "text", n=3, k_hashes=4,
+                                hex_digits=5)
+    out = DD.decontaminate_bloom(test, bloom, "doc_id", "text", n=3,
+                                 k_hashes=4, hex_digits=5, threshold=0.5)
+    return out.select(F.col("id").alias("doc_id"), "n_grams", "n_overlap",
+                      F.round("ratio", 6).alias("ratio"), "contaminated")
+
+
 def q_curation_report(spark, sf_dir):
     """The flagship composed pipeline: validation + quality + exact
     dedup canonical pick + decontamination vs the held-out split, one
@@ -1169,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_prune": q_vocab_prune,
         "session_violations_stream": q_session_violations_stream,
         "duplicate_spans_multi": q_duplicate_spans_multi,
+        "contamination_bloom": q_contamination_bloom,
         # "duplicate_spans_max": q_duplicate_spans_max,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
@@ -2104,6 +2125,57 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING) - n_chars)
                         / 2000) AS BIGINT) AS pack_id
             FROM h""",
+        # Bloom screen replay: a position IS its 5-hex-char md5 prefix
+        # (Spark reads the same prefix as an integer for the bitmap;
+        # prefix-equality <=> bit-equality, false positives included),
+        # so membership = all 4 of a test gram's position strings
+        # appearing in the train side's distinct position set
+        "contamination_bloom": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+              FROM tok),
+            hashes AS (SELECT unnest(generate_series(0, 3)) AS i),
+            train_pos AS (
+              SELECT DISTINCT
+                     substr(md5(gram || '#' || CAST(i AS VARCHAR)), 1, 5)
+                         AS ph
+              FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 0) tg
+                   CROSS JOIN hashes),
+            tp AS (
+              SELECT doc_id, gram,
+                     substr(md5(gram || '#' || CAST(i AS VARCHAR)), 1, 5)
+                         AS ph
+              FROM (SELECT doc_id, gram FROM g WHERE doc_id % 5 = 0) te
+                   CROSS JOIN hashes),
+            hit AS (
+              SELECT doc_id, gram, count(tr.ph) = 4 AS member
+              FROM tp LEFT JOIN train_pos tr USING (ph)
+              GROUP BY doc_id, gram),
+            tot AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     CAST(sum(CASE WHEN member THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_overlap
+              FROM hit GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(tot.n_grams, 0) AS n_grams,
+                   coalesce(tot.n_overlap, 0) AS n_overlap,
+                   round(CASE WHEN coalesce(tot.n_grams, 0) > 0
+                              THEN coalesce(tot.n_overlap, 0) / tot.n_grams
+                              ELSE 0.0 END, 6) AS ratio,
+                   (CASE WHEN coalesce(tot.n_grams, 0) > 0
+                         THEN coalesce(tot.n_overlap, 0) / tot.n_grams
+                         ELSE 0.0 END) >= 0.5 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM documents
+                  WHERE doc_id % 5 = 0) d
+            LEFT JOIN tot USING (doc_id)""",
         "contamination": """
             WITH tok AS (
               SELECT doc_id,

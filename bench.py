@@ -217,6 +217,8 @@ def run_benchmarks(only=None):
         spark, SF_DIR).count())
     bench("duplicate_spans_multi", lambda: E.q_duplicate_spans_multi(
         spark, SF_DIR).count())
+    bench("contamination_bloom", lambda: E.q_contamination_bloom(
+        spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite
@@ -573,6 +575,14 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                 docs.where(F.floor(F.col("doc_id") / m) % 2 == 1),
                 docs.where(F.floor(F.col("doc_id") / m) % 2 == 0),
                 "doc_id", "text").count(),
+            # same original-id split as contamination_fuzzy; the Bloom
+            # build folds the train side, the screen is join-free
+            "contamination_bloom": lambda m=m: DD.decontaminate_bloom(
+                docs.where(F.floor(F.col("doc_id") / m) % 2 == 1),
+                DD.build_gram_bloom(
+                    docs.where(F.floor(F.col("doc_id") / m) % 2 == 0),
+                    "text", n=3),
+                "doc_id", "text", n=3).count(),
             "seed_vocab": lambda: TS.seed_vocab(
                 docs, "text", min_len=1, max_len=6, top_k=500).count(),
             "bigram_lm": lambda: TS.bigram_lm_scores(

@@ -654,6 +654,109 @@ def ngram_contamination(train: DataFrame, test: DataFrame,
                 .withColumn("contaminated", F.col("ratio") >= threshold))
 
 
+def _bloom_positions(gram, k_hashes: int, hex_digits: int):
+    """The ``k_hashes`` Bloom bit positions of a gram: the first
+    ``hex_digits`` hex chars of md5(gram + '#' + i) read as an integer
+    (0 .. 16^hex_digits - 1). Engine-portable by construction — DuckDB
+    replays the identical md5/substring math, so membership decisions
+    (INCLUDING false positives) are bit-identical across engines."""
+    return [F.conv(F.substring(F.md5(F.concat(gram, F.lit(f"#{i}"))),
+                               1, hex_digits), 16, 10).cast("long")
+            for i in range(k_hashes)]
+
+
+def build_gram_bloom(train: DataFrame, text_col: str, n: int = 3,
+                     k_hashes: int = 4, hex_digits: int = 5) -> list:
+    """Bloom bitmap over the training corpus's DISTINCT word n-grams,
+    as a plain Python list of m/64 int64 words (m = 16^hex_digits
+    bits; 128 KiB at hex_digits=5, 128 MiB at 8 — size m so
+    k·n_grams/m stays well under 1; the false-positive rate is
+    ~(k·n_grams/m)^k).
+
+    Scale shape: grams collapse to a distinct set (one map-side-
+    combined shuffle — a gram in a billion train docs is ONE row),
+    positions fan out k per gram (map-only), and the bitmap folds with
+    a ``bit_or`` aggregate over m/64 word rows. The ONLY driver
+    movement is the m/64-row word table — bounded by the filter size
+    you chose, never by the corpus."""
+    m = 16 ** hex_digits
+    grams = (_ensure_parallelism(train)
+             .select(F.explode(_word_ngrams(text_col, n)).alias("gram"))
+             .distinct())
+    pos = grams.select(F.explode(F.array(
+        *_bloom_positions(F.col("gram"), k_hashes, hex_digits)))
+        .alias("p"))
+    # the Python shiftleft() wrapper only takes a literal shift — the
+    # SQL form accepts a column
+    words = (pos.selectExpr(
+                "CAST(floor(p / 64) AS BIGINT) AS w",
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS mask")
+                .groupBy("w").agg(F.bit_or("mask").alias("bits")))
+    by_word = {r["w"]: r["bits"] for r in words.collect()}
+    return [by_word.get(i, 0) for i in range(m // 64)]
+
+
+def decontaminate_bloom(test: DataFrame, bloom_words: list, id_col: str,
+                        text_col: str, n: int = 3, k_hashes: int = 4,
+                        hex_digits: int = 5,
+                        threshold: float = 0.5) -> DataFrame:
+    """ZERO-JOIN decontamination screen: the train-gram set lives in a
+    broadcast Bloom bitmap (:func:`build_gram_bloom`), so the test side
+    is screened entirely map-side — each test gram checks its
+    ``k_hashes`` bit positions against one array literal; the only
+    shuffle in the whole job is the per-document groupBy. At 100 TB
+    this is THE practical shape: no train-side join, no skew, and the
+    filter ships once per executor (a 128 MiB bitmap covers ~10^9
+    grams at fp < 1e-4). The screen is also stateless, so it composes
+    unchanged onto a readStream source (same contract as
+    ``decontaminate_stream``'s anti-join screen, without the joins).
+
+    Same output contract as :func:`ngram_contamination`
+    ((id, n_grams, n_overlap, ratio, contaminated)); the Bloom
+    overcounts ``n_overlap`` by the false-positive rate but NEVER
+    undercounts (no missed contamination — the safe direction for a
+    decontamination gate). Decisions replay exactly in SQL via the
+    portable md5 positions, false positives included."""
+    import functools
+
+    arr = F.lit(bloom_words)
+    grams = (_ensure_parallelism(test)
+             .select(F.col(id_col).alias("id"),
+                     F.explode(_word_ngrams(text_col, n)).alias("gram")))
+    positions = _bloom_positions(F.col("gram"), k_hashes, hex_digits)
+    for i, p in enumerate(positions):
+        grams = grams.withColumn(f"__p{i}__", p)
+    checks = []
+    for i in range(k_hashes):
+        word = F.get(arr, F.floor(F.col(f"__p{i}__") / 64).cast("int"))
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                      f"CAST(__p{i}__ % 64 AS INT))")
+        checks.append(word.bitwiseAND(mask) != 0)
+    member = functools.reduce(lambda a, b: a & b, checks)
+    per_doc = (grams.withColumn("member", member.cast("long"))
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("n_grams"),
+                         F.sum("member").alias("n_overlap")))
+    if test.isStreaming:
+        # no 0-gram base join on a stream (it would be a stream-stream
+        # join): docs with < n tokens have nothing to screen and emit
+        # no row — batch keeps the base join so they report 0/0
+        out = per_doc
+    else:
+        base = test.select(F.col(id_col).alias("id")).distinct()
+        out = (base.join(per_doc, "id", "left")
+                   .select("id",
+                           F.coalesce("n_grams", F.lit(0))
+                            .alias("n_grams"),
+                           F.coalesce("n_overlap", F.lit(0))
+                            .alias("n_overlap")))
+    return (out.withColumn("ratio",
+                            F.when(F.col("n_grams") > 0,
+                                   F.col("n_overlap") / F.col("n_grams"))
+                            .otherwise(F.lit(0.0)))
+                .withColumn("contaminated", F.col("ratio") >= threshold))
+
+
 def _span_windows(df: DataFrame, id_col: str, text_col: str,
                   window: int) -> DataFrame:
     """(id, n_tokens, pos, h): every stride-1 window of ``window``

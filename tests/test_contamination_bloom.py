@@ -1,0 +1,114 @@
+"""Bloom-filter decontamination (dedup.build_gram_bloom /
+decontaminate_bloom) — the zero-join map-side screen. Value parity vs
+DuckDB lives in the driver oracle (`contamination_bloom`); these tests
+pin the safety contract (never undercounts vs the exact join screen),
+bitmap determinism, and the stateless/streaming-composable plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blaze_spark.operators import dedup as DD
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bloom_never_undercounts_vs_exact(spark):
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    bloom = DD.build_gram_bloom(train, "text", n=3)
+    approx = {r["id"]: r for r in
+              DD.decontaminate_bloom(test, bloom, "doc_id", "text",
+                                     n=3, threshold=0.5).collect()}
+    exact = {r["id"]: r for r in
+             DD.ngram_contamination(train, test, "doc_id", "text",
+                                    n=3, threshold=0.5).collect()}
+    assert set(approx) == set(exact)
+    for i in approx:
+        assert approx[i]["n_grams"] == exact[i]["n_grams"]
+        # Bloom may overcount (false positives) but NEVER undercount:
+        # a contaminated doc can never slip through the gate
+        assert approx[i]["n_overlap"] >= exact[i]["n_overlap"]
+        if exact[i]["contaminated"]:
+            assert approx[i]["contaminated"]
+
+
+def test_bloom_planted_contamination(spark):
+    shared = "alpha beta gamma delta epsilon zeta"
+    train = _df(spark, [(1, f"{shared} one two"),
+                        (2, "totally different training words here")])
+    test = _df(spark, [(10, shared),                       # fully contained
+                       (11, "novel unseen vocabulary entirely fresh")])
+    bloom = DD.build_gram_bloom(train, "text", n=3)
+    got = {r["id"]: r for r in
+           DD.decontaminate_bloom(test, bloom, "doc_id", "text",
+                                  n=3, threshold=0.5).collect()}
+    assert got[10]["contaminated"] and got[10]["ratio"] == 1.0
+    # 4 grams, all train-absent: only md5 false positives could flip
+    # this, and at 2 docs / 1M bits the fp chance is ~(1e-5)^4 per gram
+    assert not got[11]["contaminated"] and got[11]["n_overlap"] == 0
+
+
+def test_bloom_bitmap_deterministic_and_sized(spark):
+    train = _df(spark, [(1, "a b c d e f g"), (2, "h i j k l m n")])
+    b1 = DD.build_gram_bloom(train, "text", n=3, hex_digits=4)
+    b2 = DD.build_gram_bloom(train, "text", n=3, hex_digits=4)
+    assert b1 == b2
+    assert len(b1) == 16 ** 4 // 64
+    n_grams = train.select(
+        F.explode(DD._word_ngrams("text", 3)).alias("g")).distinct().count()
+    set_bits = sum(bin(w & (2 ** 64 - 1)).count("1") for w in b1)
+    assert 0 < set_bits <= 4 * n_grams
+
+
+def test_bloom_screen_is_join_free(spark):
+    """The whole point at 100 TB: the test side's screen plan contains
+    NO join with a train-side relation — membership is an array-literal
+    lookup. (The only join is the left join onto the distinct-id base
+    for 0-gram docs, which stays within the test side.)"""
+    train = _df(spark, [(1, "p q r s t u v")])
+    test = _df(spark, [(10, "p q r s t u v w x")])
+    bloom = DD.build_gram_bloom(train, "text", n=3, hex_digits=4)
+    grams = (test.select(F.col("doc_id").alias("id"),
+                         F.explode(DD._word_ngrams("text", 3))
+                         .alias("gram")))
+    # screen WITHOUT the 0-gram base join: zero joins in the plan
+    positions = DD._bloom_positions(F.col("gram"), 4, 4)
+    for i, p in enumerate(positions):
+        grams = grams.withColumn(f"__p{i}__", p)
+    plan = grams._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    out = DD.decontaminate_bloom(test, bloom, "doc_id", "text",
+                                 n=3, hex_digits=4)
+    # test doc has 7 trigrams; the 5 trigrams of the train doc match,
+    # "u v w" / "v w x" do not
+    row = out.collect()[0]
+    assert (row["n_grams"], row["n_overlap"]) == (7, 5)
+
+
+def test_bloom_screen_composes_on_streams(spark, tmp_path):
+    """Stateless map-side screen: the same decontaminate_bloom column
+    math runs on a readStream source unchanged (the per-doc aggregate
+    rides a complete-mode groupBy)."""
+    train = _df(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    bloom = DD.build_gram_bloom(train, "text", n=3, hex_digits=4)
+    src = str(tmp_path / "bloom_in")
+    _df(spark, [(10, "alpha beta gamma delta"),
+                (11, "unrelated novel words entirely")]) \
+        .coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = DD.decontaminate_bloom(stream, bloom, "doc_id", "text",
+                                 n=3, hex_digits=4, threshold=0.5)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("bloom_out")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["id"]: r for r in
+           spark.sql("select * from bloom_out").collect()}
+    assert got[10]["contaminated"] and not got[11]["contaminated"]
