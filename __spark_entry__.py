@@ -992,6 +992,25 @@ def q_contamination(spark, sf_dir):
                       F.round("ratio", 6).alias("ratio"), "contaminated")
 
 
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters (checks.cms_sketch/cms_estimate):
+    the mergeable frequency sketch (4 md5 hash rows × 16^4 buckets)
+    built over the documents token stream in one map-side-combined
+    pass; the top-20 tokens by exact count report their sketch
+    estimate next to the truth. CMS only ever overcounts; the
+    md5-prefix buckets replay exactly in DuckDB, collisions included."""
+    from blaze_spark.operators.dedup import _tokens
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(_tokens("text")).alias("token"))
+    sketch = C.cms_sketch(toks, "token", depth=4, hex_digits=4)
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count"))
+    est = C.cms_estimate(exact, sketch, "token", depth=4, hex_digits=4)
+    return (est.orderBy(F.desc("exact_count"), "token").limit(20)
+               .select("token", "exact_count", "cms_count"))
+
+
 def q_contamination_bloom(spark, sf_dir):
     """Zero-join Bloom-filter decontamination (dedup.decontaminate_bloom):
     the train split's distinct 3-grams fold into a 1M-bit broadcast
@@ -1190,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_violations_stream": q_session_violations_stream,
         "duplicate_spans_multi": q_duplicate_spans_multi,
         "contamination_bloom": q_contamination_bloom,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
         # "duplicate_spans_max": q_duplicate_spans_max,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
@@ -2125,6 +2145,33 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING) - n_chars)
                         / 2000) AS BIGINT) AS pack_id
             FROM h""",
+        # CMS replay: identical md5-prefix buckets => identical cell
+        # counts => identical min-over-rows estimates, collisions and all
+        "heavy_hitters_cms": f"""
+            WITH toks AS (
+              SELECT unnest({_TOKENS}) AS token FROM documents),
+            hashes AS (SELECT unnest(generate_series(0, 3)) AS i),
+            cells AS (
+              SELECT i AS h,
+                     substr(md5(token || '#' || CAST(i AS VARCHAR)), 1, 4)
+                         AS bucket,
+                     count(*) AS c
+              FROM toks CROSS JOIN hashes
+              GROUP BY 1, 2),
+            exact AS (
+              SELECT token, count(*) AS exact_count
+              FROM toks GROUP BY 1),
+            est AS (
+              SELECT e.token, e.exact_count,
+                     min(coalesce(cl.c, 0)) AS cms_count
+              FROM exact e CROSS JOIN hashes h
+              LEFT JOIN cells cl
+                ON cl.h = h.i
+               AND cl.bucket = substr(
+                     md5(e.token || '#' || CAST(h.i AS VARCHAR)), 1, 4)
+              GROUP BY 1, 2)
+            SELECT token, exact_count, CAST(cms_count AS BIGINT) AS cms_count
+            FROM est ORDER BY exact_count DESC, token LIMIT 20""",
         # Bloom screen replay: a position IS its 5-hex-char md5 prefix
         # (Spark reads the same prefix as an integer for the bitmap;
         # prefix-equality <=> bit-equality, false positives included),

@@ -219,6 +219,8 @@ def run_benchmarks(only=None):
         spark, SF_DIR).count())
     bench("contamination_bloom", lambda: E.q_contamination_bloom(
         spark, SF_DIR).count())
+    bench("heavy_hitters_cms", lambda: E.q_heavy_hitters_cms(
+        spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite

@@ -333,3 +333,65 @@ def profile_estimates(profile: DataFrame, columns: Sequence[str],
             F.hll_sketch_estimate(f"{c}__hll").alias(f"{c}_distinct"),
         ]
     return profile.select(*cols)
+
+
+def cms_sketch(df: DataFrame, value_col: str, depth: int = 4,
+               hex_digits: int = 4) -> DataFrame:
+    """Count-min sketch of a (string-castable) column as a MERGEABLE
+    (h, bucket, c) cell table — the frequency sibling of the HLL
+    profile (:func:`column_profile`): ``depth`` independent md5-derived
+    hash rows × 16^hex_digits buckets. Estimates only ever OVERCOUNT
+    (bucket collisions), never undercount — the safe direction for
+    heavy-hitter gating — and the md5-prefix buckets replay exactly in
+    DuckDB, false collisions included (the same portability trick as
+    ``dedup.build_gram_bloom``).
+
+    Scale shape: one map-only explode (depth cells per row) into one
+    map-side-combined groupBy; the sketch is at most
+    depth · 16^hex_digits rows (256 KiB of cells at the defaults) no
+    matter the corpus. Sketches of successive batches union and fold
+    with :func:`cms_merge` — profile each ingest batch once, never
+    rescan."""
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("h"),
+                 F.substring(F.md5(F.concat(
+                     F.col(value_col).cast("string"), F.lit(f"#{i}"))),
+                     1, hex_digits).alias("bucket"))
+        for i in range(depth)])
+    return (df.where(F.col(value_col).isNotNull())
+              .select(F.explode(cells).alias("p"))
+              .select("p.h", "p.bucket")
+              .groupBy("h", "bucket")
+              .agg(F.count(F.lit(1)).alias("c")))
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Fold a UNION of :func:`cms_sketch` cell tables into one sketch:
+    cells are associative counters, so merging is a sum per (h, bucket)
+    — lossless for the estimate contract, O(sketch size) work."""
+    return sketches.groupBy("h", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(items: DataFrame, sketch: DataFrame, value_col: str,
+                 depth: int = 4, hex_digits: int = 4) -> DataFrame:
+    """Point-frequency estimates: for each item row, min over the
+    ``depth`` hash rows of its bucket's count (0 when a bucket is
+    empty). The sketch side is broadcast (bounded size by
+    construction); the probe is a fan-out-``depth`` explode + one
+    broadcast equi-join + a per-item min — no skew surface, since the
+    join key space is the sketch's own cells."""
+    probes = F.array(*[
+        F.struct(F.lit(i).alias("h"),
+                 F.substring(F.md5(F.concat(
+                     F.col(value_col).cast("string"), F.lit(f"#{i}"))),
+                     1, hex_digits).alias("bucket"))
+        for i in range(depth)])
+    exploded = (items.withColumn("__p__", F.explode(probes))
+                     .withColumn("h", F.col("__p__.h"))
+                     .withColumn("bucket", F.col("__p__.bucket"))
+                     .drop("__p__"))
+    joined = exploded.join(F.broadcast(sketch), ["h", "bucket"], "left")
+    group_cols = [c for c in items.columns]
+    return (joined.groupBy(*group_cols)
+                  .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                        .alias("cms_count")))

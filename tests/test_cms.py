@@ -1,0 +1,68 @@
+"""Count-min sketch (checks.cms_sketch / cms_merge / cms_estimate).
+Value parity vs DuckDB lives in the driver oracle (`heavy_hitters_cms`);
+these tests pin the estimate contract (overcount-only), merge
+associativity, and determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blaze_spark.operators import checks as C
+
+
+def _values(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v string")
+
+
+def test_cms_never_undercounts_and_exact_without_collisions(spark):
+    vals = ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]
+    df = _values(spark, vals)
+    sketch = C.cms_sketch(df, "v", depth=4, hex_digits=4)
+    exact = df.groupBy(F.col("v").alias("v")).agg(
+        F.count(F.lit(1)).alias("exact"))
+    est = {r["v"]: r for r in
+           C.cms_estimate(exact, sketch, "v", depth=4,
+                          hex_digits=4).collect()}
+    for v, true_n in (("a", 50), ("b", 20), ("c", 5), ("d", 1)):
+        assert est[v]["cms_count"] >= true_n
+    # 4 distinct values in 65,536 buckets x 4 rows: a collision on ALL
+    # 4 rows is (4/65536)^4-grade improbable -> estimates are exact
+    for v, true_n in (("a", 50), ("b", 20), ("c", 5), ("d", 1)):
+        assert est[v]["cms_count"] == true_n
+
+
+def test_cms_merge_equals_whole_corpus_sketch(spark):
+    a = _values(spark, ["x"] * 7 + ["y"] * 3)
+    b = _values(spark, ["x"] * 5 + ["z"] * 2)
+    merged = C.cms_merge(
+        C.cms_sketch(a, "v").unionByName(C.cms_sketch(b, "v")))
+    whole = C.cms_sketch(a.unionByName(b), "v")
+    got = {(r["h"], r["bucket"]): r["c"] for r in merged.collect()}
+    want = {(r["h"], r["bucket"]): r["c"] for r in whole.collect()}
+    assert got == want
+
+
+def test_cms_unknown_value_estimates_zero_or_collision(spark):
+    df = _values(spark, ["only"] * 10)
+    sketch = C.cms_sketch(df, "v", depth=4, hex_digits=4)
+    probe = _values(spark, ["absent"])
+    got = C.cms_estimate(probe, sketch, "v", depth=4,
+                         hex_digits=4).collect()[0]
+    # one stored value: "absent" matches only by 4-fold md5 collision
+    assert got["cms_count"] == 0
+
+
+def test_cms_sketch_bounded_and_deterministic(spark):
+    df = _values(spark, [f"tok{i}" for i in range(1000)])
+    s1 = sorted((r["h"], r["bucket"], r["c"])
+                for r in C.cms_sketch(df, "v", depth=4,
+                                      hex_digits=3).collect())
+    s2 = sorted((r["h"], r["bucket"], r["c"])
+                for r in C.cms_sketch(df, "v", depth=4,
+                                      hex_digits=3).collect())
+    assert s1 == s2
+    # cell count bounded by depth * 16^hex_digits regardless of corpus
+    assert len(s1) <= 4 * 16 ** 3
+    # total mass = depth * rows
+    assert sum(c for _, _, c in s1) == 4 * 1000
