@@ -992,6 +992,16 @@ def q_contamination(spark, sf_dir):
                       F.round("ratio", 6).alias("ratio"), "contaminated")
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 tf-idf terms (textstats.tfidf_top_terms):
+    integer-microunit idf so every score is an exact integer across
+    engines; deterministic (score desc, token asc) ranking."""
+    out = TS.tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text",
+                             top_k=5)
+    return out.select(F.col("id").alias("doc_id"), F.col("tok").alias("token"),
+                      "tf", "tfidf", "rank")
+
+
 def q_heavy_hitters_cms(spark, sf_dir):
     """Count-min-sketch heavy hitters (checks.cms_sketch/cms_estimate):
     the mergeable frequency sketch (4 md5 hash rows × 16^4 buckets)
@@ -1210,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_multi": q_duplicate_spans_multi,
         "contamination_bloom": q_contamination_bloom,
         "heavy_hitters_cms": q_heavy_hitters_cms,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # "duplicate_spans_max": q_duplicate_spans_max,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
@@ -2145,6 +2156,32 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING) - n_chars)
                         / 2000) AS BIGINT) AS pack_id
             FROM h""",
+        # tf-idf replay: integer-microunit idf => exact integer scores
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, unnest({_TOKENS}) AS tok
+              FROM documents),
+            tf AS (SELECT id, tok, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT tok, count(*) AS df_count
+                      FROM tf GROUP BY 1),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.id, tf.tok, tf.tf,
+                     tf.tf * CAST(round(ln((nd.n_docs + 1)
+                              / CAST(dfreq.df_count + 1 AS DOUBLE)) * 1e6)
+                              AS BIGINT) AS score_micro
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
+            ranked AS (
+              SELECT id, tok, tf, score_micro,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY score_micro DESC, tok)
+                         AS rank
+              FROM scored)
+            SELECT id AS doc_id, tok AS token, tf,
+                   round(score_micro / 1e6, 6) AS tfidf,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5""",
         # CMS replay: identical md5-prefix buckets => identical cell
         # counts => identical min-over-rows estimates, collisions and all
         "heavy_hitters_cms": f"""

@@ -221,6 +221,8 @@ def run_benchmarks(only=None):
         spark, SF_DIR).count())
     bench("heavy_hitters_cms", lambda: E.q_heavy_hitters_cms(
         spark, SF_DIR).count())
+    bench("tfidf_top_terms", lambda: E.q_tfidf_top_terms(
+        spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite

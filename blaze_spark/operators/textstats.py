@@ -159,6 +159,48 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str,
          .alias("rare_frac"))
 
 
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    top_k: int = 5) -> DataFrame:
+    """Per-document top-k characteristic terms by tf-idf — the classic
+    "what is this document about" signal (keyword extraction, topic
+    tagging, near-dup explanation).
+
+    idf = ln((N + 1) / (df + 1)) rounded to INTEGER MICROUNITS before
+    the tf multiply, so every score is an exact integer — identical
+    across engines and shuffle orders (the unigram_lm_scores
+    discipline); ties rank deterministically (score desc, token asc).
+
+    Scale shape: one token explode (map-only), a per-(doc, token)
+    groupBy (the tf table), a map-side-combined groupBy(token) over
+    THAT (document frequencies — a token in a billion docs is one
+    row), a fan-out-1 equi-join of tf against the aggregated df table
+    (AQE splits the skewed probe side), the corpus size as a broadcast
+    one-row cross join, and a per-document window bounded by distinct
+    tokens per doc. Nothing global, nothing quadratic."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(F.filter(
+                         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                         lambda t: t != "")).alias("tok"))
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_count"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_micro = F.round(F.log((F.col("n_docs") + 1) /
+                              (F.col("df_count") + 1).cast("double"))
+                        * F.lit(1e6)).cast("long")
+    scored = (tf.join(dfreq, "tok")
+                .crossJoin(F.broadcast(ndocs))
+                .withColumn("score_micro", F.col("tf") * idf_micro))
+    w = Window.partitionBy("id").orderBy(F.desc("score_micro"), "tok")
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= top_k)
+                  .select("id", "tok", "tf",
+                          F.round(F.col("score_micro") / F.lit(1e6), 6)
+                           .alias("tfidf"),
+                          "rank"))
+
+
 def bigram_lm_scores(df: DataFrame, id_col: str,
                      text_col: str) -> DataFrame:
     """Corpus-bigram language-model quality signals per document — one

@@ -427,6 +427,9 @@ _CROSS_JOIN_ALLOWED = {
     # KS: broadcast theta self-join of the two PRE-AGGREGATED
     # per-bucket CDF tables (rows = histogram buckets, not data rows)
     "drift_ks_n_chars",
+    # tf-idf: broadcast single-row n_docs corpus-size factor (the
+    # unigram_lm shape)
+    "tfidf_top_terms",
 }
 
 

@@ -1,0 +1,73 @@
+"""tf-idf top terms (textstats.tfidf_top_terms). Value parity vs DuckDB
+lives in the driver oracle (`tfidf_top_terms`); these tests pin the
+math against a pure-Python brute force and the ranking contract.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import functions as F
+
+from blaze_spark.operators import textstats as TS
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute(rows, top_k):
+    toks = {i: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+            for i, txt in rows}
+    n_docs = len(rows)
+    dfreq = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    out = {}
+    for i, ts in toks.items():
+        tf = {}
+        for t in ts:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            ((tf[t] * int(round(math.log((n_docs + 1) / (dfreq[t] + 1))
+                                * 1e6)), t) for t in tf),
+            key=lambda p: (-p[0], p[1]))
+        out[i] = [(t, tf[t], round(s / 1e6, 6), r + 1)
+                  for r, (s, t) in enumerate(scored[:top_k])]
+    return out
+
+
+def test_tfidf_matches_brute_force(spark):
+    rows = [(1, "apple banana apple cherry apple"),
+            (2, "banana cherry banana durian"),
+            (3, "cherry cherry elderberry apple fig fig fig"),
+            (4, "unique words only here")]
+    got = {}
+    for r in TS.tfidf_top_terms(_df(spark, rows), "doc_id", "text",
+                                top_k=3).collect():
+        got.setdefault(r["id"], []).append(
+            (r["tok"], r["tf"], r["tfidf"], r["rank"]))
+    for i in got:
+        got[i].sort(key=lambda p: p[3])
+    assert got == _brute(rows, 3)
+
+
+def test_tfidf_rank_contract(spark):
+    rows = [(i, f"w{i} shared common w{i} w{i}x") for i in range(10)]
+    out = TS.tfidf_top_terms(_df(spark, rows), "doc_id", "text",
+                             top_k=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert set(by_doc) == set(range(10))
+    for i, rs in by_doc.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # scores non-increasing in rank order
+        rs.sort(key=lambda r: r["rank"])
+        assert all(rs[j]["tfidf"] >= rs[j + 1]["tfidf"]
+                   for j in range(len(rs) - 1))
+        # the doc-unique token outranks the corpus-wide ones
+        assert rs[0]["tok"] in (f"w{i}", f"w{i}x")
