@@ -673,16 +673,16 @@ def build_gram_bloom(train: DataFrame, text_col: str, n: int = 3,
     k·n_grams/m stays well under 1; the false-positive rate is
     ~(k·n_grams/m)^k).
 
-    Scale shape: grams collapse to a distinct set (one map-side-
-    combined shuffle — a gram in a billion train docs is ONE row),
-    positions fan out k per gram (map-only), and the bitmap folds with
-    a ``bit_or`` aggregate over m/64 word rows. The ONLY driver
-    movement is the m/64-row word table — bounded by the filter size
-    you chose, never by the corpus."""
+    Scale shape: NO distinct pass — ``bit_or`` is idempotent, so
+    duplicate grams OR the same bits and the expensive full-gram-stream
+    shuffle disappears; the only shuffle is the ``bit_or`` aggregate
+    itself, whose key space is the m/64 word ids (map-side combined to
+    at most m/64 rows per task). The ONLY driver movement is the
+    m/64-row word table — bounded by the filter size you chose, never
+    by the corpus."""
     m = 16 ** hex_digits
     grams = (_ensure_parallelism(train)
-             .select(F.explode(_word_ngrams(text_col, n)).alias("gram"))
-             .distinct())
+             .select(F.explode(_word_ngrams(text_col, n)).alias("gram")))
     pos = grams.select(F.explode(F.array(
         *_bloom_positions(F.col("gram"), k_hashes, hex_digits)))
         .alias("p"))
@@ -700,11 +700,12 @@ def decontaminate_bloom(test: DataFrame, bloom_words: list, id_col: str,
                         text_col: str, n: int = 3, k_hashes: int = 4,
                         hex_digits: int = 5,
                         threshold: float = 0.5) -> DataFrame:
-    """ZERO-JOIN decontamination screen: the train-gram set lives in a
-    broadcast Bloom bitmap (:func:`build_gram_bloom`), so the test side
-    is screened entirely map-side — each test gram checks its
-    ``k_hashes`` bit positions against one array literal; the only
-    shuffle in the whole job is the per-document groupBy. At 100 TB
+    """Data-join-free decontamination screen: the train-gram set lives
+    in a broadcast Bloom bitmap (:func:`build_gram_bloom`) attached as
+    a one-row broadcast column, so the test side is screened entirely
+    map-side — each test gram checks its ``k_hashes`` bit positions
+    against the shared array; the only shuffle in the whole job is the
+    per-document groupBy. At 100 TB
     this is THE practical shape: no train-side join, no skew, and the
     filter ships once per executor (a 128 MiB bitmap covers ~10^9
     grams at fp < 1e-4). The screen is also stateless, so it composes
@@ -719,16 +720,25 @@ def decontaminate_bloom(test: DataFrame, bloom_words: list, id_col: str,
     portable md5 positions, false positives included."""
     import functools
 
-    arr = F.lit(bloom_words)
+    # the bitmap rides a ONE-ROW broadcast relation, not F.lit(list):
+    # the Python lit() of a 16k-element list issues one py4j call PER
+    # ELEMENT (~10 s of driver time per operator call, measured), and
+    # the folded literal then re-inlines into every one of the 2k
+    # expression uses, bloating the plan to megabytes. As a broadcast
+    # column it serializes once and stays a single reference.
+    bloom_df = test.sparkSession.createDataFrame(
+        [(list(bloom_words),)], "__bloom__ array<bigint>")
     grams = (_ensure_parallelism(test)
              .select(F.col(id_col).alias("id"),
-                     F.explode(_word_ngrams(text_col, n)).alias("gram")))
+                     F.explode(_word_ngrams(text_col, n)).alias("gram"))
+             .crossJoin(F.broadcast(bloom_df)))
     positions = _bloom_positions(F.col("gram"), k_hashes, hex_digits)
     for i, p in enumerate(positions):
         grams = grams.withColumn(f"__p{i}__", p)
     checks = []
     for i in range(k_hashes):
-        word = F.get(arr, F.floor(F.col(f"__p{i}__") / 64).cast("int"))
+        word = F.get(F.col("__bloom__"),
+                     F.floor(F.col(f"__p{i}__") / 64).cast("int"))
         mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
                       f"CAST(__p{i}__ % 64 AS INT))")
         checks.append(word.bitwiseAND(mask) != 0)

@@ -430,6 +430,9 @@ _CROSS_JOIN_ALLOWED = {
     # tf-idf: broadcast single-row n_docs corpus-size factor (the
     # unigram_lm shape)
     "tfidf_top_terms",
+    # Bloom screen: the bitmap rides a ONE-ROW broadcast relation
+    # (measured 20x cheaper than a 16k-element Python lit())
+    "contamination_bloom",
 }
 
 
