@@ -1041,6 +1041,34 @@ def q_contamination_bloom(spark, sf_dir):
                       F.round("ratio", 6).alias("ratio"), "contaminated")
 
 
+def q_boilerplate_scrub(spark, sf_dir):
+    """Line-level boilerplate removal (lines.scrub_boilerplate_lines),
+    the CCNet/C4 cleanup: a line recurring in >= 3 distinct documents
+    is template noise and is dropped; documents are rebuilt with line
+    order preserved. The synthetic corpus has single-line docs, so the
+    query first builds deterministic multi-line pseudo-documents (8
+    docs' 2-token prefixes joined by newline, ordered by doc_id) — the
+    oracle constructs the identical pseudo-corpus in SQL and replays
+    the frequency cut and the rebuild line for line."""
+    from blaze_spark.operators import lines as LN
+
+    docs = _docs(spark, sf_dir)
+    line = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    pseudo = (docs
+              .select(F.floor(F.col("doc_id") / 8).cast("long").alias("pid"),
+                      F.struct(F.col("doc_id"), line.alias("line"))
+                       .alias("s"))
+              .groupBy("pid")
+              .agg(F.array_join(
+                       F.transform(F.array_sort(F.collect_list("s")),
+                                   lambda s: s["line"]), "\n")
+                    .alias("text")))
+    out = LN.scrub_boilerplate_lines(pseudo, "pid", "text", min_docs=3)
+    return out.select(F.col("id").alias("pid"),
+                      F.md5("text").alias("scrubbed_md5"),
+                      "n_lines", "n_removed")
+
+
 def q_curation_report(spark, sf_dir):
     """The flagship composed pipeline: validation + quality + exact
     dedup canonical pick + decontamination vs the held-out split, one
@@ -1221,7 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom": q_contamination_bloom,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "tfidf_top_terms": q_tfidf_top_terms,
-        # "duplicate_spans_max": q_duplicate_spans_max,
+        "boilerplate_scrub": q_boilerplate_scrub,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
         "validate_documents_violations": q_validate_documents_violations,
@@ -2260,6 +2288,45 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM documents
                   WHERE doc_id % 5 = 0) d
             LEFT JOIN tot USING (doc_id)""",
+        # line-boilerplate replay: identical pseudo-doc construction
+        # (8 docs' 2-token prefixes per line, ordered by doc_id), the
+        # same md5(lower(trim(line))) match key, >= 3 distinct-doc cut,
+        # rebuild by original line position (string_agg skips the NULLed
+        # dropped lines exactly like concat over the filtered array)
+        "boilerplate_scrub": """
+            WITH pseudo AS (
+              SELECT CAST(floor(doc_id / 8) AS BIGINT) AS pid,
+                     string_agg(array_to_string(
+                                  list_slice(string_split(text, ' '), 1, 2),
+                                  ' '),
+                                chr(10) ORDER BY doc_id) AS text
+              FROM documents GROUP BY 1),
+            ln AS (
+              SELECT pid,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                         AS pos
+              FROM pseudo),
+            keyed AS (
+              SELECT pid, pos, line,
+                     CASE WHEN lower(trim(line)) <> ''
+                          THEN md5(lower(trim(line))) END AS k
+              FROM ln),
+            boiler AS (
+              SELECT k FROM keyed WHERE k IS NOT NULL
+              GROUP BY k HAVING count(DISTINCT pid) >= 3),
+            marked AS (
+              SELECT keyed.pid, keyed.pos, keyed.line,
+                     (boiler.k IS NOT NULL) AS dropped
+              FROM keyed LEFT JOIN boiler ON keyed.k = boiler.k)
+            SELECT pid,
+                   md5(coalesce(string_agg(
+                         CASE WHEN NOT dropped THEN line END,
+                         chr(10) ORDER BY pos), '')) AS scrubbed_md5,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed
+            FROM marked GROUP BY pid""",
         "contamination": """
             WITH tok AS (
               SELECT doc_id,

@@ -223,6 +223,9 @@ def run_benchmarks(only=None):
         spark, SF_DIR).count())
     bench("tfidf_top_terms", lambda: E.q_tfidf_top_terms(
         spark, SF_DIR).count())
+    # CCNet-style line-boilerplate scrub over pseudo-multi-line docs
+    bench("boilerplate_scrub", lambda: E.q_boilerplate_scrub(
+        spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite

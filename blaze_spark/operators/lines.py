@@ -1,0 +1,112 @@
+"""Line-level boilerplate detection and removal.
+
+The classic web-corpus cleanup (CCNet, C4, RefinedWeb): a line that
+recurs across MANY documents is navigation, a cookie banner, a footer —
+template noise, not content — and real pipelines drop such lines before
+any document-level dedup. The reference engine has no corpus surface;
+these belong to the Spark-native pipeline tier alongside dedup/curate
+(SURVEY §2.9 "beyond the reference" operators).
+
+Scale shape (the 100 TB path): lines explode map-side (|rows| ==
+|lines|, the same order as the token stages), frequencies are ONE
+map-side-combined groupBy on the line hash (a footer in a billion docs
+partially aggregates to one row per partition before the shuffle), and
+flagging is an equi-join AGAINST THAT AGGREGATED SET — fan-out exactly
+1 per line row, so a hot line cannot blow up the join (the
+duplicate_spans pattern, dedup.py). The rebuild groups by document —
+bounded by lines per document, never global. Matching is on
+``md5(lower(trim(line)))``: normalization catches case/whitespace
+variants of the same banner, and shipping a 16-byte hash through the
+shuffle instead of the line text keeps shuffle volume independent of
+line length. md5 is engine-portable, so DuckDB replays the exact
+decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _ensure_parallelism
+
+
+def _line_key(line: Column) -> Column:
+    """Portable normalized match key; NULL for whitespace-only lines
+    (blank lines are structure, not boilerplate — never counted, never
+    removed)."""
+    norm = F.lower(F.trim(line))
+    return F.when(norm != "", F.md5(norm))
+
+
+def _doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, line, k): every physical line of every document,
+    1-based position, with the normalized match key (NULL for blank
+    lines). Map-only."""
+    return (_ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(F.split(F.col(text_col), "\n"))
+                     .alias("pos0", "line"))
+            .select("id", (F.col("pos0") + 1).alias("pos"), "line",
+                    _line_key(F.col("line")).alias("k")))
+
+
+def line_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(k, line, n_docs): distinct-document frequency of every
+    normalized non-blank line, carrying one representative original
+    spelling (the minimum, for determinism). One shuffle, map-side
+    combined; the distinct-doc count collapses (k, id) pairs first so a
+    line repeated inside one document counts that document once."""
+    return (_doc_lines(df, id_col, text_col)
+            .where(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count_distinct("id").alias("n_docs"),
+                 F.min("line").alias("line"))
+            .select("k", "line", "n_docs"))
+
+
+def boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
+                      min_docs: int = 10) -> DataFrame:
+    """The boilerplate report: (line, n_docs) for every normalized line
+    occurring in at least ``min_docs`` distinct documents — what a
+    curation engineer eyeballs before picking the scrub threshold."""
+    return (line_frequencies(df, id_col, text_col)
+            .where(F.col("n_docs") >= min_docs)
+            .select("line", "n_docs"))
+
+
+def scrub_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
+                            min_docs: int = 10) -> DataFrame:
+    """Rebuild every document without its boilerplate lines: a line is
+    removed iff its normalized form occurs in >= ``min_docs`` distinct
+    documents. Blank lines always survive (they carry paragraph
+    structure). Returns (id, text, n_lines, n_removed); a document
+    whose every line is boilerplate comes back with text '' (kept — a
+    downstream length gate decides its fate, this operator only makes
+    the removal explicit).
+
+    The frequency side is aggregated BEFORE the join (fan-out 1 per
+    line row), and the rebuild sorts each document's surviving lines by
+    original position inside one collect_list — per-document bounded,
+    no window. The lines subtree is computed twice (count + flag); both
+    passes are map-only regeneration, the right trade at scale versus
+    materializing an O(corpus-lines) intermediate.
+    """
+    lines = _doc_lines(df, id_col, text_col)
+    flagged = (lines.where(F.col("k").isNotNull())
+                    .groupBy("k")
+                    .agg(F.count_distinct("id").alias("n_docs"))
+                    .where(F.col("n_docs") >= min_docs)
+                    .select("k", F.lit(True).alias("__boiler__")))
+    marked = (lines.join(flagged, "k", "left")
+                   .select("id", "pos", "line",
+                           F.coalesce("__boiler__", F.lit(False))
+                            .alias("drop")))
+    kept = F.filter(F.array_sort(F.collect_list(
+        F.struct("pos", "line", "drop"))), lambda s: ~s["drop"])
+    return (marked.groupBy("id")
+                  .agg(F.array_join(
+                           F.transform(kept, lambda s: s["line"]), "\n")
+                        .alias("text"),
+                       F.count(F.lit(1)).alias("n_lines"),
+                       F.sum(F.col("drop").cast("int")).alias("n_removed"))
+                  .select("id", "text", "n_lines", "n_removed"))

@@ -1,0 +1,102 @@
+"""Line-level boilerplate removal (operators/lines.py) — the
+CCNet/C4/RefinedWeb cleanup. Value parity against DuckDB lives in the
+driver oracle (`boilerplate_scrub`); these tests pin the semantics on
+planted banners plus the scale-relevant plan shape.
+"""
+
+from __future__ import annotations
+
+from blaze_spark.operators import lines as L
+
+_BANNER = "Subscribe to our newsletter!"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_recurring_line_detected_and_scrubbed(spark):
+    rows = [
+        (1, f"unique opening one\n{_BANNER}\nreal content alpha"),
+        (2, f"{_BANNER}\nreal content beta"),
+        (3, f"real content gamma\n{_BANNER}"),
+        (4, "a document with no banner at all"),
+    ]
+    rep = L.boilerplate_lines(_df(spark, rows), "doc_id", "text",
+                              min_docs=3).collect()
+    assert [(r["line"], r["n_docs"]) for r in rep] == [(_BANNER, 3)]
+
+    out = {r["id"]: r for r in L.scrub_boilerplate_lines(
+        _df(spark, rows), "doc_id", "text", min_docs=3).collect()}
+    assert out[1]["text"] == "unique opening one\nreal content alpha"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 1)
+    assert out[2]["text"] == "real content beta"
+    assert out[3]["text"] == "real content gamma"
+    assert out[4]["text"] == "a document with no banner at all"
+    assert out[4]["n_removed"] == 0
+
+
+def test_normalization_matches_case_and_whitespace_variants(spark):
+    rows = [
+        (1, "  subscribe TO our Newsletter!  \ncontent a"),
+        (2, "subscribe to our newsletter!\ncontent b"),
+        (3, "SUBSCRIBE TO OUR NEWSLETTER!\ncontent c"),
+    ]
+    out = {r["id"]: r for r in L.scrub_boilerplate_lines(
+        _df(spark, rows), "doc_id", "text", min_docs=3).collect()}
+    assert all(out[i]["n_removed"] == 1 for i in (1, 2, 3))
+    assert out[1]["text"] == "content a"
+
+
+def test_repeat_within_one_doc_counts_once(spark):
+    # the banner twice in doc 1, once in doc 2: 2 distinct docs < 3
+    rows = [
+        (1, f"{_BANNER}\nmiddle line here\n{_BANNER}"),
+        (2, f"{_BANNER}\nother content"),
+        (3, "nothing shared"),
+    ]
+    rep = L.boilerplate_lines(_df(spark, rows), "doc_id", "text",
+                              min_docs=3).collect()
+    assert rep == []
+    out = {r["id"]: r for r in L.scrub_boilerplate_lines(
+        _df(spark, rows), "doc_id", "text", min_docs=2).collect()}
+    # at min_docs=2 BOTH copies inside doc 1 are removed
+    assert out[1]["text"] == "middle line here"
+    assert out[1]["n_removed"] == 2
+
+
+def test_blank_lines_survive_and_never_count(spark):
+    rows = [
+        (1, "para one\n\npara two"),
+        (2, "other\n\nmore"),
+        (3, "third\n\nlast"),
+    ]
+    rep = L.boilerplate_lines(_df(spark, rows), "doc_id", "text",
+                              min_docs=2).collect()
+    assert rep == []  # the shared blank line is not boilerplate
+    out = {r["id"]: r for r in L.scrub_boilerplate_lines(
+        _df(spark, rows), "doc_id", "text", min_docs=2).collect()}
+    assert out[1]["text"] == "para one\n\npara two"
+
+
+def test_fully_boilerplate_doc_comes_back_empty(spark):
+    rows = [
+        (1, _BANNER),
+        (2, _BANNER),
+        (3, f"{_BANNER}\nactual content"),
+    ]
+    out = {r["id"]: r for r in L.scrub_boilerplate_lines(
+        _df(spark, rows), "doc_id", "text", min_docs=3).collect()}
+    assert out[1]["text"] == ""
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (1, 1)
+    assert out[3]["text"] == "actual content"
+
+
+def test_plan_shape_aggregated_join_no_window(spark):
+    df = _df(spark, [(1, "a\nb"), (2, "a\nc")])
+    plan = (L.scrub_boilerplate_lines(df, "doc_id", "text", min_docs=2)
+             ._jdf.queryExecution().optimizedPlan().toString())
+    # frequency side aggregates BEFORE the join (fan-out-1 contract)
+    # and the rebuild needs no window function
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
