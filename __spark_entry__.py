@@ -1069,6 +1069,42 @@ def q_boilerplate_scrub(spark, sf_dir):
                       "n_lines", "n_removed")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Crawl-to-crawl corpus delta (dedup.snapshot_diff): old snapshot
+    = docs without the %10==3 slice, with %7==0 texts reversed
+    (simulated re-extraction); new snapshot = docs without the %10==7
+    slice. Every id classifies as added / removed / changed; unchanged
+    rows (the crawl-scale majority) are filtered. Fingerprints are
+    md5, so DuckDB replays the exact null-safe comparison."""
+    docs = _docs(spark, sf_dir)
+    old = (docs.where(F.col("doc_id") % 10 != 3)
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.reverse(F.col("text")))
+                        .otherwise(F.col("text")).alias("text")))
+    new = docs.where(F.col("doc_id") % 10 != 7)
+    out = DD.snapshot_diff(old, new, "doc_id", "text")
+    return out.select(F.col("id").alias("doc_id"), "status",
+                      "old_fp", "new_fp")
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Per-source token-budget quota (sampling.token_budget_sample):
+    each source keeps hash-ordered documents until a 600-token budget
+    is exhausted (take-while on the running total) — the "N tokens of
+    web, M of code" pretraining-mix primitive, fully deterministic so
+    DuckDB replays the exact cut."""
+    from blaze_spark.operators.dedup import _tokens
+    from blaze_spark.operators.sampling import token_budget_sample
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.size(_tokens("text")).alias("n_toks"))
+    out = token_budget_sample(toks, "source", "n_toks", budget=600,
+                              key_col="doc_id")
+    return out.select("doc_id", "source", "n_toks", "stratum_tokens")
+
+
 def q_curation_report(spark, sf_dir):
     """The flagship composed pipeline: validation + quality + exact
     dedup canonical pick + decontamination vs the held-out split, one
@@ -1250,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "tfidf_top_terms": q_tfidf_top_terms,
         "boilerplate_scrub": q_boilerplate_scrub,
+        "snapshot_diff": q_snapshot_diff,
+        "token_budget_sample": q_token_budget_sample,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
         "validate_documents_violations": q_validate_documents_violations,
@@ -2327,6 +2365,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_removed
             FROM marked GROUP BY pid""",
+        # snapshot-delta replay: identical old/new construction, md5
+        # fingerprints, presence tracked by join side (not fp nullness),
+        # null-safe changed comparison = IS DISTINCT FROM
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id AS id, md5(CASE WHEN doc_id % 7 = 0
+                                            THEN reverse(text)
+                                            ELSE text END) AS old_fp,
+                     TRUE AS in_old
+              FROM documents WHERE doc_id % 10 <> 3),
+            new AS (
+              SELECT doc_id AS id, md5(text) AS new_fp, TRUE AS in_new
+              FROM documents WHERE doc_id % 10 <> 7),
+            j AS (
+              SELECT coalesce(old.id, new.id) AS doc_id,
+                     old_fp, new_fp, in_old, in_new
+              FROM old FULL OUTER JOIN new ON old.id = new.id)
+            SELECT doc_id,
+                   CASE WHEN in_old IS NULL THEN 'added'
+                        WHEN in_new IS NULL THEN 'removed'
+                        WHEN old_fp IS DISTINCT FROM new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   old_fp, new_fp
+            FROM j
+            WHERE NOT (in_old IS NOT NULL AND in_new IS NOT NULL
+                       AND old_fp IS NOT DISTINCT FROM new_fp)""",
+        # token-budget replay: same md5-prefix ordering, same running
+        # sum, same take-while cut (a doc is kept iff the budget was not
+        # exhausted before it)
+        "token_budget_sample": f"""
+            WITH toks AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKENS}) AS INT) AS n_toks,
+                     substr(md5('budget:' || CAST(doc_id AS VARCHAR)),
+                            1, 8) AS h
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n_toks,
+                     CAST(sum(n_toks) OVER (
+                            PARTITION BY source ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                         AS stratum_tokens
+              FROM toks)
+            SELECT doc_id, source, n_toks, stratum_tokens
+            FROM c WHERE stratum_tokens - n_toks < 600""",
         "contamination": """
             WITH tok AS (
               SELECT doc_id,

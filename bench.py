@@ -226,6 +226,12 @@ def run_benchmarks(only=None):
     # CCNet-style line-boilerplate scrub over pseudo-multi-line docs
     bench("boilerplate_scrub", lambda: E.q_boilerplate_scrub(
         spark, SF_DIR).count())
+    # crawl-to-crawl snapshot delta (16-byte fingerprints, one join)
+    bench("snapshot_diff", lambda: E.q_snapshot_diff(
+        spark, SF_DIR).count())
+    # per-source token-budget quota (partitioned running-sum cut)
+    bench("token_budget_sample", lambda: E.q_token_budget_sample(
+        spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite

@@ -1150,6 +1150,59 @@ def incremental_exact(new: DataFrame, corpus: DataFrame,
                             canonical.alias("canonical_id"))
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str,
+                  text_col: str,
+                  include_unchanged: bool = False) -> DataFrame:
+    """Crawl-to-crawl corpus delta: classify every document id across
+    two snapshots as ``added`` (only in the new snapshot), ``removed``
+    (only in the old), ``changed`` (present in both with different
+    content), or ``unchanged``. The audit primitive behind incremental
+    reprocessing: downstream stages (dedup, quality, indexing) re-run
+    over added+changed only, and removed ids are tombstoned.
+
+    Scale shape: each side collapses map-only to (id, md5 fingerprint)
+    — shuffle volume is 16 bytes per document regardless of text size —
+    then ONE full-outer equi-join on the id. Snapshots written bucketed
+    by the id (sources/bucketed.py) join with ZERO exchange; ids are
+    assumed unique per snapshot (it is the snapshot key). Presence is
+    tracked with literal flags, not fingerprint nullness, so documents
+    with NULL text still classify correctly (their fingerprints compare
+    null-safely). ``unchanged`` rows — the overwhelming majority at
+    crawl scale — are filtered out unless ``include_unchanged`` (the
+    filter is a row-local predicate over the join output, so the common
+    case never leaves the join stage).
+
+    Returns (id, status, old_fp, new_fp)."""
+    o = old.select(F.col(id_col).alias("id"),
+                   F.md5(F.col(text_col)).alias("old_fp"),
+                   F.lit(True).alias("__in_old__"))
+    n = new.select(F.col(id_col).alias("id"),
+                   F.md5(F.col(text_col)).alias("new_fp"),
+                   F.lit(True).alias("__in_new__"))
+    j = o.join(n, "id", "full_outer")
+    status = (F.when(F.col("__in_old__").isNull(), F.lit("added"))
+               .when(F.col("__in_new__").isNull(), F.lit("removed"))
+               .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")),
+                     F.lit("changed"))
+               .otherwise(F.lit("unchanged")))
+    out = j.select("id", status.alias("status"), "old_fp", "new_fp")
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
+
+
+def snapshot_diff_summary(old: DataFrame, new: DataFrame, id_col: str,
+                          text_col: str) -> DataFrame:
+    """(status, n_docs) counts over the full delta incl. unchanged —
+    the one-line crawl health report (a crawl where ``changed`` spikes
+    usually changed its extraction, not the web). One extra map-side-
+    combined aggregate over :func:`snapshot_diff`."""
+    return (snapshot_diff(old, new, id_col, text_col,
+                          include_unchanged=True)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 def incremental_near_duplicates(new: DataFrame, corpus: DataFrame,
                                 id_col: str, text_col: str,
                                 k: int = MINHASH_K,

@@ -146,6 +146,44 @@ def pack_sequences(df: DataFrame, key_col: str, token_col: str,
               .drop("__ord__"))
 
 
+def token_budget_sample(df: DataFrame, strata_col: str, token_col: str,
+                        budget: int, key_col: str,
+                        priority_col: str | None = None,
+                        salt: str = "budget") -> DataFrame:
+    """Fill a per-stratum TOKEN budget — how a pretraining mix is
+    actually specified ("200 B tokens of web, 50 B of code"), where
+    per-document sampling rates are only a proxy. Within each stratum,
+    documents are taken best-first (``priority_col`` descending, e.g. a
+    quality score; ties and the no-priority case fall back to the
+    deterministic hash, then the key) until the budget is exhausted: a
+    document is kept iff the running token total BEFORE it is under
+    ``budget`` (take-while, so each stratum lands in
+    [budget, budget + max single doc) unless it runs out of rows).
+    Fully deterministic and SQL-expressible — no rand(), identical
+    across runs, engines, and cluster sizes.
+
+    Scale shape: ONE shuffle (a window partitioned by the stratum,
+    running-sum frame — Spark accumulates it incrementally, and the
+    sort spills). Partition size is bounded by the largest stratum; for
+    a head-heavy stratum (half the corpus in "web") pre-gate with
+    :func:`deterministic_sample` at a fraction that leaves ~2-3x the
+    budget, then let the exact cut land here — the pre-gate is map-only
+    and removes the hot partition before the shuffle."""
+    from pyspark.sql.window import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget!r}")
+    h = _hash_prefix(F.col(key_col), salt)
+    order = ([F.col(priority_col).desc()] if priority_col else []) \
+        + [h.asc(), F.col(key_col).asc()]
+    w = (Window.partitionBy(strata_col).orderBy(*order)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum(F.col(token_col)).over(w)
+    return (df.withColumn("__cum__", cum)
+              .where(F.col("__cum__") - F.col(token_col) < budget)
+              .withColumnRenamed("__cum__", "stratum_tokens"))
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: Dict[str, float], key_col: str,
                       default_fraction: float = 0.0,

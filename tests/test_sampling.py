@@ -166,3 +166,43 @@ def test_sampling_plan_is_map_only(keyed):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_token_budget_take_while_semantics(spark):
+    from blaze_spark.operators.sampling import token_budget_sample
+    # one stratum, explicit priorities: docs of 40 tokens each, budget
+    # 100 -> the top-3 by priority are kept (cum 40/80/120: the third
+    # starts at 80 < 100), the fourth (starts at 120) is not
+    rows = [(i, "web", 40, float(10 - i)) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src string, toks int, quality double")
+    out = token_budget_sample(df, "src", "toks", budget=100,
+                              key_col="doc_id", priority_col="quality")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [0, 1, 2]  # best-first by quality desc
+    assert {r["stratum_tokens"] for r in out.collect()} == {40, 80, 120}
+
+
+def test_token_budget_per_stratum_and_determinism(spark):
+    from blaze_spark.operators.sampling import token_budget_sample
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("src"),
+        (F.col("id") % 7 + 1).cast("int").alias("toks"))
+    out = token_budget_sample(df, "src", "toks", budget=500, key_col="k")
+    per = {r["src"]: r["t"] for r in
+           out.groupBy("src").agg(F.sum("toks").alias("t")).collect()}
+    # take-while: total lands in [budget, budget + max doc)
+    assert all(500 <= t < 500 + 7 for t in per.values()), per
+    again = token_budget_sample(df.repartition(13), "src", "toks",
+                                budget=500, key_col="k")
+    assert {r["k"] for r in out.collect()} \
+        == {r["k"] for r in again.collect()}
+
+
+def test_token_budget_short_stratum_kept_whole(spark):
+    from blaze_spark.operators.sampling import token_budget_sample
+    df = spark.createDataFrame(
+        [(1, "rare", 10), (2, "rare", 10)], "k long, src string, toks int")
+    out = token_budget_sample(df, "src", "toks", budget=10_000, key_col="k")
+    assert out.count() == 2

@@ -1,0 +1,59 @@
+"""Crawl-to-crawl snapshot delta (dedup.snapshot_diff) — added /
+removed / changed / unchanged classification. Value parity against
+DuckDB lives in the driver oracle (`snapshot_diff`); these tests pin
+the semantics incl. NULL-text documents and the plan shape.
+"""
+
+from __future__ import annotations
+
+from blaze_spark.operators import dedup as DD
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_four_way_classification(spark):
+    old = _df(spark, [(1, "same"), (2, "old content"), (3, "gone")])
+    new = _df(spark, [(1, "same"), (2, "new content"), (4, "fresh")])
+    out = {r["id"]: r["status"]
+           for r in DD.snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # 1 filtered
+
+
+def test_include_unchanged(spark):
+    old = _df(spark, [(1, "same")])
+    new = _df(spark, [(1, "same")])
+    rows = DD.snapshot_diff(old, new, "doc_id", "text",
+                            include_unchanged=True).collect()
+    assert [(r["id"], r["status"]) for r in rows] == [(1, "unchanged")]
+    assert rows[0]["old_fp"] == rows[0]["new_fp"]
+
+
+def test_null_text_classifies_by_presence_not_fingerprint(spark):
+    old = _df(spark, [(1, None), (2, None), (3, "text")])
+    new = _df(spark, [(1, None), (2, "now present"), (3, None)])
+    out = {r["id"]: r["status"]
+           for r in DD.snapshot_diff(old, new, "doc_id", "text",
+                                     include_unchanged=True).collect()}
+    # NULL == NULL null-safely -> unchanged; NULL vs text -> changed
+    assert out == {1: "unchanged", 2: "changed", 3: "changed"}
+
+
+def test_summary_counts(spark):
+    old = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _df(spark, [(1, "a"), (2, "B"), (4, "d"), (5, "e")])
+    out = {r["status"]: r["n_docs"]
+           for r in DD.snapshot_diff_summary(old, new,
+                                             "doc_id", "text").collect()}
+    assert out == {"unchanged": 1, "changed": 1, "removed": 1, "added": 2}
+
+
+def test_plan_shape_one_join_no_window(spark):
+    old = _df(spark, [(1, "a")])
+    new = _df(spark, [(1, "a")])
+    plan = (DD.snapshot_diff(old, new, "doc_id", "text")
+              ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("Join FullOuter") == 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
