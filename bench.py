@@ -526,6 +526,7 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
     quadratic operator overshoots the bound by ~mult×, far outside the
     slack). Writes BENCH/SCALECHECK.md, prints one JSON line."""
     from blaze_spark.operators import dedup as DD
+    from blaze_spark.operators import lines as LN
     from blaze_spark.operators import textstats as TS
     from blaze_spark.operators import similarity as SIM
     from blaze_spark.session import get_session
@@ -596,6 +597,18 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                     docs.where(F.floor(F.col("doc_id") / m) % 2 == 0),
                     "text", n=3),
                 "doc_id", "text", n=3).count(),
+            # single-line corpus: each doc IS one line, so the full
+            # machinery (explode, frequency agg, fan-out-1 join,
+            # rebuild) runs with exact-dup frequencies — the linear
+            # path is what's under guard here
+            "boilerplate_scrub": lambda: LN.scrub_boilerplate_lines(
+                docs, "doc_id", "text", min_docs=2).count(),
+            # original-id split again: old/new snapshots share ~80% of
+            # ids, fingerprint join volume scales with rows
+            "snapshot_diff": lambda m=m: DD.snapshot_diff(
+                docs.where(F.floor(F.col("doc_id") / m) % 10 != 3),
+                docs.where(F.floor(F.col("doc_id") / m) % 10 != 7),
+                "doc_id", "text").count(),
             "seed_vocab": lambda: TS.seed_vocab(
                 docs, "text", min_len=1, max_len=6, top_k=500).count(),
             "bigram_lm": lambda: TS.bigram_lm_scores(

@@ -74,6 +74,34 @@ def boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
             .select("line", "n_docs"))
 
 
+def scrub_lines_with_keys(df: DataFrame, keys: DataFrame,
+                          text_col: str) -> DataFrame:
+    """The STREAMING-composable form: scrub lines against a
+    PRECOMPUTED boilerplate key table (column ``k``, e.g.
+    ``line_frequencies(corpus…).where(n_docs >= t).select("k")`` over
+    yesterday's corpus — exactly how a continuous-crawl pipeline runs
+    it, frequencies from the historical snapshot applied to today's
+    batches). Entirely map-only per row: the key set rides a ONE-ROW
+    broadcast relation (the F.lit-of-big-list trap — see
+    decontaminate_bloom) and each document filters its own split lines
+    against it with array_contains — no explode, no groupBy, no state,
+    so it composes unchanged onto ``readStream`` in append mode with no
+    watermark. Blank lines key to NULL and always survive.
+
+    Rewrites ``text_col`` in place and appends ``n_lines_removed``;
+    every other column passes through."""
+    keys1 = keys.agg(F.collect_set("k").alias("__boiler_keys__"))
+    arr = F.split(F.col(text_col), "\n")
+    kept = F.filter(arr, lambda l: ~F.coalesce(
+        F.array_contains("__boiler_keys__", _line_key(l)), F.lit(False)))
+    return (df.crossJoin(F.broadcast(keys1))
+              .withColumn("__kept__", kept)
+              .withColumn("n_lines_removed",
+                          F.size(arr) - F.size("__kept__"))
+              .withColumn(text_col, F.array_join("__kept__", "\n"))
+              .drop("__kept__", "__boiler_keys__"))
+
+
 def scrub_boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
                             min_docs: int = 10) -> DataFrame:
     """Rebuild every document without its boilerplate lines: a line is

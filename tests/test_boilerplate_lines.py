@@ -100,3 +100,49 @@ def test_plan_shape_aggregated_join_no_window(spark):
     # and the rebuild needs no window function
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_keyed_scrub_matches_batch_scrub(spark):
+    rows = [
+        (1, f"unique opening one\n{_BANNER}\nreal content alpha"),
+        (2, f"{_BANNER}\nreal content beta"),
+        (3, f"real content gamma\n{_BANNER}"),
+        (4, "a document with no banner at all\n\nwith a blank line"),
+    ]
+    df = _df(spark, rows)
+    from pyspark.sql import functions as F
+    keys = (L.line_frequencies(df, "doc_id", "text")
+             .where(F.col("n_docs") >= 3).select("k"))
+    out = {r["doc_id"]: r for r in
+           L.scrub_lines_with_keys(df, keys, "text").collect()}
+    batch = {r["id"]: r for r in L.scrub_boilerplate_lines(
+        df, "doc_id", "text", min_docs=3).collect()}
+    for i in (1, 2, 3, 4):
+        assert out[i]["text"] == batch[i]["text"]
+        assert out[i]["n_lines_removed"] == batch[i]["n_removed"]
+    # blank line survives, other columns pass through
+    assert out[4]["text"] == rows[3][1]
+
+
+def test_keyed_scrub_runs_on_a_stream(spark, tmp_path):
+    """Stateless map-only scrub composes unchanged onto readStream
+    (append mode, no watermark) against a static key table."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "lines_in")
+    rows = [(i, f"{_BANNER}\ncontent {i}") for i in range(1, 7)]
+    _df(spark, rows).coalesce(2).write.parquet(src)
+    static = spark.read.parquet(src)
+    keys = (L.line_frequencies(static, "doc_id", "text")
+             .where(F.col("n_docs") >= 3).select("k"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = L.scrub_lines_with_keys(stream, keys, "text")
+    q = (out.writeStream.format("memory").queryName("line_scrub_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in
+           spark.sql("select * from line_scrub_out").collect()}
+    assert len(got) == 6
+    assert all(got[i]["text"] == f"content {i}" for i in range(1, 7))
+    assert all(got[i]["n_lines_removed"] == 1 for i in range(1, 7))
