@@ -1088,6 +1088,39 @@ def q_snapshot_diff(spark, sf_dir):
                       "old_fp", "new_fp")
 
 
+def q_incremental_curation(spark, sf_dir):
+    """The incremental-processing composition — at 100 TB you never
+    reprocess the whole corpus: snapshot_diff gates the curation
+    pipeline so only added+changed documents re-enter curate_report
+    (same old/new construction as `snapshot_diff`, same gates as
+    `curation_report`). The oracle is the curation_report oracle with
+    its candidate CTE swapped for the replayed diff — both engines
+    curate exactly the delta."""
+    from blaze_spark.operators.curate import curate_report
+
+    docs = _docs(spark, sf_dir)
+    old = (docs.where(F.col("doc_id") % 10 != 3)
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.reverse(F.col("text")))
+                        .otherwise(F.col("text")).alias("text")))
+    new = docs.where(F.col("doc_id") % 10 != 7)
+    delta = (DD.snapshot_diff(old, new, "doc_id", "text")
+               .where(F.col("status").isin("added", "changed"))
+               .select(F.col("id").alias("doc_id")))
+    candidates = docs.where(F.col("doc_id") % 5 != 0).join(delta, "doc_id")
+    holdout = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    report = curate_report(candidates, "doc_id", "text", DOCUMENTS_SCHEMA,
+                           min_quality=0.5, holdout=holdout, ngram=3,
+                           contamination_threshold=0.5,
+                           max_dup_ngram_ratio=0.05)
+    return report.select(F.col("id").alias("doc_id"), "valid",
+                         F.round("quality_score", 2).alias("quality_score"),
+                         "quality_ok", "is_canonical", "contaminated",
+                         "repetition_ok", "kept")
+
+
 def q_token_budget_sample(spark, sf_dir):
     """Per-source token-budget quota (sampling.token_budget_sample):
     each source keeps hash-ordered documents until a 600-token budget
@@ -1288,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_scrub": q_boilerplate_scrub,
         "snapshot_diff": q_snapshot_diff,
         "token_budget_sample": q_token_budget_sample,
+        "incremental_curation": q_incremental_curation,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
         "validate_documents_violations": q_validate_documents_violations,
@@ -1796,7 +1830,7 @@ def _vocab_prune_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "validate_documents":
             f"SELECT doc_id, ({_DOC_VALID}) AS valid FROM documents",
         "validate_documents_violations": f"""
@@ -3480,3 +3514,29 @@ export interface Schema {
               ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
             WHERE {_COS('a.v', 'b.v')} >= 0.35""",
     }
+    # incremental curation: the curation_report oracle with its
+    # candidate CTE swapped for the replayed snapshot diff (added +
+    # changed docs only — all rows of the NEW snapshot, so one left
+    # join from new to old suffices); the surgery is asserted so a
+    # drifted v1 oracle fails loudly instead of silently diverging
+    v1_cand = ("WITH cand AS "
+               "(SELECT * FROM documents WHERE doc_id % 5 <> 0)")
+    delta_cand = """WITH o AS (
+              SELECT doc_id AS id, md5(CASE WHEN doc_id % 7 = 0
+                                            THEN reverse(text)
+                                            ELSE text END) AS old_fp
+              FROM documents WHERE doc_id % 10 <> 3),
+            n AS (
+              SELECT doc_id AS id, md5(text) AS new_fp
+              FROM documents WHERE doc_id % 10 <> 7),
+            delta AS (
+              SELECT n.id AS doc_id
+              FROM n LEFT JOIN o ON o.id = n.id
+              WHERE o.id IS NULL OR o.old_fp IS DISTINCT FROM n.new_fp),
+            cand AS (SELECT d.* FROM documents d
+                     JOIN delta USING (doc_id) WHERE d.doc_id % 5 <> 0)"""
+    assert v1_cand in d["curation_report"], \
+        "curation_report oracle changed shape; update incremental_curation"
+    d["incremental_curation"] = d["curation_report"].replace(
+        v1_cand, delta_cand)
+    return d

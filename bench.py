@@ -232,6 +232,10 @@ def run_benchmarks(only=None):
     # per-source token-budget quota (partitioned running-sum cut)
     bench("token_budget_sample", lambda: E.q_token_budget_sample(
         spark, SF_DIR).count())
+    # snapshot-diff-gated curation re-run (the incremental-processing
+    # composition: only added+changed docs re-enter the pipeline)
+    bench("incremental_curation", lambda: E.q_incremental_curation(
+        spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite

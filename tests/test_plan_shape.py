@@ -409,6 +409,8 @@ _CROSS_JOIN_ALLOWED = {
     "drift_psi_lang", "dedup_embedding_cosine", "ngram_jaccard",
     "ann_cosine_topk", "dedup_embedding_bucketed", "ann_ivf_topk",
     "curation_report", "contamination",
+    # diff-gated re-run of the same v1 pipeline (same bounded factors)
+    "incremental_curation",
     # v2 adds the unigram-LM broadcast single-row (N, V) stats factor
     "curation_report_v2",
     # v3 adds the bigram-LM broadcast single-row vocabulary factor
