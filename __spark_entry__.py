@@ -1088,6 +1088,20 @@ def q_snapshot_diff(spark, sf_dir):
                       "old_fp", "new_fp")
 
 
+def q_snapshot_diff_summary(spark, sf_dir):
+    """The one-line crawl health report: status counts over the full
+    delta incl. unchanged (dedup.snapshot_diff_summary) — same old/new
+    construction as `snapshot_diff`."""
+    docs = _docs(spark, sf_dir)
+    old = (docs.where(F.col("doc_id") % 10 != 3)
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.reverse(F.col("text")))
+                        .otherwise(F.col("text")).alias("text")))
+    new = docs.where(F.col("doc_id") % 10 != 7)
+    return DD.snapshot_diff_summary(old, new, "doc_id", "text")
+
+
 def q_incremental_curation(spark, sf_dir):
     """The incremental-processing composition — at 100 TB you never
     reprocess the whole corpus: snapshot_diff gates the curation
@@ -1322,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "token_budget_sample": q_token_budget_sample,
         "incremental_curation": q_incremental_curation,
+        "snapshot_diff_summary": q_snapshot_diff_summary,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
         "validate_documents_violations": q_validate_documents_violations,
@@ -2444,6 +2459,24 @@ def oracle_sql() -> dict[str, str]:
               FROM toks)
             SELECT doc_id, source, n_toks, stratum_tokens
             FROM c WHERE stratum_tokens - n_toks < 600""",
+        "snapshot_diff_summary": """
+            WITH old AS (
+              SELECT doc_id AS id, md5(CASE WHEN doc_id % 7 = 0
+                                            THEN reverse(text)
+                                            ELSE text END) AS old_fp,
+                     TRUE AS in_old
+              FROM documents WHERE doc_id % 10 <> 3),
+            new AS (
+              SELECT doc_id AS id, md5(text) AS new_fp, TRUE AS in_new
+              FROM documents WHERE doc_id % 10 <> 7),
+            j AS (
+              SELECT CASE WHEN in_old IS NULL THEN 'added'
+                          WHEN in_new IS NULL THEN 'removed'
+                          WHEN old_fp IS DISTINCT FROM new_fp
+                               THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM old FULL OUTER JOIN new ON old.id = new.id)
+            SELECT status, count(*) AS n_docs FROM j GROUP BY status""",
         "contamination": """
             WITH tok AS (
               SELECT doc_id,
