@@ -463,6 +463,40 @@ def q_dedup_embedding_bucketed(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (dedup.semantic_duplicates): IVF-bucket
+    by broadcast-argmax centroid, drop items whose cosine to a
+    smaller-id cluster-mate ≥ τ. One row per item; the keep decision
+    compares the UNROUNDED left-fold cosine, bit-identical in DuckDB
+    (list_dot_product parity)."""
+    items = _emb_items(spark, sf_dir)
+    cents = _emb_centroids(items)
+    out = DD.semantic_duplicates(items, "vec_id", cents, threshold=0.35)
+    return out.select(F.col("id").alias("vec_id"), "centroid_id",
+                      "max_prior_cosine", "keep")
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (curate.source_cap): keep the top 15
+    docs per source by (quality_score desc, id asc), picked in two
+    skew-safe salted window phases; the salt never changes the result,
+    so the oracle is the plain single-window form."""
+    from blaze_spark.operators.curate import source_cap
+
+    out = source_cap(_docs(spark, sf_dir), "doc_id", "text", "source",
+                     cap=15)
+    return out.select("id", "source",
+                      F.round("quality_score", 2).alias("quality_score"),
+                      "source_rank")
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram overlap matrix (dedup.source_overlap):
+    distinct (source, gram) collapse, collect-and-expand pair counts,
+    Jaccard + both containments per source pair."""
+    return DD.source_overlap(_docs(spark, sf_dir), "source", "text", n=3)
+
+
 def q_media_features(spark, sf_dir):
     # multimodal pipeline over the documents table: each doc becomes a
     # media row (SIMG image of its first 64 ASCII bytes; every 10th a
@@ -1337,6 +1371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "incremental_curation": q_incremental_curation,
         "snapshot_diff_summary": q_snapshot_diff_summary,
+        "semdedup": q_semdedup,
+        "source_cap": q_source_cap,
+        "source_overlap": q_source_overlap,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
         "validate_documents_violations": q_validate_documents_violations,
@@ -3546,6 +3583,51 @@ export interface Schema {
             FROM bucketed a JOIN bucketed b
               ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
             WHERE {_COS('a.v', 'b.v')} >= 0.35""",
+        "semdedup": f"""
+            {_EMB_BUCKETS_CTE},
+            prior AS (
+              SELECT a.vec_id, a.centroid_id,
+                     max({_COS('a.v', 'b.v')}) AS mp
+              FROM bucketed a LEFT JOIN bucketed b
+                ON b.centroid_id = a.centroid_id AND b.vec_id < a.vec_id
+              GROUP BY a.vec_id, a.centroid_id)
+            SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id,
+                   round(mp, 4) AS max_prior_cosine,
+                   (mp IS NULL OR mp < 0.35) AS keep
+            FROM prior""",
+        "source_overlap": f"""
+            WITH t AS (
+              SELECT source, {_TOKENS} AS toks FROM documents),
+            g AS (
+              SELECT DISTINCT source,
+                     array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 2],
+                                     ' ') AS gram
+              FROM (SELECT source, toks, len(toks) AS n FROM t
+                    WHERE len(toks) >= 3) tt,
+                   unnest(generate_series(1, n - 2)) AS u(i)),
+            gg AS (
+              SELECT source, gram FROM (
+                SELECT source, gram,
+                       count(*) OVER (PARTITION BY gram) AS ns
+                FROM g)
+              WHERE ns <= 64),
+            sz AS (SELECT source, count(*) AS set_size
+                   FROM gg GROUP BY source),
+            pairs AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     count(*) AS intersection
+              FROM gg a JOIN gg b
+                ON a.gram = b.gram AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b, intersection,
+                   round(intersection
+                         / (sa.set_size + sb.set_size - intersection), 6)
+                     AS jaccard,
+                   round(intersection / sa.set_size, 6) AS containment_a,
+                   round(intersection / sb.set_size, 6) AS containment_b
+            FROM pairs
+            JOIN sz sa ON sa.source = pairs.src_a
+            JOIN sz sb ON sb.source = pairs.src_b""",
     }
     # incremental curation: the curation_report oracle with its
     # candidate CTE swapped for the replayed snapshot diff (added +
@@ -3572,4 +3654,19 @@ export interface Schema {
         "curation_report oracle changed shape; update incremental_curation"
     d["incremental_curation"] = d["curation_report"].replace(
         v1_cand, delta_cand)
+    # source_cap: the quality_score oracle wrapped in the plain
+    # single-window per-source top-N pick (the salted two-phase form is
+    # result-identical by construction — tested salt-invariant). The
+    # rounded score orders identically to Spark's unrounded one because
+    # scores are exact quarter steps (round is the identity on them).
+    d["source_cap"] = f"""
+            WITH q AS ({d['quality_score']}),
+            r AS (
+              SELECT d.doc_id AS id, d.source, q.quality_score,
+                     row_number() OVER (PARTITION BY d.source
+                        ORDER BY q.quality_score DESC, d.doc_id) AS rnk
+              FROM documents d JOIN q USING (doc_id))
+            SELECT id, source, quality_score,
+                   CAST(rnk AS INT) AS source_rank
+            FROM r WHERE rnk <= 15"""
     return d

@@ -236,6 +236,13 @@ def run_benchmarks(only=None):
     # composition: only added+changed docs re-enter the pipeline)
     bench("incremental_curation", lambda: E.q_incremental_curation(
         spark, SF_DIR).count())
+    # SemDeDup: bucket-local greedy semantic dedup over embeddings
+    bench("semdedup", lambda: E.q_semdedup(spark, SF_DIR).count())
+    # per-source cap: two-phase salted top-N pick (skew-safe)
+    bench("source_cap", lambda: E.q_source_cap(spark, SF_DIR).count())
+    # cross-source n-gram overlap matrix (corpus-mix audit)
+    bench("source_overlap", lambda: E.q_source_overlap(
+        spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite
@@ -529,6 +536,7 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
     covers fixed planner/JIT overhead dominating the small run; a
     quadratic operator overshoots the bound by ~mult×, far outside the
     slack). Writes BENCH/SCALECHECK.md, prints one JSON line."""
+    from blaze_spark.operators import curate as CU
     from blaze_spark.operators import dedup as DD
     from blaze_spark.operators import lines as LN
     from blaze_spark.operators import textstats as TS
@@ -623,6 +631,24 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                 emb, "vec_id", dim=64, threshold=0.95).count(),
             "ann_ivf_topk": lambda: SIM.ivf_topk(
                 emb, queries, centroids, k=10, nprobe=2).count(),
+            # SemDeDup: same Σ bucket² contract as embedding_bucketed
+            # (centroids ∝ rows keeps per-bucket work constant)
+            "semdedup": lambda: DD.semantic_duplicates(
+                emb, "vec_id", centroids, threshold=0.95).count(),
+            # synthesized 20-source grouping (hash of the original id):
+            # per-source rows grow with the corpus, source count doesn't
+            "source_overlap": lambda: DD.source_overlap(
+                docs.withColumn("source",
+                                F.concat(F.lit("src"),
+                                         F.pmod(F.col("doc_id"), F.lit(20))
+                                          .cast("string"))),
+                "source", "text", n=3).count(),
+            "source_cap": lambda: CU.source_cap(
+                docs.withColumn("source",
+                                F.concat(F.lit("src"),
+                                         F.pmod(F.col("doc_id"), F.lit(20))
+                                          .cast("string"))),
+                "doc_id", "text", "source", cap=50).count(),
         }
         for name, fn in ops.items():
             best = None

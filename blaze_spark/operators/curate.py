@@ -219,6 +219,52 @@ def dedup_keep_best(docs: DataFrame, id_col: str, text_col: str,
                           "quality_score", "keep"))
 
 
+def source_cap(docs: DataFrame, id_col: str, text_col: str,
+               source_col: str, cap: int, salts: int = 16) -> DataFrame:
+    """Per-source document cap (the RefinedWeb / Dolma "domain cap"):
+    keep at most ``cap`` documents per source, best-first by
+    :func:`quality_score` with ascending-id tie-break — the standard
+    guard against one domain (or one giant mirrored repo) dominating
+    the training mix. Returns ONLY the kept rows:
+    ``(id, source, quality_score, source_rank)`` with source_rank =
+    1..cap in (quality desc, id asc) order.
+
+    Scale shape — the skew case is the whole point: a head source can
+    hold half the corpus, and a single row_number window partitioned by
+    source would sort that partition in one task. So the pick runs in
+    TWO phases: (1) a window over (source, salt) — salt =
+    pmod(xxhash64(id), ``salts``) — keeps each salted slice's top
+    ``cap``; any global top-``cap`` member is within its own slice's
+    top ``cap``, so phase 1 is a pure superset prune (≤ cap·salts rows
+    per source survive, the rest never reach the hot partition); (2)
+    the exact window over the survivors, bounded at cap·salts rows per
+    source regardless of corpus size. Both windows spill-safe and
+    deterministic; the salt never affects the RESULT, only the
+    partition sizes, so the DuckDB oracle is the plain single-window
+    form."""
+    from pyspark.sql import Window
+
+    if cap <= 0:
+        raise ValueError(f"cap must be > 0, got {cap!r}")
+    scored = (docs.select(F.col(id_col).alias("id"),
+                          F.col(source_col).alias("source"))
+                  .join(quality_score(docs, id_col, text_col)
+                        .withColumnRenamed(id_col, "id"), "id"))
+    salt = F.pmod(F.xxhash64(F.col("id").cast("string")),
+                  F.lit(int(salts)))
+    w1 = (Window.partitionBy("source", "__salt__")
+                .orderBy(F.desc("quality_score"), F.asc("id")))
+    pre = (scored.withColumn("__salt__", salt)
+                 .withColumn("__rn__", F.row_number().over(w1))
+                 .where(F.col("__rn__") <= int(cap))
+                 .drop("__salt__", "__rn__"))
+    w2 = (Window.partitionBy("source")
+                .orderBy(F.desc("quality_score"), F.asc("id")))
+    return (pre.withColumn("source_rank", F.row_number().over(w2))
+               .where(F.col("source_rank") <= int(cap))
+               .select("id", "source", "quality_score", "source_rank"))
+
+
 def top_quality_fraction(docs: DataFrame, id_col: str, text_col: str,
                          fraction: float) -> DataFrame:
     """Percentile-thresholded quality gate: keep (approximately) the

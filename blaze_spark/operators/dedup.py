@@ -354,6 +354,62 @@ def embedding_near_duplicates_bucketed(df: DataFrame, id_col: str,
              .where(F.col("cosine") >= threshold))
 
 
+def semantic_duplicates(df: DataFrame, id_col: str,
+                        centroids: List[List[float]],
+                        vec_col: str = "embedding",
+                        threshold: float = 0.9) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus by embedding (IVF argmax over
+    broadcast ``centroids``), compare each item only to the OTHER items
+    in its cluster, and drop every item whose cosine to some
+    lower-ranked cluster-mate exceeds ``threshold``. The paper ranks by
+    distance-to-centroid; here rank = ascending id — equally
+    deterministic, engine-replayable, and independent of float-ties in
+    the centroid distance. One row per input item:
+    ``(id, centroid_id, max_prior_cosine, keep)`` where
+    ``max_prior_cosine`` is the max cosine to any SMALLER-id item in
+    the same cluster (null when the item is its cluster's first) and
+    ``keep = max_prior_cosine is null or < threshold`` — so the kept
+    set is exactly the greedy earliest-wins representative set.
+
+    Scale shape: :func:`~blaze_spark.operators.similarity.
+    assign_centroid` is a broadcast map-only argmax; the pair work is a
+    bucket-local equi-join on ``centroid_id`` (Σ bucket² like
+    :func:`embedding_near_duplicates_bucketed`, with centroid count ∝
+    rows as the documented contract); the per-item max is one
+    aggregation riding the join's centroid partitioning. A LEFT join
+    keeps first-of-cluster items without a join-back to the corpus.
+    The decision compares the UNROUNDED left-fold cosine (bit-identical
+    to DuckDB's list_dot_product — see CLAUDE.md), so keep flags are
+    engine-exact; only the reported cosine is rounded."""
+    from blaze_spark.operators.similarity import (_dot, _norm,
+                                                  assign_centroid)
+
+    bucketed = assign_centroid(df, centroids, vec_col) \
+        .withColumn("__norm__", _norm(F.col(vec_col)))
+    a = bucketed.select(F.col("centroid_id"),
+                        F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("vec_a"),
+                        F.col("__norm__").alias("norm_a"))
+    b = bucketed.select(F.col("centroid_id").alias("cid_b"),
+                        F.col(id_col).alias("prior_id"),
+                        F.col(vec_col).alias("vec_b"),
+                        F.col("__norm__").alias("norm_b"))
+    joined = a.join(b, (a["centroid_id"] == b["cid_b"])
+                    & (b["prior_id"] < a["id"]), "left")
+    cos = F.when(F.col("prior_id").isNotNull(),
+                 _dot(F.col("vec_a"), F.col("vec_b"))
+                 / (F.col("norm_a") * F.col("norm_b")))
+    per_item = (joined.select("id", "centroid_id", cos.alias("__cos__"))
+                      .groupBy("id", "centroid_id")
+                      .agg(F.max("__cos__").alias("__max_prior__")))
+    return per_item.select(
+        "id", "centroid_id",
+        F.round("__max_prior__", 4).alias("max_prior_cosine"),
+        (F.col("__max_prior__").isNull()
+         | (F.col("__max_prior__") < F.lit(float(threshold)))).alias("keep"))
+
+
 def hyperplane_coeffs(n_bits: int, dim: int) -> List[List[float]]:
     """Deterministic ±1.0 random-hyperplane matrix: coefficient (i, j)
     is the parity of the first hex nibble of md5(f"{i}:{j}") — the same
@@ -609,6 +665,64 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
                                 / F.col("size_inner"))
                     .where(F.col("containment") >= threshold)
                     .select("id_inner", "id_outer", "containment"))
+
+
+def source_overlap(df: DataFrame, source_col: str, text_col: str,
+                   n: int = 3, max_sources: int = 64) -> DataFrame:
+    """Cross-source content-overlap audit: for every pair of sources
+    (corpora, crawl snapshots, domain groups) the distinct word
+    ``n``-gram intersection, Jaccard, and BOTH directed containments —
+    the "how much of source B is already in source A" matrix a
+    pretraining mix is weighed with before double-counting a corpus
+    that's mostly a re-crawl of another.
+
+    Returns one row per unordered source pair that shares at least one
+    gram: ``(src_a, src_b, intersection, jaccard, containment_a,
+    containment_b)`` with src_a < src_b lexicographically,
+    ``containment_a`` = shared / |grams(src_a)|.
+
+    Scale shape: the corpus collapses to DISTINCT (source, gram) rows
+    first (one map-side-combined shuffle — a gram in a billion docs of
+    one source is ONE row), then pairs come from collect-and-expand per
+    gram (:func:`_copair_counts` — no gram self-join). The per-gram
+    source set is bounded by the SOURCE cardinality, not the corpus:
+    this operator is for corpus-level groupings (dozens to hundreds).
+    ``max_sources`` is the safety rail — grams present in more than
+    that many sources are dropped before expansion (they are universal
+    boilerplate carrying no pairwise signal; at the default 64 the
+    worst per-gram expansion is 64²/2 structs). The same cut is
+    replayed in the SQL oracle, so counts stay engine-exact."""
+    from pyspark.sql import Window
+
+    grams = (_ensure_parallelism(df)
+             .select(F.col(source_col).alias("source"),
+                     F.explode(_word_ngrams(text_col, n)).alias("gram"))
+             .distinct())
+    src_window = Window.partitionBy("gram")
+    grams = (grams.withColumn("__nsrc__",
+                              F.count(F.lit(1)).over(src_window))
+                  .where(F.col("__nsrc__") <= int(max_sources))
+                  .select("source", "gram"))
+    sizes = grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("set_size"))
+    inter = (_copair_counts(grams, "gram", "source")
+             .withColumnRenamed("id_a", "src_a")
+             .withColumnRenamed("id_b", "src_b"))
+    sa = sizes.select(F.col("source").alias("src_a"),
+                      F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("source").alias("src_b"),
+                      F.col("set_size").alias("size_b"))
+    return (inter.join(F.broadcast(sa), "src_a")
+                 .join(F.broadcast(sb), "src_b")
+                 .select("src_a", "src_b", "intersection",
+                         F.round(F.col("intersection")
+                                 / (F.col("size_a") + F.col("size_b")
+                                    - F.col("intersection")), 6)
+                          .alias("jaccard"),
+                         F.round(F.col("intersection") / F.col("size_a"),
+                                 6).alias("containment_a"),
+                         F.round(F.col("intersection") / F.col("size_b"),
+                                 6).alias("containment_b")))
 
 
 def ngram_contamination(train: DataFrame, test: DataFrame,

@@ -1,0 +1,222 @@
+"""Round-5b operators: SemDeDup semantic dedup, per-source caps, and
+the cross-source overlap matrix — each pinned against an in-test brute
+force plus its scale property (plan shape / salt invariance / guard).
+
+Engine-vs-DuckDB value parity lives in the driver oracle
+(tools/oracle_check.py: semdedup, source_cap, source_overlap); these
+tests pin semantics and scale shapes.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from blaze_spark.operators import curate as CU
+from blaze_spark.operators import dedup as DD
+from blaze_spark.operators import textstats as TS
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _items(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+
+
+def _centroids(items, n=4):
+    rows = items.where(F.col("vec_id") < n).orderBy("vec_id").collect()
+    return [list(r["embedding"]) for r in rows]
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+# ---------------------------------------------------------------------------
+# semantic_duplicates (SemDeDup)
+
+def test_semdedup_matches_brute_force(spark):
+    items = _items(spark)
+    cents = _centroids(items)
+    thr = 0.35
+    got = {r["id"]: r for r in DD.semantic_duplicates(
+        items, "vec_id", cents, threshold=thr).collect()}
+
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in items.collect()}
+    # brute force: earliest-centroid argmax, max cosine to smaller ids
+    assign = {}
+    for vid, v in vecs.items():
+        scores = [_cos(v, c) for c in cents]
+        assign[vid] = max(range(len(cents)),
+                          key=lambda i: (scores[i], -i))
+    assert len(got) == len(vecs)
+    for vid, v in vecs.items():
+        r = got[vid]
+        assert r["centroid_id"] == assign[vid], vid
+        priors = [_cos(v, vecs[o]) for o in vecs
+                  if o < vid and assign[o] == assign[vid]]
+        if not priors:
+            assert r["max_prior_cosine"] is None and r["keep"]
+        else:
+            assert r["max_prior_cosine"] == pytest.approx(
+                round(max(priors), 4), abs=1e-9)
+            assert r["keep"] == (max(priors) < thr)
+
+
+def test_semdedup_threshold_extremes(spark):
+    """τ > 1 keeps everything; τ = -1 keeps exactly the first item of
+    each non-empty cluster (the greedy earliest-wins representative)."""
+    items = _items(spark).where(F.col("vec_id") < 100)
+    cents = _centroids(items)
+    all_kept = DD.semantic_duplicates(items, "vec_id", cents,
+                                      threshold=1.01)
+    assert all_kept.where(~F.col("keep")).count() == 0
+    reps = (DD.semantic_duplicates(items, "vec_id", cents, threshold=-1.0)
+            .where("keep").groupBy("centroid_id").count().collect())
+    assert all(r["count"] == 1 for r in reps)
+    # and the keeper is the min id of its cluster
+    firsts = (DD.semantic_duplicates(items, "vec_id", cents, threshold=-1.0)
+              .groupBy("centroid_id")
+              .agg(F.min("id").alias("first"),
+                   F.min(F.when(F.col("keep"), F.col("id"))).alias("kept"))
+              .collect())
+    assert all(r["first"] == r["kept"] for r in firsts)
+
+
+def test_semdedup_plan_is_bucket_local_equi_join(spark):
+    """The pair work must be an equi hash join on centroid_id — never a
+    nested-loop/cartesian over the corpus."""
+    import contextlib
+    import io
+
+    items = _items(spark)
+    out = DD.semantic_duplicates(items, "vec_id", _centroids(items))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    txt = buf.getvalue()
+    assert "NestedLoop" not in txt and "CartesianProduct" not in txt
+    assert "HashJoin" in txt
+
+
+# ---------------------------------------------------------------------------
+# source_cap
+
+def _brute_cap(spark, docs, cap):
+    scores = {r["doc_id"]: r["quality_score"]
+              for r in TS.quality_score(docs, "doc_id", "text").collect()}
+    rows = [(r["doc_id"], r["source"]) for r in docs.collect()]
+    by_src = {}
+    for did, src in rows:
+        by_src.setdefault(src, []).append(did)
+    want = {}
+    for src, ids in by_src.items():
+        ranked = sorted(ids, key=lambda d: (-scores[d], d))[:cap]
+        for rank, did in enumerate(ranked, 1):
+            want[did] = (src, scores[did], rank)
+    return want
+
+
+def test_source_cap_matches_brute_force(spark):
+    docs = _docs(spark)
+    cap = 5
+    got = {r["id"]: (r["source"], r["quality_score"], r["source_rank"])
+           for r in CU.source_cap(docs, "doc_id", "text", "source",
+                                  cap).collect()}
+    assert got == _brute_cap(spark, docs, cap)
+
+
+def test_source_cap_salt_invariance_and_full_cap(spark):
+    """The salt count never changes the RESULT (phase 1 is a superset
+    prune), and a cap above every group size keeps the whole corpus."""
+    docs = _docs(spark)
+    one = {(r["id"], r["source_rank"])
+           for r in CU.source_cap(docs, "doc_id", "text", "source", 7,
+                                  salts=1).collect()}
+    many = {(r["id"], r["source_rank"])
+            for r in CU.source_cap(docs, "doc_id", "text", "source", 7,
+                                   salts=64).collect()}
+    assert one == many
+    n = docs.count()
+    assert CU.source_cap(docs, "doc_id", "text", "source",
+                         cap=n + 1).count() == n
+
+
+def test_source_cap_windows_are_partitioned(spark):
+    txt = (CU.source_cap(_docs(spark), "doc_id", "text", "source", 5)
+           ._jdf.queryExecution().optimizedPlan().toString())
+    bad = re.findall(r"windowspecdefinition\([^,)]*\s(?:ASC|DESC)", txt)
+    assert "windowspecdefinition" in txt
+    assert not bad, bad
+
+
+def test_source_cap_rejects_bad_cap(spark):
+    with pytest.raises(ValueError):
+        CU.source_cap(_docs(spark), "doc_id", "text", "source", 0)
+
+
+# ---------------------------------------------------------------------------
+# source_overlap
+
+def _py_tokens(text):
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def _py_grams(text, n):
+    toks = _py_tokens(text)
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_source_overlap_matches_brute_force(spark):
+    docs = _docs(spark)
+    n = 3
+    got = {(r["src_a"], r["src_b"]):
+           (r["intersection"], r["jaccard"],
+            r["containment_a"], r["containment_b"])
+           for r in DD.source_overlap(docs, "source", "text", n=n).collect()}
+
+    by_src = {}
+    for r in docs.select("source", "text").collect():
+        by_src.setdefault(r["source"], set()).update(
+            _py_grams(r["text"], n))
+    srcs = sorted(by_src)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(by_src[a] & by_src[b])
+            if inter == 0:
+                continue
+            union = len(by_src[a] | by_src[b])
+            want[(a, b)] = (inter, round(inter / union, 6),
+                            round(inter / len(by_src[a]), 6),
+                            round(inter / len(by_src[b]), 6))
+    assert set(got) == set(want)
+    for k, (inter, jac, ca, cb) in want.items():
+        gi, gj, gca, gcb = got[k]
+        assert gi == inter, k
+        assert gj == pytest.approx(jac, abs=1e-9)
+        assert gca == pytest.approx(ca, abs=1e-9)
+        assert gcb == pytest.approx(cb, abs=1e-9)
+
+
+def test_source_overlap_max_sources_guard(spark):
+    """max_sources=1 drops every shared gram before pair expansion —
+    the output must be empty (a shared gram is by definition in ≥2
+    sources)."""
+    assert DD.source_overlap(_docs(spark), "source", "text",
+                             max_sources=1).count() == 0
