@@ -1,0 +1,308 @@
+"""Code-corpus scanning operators: secrets, licenses, line-shape
+stats, generated/minified detection, import graphs, bounded PageRank,
+and duplicated function blocks.
+
+These are the code-payload siblings of the text pipeline
+(textstats.py / lines.py): the checks a training-data pipeline runs
+over a source-code corpus before anything is trained on it — leaked
+credentials out, license provenance recorded, generated/minified noise
+flagged, vendored copy-paste found at function granularity, and the
+import graph summarized for corpus-level dependency weighting. The
+reference engine has no corpus surface; this tier extends SURVEY §2.9
+("beyond the reference" pipeline operators) for the `code` payload of
+the input_hint table (repo, path, commit, lang, content).
+
+Scale shape (the 100 TB path):
+
+* every scanner is MAP-ONLY — one pass of JVM regex/codegen
+  expressions per row; no Python, no shuffle, no fan-out beyond the
+  per-row match list, so they compose onto streams unchanged;
+* the rollups (license distribution, import popularity, duplicate
+  blocks) are single map-side-combined groupBys on small keys —
+  shuffle volume is |matches|, never |content bytes|: blocks travel as
+  16-byte md5 hashes (the lines.py trick);
+* PageRank is the one iterative operator: each round is one fan-out-1
+  join of ranks against the out-degree table plus one map-side-combined
+  aggregation over edges, with BOUNDED rounds (default 3) and
+  integer micro-rank arithmetic so results are exactly reproducible in
+  any engine (no float-sum shuffle-order drift — the
+  textstats.unigram_lm_scores discipline).
+
+Every regex stays inside the Java ∩ RE2 subset (no lookaround, no
+backreferences), so the same pattern string runs on Spark executors,
+DuckDB oracles, and streaming-ingest screens.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# secrets
+# ---------------------------------------------------------------------------
+
+# (name, pattern) — ordered, engine-portable (Java ∩ RE2 ∩ DuckDB).
+DEFAULT_SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("aws_access_key", r"AKIA[0-9A-Z]{16}"),
+    ("github_token", r"ghp_[0-9A-Za-z]{36}"),
+    ("slack_token", r"xox[abp]-[0-9A-Za-z\-]{10,48}"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("generic_secret",
+     r"(?i)(?:api|secret)_?key\s*[:=]\s*['\"][0-9A-Za-z]{16,64}['\"]"),
+    ("bearer_token", r"Bearer [0-9A-Za-z\-._~+/]{20,}"),
+)
+
+
+def scan_secrets(df: DataFrame, id_col: str, content_col: str,
+                 patterns: Optional[Sequence[tuple[str, str]]] = None,
+                 ) -> DataFrame:
+    """(id, secret_type, n_matches) for every document × pattern with
+    at least one non-overlapping match. Map-only: one codegen
+    projection evaluates every pattern, the per-row struct array
+    explodes to |hits| rows (bounded by |patterns|), and nothing
+    shuffles — the scan composes onto streams unchanged."""
+    pats = tuple(patterns) if patterns is not None else DEFAULT_SECRET_PATTERNS
+    c = F.col(content_col)
+    hits = F.array(*[
+        F.struct(F.lit(name).alias("secret_type"),
+                 F.regexp_count(c, F.lit(rx)).alias("n_matches"))
+        for name, rx in pats])
+    return (df.select(F.col(id_col).alias("id"), F.explode(hits).alias("m"))
+              .select("id", "m.secret_type", "m.n_matches")
+              .where(F.col("n_matches") > 0))
+
+
+# ---------------------------------------------------------------------------
+# licenses
+# ---------------------------------------------------------------------------
+
+_SPDX_RX = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+\-]+)"
+
+# first-match-wins phrase rules (checked AFTER the SPDX tag)
+LICENSE_PHRASES: tuple[tuple[str, str], ...] = (
+    ("Apache-2.0", r"Apache License,? Version 2\.0"),
+    ("MIT", r"Permission is hereby granted, free of charge"),
+    ("GPL-3.0-or-later", r"GNU General Public License"),
+    ("BSD-3-Clause", r"Redistributions of source code must retain"),
+    ("MPL-2.0", r"Mozilla Public License,? v\.? ?2\.0"),
+)
+
+
+def license_expr(content: Column) -> Column:
+    """SPDX-style license verdict for one content column: an explicit
+    ``SPDX-License-Identifier`` tag wins; otherwise the first matching
+    canonical phrase; otherwise ``NOASSERTION`` (the SPDX unknown
+    marker). Pure expression — reusable in any projection."""
+    spdx = F.regexp_extract(content, _SPDX_RX, 1)
+    out = F.when(spdx != "", spdx)
+    for lic, rx in LICENSE_PHRASES:
+        out = out.when(content.rlike(rx), F.lit(lic))
+    return out.otherwise(F.lit("NOASSERTION"))
+
+
+def detect_licenses(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """(id, license) per document. Map-only."""
+    return df.select(F.col(id_col).alias("id"),
+                     license_expr(F.col(content_col)).alias("license"))
+
+
+def license_distribution(df: DataFrame, group_col: str, content_col: str,
+                         ) -> DataFrame:
+    """(group, license, n_files): corpus license provenance rollup —
+    one map-side-combined groupBy on a tiny key space."""
+    return (df.select(F.col(group_col).alias("group"),
+                      license_expr(F.col(content_col)).alias("license"))
+              .groupBy("group", "license")
+              .agg(F.count(F.lit(1)).alias("n_files")))
+
+
+# ---------------------------------------------------------------------------
+# line-shape stats + generated/minified detection
+# ---------------------------------------------------------------------------
+
+_COMMENT_RX = r"^(#|//|/\*|\*|--|;)"
+_GENERATED_RX = r"(?i)(@generated|do not edit|auto-?generated|generated by)"
+
+# minified = the line shape of bundler output: very long average lines
+# or a single enormous line. Thresholds are the classic corpus-filter
+# defaults (e.g. ~CodeParrot's 100-char mean / 1000-char max family),
+# exposed as parameters.
+MINIFIED_AVG_LINE_LEN = 160.0
+MINIFIED_MAX_LINE_LEN = 1000
+
+
+def code_line_stats(df: DataFrame, id_col: str, content_col: str,
+                    avg_threshold: float = MINIFIED_AVG_LINE_LEN,
+                    max_threshold: int = MINIFIED_MAX_LINE_LEN) -> DataFrame:
+    """Per-document line-shape profile:
+
+    (id, n_lines, blank_lines, comment_lines, max_line_len,
+     avg_line_len, generated, minified)
+
+    ``avg_line_len`` divides two exact integers once (total line chars
+    = char_length(content) - (n_lines - 1)), so the rounded double is
+    engine-reproducible. ``comment_lines`` counts lines whose trimmed
+    prefix is a common comment marker (#, //, /*, *, --, ;) — a
+    lang-agnostic superset, deliberate: at corpus scale the lang column
+    is exactly the untrusted field the validator flags. Map-only."""
+    c = F.col(content_col)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    sum_len = (F.char_length(c) - n_lines + F.lit(1)).cast("long")
+    blank = F.size(F.filter(lines, lambda l: F.trim(l) == ""))
+    comment = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(_COMMENT_RX)))
+    max_len = F.array_max(F.transform(lines, lambda l: F.char_length(l)))
+    avg_len = F.round(sum_len / n_lines, 4)
+    generated = c.rlike(_GENERATED_RX)
+    minified = (avg_len >= F.lit(avg_threshold)) | \
+               (max_len >= F.lit(max_threshold))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_lines.alias("n_lines"),
+        blank.alias("blank_lines"),
+        comment.alias("comment_lines"),
+        max_len.alias("max_line_len"),
+        avg_len.alias("avg_line_len"),
+        generated.alias("generated"),
+        minified.alias("minified"))
+
+
+# ---------------------------------------------------------------------------
+# import graph
+# ---------------------------------------------------------------------------
+
+# one portable line-anchored pattern covering the import spellings of
+# the corpus langs (python/go/js-ts `import`, python `from`, node
+# `require`, rust `use`, c/c++ `include` after the preprocessor hash is
+# trimmed is NOT matched — by design: `#include <x>` lines read as
+# comments above, and C headers are paths, not modules).
+IMPORT_RX = r"(?m)^[ \t]*(?:import|from|require|use)[ \t]+([A-Za-z_][A-Za-z0-9_./]*)"
+
+
+def extract_imports(df: DataFrame, id_col: str, content_col: str,
+                    pattern: str = IMPORT_RX) -> DataFrame:
+    """(id, module) edge list: every line-anchored import statement in
+    every document, in document order with duplicates kept (one row per
+    textual reference). Map-only fan-out bounded by lines-per-doc."""
+    mods = F.regexp_extract_all(F.col(content_col), F.lit(pattern), F.lit(1))
+    return (df.select(F.col(id_col).alias("id"), F.explode(mods).alias("module")))
+
+
+def import_popularity(edges: DataFrame) -> DataFrame:
+    """(module, n_docs, n_refs): corpus-level dependency popularity —
+    the weighting table a pipeline uses to stratify code by ecosystem.
+    One map-side-combined groupBy; the distinct-doc count collapses
+    (module, id) pairs first."""
+    return (edges.groupBy("module")
+                 .agg(F.count_distinct("id").alias("n_docs"),
+                      F.count(F.lit(1)).alias("n_refs")))
+
+
+# ---------------------------------------------------------------------------
+# bounded-iteration PageRank (integer micro-ranks, engine-exact)
+# ---------------------------------------------------------------------------
+
+def pagerank(edges: DataFrame, src_col: str, dst_col: str,
+             iterations: int = 3, damping: float = 0.85) -> DataFrame:
+    """PageRank over a directed edge list with a BOUNDED round count
+    and exact integer arithmetic: ranks are bigint micro-ranks (1e6 =
+    mass 1.0), every per-edge contribution is ``floor(damping * r /
+    out_degree)`` — one double multiply/divide on exact integers, then
+    an unambiguous floor — and per-round sums are integer sums, so the
+    result is bit-reproducible in any engine and any shuffle order
+    (the textstats integer-microunit discipline). Dangling nodes (no
+    out-edges) absorb mass without redistributing it — the standard
+    simplification when ranks are used as relative corpus weights, not
+    probabilities.
+
+    Scale shape: out-degrees are one groupBy; each round is one
+    fan-out-1 join of the rank table against edges (both keyed by
+    node — a co-partitioned shuffle reused across rounds) plus one
+    map-side-combined sum over edges. Rounds are bounded (default 3:
+    the corpus-weighting regime, not convergence), so the lineage stays
+    shallow enough to skip checkpointing.
+
+    Returns (node, rank) with rank = micro-rank / 1e6 rounded to 6
+    decimals."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+              .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+              .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+              .union(e.select(F.col("dst").alias("node")))
+              .distinct())
+    # corpus size as a broadcast one-row relation (never a driver count)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    deg = e.groupBy(F.col("src").alias("node")) \
+           .agg(F.count(F.lit(1)).alias("deg"))
+    base = F.floor(F.lit((1.0 - damping) * 1_000_000.0) / F.col("n")) \
+            .cast("long")
+    init = F.floor(F.lit(1_000_000.0) / F.col("n")).cast("long")
+    ranks = (nodes.crossJoin(F.broadcast(n_df))
+                  .select("node", "n", init.alias("r")))
+    for _ in range(iterations):
+        contrib = (ranks.join(deg, "node")
+                        .join(e, F.col("node") == F.col("src"))
+                        .select(F.col("dst").alias("node"),
+                                F.floor(F.lit(damping) * F.col("r") /
+                                        F.col("deg")).cast("long")
+                                 .alias("c")))
+        incoming = contrib.groupBy("node").agg(F.sum("c").alias("inc"))
+        ranks = (ranks.join(incoming, "node", "left")
+                      .select("node", "n",
+                              (base + F.coalesce(F.col("inc"), F.lit(0)))
+                              .alias("r")))
+    return ranks.select("node", F.round(F.col("r") / 1_000_000.0, 6)
+                                  .alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# duplicated function blocks
+# ---------------------------------------------------------------------------
+
+def function_blocks(df: DataFrame, id_col: str, content_col: str,
+                    marker: str = "\ndef ") -> DataFrame:
+    """(id, pos, block): split every document at function-definition
+    boundaries (a literal line-start ``marker``, default python's
+    ``def``) and emit each block with its 1-based position. The
+    pre-marker preamble is dropped; each block is the marker-less
+    fragment (trimmed). Map-only fan-out bounded by defs-per-doc."""
+    # prepending "\n" makes a marker at offset 0 split like any other;
+    # the marker is a LITERAL string — escape it into the regex arg
+    frags = F.split(F.concat(F.lit("\n"), F.col(content_col)),
+                    re.escape(marker))
+    blocks = F.slice(frags, 2, F.greatest(F.size(frags) - 1, F.lit(0)))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(blocks).alias("pos0", "block"))
+              .select("id", (F.col("pos0") + 1).alias("pos"),
+                      # trim() strips spaces only; blocks end in \n —
+                      # strip ALL edge whitespace, portably
+                      F.regexp_replace(F.col("block"),
+                                       r"^\s+|\s+$", "").alias("block")))
+
+
+def duplicate_function_blocks(df: DataFrame, id_col: str, content_col: str,
+                              marker: str = "\ndef ",
+                              min_docs: int = 2) -> DataFrame:
+    """(block_hash, example, n_docs, n_total): function bodies copied
+    across at least ``min_docs`` distinct documents — vendored /
+    copy-pasted code at sub-file granularity (the function-level
+    sibling of dedup.duplicate_spans). Blocks travel through the
+    shuffle as md5 hashes plus one representative spelling (the
+    deterministic minimum — all group members share the trimmed text,
+    so min() IS the text); shuffle volume is |blocks|, independent of
+    block length only in the hash column (the example column carries
+    text, truncated by callers if needed)."""
+    b = function_blocks(df, id_col, content_col, marker)
+    return (b.where(F.col("block") != "")
+             .groupBy(F.md5(F.col("block")).alias("block_hash"))
+             .agg(F.count_distinct("id").alias("n_docs"),
+                  F.count(F.lit(1)).alias("n_total"),
+                  F.min("block").alias("example"))
+             .where(F.col("n_docs") >= min_docs)
+             .select("block_hash", "example", "n_docs", "n_total"))
