@@ -243,6 +243,13 @@ def run_benchmarks(only=None):
     # cross-source n-gram overlap matrix (corpus-mix audit)
     bench("source_overlap", lambda: E.q_source_overlap(
         spark, SF_DIR).count())
+    # code-payload scanners: map-only multi-pattern regex scan,
+    # bounded-iteration PageRank, function-block dedup
+    bench("secrets_scan", lambda: E.q_secrets_scan(spark, SF_DIR).count())
+    bench("module_pagerank", lambda: E.q_module_pagerank(
+        spark, SF_DIR).count())
+    bench("function_dedup", lambda: E.q_function_dedup(
+        spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite
