@@ -1451,6 +1451,38 @@ def q_function_dedup(spark, sf_dir):
                                         min_docs=2)
 
 
+def q_code_health(spark, sf_dir):
+    """Per-source corpus health rollup (codescan.code_health_report):
+    license + generated/minified + secret + comment-ratio scanners
+    composed into one map-only projection and one groupBy over a
+    pseudo-corpus combining the plantings (license header by %13,
+    @generated banner by %17, minified collapse by %19, AWS key by
+    %23). Comment ratios aggregate as exact integer microunits."""
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    m = did % 13
+    t = F.col("text")
+    lines = F.transform(
+        F.split(t, " "),
+        lambda tok: F.when(tok.rlike("^[a-c]"),
+                           F.concat(F.lit("# "), tok)).otherwise(tok))
+    planted = _docs(spark, sf_dir).select("doc_id", "source", F.concat(
+        F.when(m == 0, F.lit("// SPDX-License-Identifier: Apache-2.0\n"))
+         .when(m == 1, F.lit("# SPDX-License-Identifier: MIT\n"))
+         .when(m == 2, F.lit("Licensed under the Apache License, Version 2.0\n"))
+         .when(m == 3, F.lit("Permission is hereby granted, free of charge\n"))
+         .otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit("// @generated by corpusgen\n"))
+         .otherwise(F.lit("")),
+        F.when(did % 19 == 0, F.regexp_replace(t, " ", ""))
+         .otherwise(F.array_join(lines, "\n")),
+        F.when(did % 23 == 0, F.concat(
+            F.lit('\naws_key = "AKIA'),
+            F.upper(F.substring(F.md5(F.concat(F.lit("aws:"), ds)), 1, 16)),
+            F.lit('"'))).otherwise(F.lit(""))).alias("content"))
+    return CS.code_health_report(planted, "source", "content")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-query registry.
 
@@ -1508,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_graph": q_import_graph,
         "module_pagerank": q_module_pagerank,
         "function_dedup": q_function_dedup,
+        "code_health": q_code_health,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
         "validate_documents_violations": q_validate_documents_violations,
@@ -3895,6 +3928,62 @@ export interface Schema {
         " count(DISTINCT doc_id) AS n_docs, count(*) AS n_total"
         " FROM blocks WHERE block <> '' GROUP BY block"
         " HAVING count(DISTINCT doc_id) >= 2")
+
+    # per-source health rollup: plantings + every scanner composed,
+    # comment ratios as exact integer microunits (floor before sum)
+    _any_secret = " OR ".join(
+        "len(regexp_extract_all(content, '" + rx.replace("'", "''")
+        + "')) > 0" for _, rx in CS.DEFAULT_SECRET_PATTERNS)
+    d["code_health"] = (
+        "WITH planted AS (SELECT doc_id, source,"
+        " CASE doc_id % 13"
+        " WHEN 0 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10)"
+        " WHEN 1 THEN '# SPDX-License-Identifier: MIT' || chr(10)"
+        " WHEN 2 THEN 'Licensed under the Apache License, Version 2.0'"
+        " || chr(10)"
+        " WHEN 3 THEN 'Permission is hereby granted, free of charge'"
+        " || chr(10)"
+        " ELSE '' END ||"
+        " CASE WHEN doc_id % 17 = 0 THEN '// @generated by corpusgen'"
+        " || chr(10) ELSE '' END ||"
+        " CASE WHEN doc_id % 19 = 0 THEN replace(text, ' ', '')"
+        " ELSE array_to_string(list_transform(string_split(text, ' '),"
+        " t -> CASE WHEN regexp_matches(t, '^[a-c]') THEN '# ' || t"
+        " ELSE t END), chr(10)) END ||"
+        " CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'aws_key = \"AKIA'"
+        " || upper(substr(md5('aws:' || " + _did + "), 1, 16)) || '\"'"
+        " ELSE '' END AS content FROM documents),"
+        " per_doc AS (SELECT source,"
+        " CASE WHEN " + _any_secret + " THEN 1 ELSE 0 END AS has_secret,"
+        " CASE WHEN regexp_matches(content, '" + CS._GENERATED_RX + "')"
+        " THEN 1 ELSE 0 END AS is_generated,"
+        " CASE WHEN round((len(content) - len(string_split(content, chr(10)))"
+        " + 1) / len(string_split(content, chr(10))), 4) >= "
+        + repr(CS.MINIFIED_AVG_LINE_LEN)
+        + " OR list_max(list_transform(string_split(content, chr(10)),"
+        " x -> len(x))) >= " + str(CS.MINIFIED_MAX_LINE_LEN)
+        + " THEN 1 ELSE 0 END AS is_minified,"
+        " CASE WHEN (CASE WHEN nullif(regexp_extract(content, '"
+        + CS._SPDX_RX + "', 1), '') IS NOT NULL"
+        " THEN nullif(regexp_extract(content, '" + CS._SPDX_RX + "', 1), '') "
+        + _lic_whens + " ELSE 'NOASSERTION' END) = 'NOASSERTION'"
+        " THEN 1 ELSE 0 END AS is_unlicensed,"
+        " CAST(floor(1000000.0 * len(list_filter(string_split(content,"
+        " chr(10)), x -> regexp_matches(trim(x), '" + _cmt + "')))"
+        " / len(string_split(content, chr(10)))) AS BIGINT)"
+        " AS comment_micro FROM planted),"
+        " agg AS (SELECT source AS \"group\", count(*) AS n_files,"
+        " CAST(sum(has_secret) AS BIGINT) AS n_with_secrets,"
+        " CAST(sum(is_generated) AS BIGINT) AS n_generated,"
+        " CAST(sum(is_minified) AS BIGINT) AS n_minified,"
+        " CAST(sum(is_unlicensed) AS BIGINT) AS n_unlicensed,"
+        " CAST(sum(comment_micro) AS BIGINT) AS sum_comment_micro"
+        " FROM per_doc GROUP BY source)"
+        " SELECT \"group\", n_files, n_with_secrets,"
+        " round(n_with_secrets / n_files, 4) AS secret_rate,"
+        " n_generated, n_minified, n_unlicensed,"
+        " round(sum_comment_micro / 1000000.0 / n_files, 4)"
+        " AS avg_comment_ratio FROM agg")
     # incremental curation: the curation_report oracle with its
     # candidate CTE swapped for the replayed snapshot diff (added +
     # changed docs only — all rows of the NEW snapshot, so one left

@@ -250,6 +250,7 @@ def run_benchmarks(only=None):
         spark, SF_DIR).count())
     bench("function_dedup", lambda: E.q_function_dedup(
         spark, SF_DIR).count())
+    bench("code_health", lambda: E.q_code_health(spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite

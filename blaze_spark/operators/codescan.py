@@ -262,6 +262,66 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
 
 
 # ---------------------------------------------------------------------------
+# composed per-group health report
+# ---------------------------------------------------------------------------
+
+def code_health_report(df: DataFrame, group_col: str, content_col: str,
+                       patterns: Optional[Sequence[tuple[str, str]]] = None,
+                       ) -> DataFrame:
+    """The per-repo (or per-source) corpus health rollup — the code
+    sibling of curate.curate_report: every scanner in this module
+    composed into ONE map-only projection followed by ONE
+    map-side-combined groupBy.
+
+    (group, n_files, n_with_secrets, secret_rate, n_generated,
+     n_minified, n_unlicensed, avg_comment_ratio)
+
+    ``avg_comment_ratio`` follows the textstats integer-microunit
+    discipline: each document's comment ratio becomes
+    floor(1e6 · comment_lines / n_lines) — an exact integer — before
+    the sum, so the aggregate is shuffle-order-independent and
+    engine-exact; only the final divisions are doubles, in a fixed
+    expression order mirrored by the SQL oracle."""
+    pats = tuple(patterns) if patterns is not None else DEFAULT_SECRET_PATTERNS
+    c = F.col(content_col)
+    any_secret = None
+    for _, rx in pats:
+        hit = F.regexp_count(c, F.lit(rx)) > 0
+        any_secret = hit if any_secret is None else (any_secret | hit)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    comment = F.size(F.filter(lines, lambda l: F.trim(l).rlike(_COMMENT_RX)))
+    sum_len = (F.char_length(c) - n_lines + F.lit(1)).cast("long")
+    avg_len = F.round(sum_len / n_lines, 4)
+    max_len = F.array_max(F.transform(lines, lambda l: F.char_length(l)))
+    per_doc = df.select(
+        F.col(group_col).alias("group"),
+        any_secret.cast("long").alias("has_secret"),
+        c.rlike(_GENERATED_RX).cast("long").alias("is_generated"),
+        ((avg_len >= F.lit(MINIFIED_AVG_LINE_LEN))
+         | (max_len >= F.lit(MINIFIED_MAX_LINE_LEN)))
+        .cast("long").alias("is_minified"),
+        (license_expr(c) == "NOASSERTION").cast("long")
+        .alias("is_unlicensed"),
+        F.floor(F.lit(1_000_000.0) * comment / n_lines).cast("long")
+         .alias("comment_micro"))
+    agg = per_doc.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("has_secret").alias("n_with_secrets"),
+        F.sum("is_generated").alias("n_generated"),
+        F.sum("is_minified").alias("n_minified"),
+        F.sum("is_unlicensed").alias("n_unlicensed"),
+        F.sum("comment_micro").alias("sum_comment_micro"))
+    return agg.select(
+        "group", "n_files", "n_with_secrets",
+        F.round(F.col("n_with_secrets") / F.col("n_files"), 4)
+         .alias("secret_rate"),
+        "n_generated", "n_minified", "n_unlicensed",
+        F.round(F.col("sum_comment_micro") / 1_000_000.0 / F.col("n_files"),
+                4).alias("avg_comment_ratio"))
+
+
+# ---------------------------------------------------------------------------
 # duplicated function blocks
 # ---------------------------------------------------------------------------
 
