@@ -544,6 +544,7 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
     covers fixed planner/JIT overhead dominating the small run; a
     quadratic operator overshoots the bound by ~mult×, far outside the
     slack). Writes BENCH/SCALECHECK.md, prints one JSON line."""
+    from blaze_spark.operators import codescan as CS
     from blaze_spark.operators import curate as CU
     from blaze_spark.operators import dedup as DD
     from blaze_spark.operators import lines as LN
@@ -657,6 +658,30 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                                          F.pmod(F.col("doc_id"), F.lit(20))
                                           .cast("string"))),
                 "doc_id", "text", "source", cap=50).count(),
+            # code scanners: the multi-pattern regex scan is map-only
+            # (time ∝ content bytes even at 0 matches)
+            "secrets_scan": lambda: CS.scan_secrets(
+                docs, "doc_id", "text").count(),
+            # blocks derive from the replica-rewritten tokens, so
+            # duplicate groups stay per-replica: |groups| ∝ rows
+            "function_dedup": lambda: CS.duplicate_function_blocks(
+                docs.select("doc_id", F.array_join(F.transform(
+                    F.slice(F.split(F.col("text"), " "), 1, 6),
+                    lambda t: F.concat(F.lit("def "), t,
+                                       F.lit("():\n    return 1"))),
+                    "\n").alias("content")),
+                "doc_id", "content").count(),
+            # vocab (nodes) grows with replicas, edges ∝ docs; each of
+            # the 3 bounded rounds is one fan-out-1 join + one sum
+            "module_pagerank": lambda: CS.pagerank(
+                docs.select(
+                    F.element_at(F.split(F.col("text"), " "), 1)
+                     .alias("src"),
+                    F.explode(F.slice(F.split(F.col("text"), " "), 2, 4))
+                     .alias("dst"))
+                    .where((F.col("src") != "") & (F.col("dst") != "")
+                           & (F.col("src") != F.col("dst"))),
+                "src", "dst").count(),
         }
         for name, fn in ops.items():
             best = None
