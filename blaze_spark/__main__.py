@@ -261,6 +261,41 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_scan(args) -> int:
+    """Scan source files for secrets / license / line-shape signals —
+    the driver-side form of operators/codescan.py. Input: JSONL with a
+    content field (--field), a JSON array, or raw text files."""
+    from blaze_spark.operators.codescan import scan_local
+
+    reports = []
+    if args.raw:
+        for path in args.inputs:
+            with open(path, "r", encoding="utf-8") as fh:
+                reports.append({"file": path, **scan_local(fh.read())})
+    else:
+        for path in args.inputs:
+            if path == "-":
+                text = sys.stdin.read()
+            else:
+                with open(path, "r", encoding="utf-8") as fh:
+                    text = fh.read()
+            stripped = text.lstrip()
+            docs = (json.loads(text) if stripped.startswith("[")
+                    else [json.loads(line)
+                          for line in text.splitlines() if line.strip()])
+            for i, doc in enumerate(docs):
+                content = doc.get(args.field)
+                if content is None:
+                    continue
+                rep = scan_local(content)
+                rep_id = doc.get(args.id_field, i)
+                reports.append({"id": rep_id, **rep})
+    _emit(reports if len(reports) != 1 else reports[0])
+    # exit 1 when any secret found (the CI-gate shape)
+    return 1 if args.fail_on_secrets and any(
+        r["secrets"] for r in reports) else 0
+
+
 def cmd_fetch(args) -> int:
     from blaze_spark.plans.configuration import Configuration, Lock
     config_path = os.path.abspath(args.configuration)
@@ -396,6 +431,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bounds", action="store_true",
                    help="omit minimum/maximum/maxLength")
     p.set_defaults(func=cmd_infer)
+
+    p = sub.add_parser("scan",
+                       help="scan code for secrets/licenses/line shape")
+    p.add_argument("inputs", nargs="+",
+                   help="JSONL / JSON-array files (or - for stdin)")
+    p.add_argument("--field", default="content",
+                   help="content field name (default: content)")
+    p.add_argument("--id-field", default="id",
+                   help="id field name (default: id)")
+    p.add_argument("--raw", action="store_true",
+                   help="treat inputs as raw source files")
+    p.add_argument("--fail-on-secrets", action="store_true",
+                   help="exit 1 if any secret matches (CI gate)")
+    p.set_defaults(func=cmd_scan)
 
     p = common(sub.add_parser("fetch",
                               help="fetch configuration dependencies"))

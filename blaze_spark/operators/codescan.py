@@ -262,6 +262,50 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
 
 
 # ---------------------------------------------------------------------------
+# driver-side local form (CLI `scan`)
+# ---------------------------------------------------------------------------
+
+def scan_local(content: str,
+               patterns: Optional[Sequence[tuple[str, str]]] = None) -> dict:
+    """The driver-side single-document form of the scanners (the CLI
+    `scan` subcommand; the profile.infer_schema_local pattern): same
+    pattern tables, Python `re` instead of Catalyst — cross-engine
+    parity with the Spark operators is pinned by
+    tests/test_property_codescan.py."""
+    pats = tuple(patterns) if patterns is not None else DEFAULT_SECRET_PATTERNS
+    secrets = {}
+    for name, rx in pats:
+        n = len(re.findall(rx, content))
+        if n:
+            secrets[name] = n
+    m = re.search(_SPDX_RX, content)
+    if m and m.group(1):
+        license_ = m.group(1)
+    else:
+        license_ = next((lic for lic, rx in LICENSE_PHRASES
+                         if re.search(rx, content)), "NOASSERTION")
+    lines = content.split("\n")
+    n_lines = len(lines)
+    total = sum(len(l) for l in lines)
+    avg_len = round(total / n_lines, 4)
+    max_len = max(len(l) for l in lines)
+    return {
+        "secrets": secrets,
+        "license": license_,
+        "n_lines": n_lines,
+        "blank_lines": sum(1 for l in lines if l.strip(" ") == ""),
+        "comment_lines": sum(1 for l in lines
+                             if re.match(_COMMENT_RX, l.strip(" "))),
+        "max_line_len": max_len,
+        "avg_line_len": avg_len,
+        "generated": bool(re.search(_GENERATED_RX, content)),
+        "minified": avg_len >= MINIFIED_AVG_LINE_LEN
+                    or max_len >= MINIFIED_MAX_LINE_LEN,
+        "imports": re.findall(IMPORT_RX, content),
+    }
+
+
+# ---------------------------------------------------------------------------
 # composed per-group health report
 # ---------------------------------------------------------------------------
 
