@@ -1451,6 +1451,21 @@ def q_function_dedup(spark, sf_dir):
                                         min_docs=2)
 
 
+def q_repo_forks(spark, sf_dir):
+    """Repo-level fork collapse (codescan.fork_groups): repos are
+    file-hash SETS, forks are pairs with set-Jaccard ≥ 0.5, groups are
+    the CC closure with the min repo as canonical. Derivation: 20 base
+    repos (doc_id % 20) plus 20 forks carrying the 2/3 of files with
+    doc_id % 3 != 0 — every (r_k, f_k) pair lands at J ≈ 2/3."""
+    docs = _docs(spark, sf_dir)
+    rk = (F.col("doc_id") % 20).cast("string")
+    base = docs.select(F.concat(F.lit("r"), rk).alias("repo"), "text")
+    fork = (docs.where(F.col("doc_id") % 3 != 0)
+                .select(F.concat(F.lit("f"), rk).alias("repo"), "text"))
+    return CS.fork_groups(base.unionByName(fork), "repo", "text",
+                          threshold=0.5)
+
+
 def q_code_health(spark, sf_dir):
     """Per-source corpus health rollup (codescan.code_health_report):
     license + generated/minified + secret + comment-ratio scanners
@@ -1541,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "module_pagerank": q_module_pagerank,
         "function_dedup": q_function_dedup,
         "code_health": q_code_health,
+        "repo_forks": q_repo_forks,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
         "validate_documents_violations": q_validate_documents_violations,
@@ -3984,6 +4000,40 @@ export interface Schema {
         " n_generated, n_minified, n_unlicensed,"
         " round(sum_comment_micro / 1000000.0 / n_files, 4)"
         " AS avg_comment_ratio FROM agg")
+
+    # repo fork collapse: set-Jaccard edges + recursive-CTE CC closure
+    d["repo_forks"] = """
+        WITH RECURSIVE corpus AS (
+          SELECT 'r' || CAST(doc_id % 20 AS VARCHAR) AS repo, text
+          FROM documents
+          UNION ALL
+          SELECT 'f' || CAST(doc_id % 20 AS VARCHAR) AS repo, text
+          FROM documents WHERE doc_id % 3 <> 0),
+        hashes AS (SELECT DISTINCT repo, md5(text) AS h FROM corpus),
+        kept AS (SELECT * FROM hashes
+                 QUALIFY count(*) OVER (PARTITION BY h) <= 64),
+        sizes AS (SELECT repo, count(*) AS n_files FROM kept GROUP BY repo),
+        inter AS (SELECT a.repo AS id_a, b.repo AS id_b, count(*) AS i
+                  FROM kept a JOIN kept b ON a.h = b.h AND a.repo < b.repo
+                  GROUP BY 1, 2),
+        e0 AS (SELECT id_a, id_b FROM inter
+               JOIN sizes sa ON sa.repo = inter.id_a
+               JOIN sizes sb ON sb.repo = inter.id_b
+               WHERE i / (sa.n_files + sb.n_files - i) >= 0.5),
+        edges AS (SELECT id_a AS u, id_b AS v FROM e0
+                  UNION SELECT id_b AS u, id_a AS v FROM e0),
+        nodes AS (SELECT DISTINCT u AS id FROM edges),
+        reach(id, x) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.id, e.v FROM reach r JOIN edges e ON e.u = r.x),
+        comp AS (SELECT id, min(x) AS component FROM reach GROUP BY 1),
+        grp AS (SELECT component, count(*) AS group_size
+                FROM comp GROUP BY component)
+        SELECT comp.id AS repo, comp.component AS fork_group,
+               sizes.n_files, grp.group_size
+        FROM comp JOIN grp USING (component)
+        JOIN sizes ON sizes.repo = comp.id"""
     # incremental curation: the curation_report oracle with its
     # candidate CTE swapped for the replayed snapshot diff (added +
     # changed docs only — all rows of the NEW snapshot, so one left

@@ -129,6 +129,24 @@ def run_benchmarks(only=None):
     bench("sha256_invariant", lambda: sha256_invariant(code_files, "content")
           .agg(F.approx_count_distinct("content_sha256")).collect()[0][0])
 
+    # 1c. code scanners on the REAL multi-KB corpus: multi-pattern
+    # regex scan (map-only byte throughput) + the per-repo health
+    # rollup (groupBy rides the Zipf repo skew)
+    def _secrets_code():
+        from blaze_spark.operators.codescan import scan_secrets
+        return scan_secrets(code_files.select("repo", "path", "content")
+                            .withColumn("id", F.concat_ws("/", "repo",
+                                                          "path")),
+                            "id", "content").count()
+
+    bench("secrets_scan_code", _secrets_code)
+
+    def _health_code():
+        from blaze_spark.operators.codescan import code_health_report
+        return code_health_report(code_files, "repo", "content").count()
+
+    bench("code_health_code", _health_code)
+
     # 2. per-partition verdict report
     bench("partition_report", lambda: E.partition_report(
         validate_rows(code_files, CODE_FILES_SCHEMA), ["part_id"]).count())
@@ -251,6 +269,7 @@ def run_benchmarks(only=None):
     bench("function_dedup", lambda: E.q_function_dedup(
         spark, SF_DIR).count())
     bench("code_health", lambda: E.q_code_health(spark, SF_DIR).count())
+    bench("repo_forks", lambda: E.q_repo_forks(spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite
@@ -671,6 +690,16 @@ def run_scale_check(mult: int = SCALECHECK_MULT) -> dict:
                                        F.lit("():\n    return 1"))),
                     "\n").alias("content")),
                 "doc_id", "content").count(),
+            # repo count ∝ rows (20 per replica), per-repo size constant;
+            # replica texts are rewritten so hash sets stay per-replica
+            # and the per-hash repo fan-out never grows with the corpus
+            "repo_forks": lambda m=m: CS.fork_groups(
+                docs.withColumn(
+                    "repo",
+                    F.concat(F.lit("r"),
+                             F.pmod(F.col("doc_id"), F.lit(20 * m))
+                              .cast("string"))),
+                "repo", "text", threshold=0.3).count(),
             # vocab (nodes) grows with replicas, edges ∝ docs; each of
             # the 3 bounded rounds is one fan-out-1 join + one sum
             "module_pagerank": lambda: CS.pagerank(

@@ -262,6 +262,70 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
 
 
 # ---------------------------------------------------------------------------
+# repo-level fork collapse
+# ---------------------------------------------------------------------------
+
+def fork_groups(df: DataFrame, repo_col: str, content_col: str,
+                threshold: float = 0.5, max_repos: int = 64) -> DataFrame:
+    """Fork detection and collapse at REPO granularity — the GitHub
+    problem for code training sets: a popular repo exists thousands of
+    times as near-identical forks, and file-level dedup alone leaves
+    every fork's unique README churn behind while repo-level collapse
+    removes the whole clone.
+
+    A repo is its SET of file content hashes; two repos are forks when
+    the Jaccard of those sets ≥ ``threshold``. Returns one row per repo
+    that has at least one fork partner: (repo, fork_group, n_files,
+    group_size) with ``fork_group`` = the smallest repo id in the
+    connected fork component (the canonical keep).
+
+    Scale shape (the source_overlap discipline): the corpus collapses
+    map-side to DISTINCT (repo, md5(content)) rows — content bytes never
+    shuffle, a file shared by a billion rows of one repo is ONE row.
+    Files present in more than ``max_repos`` repos (vendored universal
+    files: LICENSE texts, empty __init__.py) are dropped before pair
+    expansion — they carry no fork signal and would otherwise create
+    |repos|² pair structs. Pair counts come from collect-and-expand per
+    hash (no self-join subtree recompute), components from the
+    O(log n)-round large-star/small-star CC."""
+    from pyspark.sql import Window
+
+    from .dedup import (_copair_counts, _ensure_parallelism,
+                        connected_components)
+
+    hashes = (_ensure_parallelism(df)
+              .select(F.col(repo_col).alias("repo"),
+                      F.md5(F.col(content_col)).alias("h"))
+              .distinct())
+    per_hash = Window.partitionBy("h")
+    hashes = (hashes.withColumn("__nrep__",
+                                F.count(F.lit(1)).over(per_hash))
+                    .where(F.col("__nrep__") <= int(max_repos))
+                    .select("repo", "h"))
+    sizes = hashes.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files"))
+    inter = _copair_counts(hashes, "h", "repo")
+    sa = sizes.select(F.col("repo").alias("id_a"),
+                      F.col("n_files").alias("size_a"))
+    sb = sizes.select(F.col("repo").alias("id_b"),
+                      F.col("n_files").alias("size_b"))
+    edges = (inter.join(F.broadcast(sa), "id_a")
+                  .join(F.broadcast(sb), "id_b")
+                  .where(F.col("intersection")
+                         / (F.col("size_a") + F.col("size_b")
+                            - F.col("intersection"))
+                         >= F.lit(float(threshold)))
+                  .select("id_a", "id_b"))
+    comp = connected_components(edges, "id_a", "id_b")
+    grp = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size"))
+    return (comp.join(grp, "component")
+                .join(sizes, comp["id"] == sizes["repo"])
+                .select(F.col("id").alias("repo"),
+                        F.col("component").alias("fork_group"),
+                        "n_files", "group_size"))
+
+
+# ---------------------------------------------------------------------------
 # driver-side local form (CLI `scan`)
 # ---------------------------------------------------------------------------
 
