@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--id-cols", default="repo,path,commit")
     ap.add_argument("--demo", action="store_true",
                     help="run on the synthesized code_files corpus")
+    ap.add_argument("--health-report", metavar="DIR",
+                    help="also write the per-repo codescan health "
+                         "rollup (secrets/license/generated/minified/"
+                         "comment-ratio) as parquet to DIR")
     args = ap.parse_args()
 
     from blaze_spark.checkpoint import CheckpointedValidation
@@ -54,7 +58,16 @@ def main() -> None:
     manifest = runner.run(spark, df, schema, args.partition_col,
                           [c for c in args.id_cols.split(",") if c],
                           input_fingerprint=input_path)
-    json.dump(manifest, sys.stdout, indent=1, sort_keys=True)
+    out = dict(manifest)
+    if args.health_report:
+        from blaze_spark.operators.codescan import code_health_report
+
+        rep = code_health_report(df, "repo", "content")
+        rep.write.mode("overwrite").parquet(args.health_report)
+        out["health_report"] = {
+            "path": args.health_report,
+            "repos": spark.read.parquet(args.health_report).count()}
+    json.dump(out, sys.stdout, indent=1, sort_keys=True)
     print()
 
 

@@ -61,7 +61,8 @@ def test_spark_submit_py_files_checkpointed_run(spark, tmp_path):
          "--input", inp, "--schema-file", str(schema_file),
          "--checkpoint-dir", str(tmp_path / "chk"),
          "--partition-col", "part_id",
-         "--id-cols", "repo,path,commit"],
+         "--id-cols", "repo,path,commit",
+         "--health-report", str(tmp_path / "health")],
         cwd=str(tmp_path), env=env, capture_output=True, text=True,
         timeout=600)
     assert proc.returncode == 0, proc.stderr[-3000:]
@@ -77,3 +78,10 @@ def test_spark_submit_py_files_checkpointed_run(spark, tmp_path):
                            f"part={k}.json").read_text()) for k in parts]
     assert sum(m["invalid_rows"] for m in metrics) == 20
     assert (tmp_path / "chk" / "violations").exists()
+    # the codescan health rollup rode the same launch: one row per repo
+    assert manifest["health_report"]["repos"] == 3
+    health = {r["group"]: r for r in
+              spark.read.parquet(str(tmp_path / "health")).collect()}
+    assert sorted(health) == ["repo0", "repo1", "repo2"]
+    assert all(r["n_files"] == 20 for r in health.values())
+    assert all(r["n_with_secrets"] == 0 for r in health.values())
