@@ -435,6 +435,9 @@ _CROSS_JOIN_ALLOWED = {
     # Bloom screen: the bitmap rides a ONE-ROW broadcast relation
     # (measured 20x cheaper than a 16k-element Python lit())
     "contamination_bloom",
+    # PageRank: the graph size n rides a ONE-ROW broadcast relation
+    # (never a driver-side count), crossed once into the initial ranks
+    "module_pagerank",
 }
 
 
