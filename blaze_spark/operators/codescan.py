@@ -228,18 +228,23 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     probabilities.
 
     Scale shape: out-degrees are one groupBy; each round is one
-    fan-out-1 join of the rank table against edges (both keyed by
-    node — a co-partitioned shuffle reused across rounds) plus one
-    map-side-combined sum over edges. Rounds are bounded (default 3:
-    the corpus-weighting regime, not convergence), so the lineage stays
-    shallow enough to skip checkpointing.
+    fan-out-1 join of the rank table against edges plus one
+    map-side-combined sum over edges. The edge table is
+    ``localCheckpoint``-ed ONCE (it is referenced every round and Spark
+    recomputes un-checkpointed subtrees per reference — the
+    connected_components discipline, dedup.py), and each round's rank
+    table is checkpointed so round k's plan does not embed k nested
+    copies of rounds 1..k-1 (measured: the un-checkpointed 3-round
+    plan carried 91 Exchange nodes from subtree duplication; each
+    round now runs its two shuffles exactly once).
 
     Returns (node, rank) with rank = micro-rank / 1e6 rounded to 6
     decimals."""
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
               .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-              .distinct())
+              .distinct()
+              .localCheckpoint(eager=True))
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
               .distinct())
@@ -251,7 +256,8 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
             .cast("long")
     init = F.floor(F.lit(1_000_000.0) / F.col("n")).cast("long")
     ranks = (nodes.crossJoin(F.broadcast(n_df))
-                  .select("node", "n", init.alias("r")))
+                  .select("node", "n", init.alias("r"))
+                  .localCheckpoint(eager=True))
     for _ in range(iterations):
         contrib = (ranks.join(deg, "node")
                         .join(e, F.col("node") == F.col("src"))
@@ -263,7 +269,8 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
         ranks = (ranks.join(incoming, "node", "left")
                       .select("node", "n",
                               (base + F.coalesce(F.col("inc"), F.lit(0)))
-                              .alias("r")))
+                              .alias("r"))
+                      .localCheckpoint(eager=True))
     return ranks.select("node", F.round(F.col("r") / 1_000_000.0, 6)
                                   .alias("rank"))
 
