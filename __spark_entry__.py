@@ -1466,6 +1466,23 @@ def q_repo_forks(spark, sf_dir):
                           threshold=0.5)
 
 
+def q_function_near_dup(spark, sf_dir):
+    """Fuzzy function-level dedup (codescan.near_duplicate_functions):
+    one block per doc whose body is the doc's first 5 tokens — blocks
+    from different docs pair when their token SETS overlap at J ≥ 0.6.
+    The universal tokens (def/f/return, present in every block) exceed
+    the DF cap and drop before pair expansion — the 100 TB guard,
+    exercised and replayed in the oracle."""
+    toks = F.split(F.col("text"), " ")
+    planted = _docs(spark, sf_dir).select("doc_id", F.concat(
+        F.lit("def f():\n    return "),
+        F.array_join(F.slice(toks, 1, 5), " ")).alias("content"))
+    pairs = CS.near_duplicate_functions(planted, "doc_id", "content",
+                                        threshold=0.6)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_code_health(spark, sf_dir):
     """Per-source corpus health rollup (codescan.code_health_report):
     license + generated/minified + secret + comment-ratio scanners
@@ -1557,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_dedup": q_function_dedup,
         "code_health": q_code_health,
         "repo_forks": q_repo_forks,
+        "function_near_dup": q_function_near_dup,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
         "validate_documents_violations": q_validate_documents_violations,
@@ -4000,6 +4018,51 @@ export interface Schema {
         " n_generated, n_minified, n_unlicensed,"
         " round(sum_comment_micro / 1000000.0 / n_files, 4)"
         " AS avg_comment_ratio FROM agg")
+
+    # function-level fuzzy dedup: block split + token-set Jaccard with
+    # the two-cap DF guard, replayed over the derived one-block corpus
+    d["function_near_dup"] = """
+        WITH planted AS (
+          SELECT doc_id, 'def f():' || chr(10) || '    return ' ||
+                 array_to_string(string_split(text, ' ')[1:5], ' ')
+                     AS content
+          FROM documents),
+        frag AS (SELECT doc_id,
+                        string_split(chr(10) || content,
+                                     chr(10) || 'def ') AS fr
+                 FROM planted),
+        blocks AS (
+          SELECT CAST(doc_id AS VARCHAR) || '#' ||
+                 CAST(i - 1 AS VARCHAR) AS bid,
+                 regexp_replace(fr[i], '^\\s+|\\s+$', '', 'g') AS block
+          FROM frag, unnest(generate_series(2, len(fr))) AS u(i)),
+        tok AS (
+          SELECT bid,
+                 unnest(list_distinct(list_filter(
+                     string_split_regex(lower(block), '[^a-z0-9]+'),
+                     x -> x <> ''))) AS tok
+          FROM blocks),
+        dfq AS (SELECT tok, count(*) AS df_count FROM tok GROUP BY 1),
+        kept AS (
+          SELECT t.bid, t.tok FROM tok t JOIN dfq USING (tok)
+          WHERE dfq.df_count <=
+                (SELECT greatest(least(CAST(floor(count(*) * 0.5)
+                                            AS BIGINT), 500), 2)
+                 FROM blocks)),
+        sizes AS (SELECT bid, count(*) AS set_size FROM kept GROUP BY 1),
+        inter AS (
+          SELECT a.bid AS id_a, b.bid AS id_b, count(*) AS intersection
+          FROM kept a JOIN kept b ON a.tok = b.tok AND a.bid < b.bid
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(intersection
+                     / (sa.set_size + sb.set_size - intersection), 6)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.bid = id_a
+        JOIN sizes sb ON sb.bid = id_b
+        WHERE intersection / (sa.set_size + sb.set_size - intersection)
+              >= 0.6"""
 
     # repo fork collapse: set-Jaccard edges + recursive-CTE CC closure
     d["repo_forks"] = """

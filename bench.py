@@ -270,6 +270,8 @@ def run_benchmarks(only=None):
         spark, SF_DIR).count())
     bench("code_health", lambda: E.q_code_health(spark, SF_DIR).count())
     bench("repo_forks", lambda: E.q_repo_forks(spark, SF_DIR).count())
+    bench("function_near_dup", lambda: E.q_function_near_dup(
+        spark, SF_DIR).count())
 
     # Per-query rescue pass: a slow WAVE mid-suite can poison individual
     # queries (incl. the headline files/sec bearer) while the suite

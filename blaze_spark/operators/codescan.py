@@ -470,6 +470,36 @@ def function_blocks(df: DataFrame, id_col: str, content_col: str,
                                        r"^\s+|\s+$", "").alias("block")))
 
 
+def near_duplicate_functions(df: DataFrame, id_col: str, content_col: str,
+                             marker: str = "\ndef ",
+                             threshold: float = 0.6,
+                             max_token_docs: float = 0.5,
+                             max_token_docs_abs: int = 500) -> DataFrame:
+    """Vendored code with SMALL EDITS: function blocks whose token-set
+    Jaccard ≥ ``threshold`` — the fuzzy sibling of
+    :func:`duplicate_function_blocks` (which only catches byte-level
+    copies after trim). A renamed variable or a tweaked constant still
+    pairs here.
+
+    Pure composition: block split (map-only fan-out) → token-set
+    Jaccard with the dedup tier's TWO-CAP document-frequency guard
+    (relative AND absolute — tokens like ``return`` that appear in
+    every block are corpus boilerplate and are dropped before pair
+    expansion, which is what keeps this safe at 10^12 blocks).
+    Returns (id_a, id_b, jaccard) over block ids ``<doc>#<pos>``."""
+    from .dedup import ngram_jaccard_pairs
+
+    b = function_blocks(df, id_col, content_col, marker)
+    blocks = b.select(
+        F.concat_ws("#", F.col("id").cast("string"),
+                    F.col("pos").cast("string")).alias("bid"),
+        "block")
+    return ngram_jaccard_pairs(blocks, "bid", "block",
+                               threshold=threshold,
+                               max_token_docs=max_token_docs,
+                               max_token_docs_abs=max_token_docs_abs)
+
+
 def duplicate_function_blocks(df: DataFrame, id_col: str, content_col: str,
                               marker: str = "\ndef ",
                               min_docs: int = 2) -> DataFrame:
