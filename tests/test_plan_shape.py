@@ -438,6 +438,9 @@ _CROSS_JOIN_ALLOWED = {
     # PageRank: the graph size n rides a ONE-ROW broadcast relation
     # (never a driver-side count), crossed once into the initial ranks
     "module_pagerank",
+    # block-level Jaccard: same broadcast one-row n_docs DF-cap factor
+    # as ngram_jaccard (the corpus count stays inside the lazy plan)
+    "function_near_dup",
 }
 
 
