@@ -1483,6 +1483,33 @@ def q_function_near_dup(spark, sf_dir):
                         F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_secrets_stream_windowed(spark, sf_dir):
+    """Batch form of the streaming windowed secrets monitor
+    (validate_stream.secrets_stream): per event-day × secret-type hit
+    counts over the events stream with md5-derived keys planted in
+    props (%37 AWS, %53 GitHub). The streaming form is the same code
+    path with a watermark (pinned in tests/test_codescan.py)."""
+    from blaze_spark.streaming.validate_stream import secrets_stream
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    content = F.concat(
+        F.coalesce(F.col("props"), F.lit("")),
+        F.when(eid % 37 == 0, F.concat(
+            F.lit('\naws = "AKIA'),
+            F.upper(F.substring(F.md5(F.concat(F.lit("evaws:"), es)),
+                                1, 16)),
+            F.lit('"'))).otherwise(F.lit("")),
+        F.when(eid % 53 == 0, F.concat(
+            F.lit("\ntoken = ghp_"),
+            F.substring(F.concat(F.md5(F.concat(F.lit("evg1:"), es)),
+                                 F.md5(F.concat(F.lit("evg2:"), es))),
+                        1, 36))).otherwise(F.lit("")))
+    planted = ev.select("ts", content.alias("content"))
+    return secrets_stream(planted, "ts", "content", window="1 day")
+
+
 def q_code_health(spark, sf_dir):
     """Per-source corpus health rollup (codescan.code_health_report):
     license + generated/minified + secret + comment-ratio scanners
@@ -1575,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_health": q_code_health,
         "repo_forks": q_repo_forks,
         "function_near_dup": q_function_near_dup,
+        "secrets_stream_windowed": q_secrets_stream_windowed,
         # --- rotated-in previously-green flagships (re-witness) ---
         "validate_documents": q_validate_documents,
         "validate_documents_violations": q_validate_documents_violations,
@@ -4018,6 +4046,29 @@ export interface Schema {
         " n_generated, n_minified, n_unlicensed,"
         " round(sum_comment_micro / 1000000.0 / n_files, 4)"
         " AS avg_comment_ratio FROM agg")
+
+    # windowed secrets monitor (batch form of the streaming op): same
+    # generated per-pattern UNION as secrets_scan, over events props
+    _eid = "CAST(event_id AS VARCHAR)"
+    _ev_planted = (
+        "WITH planted AS (SELECT ts, coalesce(props, '')"
+        " || CASE WHEN event_id % 37 = 0 THEN chr(10) || 'aws = \"AKIA'"
+        " || upper(substr(md5('evaws:' || " + _eid + "), 1, 16)) || '\"'"
+        " ELSE '' END"
+        " || CASE WHEN event_id % 53 = 0 THEN chr(10) || 'token = ghp_'"
+        " || substr(md5('evg1:' || " + _eid + ") || md5('evg2:' || "
+        + _eid + "), 1, 36) ELSE '' END"
+        " AS content FROM events)")
+    _ev_union = " UNION ALL ".join(
+        "SELECT ts, '" + name + "' AS secret_type,"
+        " len(regexp_extract_all(content, '" + rx.replace("'", "''")
+        + "')) AS n FROM planted"
+        for name, rx in CS.DEFAULT_SECRET_PATTERNS)
+    d["secrets_stream_windowed"] = (
+        _ev_planted + ", hits AS (" + _ev_union + ")"
+        " SELECT date_trunc('day', ts) AS window_start, secret_type,"
+        " count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_matches"
+        " FROM hits WHERE n > 0 GROUP BY 1, 2")
 
     # function-level fuzzy dedup: block split + token-set Jaccard with
     # the two-cap DF guard, replayed over the derived one-block corpus

@@ -152,6 +152,44 @@ def session_violations(validated: DataFrame, key_col: str, ts_col: str,
             .drop("sw"))
 
 
+def secrets_stream(stream_df: DataFrame, ts_col: str, content_col: str,
+                   patterns=None, window: str = "1 day",
+                   watermark: str = "1 day") -> DataFrame:
+    """Windowed leaked-credential monitor — the streaming form of
+    codescan.scan_secrets: an INGEST-TIME alarm ("a crawl batch this
+    hour suddenly carries AWS keys") rather than an after-the-fact
+    audit. The scan itself is a stateless map-only projection (the
+    per-pattern passes, NOT a fused alternation — codescan.scan_secrets
+    docstring), so the only state is the windowed rollup: (windows in
+    the watermark horizon × |patterns|) rows. Append-mode output on
+    window close.
+
+    Emits (window_start, secret_type, n_docs, n_matches). Works on a
+    batch DataFrame identically (no watermark) — the driver-oracle
+    form."""
+    from blaze_spark.operators.codescan import DEFAULT_SECRET_PATTERNS
+
+    pats = tuple(patterns) if patterns is not None \
+        else DEFAULT_SECRET_PATTERNS
+    src = stream_df
+    if stream_df.isStreaming:
+        src = stream_df.withWatermark(ts_col, watermark)
+    c = F.col(content_col)
+    hits = F.array(*[
+        F.struct(F.lit(name).alias("secret_type"),
+                 F.regexp_count(c, F.lit(rx)).alias("n_matches"))
+        for name, rx in pats])
+    return (src.select(F.col(ts_col).alias("__ts__"),
+                       F.explode(hits).alias("m"))
+               .where(F.col("m.n_matches") > 0)
+               .groupBy(F.window(F.col("__ts__"), window).alias("w"),
+                        F.col("m.secret_type").alias("secret_type"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("m.n_matches").alias("n_matches"))
+               .select(F.col("w.start").alias("window_start"),
+                       "secret_type", "n_docs", "n_matches"))
+
+
 def categorical_baseline(df: DataFrame, value_col: str) -> dict:
     """Batch helper: the reference distribution ``{bucket: probability}``
     of a categorical column (NULLs excluded, matching ``checks.psi``'s
