@@ -320,38 +320,214 @@ def embedding_near_duplicates(df: DataFrame, id_col: str,
              .where(F.col("cosine") >= threshold))
 
 
+def _chunk_pair_cosine_kernel(threshold: float, elem_is_float: bool,
+                              id_is_int: bool):
+    """Build the mapInPandas kernel for
+    :func:`embedding_near_duplicates_bucketed`: per chunk-pair row,
+    compute the full cosine matrix with numpy and emit the pairs at or
+    above ``threshold``.
+
+    BIT-EXACT with the Catalyst expression it replaces
+    (``_dot(a,b) / (_norm(a) * _norm(b))``): the accumulation loops run
+    axis-by-axis IN ELEMENT ORDER starting from 0.0 — exactly the
+    left-fold order of ``F.aggregate`` — and each elementwise product
+    is computed in the INPUT element type (float32 products for
+    ``array<float>`` columns, mirroring Spark's float*float multiply)
+    before the exact float64 upcast-and-add, so every intermediate
+    double is identical bit-for-bit. ``np.sqrt`` and float64 divide are
+    the same correctly-rounded IEEE-754 ops as ``Math.sqrt`` / double
+    division in the JVM. (numpy's own ``dot``/``einsum`` reorder the
+    sum — pairwise/SIMD — which is exactly the ~4e-16 drift CLAUDE.md
+    pins as oracle-breaking; the sequential axis loop avoids it.)"""
+    import numpy as np
+    import pandas as pd
+
+    elem_np = np.float32 if elem_is_float else np.float64
+
+    def _py_cosines(ids_a, va, ids_b, vb, same):
+        # exact-fold slow path for ragged chunks (mixed vector lengths
+        # zip_with to null in Spark -> fold null -> pair dropped;
+        # mirrored by emitting nothing for mismatched-length pairs)
+        import math
+        out = []
+        for p, (ia, a) in enumerate(zip(ids_a, va)):
+            for q, (ib, b) in enumerate(zip(ids_b, vb)):
+                if same and q <= p:
+                    continue
+                if a is None or b is None or len(a) != len(b) \
+                        or ia == ib:
+                    continue
+                acc = 0.0
+                na = 0.0
+                nb = 0.0
+                for x, y in zip(a, b):
+                    acc += float(elem_np(x) * elem_np(y))
+                    na += float(elem_np(x) * elem_np(x))
+                    nb += float(elem_np(y) * elem_np(y))
+                denom = math.sqrt(na) * math.sqrt(nb)
+                try:
+                    cos = acc / denom
+                except ZeroDivisionError:
+                    continue
+                if cos >= threshold:
+                    out.append((ia, ib, cos) if ia < ib else (ib, ia, cos))
+        return out
+
+    def kernel(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for ca, cb, xs_a, xs_b in zip(pdf["ca"], pdf["cb"],
+                                          pdf["xs_a"], pdf["xs_b"]):
+                same = bool(ca == cb)
+                ids_a = [e["i"] for e in xs_a]
+                va = [e["v"] for e in xs_a]
+                if same:
+                    ids_b, vb = ids_a, va
+                else:
+                    ids_b = [e["i"] for e in xs_b]
+                    vb = [e["v"] for e in xs_b]
+                if not ids_a or not ids_b:
+                    continue
+                if any(v is None for v in va) or \
+                        any(v is None for v in vb) or \
+                        len({len(v) for v in va}
+                            | {len(v) for v in vb}) != 1:
+                    for ia, ib, cos in _py_cosines(ids_a, va, ids_b, vb,
+                                                   same):
+                        out_a.append(ia)
+                        out_b.append(ib)
+                        out_c.append(cos)
+                    continue
+                a_mat = np.stack([np.asarray(v, dtype=elem_np)
+                                  for v in va])
+                b_mat = a_mat if same else np.stack(
+                    [np.asarray(v, dtype=elem_np) for v in vb])
+                la, lb = a_mat.shape[0], b_mat.shape[0]
+                acc = np.zeros((la, lb), dtype=np.float64)
+                na_acc = np.zeros(la, dtype=np.float64)
+                nb_acc = na_acc if same else np.zeros(lb,
+                                                      dtype=np.float64)
+                for k in range(a_mat.shape[1]):
+                    col_a = a_mat[:, k]
+                    col_b = b_mat[:, k]
+                    # product in the element dtype (float32 for
+                    # array<float> input), upcast exactly on the add —
+                    # identical to Spark's (float*float) + double fold
+                    acc += np.multiply.outer(col_a, col_b)
+                    na_acc += col_a * col_a
+                    if not same:
+                        nb_acc += col_b * col_b
+                na = np.sqrt(na_acc)
+                nb = na if same else np.sqrt(nb_acc)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / np.multiply.outer(na, nb)
+                ia = np.asarray(ids_a)
+                ib = ia if same else np.asarray(ids_b)
+                ge = cos >= threshold
+                lt = ia[:, None] < ib[None, :]
+                p_idx, q_idx = np.nonzero(lt & ge)
+                out_a.extend(ia[p_idx].tolist())
+                out_b.extend(ib[q_idx].tolist())
+                out_c.extend(cos[p_idx, q_idx].tolist())
+                if not same:
+                    # cross-chunk pairs whose smaller id sits on the b
+                    # side: same cosine (elementwise products commute
+                    # bit-exactly), swapped orientation
+                    gt = ia[:, None] > ib[None, :]
+                    p_idx, q_idx = np.nonzero(gt & ge)
+                    out_a.extend(ib[q_idx].tolist())
+                    out_b.extend(ia[p_idx].tolist())
+                    out_c.extend(cos[p_idx, q_idx].tolist())
+            id_dtype = np.int64 if id_is_int else object
+            yield pd.DataFrame({
+                "id_a": np.asarray(out_a, dtype=id_dtype),
+                "id_b": np.asarray(out_b, dtype=id_dtype),
+                "cosine": np.asarray(out_c, dtype=np.float64),
+            })
+
+    return kernel
+
+
 def embedding_near_duplicates_bucketed(df: DataFrame, id_col: str,
                                        centroids: List[List[float]],
                                        vec_col: str = "embedding",
-                                       threshold: float = 0.95) -> DataFrame:
+                                       threshold: float = 0.95,
+                                       chunk_rows: int = 512) -> DataFrame:
     """The 100-TB composition of embedding near-dup: IVF-bucket first
     (``similarity.assign_centroid`` — a broadcast argmax, no shuffle of
-    vectors beyond the bucket key), then the all-pairs kernel runs as a
-    bucket-local EQUI-join on ``centroid_id``. Total work is
-    Σ bucket_size² instead of n² — with C balanced centroids that's an
-    ~C× cut, and each bucket's pairs shuffle/compute independently.
+    vectors beyond the bucket key), then the all-pairs kernel runs
+    bucket-locally. Total work is Σ bucket_size² instead of n² — with C
+    balanced centroids that's an ~C× cut.
+
+    Pair evaluation is CHUNKED (r6): rows hash into ``chunk_rows``-sized
+    chunks per bucket, chunk pairs (ca ≤ cb) meet through an equi-join
+    on (centroid_id, chunk), and one vectorized numpy kernel
+    (:func:`_chunk_pair_cosine_kernel` — bit-exact with the former
+    ``_dot``/``_norm`` Catalyst expressions, see its docstring) scores
+    each chunk pair's full cosine matrix. The previous self-join form
+    evaluated one INTERPRETED 64-step zip_with/aggregate lambda per
+    candidate pair (~75 ns/element); at 20k vectors / 4 buckets that is
+    ~50M folds ≈ 240 s measured — the kernel does identical arithmetic
+    at memory bandwidth. Scale shape: chunk payload bytes are bounded
+    by ``chunk_rows``; the chunk-pair join key (centroid_id, chunk) has
+    Σ m_bucket distinct values so its shuffle spreads with the data;
+    the explicit repartition before the kernel spreads compute over
+    2×defaultParallelism (cluster-adaptive, never a literal core
+    count); Arrow batches are byte-capped by
+    spark.sql.execution.arrow.maxBytesPerBatch (session.py). The
+    per-bucket count join-back broadcasts ≤ |centroids| rows
+    (model-sized). Like SemDeDup, the documented contract for true
+    100 TB runs is centroid count ∝ rows so per-bucket work stays
+    bounded.
+
+    Result is value-identical to the former self-join form: every
+    bucket-local unordered pair lands in exactly one chunk pair
+    (same-chunk pairs via the p<q triangle, cross-chunk via the full
+    rectangle oriented by id), and rows with null id/vector produce no
+    output in either form (null comparisons and null cosines both fail
+    the predicates).
 
     Approximate by construction: a pair straddling two buckets is not
     compared (recall < 1, the standard IVF trade — measured against the
     exact form in tests/test_dedup_scale.py)."""
-    from blaze_spark.operators.similarity import _dot, _norm, assign_centroid
+    from blaze_spark.operators.similarity import assign_centroid
 
-    bucketed = assign_centroid(df, centroids, vec_col) \
-        .withColumn("__norm__", _norm(F.col(vec_col)))
-    a = bucketed.select(F.col("centroid_id"),
-                        F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("vec_a"),
-                        F.col("__norm__").alias("norm_a"))
-    b = bucketed.select(F.col("centroid_id"),
-                        F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("vec_b"),
-                        F.col("__norm__").alias("norm_b"))
-    return (a.join(b, "centroid_id")
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b",
-                     (_dot(F.col("vec_a"), F.col("vec_b"))
-                      / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"))
-             .where(F.col("cosine") >= threshold))
+    elem_type = df.schema[vec_col].dataType.elementType.simpleString()
+    id_type = df.schema[id_col].dataType.simpleString()
+    id_is_int = id_type in ("bigint", "int", "smallint", "tinyint")
+
+    bucketed = (assign_centroid(df, centroids, vec_col)
+                .where(F.col(vec_col).isNotNull()
+                       & F.col(id_col).isNotNull())
+                .select("centroid_id", F.col(id_col).alias("i"),
+                        F.col(vec_col).alias("v")))
+    cnts = bucketed.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("__cnt__"))
+    m = F.greatest(F.lit(1), F.ceil(F.col("__cnt__")
+                                    / F.lit(int(chunk_rows)))).cast("int")
+    chunked = (bucketed.join(F.broadcast(cnts), "centroid_id")
+               .withColumn("__m__", m)
+               .withColumn("__chunk__",
+                           F.pmod(F.xxhash64(F.col("i")),
+                                  F.col("__m__")).cast("int")))
+    chunks = (chunked.groupBy("centroid_id", "__chunk__")
+              .agg(F.collect_list(F.struct("i", "v")).alias("xs"),
+                   F.first("__m__").alias("__m__")))
+    left = chunks.select(
+        "centroid_id", F.col("__chunk__").alias("ca"),
+        F.col("xs").alias("xs_a"),
+        F.explode(F.sequence(F.col("__chunk__"),
+                             F.col("__m__") - 1)).alias("cb"))
+    right = chunks.select("centroid_id", F.col("__chunk__").alias("cb"),
+                          F.col("xs").alias("xs_b"))
+    paired = left.join(right, ["centroid_id", "cb"])
+    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
+    spread = paired.repartition(nparts, "centroid_id", "ca", "cb")
+    kernel = _chunk_pair_cosine_kernel(float(threshold),
+                                       elem_type == "float", id_is_int)
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    return (spread.select("ca", "cb", "xs_a", "xs_b")
+            .mapInPandas(kernel, out_schema))
 
 
 def semantic_duplicates(df: DataFrame, id_col: str,

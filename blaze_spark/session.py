@@ -37,6 +37,14 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bound Arrow batch BYTES too (Spark 4 knob): mapInPandas rows
+        # carrying chunked embedding payloads (dedup.
+        # embedding_near_duplicates_bucketed ships ~0.25-0.5 MB of
+        # vectors per row) would otherwise batch up to 10k rows = GBs
+        # per Python-worker batch; 64 MB keeps the worker RSS flat and
+        # is far above any normal row width
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: driver JVM == executor. Size the heap for
         # (cores × per-task working set) and PIN it: without -Xms +

@@ -163,6 +163,85 @@ def test_embedding_bucketed_join_is_equi_on_centroid(spark):
     assert "Left keys: [centroid_id" in txt or "centroid_id" in txt
 
 
+def _old_bucketed_expression_form(items, id_col, cents, threshold):
+    """The pre-r6 Catalyst self-join form — kept as the reference the
+    chunked numpy kernel must match bit-for-bit."""
+    from blaze_spark.operators.similarity import (_dot, _norm,
+                                                  assign_centroid)
+
+    bucketed = assign_centroid(items, cents, "embedding") \
+        .withColumn("__norm__", _norm(F.col("embedding")))
+    a = bucketed.select(F.col("centroid_id"),
+                        F.col(id_col).alias("id_a"),
+                        F.col("embedding").alias("vec_a"),
+                        F.col("__norm__").alias("norm_a"))
+    b = bucketed.select(F.col("centroid_id"),
+                        F.col(id_col).alias("id_b"),
+                        F.col("embedding").alias("vec_b"),
+                        F.col("__norm__").alias("norm_b"))
+    return (a.join(b, "centroid_id")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     (_dot(F.col("vec_a"), F.col("vec_b"))
+                      / (F.col("norm_a") * F.col("norm_b")))
+                     .alias("cosine"))
+             .where(F.col("cosine") >= threshold))
+
+
+def _bits(x):
+    import struct
+
+    return struct.pack("<d", x)
+
+
+def test_embedding_bucketed_kernel_bit_exact_vs_expression(spark):
+    """r6: the chunked mapInPandas kernel must reproduce the former
+    expression form BIT-FOR-BIT (same pair set, identical float64
+    cosine bits) — for double vectors, float32 vectors (float products
+    upcast on the add), and with multiple chunks per bucket so the
+    same-chunk triangle, the cross-chunk rectangle, and both id
+    orientations are all exercised (chunk_rows=16 forces ~8 chunks per
+    bucket on the 500-row fixture)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for cast_double in (True, False):
+        items = emb.select(
+            "vec_id",
+            (F.transform("embedding", lambda x: x.cast("double"))
+             if cast_double else F.col("embedding")).alias("embedding"))
+        cents = _centroids(items)
+        want = {(r["id_a"], r["id_b"]): _bits(r["cosine"])
+                for r in _old_bucketed_expression_form(
+                    items, "vec_id", cents, 0.3).collect()}
+        got = {(r["id_a"], r["id_b"]): _bits(r["cosine"])
+               for r in DD.embedding_near_duplicates_bucketed(
+                   items, "vec_id", cents, threshold=0.3,
+                   chunk_rows=16).collect()}
+        assert want, "fixture/threshold produced no pairs"
+        assert got == want, (cast_double, len(want), len(got))
+
+
+def test_embedding_bucketed_kernel_null_and_ragged(spark):
+    """Null vectors and ragged (mixed-length) vectors never produce
+    pairs in the expression form (null folds / zip_with-null), and the
+    kernel must agree; well-formed rows still pair normally."""
+    items = _items(spark)
+    cents = _centroids(items)
+    mangled = items.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 5, F.lit(None)
+               .cast("array<double>"))
+         .when(F.col("vec_id") % 11 == 3, F.slice("embedding", 1, 10))
+         .otherwise(F.col("embedding")))
+    want = {(r["id_a"], r["id_b"]): _bits(r["cosine"])
+            for r in _old_bucketed_expression_form(
+                mangled, "vec_id", cents, 0.3).collect()}
+    got = {(r["id_a"], r["id_b"]): _bits(r["cosine"])
+           for r in DD.embedding_near_duplicates_bucketed(
+               mangled, "vec_id", cents, threshold=0.3,
+               chunk_rows=16).collect()}
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # jaccard: in-plan DF guard, no driver-side action at build time
 

@@ -1,0 +1,37 @@
+"""Dump .explain("formatted") for named driver queries to plans/<dir>/.
+
+Usage: python tools/dump_plan.py <outdir-suffix e.g. r06> <before|after> <query...>
+Writes plans/<suffix>/<query>_<tag>.txt. Measurement-free (plans only).
+"""
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from blaze_spark.session import get_session  # noqa: E402
+
+
+def main():
+    suffix, tag, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session(app_name="plan-dump", cpus=8)
+    outdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", suffix)
+    os.makedirs(outdir, exist_ok=True)
+    qs = E.queries()
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(outdir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        print("wrote", path, f"({len(buf.getvalue())} bytes)")
+
+
+if __name__ == "__main__":
+    main()
