@@ -322,8 +322,15 @@ def fork_groups(df: DataFrame, repo_col: str, content_col: str,
                       F.col("n_files").alias("size_a"))
     sb = sizes.select(F.col("repo").alias("id_b"),
                       F.col("n_files").alias("size_b"))
-    edges = (inter.join(F.broadcast(sa), "id_a")
-                  .join(F.broadcast(sb), "id_b")
+    # no broadcast hint: repo count is unbounded at the 100 TB design
+    # point (10^7-10^8 repos), so a forced broadcast of the per-repo
+    # sizes table would ship GBs to every executor and override AQE's
+    # size-based choice. Unhinted, AQE broadcasts when the MEASURED
+    # size fits (the sandbox case) and falls back to a shuffled join
+    # when it doesn't — the pair table after the max_repos cut is the
+    # small side anyway.
+    edges = (inter.join(sa, "id_a")
+                  .join(sb, "id_b")
                   .where(F.col("intersection")
                          / (F.col("size_a") + F.col("size_b")
                             - F.col("intersection"))

@@ -444,6 +444,55 @@ _CROSS_JOIN_ALLOWED = {
 }
 
 
+def _walk_physical_plan(node, out=None):
+    """Pre-order walk over a JVM SparkPlan tree. AdaptiveSparkPlanExec
+    is descended through its CURRENT plan (initial before execution),
+    so wrapped query stages are visited too."""
+    out = [] if out is None else out
+    out.append(node)
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        _walk_physical_plan(node.executedPlan(), out)
+    children = node.children()
+    for i in range(children.size()):
+        _walk_physical_plan(children.apply(i), out)
+    return out
+
+
+def _global_window_nodes(df):
+    """Window-family physical nodes with an EMPTY partition spec — the
+    one-reducer pattern. Walks the executed plan's JVM nodes (r6: the
+    old detector grepped explain output for a WARN-log string and a
+    'PartitionBy: []' rendering, neither of which ever appears in
+    formatted explain, so it could not fire)."""
+    hits = []
+    for node in _walk_physical_plan(df._jdf.queryExecution()
+                                    .executedPlan()):
+        cls = node.getClass().getSimpleName()
+        if "Window" not in cls:
+            continue
+        try:
+            spec = node.partitionSpec()
+        except Exception:
+            continue
+        if spec.size() == 0:
+            hits.append(cls)
+    return hits
+
+
+def test_global_window_detector_catches_canary(spark):
+    """Guards the guard: a deliberate Window.orderBy() with no
+    partitionBy MUST be flagged, and the partitioned twin must not."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    bad = df.withColumn("rk", F.row_number().over(Window.orderBy("id")))
+    good = df.withColumn("rk", F.row_number().over(
+        Window.partitionBy("g").orderBy("id")))
+    assert _global_window_nodes(bad)
+    assert not _global_window_nodes(good)
+
+
 def test_every_driver_query_avoids_scale_killers(spark):
     """Fleet-wide scale guard over the FULL driver-contract surface:
     no query's physical plan may contain a global (unpartitioned)
@@ -454,8 +503,7 @@ def test_every_driver_query_avoids_scale_killers(spark):
     for name, fn in E.queries().items():
         df = fn(spark, SF)
         plan = _plan(df)
-        if "WindowExec: No Partition Defined" in plan or \
-                "Window [" in plan and "PartitionBy: []" in plan:
+        if _global_window_nodes(df):
             failures.append((name, "global window"))
         if ("CartesianProduct" in plan or
                 "BroadcastNestedLoopJoin" in plan) and \
