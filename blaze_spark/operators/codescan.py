@@ -57,6 +57,39 @@ DEFAULT_SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+# conservative cheap pre-guards for the default patterns, keyed by the
+# PATTERN STRING (so custom pattern lists only pick one up when the
+# pattern is byte-identical to the default it guards). Each guard is a
+# necessary condition of its regex — every possible match CONTAINS the
+# guarded literal (for generic_secret: any (?i) casing of "key", and
+# `lower()` only ever widens the candidate set) — so
+# `when(guard, regexp_count).otherwise(0)` is value-identical to the
+# bare regexp_count. Why guard at all: a contains() byte scan measured
+# 0.57 s over the 2.5 GB / 603k-file corpus where the regex passes run
+# 0.6-2.9 s, and on realistic corpora virtually no document carries
+# the literal, so the regex engine runs on ~nothing. (This composes
+# with, not replaces, the per-pattern-pass design — the fused
+# alternation is still 2.1× slower, see the docstring below.)
+_SECRET_GUARDS: dict = {
+    r"AKIA[0-9A-Z]{16}": lambda c: c.contains("AKIA"),
+    r"ghp_[0-9A-Za-z]{36}": lambda c: c.contains("ghp_"),
+    r"xox[abp]-[0-9A-Za-z\-]{10,48}": lambda c: c.contains("xox"),
+    r"-----BEGIN [A-Z ]*PRIVATE KEY-----":
+        lambda c: c.contains("-----BEGIN "),
+    r"(?i)(?:api|secret)_?key\s*[:=]\s*['\"][0-9A-Za-z]{16,64}['\"]":
+        lambda c: c.rlike("[kK][eE][yY]"),
+    r"Bearer [0-9A-Za-z\-._~+/]{20,}": lambda c: c.contains("Bearer "),
+}
+
+
+def _guarded_count(c, rx: str):
+    guard = _SECRET_GUARDS.get(rx)
+    count = F.regexp_count(c, F.lit(rx))
+    if guard is None:
+        return count
+    return F.when(guard(c), count).otherwise(F.lit(0))
+
+
 def scan_secrets(df: DataFrame, id_col: str, content_col: str,
                  patterns: Optional[Sequence[tuple[str, str]]] = None,
                  ) -> DataFrame:
@@ -71,12 +104,15 @@ def scan_secrets(df: DataFrame, id_col: str, content_col: str,
     -----BEGIN, Bearer) that Java's regex engine turns into a fast
     literal pre-scan, while a fused `(?:p1)|(?:p2)|…` prefilter
     disables that and measured 2.1× SLOWER on the multi-KB code
-    corpus (6.9 s → 14.8 s for 603k files, same session A/B)."""
+    corpus (6.9 s → 14.8 s for 603k files, same session A/B). r6 adds
+    the value-identical literal pre-guards (``_SECRET_GUARDS``): the
+    regex pass per default pattern only runs on documents whose bytes
+    can possibly match (measured 5.9 s → 2.9 s on the same corpus)."""
     pats = tuple(patterns) if patterns is not None else DEFAULT_SECRET_PATTERNS
     c = F.col(content_col)
     hits = F.array(*[
         F.struct(F.lit(name).alias("secret_type"),
-                 F.regexp_count(c, F.lit(rx)).alias("n_matches"))
+                 _guarded_count(c, rx).alias("n_matches"))
         for name, rx in pats])
     return (df.select(F.col(id_col).alias("id"), F.explode(hits).alias("m"))
               .select("id", "m.secret_type", "m.n_matches")
