@@ -325,10 +325,27 @@ def _build_object_prefilter(schema: Any, column: str):
             ok = ok & pred(v)
         return ok
 
-    # top-level object shape (MapType parse: non-null iff JSON object)
-    obj_map = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
-    pred = col.isNotNull() & obj_map.isNotNull()
+    # top-level object shape (MapType parse: non-null iff JSON object).
+    # LAZY (r6): a REQUIRED property of strict scalar/array type is
+    # proven present by its typed struct view alone — from_json(struct)
+    # yields a NULL field for arrays, scalars, malformed text, absent
+    # keys and JSON-null/mistyped values alike (probed on 4.1), so
+    # field-non-null ⇒ object ∧ present ∧ strictly typed. When every
+    # proof obligation is of that shape the MapType parse (a full
+    # second JSON parse per row, ~40% of the prefilter's cost measured
+    # on the events corpus) is skipped entirely; any other shape
+    # (optional members, string values needing the raw-text guard,
+    # "any" members, nested objects, extra required names) still
+    # forces it.
+    _omap = {}
 
+    def omap():
+        if "m" not in _omap:
+            _omap["m"] = F.from_json(
+                col, T.MapType(T.StringType(), T.StringType()))
+        return _omap["m"]
+
+    pred_parts = []
     for name, (cls, info) in classes.items():
         # Presence must distinguish a JSON null value from an absent key
         # (get_json_object returns NULL for both, which proved
@@ -336,13 +353,19 @@ def _build_object_prefilter(schema: Any, column: str):
         # ADVICE r2 finding 1). map_contains_key over the object-map
         # view is true for a present-but-null member; the null value
         # then fails the typed ok-predicate and the row takes the exact
-        # Python path.
-        present = F.map_contains_key(obj_map, name)
+        # Python path. For required strict-typed members the typed view
+        # subsumes all of that (see omap() note above).
+        strict_scalar = cls == "scalar" and info != "string"
+        strict_required = name in required and (strict_scalar
+                                                or cls == "array")
+        present = None if strict_required else F.map_contains_key(
+            omap(), name)
         if cls == "any":  # empty subschema: any present value is fine
             ok = F.lit(True)
         elif cls == "scalar":
             ok = scalar_ok(info, properties[name],
-                           lambda k, n=name: view(k)[n], obj_map[name])
+                           lambda k, n=name: view(k)[n],
+                           None if strict_scalar else omap()[name])
         elif cls == "array":
             items = info
             v = view(_TP_KIND[items["type"]])[name]
@@ -366,7 +389,7 @@ def _build_object_prefilter(schema: Any, column: str):
                 ok = ok & F.forall(v, lambda e: _element_pred(e))
         else:  # object: one nested level of scalar members
             sub_classes, sub_req = info
-            sub_map = F.from_json(obj_map[name],
+            sub_map = F.from_json(omap()[name],
                                   T.MapType(T.StringType(), T.StringType()))
             ok = sub_map.isNotNull()  # the member value IS an object
             sub_props = properties[name].get("properties", {})
@@ -386,13 +409,29 @@ def _build_object_prefilter(schema: Any, column: str):
             for sname in sub_req:
                 if sname not in sub_classes:
                     ok = ok & F.map_contains_key(sub_map, sname)
-        if name in required:
-            pred = pred & present & ok
+        if strict_required:
+            # typed-view proof implies object ∧ present ∧ typed
+            pred_parts.append(ok)
+        elif name in required:
+            pred_parts.append(present & ok)
         else:
-            pred = pred & (~present | ok)
+            pred_parts.append(~present | ok)
     for name in required:
         if name not in properties:
-            pred = pred & F.map_contains_key(obj_map, name)
+            pred_parts.append(F.map_contains_key(omap(), name))
+    any_strict_required = any(
+        name in required
+        and (classes[name][0] == "array"
+             or (classes[name][0] == "scalar"
+                 and classes[name][1] != "string"))
+        for name in classes)
+    pred = col.isNotNull()
+    if "m" in _omap or not any_strict_required:
+        # the MapType view was needed anyway (or nothing else proves
+        # objectness): keep the explicit is-a-JSON-object check
+        pred = pred & omap().isNotNull()
+    for part in pred_parts:
+        pred = pred & part
     return pred
 
 

@@ -271,6 +271,49 @@ def test_json_column_jvm_prefilter_parity(spark):
         {"type": "object", "additionalProperties": False}, "j") is None
 
 
+def test_prefilter_strict_required_skips_map_parse(spark):
+    """r6: when every proof obligation is a REQUIRED strict-typed
+    member, the typed struct view alone proves object ∧ present ∧ type
+    (from_json(struct) nulls the field for arrays, scalars, malformed
+    text, absent keys and mistyped values — probed), so the MapType
+    second parse must be gone from the built expression. Any
+    optional / string / extra-required shape must still carry it.
+    Soundness of the single-parse form is pinned on the adversarial
+    payload matrix."""
+    from blaze_spark.operators.validate import (
+        _static_object_prefilter, validate_json_column)
+
+    strict = {"type": "object", "required": ["k"],
+              "properties": {"k": {"type": "integer",
+                                   "minimum": 0, "maximum": 80}}}
+    expr = str(_static_object_prefilter(strict, "j")._jc)
+    assert '"type":"map"' not in expr
+    # one level up: any of these shapes still needs the map view
+    for schema in (
+            {"type": "object",  # optional member
+             "properties": {"k": {"type": "integer"}}},
+            {"type": "object", "required": ["s"],  # string needs raw text
+             "properties": {"s": {"type": "string"}}},
+            {"type": "object", "required": ["k", "z"],  # extra required
+             "properties": {"k": {"type": "integer"}}},
+    ):
+        expr = str(_static_object_prefilter(schema, "j")._jc)
+        assert '"type":"map"' in expr, schema
+
+    payloads = ['{"k": 5}', '{"k": "5"}', '{"k": 5.0}', '{"k": null}',
+                '{"k": -1}', '{"k": 81}', '{}', '{"k": 5, "e": 1}',
+                'not json', None, '5', 'true', '[{"k": 5}]', '"k"',
+                '[]', '{"k": [5]}', '{"k": {}}']
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
+                               ["rid", "j"])
+    hybrid = {r["rid"]: (r["valid"], [tuple(v) for v in r["violations"]])
+              for r in validate_json_column(df, "j", strict).collect()}
+    pure = {r["rid"]: (r["valid"], [tuple(v) for v in r["violations"]])
+            for r in validate_json_column(df, "j", strict,
+                                          jvm_prefilter=False).collect()}
+    assert hybrid == pure
+
+
 def test_prefilter_null_value_is_not_absent(spark):
     """{"a": null} must fail {"properties": {"a": {"type": "string"}}}
     on the DEFAULT (prefilter) path: get_json_object conflated JSON
