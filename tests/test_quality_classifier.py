@@ -134,3 +134,55 @@ def test_curation_v4_classifier_gate(spark):
         df, "doc_id", "text", schema).collect()}
     assert rep0[2]["classifier_ok"] is True    # gate disabled
     assert rep0[2]["kept"] is True
+
+
+def test_quality_features_regexp_form_matches_hof_form(spark):
+    """r6: quality_features moved from split/filter/array_contains HOF
+    chains to single regexp_count passes. The counts must be EXACTLY
+    the old form's on an adversarial matrix — stopwords as prefixes of
+    longer tokens ("a" in "and"), apostrophe-joined tokens (tokenizer
+    keeps '), Unicode case (lower('İ') expands), punctuation-only and
+    null/empty text — plus the real fixture corpus."""
+    from blaze_spark.operators.textstats import STOPWORDS, quality_features
+
+    def old_features(df, id_col, text_col):
+        text = F.col(text_col)
+        toks = F.filter(F.split(F.lower(text), "[^a-z0-9']+"),
+                        lambda t: t != "")
+        n_toks = F.size(toks)
+        stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+        n_stop = F.size(F.filter(toks,
+                                 lambda t: F.array_contains(stop_arr, t)))
+        n_chars = F.char_length(text)
+        n_punct = n_chars - F.char_length(
+            F.regexp_replace(text, r"[\.,;:!\?]", ""))
+        n_upper = n_chars - F.char_length(
+            F.regexp_replace(text, r"[A-Z]", ""))
+        return df.select(
+            F.col(id_col),
+            n_chars.alias("n_chars_computed"),
+            n_toks.alias("n_tokens"),
+            F.when(n_toks > 0, (n_chars - n_toks + 1) / n_toks)
+            .otherwise(F.lit(0.0)).alias("mean_token_len"),
+            F.when(n_toks > 0, n_stop / n_toks)
+            .otherwise(F.lit(0.0)).alias("stopword_ratio"),
+            F.when(n_chars > 0, n_punct / n_chars)
+            .otherwise(F.lit(0.0)).alias("punct_ratio"),
+            F.when(n_chars > 0, n_upper / n_chars)
+            .otherwise(F.lit(0.0)).alias("upper_ratio"))
+
+    edge = [(0, None), (1, ""), (2, "a"), (3, "and"), (4, "AND A THE of"),
+            (5, "a'nd the'a of'"), (6, "x a x and x"),
+            (7, "…a… —and— ‘the’"), (8, "don't is a word with'in it"),
+            (9, "a" * 1000 + " the"), (10, "ofof fofo of,of.of!of"),
+            (11, "İstanbul Iıİi THE"), (12, "1a2 'a' ''a'' a"),
+            (13, ".,;:!?" * 50), (14, "ABCdefGHI jkl"),
+            (15, "the the the a a and of to in is for on with")]
+    edf = spark.createDataFrame(edge, "doc_id long, text string")
+    docs = spark.read.parquet(f"{sf_dir()}/documents.parquet")
+    for df in (edf, docs):
+        want = sorted(tuple(r) for r in
+                      old_features(df, "doc_id", "text").collect())
+        got = sorted(tuple(r) for r in
+                     quality_features(df, "doc_id", "text").collect())
+        assert got == want
