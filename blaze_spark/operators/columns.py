@@ -215,13 +215,20 @@ def compile_property_check(instr: dict, col: Column, dtype: T.DataType,
         if not isinstance(dtype, _STRINGY):
             return ColumnCheck(kloc, iloc, F.lit(True), F.lit(""))
         bound = v["bound"]
-        # char_length counts code points on StringType (SURVEY.md §7.4)
+        # char_length counts code points on StringType (SURVEY.md §7.4).
+        # It walks every UTF-8 byte, which at corpus scale means a full
+        # second pass over multi-KB payloads; octet_length is O(1) (the
+        # byte length is stored) and bounds it both ways —
+        # bytes >= chars >= bytes/4 — so the common case short-circuits
+        # without touching the payload and only boundary rows pay the
+        # exact code-point count. Three-valued logic is unchanged (a
+        # NULL column nulls both operands of the OR).
         n = F.char_length(col)
         if op == "min_length":
-            pred = n >= bound
+            pred = (F.octet_length(col) >= 4 * bound) | (n >= bound)
             head = f" was expected to consist of at least {bound} character"
         else:
-            pred = n <= bound
+            pred = (F.octet_length(col) <= bound) | (n <= bound)
             head = f" was expected to consist of at most {bound} character"
         head += "s" if bound != 1 else ""
         msg = F.concat(F.lit("The string value "), _quote_col(col),

@@ -22,7 +22,12 @@ N→4N scaling efficiency attainable (SURVEY.md §4.3).
 from __future__ import annotations
 
 import json
-from typing import Any, Iterator, List, Optional
+from typing import Any, Iterator, List, Optional, Tuple
+
+# module-top import: pandas_udf resolves string type hints (this module
+# uses `from __future__ import annotations`) against module globals, so
+# `pd` must exist here, not inside the function (CLAUDE.md gotcha)
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -135,10 +140,15 @@ def _scalar_keyword_preds(ps: dict, tp: str) -> list:
                 raise _PrefilterBail
             if tp != "string":
                 continue
+            # octet_length short-circuit: bytes >= chars >= bytes/4, so
+            # the O(1) byte length proves the common case without the
+            # per-byte code-point walk (columns.py min/max_length)
             if key == "minLength":
-                preds.append(lambda v, b=value: F.char_length(v) >= b)
+                preds.append(lambda v, b=value: (F.octet_length(v) >= 4 * b)
+                             | (F.char_length(v) >= b))
             else:
-                preds.append(lambda v, b=value: F.char_length(v) <= b)
+                preds.append(lambda v, b=value: (F.octet_length(v) <= b)
+                             | (F.char_length(v) <= b))
         elif key == "pattern":
             if not isinstance(value, str):
                 raise _PrefilterBail
@@ -466,35 +476,46 @@ def validate_json_column(df: DataFrame, column: str, schema_or_plan: Any, *,
 
 def _interpret(df: DataFrame, column: str, plan: dict, mode: str,
                skip_col: Optional[str] = None) -> DataFrame:
-    """mapInPandas interpreter: Arrow batches in, Arrow batches out.
+    """Arrow-vectorized interpreter as a SCALAR_ITER pandas UDF.
 
     The plan ships to executors through the closure (it's pure JSON,
     mirroring the reference's serializable templates) and is loaded once
-    per partition, compile-once-evaluate-many exactly like the
-    reference's reusable Evaluator (evaluator.h:109-127).
+    per TASK, compile-once-evaluate-many exactly like the reference's
+    reusable Evaluator (evaluator.h:109-127).
+
+    Plan shape (guide §4.1): the former ``mapInPandas`` body shipped
+    EVERY column of EVERY row JVM→Python→JVM; the ``ArrowEvalPython``
+    node ships exactly the UDF's two inputs (the JSON text + the
+    prefilter verdict) and receives one (valid, violations) struct back
+    — the rest of the row never crosses the boundary. On top of that,
+    rows the JVM prefilter proved valid ship a NULL instead of their
+    multi-KB payload (the ``when`` runs JVM-side before the exchange to
+    Python), so on a mostly-valid corpus almost no bytes cross at all.
+    Verdicts and violations are byte-identical to the old path.
+
+    Marked non-deterministic so a downstream filter on ``valid`` cannot
+    duplicate the Python evaluation above and below the pushed filter
+    (guide §4.4) — the function is pure, the marker only pins it.
     """
     plan_blob = json.dumps(plan)
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField("valid", T.BooleanType(), False),
-           T.StructField("violations", _VIOLATIONS_T, False)]
-    )
-    col_idx = df.columns.index(column)
-    skip_idx = df.columns.index(skip_col) if skip_col else None
     fast = mode == "fast"
+    res_t = T.StructType([
+        T.StructField("valid", T.BooleanType(), False),
+        T.StructField("violations", _VIOLATIONS_T, False)])
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def run(batches: Iterator[Tuple[pd.Series, pd.Series]]
+            ) -> Iterator[pd.DataFrame]:
         from blaze_spark.operators.evaluator import evaluate as _evaluate
 
         local_plan = json.loads(plan_blob)
-        for pdf in batches:
+        for texts, skips in batches:
             valid_out: List[bool] = []
             vio_out: List[list] = []
-            skips = (pdf.iloc[:, skip_idx].tolist()
-                     if skip_idx is not None else None)
-            for row_i, text in enumerate(pdf.iloc[:, col_idx]):
-                if skips is not None and skips[row_i] is True:
-                    # the JVM prefilter proved this row valid
+            sk = skips.tolist()
+            for row_i, text in enumerate(texts):
+                if sk[row_i] is True:
+                    # the JVM prefilter proved this row valid (its text
+                    # arrived nulled — never shipped)
                     valid_out.append(True)
                     vio_out.append([])
                     continue
@@ -512,12 +533,24 @@ def _interpret(df: DataFrame, column: str, plan: dict, mode: str,
                                    mode="fast" if fast else "exhaustive")
                 valid_out.append(result.valid)
                 vio_out.append([tuple(v) for v in result.violations])
-            pdf = pdf.copy()
-            pdf["valid"] = valid_out
-            pdf["violations"] = vio_out
-            yield pdf
+            yield pd.DataFrame({
+                "valid": pd.Series(valid_out, dtype="bool"),
+                "violations": pd.Series(vio_out, dtype="object")})
 
-    return df.mapInPandas(run, schema=out_schema)
+    udf = F.pandas_udf(run, returnType=res_t).asNondeterministic()
+    if skip_col is None:
+        text_in = F.col(column)
+        skip_in = F.lit(False)
+    else:
+        # proven-valid rows ship NULL text (when() runs in the JVM);
+        # a NULL prefilter verdict (malformed doc) means "interpret"
+        text_in = F.when(F.col(skip_col), F.lit(None).cast("string")) \
+            .otherwise(F.col(column))
+        skip_in = F.coalesce(F.col(skip_col), F.lit(False))
+    res = df.withColumn("__res__", udf(text_in, skip_in))
+    return res.select(*[F.col(c) for c in df.columns],
+                      F.col("__res__.valid").alias("valid"),
+                      F.col("__res__.violations").alias("violations"))
 
 
 def violations_table(validated: DataFrame, id_cols: List[str]) -> DataFrame:

@@ -41,7 +41,9 @@ def test_tier2_fallback_uses_arrow_batches(spark):
     from blaze_spark.operators.validate import validate_json_column
 
     plan = _plan(validate_json_column(events, "props", E.EVENT_PROPS_SCHEMA))
-    assert "MapInPandas" in plan  # Arrow batch interpreter, not per-row UDF
+    # Arrow-batched interpreter (one vectorized Python node carrying
+    # only the JSON text + prefilter verdict), never a pickled-row UDF
+    assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
 
 
@@ -326,7 +328,8 @@ def test_referential_stream_end_to_end(spark, tmp_path):
 
 def test_json_prefilter_plan_is_map_only_jvm(spark):
     """The hybrid tier-2 prefilter adds a pure-JVM Project (from_json
-    typed views) ahead of MapInPandas — no shuffle, no extra Python."""
+    typed views) ahead of ONE ArrowEvalPython — no shuffle, no extra
+    Python, and no duplicated UDF evaluation."""
     from blaze_spark.operators.validate import validate_json_column
 
     schema = {"type": "object", "required": ["k"],
@@ -336,7 +339,7 @@ def test_json_prefilter_plan_is_map_only_jvm(spark):
     plan = validate_json_column(df, "props", schema) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 1
     assert "from_json" in plan  # the JVM prefilter made it into the plan
 
 

@@ -1,0 +1,108 @@
+"""Focused regression tests for the round-6 optimizations that changed
+operator INTERNALS while pinning identical results:
+
+* the octet_length short-circuit inside tier-1 min/max string length
+  (columns.py) and the tier-2 JVM prefilter (validate.py) — the byte
+  length only ever PROVES the cheap direction, so multibyte strings
+  near the bound must still take the exact code-point path;
+* the single multi-granularity window pass in duplicate_spans_multi —
+  must emit exactly the union of per-size duplicate_spans flags;
+* the vectorized Viterbi kernel keeps its brute-force parity suite in
+  test_vocab_prune.py; the bigram_lm restructure keeps
+  test_bigram_lm.py + the driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from blaze_spark.operators import dedup as DD
+from blaze_spark.operators.validate import validate_json_column, validate_rows
+
+# é = 2 bytes / 1 code point in UTF-8; 𝄞 (U+1D11E) = 4 bytes / 1 point
+_SCHEMA_LEN = {
+    "type": "object",
+    "required": ["s"],
+    "properties": {"s": {"type": "string", "minLength": 2, "maxLength": 4}},
+}
+
+
+def test_tier1_length_bounds_multibyte(spark):
+    # (value, expected valid): cases straddling the byte-vs-char gap
+    cases = [
+        ("ab", True),          # bytes == chars, inside
+        ("ééééé", False),      # 10 bytes but 5 chars: maxLength fails
+        ("éééé", True),        # 8 bytes, 4 chars: byte proof fails,
+                               # char_length fallback must pass it
+        ("é", False),          # 2 bytes but 1 char: minLength fails
+                               # (octet>=4*2 is false, char path rules)
+        ("𝄞𝄞", True),          # 8 bytes = 4*minLength proves >= 2 chars
+        ("𝄞𝄞𝄞𝄞𝄞", False),     # 20 bytes, 5 chars: max fails
+        ("", False),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)],
+                               "id long, s string")
+    out = {r["id"]: r["valid"]
+           for r in validate_rows(df, _SCHEMA_LEN).collect()}
+    for i, (s, want) in enumerate(cases):
+        assert out[i] is want, (s, want, out[i])
+
+
+def test_prefilter_length_bounds_multibyte_parity(spark):
+    texts = ['{"s": "ab"}', '{"s": "ééééé"}', '{"s": "éééé"}',
+             '{"s": "é"}', '{"s": "𝄞𝄞"}', '{"s": ""}', '{"s": 5}',
+             '{}', 'not json', None]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, props string")
+    with_pf = {r["id"]: (r["valid"], [tuple(v) for v in r["violations"]])
+               for r in validate_json_column(
+                   df, "props", _SCHEMA_LEN).collect()}
+    no_pf = {r["id"]: (r["valid"], [tuple(v) for v in r["violations"]])
+             for r in validate_json_column(
+                 df, "props", _SCHEMA_LEN, jvm_prefilter=False).collect()}
+    assert with_pf == no_pf
+
+
+def test_spans_multi_single_pass_equals_per_size_union(spark):
+    base = "w" + " w".join(str(i) for i in range(90))  # 91 distinct tokens
+    shared16 = " ".join(f"s{i}" for i in range(16))
+    shared32 = " ".join(f"t{i}" for i in range(32))
+    rows = [
+        (1, f"{shared16} {base}"),
+        (2, f"alpha {shared16} beta {shared32}"),
+        (3, f"{shared32} omega"),
+        (4, base.replace("w ", "x ")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # reference flag rows: per-size flagged windows rebuilt
+    # independently through the pre-r6 per-size path (_span_windows +
+    # per-size count); the operator's single multi-size pass must
+    # cover exactly this multiset
+    flagged = []
+    for w_sz in (16, 32):
+        w = DD._span_windows(df, "doc_id", "text", w_sz)
+        dup = (w.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") >= 2).select("h"))
+        flagged.extend(
+            (r["id"], r["pos"], r["pos"] + w_sz - 1, w_sz)
+            for r in w.join(dup, "h").collect())
+    assert flagged, "fixture must plant duplicated windows"
+    out = DD.duplicate_spans_multi(df, "doc_id", "text",
+                                   windows=(16, 32)).collect()
+    cover = {}
+    for r in out:
+        cover.setdefault(r["id"], []).append(
+            (r["span_start"], r["span_end"], r["max_span"],
+             r["n_windows"]))
+    n_flagged = {}
+    for (i, pos, end, w_sz) in flagged:
+        n_flagged[i] = n_flagged.get(i, 0) + 1
+        assert any(s <= pos and end <= e for s, e, _, _ in cover[i]), \
+            (i, pos, end, w_sz, cover.get(i))
+        # max_span of the covering span is at least this window size
+        assert any(s <= pos and end <= e and m >= w_sz
+                   for s, e, m, _ in cover[i])
+    # window counts per doc match the flagged multiset
+    for i, spans_i in cover.items():
+        assert sum(n for _, _, _, n in spans_i) == n_flagged[i]
