@@ -264,15 +264,25 @@ def bigram_lm_scores(df: DataFrame, id_col: str,
                    lambda x, y: F.concat_ws(" ", x, y))) \
         .otherwise(F.array().cast("array<string>"))
     bg = base.select("id", F.explode(bigrams_arr).alias("bg"))
-    bg = bg.withColumn("w1", F.split(F.col("bg"), " ")[0])
+    # r6 shape: the bigram-explode subtree is the expensive part and
+    # Spark RECOMPUTES it per consumer (the groupBy+join-back gotcha),
+    # so everything downstream hangs off ONE aggregation of it.
+    # c(w1·) counts w1 as a bigram history = Σ c(w1 w2) over the
+    # DISTINCT-bigram table, so hist_counts derives from bigram_counts
+    # (|distinct bigrams| rows) instead of re-aggregating the exploded
+    # stream; and the two probe joins fuse into one — the count tables
+    # pre-join on w1 (small × small), then the probe stream is shuffled
+    # ONCE on bg instead of once on bg and again on w1. Integer counts
+    # and the fixed lp expression order keep every double bit-identical.
     bigram_counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
-    hist_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bc = bigram_counts.withColumn("w1", F.split(F.col("bg"), " ")[0])
+    hist_counts = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    counts_full = bc.join(hist_counts, "w1").select("bg", "c12", "c1")
     vocab = (df.select(F.explode(toks_arr).alias("tok"))
                .agg(F.count_distinct("tok").alias("vocab")))
     lp = F.log((F.col("c12") + 1)
                / (F.col("c1") + F.col("vocab")).cast("double"))
-    scored = (bg.join(bigram_counts, "bg")
-                .join(hist_counts, "w1")
+    scored = (bg.join(counts_full, "bg")
                 .crossJoin(F.broadcast(vocab))
                 .select("id",
                         F.round(lp * F.lit(1e6)).cast("long").alias("lp")))
@@ -355,90 +365,70 @@ def _viterbi_piece_usage(words: DataFrame, costs: dict, unk_cost: int,
     """Viterbi-segment every distinct corpus word under integer piece
     costs and return per-piece expected usage (Σ word frequency over
     the argmin segmentations). The EM E-step of unigram-LM tokenizer
-    training, as three bounded passes:
+    training.
 
-    1. candidate (end-position, length, piece) triples fan out over the
-       DISTINCT-word table only (≤ len·max_len per word — Heaps-law
-       bounded, never per corpus token);
-    2. an equi-join against the tiny broadcast vocab table prices them
-       (pieces not in the vocab drop out here);
-    3. the DP runs as ONE JVM expression per word over the
-       collect_list'ed steps array — no per-row Python, no iteration
-       shuffle: dp[i] = min over steps ending at i of (dp[i-L] + cost),
-       falling back to an unknown-character step when no piece ends at
-       i. Ties break on the (cost, segmentation-string) struct order,
-       which the SQL oracle's path-enumeration min reproduces exactly
-       (segmentations of the same prefix can never be string-prefixes
-       of each other, so prefix-wise min == global min).
-    """
-    spark = words.sparkSession
-    vocab_df = spark.createDataFrame(
-        [(p, c) for p, c in sorted(costs.items())], "piece string, pcost long")
-    n = F.length("tok")
-    # candidate steps: for each end position i (1..n) and length L
-    # (1..min(max_len, i)), the substring tok[i-L+1 .. i]
-    cands = [
-        F.when(n >= length, F.transform(
-            F.sequence(F.lit(length), n),
-            _end_pos_step(length)))
-        .otherwise(F.array().cast(
-            "array<struct<i:int,l:int,piece:string>>"))
-        for length in range(1, max_len + 1)]
-    fan = (words.select("tok", "c",
-                        F.explode(F.concat(*cands)).alias("s"))
-                .select("tok", "c", "s.i", "s.l",
-                        F.col("s.piece").alias("piece")))
-    steps = (fan.join(F.broadcast(vocab_df), "piece")
-                .groupBy("tok", "c")
-                .agg(F.collect_list(
-                    F.struct("i", "l", "pcost", "piece")).alias("steps")))
-    # words whose every candidate missed the vocab fall out of the
-    # inner join — restore them with an empty steps array (they will
-    # segment entirely through unknown-character steps)
-    steps = (words.join(steps.select("tok", "steps"), "tok", "left")
-                  .withColumn("steps", F.coalesce(
-                      "steps", F.array().cast(
-                          "array<struct<i:int,l:int,pcost:long,"
-                          "piece:string>>"))))
+    r6 shape: ONE vectorized Arrow pass over the DISTINCT-word table
+    (guide §4.2 — the former candidate fan-out + broadcast join +
+    collect_list + per-character ``F.aggregate`` fold ran the DP as an
+    interpreted CodegenFallback lambda chain; measured it dominated
+    vocab_prune). The kernel receives only (tok, c), runs the integer
+    DP per word, and pre-aggregates usage per batch, so the only
+    shuffle is the final |vocab|-bounded piece sum. Exactness is
+    preserved bit-for-bit: costs are integer microunits (integer adds
+    in any order), and the tie-break is the same (cost,
+    segmentation-string) lexicographic min — tokens are [a-z0-9]
+    ASCII, where Python string order equals the JVM's UTF8 binary
+    struct order. dp[i] = min over vocab pieces ending at i of
+    (dp[i-L] + cost), falling back to an unknown-character step when
+    no piece ends at i; unknown steps are by construction never vocab
+    pieces, so the in-kernel membership filter matches the old
+    inner-join exactly. The SQL oracle's path-enumeration min
+    reproduces the same segmentation (segmentations of the same prefix
+    can never be string-prefixes of each other, so prefix-wise min ==
+    global min)."""
+    from pyspark.sql import types as T
 
-    def _merge(acc, i):
-        prev_for = lambda off: F.element_at(acc, off)  # noqa: E731
-        cands_i = F.transform(
-            F.filter(F.col("steps"), lambda s: s["i"] == i),
-            lambda s: F.struct(
-                (prev_for(i - s["l"] + 1)["cost"] + s["pcost"])
-                .alias("cost"),
-                F.concat(prev_for(i - s["l"] + 1)["seg"], F.lit(" "),
-                         s["piece"]).alias("seg")))
-        unk = F.struct(
-            (prev_for(i)["cost"] + F.lit(unk_cost)).alias("cost"),
-            F.concat(prev_for(i)["seg"], F.lit(" "),
-                     F.col("tok").substr(i, F.lit(1))).alias("seg"))
-        best = F.when(F.size(cands_i) > 0,
-                      F.array_min(cands_i)).otherwise(unk)
-        return F.concat(acc, F.array(best))
+    costs_local = dict(costs)
+    unk = int(unk_cost)
+    mx = int(max_len)
+    out_schema = T.StructType([
+        T.StructField("piece", T.StringType(), False),
+        T.StructField("usage", T.LongType(), False)])
 
-    init = F.array(F.struct(F.lit(0).cast("long").alias("cost"),
-                            F.lit("").alias("seg")))
-    dp = F.aggregate(F.sequence(F.lit(1), F.length("tok")), init, _merge)
-    seg = F.element_at(dp, F.length("tok") + 1)["seg"]
-    used = (steps.select("c", F.explode(
-                F.filter(F.split(seg, " "), lambda p: p != ""))
-                .alias("piece"))
-                 .groupBy("piece")
-                 .agg(F.sum("c").alias("usage")))
-    # unknown-character steps are by construction never vocab pieces;
-    # the inner join drops them from the usage table
-    return used.join(F.broadcast(vocab_df.select("piece")), "piece")
+    def run(batches):
+        import pandas as pd
 
+        acc: dict = {}
+        for pdf in batches:
+            for tok, c in zip(pdf["tok"].tolist(), pdf["c"].tolist()):
+                n = len(tok)
+                dpc = [0] * (n + 1)
+                dps = [""] * (n + 1)
+                for i in range(1, n + 1):
+                    best = None
+                    for L in range(1, min(mx, i) + 1):
+                        piece = tok[i - L:i]
+                        pc = costs_local.get(piece)
+                        if pc is None:
+                            continue
+                        cand = (dpc[i - L] + pc,
+                                dps[i - L] + " " + piece)
+                        if best is None or cand < best:
+                            best = cand
+                    if best is None:
+                        best = (dpc[i - 1] + unk,
+                                dps[i - 1] + " " + tok[i - 1])
+                    dpc[i], dps[i] = best
+                cw = int(c)
+                for piece in dps[n].split(" "):
+                    if piece and piece in costs_local:
+                        acc[piece] = acc.get(piece, 0) + cw
+        yield pd.DataFrame({
+            "piece": pd.Series(list(acc.keys()), dtype="object"),
+            "usage": pd.Series(list(acc.values()), dtype="int64")})
 
-def _end_pos_step(length: int):
-    # factory closure (a 2-param lambda would receive the array INDEX
-    # as its second argument — the seed_vocab r4 lesson)
-    return lambda i: F.struct(
-        i.cast("int").alias("i"), F.lit(length).cast("int").alias("l"),
-        F.col("tok").substr(i - F.lit(length - 1),
-                            F.lit(length)).alias("piece"))
+    partial = words.select("tok", "c").mapInPandas(run, schema=out_schema)
+    return partial.groupBy("piece").agg(F.sum("usage").alias("usage"))
 
 
 def vocab_prune(df: DataFrame, text_col: str, *, min_len: int = 1,
