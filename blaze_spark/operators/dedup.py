@@ -1156,18 +1156,47 @@ def duplicate_spans_multi(df: DataFrame, id_col: str, text_col: str,
     long verbatim copy or short boilerplate" signal)."""
     from pyspark.sql import Window
 
-    flagged = None
-    for w_sz in sorted(windows):
-        w = _span_windows(df, id_col, text_col, w_sz)
-        dup_hashes = (w.groupBy("h")
-                       .agg(F.count(F.lit(1)).alias("c"))
-                       .where(F.col("c") >= min_count)
-                       .select("h"))
-        f = (w.join(dup_hashes, "h")
-              .select("id", "n_tokens", "pos",
-                      (F.col("pos") + (w_sz - 1)).alias("end"),
-                      F.lit(w_sz).alias("w")))
-        flagged = f if flagged is None else flagged.unionByName(f)
+    # r6: ONE multi-granularity window pass instead of one per size.
+    # The former per-size loop tokenized and hashed the corpus SIX
+    # times (3 sizes × the count/flag double pass) through 3 count
+    # shuffles, 3 joins and a 3-way union; emitting every size's
+    # windows as (pos, w, h) structs from a single token array makes it
+    # 2 passes (count + flag — total md5 bytes unchanged), 1 map-side-
+    # combined shuffle keyed (w, h) and 1 fan-out-1 join. Flagged rows
+    # are the same multiset — per size, (id, pos) survives iff its
+    # hash's corpus count at that size ≥ min_count — so the islands
+    # pass and every output value are identical. No O(corpus-tokens)
+    # intermediate is materialized (the duplicate_spans docstring
+    # trade): both passes regenerate map-side.
+    def _win_structs(w_sz: int):
+        def one(i):
+            return F.struct(
+                i.alias("pos"), F.lit(w_sz).alias("w"),
+                F.md5(F.array_join(F.slice(F.col("toks"), i, w_sz), " "))
+                 .alias("h"))
+        return F.when(
+            F.size("toks") >= w_sz,
+            F.transform(F.sequence(F.lit(1), F.size("toks") - (w_sz - 1)),
+                        one)) \
+            .otherwise(F.array().cast(
+                "array<struct<pos:int,w:int,h:string>>"))
+
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
+    wins = (toks.select("id", F.size("toks").alias("n_tokens"),
+                        F.explode(F.concat(*[_win_structs(s)
+                                             for s in sorted(windows)]))
+                         .alias("x"))
+                .select("id", "n_tokens", F.col("x.pos").alias("pos"),
+                        F.col("x.w").alias("w"), F.col("x.h").alias("h")))
+    dup_hashes = (wins.groupBy("w", "h")
+                      .agg(F.count(F.lit(1)).alias("c"))
+                      .where(F.col("c") >= min_count)
+                      .select("w", "h"))
+    flagged = (wins.join(dup_hashes, ["w", "h"])
+                   .select("id", "n_tokens", "pos",
+                           (F.col("pos") + F.col("w") - 1).alias("end"),
+                           "w"))
     order = Window.partitionBy("id").orderBy("pos", "end", "w")
     prev_end = F.max("end").over(
         order.rowsBetween(Window.unboundedPreceding, -1))
@@ -1339,6 +1368,10 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .where(F.col("u") != F.col("v")))
     e = e.select(F.greatest("u", "v").alias("u"),
                  F.least("u", "v").alias("v")).distinct()
+    # NB (r6): EAGER checkpoints throughout — a lazy-checkpoint variant
+    # (materialize inside the next action's job to cut the per-round
+    # job count) was measured 10-25% SLOWER across dedup_clusters /
+    # module_pagerank at sf0.1 and reverted; keep eager.
     e = e.localCheckpoint(eager=True)
     # node set from the CHECKPOINTED edges — deriving it from the input
     # plan would recompute the whole upstream subtree (e.g. the MinHash
