@@ -291,6 +291,9 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     base = F.floor(F.lit((1.0 - damping) * 1_000_000.0) / F.col("n")) \
             .cast("long")
     init = F.floor(F.lit(1_000_000.0) / F.col("n")).cast("long")
+    # eager checkpoints: a lazy variant (one cascading materialization
+    # at the final action) was measured ~25% slower here and reverted
+    # (r6 A/B at sf0.1)
     ranks = (nodes.crossJoin(F.broadcast(n_df))
                   .select("node", "n", init.alias("r"))
                   .localCheckpoint(eager=True))
@@ -352,7 +355,17 @@ def fork_groups(df: DataFrame, repo_col: str, content_col: str,
                                 F.count(F.lit(1)).over(per_hash))
                     .where(F.col("__nrep__") <= int(max_repos))
                     .select("repo", "h"))
-    sizes = hashes.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files"))
+    # r6: the capped hash table feeds `sizes` AND the pair expansion,
+    # and `sizes` itself is consumed three times (both join sides plus
+    # the final rollup join) — un-checkpointed, Spark recomputes the
+    # full corpus scan + md5 + distinct per consumer (~5 scans measured
+    # in the plan; the connected_components discipline). Both tables
+    # are tiny next to the corpus — (repo, 16-byte hash) distinct rows
+    # and one row per repo — so they materialize once and every
+    # consumer reads the local copy.
+    hashes = hashes.localCheckpoint(eager=True)
+    sizes = (hashes.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files"))
+                   .localCheckpoint(eager=True))
     inter = _copair_counts(hashes, "h", "repo")
     sa = sizes.select(F.col("repo").alias("id_a"),
                       F.col("n_files").alias("size_a"))
@@ -450,10 +463,12 @@ def code_health_report(df: DataFrame, group_col: str, content_col: str,
     pats = tuple(patterns) if patterns is not None else DEFAULT_SECRET_PATTERNS
     c = F.col(content_col)
     # per-pattern ORs, NOT a fused alternation — see scan_secrets
-    # (literal-prefix pre-scan beats one big alternation 2.1×)
+    # (literal-prefix pre-scan beats one big alternation 2.1×); the
+    # same value-identical literal pre-guards apply (a guard is a
+    # necessary condition of its regex, so guard & count>0 ≡ count>0)
     any_secret = None
     for _, rx in pats:
-        hit = F.regexp_count(c, F.lit(rx)) > 0
+        hit = _guarded_count(c, rx) > 0
         any_secret = hit if any_secret is None else (any_secret | hit)
     lines = F.split(c, "\n")
     n_lines = F.size(lines)
