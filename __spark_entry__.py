@@ -1554,59 +1554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-witnesses over time.
     """
     return {
-        # --- never driver-witnessed before r5 (were positions 51-71) ---
-        "column_stats_hll": q_column_stats_hll,
-        "column_profile_merge": q_column_profile_merge,
-        "column_quantiles": q_column_quantiles,
-        "redact_pii": q_redact_pii,
-        "chunk_documents": q_chunk_documents,
-        "json_profile": q_json_profile,
-        "json_profile_drift": q_json_profile_drift,
-        "lint_document_schemas": q_lint_document_schemas,
-        "frame_document_schemas": q_frame_document_schemas,
-        "codegen_typescript": q_codegen_typescript,
-        "documentation": q_documentation,
-        "contamination": q_contamination,
-        "curation_report": q_curation_report,
-        "curation_report_v2": q_curation_report_v2,
-        "curation_report_v3": q_curation_report_v3,
-        "dedup_keep_best": q_dedup_keep_best,
-        "top_quality": q_top_quality,
-        "sample_documents": q_sample_documents,
-        "sample_stratified_lang": q_sample_stratified_lang,
-        "weighted_mix": q_weighted_mix,
-        "pack_documents": q_pack_documents,
-        # --- new in round 5 (uncommented as each lands) ---
-        "quality_classifier": q_quality_classifier,
-        "curation_report_v4": q_curation_report_v4,
-        "vocab_prune": q_vocab_prune,
-        "session_violations_stream": q_session_violations_stream,
-        "duplicate_spans_multi": q_duplicate_spans_multi,
-        "contamination_bloom": q_contamination_bloom,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "boilerplate_scrub": q_boilerplate_scrub,
-        "snapshot_diff": q_snapshot_diff,
-        "token_budget_sample": q_token_budget_sample,
-        "incremental_curation": q_incremental_curation,
-        "snapshot_diff_summary": q_snapshot_diff_summary,
-        "semdedup": q_semdedup,
-        "source_cap": q_source_cap,
-        "source_overlap": q_source_overlap,
-        "secrets_scan": q_secrets_scan,
-        "license_scan": q_license_scan,
-        "code_stats": q_code_stats,
-        "import_graph": q_import_graph,
-        "module_pagerank": q_module_pagerank,
-        "function_dedup": q_function_dedup,
-        "code_health": q_code_health,
-        "repo_forks": q_repo_forks,
-        "function_near_dup": q_function_near_dup,
-        "secrets_stream_windowed": q_secrets_stream_windowed,
-        # --- rotated-in previously-green flagships (re-witness) ---
-        "validate_documents": q_validate_documents,
-        "validate_documents_violations": q_validate_documents_violations,
-        "validate_lineitem": q_validate_lineitem,
+        # --- r6 window: the 47 queries whose most recent driver rows
+        # are r4-or-older artifacts (r5 verdict "Next round" #3) lead so
+        # this round completes the full re-witness cycle ---
         "validate_events_props": q_validate_events_props,
         "dedup_minhash_candidates": q_dedup_minhash_candidates,
         "dedup_clusters": q_dedup_clusters,
@@ -1628,7 +1578,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "events_windowed_violations": q_events_windowed_violations,
         "drift_psi_lang": q_drift_psi_lang,
-        # --- tail: long-stable, driver-green in r1-r4 (rotate back in r6) ---
         "media_roundtrip": q_media_roundtrip,
         "validate_documents_policy": q_validate_documents_policy,
         "validate_messages_pattern": q_validate_messages_pattern,
@@ -1655,6 +1604,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_group_count": q_salted_group_count,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_features": q_media_features,
+        # --- r5-witnessed, rotated to the tail (these three still sit
+        # inside the 50-slot window as padding; re-witnessing them is
+        # harmless) ---
+        "column_stats_hll": q_column_stats_hll,
+        "column_profile_merge": q_column_profile_merge,
+        "column_quantiles": q_column_quantiles,
+        "redact_pii": q_redact_pii,
+        "chunk_documents": q_chunk_documents,
+        "json_profile": q_json_profile,
+        "json_profile_drift": q_json_profile_drift,
+        "lint_document_schemas": q_lint_document_schemas,
+        "frame_document_schemas": q_frame_document_schemas,
+        "codegen_typescript": q_codegen_typescript,
+        "documentation": q_documentation,
+        "contamination": q_contamination,
+        "curation_report": q_curation_report,
+        "curation_report_v2": q_curation_report_v2,
+        "curation_report_v3": q_curation_report_v3,
+        "dedup_keep_best": q_dedup_keep_best,
+        "top_quality": q_top_quality,
+        "sample_documents": q_sample_documents,
+        "sample_stratified_lang": q_sample_stratified_lang,
+        "weighted_mix": q_weighted_mix,
+        "pack_documents": q_pack_documents,
+        "quality_classifier": q_quality_classifier,
+        "curation_report_v4": q_curation_report_v4,
+        "vocab_prune": q_vocab_prune,
+        "session_violations_stream": q_session_violations_stream,
+        "duplicate_spans_multi": q_duplicate_spans_multi,
+        "contamination_bloom": q_contamination_bloom,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "boilerplate_scrub": q_boilerplate_scrub,
+        "snapshot_diff": q_snapshot_diff,
+        "token_budget_sample": q_token_budget_sample,
+        "incremental_curation": q_incremental_curation,
+        "snapshot_diff_summary": q_snapshot_diff_summary,
+        "semdedup": q_semdedup,
+        "source_cap": q_source_cap,
+        "source_overlap": q_source_overlap,
+        "secrets_scan": q_secrets_scan,
+        "license_scan": q_license_scan,
+        "code_stats": q_code_stats,
+        "import_graph": q_import_graph,
+        "module_pagerank": q_module_pagerank,
+        "function_dedup": q_function_dedup,
+        "code_health": q_code_health,
+        "repo_forks": q_repo_forks,
+        "function_near_dup": q_function_near_dup,
+        "secrets_stream_windowed": q_secrets_stream_windowed,
+        "validate_documents": q_validate_documents,
+        "validate_documents_violations": q_validate_documents_violations,
+        "validate_lineitem": q_validate_lineitem,
     }
 
 
