@@ -101,6 +101,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     collapses each partition to one partial row per id. The K mins are
     stacked back to (id, hash_index, minhash) rows after aggregation —
     post-agg output is K×|ids|, which is the result size anyway."""
+    mins = _minhash_mins(df, id_col, text_col, k)
+    return mins.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(k)]))
+        .alias("hash_index", "minhash"))
+
+
+def _minhash_mins(df: DataFrame, id_col: str, text_col: str,
+                  k: int) -> DataFrame:
+    """(id, m0..m(k-1)): the K minhashes as one row per document — the
+    shared basis for the stacked signature rows and the band-key
+    builder."""
     toks = _ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(text_col))).alias("tok"))
@@ -108,12 +120,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         id_col,
         *[F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))).alias(f"h{i}")
           for i in range(k)])
-    mins = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
-    return mins.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(k)]))
-        .alias("hash_index", "minhash"))
 
 
 def _index_pad_width(k: int) -> int:
@@ -129,20 +137,32 @@ def _minhash_buckets(df: DataFrame, id_col: str, text_col: str,
                      k: int, band: int) -> DataFrame:
     """(id, band, bucket_key): LSH band buckets over the MinHash
     signature — the shared basis for within-corpus candidate pairs and
-    the incremental new-batch-vs-corpus join."""
-    sigs = minhash_signatures(df, id_col, text_col, k)
-    # order inside the band must be deterministic for the bucket key.
-    # Pad width derives from k (min 2 keeps keys stable for the default
-    # k=12 and every k <= 100): a fixed lpad(2) TRUNCATED three-digit
-    # indices (100 -> '10', colliding with 10) and diverged from the
-    # streaming sibling's formatting for k > 99.
+    the incremental new-batch-vs-corpus join.
+
+    r6: keys are assembled DIRECTLY from the per-document mins row.
+    The historical form stacked the signature to (id, hash_index,
+    minhash) rows and re-aggregated per (id, band) — a second full
+    shuffle whose sort_array ordering is statically known anyway: the
+    zero-padded index prefix (pad width from ``_index_pad_width``, min
+    2 — a fixed lpad(2) truncated three-digit indices and diverged
+    from the streaming sibling for k > 99) makes lexicographic order
+    equal index order, so the sorted collect_list is just the in-band
+    indices concatenated in order. Keys are byte-identical to the
+    historical format (every oracle replays them)."""
+    mins = _minhash_mins(df, id_col, text_col, k)
     pad = _index_pad_width(k)
-    return (sigs.withColumn("band", (F.col("hash_index") / band).cast("int"))
-                .groupBy(id_col, "band")
-                .agg(F.concat_ws("|", F.sort_array(F.collect_list(
-                    F.concat(F.lpad(F.col("hash_index").cast("string"),
-                                    pad, "0"),
-                             F.lit("="), F.col("minhash"))))).alias("bucket_key")))
+    entries = []
+    for b in range((k + band - 1) // band):
+        idxs = range(b * band, min(k, (b + 1) * band))
+        key = F.concat_ws("|", *[
+            F.concat(F.lit(str(i).zfill(pad) + "="), F.col(f"m{i}"))
+            for i in idxs])
+        entries.append(F.struct(F.lit(b).alias("band"),
+                                key.alias("bucket_key")))
+    return (mins.select(F.col(id_col),
+                        F.explode(F.array(*entries)).alias("e"))
+                .select(id_col, F.col("e.band").alias("band"),
+                        F.col("e.bucket_key").alias("bucket_key")))
 
 
 def minhash_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -879,6 +899,10 @@ def source_overlap(df: DataFrame, source_col: str, text_col: str,
                               F.count(F.lit(1)).over(src_window))
                   .where(F.col("__nsrc__") <= int(max_sources))
                   .select("source", "gram"))
+    # NB (r6): a localCheckpoint of the guarded gram table (the
+    # fork_groups treatment) was measured SLOWER here (1.29 → 1.47 s
+    # at sf0.1, repeatedly) — the sizes/pair consumers ride the same
+    # exchange well enough un-checkpointed. Kept as-is.
     sizes = grams.groupBy("source").agg(
         F.count(F.lit(1)).alias("set_size"))
     inter = (_copair_counts(grams, "gram", "source")
@@ -1325,7 +1349,9 @@ def _small_star(e: DataFrame) -> DataFrame:
     t = o.withColumn("m", F.min("v").over(w))
     links = t.where(F.col("v") != F.col("m")).select(
         F.col("v").alias("u"), F.col("m").alias("v"))
-    selfs = t.select("u", F.col("m").alias("v")).distinct()
+    # no inner distinct on the self-links: the union's distinct
+    # subsumes it (r6 — one exchange fewer per CC round)
+    selfs = t.select("u", F.col("m").alias("v"))
     return links.union(selfs).distinct()
 
 
