@@ -76,8 +76,16 @@ _SECRET_GUARDS: dict = {
     r"xox[abp]-[0-9A-Za-z\-]{10,48}": lambda c: c.contains("xox"),
     r"-----BEGIN [A-Z ]*PRIVATE KEY-----":
         lambda c: c.contains("-----BEGIN "),
+    # lower().contains beats the [kK][eE][yY] char-class rlike 0.45 s
+    # vs 0.81 s marginal over the 2.5 GB corpus (r6 A/B; the regex
+    # engine steps a class NFA per position, lowercase+indexOf is one
+    # copy + a byte scan). Still a necessary condition: the pattern's
+    # (?i) is ASCII-case-insensitive, so any match carries an ASCII
+    # casing of "key", which lower() maps to "key"; lower() mapping
+    # extra characters down (e.g. the Kelvin sign) only WIDENS the
+    # candidate set, which is always safe.
     r"(?i)(?:api|secret)_?key\s*[:=]\s*['\"][0-9A-Za-z]{16,64}['\"]":
-        lambda c: c.rlike("[kK][eE][yY]"),
+        lambda c: F.lower(c).contains("key"),
     r"Bearer [0-9A-Za-z\-._~+/]{20,}": lambda c: c.contains("Bearer "),
 }
 
