@@ -215,6 +215,10 @@ def _simhash_sums(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = _ensure_parallelism(df).select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
     md5 = F.md5(F.col("tok"))
+    # NB (r6): naming hi/lo in their own projection (the bigram_lm
+    # named-column treatment) was A/B'd same-session and is NEUTRAL
+    # here — whole-stage codegen CSE already evaluates md5+conv once
+    # per row for the 64 bit references. Kept inline.
     hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")   # bits 32..63
     lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")   # bits 0..31
     def _pm1(i):  # ±1 for bit i of the 64-bit pattern
