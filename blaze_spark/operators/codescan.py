@@ -296,6 +296,15 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
     n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
     deg = e.groupBy(F.col("src").alias("node")) \
            .agg(F.count(F.lit(1)).alias("deg"))
+    # r6: out-degree is constant across rounds, so it is attached to the
+    # edge table ONCE (one extra checkpointed build) instead of joined
+    # against the rank table EVERY round — each round drops from two
+    # joins (ranks⋈deg, then ⋈edges) to one (ranks⋈edeg), removing a
+    # rank-table-sized shuffle per round at any scale. Values identical:
+    # floor(damping·r/deg) reads the same (r, deg) pairs either way.
+    edeg = (e.join(deg, e["src"] == deg["node"])
+             .select("src", "dst", "deg")
+             .localCheckpoint(eager=True))
     base = F.floor(F.lit((1.0 - damping) * 1_000_000.0) / F.col("n")) \
             .cast("long")
     init = F.floor(F.lit(1_000_000.0) / F.col("n")).cast("long")
@@ -306,8 +315,7 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
                   .select("node", "n", init.alias("r"))
                   .localCheckpoint(eager=True))
     for _ in range(iterations):
-        contrib = (ranks.join(deg, "node")
-                        .join(e, F.col("node") == F.col("src"))
+        contrib = (ranks.join(edeg, F.col("node") == F.col("src"))
                         .select(F.col("dst").alias("node"),
                                 F.floor(F.lit(damping) * F.col("r") /
                                         F.col("deg")).cast("long")
@@ -394,9 +402,12 @@ def fork_groups(df: DataFrame, repo_col: str, content_col: str,
                          >= F.lit(float(threshold)))
                   .select("id_a", "id_b"))
     comp = connected_components(edges, "id_a", "id_b")
-    grp = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("group_size"))
-    return (comp.join(grp, "component")
+    # group sizes via a PARTITIONED window, not groupBy + join-back:
+    # the join-back shape recomputes the CC-output subtree on both
+    # branches (the r3 lesson; near_dup_clusters uses the same form)
+    per_comp = Window.partitionBy("component")
+    return (comp.withColumn("group_size",
+                            F.count(F.lit(1)).over(per_comp))
                 .join(sizes, comp["id"] == sizes["repo"])
                 .select(F.col("id").alias("repo"),
                         F.col("component").alias("fork_group"),

@@ -1335,10 +1335,15 @@ def _large_star(e: DataFrame) -> DataFrame:
 
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     w = Window.partitionBy("u")
+    # no inner distinct (r6): the duplicates it removed — several
+    # neighbors of v mapping v to the same m — are harmless to
+    # small_star's window (min is duplicate-insensitive) and are
+    # swallowed by its final distinct; dropping the exchange saves one
+    # shuffle per CC round. Volume stays bounded by |oriented edges|,
+    # i.e. no more than this round's window already shuffled.
     return (sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
                .where(F.col("v") > F.col("u"))
-               .select(F.col("v").alias("u"), F.col("m").alias("v"))
-               .distinct())
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
