@@ -106,3 +106,42 @@ def test_spans_multi_single_pass_equals_per_size_union(spark):
     # window counts per doc match the flagged multiset
     for i, spans_i in cover.items():
         assert sum(n for _, _, _, n in spans_i) == n_flagged[i]
+
+
+def test_cc_duplicate_edges_and_pagerank_single_join(spark):
+    """The r6 shuffle trims must not change values: (a) large-star
+    without its inner distinct — CC labels over a MULTIGRAPH (duplicate
+    and reversed-duplicate edges) must equal the labels over the
+    dedup'd edge list; (b) pagerank's degree-annotated edge table —
+    ranks must equal the two-join formulation's (pinned by the numpy
+    replica in test_codescan, re-checked here on a dangling-node
+    graph)."""
+    from blaze_spark.operators.codescan import pagerank
+    from blaze_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 1), (2, 3), (2, 3), (5, 4), (4, 5), (6, 6)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {(r["id"], r["component"])
+           for r in connected_components(df, "id_a", "id_b").collect()}
+    dedup = spark.createDataFrame(
+        sorted({(min(a, b), max(a, b)) for a, b in edges if a != b}),
+        ["id_a", "id_b"])
+    want = {(r["id"], r["component"])
+            for r in connected_components(dedup, "id_a", "id_b").collect()}
+    assert got == want == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+    # pagerank: star + dangling sink; exact micro-rank replay
+    pr_edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"])
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(pr_edges, "src", "dst",
+                               iterations=3).collect()}
+    n = 3
+    micro = {x: 1_000_000 // n for x in "abc"}
+    for _ in range(3):
+        base = int((1.0 - 0.85) * 1_000_000.0) // n
+        contrib = {"b": int(0.85 * micro["a"] / 2),
+                   "c": int(0.85 * micro["a"] / 2) + int(0.85 * micro["b"])}
+        micro = {x: base + contrib.get(x, 0) for x in "abc"}
+    want_ranks = {x: round(micro[x] / 1_000_000.0, 6) for x in "abc"}
+    assert ranks == want_ranks
