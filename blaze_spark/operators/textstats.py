@@ -192,20 +192,31 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     discipline); ties rank deterministically (score desc, token asc).
 
     Scale shape: one token explode (map-only), a per-(doc, token)
-    groupBy (the tf table), a map-side-combined groupBy(token) over
-    THAT (document frequencies — a token in a billion docs is one
-    row), a fan-out-1 equi-join of tf against the aggregated df table
-    (AQE splits the skewed probe side), the corpus size as a broadcast
-    one-row cross join, and a per-document window bounded by distinct
-    tokens per doc. Nothing global, nothing quadratic."""
+    groupBy (the tf table), document frequencies aggregated from the
+    DISTINCT tokens of each row's token array (``array_distinct`` →
+    map-side combine straight onto vocabulary keys — a token in a
+    billion docs partially aggregates per partition, and the corpus-
+    scale (id, tok) stream is never shuffled a second time; deriving
+    dfreq from the tf table instead re-ran the explode AND its full
+    (id, tok) exchange, since Spark does not reuse self-join subtrees
+    under AQE — measured 2x the whole query at sf0.1), a fan-out-1
+    equi-join of tf against the aggregated df table (AQE splits the
+    skewed probe side), the corpus size as a broadcast one-row cross
+    join, and a per-document window bounded by distinct tokens per
+    doc. Nothing global, nothing quadratic. df_count over
+    array_distinct equals the old count-over-tf-rows integer exactly
+    (one row per (doc, distinct token) either way)."""
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col).alias("id"),
-                     F.explode(F.filter(
-                         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                         lambda t: t != "")).alias("tok"))
+    tok_arrays = df.select(F.col(id_col).alias("id"),
+                           F.filter(
+                               F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                               lambda t: t != "").alias("toks"))
+    toks = tok_arrays.select("id", F.explode("toks").alias("tok"))
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_count"))
+    dfreq = (tok_arrays
+             .select(F.explode(F.array_distinct("toks")).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("df_count")))
     ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     idf_micro = F.round(F.log((F.col("n_docs") + 1) /
                               (F.col("df_count") + 1).cast("double"))
