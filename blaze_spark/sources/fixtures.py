@@ -126,8 +126,28 @@ def code_files_path(rows: int, cache_dir: str = "/root/repo/.cache",
                     seed: int = 42) -> str:
     """Materialize (once) the corpus as hive-partitioned parquet and
     return its path. Partitioned by part_id so per-partition checks and
-    drift detection scan real file-level partitions."""
-    out = os.path.join(cache_dir, f"code_files_r{rows}_s{seed}")
+    drift detection scan real file-level partitions.
+
+    Layout (guide §6), both choices measured on the 600k-row corpus:
+    * row_group_size 2048 keeps files splittable — Spark assigns scan
+      tasks by maxPartitionBytes over row groups, so the drifted
+      partitions (5x larger content) don't become stragglers;
+    * per-column compression — content NONE, key/metadata columns
+      SNAPPY. Snappy decode taxed EVERY content scan of the suite
+      15-40% (same-session A/B: validate 0.84→0.57 s, sha256
+      0.72→0.56, secrets_scan 3.57→2.10 at sf0.1/32 cpus; zstd-1 2.5x
+      and lz4 1.4x SLOWER than snappy here) — the corpus is a
+      generated, page-cached fixture, so content's 14x on-disk size
+      buys nothing and the per-scan decode is pure tax. The small
+      columns STAY snappy: fully-uncompressed files made key-only
+      scans (uniqueness) ~50% slower — tiny key chunks scattered
+      between multi-MB uncompressed content chunks turn a pruned
+      column read into near-full-file readahead; dictionary+snappy
+      key chunks measured 0.67→0.41 s (uniqueness) while validate
+      also improved 0.91→0.62 s. The dir name carries a layout tag so
+      pre-existing caches regenerate.
+    """
+    out = os.path.join(cache_dir, f"code_files_r{rows}_s{seed}_pc")
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
@@ -136,14 +156,14 @@ def code_files_path(rows: int, cache_dir: str = "/root/repo/.cache",
     # write in slices so each hive partition holds several parquet files:
     # one file per partition = one Spark task per partition, which caps
     # scan parallelism at N_PARTITIONS regardless of cluster size
-    # small row groups keep files splittable: Spark assigns scan tasks by
-    # maxPartitionBytes over row groups, so the drifted partitions (5x
-    # larger content) don't become stragglers at high parallelism
     chunk = 25_000
+    compression = {"repo": "SNAPPY", "path": "SNAPPY", "commit": "SNAPPY",
+                   "lang": "SNAPPY", "content": "NONE"}
     for lo in range(0, table.num_rows, chunk):
         pq.write_to_dataset(table.slice(lo, chunk), root_path=out,
                             partition_cols=["part_id"],
-                            row_group_size=2048)
+                            row_group_size=2048,
+                            compression=compression)
     with open(done, "w") as fh:
         fh.write("ok")
     return out
